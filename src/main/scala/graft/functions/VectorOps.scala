@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns as pure
+  * Catalyst higher-order functions (SURVEY.md §2.9) — no UDFs, no
+  * collect, fully partition-parallel.
+  *
+  * Determinism note: float summation order differs between engines and
+  * between Spark partial-aggregation plans, so every reduction is
+  * routed through DECIMAL — each elementwise product is computed in
+  * double (IEEE, bit-exact everywhere), rounded once to DECIMAL(28,14),
+  * and summed exactly (decimal addition is associative). The final
+  * cosine is then double arithmetic on identical inputs → identical
+  * bits on any engine, any partitioning, any cluster size.
+  */
+object VectorOps {
+
+  /** Exact decimal dot product of two float-array columns. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(28,14)")),
+      lit(0).cast("decimal(38,14)"),
+      // re-cast each step: Spark's decimal + widens (38,14)+(28,14) to
+      // (38,13), which breaks the accumulator type contract; values are
+      // ≪ 10^24 so the cast never loses digits
+      (acc, v) => (acc + v).cast("decimal(38,14)"))
+
+  /** Exact decimal squared L2 norm. */
+  def normSqDecimal(a: Column): Column = dotDecimal(a, a)
+
+  /** Cosine similarity via exact-decimal reductions + double finish. */
+  def cosine(a: Column, b: Column): Column =
+    dotDecimal(a, b).cast("double") /
+      (sqrt(normSqDecimal(a).cast("double")) * sqrt(normSqDecimal(b).cast("double")))
+
+  /** 31-bit stable hash of a string (md5-prefix route — matches
+    * graft.text.TextOps.tokenHash31).
+    */
+  def hash31(s: Column): Column =
+    conv(substring(md5(s), 1, 14), 16, 10).cast("long") % 2147483647L
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * plane(j)[i] = hash31("j_i")/2^30 − 1. Same formula is inlined in
+    * the DuckDB oracles — no RNG, no broadcast weights needed.
+    */
+  def planeComponent(j: Column, i: Column): Column =
+    hash31(concat(j.cast("string"), lit("_"), i.cast("string"))) /
+      lit(1073741823.5) - lit(1.0)
+
+  /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
+    * bit j = [dot(v, plane_j) > 0], bucket = Σ bit_j · 2^j.
+    * One pass over the vector per plane, all codegen'd.
+    */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(1), lit(dim)), (x, i) =>
+          (x.cast("double") * planeComponent(lit(j), i)).cast("decimal(28,14)")),
+        lit(0).cast("decimal(38,14)"),
+        (acc, p) => (acc + p).cast("decimal(38,14)"))
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication primitives for document-scale pipelines (SURVEY.md
+  * §2.9): exact fingerprints, MinHash signatures + LSH banding,
+  * SimHash. All pure Catalyst expressions over token/shingle arrays —
+  * per-row, partition-local, no shuffles until the (tiny) band-bucket
+  * join, which is the standard web-scale dedup topology: O(n)
+  * signature pass + shuffle on band keys that only carries
+  * (doc_id, band_hash) pairs, never the documents themselves.
+  *
+  * Constants (16 hashes, 4 bands × 4 rows) are fixed so the DuckDB
+  * oracles can inline identical formulas: hash_j(s) =
+  * ((2j+1)·h(s) + 12345j + 7) mod (2^31 − 1) with h = md5-prefix
+  * (TextOps.tokenHash31); every intermediate stays < 2^37.
+  */
+object Dedup {
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand = 4
+  val P: Long = 2147483647L
+
+  /** Exact content fingerprint (normalization hook point). */
+  def exactFingerprint(text: Column): Column = md5(text)
+
+  /** MinHash signature (array of NumHashes longs) over a distinct
+    * shingle/token array.
+    */
+  def minhashSignature(shingleArr: Column): Column = {
+    // Hash every shingle once, then take NumHashes mins over affine
+    // re-hashes — O(|shingles| · NumHashes) adds, no re-md5.
+    val hashes = transform(shingleArr, s => TextOps.tokenHash31(s))
+    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
+      array_min(transform(hashes, h =>
+        ((lit(2L) * j + 1L) * h + j * 12345L + 7L) % P)))
+  }
+
+  /** LSH band hashes: md5 over each band's signature slice. Explode
+    * the result and shuffle on (band, band_hash) to find candidates.
+    */
+  def bandHashes(signature: Column): Column =
+    transform(sequence(lit(0), lit(NumBands - 1)), b =>
+      struct(
+        b.cast("long").as("band"),
+        md5(concat_ws(",",
+          transform(slice(signature, b * RowsPerBand + lit(1), lit(RowsPerBand)),
+            x => x.cast("string")))).as("band_hash")))
+
+  /** Exact Jaccard over two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** MinHash Jaccard estimate: agreeing signature positions / total. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v) / lit(NumHashes).cast("double")
+
+  /** 32-bit SimHash over a token array (with multiplicity): bit b is
+    * set iff Σ_tokens (±1 by bit b of the token hash) is positive.
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => TextOps.tokenHash31(t))
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+      val pow2b = pow(lit(2.0), b).cast("long")
+      val bitSum = aggregate(hashes, lit(0L), (s, h) =>
+        s + ((h / pow2b.cast("double")).cast("long") % 2L) * 2L - 1L)
+      acc + when(bitSum > 0, pow2b).otherwise(0L)
+    })
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.TimeWindows
+import graft.tables.Tables
+
+/** Query surface over the `events` stream-history table — the batch
+  * twins of the streaming operators (windowed aggregation ≙
+  * PseudoWindow, dedup ≙ dropDuplicatesWithinWatermark,
+  * sessionization ≙ stateful gap detection). All window math is
+  * epoch-ms integer arithmetic (TimeWindows), exact on both engines.
+  */
+object EventQueries {
+
+  private val SessionGapMs = 1800000L // 30 min
+
+  val queries: Map[String, Q] = Map(
+
+    // Tumbling 1 h window per event_type (≙ PseudoWindow over a real
+    // table; ms floor math identical to the sensor path).
+    "events_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          col("event_type"),
+          TimeWindows.startOfWindowMs(col("ts_ms"), 3600000L).as("window_start_ms"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          asDouble(sum(dec(col("value")))).as("sum_value"))),
+
+    // Exact streaming-style dedup: first event per (user_id,
+    // event_type) in (ts, id) order — the batch twin of
+    // `dropDuplicatesWithinWatermark`.
+    "events_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"))
+    }),
+
+    // Sessionization: 30-min-gap sessions per user (lag → gap flag →
+    // running sum = session index → per-session aggregates). The
+    // stateful streaming analogue is flatMapGroupsWithState /
+    // session_window; here it is two window functions + one agg —
+    // shuffles once on user_id and stays partial-aggregable.
+    "events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               col("ts_ms") - col("prev_ts") > SessionGapMs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
+             asDouble(sum(dec(col("value")))).as("sum_value"))
+    }),
+
+    // JSON property extraction + aggregation (props is a JSON string).
+    "events_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+             count(col("k")).as("cnt_k"),
+             max(col("k")).as("max_k"))),
+
+    // Per-user top-events leaderboard: grouped agg + deterministic
+    // global top-20.
+    "events_top_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             asDouble(sum(dec(col("value")))).as("sum_value"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(20))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // epoch_ns // 1000000 ≡ the engine's ts_ms (integer floor division
+    // — double division would lose ms precision at epoch-nanos scale).
+    "events_window_agg" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000) AS window_start_ms,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_dedup_first" ->
+      """SELECT user_id, event_type, event_id, ts_ms FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_ns(ts) // 1000000, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, value, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), sessions AS (
+        |  SELECT user_id, value, ts_ms,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_idx,
+        |  count(*) AS n_events,
+        |  max(ts_ms) - min(ts_ms) AS duration_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_idx""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(props->>'$.k' AS BIGINT)) AS cnt_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
+
+    "events_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY n_events DESC, user_id
+        |LIMIT 20""".stripMargin
+  )
+}

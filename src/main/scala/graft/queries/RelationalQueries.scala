@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables
+
+/** Relational breadth over the TPC-H-ish tables: scan → filter → agg,
+  * multi-way joins (broadcast dims), semi/anti joins, ranking window
+  * functions, rollup, deterministic top-k, scalar/date functions, set
+  * ops. The reference has no relational surface (SURVEY.md §2.3-2.8)
+  * — this is the engine's general query layer, shaped for scale:
+  * dimension joins carry `broadcast()` hints, fact-side filters sit
+  * before joins so Catalyst pushes them into the parquet scan, and
+  * every aggregate is partial-aggregable (no `collect`/driver loops).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // TPC-H Q1-style scan→filter→agg (pruned columns, pushed filter).
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") < 50.0)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3-style: 3-way join, revenue per order, deterministic
+    // top-10 (ordered on the exact decimal revenue, tiebreak on key).
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("rev")).as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), asDouble(col("rev_dec")).as("revenue"))
+    }),
+
+    // TPC-H Q5-style: 5-way join through region→nation→customer→
+    // orders→lineitem→supplier with the same-nation constraint;
+    // dims broadcast, facts shuffle on join keys.
+    "q5_regional_revenue" -> ((s, dir) => {
+      val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, dir)
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+                              col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(asDouble(sum(col("rev"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // Left-semi join (EXISTS): customers having ≥1 1996 order.
+    "q_semi_join" -> ((s, dir) => {
+      val ord96 = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+      Tables.customer(s, dir)
+        .join(ord96, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    "q_anti_join" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).select("o_custkey")
+      Tables.customer(s, dir)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Ranking window function: top-3 parts by retail price per brand
+    // (deterministic tiebreak on p_partkey).
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+                col("rn").cast("long").as("rn"))
+    }),
+
+    // Analytic window function: running revenue share per supplier
+    // over ship-date order (frame = unbounded preceding .. current).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("running_qty",
+          sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                // parquet ms timestamps surface as TIMESTAMP_NTZ; with a
+                // UTC session the cast to TIMESTAMP is wall-clock identity
+                unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+                asDouble(col("running_qty")).as("running_qty"))
+    }),
+
+    // ROLLUP grouping-set aggregation (NULL markers coalesced so the
+    // grouping level is explicit and engine-independent).
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+             asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("cnt"), col("sum_qty"))),
+
+    // Deterministic top-k scan (global sort+limit on raw columns).
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))),
+
+    // Scalar string/date functions (projection-only; column-pruned scan).
+    "q_scalar_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          length(col("o_orderstatus")).cast("long").as("status_len"),
+          substring(col("o_orderpriority"), 1, 3).as("prio3"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"),
+          unix_millis(date_trunc("month", col("o_orderdate"))).as("month_start_ms"))),
+
+    // Set operations (distinct semantics: INTERSECT / EXCEPT).
+    "q_set_ops" -> ((s, dir) => {
+      val custNations = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val supNations = Tables.supplier(s, dir)
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      custNations.intersect(supNations)
+        .withColumn("setop", lit("both"))
+        .unionByName(
+          custNations.except(supNations).withColumn("setop", lit("cust_only")))
+    }),
+
+    // Distinct aggregation.
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_quantity < 50.0
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, CAST(rev_dec AS DOUBLE) AS revenue FROM (
+        |  SELECT o_orderkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY o_orderkey
+        |  ORDER BY rev_dec DESC, o_orderkey
+        |  LIMIT 10
+        |)""".stripMargin,
+
+    "q5_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+        |  FROM part
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  epoch_ms(l_shipdate) AS ship_ms,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |  substring(o_orderpriority, 1, 3) AS prio3,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms
+        |FROM orders""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS setop FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS setop FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin
+  )
+}

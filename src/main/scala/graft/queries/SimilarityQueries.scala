@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+import graft.tables.Tables
+
+/** Similarity-search extension operators over `embeddings`
+  * (SURVEY.md §2.9): brute-force cosine top-k (the correctness
+  * baseline), sign-random-projection LSH bucketing (the 100 TB ANN
+  * path: bucket once, then search within buckets), and exact-decimal
+  * label centroids with per-vector centroid similarity.
+  *
+  * Scale design: the query side of the top-k is tiny and broadcast —
+  * the corpus streams through one narrow stage, so the plan is
+  * BroadcastNestedLoopJoin → partial TopK per partition → final TopK;
+  * no corpus shuffle. LSH bucketing is a pure projection.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val TopK = 5
+  private val NQueries = 8
+  private val NPlanes = 8
+
+  val queries: Map[String, Q] = Map(
+
+    // Brute-force cosine top-k: first NQueries vectors against the
+    // whole corpus (self excluded), deterministic rank.
+    "ann_topk_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", VectorOps.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // LSH bucketing (sign random projection, 8 deterministic
+    // hyperplanes → 256 buckets): the scale path's partitioning key.
+    "emb_lsh_buckets" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+             min(col("vec_id")).as("min_vec_id"))),
+
+    // Exact-decimal label centroids + each vector's cosine to its own
+    // label centroid (embedding-cluster quality / near-dup scoring).
+    "emb_centroid_sim" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val byDim = emb.select(
+          col("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+              count(lit(1))).as("c"))
+      val centroids = byDim
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+        .select(col("label").as("c_label"),
+                transform(col("pairs"), p => p.getField("c")).as("centroid"))
+      emb.join(broadcast(centroids), col("label") === col("c_label"))
+        .select(col("vec_id"), col("label"),
+                round(VectorOps.cosine(col("embedding"), col("centroid")), 6).as("cos_centroid"))
+    })
+  )
+
+  // DuckDB twin of VectorOps.cosine: per-element double products
+  // rounded to DECIMAL(28,14), exact decimal sum, double finish.
+  private def duckCos(a: String, b: String): String =
+    s"""(CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |    CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
+       |  / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CAST(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))
+       |   * sqrt(CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CAST(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk_bruteforce" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${duckCos("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+
+    "emb_lsh_buckets" ->
+      s"""WITH planes AS (
+         |  SELECT j, list_transform(generate_series(1, 64), i ->
+         |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+         |      / 1073741823.5 - 1.0) AS plane
+         |  FROM generate_series(0, ${NPlanes - 1}) t(j)
+         |), sig AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(CAST(e.embedding[i] AS DOUBLE) * p.plane[i] AS DECIMAL(28,14)))) > 0
+         |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, planes p
+         |  GROUP BY e.vec_id
+         |)
+         |SELECT s.bucket, count(*) AS n_vectors, min(s.vec_id) AS min_vec_id
+         |FROM sig s
+         |GROUP BY s.bucket""".stripMargin,
+
+    "emb_centroid_sim" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY i) AS centroid
+         |  FROM dims
+         |  GROUP BY label
+         |)
+         |SELECT e.vec_id, e.label,
+         |  round(${duckCos("e.embedding", "c.centroid")}, 6) AS cos_centroid
+         |FROM embeddings e JOIN cent c ON e.label = c.label""".stripMargin
+  )
+}

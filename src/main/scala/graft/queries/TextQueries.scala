@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.text.TextOps
+
+/** Text-analysis extension operators over `documents` (SURVEY.md
+  * §2.9): token statistics, quality scoring, language-ID heuristic,
+  * token frequency (generator/explode path), and order-sensitive
+  * document fingerprinting. All single-pass narrow projections +
+  * one partial-aggregable shuffle where grouped.
+  */
+object TextQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // Per-document token statistics (pure projection — no shuffle).
+    "text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          (size(array_distinct(col("toks"))) / size(col("toks"))).as("ttr"),
+          round((length(col("text")) - (size(col("toks")) - 1)) / size(col("toks")), 6).as("mean_token_len"))),
+
+    // Quality scoring: type-token ratio, stopword ratio, mean token
+    // length folded into one bounded score.
+    "text_quality" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("ttr", size(array_distinct(col("toks"))) / col("n_tokens"))
+        .withColumn("stop_ratio",
+          (TextOps.tokenCount(col("toks"), "the") + TextOps.tokenCount(col("toks"), "a")) / col("n_tokens"))
+        .withColumn("mean_len",
+          (length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"))
+        .select(
+          col("doc_id"),
+          round(col("ttr"), 6).as("ttr"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(
+            col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+            least(col("mean_len") / 10.0, lit(1.0)) * 0.3, 6).as("quality"))
+    }),
+
+    // Language-ID heuristic vs the labeled `lang` column: marker-token
+    // argmax + agreement matrix (lang × lang_pred counts).
+    "text_langid" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+      val (en, es, de) = (
+        TextOps.tokenCount(col("toks"), "the"),
+        TextOps.tokenCount(col("toks"), "a"),
+        TextOps.tokenCount(col("toks"), "data"))
+      base
+        .withColumn("lang_pred", TextOps.langPredict(en, es, de))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Global token frequency via explode (generator path) —
+    // deterministic top-20 with token tiebreak.
+    "text_token_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    // Order-sensitive rolling-hash fingerprint per document (exact-dup
+    // detection that, unlike a bag-of-words hash, respects word order).
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp")))
+  )
+
+  private val toksCte =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""$toksCte
+         |SELECT doc_id, n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  len(list_distinct(toks)) / len(toks) AS ttr,
+         |  round((length(text) - (len(toks) - 1)) / len(toks), 6) AS mean_token_len
+         |FROM d""".stripMargin,
+
+    "text_quality" ->
+      s"""$toksCte, q AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    len(list_distinct(toks)) / len(toks) AS ttr,
+         |    (len(list_filter(toks, t -> t = 'the')) + len(list_filter(toks, t -> t = 'a'))) / len(toks) AS stop_ratio,
+         |    (length(text) - (len(toks) - 1)) / len(toks) AS mean_len
+         |  FROM d
+         |)
+         |SELECT doc_id, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
+         |  round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(mean_len / 10.0, 1.0) * 0.3, 6) AS quality
+         |FROM q""".stripMargin,
+
+    "text_langid" ->
+      s"""$toksCte, scored AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter(toks, t -> t = 'the')) AS BIGINT) AS cnt_en,
+         |    CAST(len(list_filter(toks, t -> t = 'a')) AS BIGINT) AS cnt_es,
+         |    CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS cnt_de
+         |  FROM d
+         |)
+         |SELECT lang,
+         |  CASE WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de THEN 'en'
+         |       WHEN cnt_es >= cnt_de THEN 'es'
+         |       ELSE 'de' END AS lang_pred,
+         |  count(*) AS cnt
+         |FROM scored
+         |GROUP BY 1, 2""".stripMargin,
+
+    "text_token_freq" ->
+      s"""$toksCte
+         |SELECT token, count(*) AS cnt
+         |FROM d, unnest(toks) AS u(token)
+         |GROUP BY token
+         |ORDER BY cnt DESC, token
+         |LIMIT 20""".stripMargin,
+
+    // list_reduce seeds with the first element, so prepend the zero to
+    // match aggregate(toks, 0, …); token hash = md5-prefix mod (2^31−1).
+    "text_fingerprint" ->
+      s"""$toksCte
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, t ->
+         |        CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) % 2147483647)),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+         |FROM d""".stripMargin
+  )
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale document pipelines
+  * (SURVEY.md §2.9). Everything is a Catalyst `Column` expression —
+  * codegen'd, partition-local, no UDFs/closures — so a 100 TB
+  * documents table processes as a single narrow projection stage.
+  *
+  * Cross-engine determinism: token hashing routes through md5 (stable
+  * everywhere) rather than engine-specific hash functions; all modular
+  * arithmetic stays under 2^62 so BIGINT math never overflows (DuckDB
+  * errors on overflow; Spark wraps — neither is acceptable).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of an exact token via a codegen'd array filter. */
+  def tokenCount(toks: Column, token: String): Column =
+    size(filter(toks, t => t === token)).cast("long")
+
+  /** 31-bit token hash from the md5 hex prefix — stable across
+    * engines, uniform enough for minhash/simhash banding.
+    */
+  def tokenHash31(t: Column): Column =
+    conv(substring(md5(t), 1, 14), 16, 10).cast("long") % 2147483647L
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash
+    * over the token stream, acc = (acc*31 + h(t)) mod (2^31 − 1).
+    * Intermediate values stay < 2^36.
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => (acc * 31L + tokenHash31(t)) % 2147483647L)
+
+  /** k-token shingles as space-joined strings (distinct set). */
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Simple marker-token language scorer: argmax of marker counts with
+    * fixed priority ties (en > es > de). A real n-gram model would
+    * slot into the same shape (per-language score columns + greatest).
+    */
+  def langScores(toks: Column): (Column, Column, Column) =
+    (tokenCount(toks, "the"), tokenCount(toks, "a"), tokenCount(toks, "data"))
+
+  def langPredict(cntEn: Column, cntEs: Column, cntDe: Column): Column =
+    when(cntEn >= cntEs && cntEn >= cntDe, "en")
+      .when(cntEs >= cntDe, "es")
+      .otherwise("de")
+}
