@@ -39,7 +39,8 @@ object SparkEntry {
     EventQueries.queries ++
     TextQueries.queries ++
     DedupQueries.queries ++
-    SimilarityQueries.queries
+    SimilarityQueries.queries ++
+    StreamingQueries.queries
 
   /** DuckDB-equivalent SQL for every oracle-checkable query. */
   def oracleSql: Map[String, String] =
@@ -48,5 +49,6 @@ object SparkEntry {
     EventQueries.oracleSql ++
     TextQueries.oracleSql ++
     DedupQueries.oracleSql ++
-    SimilarityQueries.oracleSql
+    SimilarityQueries.oracleSql ++
+    StreamingQueries.oracleSql
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.PseudoWindow
+
+/** Streaming operators run end-to-end as bounded queries: the events
+  * table replayed through a file streaming source → watermark →
+  * windowed aggregation → memory sink, compared against the same
+  * aggregation in DuckDB. Append-mode emission is watermark-gated, so
+  * the oracle carries the same cutoff: only windows whose end ≤
+  * max(ts) (the final watermark with 0 s delay) are emitted.
+  */
+object StreamingQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  /** events.parquet as a streaming DataFrame with (ts_ms, ts) like
+    * Tables.events (nanos → ms; file sources need an explicit schema).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file streaming source requires a directory: expose the single
+    // events.parquet file through a symlinked temp dir.
+    val streamDir = Files.createTempDirectory("graft-stream-src-")
+    Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the accumulated result table.
+    */
+  private def runToMemory(s: SparkSession, streamed: DataFrame): DataFrame = {
+    val name = s"stream_out_${runId.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = streamed.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .format("memory")
+      .start()
+    q.processAllAvailable()
+    // processAllAvailable returns once source offsets are consumed; the
+    // watermark-driven flush runs as one more no-data micro-batch —
+    // wait until it has been observed before stopping.
+    val deadline = System.currentTimeMillis() + 15000
+    while (!q.recentProgress.exists(_.numInputRows == 0) &&
+           System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+    }
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Idiomatic streaming path (SURVEY.md §2 #8, event-time variant):
+    // watermark + window() + append — state purge engine-managed.
+    "stream_window_agg" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"),
+             asDouble(sum(dec(col("value")))).as("sum_value"))
+        .select(col("event_type"),
+                unix_millis(col("window.start")).as("window_start_ms"),
+                col("cnt"), col("sum_value"))
+      runToMemory(s, agg)
+    }),
+
+    // Strict-parity stateful path: the flatMapGroupsWithState port of
+    // the reference's MapState+timer machine, emitting the exact
+    // endOfWindow timestamps (start + duration − 1 ms).
+    "stream_pseudo_window" -> ((s, dir) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[PseudoWindow.Point]
+      val pts = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_type").as("key"), col("ts_ms").as("tsMs"),
+                col("value"), col("ts"))
+        .as[PseudoWindow.Point]
+      val counts = PseudoWindow.eventTime(pts, 3600000L)
+      runToMemory(s, counts.toDF())
+        .select(col("key"), col("windowEndMs").as("window_end_ms"), col("cnt"))
+    })
+  )
+
+  // Both oracles cut at the final watermark: windows closed by
+  // wm = max(ts_ms) are exactly those with end ≤ wm.
+  val oracleSql: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events
+        |), agg AS (
+        |  SELECT event_type,
+        |    ts_ms - (ts_ms % 3600000) AS window_start_ms,
+        |    count(*) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT * FROM agg
+        |WHERE window_start_ms + 3600000 <= (SELECT max(ts_ms) FROM e)""".stripMargin,
+
+    "stream_pseudo_window" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |), agg AS (
+        |  SELECT event_type AS key,
+        |    ts_ms - (ts_ms % 3600000) + 3599999 AS window_end_ms,
+        |    count(*) AS cnt
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT * FROM agg
+        |WHERE window_end_ms <= (SELECT max(ts_ms) FROM e)""".stripMargin
+  )
+}
