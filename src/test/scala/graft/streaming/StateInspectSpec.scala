@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ≙ the reference's ChangeBackend state read/print path
+  * (SURVEY.md §3.2): run a checkpointed windowed aggregation, then
+  * read its keyed state offline with the statestore/state-metadata
+  * data sources and reconcile with the live results.
+  */
+class StateInspectSpec extends SparkSpec {
+
+  test("statestore read exposes the windowed aggregation's keyed state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val ckpt = Files.createTempDirectory("inspect-").toString
+    val agg = input.toDF().toDF("key", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("key"), window(col("ts"), "1 second"))
+      .count()
+    val q = agg.writeStream.outputMode("append")
+      .queryName("inspect_out").option("checkpointLocation", ckpt)
+      .format("memory").start()
+    val t0 = 1704067200000L
+    input.addData((0 until 30).map(i =>
+      ("k" + (i % 2), new java.sql.Timestamp(t0 + i * 100L))))
+    q.processAllAvailable()
+    q.stop()
+
+    // metadata names the stateful operator
+    val meta = StateInspect.stateMetadata(spark, ckpt)
+    assert(meta.count() >= 1)
+    val opName = meta.select("operatorName").collect()(0).getString(0)
+    assert(opName == "stateStoreSave") // streaming-agg state operator
+
+    // keyed state: open windows not yet emitted (the 3.0 s window —
+    // watermark stopped at 2.9 s) remain, counts intact
+    val state = StateInspect.keyedState(spark, ckpt)
+    val remaining = state
+      .select(col("key.key").as("k"),
+              unix_millis(col("key.window.start")).as("ws"),
+              col("value.count").cast("long").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(remaining == Set(("k0", t0 + 2000, 5L), ("k1", t0 + 2000, 5L)))
+  }
+}
