@@ -40,7 +40,8 @@ object SparkEntry {
     TextQueries.queries ++
     DedupQueries.queries ++
     SimilarityQueries.queries ++
-    StreamingQueries.queries
+    StreamingQueries.queries ++
+    MultimodalQueries.queries
 
   /** DuckDB-equivalent SQL for every oracle-checkable query. */
   def oracleSql: Map[String, String] =
@@ -50,5 +51,6 @@ object SparkEntry {
     TextQueries.oracleSql ++
     DedupQueries.oracleSql ++
     SimilarityQueries.oracleSql ++
-    StreamingQueries.oracleSql
+    StreamingQueries.oracleSql ++
+    MultimodalQueries.oracleSql
 }

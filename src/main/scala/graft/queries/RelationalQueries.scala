@@ -86,11 +86,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
-    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    // Left-anti join (NOT EXISTS): customers with no order in Q1-1995.
     "q_anti_join" -> ((s, dir) => {
-      val ord = Tables.orders(s, dir).select("o_custkey")
+      val ordQ1 = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select("o_custkey")
       Tables.customer(s, dir)
-        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(ordQ1, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
     }),
@@ -228,7 +231,10 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01')
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_window_rank" ->
