@@ -43,22 +43,29 @@ object VectorOps {
     conv(substring(md5(s), 1, 14), 16, 10).cast("long") % 2147483647L
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * plane(j)[i] = hash31("j_i")/2^30 − 1. Same formula is inlined in
-    * the DuckDB oracles — no RNG, no broadcast weights needed.
+    * plane(j)[i] = hash31("j_i")/2^30 − 1 with hash31 = md5-prefix.
+    * Computed ONCE on the driver (the md5 route matches the inlined
+    * DuckDB-oracle formula bit for bit) and shipped as literals —
+    * plane weights are query constants, not per-row work.
     */
-  def planeComponent(j: Column, i: Column): Column =
-    hash31(concat(j.cast("string"), lit("_"), i.cast("string"))) /
-      lit(1073741823.5) - lit(1.0)
+  def planeComponentValue(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"${j}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(14)
+    (java.lang.Long.parseLong(hex, 16) % 2147483647L) / 1073741823.5 - 1.0
+  }
 
   /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
     * bit j = [dot(v, plane_j) > 0], bucket = Σ bit_j · 2^j.
-    * One pass over the vector per plane, all codegen'd.
+    * One decimal-exact pass over the vector per plane.
     */
   def lshBucket(v: Column, dim: Int, nPlanes: Int): Column = {
+    import org.apache.spark.sql.functions.typedLit
     val bits = (0 until nPlanes).map { j =>
+      val plane = typedLit((1 to dim).map(i => planeComponentValue(j, i)))
       val dot = aggregate(
-        zip_with(v, sequence(lit(1), lit(dim)), (x, i) =>
-          (x.cast("double") * planeComponent(lit(j), i)).cast("decimal(28,14)")),
+        zip_with(v, plane, (x, p) =>
+          (x.cast("double") * p).cast("decimal(28,14)")),
         lit(0).cast("decimal(38,14)"),
         (acc, p) => (acc + p).cast("decimal(38,14)"))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))

@@ -30,12 +30,18 @@ object Dedup {
     * shingle/token array.
     */
   def minhashSignature(shingleArr: Column): Column = {
-    // Hash every shingle once, then take NumHashes mins over affine
-    // re-hashes — O(|shingles| · NumHashes) adds, no re-md5.
+    // Hash every shingle ONCE (md5+conv dominate), then take NumHashes
+    // mins over cheap affine re-hashes. The element_at(transform(array(
+    // …)), 1) wrapper is a let-binding: without it projection collapse
+    // inlines the md5 pass into each of the NumHashes lambdas (a
+    // measured 15× slowdown at sf0.1).
     val hashes = transform(shingleArr, s => TextOps.tokenHash31(s))
-    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
-      array_min(transform(hashes, h =>
-        ((lit(2L) * j + 1L) * h + j * 12345L + 7L) % P)))
+    element_at(
+      transform(array(hashes), hs =>
+        transform(sequence(lit(0), lit(NumHashes - 1)), j =>
+          array_min(transform(hs, h =>
+            ((lit(2L) * j + 1L) * h + j * 12345L + 7L) % P)))),
+      1)
   }
 
   /** LSH band hashes: md5 over each band's signature slice. Explode
@@ -49,10 +55,17 @@ object Dedup {
           transform(slice(signature, b * RowsPerBand + lit(1), lit(RowsPerBand)),
             x => x.cast("string")))).as("band_hash")))
 
-  /** Exact Jaccard over two distinct-element arrays. */
+  /** Exact Jaccard over two distinct-element arrays:
+    * |A∩B| / (|A| + |B| − |A∩B|) — one intersection instead of
+    * building the union array.
+    */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)) /
-      size(array_distinct(concat(a, b))).cast("double")
+    let1(size(array_intersect(a, b))) { i =>
+      i / (size(a) + size(b) - i).cast("double")
+    }
+
+  private def let1(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
 
   /** MinHash Jaccard estimate: agreeing signature positions / total. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =

@@ -39,7 +39,12 @@ object DedupQueries {
     // exact token-set Jaccard (only pairs ≥ 0.2 are near-dup
     // candidates worth emitting).
     "dedup_lsh_pairs" -> ((s, dir) => {
-      val bands = queries("dedup_minhash_bands")(s, dir)
+      // Cache the signature/band pass: the self-join would otherwise
+      // recompute the whole minhash pipeline for each side. At cluster
+      // scale this is the classic two-phase topology — one O(n)
+      // signature job materialized, then a shuffle on (band, hash)
+      // that only moves ids.
+      val bands = queries("dedup_minhash_bands")(s, dir).persist()
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
       val cand = a.join(b, Seq("band", "band_hash"))
@@ -47,9 +52,10 @@ object DedupQueries {
         .select("doc_a", "doc_b").distinct()
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("tokset"))
+        .persist()
       cand
-        .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a"), "doc_a")
-        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "set_b"), "doc_b")
+        .join(broadcast(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a")), "doc_a")
+        .join(broadcast(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "set_b")), "doc_b")
         .withColumn("jac", Dedup.jaccard(col("set_a"), col("set_b")))
         .filter(col("jac") >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard_r"))

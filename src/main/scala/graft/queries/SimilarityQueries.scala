@@ -28,14 +28,23 @@ object SimilarityQueries {
     // Brute-force cosine top-k: first NQueries vectors against the
     // whole corpus (self excluded), deterministic rank.
     "ann_topk_bruteforce" -> ((s, dir) => {
+      // Norms are computed once per side before the cross join — the
+      // per-pair work is a single decimal dot product. The tiny query
+      // side broadcasts; the corpus streams through one narrow stage
+      // (partial top-k per partition, final top-k after the window
+      // shuffle on q_id).
       val emb = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
       val q = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", VectorOps.cosine(col("q_emb"), col("embedding")))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("q_id"), col("rank").cast("long").as("rank"),

@@ -28,24 +28,32 @@ object TextQueries {
 
     // Quality scoring: type-token ratio, stopword ratio, mean token
     // length folded into one bounded score.
-    "text_quality" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
+    // Two-level let: tokenize once, then compute the count bundle once
+    // — ratios and the composite score all derive from the same struct
+    // instead of re-running filters per output column.
+    "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .withColumn("toks", toks)
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("ttr", size(array_distinct(col("toks"))) / col("n_tokens"))
-        .withColumn("stop_ratio",
-          (TextOps.tokenCount(col("toks"), "the") + TextOps.tokenCount(col("toks"), "a")) / col("n_tokens"))
-        .withColumn("mean_len",
-          (length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"))
-        .select(
-          col("doc_id"),
-          round(col("ttr"), 6).as("ttr"),
-          round(col("stop_ratio"), 6).as("stop_ratio"),
-          round(
-            col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
-            least(col("mean_len") / 10.0, lit(1.0)) * 0.3, 6).as("quality"))
-    }),
+        .select(col("doc_id"),
+          let1(TextOps.tokens(col("text"))) { t =>
+            let1(struct(
+                size(t).cast("long").as("n_tokens"),
+                size(array_distinct(t)).cast("long").as("n_distinct"),
+                (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a")).as("n_stop"),
+                length(col("text")).cast("long").as("n_chars"))) { st =>
+              val nTok = st.getField("n_tokens")
+              val ttr = st.getField("n_distinct") / nTok
+              val stopRatio = st.getField("n_stop") / nTok
+              val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
+              struct(
+                round(ttr, 6).as("ttr"),
+                round(stopRatio, 6).as("stop_ratio"),
+                round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+                      least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"))
+            }
+          }.as("q"))
+        .select(col("doc_id"), col("q.ttr").as("ttr"),
+                col("q.stop_ratio").as("stop_ratio"),
+                col("q.quality").as("quality"))),
 
     // Language-ID heuristic vs the labeled `lang` column: marker-token
     // argmax + agreement matrix (lang × lang_pred counts).

@@ -11,4 +11,17 @@ package object queries {
     */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
   def asDouble(c: Column): Column = c.cast("double")
+
+  /** Let-binding for Catalyst expressions: evaluates `c` ONCE per row
+    * and binds it as a lambda variable in `f`. Without this, projection
+    * collapse inlines a subexpression into every use site — an
+    * expression used k times (e.g. a token-hash array feeding 16
+    * minhash lambdas) is recomputed k times per row.
+    */
+  def let1(c: org.apache.spark.sql.Column)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(c), f),
+      1)
 }
