@@ -41,7 +41,8 @@ object SparkEntry {
     DedupQueries.queries ++
     SimilarityQueries.queries ++
     StreamingQueries.queries ++
-    MultimodalQueries.queries
+    MultimodalQueries.queries ++
+    SqlQueries.queries
 
   /** DuckDB-equivalent SQL for every oracle-checkable query. */
   def oracleSql: Map[String, String] =
@@ -52,5 +53,6 @@ object SparkEntry {
     DedupQueries.oracleSql ++
     SimilarityQueries.oracleSql ++
     StreamingQueries.oracleSql ++
-    MultimodalQueries.oracleSql
+    MultimodalQueries.oracleSql ++
+    SqlQueries.oracleSql
 }

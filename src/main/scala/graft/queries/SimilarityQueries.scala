@@ -51,6 +51,26 @@ object SimilarityQueries {
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Hot-path variant of the same top-k on the fused codegen'd
+    // FloatVectorCosine expression (float-order summation ⇒ not
+    // DuckDB-hashable ⇒ rows-only check; ranking verified against the
+    // decimal route in FloatVectorCosineSpec).
+    "ann_topk_fast" -> ((s, dir) => {
+      import graft.functions.FloatVectorCosine.cosineFast
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineFast(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // LSH bucketing (sign random projection, 8 deterministic
     // hyperplanes → 256 buckets): the scale path's partitioning key.
     "emb_lsh_buckets" -> ((s, dir) =>
