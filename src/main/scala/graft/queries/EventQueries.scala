@@ -61,6 +61,18 @@ object EventQueries {
              asDouble(sum(dec(col("value")))).as("sum_value"))
     }),
 
+    // Sliding windows: 2 h period, 30 min slide — each event lands in
+    // 4 overlapping windows (window() generates the replicas before
+    // the partial aggregation).
+    "events_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+                 window(col("ts"), "2 hours", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+                unix_millis(col("window.start")).as("window_start_ms"),
+                col("cnt"))),
+
     // JSON property extraction + aggregation (props is a JSON string).
     "events_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -125,6 +137,15 @@ object EventQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_idx""".stripMargin,
+
+    // Each event replicates into the 4 slides covering it:
+    // start_i = (ts DIV slide − i)·slide for i in 0..3.
+    "events_sliding_window" ->
+      """SELECT event_type,
+        |  ((epoch_ns(ts) // 1000000) // 1800000 - i) * 1800000 AS window_start_ms,
+        |  count(*) AS cnt
+        |FROM events, generate_series(0, 3) t(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type,

@@ -80,6 +80,33 @@ object StreamingQueries {
       runToMemory(s, agg)
     }),
 
+    // Streaming exact dedup (dropDuplicates on the full output tuple:
+    // whichever physical row survives, the emitted VALUES are the
+    // distinct set — deterministic and oracle-checkable).
+    "stream_dedup" -> ((s, dir) => {
+      val dedup = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("event_type"),
+                (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+        .dropDuplicates("user_id", "event_type", "day_ms")
+      runToMemory(s, dedup)
+    }),
+
+    // Built-in session windows (30-min gap) — the engine-managed twin
+    // of events_sessionize; append emits sessions once the watermark
+    // passes last_event + gap.
+    "stream_session_window" -> ((s, dir) => {
+      val sessions = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                unix_millis(col("session_window.start")).as("session_start_ms"),
+                unix_millis(col("session_window.end")).as("session_end_ms"),
+                col("n_events"))
+      runToMemory(s, sessions)
+    }),
+
     // Strict-parity stateful path: the flatMapGroupsWithState port of
     // the reference's MapState+timer machine, emitting the exact
     // endOfWindow timestamps (start + duration − 1 ms).
@@ -111,6 +138,39 @@ object StreamingQueries {
         |)
         |SELECT * FROM agg
         |WHERE window_start_ms + 3600000 <= (SELECT max(ts_ms) FROM e)""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000) AS day_ms
+        |FROM events""".stripMargin,
+
+    // Session semantics: a new session starts when the gap is >= 30 min
+    // (Spark merges an event only if it lands strictly inside the open
+    // window). Emission cutoff: session_end <= final watermark.
+    "stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w >= 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id,
+        |    min(ts_ms) AS session_start_ms,
+        |    max(ts_ms) + 1800000 AS session_end_ms,
+        |    count(*) AS n_events
+        |  FROM sessions GROUP BY user_id, sid
+        |)
+        |SELECT * FROM agg
+        |WHERE session_end_ms <= (SELECT max(ts_ms) FROM e)""".stripMargin,
 
     "stream_pseudo_window" ->
       """WITH e AS (
