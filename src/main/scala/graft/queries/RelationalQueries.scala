@@ -169,6 +169,32 @@ object RelationalQueries {
           custNations.except(supNations).withColumn("setop", lit("cust_only")))
     }),
 
+    // Exact percentiles (sort-based; linear interpolation matches
+    // quantile_cont).
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25_raw"),
+             percentile(col("l_quantity"), lit(0.5)).as("p50_raw"),
+             percentile(col("l_quantity"), lit(0.75)).as("p75_raw"))
+        .select(col("l_returnflag"),
+                round(col("p25_raw"), 6).as("p25"),
+                round(col("p50_raw"), 6).as("p50"),
+                round(col("p75_raw"), 6).as("p75"))),
+
+    // Typed Aggregator (UDAF surface): exact-decimal weighted mean.
+    "q_typed_wavg" -> ((s, dir) => {
+      import graft.functions.TypedAggregators
+      implicit val enc = org.apache.spark.sql.Encoders.product[(String, Double, Double)]
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .as[(String, Double, Double)]
+        .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+        .agg(TypedAggregators.weightedMean.toColumn.name("wavg_raw"))
+        .toDF("l_returnflag", "wavg_raw")
+        .select(col("l_returnflag"), round(col("wavg_raw"), 6).as("wavg_price"))
+    }),
+
     // Distinct aggregation.
     "q_distinct_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -285,6 +311,21 @@ object RelationalQueries {
         |SELECT nationkey, 'both' AS setop FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
         |UNION ALL
         |SELECT nationkey, 'cust_only' AS setop FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_typed_wavg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT l_returnflag,
