@@ -82,6 +82,18 @@ object EventQueries {
              count(col("k")).as("cnt_k"),
              max(col("k")).as("max_k"))),
 
+    // As-of join: each purchase picks up the latest click value at or
+    // before it per user (union + carry-forward window — no join).
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+                col("value"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      graft.operators.AsOfJoin.asOf(
+        purchases, clicks, "user_id", "ts_ms", "event_id", "value")
+    }),
+
     // Pivot: daily event-type count matrix (fixed value list keeps the
     // output schema deterministic).
     "events_pivot" -> ((s, dir) =>
@@ -164,6 +176,27 @@ object EventQueries {
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type""".stripMargin,
+
+    // Same union + carry-forward algorithm (side 0 = right sorts
+    // before side 1 = left at equal ts ⇒ ts ≤ semantics).
+    "events_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+        |         value, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), u AS (
+        |  SELECT user_id, event_id, ts_ms, value, event_type,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'click' THEN value END AS rv
+        |  FROM e
+        |), lv AS (
+        |  SELECT *, last_value(rv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |  FROM u
+        |)
+        |SELECT user_id, event_id, ts_ms, value, asof_value
+        |FROM lv WHERE event_type = 'purchase'""".stripMargin,
 
     "events_pivot" ->
       """SELECT
