@@ -38,4 +38,16 @@ object StateInspect {
   /** Stateful-operator topology of a checkpoint (≙ savepoint metadata). */
   def stateMetadata(spark: SparkSession, checkpointDir: String): DataFrame =
     spark.read.format("state-metadata").load(checkpointDir)
+
+  /** Committed source offsets (≙ the reference's checkpointed virtual
+    * clock, `checkpointedTime` ListState read at
+    * ChangeBackend.java:175-177): one JSON line per source per batch,
+    * human-readable — rate-source offsets ARE the virtual clock.
+    */
+  def sourceOffsets(spark: SparkSession, checkpointDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(s"$checkpointDir/offsets")
+      .withColumn("file", input_file_name())
+      .filter(col("value").startsWith("{"))
+  }
 }

@@ -45,5 +45,20 @@ class StateInspectSpec extends SparkSpec {
               col("value.count").cast("long").as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(remaining == Set(("k0", t0 + 2000, 5L), ("k1", t0 + 2000, 5L)))
+
+    // committed source offsets readable ≙ the checkpointed virtual clock
+    val offsets = StateInspect.sourceOffsets(spark, ckpt)
+    assert(offsets.count() >= 1)
+  }
+
+  test("GraftExtensions exposes the native function registrations") {
+    val (ident, _, builder) = graft.GraftExtensions.functions.head
+    assert(ident.funcName == "vec_cosine")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val e = builder(Seq(
+      Literal.create(Seq(1f, 0f), ArrayType(FloatType)),
+      Literal.create(Seq(1f, 0f), ArrayType(FloatType))))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 }
