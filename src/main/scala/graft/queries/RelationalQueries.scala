@@ -195,6 +195,15 @@ object RelationalQueries {
         .select(col("l_returnflag"), round(col("wavg_raw"), 6).as("wavg_price"))
     }),
 
+    // Bag semantics set ops (EXCEPT ALL: multiset difference).
+    "q_set_ops_all" -> ((s, dir) => {
+      val liOrders = Tables.lineitem(s, dir).select(col("l_orderkey").as("okey"))
+      val ordOrders = Tables.orders(s, dir).select(col("o_orderkey").as("okey"))
+      liOrders.exceptAll(ordOrders)
+        .groupBy(col("okey"))
+        .agg(count(lit(1)).as("n_extra"))
+    }),
+
     // Distinct aggregation.
     "q_distinct_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -326,6 +335,13 @@ object RelationalQueries {
         |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS wavg_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_set_ops_all" ->
+      """SELECT okey, count(*) AS n_extra FROM (
+        |  SELECT l_orderkey AS okey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_orderkey AS okey FROM orders
+        |) GROUP BY okey""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT l_returnflag,
