@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps
@@ -22,6 +23,8 @@ object SimilarityQueries {
   private val TopK = 5
   private val NQueries = 8
   private val NPlanes = 8
+  private val NProbe = 2
+  private val NearDupCos = 0.2
 
   val queries: Map[String, Q] = Map(
 
@@ -104,6 +107,84 @@ object SimilarityQueries {
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Embedding-cosine near-dup (the fifth dedup flavor, SURVEY.md
+    // §2.9): candidate pairs = vectors sharing an LSH bucket, verified
+    // with exact-decimal cosine ≥ threshold. Same two-phase topology
+    // as MinHash LSH dedup — O(n) bucketing projection, then a shuffle
+    // keyed on bucket that only compares within-bucket pairs (never
+    // the n² cross product).
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+                         col("nrm").as("nrm_a"), col("bucket"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+                         col("nrm").as("nrm_b"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("emb_a"), col("emb_b")).cast("double") /
+            (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= NearDupCos)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // IVF ANN: nlist=10 coarse centroids (exact-decimal label means),
+    // every corpus vector assigned to its nearest centroid as a PURE
+    // PROJECTION (all centroids ride along as one broadcast array; the
+    // argmax is an array_sort over per-centroid cosines — no shuffle,
+    // no window, so assignment scales linearly at 100 TB). Queries
+    // probe their nprobe=2 nearest lists; the search join is keyed on
+    // list_id with the tiny probe side broadcast.
+    "ann_topk_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      val byDim = emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+              count(lit(1))).as("c"))
+      val centArr = byDim
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+        .select(struct(
+            col("label").cast("long").as("list_id"),
+            transform(col("pairs"), p => p.getField("c")).as("centroid")).as("cent"))
+        .agg(array_sort(collect_list(col("cent"))).as("cents"))
+      // per-row: cosine to every centroid, sorted (cos desc, list_id asc)
+      def rankedLists(v: Column, nrm: Column): Column =
+        array_sort(
+          transform(col("cents"), c => struct(
+            (VectorOps.dotDecimal(v, c.getField("centroid")).cast("double") /
+              (nrm * sqrt(VectorOps.normSqDecimal(c.getField("centroid")).cast("double"))))
+              .as("ccos"),
+            c.getField("list_id").as("list_id"))),
+          (l, r) => when(l.getField("ccos") > r.getField("ccos"), -1)
+            .when(l.getField("ccos") < r.getField("ccos"), 1)
+            .otherwise((l.getField("list_id") - r.getField("list_id")).cast("int")))
+      val assigned = emb.crossJoin(broadcast(centArr))
+        .withColumn("list_id", rankedLists(col("embedding"), col("nrm"))
+          .getItem(0).getField("list_id"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+      val qprobe = emb.filter(col("vec_id") < NQueries)
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"),
+                explode(transform(slice(rankedLists(col("embedding"), col("nrm")), 1, NProbe),
+                  p => p.getField("list_id"))).as("list_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(qprobe), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
     "emb_centroid_sim" -> ((s, dir) => {
@@ -175,6 +256,63 @@ object SimilarityQueries {
          |)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      s"""WITH planes AS (
+         |  SELECT j, list_transform(generate_series(1, 64), i ->
+         |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+         |      / 1073741823.5 - 1.0) AS plane
+         |  FROM generate_series(0, ${NPlanes - 1}) t(j)
+         |), sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(CAST(e.embedding[i] AS DOUBLE) * p.plane[i] AS DECIMAL(28,14)))) > 0
+         |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, planes p
+         |  GROUP BY e.vec_id, e.embedding
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cos
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos_r
+         |FROM pairs WHERE cos >= $NearDupCos""".stripMargin,
+
+    "ann_topk_ivf" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
+         |  FROM dims GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assigned AS (
+         |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+         |  FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe
+         |), pairs AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+         |  FROM qprobe q JOIN assigned a ON a.list_id = q.list_id
+         |  WHERE a.vec_id <> q.q_id
+         |), rankedp AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM rankedp WHERE rank <= $TopK""".stripMargin,
 
     "emb_lsh_buckets" ->
       s"""WITH planes AS (

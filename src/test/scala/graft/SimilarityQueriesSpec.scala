@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SimilarityQueries
+
+/** Invariant tests for the IVF ANN path and embedding near-dup pairs
+  * (SURVEY.md §2.9) at sf0.001.
+  */
+class SimilarityQueriesSpec extends SparkSpec {
+
+  test("ann_topk_ivf: ranks are contiguous 1..k per query, no self-matches") {
+    val rows = SimilarityQueries.queries("ann_topk_ivf")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"ranks not contiguous for q=$q")
+      assert(ranks.length <= 5)
+      assert(rs.forall(_.getLong(2) != q), s"self-match for q=$q")
+    }
+  }
+
+  test("ann_topk_ivf results appear in the brute-force ranking with identical cosine") {
+    val ivf = SimilarityQueries.queries("ann_topk_ivf")(spark, sf)
+      .select(col("q_id"), col("vec_id"), col("cos_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = SimilarityQueries.queries("ann_topk_bruteforce")(spark, sf)
+      .select(col("q_id"), col("vec_id"), col("cos_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // IVF prunes, so its pairs are a subset of all pairs; where a pair is
+    // also in the brute-force top-k, the cosine must match bit-for-bit.
+    val shared = ivf.keySet.intersect(bf.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { k => assert(ivf(k) == bf(k), s"cos mismatch at $k") }
+  }
+
+  test("dedup_embedding_pairs: ordered pairs above threshold only") {
+    val rows = SimilarityQueries.queries("dedup_embedding_pairs")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2 - 5e-7) // round(…,6) can dip below by half-ulp
+    }
+    // pairs are unique
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+}
