@@ -58,12 +58,20 @@ def main(sf_dir, out_dir):
             ok = False
         else:
             print(f"[OK   ] {name}: {len(got)} rows")
-    # queries with no oracle → rows-only check
+    # queries with no oracle → rows-only check (must still be non-empty)
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name not in oracle:
-            n = len(glob.glob(f"{d}/*.parquet"))
-            print(f"[NOSQL] {name}: rows-only check ({n} files)")
+            files = glob.glob(f"{d}/*.parquet")
+            rows = 0
+            if files:
+                rows = con.execute(
+                    f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+            if rows == 0:
+                print(f"[EMPTY] {name}: rows-only check FAILED (0 rows)")
+                ok = False
+            else:
+                print(f"[NOSQL] {name}: rows-only check, {rows} rows")
     sys.exit(0 if ok else 1)
 
 

@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR`, fully materialized through the `noop` sink
+  * (computes every output column — `count()` would let Catalyst prune
+  * the projections being measured). One JSON line on stdout AND
+  * written to `bench_out.json` (sbt log prefixes made the stdout line
+  * unparseable for the round-1 driver).
+  *
+  * Failures are NOT swallowed into a fake timing: a failed query
+  * reports -1 and lands in `"failed"` so a broken query can never
+  * look like a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +20,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing: at bench scale (sf0.1) most shuffles carry a
+      // few MB — let runtime stats shrink the fan-out so task-schedule
+      // overhead doesn't dominate; at cluster scale the same config
+      // right-sizes reducers from real sizes. Both default-on in
+      // Spark 4; set explicitly so the bench contract is visible.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            -1.0
+        }
+      // cached frames (persist() inside query builders) must not leak
+      // into the next query's measurement
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] $name%-30s ${sec}%9.3f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$fj}"""
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -17,8 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Exact decimal dot product of two float-array columns. */
-  def dotDecimal(a: Column, b: Column): Column =
+  /** Exact decimal dot product of two numeric-array columns — the
+    * codegen'd `DecimalDotProduct` expression (one fused loop inside
+    * WholeStageCodegen; ~10× the interpreted higher-order-function
+    * route at sf0.1 on the similarity/dedup hot paths).
+    */
+  def dotDecimal(a: Column, b: Column): Column = DecimalDotProduct.dot(a, b)
+
+  /** The original higher-order-function formulation — kept as the
+    * independent reference implementation that `DecimalDotProductSpec`
+    * cross-checks the codegen expression against. NOT bit-identical:
+    * Spark types the fold's `acc + v` as decimal(38,13) (DecimalPrecision
+    * precision-loss), rounding the accumulator's 14th decimal each
+    * step, so this route is ~1e-13-perturbed vs the exact sum the
+    * codegen expression (and the DuckDB oracle) computes.
+    */
+  def dotDecimalHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") * y.cast("double")).cast("decimal(28,14)")),
@@ -31,10 +45,14 @@ object VectorOps {
   /** Exact decimal squared L2 norm. */
   def normSqDecimal(a: Column): Column = dotDecimal(a, a)
 
-  /** Cosine similarity via exact-decimal reductions + double finish. */
+  /** Cosine similarity via exact-decimal reductions + double finish.
+    * Null on length mismatch or a zero-norm side (never NaN) — the
+    * same contract as the fused `FloatVectorCosine` hot path.
+    */
   def cosine(a: Column, b: Column): Column =
     dotDecimal(a, b).cast("double") /
-      (sqrt(normSqDecimal(a).cast("double")) * sqrt(normSqDecimal(b).cast("double")))
+      nullif(sqrt(normSqDecimal(a).cast("double")) * sqrt(normSqDecimal(b).cast("double")),
+        lit(0.0))
 
   /** 31-bit stable hash of a string (md5-prefix route — matches
     * graft.text.TextOps.tokenHash31).
@@ -63,11 +81,10 @@ object VectorOps {
     import org.apache.spark.sql.functions.typedLit
     val bits = (0 until nPlanes).map { j =>
       val plane = typedLit((1 to dim).map(i => planeComponentValue(j, i)))
-      val dot = aggregate(
-        zip_with(v, plane, (x, p) =>
-          (x.cast("double") * p).cast("decimal(28,14)")),
-        lit(0).cast("decimal(38,14)"),
-        (acc, p) => (acc + p).cast("decimal(38,14)"))
+      // codegen'd exact-decimal dot (one fused loop per plane) — the
+      // sign test is on the same rounded-per-element sum the DuckDB
+      // oracle computes, so bucket ids stay engine-identical
+      val dot = DecimalDotProduct.dot(v, plane)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

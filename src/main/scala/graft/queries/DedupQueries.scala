@@ -61,7 +61,7 @@ object DedupQueries {
         .persist()
       def side(n: String) = {
         val cols = (0 until Dedup.RowsPerBand).map(i =>
-          element_at(col("sig"), col("band") * Dedup.RowsPerBand + i + 1).as(s"k$i"))
+          element_at(col(s"sig_$n"), col("band") * Dedup.RowsPerBand + i + 1).as(s"k$i"))
         sigs.select(col("doc_id").as(n), col("sig").as(s"sig_$n"),
             explode(sequence(lit(0), lit(Dedup.NumBands - 1))).as("band"))
           .select(Seq(col(n), col(s"sig_$n"), col("band")) ++ cols: _*)
@@ -85,14 +85,20 @@ object DedupQueries {
       // values agree bit-for-bit, and intersecting long arrays is ~4×
       // cheaper than hashing strings per candidate pair — this is the
       // per-pair hot loop (millions of candidates at scale).
+      // SHUFFLE joins on the doc ids, never broadcast: the token-set
+      // table IS the corpus — at 100 TB broadcasting it (on either
+      // side, let alone both) is an executor OOM by construction. The
+      // candidate table is the one that could be broadcast when small,
+      // but its size is data-dependent (grows with near-dup density),
+      // so leave both sides to the shuffle planner / AQE.
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
           array_distinct(transform(TextOps.tokens(col("text")),
             t => graft.text.TextOps.tokenHash31(t))).as("tokset"))
         .persist()
       cand
-        .join(broadcast(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a")), "doc_a")
-        .join(broadcast(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "set_b")), "doc_b")
+        .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "set_b"), "doc_b")
         .withColumn("jac", Dedup.jaccard(col("set_a"), col("set_b")))
         .filter(col("jac") >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard_r"))

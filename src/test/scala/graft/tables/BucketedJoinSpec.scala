@@ -14,8 +14,12 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     // force the co-located SMJ path (the sf0.001 dim is small enough
-    // to broadcast, which would bypass the bucketing under test)
+    // to broadcast, which would bypass the bucketing under test);
+    // restore in finally so a failure can't leak the disabled
+    // threshold into later suites on the shared session
+    val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     // external tables via option("path") — warehouse.dir is static conf
     val wh = Files.createTempDirectory("graft-warehouse-").toString
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
@@ -50,6 +54,11 @@ class BucketedJoinSpec extends SparkSpec {
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaBuckets == direct)
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
   }
 }
