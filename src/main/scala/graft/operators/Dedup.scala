@@ -74,8 +74,18 @@ object Dedup {
 
   /** 32-bit SimHash over a token array (with multiplicity): bit b is
     * set iff Σ_tokens (±1 by bit b of the token hash) is positive.
+    * Routed through the codegen'd [[graft.functions.SimHash32]]
+    * expression — the HOF formulation ([[simhashHof]]) interprets
+    * 32 × |toks| lambdas per row (measured 21.5 s vs ~0.3 s for 5,000
+    * sf0.1 docs).
     */
-  def simhash(toks: Column): Column = {
+  def simhash(toks: Column): Column =
+    graft.functions.SimHash32(transform(toks, t => TextOps.tokenHash31(t)))
+
+  /** Reference HOF formulation of [[simhash]]; kept only as the
+    * independent cross-check oracle in DedupSpec.
+    */
+  private[graft] def simhashHof(toks: Column): Column = {
     val hashes = transform(toks, t => TextOps.tokenHash31(t))
     aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
       val pow2b = pow(lit(2.0), b).cast("long")

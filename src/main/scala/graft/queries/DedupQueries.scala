@@ -35,74 +35,53 @@ object DedupQueries {
         .select(col("doc_id"), col("bh.band").as("band"),
                 col("bh.band_hash").as("band_hash"))),
 
-    // LSH candidate pairs: docs sharing ≥1 band bucket, verified with
-    // exact token-set Jaccard (only pairs ≥ 0.2 are near-dup
-    // candidates worth emitting).
+    // LSH candidate pairs, star topology: within each band bucket,
+    // link every doc to the bucket's MIN doc_id (the star center)
+    // instead of enumerating all B·(B−1)/2 in-bucket pairs, then
+    // verify the edges with exact token-set Jaccard.
+    //
+    // Why stars and not all-pairs: on a near-dup-dense corpus (this
+    // synthetic one: >50% of ALL doc pairs collide in some band —
+    // 6.39M pairs from 5,000 sf0.1 docs) all-pairs output is O(n²) no
+    // matter how the joins are planned. Star edges are ≤ NumBands·n
+    // rows, and union-find/label propagation over them yields the SAME
+    // connected components — this is the standard web-scale dedup
+    // graph construction. `dedup_lsh_keep` below does the one-pass
+    // label propagation.
     "dedup_lsh_pairs" -> ((s, dir) => {
-      // Cache the signature pass: the self-join would otherwise
-      // recompute the whole minhash pipeline for each side. At cluster
-      // scale this is the classic two-phase topology — one O(n)
-      // signature job materialized, then a shuffle keyed on the band
-      // slice that only moves ids + signatures, never documents.
-      //
-      // Two scale choices vs the naive bands-join-distinct:
-      // (1) the join key is the RAW 4-long signature slice (band,
-      //     k0..k3) — no md5 band strings on the shuffle (narrower
-      //     rows, primitive-equality codegen join);
-      // (2) a pair that matches in several bands is emitted only from
-      //     its FIRST matching band (a per-row filter over the carried
-      //     signatures) — candidate uniqueness by construction,
-      //     replacing a global distinct() shuffle of ~2× the candidate
-      //     count (measured 7 s of an 11 s total at sf0.1).
-      val sigs = Tables.documents(s, dir)
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .select(col("doc_id"),
-          Dedup.minhashSignature(array_distinct(col("toks"))).as("sig"))
-        .persist()
-      def side(n: String) = {
-        val cols = (0 until Dedup.RowsPerBand).map(i =>
-          element_at(col(s"sig_$n"), col("band") * Dedup.RowsPerBand + i + 1).as(s"k$i"))
-        sigs.select(col("doc_id").as(n), col("sig").as(s"sig_$n"),
-            explode(sequence(lit(0), lit(Dedup.NumBands - 1))).as("band"))
-          .select(Seq(col(n), col(s"sig_$n"), col("band")) ++ cols: _*)
-      }
-      val keys = Seq("band") ++ (0 until Dedup.RowsPerBand).map(i => s"k$i")
-      // sequence(0, band) is always ascending; the bp < band guard
-      // (And short-circuits in codegen) restricts to strictly earlier
-      // bands, so band = 0 yields no candidates to test.
-      val earlierMatch = size(filter(
-        sequence(lit(0), col("band")),
-        bp => bp < col("band") && (0 until Dedup.RowsPerBand).map(i =>
-          element_at(col("sig_doc_a"), bp * Dedup.RowsPerBand + i + 1) ===
-            element_at(col("sig_doc_b"), bp * Dedup.RowsPerBand + i + 1))
-          .reduce(_ && _))) > 0
-      val cand = side("doc_a").join(side("doc_b"), keys)
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(!earlierMatch)
-        .select("doc_a", "doc_b")
+      val e = lshEdges(s, dir)
       // Verify on DISTINCT 31-bit token-hash sets, not strings: the
       // md5 route hashes identically in the oracle, so the Jaccard
       // values agree bit-for-bit, and intersecting long arrays is ~4×
-      // cheaper than hashing strings per candidate pair — this is the
-      // per-pair hot loop (millions of candidates at scale).
-      // SHUFFLE joins on the doc ids, never broadcast: the token-set
-      // table IS the corpus — at 100 TB broadcasting it (on either
-      // side, let alone both) is an executor OOM by construction. The
-      // candidate table is the one that could be broadcast when small,
-      // but its size is data-dependent (grows with near-dup density),
-      // so leave both sides to the shuffle planner / AQE.
+      // cheaper than hashing strings per edge — this is the per-pair
+      // hot loop. SHUFFLE joins on the doc ids, never broadcast: the
+      // token-set table IS the corpus — at 100 TB broadcasting it is
+      // an executor OOM by construction.
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
           array_distinct(transform(TextOps.tokens(col("text")),
-            t => graft.text.TextOps.tokenHash31(t))).as("tokset"))
-        .persist()
-      cand
-        .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a"), "doc_a")
+            t => TextOps.tokenHash31(t))).as("tokset"))
+      e.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a"), "doc_a")
         .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "set_b"), "doc_b")
         .withColumn("jac", Dedup.jaccard(col("set_a"), col("set_b")))
         .filter(col("jac") >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard_r"))
     }),
+
+    // The dedup DECISION: one row per doc with its cluster
+    // representative (min doc_id over every band bucket the doc sits
+    // in — one-pass label propagation over the star edges; docs in no
+    // shared bucket are their own representative). `is_dup` marks the
+    // drop set. Everything is linear: one signature projection, one
+    // hash-agg per bucket (partial-aggregable min, skew-immune), one
+    // shuffle join back — no pair blow-up, no per-bucket collection.
+    "dedup_lsh_keep" -> ((s, dir) =>
+      lshBands(s, dir)
+        .join(lshBucketMins(s, dir), bandKeys)
+        .groupBy(col("doc_id"))
+        .agg(min(col("rep")).as("rep_id"))
+        .select(col("doc_id"), col("rep_id"),
+          (col("rep_id") < col("doc_id")).as("is_dup"))),
 
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).
@@ -133,6 +112,50 @@ object DedupQueries {
     })
   )
 
+  // ---- LSH star-graph helpers ----------------------------------------
+
+  /** Per-bucket join key: band index + the RAW 4-long signature slice
+    * (no md5 band strings on the shuffle — narrower rows,
+    * primitive-equality codegen hash agg/join).
+    */
+  private val bandKeys: Seq[String] =
+    "band" +: (0 until Dedup.RowsPerBand).map(i => s"k$i")
+
+  /** One row per (doc, band) with the band's signature slice unpacked
+    * to primitive key columns. O(NumBands · n); at cluster scale the
+    * signature projection would be materialized once (a checkpoint /
+    * signatures table) instead of recomputed per consumer — at bench
+    * scale it is ~0.8 s and recomputation keeps the plan stateless.
+    */
+  private def lshBands(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        Dedup.minhashSignature(array_distinct(col("toks"))).as("sig"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Dedup.NumBands - 1))).as("band"), col("sig"))
+      .select(Seq(col("doc_id"), col("band")) ++
+        (0 until Dedup.RowsPerBand).map(i =>
+          element_at(col("sig"), col("band") * Dedup.RowsPerBand + i + 1).as(s"k$i")): _*)
+
+  /** Bucket representatives: min doc_id per (band, slice) bucket.
+    * A partial-aggregable hash agg — skew-immune even on a
+    * million-member bucket (no collection, just a running min).
+    */
+  private def lshBucketMins(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lshBands(s, dir).groupBy(bandKeys.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+
+  /** Star edges: every doc linked to its bucket's min doc_id, distinct
+    * across bands. ≤ NumBands·n rows — linear, yet union-find over
+    * them gives the same connected components as all in-bucket pairs.
+    */
+  private def lshEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lshBands(s, dir).join(lshBucketMins(s, dir), bandKeys)
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+
   // ---- DuckDB twins ---------------------------------------------------
 
   private val h31 = "CAST(concat('0x', substr(md5(%s), 1, 14)) AS BIGINT) %% 2147483647"
@@ -161,13 +184,16 @@ object DedupQueries {
          |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
          |  FROM documents
          |), bands AS (
-         |  SELECT doc_id, b,
-         |    md5(array_to_string(list_transform(sig[b*4 + 1 : b*4 + 4], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
          |  FROM sigs, generate_series(0, 3) t(b)
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
-         |  WHERE a.doc_id < b.doc_id
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), edges AS (
+         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  WHERE m.rep < bd.doc_id
          |), toksets AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(string_split(text, ' '), s ->
@@ -178,10 +204,27 @@ object DedupQueries {
          |  SELECT doc_a, doc_b,
          |    len(list_intersect(ta.tokset, tb.tokset)) /
          |      CAST(len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS DOUBLE) AS jac
-         |  FROM cand
+         |  FROM edges
          |  JOIN toksets ta ON ta.doc_id = doc_a
          |  JOIN toksets tb ON tb.doc_id = doc_b
          |) WHERE jac >= 0.2""".stripMargin,
+
+    "dedup_lsh_keep" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |)
+         |SELECT bd.doc_id, min(m.rep) AS rep_id,
+         |       (min(m.rep) < bd.doc_id) AS is_dup
+         |FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |GROUP BY bd.doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""WITH docs AS (
