@@ -31,6 +31,19 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before measuring: scheduler, parquet reader,
+    // whole-stage codegen, window exec, and the BigDecimal path all
+    // JIT/initialize on first use — without this the alphabetically
+    // first query (ann_topk_bruteforce) absorbs ~4 s of one-time cost
+    // that is session startup, not query cost.
+    try {
+      import org.apache.spark.sql.functions._
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      val v = array((0 until 64).map(i => lit(i / 64.0f)): _*)
+      spark.range(2000)
+        .select(graft.functions.VectorOps.dotDecimal(v, v).as("d"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -43,6 +43,20 @@ import org.apache.spark.sql.types._
   * the exact-decimal contract AND stays inside WholeStageCodegen —
   * the 100 TB hot path for the similarity/dedup family (preference
   * order (b) of SURVEY.md §4.3).
+  *
+  * Hybrid rounding: `BigDecimal.valueOf(p)` routes through
+  * `Double.toString` (a per-element parse + 2 allocations, the
+  * dominant cost). Instead each element first tries scaled-long
+  * arithmetic: with u = |p|·1e14 + 0.5 computed in double, the total
+  * error vs the true (shortest-decimal-repr) unscaled value is
+  * < 0.05 + 0.04·|p| units (½ulp for the repr + ½ulp for the multiply
+  * + ½ulp for the add, each ≤ |p|·1e14·2⁻⁵³), so whenever u is
+  * farther than that margin from every integer, `floor(u)` IS the
+  * exact HALF_UP rounding and is accumulated into a long (spilled to
+  * BigDecimal near ±8e18). Ambiguous elements — and any |p| > 11.25,
+  * where the margin exceeds ½ — take the original BigDecimal path, so
+  * the result is bit-identical to the pure-BigDecimal route on every
+  * input (DecimalDotProductSpec cross-checks both).
   */
 case class DecimalDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -76,19 +90,38 @@ case class DecimalDotProduct(left: Expression, right: Expression)
     val (lt, rt) = (elemType(left.dataType).get, elemType(right.dataType).get)
     val n = x.numElements()
     if (n != y.numElements()) return null
-    var acc = java.math.BigDecimal.ZERO
+    var fastSum = 0L
+    var slowAcc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val p = get(x, i, lt) * get(y, i, rt)
       if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) return null
-      val t = java.math.BigDecimal.valueOf(p)
-        .setScale(14, java.math.RoundingMode.HALF_UP)
-      if (t.precision > 28) return null
-      acc = acc.add(t)
+      val ap = Math.abs(p)
+      val t = ap * 1e14 + 0.5
+      // DecimalDotProduct.MARGIN analysis: |computed − exact| ≤
+      // 0.05 + 0.04·|p| unscaled units, so when t is farther than the
+      // margin from every integer, floor(t) IS the exact HALF_UP
+      // rounding of BigDecimal.valueOf(p).setScale(14) — take it with
+      // long arithmetic (no Double.toString parse, no allocation).
+      val margin = 0.05 + ap * 0.04
+      val d = t - Math.rint(t) // |d| = distance to the nearest integer
+      if (Math.abs(d) > margin) {
+        val k = Math.floor(t).toLong
+        if (Math.abs(fastSum) > 8000000000000000000L) {
+          slowAcc = slowAcc.add(java.math.BigDecimal.valueOf(fastSum, 14))
+          fastSum = 0L
+        }
+        fastSum += (if (p < 0) -k else k)
+      } else {
+        val e = java.math.BigDecimal.valueOf(p)
+          .setScale(14, java.math.RoundingMode.HALF_UP)
+        if (e.precision > 28) return null
+        slowAcc = slowAcc.add(e)
+      }
       i += 1
     }
-    Decimal(acc, 38, 14)
+    Decimal(slowAcc.add(java.math.BigDecimal.valueOf(fastSum, 14)), 38, 14)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -101,26 +134,49 @@ case class DecimalDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val fs = ctx.freshName("fastSum")
       val p = ctx.freshName("p")
+      val ap = ctx.freshName("ap")
       val t = ctx.freshName("t")
+      val d = ctx.freshName("d")
+      val k = ctx.freshName("k")
+      val e = ctx.freshName("e")
       val bad = ctx.freshName("bad")
+      // Fast path (see nullSafeEval): when u = |p|·1e14 + 0.5 is
+      // farther than the error margin from every integer, floor(u) is
+      // provably the exact HALF_UP rounding — pure long arithmetic,
+      // no Double.toString parse, no allocation (~10× per element).
       s"""
          |int $n = $a.numElements();
          |boolean $bad = ($n != $b.numElements());
+         |long $fs = 0L;
          |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
          |for (int $i = 0; $i < $n && !$bad; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $p = (${getter(a, i, lt)}) * (${getter(b, i, rt)});
          |  if (Double.isNaN($p) || Double.isInfinite($p)) { $bad = true; break; }
-         |  java.math.BigDecimal $t = java.math.BigDecimal.valueOf($p)
-         |    .setScale(14, java.math.RoundingMode.HALF_UP);
-         |  if ($t.precision() > 28) { $bad = true; break; }
-         |  $acc = $acc.add($t);
+         |  double $ap = Math.abs($p);
+         |  double $t = $ap * 1e14 + 0.5;
+         |  double $d = $t - Math.rint($t);
+         |  if (Math.abs($d) > 0.05 + $ap * 0.04) {
+         |    long $k = (long) Math.floor($t);
+         |    if (Math.abs($fs) > 8000000000000000000L) {
+         |      $acc = $acc.add(java.math.BigDecimal.valueOf($fs, 14));
+         |      $fs = 0L;
+         |    }
+         |    $fs += ($p < 0) ? -$k : $k;
+         |  } else {
+         |    java.math.BigDecimal $e = java.math.BigDecimal.valueOf($p)
+         |      .setScale(14, java.math.RoundingMode.HALF_UP);
+         |    if ($e.precision() > 28) { $bad = true; break; }
+         |    $acc = $acc.add($e);
+         |  }
          |}
          |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = org.apache.spark.sql.types.Decimal.apply($acc, 38, 14);
+         |  ${ev.value} = org.apache.spark.sql.types.Decimal.apply(
+         |    $acc.add(java.math.BigDecimal.valueOf($fs, 14)), 38, 14);
          |}
        """.stripMargin
     })

@@ -149,16 +149,23 @@ object SimilarityQueries {
       val centArr = byDim
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
-        .select(struct(
-            col("label").cast("long").as("list_id"),
-            transform(col("pairs"), p => p.getField("c")).as("centroid")).as("cent"))
+        .select(col("label").cast("long").as("list_id"),
+                transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        // centroid norms are per-centroid constants: compute them ONCE
+        // here (10 values) rather than inside the per-row assignment
+        // lambda, which would re-derive all nlist norms for every
+        // corpus vector (half the interpreted decimal work of the
+        // whole query at sf0.1, and O(nlist·dim·n) wasted at scale)
+        .select(struct(col("list_id"), col("centroid"),
+            sqrt(VectorOps.normSqDecimal(col("centroid")).cast("double")).as("cnorm"))
+          .as("cent"))
         .agg(array_sort(collect_list(col("cent"))).as("cents"))
       // per-row: cosine to every centroid, sorted (cos desc, list_id asc)
       def rankedLists(v: Column, nrm: Column): Column =
         array_sort(
           transform(col("cents"), c => struct(
             (VectorOps.dotDecimal(v, c.getField("centroid")).cast("double") /
-              (nrm * sqrt(VectorOps.normSqDecimal(c.getField("centroid")).cast("double"))))
+              (nrm * c.getField("cnorm")))
               .as("ccos"),
             c.getField("list_id").as("list_id"))),
           (l, r) => when(l.getField("ccos") > r.getField("ccos"), -1)

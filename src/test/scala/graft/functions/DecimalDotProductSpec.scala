@@ -81,6 +81,28 @@ class DecimalDotProductSpec extends SparkSpec {
     assert(df2(0).isNullAt(0))
   }
 
+  test("hybrid fast/fallback rounding is bit-exact near HALF_UP boundaries") {
+    // Products that land ON or NEAR k + 0.5 ulp-of-scale-14 boundaries
+    // (forcing the BigDecimal fallback), plus magnitudes > 11.25 where
+    // the error margin exceeds 1/2 (always-fallback region), plus
+    // ordinary fast-path values — all must equal the reference
+    // element-wise BigDecimal computation exactly.
+    val vals = Seq(
+      2.5e-14, -2.5e-14, 1.5e-14, 0.5e-14, 0.49999999999999e-14,
+      1.000000000000005, -1.000000000000015, 123.456, -789.0123456,
+      0.1, -0.2, 1e-20, -1e-20, 0.0, 12345.6789)
+    val rows = vals.map(v => (Seq(v), Seq(1.0)))
+    import spark.implicits._
+    val df = rows.toDF("a", "b")
+      .select(DecimalDotProduct.dot(col("a"), col("b")).as("d"))
+    val got = df.collect().map(_.getDecimal(0))
+    vals.zip(got).foreach { case (v, g) =>
+      val expect = java.math.BigDecimal.valueOf(v)
+        .setScale(14, java.math.RoundingMode.HALF_UP)
+      assert(g.compareTo(expect) == 0, s"v=$v got=$g expect=$expect")
+    }
+  }
+
   test("registers as a SQL function") {
     DecimalDotProduct.register(spark)
     emb.limit(5).createOrReplaceTempView("ddp_test")
