@@ -61,6 +61,10 @@ object StreamDemo {
           val m = om.get("win_metrics")
           println(s"[demo] batch=${e.progress.batchId} windows=${m.getAs[Long]("windows_emitted")} events=${m.getAs[Long]("events_counted")} wm=${e.progress.eventTime.get("watermark")}")
         }
+        if (om.containsKey("sensor_metrics")) {
+          val m = om.get("sensor_metrics")
+          println(s"[demo] batch=${e.progress.batchId} datapoints=${m.getAs[Long]("datapoints")} maxLagMs=${m.getAs[Any]("max_lag_ms")}")
+        }
       }
     })
 

@@ -210,7 +210,21 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
              countDistinct(col("l_suppkey")).as("n_supps"),
-             count(lit(1)).as("n_rows")))
+             count(lit(1)).as("n_rows"))),
+
+    // Skew-salted fact-dim join (operators.Salting): the fact side is
+    // salted on its unique row id, the dim side replicated across the
+    // 8 salts, so a pathologically hot l_suppkey splits over 8 tasks
+    // instead of one. Row-for-row equal to the plain join — the oracle
+    // IS the plain join, so the correctness row proves the rewrite.
+    "q_salted_join" -> ((s, dir) =>
+      graft.operators.Salting.saltedJoin(
+          Tables.lineitem(s, dir), Tables.supplier(s, dir),
+          "l_suppkey", "s_suppkey",
+          struct(col("l_orderkey"), col("l_linenumber")), buckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+             asDouble(sum(dec(col("l_quantity")))).as("sum_qty")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -335,6 +349,13 @@ object RelationalQueries {
         |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS wavg_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+
+    // The salted join must be row-for-row the plain join.
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
 
     "q_set_ops_all" ->
       """SELECT okey, count(*) AS n_extra FROM (

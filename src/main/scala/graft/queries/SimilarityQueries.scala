@@ -85,17 +85,24 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vectors"),
              min(col("vec_id")).as("min_vec_id"))),
 
-    // Bucket-pruned ANN: probe only the query's LSH bucket instead of
-    // the whole corpus — the IVF/LSH scale path (searched set shrinks
-    // ~256× at the cost of recall). Join key = bucket, so the corpus
-    // never broadcasts OR cross-joins.
+    // Bucket-pruned ANN with MULTI-PROBE (the standard recall lever
+    // for sign-random-projection LSH): each query probes its own
+    // bucket plus the NPlanes buckets at Hamming distance 1 — the
+    // most-likely sign flips — searching 9 of 256 buckets (~3.5% of
+    // the corpus) for ~3× the single-probe recall (measured on the
+    // fixture in AnnRecallSpec). Join key = bucket, so the corpus
+    // never broadcasts OR cross-joins; only the tiny probe fan-out
+    // (NQueries × (NPlanes+1) rows) broadcasts.
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
         .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
       val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                col("nrm").as("q_nrm"), col("bucket"))
+                col("nrm").as("q_nrm"),
+                explode(array(
+                  col("bucket") +: (0 until NPlanes).map(j =>
+                    col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       emb.join(broadcast(q), Seq("bucket"))
@@ -269,11 +276,17 @@ object SimilarityQueries {
          |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM embeddings e, planes p
          |  GROUP BY e.vec_id, e.embedding
+         |), qp AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN j = $NPlanes THEN bucket
+         |         ELSE xor(bucket, CAST(power(2, j) AS BIGINT)) END AS bucket
+         |  FROM sig, generate_series(0, $NPlanes) t(j)
+         |  WHERE vec_id < $NQueries
          |), pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
          |    ${duckCos("q.embedding", "c.embedding")} AS cos
-         |  FROM sig q JOIN sig c ON q.bucket = c.bucket
-         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |  FROM qp q JOIN sig c ON q.bucket = c.bucket
+         |  WHERE c.vec_id <> q.vec_id
          |), ranked AS (
          |  SELECT q_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank

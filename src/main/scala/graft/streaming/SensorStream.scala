@@ -65,22 +65,23 @@ object SensorStream {
     * re-reading the source.
     */
   def startFanOut(points: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
-    points.writeStream
+    points
+      // per-batch metrics ≙ eventTimeLag histogram + datapoints counter
+      // (InfluxDBSink.java:38-39, SawtoothFunction.java:33): observe()
+      // piggybacks the aggregation on the batch's own pass — no second
+      // job, no driver-side collect blocking the trigger loop. Values
+      // surface in each StreamingQueryProgress.observedMetrics
+      // ("sensor_metrics"), printed by StreamDemo's listener.
+      .observe("sensor_metrics",
+        max(unix_millis(current_timestamp()) - col("ts_ms")).as("max_lag_ms"),
+        count(lit(1)).as("datapoints"))
+      .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
-        try {
-          batch.select("key", "ts_ms", "value")
-            .write.mode("append").parquet(s"$outDir/sensors")
-          // per-batch metrics ≙ eventTimeLag histogram (InfluxDBSink.java:38-39)
-          val lag = batch.agg(
-            max(unix_millis(current_timestamp()) - col("ts_ms")).as("max_lag_ms"),
-            count(lit(1)).as("datapoints")).collect()(0)
-          println(s"[sensor-stream] batch=$batchId datapoints=${lag.getLong(1)} maxLagMs=${lag.get(0)}")
-        } finally batch.unpersist()
-        ()
+        batch.select("key", "ts_ms", "value")
+          .write.mode("append").parquet(s"$outDir/sensors")
       }
       .start()
   }

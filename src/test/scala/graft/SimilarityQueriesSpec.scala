@@ -35,6 +35,37 @@ class SimilarityQueriesSpec extends SparkSpec {
     shared.foreach { k => assert(ivf(k) == bf(k), s"cos mismatch at $k") }
   }
 
+  test("ANN recall@5 vs brute force is quantified on the fixture") {
+    // Quantifies the pruned paths' recall trade (VERDICT r1 item 5).
+    // Context for the floors: the fixture embeddings are UNSTRUCTURED
+    // (top-5 cosines ≈ 0.3; nearest neighbors do not share labels), so
+    // no hashing scheme can beat recall ≈ scanned-fraction by much —
+    // multi-probe LSH searches ~9/256 of the corpus (measured recall
+    // 0.05 here), IVF nprobe=2 searches ~20% (measured 0.40, ~2× its
+    // scan fraction: the centroid assignment does carry some signal).
+    // AnnRecallSpec asserts the ≥0.6 design floor on clustered data,
+    // where bucketing has structure to exploit; these floors just pin
+    // the measured fixture numbers against regression.
+    def topk(name: String): Map[Long, Set[Long]] =
+      SimilarityQueries.queries(name)(spark, sf)
+        .select(col("q_id"), col("vec_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val bf = topk("ann_topk_bruteforce")
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      // queries with no survivors in the pruned path count as 0 recall
+      val hits = bf.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    val rLsh = recall(topk("ann_topk_lsh"))
+    val rIvf = recall(topk("ann_topk_ivf"))
+    info(f"fixture recall@5: lsh(multiprobe)=$rLsh%.3f ivf(nprobe=2)=$rIvf%.3f")
+    assert(rLsh >= 0.04, f"multi-probe LSH recall@5 $rLsh%.3f regressed")
+    assert(rIvf >= 0.30, f"IVF recall@5 $rIvf%.3f regressed")
+  }
+
   test("dedup_embedding_pairs: ordered pairs above threshold only") {
     val rows = SimilarityQueries.queries("dedup_embedding_pairs")(spark, sf)
       .collect()
