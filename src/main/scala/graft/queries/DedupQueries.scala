@@ -76,12 +76,50 @@ object DedupQueries {
     // hash-agg per bucket (partial-aggregable min, skew-immune), one
     // shuffle join back — no pair blow-up, no per-bucket collection.
     "dedup_lsh_keep" -> ((s, dir) =>
-      lshBands(s, dir)
-        .join(lshBucketMins(s, dir), bandKeys)
-        .groupBy(col("doc_id"))
-        .agg(min(col("rep")).as("rep_id"))
+      lshKeep(s, dir)
         .select(col("doc_id"), col("rep_id"),
           (col("rep_id") < col("doc_id")).as("is_dup"))),
+
+    // End-to-end training-set curation — the query a 100 TB pipeline
+    // actually materializes: per-doc quality score, language ID,
+    // exact-dup keep flag and near-dup (LSH) keep flag, composed into
+    // one `selected` decision. Three linear frames joined on doc_id /
+    // fingerprint — every constituent is the already-verified
+    // operator, so this row proves the operators COMPOSE.
+    "pipeline_select" -> ((s, dir) => {
+      val flags = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          let1(TextOps.tokens(col("text"))) { t =>
+            let1(struct(
+                size(t).cast("long").as("n_tokens"),
+                size(array_distinct(t)).cast("long").as("n_distinct"),
+                (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a")).as("n_stop"),
+                TextOps.tokenCount(t, "the").as("cnt_en"),
+                TextOps.tokenCount(t, "a").as("cnt_es"),
+                TextOps.tokenCount(t, "data").as("cnt_de"),
+                length(col("text")).cast("long").as("n_chars"))) { st =>
+              val nTok = st.getField("n_tokens")
+              val ttr = st.getField("n_distinct") / nTok
+              val stopRatio = st.getField("n_stop") / nTok
+              val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
+              struct(
+                round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+                      least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"),
+                TextOps.langPredict(st.getField("cnt_en"), st.getField("cnt_es"),
+                  st.getField("cnt_de")).as("lang_pred"))
+            }
+          }.as("s"))
+        .select(col("doc_id"), col("fp"),
+                col("s.quality").as("quality"), col("s.lang_pred").as("lang_pred"))
+      val exactKeep = flags.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      flags.join(exactKeep, "fp")
+        .join(lshKeep(s, dir), "doc_id")
+        .select(col("doc_id"), col("quality"), col("lang_pred"),
+          (col("doc_id") === col("keep_id")).as("keep_exact"),
+          (col("doc_id") === col("rep_id")).as("keep_neardup"),
+          (col("doc_id") === col("keep_id") && col("doc_id") === col("rep_id") &&
+           col("quality") >= 0.6 && col("lang_pred") === "en").as("selected"))
+    }),
 
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).
@@ -156,6 +194,15 @@ object DedupQueries {
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
 
+  /** One-pass label propagation: each doc's representative = the min
+    * doc_id over every bucket it sits in (itself when alone).
+    */
+  private def lshKeep(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lshBands(s, dir)
+      .join(lshBucketMins(s, dir), bandKeys)
+      .groupBy(col("doc_id"))
+      .agg(min(col("rep")).as("rep_id"))
+
   // ---- DuckDB twins ---------------------------------------------------
 
   private val h31 = "CAST(concat('0x', substr(md5(%s), 1, 14)) AS BIGINT) %% 2147483647"
@@ -208,6 +255,49 @@ object DedupQueries {
          |  JOIN toksets ta ON ta.doc_id = doc_a
          |  JOIN toksets tb ON tb.doc_id = doc_b
          |) WHERE jac >= 0.2""".stripMargin,
+
+    "pipeline_select" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), lsh_keep AS (
+         |  SELECT bd.doc_id, min(m.rep) AS rep_id
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  GROUP BY bd.doc_id
+         |), d AS (
+         |  SELECT doc_id, text, md5(text) AS fp,
+         |         string_split(text, ' ') AS toks
+         |  FROM documents
+         |), flags AS (
+         |  SELECT doc_id, fp,
+         |    round((len(list_distinct(toks)) / len(toks)) * 0.4 +
+         |      (1.0 - (len(list_filter(toks, t -> t = 'the')) +
+         |              len(list_filter(toks, t -> t = 'a'))) / len(toks)) * 0.3 +
+         |      least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0, 1.0) * 0.3,
+         |      6) AS quality,
+         |    CASE WHEN len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'a'))
+         |           AND len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'data')) THEN 'en'
+         |         WHEN len(list_filter(toks, t -> t = 'a')) >= len(list_filter(toks, t -> t = 'data')) THEN 'es'
+         |         ELSE 'de' END AS lang_pred
+         |  FROM d
+         |), exact_keep AS (
+         |  SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp
+         |)
+         |SELECT f.doc_id, f.quality, f.lang_pred,
+         |  (f.doc_id = e.keep_id) AS keep_exact,
+         |  (f.doc_id = k.rep_id) AS keep_neardup,
+         |  (f.doc_id = e.keep_id AND f.doc_id = k.rep_id
+         |   AND f.quality >= 0.6 AND f.lang_pred = 'en') AS selected
+         |FROM flags f
+         |JOIN exact_keep e USING (fp)
+         |JOIN lsh_keep k USING (doc_id)""".stripMargin,
 
     "dedup_lsh_keep" ->
       s"""WITH sigs AS (

@@ -147,41 +147,9 @@ object SimilarityQueries {
     // probe their nprobe=2 nearest lists; the search join is keyed on
     // list_id with the tiny probe side broadcast.
     "ann_topk_ivf" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
-      val byDim = emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i"))
-        .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
-              count(lit(1))).as("c"))
-      val centArr = byDim
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
-        .select(col("label").cast("long").as("list_id"),
-                transform(col("pairs"), p => p.getField("c")).as("centroid"))
-        // centroid norms are per-centroid constants: compute them ONCE
-        // here (10 values) rather than inside the per-row assignment
-        // lambda, which would re-derive all nlist norms for every
-        // corpus vector (half the interpreted decimal work of the
-        // whole query at sf0.1, and O(nlist·dim·n) wasted at scale)
-        .select(struct(col("list_id"), col("centroid"),
-            sqrt(VectorOps.normSqDecimal(col("centroid")).cast("double")).as("cnorm"))
-          .as("cent"))
-        .agg(array_sort(collect_list(col("cent"))).as("cents"))
-      // per-row: cosine to every centroid, sorted (cos desc, list_id asc)
-      def rankedLists(v: Column, nrm: Column): Column =
-        array_sort(
-          transform(col("cents"), c => struct(
-            (VectorOps.dotDecimal(v, c.getField("centroid")).cast("double") /
-              (nrm * c.getField("cnorm")))
-              .as("ccos"),
-            c.getField("list_id").as("list_id"))),
-          (l, r) => when(l.getField("ccos") > r.getField("ccos"), -1)
-            .when(l.getField("ccos") < r.getField("ccos"), 1)
-            .otherwise((l.getField("list_id") - r.getField("list_id")).cast("int")))
-      val assigned = emb.crossJoin(broadcast(centArr))
-        .withColumn("list_id", rankedLists(col("embedding"), col("nrm"))
-          .getItem(0).getField("list_id"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+      val emb = embWithNorm(s, dir)
+      val centArr = ivfCentArr(s, dir)
+      val assigned = ivfAssigned(s, dir)
       val qprobe = emb.filter(col("vec_id") < NQueries)
         .crossJoin(broadcast(centArr))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -200,6 +168,29 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank").cast("long").as("rank"),
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
     }),
+
+    // One Lloyd iteration of k-means (the iterative primitive of
+    // embedding clustering / IVF index training at corpus scale):
+    // assign every vector to its nearest current centroid (the same
+    // broadcast-projection as ann_topk_ivf — no shuffle), then
+    // recompute per-(list, dim) means with one partial-aggregable
+    // hash agg over the posexploded components. Output = the new
+    // centroid table in long form (nlist × dim rows). Exact-decimal
+    // sums keep the means engine-identical, so the step is
+    // hash-checkable — and at 100 TB each iteration is one projection
+    // + one 640-group agg, the minimal possible shape.
+    "kmeans_step" -> ((s, dir) =>
+      ivfAssigned(s, dir)
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("list_id"), col("i"))
+        .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+              count(lit(1))).as("c_new"))
+        // round to 6 dp: ~0.1% of raw float components sit exactly on
+        // the scale-14 HALF_UP boundary, where Spark (shortest-repr
+        // rounding) and DuckDB (exact-binary rounding) disagree in the
+        // 15th digit — the same convention as every cos_r output
+        .select(col("list_id"), col("i").cast("long").as("i"),
+                round(col("c_new"), 6).as("c_new"))),
 
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
@@ -221,6 +212,54 @@ object SimilarityQueries {
                 round(VectorOps.cosine(col("embedding"), col("centroid")), 6).as("cos_centroid"))
     })
   )
+
+  // ---- IVF building blocks (shared by ann_topk_ivf / kmeans_step) ----
+
+  private def embWithNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+
+  /** One-row frame holding every centroid (exact-decimal label means)
+    * as a sorted struct array, with per-centroid norms precomputed —
+    * they are per-centroid constants, and recomputing them inside the
+    * per-row assignment lambda would re-derive all nlist norms for
+    * every corpus vector (O(nlist·dim·n) wasted at scale).
+    */
+  private def ivfCentArr(s: org.apache.spark.sql.SparkSession, dir: String) =
+    embWithNorm(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+            count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+      .select(col("label").cast("long").as("list_id"),
+              transform(col("pairs"), p => p.getField("c")).as("centroid"))
+      .select(struct(col("list_id"), col("centroid"),
+          sqrt(VectorOps.normSqDecimal(col("centroid")).cast("double")).as("cnorm"))
+        .as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+
+  /** Per-row centroid ranking (cos desc, list_id asc) over the
+    * broadcast `cents` array — a pure projection, no shuffle/window.
+    */
+  private def rankedLists(v: Column, nrm: Column): Column =
+    array_sort(
+      transform(col("cents"), c => struct(
+        (VectorOps.dotDecimal(v, c.getField("centroid")).cast("double") /
+          (nrm * c.getField("cnorm")))
+          .as("ccos"),
+        c.getField("list_id").as("list_id"))),
+      (l, r) => when(l.getField("ccos") > r.getField("ccos"), -1)
+        .when(l.getField("ccos") < r.getField("ccos"), 1)
+        .otherwise((l.getField("list_id") - r.getField("list_id")).cast("int")))
+
+  /** Every corpus vector with its nearest-centroid list assignment. */
+  private def ivfAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    embWithNorm(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+      .withColumn("list_id", rankedLists(col("embedding"), col("nrm"))
+        .getItem(0).getField("list_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
 
   // DuckDB twin of VectorOps.cosine: per-element double products
   // rounded to DECIMAL(28,14), exact decimal sum, double finish.
@@ -351,6 +390,31 @@ object SimilarityQueries {
          |)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
          |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    "kmeans_step" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
+         |  FROM dims GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assigned AS (
+         |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+         |)
+         |SELECT a.list_id, CAST(i - 1 AS BIGINT) AS i,
+         |  round(CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS c_new
+         |FROM assigned a, generate_series(1, 64) t(i)
+         |GROUP BY 1, 2""".stripMargin,
 
     "emb_lsh_buckets" ->
       s"""WITH planes AS (

@@ -86,8 +86,38 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(
           col("doc_id"),
-          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp")))
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))),
+
+    // BPE-ish sub-word token counting: a GPT-2-style pre-tokenizer
+    // regex (contractions | letter runs | digit runs | punctuation
+    // runs, each with optional leading space; no lookahead, so Java
+    // regex and RE2 agree) — the token-budget estimator of a training
+    // pipeline. Pure projection, one regex pass per doc.
+    "text_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          let1(regexp_extract_all(col("text"), lit(BpePattern), lit(0))) { bt =>
+            let1(TextOps.tokens(col("text"))) { ws =>
+              struct(
+                size(bt).cast("long").as("n_bpe"),
+                size(array_distinct(bt)).cast("long").as("n_bpe_distinct"),
+                size(ws).cast("long").as("n_words"),
+                round(size(bt) / size(ws).cast("double"), 6).as("bpe_per_word"))
+            }
+          }.as("t"))
+        .select(col("doc_id"), col("t.n_bpe").as("n_bpe"),
+                col("t.n_bpe_distinct").as("n_bpe_distinct"),
+                col("t.n_words").as("n_words"),
+                col("t.bpe_per_word").as("bpe_per_word")))
   )
+
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB) —
+    * alternation is leftmost-first in both, no lookahead/unicode
+    * classes.
+    */
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
 
   private val toksCte =
     """WITH d AS (
@@ -153,6 +183,20 @@ object TextQueries {
          |      list_transform(toks, t ->
          |        CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+
+    "text_bpe_tokens" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text, '${BpePattern.replace("'", "''")}') AS bpe,
+         |    string_split(text, ' ') AS toks
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(bpe) AS BIGINT) AS n_bpe,
+         |  CAST(len(list_distinct(bpe)) AS BIGINT) AS n_bpe_distinct,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  round(len(bpe) / CAST(len(toks) AS DOUBLE), 6) AS bpe_per_word
+         |FROM b""".stripMargin
   )
 }
