@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatVectorCosine
+import graft.functions.{DecimalDotProduct, FloatVectorCosine, SimHash32}
 
 /** Session-extension entry point: registers the library's native
   * expressions at session build time —
@@ -11,8 +11,8 @@ import graft.functions.FloatVectorCosine
   *   spark.sql.extensions=graft.GraftExtensions
   *
   * (or `.withExtensions(new GraftExtensions)` on the builder), the
-  * deployment-grade alternative to the per-session
-  * `FloatVectorCosine.register` temp-function call.
+  * deployment-grade alternative to the per-session `register`
+  * temp-function calls on each expression's companion.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -23,5 +23,11 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_cosine"),
      new ExpressionInfo(classOf[FloatVectorCosine].getName, "vec_cosine"),
-     (exprs: Seq[Expression]) => FloatVectorCosine(exprs.head, exprs(1))))
+     (exprs: Seq[Expression]) => FloatVectorCosine(exprs.head, exprs(1))),
+    (FunctionIdentifier("vec_dot_decimal"),
+     new ExpressionInfo(classOf[DecimalDotProduct].getName, "vec_dot_decimal"),
+     (exprs: Seq[Expression]) => DecimalDotProduct(exprs.head, exprs(1))),
+    (FunctionIdentifier("simhash32"),
+     new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+     (exprs: Seq[Expression]) => SimHash32(exprs.head)))
 }

@@ -52,13 +52,17 @@ class StateInspectSpec extends SparkSpec {
   }
 
   test("GraftExtensions exposes the native function registrations") {
-    val (ident, _, builder) = graft.GraftExtensions.functions.head
-    assert(ident.funcName == "vec_cosine")
+    val byName = graft.GraftExtensions.functions
+      .map { case (ident, _, builder) => ident.funcName -> builder }.toMap
+    assert(byName.keySet == Set("vec_cosine", "vec_dot_decimal", "simhash32"))
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
-    val e = builder(Seq(
-      Literal.create(Seq(1f, 0f), ArrayType(FloatType)),
-      Literal.create(Seq(1f, 0f), ArrayType(FloatType))))
-    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+    val vec = Literal.create(Seq(1f, 0f), ArrayType(FloatType))
+    val cos = byName("vec_cosine")(Seq(vec, vec))
+    assert(math.abs(cos.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+    val dot = byName("vec_dot_decimal")(Seq(vec, vec))
+    assert(dot.eval(null).asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble == 1.0)
+    val sh = byName("simhash32")(Seq(Literal.create(Seq(5L), ArrayType(LongType))))
+    assert(sh.eval(null).asInstanceOf[Long] == 5L)
   }
 }
