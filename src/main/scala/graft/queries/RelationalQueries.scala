@@ -224,7 +224,30 @@ object RelationalQueries {
           struct(col("l_orderkey"), col("l_linenumber")), buckets = 8)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_items"),
-             asDouble(sum(dec(col("l_quantity")))).as("sum_qty")))
+             asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))),
+
+    // BINNED range join (operators.RangeJoin): parts classified into
+    // price bands via lo <= p_retailprice < hi. A naive range join is
+    // a nested-loop scan of every (row, band) pair; the binned rewrite
+    // quantizes the range key so the planner runs a plain equi-join on
+    // the bin plus a residual filter — the standard interval-join
+    // topology at scale. Oracle = the naive range join, so the
+    // correctness row proves the rewrite.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      // p_retailprice spans [900, 1000) in the fixture; bands cover it
+      // with widths near the 25-unit bin so intervals span 1-2 bins
+      val bands = Seq(
+        ("B0", 0.0, 920.0), ("B1", 920.0, 940.0), ("B2", 940.0, 960.0),
+        ("B3", 960.0, 980.0), ("B4", 980.0, 1000.0))
+        .toDF("band", "lo", "hi")
+      graft.operators.RangeJoin.binned(
+          Tables.part(s, dir), bands, col("p_retailprice"),
+          col("lo"), col("hi"), binWidth = 25.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+             asDouble(sum(dec(col("p_retailprice")))).as("sum_price"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -356,6 +379,17 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+
+    // The binned range join must equal the naive range join.
+    "q_range_join" ->
+      """SELECT band, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM part
+        |JOIN (VALUES ('B0', 0.0, 920.0), ('B1', 920.0, 940.0),
+        |             ('B2', 940.0, 960.0), ('B3', 960.0, 980.0),
+        |             ('B4', 980.0, 1000.0)) AS bands(band, lo, hi)
+        |  ON lo <= p_retailprice AND p_retailprice < hi
+        |GROUP BY band""".stripMargin,
 
     "q_set_ops_all" ->
       """SELECT okey, count(*) AS n_extra FROM (

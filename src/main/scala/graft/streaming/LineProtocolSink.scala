@@ -66,6 +66,55 @@ class LineProtocolWriter(measurement: String, outDir: String,
     if (writer != null) { writer.flush(); writer.close() }
 }
 
+/** The real transport ≙ InfluxDBSink.java:48,73: per-partition batches
+  * POSTed to `<endpoint>/write?db=<db>&precision=ms` as newline-joined
+  * line protocol (the influxdb-java batch wire format). Batches flush
+  * at `batchSize` points (reference: 2000) and on close; a non-2xx
+  * response fails the task, so streaming retries give at-least-once
+  * delivery — the same guarantee the reference's async batch client
+  * provides. Uses only `java.net.HttpURLConnection` (no extra deps);
+  * `LineProtocolSinkSpec` exercises it against an in-process JDK
+  * HttpServer.
+  */
+class HttpLineProtocolWriter(measurement: String, endpoint: String,
+                             db: String = "sineWave", batchSize: Int = 2000)
+    extends LineProtocolWriter(measurement, "", batchSize) {
+
+  @transient private var batch: java.util.ArrayList[String] = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    batch = new java.util.ArrayList[String]()
+    true
+  }
+
+  override def process(row: Row): Unit = {
+    batch.add(format(row))
+    if (batch.size >= batchSize) flush()
+  }
+
+  private def flush(): Unit = {
+    if (batch.isEmpty) return
+    val url = new java.net.URI(
+      s"$endpoint/write?db=$db&precision=ms").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+    val body = (String.join("\n", batch) + "\n").getBytes("UTF-8")
+    conn.setFixedLengthStreamingMode(body.length)
+    val os = conn.getOutputStream
+    try { os.write(body) } finally os.close()
+    val code = conn.getResponseCode
+    if (code < 200 || code >= 300)
+      throw new java.io.IOException(s"line-protocol POST failed: HTTP $code")
+    conn.getInputStream.close()
+    batch.clear()
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null && batch != null) flush()
+}
+
 object LineProtocolSink {
   /** Attach the sink to a points stream (columns key, ts_ms, value) ≙
     * `.addSink(new InfluxDBSink<>("sensors"))`.
@@ -77,5 +126,17 @@ object LineProtocolSink {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreach(new LineProtocolWriter(measurement, outDir))
+      .start()
+
+  /** Same stream, HTTP transport — point `endpoint` at an InfluxDB
+    * `http://host:8086`.
+    */
+  def writeHttp(points: DataFrame, measurement: String, endpoint: String,
+                checkpointDir: String, db: String = "sineWave") =
+    points.selectExpr("key", "ts_ms", "value")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreach(new HttpLineProtocolWriter(measurement, endpoint, db))
       .start()
 }
