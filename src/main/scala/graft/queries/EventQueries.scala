@@ -112,7 +112,31 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
              asDouble(sum(dec(col("value")))).as("sum_value"))
         .orderBy(col("n_events").desc, col("user_id"))
-        .limit(20))
+        .limit(20)),
+
+    // Ordered funnel (sequential pattern): users reaching
+    // view → click-after-view → purchase-after-click, by strict event
+    // order. Each stage is one partial-aggregable min per user + one
+    // shuffle join on user_id — no per-user event collection, no
+    // window sort, so a stage costs one hash agg even for users with
+    // millions of events (the scale shape for funnel analytics).
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_ms") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_ms") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      stage("1_view", v)
+        .unionByName(stage("2_click", c))
+        .unionByName(stage("3_purchase", p))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,6 +239,27 @@ object EventQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY n_events DESC, user_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts_ms) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t_purchase
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin
   )
 }

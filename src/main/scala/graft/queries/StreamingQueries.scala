@@ -60,16 +60,32 @@ object StreamingQueries {
     * temp dirs are deleted afterwards — the memory sink holds the
     * rows, so nothing references them once the query stops.
     */
-  private def runToMemory(s: SparkSession, streamed: DataFrame): DataFrame = {
+  private def runToMemory(s: SparkSession, streamed: DataFrame,
+                          rocksdb: Boolean = false): DataFrame = {
     val name = s"stream_out_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-")
     pendingTmp.synchronized { pendingTmp += ckpt }
-    val q = streamed.writeStream
-      .outputMode("append")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory")
-      .start()
+    // transformWithState stores each state variable as its own column
+    // family — supported by the RocksDB provider only (the provider a
+    // 100 TB deployment runs anyway). The conf is captured at query
+    // start, so setting it around start() scopes it to this query.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    if (rocksdb) s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = try {
+      streamed.writeStream
+        .outputMode("append")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory")
+        .start()
+    } finally if (rocksdb) {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
     try {
       q.processAllAvailable()
       // processAllAvailable returns once source offsets are consumed;
@@ -145,6 +161,23 @@ object StreamingQueries {
       val counts = PseudoWindow.eventTime(pts, 3600000L)
       runToMemory(s, counts.toDF())
         .select(col("key"), col("windowEndMs").as("window_end_ms"), col("cnt"))
+    }),
+
+    // The same MapState+timer machine on the MODERN arbitrary-state
+    // API (transformWithState, Spark 4.x): real per-key MapState + one
+    // registered timer per open window — the literal structural twin
+    // of the reference's KeyedProcessFunction (PseudoWindowTws).
+    // Identical semantics, so it shares stream_pseudo_window's oracle.
+    "stream_pseudo_window_tws" -> ((s, dir) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[PseudoWindow.Point]
+      val pts = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_type").as("key"), col("ts_ms").as("tsMs"),
+                col("value"), col("ts"))
+        .as[PseudoWindow.Point]
+      val counts = graft.streaming.PseudoWindowTws.eventTime(pts, 3600000L)
+      runToMemory(s, counts.toDF(), rocksdb = true)
+        .select(col("key"), col("windowEndMs").as("window_end_ms"), col("cnt"))
     })
   )
 
@@ -197,16 +230,19 @@ object StreamingQueries {
         |SELECT * FROM agg
         |WHERE session_end_ms <= (SELECT max(ts_ms) FROM e)""".stripMargin,
 
-    "stream_pseudo_window" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
-        |), agg AS (
-        |  SELECT event_type AS key,
-        |    ts_ms - (ts_ms % 3600000) + 3599999 AS window_end_ms,
-        |    count(*) AS cnt
-        |  FROM e GROUP BY 1, 2
-        |)
-        |SELECT * FROM agg
-        |WHERE window_end_ms <= (SELECT max(ts_ms) FROM e)""".stripMargin
+    "stream_pseudo_window" -> pseudoWindowOracle,
+    "stream_pseudo_window_tws" -> pseudoWindowOracle
   )
+
+  private lazy val pseudoWindowOracle =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+      |), agg AS (
+      |  SELECT event_type AS key,
+      |    ts_ms - (ts_ms % 3600000) + 3599999 AS window_end_ms,
+      |    count(*) AS cnt
+      |  FROM e GROUP BY 1, 2
+      |)
+      |SELECT * FROM agg
+      |WHERE window_end_ms <= (SELECT max(ts_ms) FROM e)""".stripMargin
 }
