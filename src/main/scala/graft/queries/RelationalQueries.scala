@@ -137,6 +137,17 @@ object RelationalQueries {
                 coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
                 col("cnt"), col("sum_qty"))),
 
+    // CUBE grouping sets — all 2^k combinations (rollup covers the
+    // hierarchy prefixes only); NULL markers coalesced as in q_rollup.
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+             asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("cnt"), col("sum_qty"))),
+
     // Deterministic top-k scan (global sort+limit on raw columns).
     "q_topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -333,6 +344,14 @@ object RelationalQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority

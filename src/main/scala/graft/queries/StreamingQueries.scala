@@ -163,6 +163,32 @@ object StreamingQueries {
         .select(col("key"), col("windowEndMs").as("window_end_ms"), col("cnt"))
     }),
 
+    // Stream-stream inner join with event-time range bounds: views
+    // joined to the same user's purchases within the following hour.
+    // Watermarks on BOTH sides + the time-range condition let the
+    // engine purge join state once the watermark passes ts_v + 1 h —
+    // bounded state at unbounded input, the production shape for
+    // attribution joins. Bounded replay ≡ the batch interval join, so
+    // the oracle is exact.
+    "stream_stream_join" -> ((s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_ms").as("view_ms"),
+                col("ts").as("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_ms").as("purchase_ms"),
+                col("ts").as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v_user").as("user_id"), col("view_ms"), col("purchase_ms"))
+      runToMemory(s, joined)
+    }),
+
     // The same MapState+timer machine on the MODERN arbitrary-state
     // API (transformWithState, Spark 4.x): real per-key MapState + one
     // registered timer per open window — the literal structural twin
@@ -231,7 +257,17 @@ object StreamingQueries {
         |WHERE session_end_ms <= (SELECT max(ts_ms) FROM e)""".stripMargin,
 
     "stream_pseudo_window" -> pseudoWindowOracle,
-    "stream_pseudo_window_tws" -> pseudoWindowOracle
+    "stream_pseudo_window_tws" -> pseudoWindowOracle,
+
+    "stream_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |)
+        |SELECT v.user_id, v.ts_ms AS view_ms, p.ts_ms AS purchase_ms
+        |FROM e v JOIN e p
+        |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.user_id = v.user_id
+        | AND p.ts_ms >= v.ts_ms AND p.ts_ms < v.ts_ms + 3600000""".stripMargin
   )
 
   private lazy val pseudoWindowOracle =
