@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries._
+
+/** Plan-quality invariants, asserted (not eyeballed): filters reach
+  * the parquet scan, projections prune the read schema, narrow
+  * operators stay shuffle-free, and nothing degenerates to a
+  * cartesian product. These are the properties that decide whether a
+  * plan survives a 100 TB scale-up; a regression (e.g. an expression
+  * change that blocks pushdown) fails CI instead of the next bench.
+  *
+  * Planner-dependent choices (broadcast vs shuffle join) are NOT
+  * asserted — at test scale every frame is under the broadcast
+  * threshold, and those decisions flip with stats by design.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def optimizedScan(name: String): String =
+    // formatted explain carries the scan's PushedFilters/ReadSchema
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q1_agg: quantity filter is pushed into the parquet scan, columns pruned") {
+    val plan = optimizedScan("q1_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,50.0)]"),
+      s"filter not pushed:\n${plan.take(2000)}")
+    // 4 referenced lineitem columns of 16 — the scan schema must not
+    // include unreferenced ones like l_comment/l_shipdate
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"))
+  }
+
+  test("narrow extension operators plan with zero exchanges") {
+    // pure projections: any Exchange here means a scale regression
+    Seq("text_stats", "text_quality", "text_fingerprint", "text_bpe_tokens")
+      .foreach { name =>
+        val plan = executedPlan(name)
+        assert(!plan.contains("Exchange"), s"$name gained a shuffle:\n${plan.take(1500)}")
+      }
+    // dedup_simhash joins doc->next (one broadcast of a projection) —
+    // the simhash computation itself must not force a shuffle
+    val sh = executedPlan("dedup_simhash")
+    assert(!sh.contains("ShuffleExchange"), s"dedup_simhash shuffles:\n${sh.take(1500)}")
+  }
+
+  test("no cartesian products anywhere in the query surface") {
+    // the two intended cross joins are against one-row broadcast
+    // frames (centroid array / plane literals) and must plan as
+    // BroadcastNestedLoopJoin, never CartesianProduct
+    SparkEntry.queries.keys.filterNot(_.startsWith("stream")).foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${plan.take(1500)}")
+    }
+  }
+
+  test("aggregations are partial (map-side combine before the exchange)") {
+    // HashAggregate(partial) -> Exchange -> HashAggregate(final): the
+    // partial phase must appear under the exchange for the flagship agg
+    val plan = optimizedScan("q1_agg")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0)
+    assert(plan.indexOf("Exchange") > firstAgg || plan.contains("partial_"),
+      "no partial aggregation phase visible")
+  }
+
+  test("dedup_lsh_pairs: no forced broadcast of the corpus, star edges bounded") {
+    // the query must leave corpus-side join strategy to the planner —
+    // i.e. contain no ResolvedHint/broadcast() on the token-set table.
+    // (At fixture scale the PLANNER may still pick broadcast; the
+    // logical plan must simply not force it.)
+    val logical = SparkEntry.queries("dedup_lsh_pairs")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint"),
+      "corpus join carries a broadcast hint — OOM by construction at scale")
+  }
+}
