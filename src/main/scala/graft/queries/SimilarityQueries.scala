@@ -154,8 +154,8 @@ object SimilarityQueries {
         .crossJoin(broadcast(centArr))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
                 col("nrm").as("q_nrm"),
-                explode(transform(slice(rankedLists(col("embedding"), col("nrm")), 1, NProbe),
-                  p => p.getField("list_id"))).as("list_id"))
+                explode(slice(rankedListIds(col("embedding"), col("nrm")),
+                  1, NProbe)).as("list_id"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       assigned.join(broadcast(qprobe), Seq("list_id"))
@@ -242,23 +242,19 @@ object SimilarityQueries {
 
   /** Per-row centroid ranking (cos desc, list_id asc) over the
     * broadcast `cents` array — a pure projection, no shuffle/window.
+    * The codegen'd [[graft.functions.CentroidRanks]] expression
+    * replaces the `transform` + comparator-`array_sort` HOF route,
+    * whose nlist × dim interpreted lambda evals per corpus row were
+    * the dominant IVF/kmeans cost (bit-identical assignment — same
+    * exact-decimal fold, same tiebreak).
     */
-  private def rankedLists(v: Column, nrm: Column): Column =
-    array_sort(
-      transform(col("cents"), c => struct(
-        (VectorOps.dotDecimal(v, c.getField("centroid")).cast("double") /
-          (nrm * c.getField("cnorm")))
-          .as("ccos"),
-        c.getField("list_id").as("list_id"))),
-      (l, r) => when(l.getField("ccos") > r.getField("ccos"), -1)
-        .when(l.getField("ccos") < r.getField("ccos"), 1)
-        .otherwise((l.getField("list_id") - r.getField("list_id")).cast("int")))
+  private def rankedListIds(v: Column, nrm: Column): Column =
+    graft.functions.CentroidRanks(v, nrm, col("cents"))
 
   /** Every corpus vector with its nearest-centroid list assignment. */
   private def ivfAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
     embWithNorm(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
-      .withColumn("list_id", rankedLists(col("embedding"), col("nrm"))
-        .getItem(0).getField("list_id"))
+      .withColumn("list_id", element_at(rankedListIds(col("embedding"), col("nrm")), 1))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
 
   // DuckDB twin of VectorOps.cosine: per-element double products
