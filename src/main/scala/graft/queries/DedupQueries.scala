@@ -136,6 +136,20 @@ object DedupQueries {
           Dedup.minhashEstimate(col("sig_a"), col("sig_b")).as("minhash_est"))
     }),
 
+    // n-gram (3-token shingle) Jaccard on fixed consecutive pairs —
+    // the order-sensitive near-dup scorer (token-set Jaccard treats a
+    // permuted doc as identical; shingles do not).
+    "dedup_ngram_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("sh", TextOps.shingles(TextOps.tokens(col("text")), 3))
+        .select(col("doc_id"), col("sh"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("ngram_jaccard_r"))
+    }),
+
     // SimHash near-dup: 32-bit simhash per doc + Hamming distance to
     // the next doc (pairing fixed for determinism).
     "dedup_simhash" -> ((s, dir) => {
@@ -328,6 +342,21 @@ object DedupQueries {
          |    CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE), 6) AS jaccard_r,
          |  CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS BIGINT) / 16.0 AS minhash_est
          |FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "dedup_ngram_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM d
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.sh, b.sh)) /
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+        |    AS ngram_jaccard_r
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH hashes AS (
