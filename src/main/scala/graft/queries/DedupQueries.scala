@@ -138,10 +138,16 @@ object DedupQueries {
 
     // n-gram (3-token shingle) Jaccard on fixed consecutive pairs —
     // the order-sensitive near-dup scorer (token-set Jaccard treats a
-    // permuted doc as identical; shingles do not).
+    // permuted doc as identical; shingles do not). Shingles intersect
+    // as DISTINCT 31-bit hashes, not strings — the md5 route hashes
+    // identically in the oracle and long-array intersection is ~4×
+    // cheaper than string comparison in the per-pair hot loop (the
+    // same hashed-set trick as the LSH verify join).
     "dedup_ngram_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .withColumn("sh", TextOps.shingles(TextOps.tokens(col("text")), 3))
+        .withColumn("sh", array_distinct(
+          transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+            sh => TextOps.tokenHash31(sh))))
         .select(col("doc_id"), col("sh"))
       val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -344,19 +350,21 @@ object DedupQueries {
          |FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     "dedup_ngram_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-        |  FROM d
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.sh, b.sh)) /
-        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
-        |    AS ngram_jaccard_r
-        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+         |      g -> ${h31.format("g")})) AS sh
+         |  FROM d
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh)) /
+         |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+         |    AS ngram_jaccard_r
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH hashes AS (
