@@ -62,6 +62,25 @@ object MultimodalOps {
   def sampleFrames(nFrames: Column, step: Int): Column =
     sequence(lit(0), nFrames.cast("long") - 1L, lit(step.toLong))
 
+  /** Aspect-preserving resize to fit a `target`×`target` box (the
+    * standard vision-model preprocessing step): the longer edge
+    * becomes `target`, the shorter scales proportionally (min 1 px).
+    * Pure INTEGER arithmetic (`w·target DIV max(w,h)`) so the computed
+    * geometry is engine-exact — the actual pixel resampling is the
+    * codec stub's territory.
+    */
+  def resizeDims(width: Column, height: Column, target: Int): Column = {
+    val longEdge = greatest(width.cast("long"), height.cast("long"))
+    // floor((edge·target)/longEdge) in double is exact here: operands
+    // are integers ≤ 1920·224 (exactly representable) and the true
+    // quotient is ≥ 1/1920 away from any other integer — far beyond
+    // one ulp, so the floor cannot misround.
+    def fit(edge: Column) =
+      greatest(lit(1L),
+        floor(edge.cast("long") * target / longEdge).cast("long"))
+    struct(fit(width).as("out_w"), fit(height).as("out_h"))
+  }
+
   /** The mapPartitions batch-decode shape: demonstrates how a real
     * vectorized decoder plugs in — the iterator is consumed in batches
     * of `batchSize` payloads (amortizing model/codec init per batch,

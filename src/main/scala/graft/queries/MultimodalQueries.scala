@@ -43,6 +43,19 @@ object MultimodalQueries {
           round(element_at(col("feat"), 2), 6).as("f1"),
           round(aggregate(col("feat"), lit(0.0), (a, x) => a + x * x), 6).as("feat_norm_sq"))),
 
+    // aspect-preserving resize geometry to fit 224×224 (the vision
+    // preprocessing step) — integer math over the decoded dims.
+    "mm_resize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bytes", col("text").cast("binary"))
+        .withColumn("dims", MultimodalOps.decodeStub(col("bytes")))
+        .withColumn("rs", MultimodalOps.resizeDims(
+          col("dims.width"), col("dims.height"), 224))
+        .select(col("doc_id").as("media_id"),
+                col("dims.width").cast("long").as("width"),
+                col("dims.height").cast("long").as("height"),
+                col("rs.out_w").as("out_w"), col("rs.out_h").as("out_h"))),
+
     // frame sampling for video payloads: every 12th frame, exploded.
     "mm_frame_sample" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -77,6 +90,18 @@ object MultimodalQueries {
         |  round(feat[2], 6) AS f1,
         |  round(list_sum(list_transform(feat, x -> x * x)), 6) AS feat_norm_sq
         |FROM f""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id,
+         |    ($h31txt) % 1920 + 1 AS width,
+         |    ($h31txt) % 1080 + 1 AS height
+         |  FROM documents
+         |)
+         |SELECT media_id, width, height,
+         |  greatest(1, (width * 224) // greatest(width, height)) AS out_w,
+         |  greatest(1, (height * 224) // greatest(width, height)) AS out_h
+         |FROM d""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH v AS (
