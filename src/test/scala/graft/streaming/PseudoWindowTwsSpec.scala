@@ -62,6 +62,36 @@ class PseudoWindowTwsSpec extends SparkSpec {
     }
   }
 
+  test("tws MapState is offline-readable from the checkpoint (ChangeBackend parity)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Point]
+      val ckpt = Files.createTempDirectory("pwtws-inspect-").toString
+      val q = PseudoWindowTws.eventTime(
+        input.toDS().withWatermark("ts", "0 seconds"), 1000L)
+        .writeStream.outputMode("append").queryName("pwtws_inspect")
+        .option("checkpointLocation", ckpt).format("memory").start()
+      // 25 ticks → windows 0..1 closed (wm 2.4 s), window 2 still OPEN
+      // with 5 counted events — that open entry is what must be
+      // visible in the offline state read
+      input.addData(mkPoints(25).filter(_.key == "temp"))
+      q.processAllAvailable()
+      q.stop()
+
+      val state = spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "countInWindow")
+        .load()
+      // (grouping key, map key = endOfWindow, value = count)
+      val rows = state.selectExpr("key.value AS key",
+          "user_map_key.value AS window_end", "user_map_value.value AS cnt")
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows == Set(("temp", 1704067202999L, 5L)),
+        s"open-window state mismatch: $rows")
+    }
+  }
+
   test("tws restart from checkpoint resumes without duplicate or lost windows") {
     withRocksDb {
       import spark.implicits._
