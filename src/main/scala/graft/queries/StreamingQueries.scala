@@ -189,6 +189,35 @@ object StreamingQueries {
       runToMemory(s, joined)
     }),
 
+    // Stream-stream LEFT OUTER join: same attribution join, but views
+    // with NO purchase in the following hour emit a null-matched row
+    // once the watermark passes view_ts + 1 h (state eviction IS the
+    // "no match will ever come" proof — the outer-join-specific
+    // mechanism). The query's GLOBAL watermark is the MIN across both
+    // watermarked sides — here the purchase stream's max event time,
+    // which trails the view stream's — so the oracle's emission cutoff
+    // is view_ms + 1 h ≤ least(max view_ms, max purchase_ms); views
+    // past that stay unmatched-unemitted in the bounded replay.
+    "stream_outer_join" -> ((s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_ms").as("view_ms"),
+                col("ts").as("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_ms").as("purchase_ms"),
+                col("ts").as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("v_user").as("user_id"), col("view_ms"), col("purchase_ms"))
+      runToMemory(s, joined)
+    }),
+
     // The same MapState+timer machine on the MODERN arbitrary-state
     // API (transformWithState, Spark 4.x): real per-key MapState + one
     // registered timer per open window — the literal structural twin
@@ -267,7 +296,34 @@ object StreamingQueries {
         |FROM e v JOIN e p
         |  ON v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.user_id = v.user_id
-        | AND p.ts_ms >= v.ts_ms AND p.ts_ms < v.ts_ms + 3600000""".stripMargin
+        | AND p.ts_ms >= v.ts_ms AND p.ts_ms < v.ts_ms + 3600000""".stripMargin,
+
+    // Outer-join emission cutoff = the query's global watermark = MIN
+    // of the two sides' max event times (see the query comment).
+    "stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |), v AS (
+        |  SELECT user_id, ts_ms AS view_ms FROM e WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, ts_ms AS purchase_ms FROM e WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT least((SELECT max(view_ms) FROM v),
+        |               (SELECT max(purchase_ms) FROM p)) AS w
+        |), matched AS (
+        |  SELECT v.user_id, v.view_ms, p.purchase_ms
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |    AND p.purchase_ms >= v.view_ms AND p.purchase_ms < v.view_ms + 3600000
+        |), unmatched AS (
+        |  SELECT v.user_id, v.view_ms, CAST(NULL AS BIGINT) AS purchase_ms
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |          WHERE p.user_id = v.user_id
+        |            AND p.purchase_ms >= v.view_ms
+        |            AND p.purchase_ms < v.view_ms + 3600000)
+        |    AND v.view_ms + 3600000 <= wm.w
+        |)
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin
   )
 
   private lazy val pseudoWindowOracle =
