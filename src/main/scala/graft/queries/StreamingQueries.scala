@@ -73,6 +73,17 @@ object StreamingQueries {
     val prevProv = s.conf.getOption(provKey)
     if (rocksdb) s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Stateful streaming pins one state-store instance per shuffle
+    // partition per stateful operator for the query's lifetime, and
+    // AQE cannot coalesce them — at bounded-replay scale the per-batch
+    // store open/commit overhead dominates (a stream-stream join keeps
+    // 4 stores per partition). Size the stateful shuffle explicitly;
+    // a real deployment sizes it to state volume, not the batch
+    // session's CPU count. Captured at query start, so setting it
+    // around start() scopes it to this query.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.getOption(partKey)
+    s.conf.set(partKey, "8")
     val q = try {
       streamed.writeStream
         .outputMode("append")
@@ -80,10 +91,16 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt.toString)
         .format("memory")
         .start()
-    } finally if (rocksdb) {
-      prevProv match {
-        case Some(p) => s.conf.set(provKey, p)
-        case None => s.conf.unset(provKey)
+    } finally {
+      prevPart match {
+        case Some(p) => s.conf.set(partKey, p)
+        case None => s.conf.unset(partKey)
+      }
+      if (rocksdb) {
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
       }
     }
     try {
