@@ -145,9 +145,8 @@ object DedupQueries {
     // same hashed-set trick as the LSH verify join).
     "dedup_ngram_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .withColumn("sh", array_distinct(
-          transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
-            sh => TextOps.tokenHash31(sh))))
+        .withColumn("sh",
+          graft.functions.ShingleHashes(TextOps.tokens(col("text")), 3))
         .select(col("doc_id"), col("sh"))
       val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
