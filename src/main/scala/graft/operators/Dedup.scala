@@ -26,10 +26,20 @@ object Dedup {
   /** Exact content fingerprint (normalization hook point). */
   def exactFingerprint(text: Column): Column = md5(text)
 
-  /** MinHash signature (array of NumHashes longs) over a distinct
-    * shingle/token array.
+  /** MinHash signature (array of NumHashes longs) over a (not
+    * necessarily distinct) shingle/token array. Routed through the
+    * codegen'd [[graft.functions.MinHashSig]] kernel — one streaming
+    * pass with internal string dedup and all 16 affine minima folded
+    * compiled; the HOF formulation ([[minhashSignatureHof]]) walked
+    * 16 × |distinct| interpreted lambdas per row.
     */
-  def minhashSignature(shingleArr: Column): Column = {
+  def minhashSignature(shingleArr: Column): Column =
+    graft.functions.MinHashSig(shingleArr)
+
+  /** Reference HOF formulation of [[minhashSignature]]; kept only as
+    * the independent cross-check oracle in MinHashSigSpec.
+    */
+  private[graft] def minhashSignatureHof(shingleArr: Column): Column = {
     // Hash every shingle ONCE (md5+conv dominate), then take NumHashes
     // mins over cheap affine re-hashes. The element_at(transform(array(
     // …)), 1) wrapper is a let-binding: without it projection collapse

@@ -59,8 +59,9 @@ object DedupQueries {
       // an executor OOM by construction.
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
-          array_distinct(transform(TextOps.tokens(col("text")),
-            t => TextOps.tokenHash31(t))).as("tokset"))
+          // ShingleHashes(k=1) ≡ distinct tokenHash31 per token, in
+          // one compiled pass (no interpreted per-token transform)
+          graft.functions.ShingleHashes(TextOps.tokens(col("text")), 1).as("tokset"))
       e.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a"), "doc_a")
         .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "set_b"), "doc_b")
         .withColumn("jac", Dedup.jaccard(col("set_a"), col("set_b")))
