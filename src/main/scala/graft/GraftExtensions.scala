@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DecimalDotProduct, FloatVectorCosine, SimHash32}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CentroidRanks, DecimalDotProduct, FloatVectorCosine,
+  MinHashSig, ShingleHashes, SimHash32}
 
 /** Session-extension entry point: registers the library's native
   * expressions at session build time —
@@ -29,5 +30,18 @@ object GraftExtensions {
      (exprs: Seq[Expression]) => DecimalDotProduct(exprs.head, exprs(1))),
     (FunctionIdentifier("simhash32"),
      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-     (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+     (exprs: Seq[Expression]) => SimHash32(exprs.head)),
+    (FunctionIdentifier("minhash_sig"),
+     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+     (exprs: Seq[Expression]) => MinHashSig(exprs.head)),
+    (FunctionIdentifier("shingle_hashes"),
+     new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+     (exprs: Seq[Expression]) => exprs(1) match {
+       case Literal(k: Int, _) => ShingleHashes(exprs.head, k)
+       case other => throw new IllegalArgumentException(
+         s"shingle_hashes(toks, k): k must be an integer literal, got $other")
+     }),
+    (FunctionIdentifier("centroid_ranks"),
+     new ExpressionInfo(classOf[CentroidRanks].getName, "centroid_ranks"),
+     (exprs: Seq[Expression]) => CentroidRanks(exprs.head, exprs(1), exprs(2))))
 }

@@ -54,7 +54,8 @@ class StateInspectSpec extends SparkSpec {
   test("GraftExtensions exposes the native function registrations") {
     val byName = graft.GraftExtensions.functions
       .map { case (ident, _, builder) => ident.funcName -> builder }.toMap
-    assert(byName.keySet == Set("vec_cosine", "vec_dot_decimal", "simhash32"))
+    assert(byName.keySet == Set("vec_cosine", "vec_dot_decimal", "simhash32",
+      "minhash_sig", "shingle_hashes", "centroid_ranks"))
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
     val vec = Literal.create(Seq(1f, 0f), ArrayType(FloatType))
