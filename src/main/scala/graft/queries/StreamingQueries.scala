@@ -1,54 +1,106 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
 import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.streaming.PseudoWindow
 
-/** Streaming operators run end-to-end as bounded queries: the events
-  * table replayed through a file streaming source → watermark →
-  * windowed aggregation → memory sink, compared against the same
-  * aggregation in DuckDB. Append-mode emission is watermark-gated, so
-  * the oracle carries the same cutoff: only windows whose end ≤
-  * max(ts) (the final watermark with 0 s delay) are emitted.
+/** Streaming operators run end-to-end as bounded MULTI-BATCH queries:
+  * the events table is split into [[NumSplits]] time-ordered files and
+  * replayed through a file streaming source with `maxFilesPerTrigger=1`
+  * → watermark → stateful operator → memory sink, compared against the
+  * same computation in DuckDB. Every stateful operator therefore
+  * accumulates state across ≥4 data-carrying micro-batches with the
+  * watermark advancing between them — the oracle hash-match IS the
+  * proof that incremental execution ≡ batch semantics (the property a
+  * real deployment relies on; the reference replays continuously with a
+  * 1 s checkpoint cadence, TimingExplorer.java:73-77).
+  *
+  * Append-mode emission is watermark-gated, so the oracle carries the
+  * same cutoff: only windows whose end ≤ max(ts) (the final watermark
+  * with 0 s delay) are emitted.
+  *
+  * Splits are RANGE cuts at exact ts quantiles (not row ntiles): rows
+  * with equal timestamps never straddle a file, so batch k+1's min ts
+  * is strictly greater than batch k's max ts = the watermark — no row
+  * is ever late, and the incremental result is exactly the batch
+  * result. Late-data semantics themselves are spec-tested separately
+  * (the oracle contract here is the no-late replay).
   */
 object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
-  /** Temp dirs created for the in-flight query (source symlink dir +
-    * checkpoint); deleted by runToMemory once the memory sink holds
-    * the full result, so a 55-query Verify/Bench run stays bounded on
-    * disk (VERDICT r1 item 7). Single-threaded builder usage — each
-    * query constructs its stream then immediately runs it.
+  /** Number of time-ordered source files (= data-carrying micro-batches
+    * per single-source query; join queries consume one file per side
+    * per trigger).
     */
-  private val pendingTmp = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  private val NumSplits = 4
 
-  /** events.parquet as a streaming DataFrame with (ts_ms, ts) like
-    * Tables.events (nanos → ms; file sources need an explicit schema).
+  /** events-dir → split source dir, built once per JVM and shared by
+    * all streaming queries (the split is a read-sort-write of the
+    * fixture, not per-query work). Cleaned up at JVM exit.
+    */
+  private val splitCache = scala.collection.mutable.HashMap[String, Path]()
+
+  private def splitSourceDir(s: SparkSession, dir: String): Path =
+    splitCache.synchronized {
+      splitCache.getOrElseUpdate(dir, {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        // Exact quantiles (relativeError=0) of the raw nanos ts; cast to
+        // long so the range comparison is exact — equal-ts rows land in
+        // exactly one split.
+        val bounds = raw.stat
+          .approxQuantile("ts", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
+          .map(_.toLong)
+        val srcDir = Files.createTempDirectory("graft-stream-splits-")
+        val work = Files.createTempDirectory("graft-stream-splitwork-")
+        val base = System.currentTimeMillis() - 3600000L
+        (0 until NumSplits).foreach { i =>
+          val lo = if (i == 0) None else Some(bounds(i - 1))
+          val hi = if (i == NumSplits - 1) None else Some(bounds(i))
+          val slice = raw
+            .filter(lo.map(col("ts") >= _).getOrElse(lit(true)) &&
+                    hi.map(col("ts") < _).getOrElse(lit(true)))
+          val out = work.resolve(s"out$i")
+          slice.coalesce(1).write.parquet(out.toString)
+          val part = Files.list(out).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          val dest = srcDir.resolve(f"$i%03d.parquet")
+          Files.move(part, dest)
+          // The file source processes files in (modificationTime, path)
+          // order — pin both so the replay is time-ordered.
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(base + i * 1000L))
+        }
+        deleteRecursively(work)
+        sys.addShutdownHook(deleteRecursively(srcDir))
+        srcDir
+      })
+    }
+
+  /** events as a streaming DataFrame with (ts_ms, ts) like
+    * Tables.events (nanos → ms; file sources need an explicit schema),
+    * replayed one time-ordered file per trigger.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // The file streaming source requires a directory: expose the single
-    // events.parquet file through a symlinked temp dir.
-    val streamDir = Files.createTempDirectory("graft-stream-src-")
-    pendingTmp.synchronized { pendingTmp += streamDir }
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    s.readStream.schema(schema).parquet(streamDir.toString)
+    val srcDir = splitSourceDir(s, dir)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
       .withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
       .withColumn("ts", timestamp_millis(col("ts_ms")))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
+  private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
@@ -56,34 +108,54 @@ object StreamingQueries {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the accumulated result table. The checkpoint and source
-    * temp dirs are deleted afterwards — the memory sink holds the
-    * rows, so nothing references them once the query stops.
+    * return the accumulated result table. Each call owns its OWN
+    * checkpoint dir and deletes it afterwards — the memory sink holds
+    * the rows, so nothing references it once the query stops (and
+    * concurrent runs can never delete each other's dirs).
+    *
+    * Completion is DETERMINISTIC: `processAllAvailable()` blocks until
+    * the engine declines to construct another micro-batch, and that
+    * decision includes `lastExecutionRequiresAnotherBatch` — i.e. the
+    * watermark-driven no-data flush batch runs BEFORE the call returns.
+    * (The previous recentProgress-polling wait raced against the
+    * no-data progress-event throttle, `noDataProgressEventInterval` =
+    * 10 s, and could burn up to 15 s of fake query time — VERDICT r2.)
     */
   private def runToMemory(s: SparkSession, streamed: DataFrame,
                           rocksdb: Boolean = false): DataFrame = {
     val name = s"stream_out_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-")
-    pendingTmp.synchronized { pendingTmp += ckpt }
-    // transformWithState stores each state variable as its own column
-    // family — supported by the RocksDB provider only (the provider a
-    // 100 TB deployment runs anyway). The conf is captured at query
-    // start, so setting it around start() scopes it to this query.
+    // Conf is captured at query start, so setting it around start()
+    // scopes it to this query; restore afterwards.
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    if (rocksdb) s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Stateful streaming pins one state-store instance per shuffle
     // partition per stateful operator for the query's lifetime, and
     // AQE cannot coalesce them — at bounded-replay scale the per-batch
     // store open/commit overhead dominates (a stream-stream join keeps
-    // 4 stores per partition). Size the stateful shuffle explicitly;
-    // a real deployment sizes it to state volume, not the batch
-    // session's CPU count. Captured at query start, so setting it
-    // around start() scopes it to this query.
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevPart = s.conf.getOption(partKey)
-    s.conf.set(partKey, "8")
+    // 4 stores per partition). Size the stateful shuffle explicitly; a
+    // real deployment sizes it to state volume, not the batch session's
+    // CPU count.
+    val tuning: Seq[(String, String)] = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      // Bounded replays never restart mid-run: retain the minimum
+      // checkpoint history instead of the 100-batch default — with the
+      // multi-batch replay each query commits ~5-9 batches, and delta
+      // cleanup would otherwise track all of them.
+      "spark.sql.streaming.minBatchesToRetain" -> "2",
+      // Background snapshot maintenance is amortization for long-running
+      // queries; a <10 s replay only pays its thread-pool cost.
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s") ++
+      (if (rocksdb) Seq(
+        // transformWithState stores each state variable as its own
+        // column family — supported by the RocksDB provider only (the
+        // provider a 100 TB deployment runs anyway). Changelog
+        // checkpointing ships per-batch deltas instead of full SST
+        // snapshots — the production setting, and the cheap one here.
+        provKey -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+       else Seq.empty)
+    val prev = tuning.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuning.foreach { case (k, v) => s.conf.set(k, v) }
     val q = try {
       streamed.writeStream
         .outputMode("append")
@@ -92,33 +164,14 @@ object StreamingQueries {
         .format("memory")
         .start()
     } finally {
-      prevPart match {
-        case Some(p) => s.conf.set(partKey, p)
-        case None => s.conf.unset(partKey)
-      }
-      if (rocksdb) {
-        prevProv match {
-          case Some(p) => s.conf.set(provKey, p)
-          case None => s.conf.unset(provKey)
-        }
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
       }
     }
-    try {
-      q.processAllAvailable()
-      // processAllAvailable returns once source offsets are consumed;
-      // the watermark-driven flush runs as one more no-data micro-batch
-      // — wait until it has been observed before stopping.
-      val deadline = System.currentTimeMillis() + 15000
-      while (!q.recentProgress.exists(_.numInputRows == 0) &&
-             System.currentTimeMillis() < deadline) {
-        Thread.sleep(100)
-      }
-      q.processAllAvailable()
-    } finally q.stop()
-    pendingTmp.synchronized {
-      pendingTmp.foreach(deleteRecursively)
-      pendingTmp.clear()
-    }
+    try q.processAllAvailable()
+    finally q.stop()
+    deleteRecursively(ckpt)
     s.table(name)
   }
 
@@ -126,6 +179,9 @@ object StreamingQueries {
 
     // Idiomatic streaming path (SURVEY.md §2 #8, event-time variant):
     // watermark + window() + append — state purge engine-managed.
+    // Windows close and emit INCREMENTALLY as the watermark advances
+    // across the 4 replay batches; the final no-data batch flushes the
+    // rest.
     "stream_window_agg" -> ((s, dir) => {
       val agg = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
@@ -140,7 +196,11 @@ object StreamingQueries {
 
     // Streaming exact dedup (dropDuplicates on the full output tuple:
     // whichever physical row survives, the emitted VALUES are the
-    // distinct set — deterministic and oracle-checkable).
+    // distinct set — deterministic and oracle-checkable). The dedup key
+    // carries no event-time column, so state is retained for the whole
+    // replay (exact distinct across all batches); at unbounded scale
+    // the key set would include the time bucket horizon via
+    // dropDuplicatesWithinWatermark.
     "stream_dedup" -> ((s, dir) => {
       val dedup = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
@@ -152,7 +212,10 @@ object StreamingQueries {
 
     // Built-in session windows (30-min gap) — the engine-managed twin
     // of events_sessionize; append emits sessions once the watermark
-    // passes last_event + gap.
+    // passes last_event + gap. Sessions spanning a split boundary MERGE
+    // across micro-batches (a session is only emitted early if the
+    // watermark proves no in-gap event can follow — and time-ordered
+    // replay makes that proof exact).
     "stream_session_window" -> ((s, dir) => {
       val sessions = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
@@ -167,7 +230,9 @@ object StreamingQueries {
 
     // Strict-parity stateful path: the flatMapGroupsWithState port of
     // the reference's MapState+timer machine, emitting the exact
-    // endOfWindow timestamps (start + duration − 1 ms).
+    // endOfWindow timestamps (start + duration − 1 ms). Per-key counts
+    // accumulate across batches in the state map; timers fire as the
+    // watermark passes each window end.
     "stream_pseudo_window" -> ((s, dir) => {
       implicit val enc = org.apache.spark.sql.Encoders.product[PseudoWindow.Point]
       val pts = eventsStream(s, dir)
@@ -185,8 +250,9 @@ object StreamingQueries {
     // Watermarks on BOTH sides + the time-range condition let the
     // engine purge join state once the watermark passes ts_v + 1 h —
     // bounded state at unbounded input, the production shape for
-    // attribution joins. Bounded replay ≡ the batch interval join, so
-    // the oracle is exact.
+    // attribution joins. Cross-batch matches (view in batch k, purchase
+    // in batch k+1) exercise the buffered join state; bounded replay ≡
+    // the batch interval join, so the oracle is exact.
     "stream_stream_join" -> ((s, dir) => {
       val views = eventsStream(s, dir)
         .filter(col("event_type") === "view")
