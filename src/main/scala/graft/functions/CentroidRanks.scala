@@ -87,8 +87,12 @@ case class CentroidRanks(first: Expression, second: Expression, third: Expressio
           }
           fastSum += (if (p < 0) -k else k)
         } else {
-          slowAcc = slowAcc.add(java.math.BigDecimal.valueOf(p)
-            .setScale(14, java.math.RoundingMode.HALF_UP))
+          // Same DECIMAL(28,14) overflow contract as DecimalDotProduct:
+          // a rounded product beyond precision 28 poisons the fold.
+          val e = java.math.BigDecimal.valueOf(p)
+            .setScale(14, java.math.RoundingMode.HALF_UP)
+          if (e.precision > 28) return null
+          slowAcc = slowAcc.add(e)
         }
         i += 1
       }
@@ -127,6 +131,7 @@ case class CentroidRanks(first: Expression, second: Expression, third: Expressio
       val t = ctx.freshName("t")
       val d = ctx.freshName("d")
       val k = ctx.freshName("k")
+      val e = ctx.freshName("e")
       val bad = ctx.freshName("bad")
       val aIdx = ctx.freshName("a")
       val bIdx = ctx.freshName("b")
@@ -159,8 +164,10 @@ case class CentroidRanks(first: Expression, second: Expression, third: Expressio
          |      }
          |      $fs += ($p < 0) ? -$k : $k;
          |    } else {
-         |      $acc = $acc.add(java.math.BigDecimal.valueOf($p)
-         |        .setScale(14, java.math.RoundingMode.HALF_UP));
+         |      java.math.BigDecimal $e = java.math.BigDecimal.valueOf($p)
+         |        .setScale(14, java.math.RoundingMode.HALF_UP);
+         |      if ($e.precision() > 28) { $bad = true; break; }
+         |      $acc = $acc.add($e);
          |    }
          |  }
          |  if (!$bad) {

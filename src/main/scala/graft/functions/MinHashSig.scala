@@ -37,10 +37,13 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    MinHashSig.eval(input.asInstanceOf[ArrayData], md)
-  }
+  // Interpreted-path twin of the codegen mutable state: one digest per
+  // (deserialized, per-task) expression instance, not per row.
+  @transient private lazy val interpMd =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.kernel(input.asInstanceOf[ArrayData], interpMd)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val md = ctx.addMutableState("java.security.MessageDigest", "minhashMd",
@@ -52,7 +55,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $out =
          |  (org.apache.spark.sql.catalyst.util.ArrayData)
-         |    graft.functions.MinHashSig.eval($a, $md);
+         |    graft.functions.MinHashSig.kernel($a, $md);
          |if ($out == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -75,7 +78,7 @@ object MinHashSig {
   /** Shared compiled kernel: null on a null token; 16 nulls for an
     * empty token set; otherwise the 16 affine minima.
     */
-  def eval(arr: ArrayData, md: java.security.MessageDigest): ArrayData = {
+  def kernel(arr: ArrayData, md: java.security.MessageDigest): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     val seen = new java.util.HashSet[String]()

@@ -41,10 +41,14 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  // Interpreted-path twin of the codegen mutable state: one digest per
+  // (deserialized, per-task) expression instance, not per row.
+  @transient private lazy val interpMd =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val out = ShingleHashes.eval(arr, k, md)
+    val out = ShingleHashes.kernel(arr, k, interpMd)
     if (out == null) null else UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -56,7 +60,7 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val out = ctx.freshName("out")
       s"""
-         |long[] $out = graft.functions.ShingleHashes.eval($a, $k, $md);
+         |long[] $out = graft.functions.ShingleHashes.kernel($a, $k, $md);
          |if ($out == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -79,7 +83,7 @@ object ShingleHashes {
     * rolling-hashed because the contract is EXACT md5 parity with the
     * composed-builtins route and the DuckDB oracle.
     */
-  def eval(arr: ArrayData, k: Int, md: java.security.MessageDigest): Array[Long] = {
+  def kernel(arr: ArrayData, k: Int, md: java.security.MessageDigest): Array[Long] = {
     val n = arr.numElements()
     val nsh = math.max(n - (k - 1), 0)
     val toks = new Array[String](n)

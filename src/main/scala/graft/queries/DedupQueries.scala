@@ -180,10 +180,13 @@ object DedupQueries {
     "band" +: (0 until Dedup.RowsPerBand).map(i => s"k$i")
 
   /** One row per (doc, band) with the band's signature slice unpacked
-    * to primitive key columns. O(NumBands · n); at cluster scale the
-    * signature projection would be materialized once (a checkpoint /
-    * signatures table) instead of recomputed per consumer — at bench
-    * scale it is ~0.8 s and recomputation keeps the plan stateless.
+    * to primitive key columns. O(NumBands · n). Consumers join this
+    * frame against its own aggregate, so [[lshEdges]]/[[lshKeep]]
+    * PERSIST it — the signature/band pass computes ONCE per query, not
+    * once per branch. This models the at-scale posture directly:
+    * signatures are a (materialized) table, not a recompute —
+    * MEMORY_AND_DISK here; a checkpoint/signatures table on a cluster.
+    * Verify/Bench clearCache() between queries, so nothing leaks.
     */
   private def lshBands(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
@@ -200,28 +203,33 @@ object DedupQueries {
     * A partial-aggregable hash agg — skew-immune even on a
     * million-member bucket (no collection, just a running min).
     */
-  private def lshBucketMins(s: org.apache.spark.sql.SparkSession, dir: String) =
-    lshBands(s, dir).groupBy(bandKeys.map(col): _*)
+  private def lshBucketMinsOf(bands: org.apache.spark.sql.DataFrame) =
+    bands.groupBy(bandKeys.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))
 
   /** Star edges: every doc linked to its bucket's min doc_id, distinct
     * across bands. ≤ NumBands·n rows — linear, yet union-find over
     * them gives the same connected components as all in-bucket pairs.
     */
-  private def lshEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    lshBands(s, dir).join(lshBucketMins(s, dir), bandKeys)
+  private def lshEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bands = lshBands(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.join(lshBucketMinsOf(bands), bandKeys)
       .filter(col("rep") < col("doc_id"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** One-pass label propagation: each doc's representative = the min
     * doc_id over every bucket it sits in (itself when alone).
     */
-  private def lshKeep(s: org.apache.spark.sql.SparkSession, dir: String) =
-    lshBands(s, dir)
-      .join(lshBucketMins(s, dir), bandKeys)
+  private def lshKeep(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bands = lshBands(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.join(lshBucketMinsOf(bands), bandKeys)
       .groupBy(col("doc_id"))
       .agg(min(col("rep")).as("rep_id"))
+  }
 
   // ---- DuckDB twins ---------------------------------------------------
 

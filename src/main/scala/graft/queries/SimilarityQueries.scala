@@ -116,6 +116,33 @@ object SimilarityQueries {
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // The production composition: LSH multi-probe candidate PRUNING +
+    // the codegen'd float cosine kernel SCORING — i.e. ann_topk_lsh's
+    // candidate set with ann_topk_fast's hot loop. Bucketing stays on
+    // the decimal-exact route (it is a sign decision, so the oracle
+    // must agree bit-for-bit); the per-candidate score — the O(n) term
+    // at 100 TB — is the fused float expression. Hash-checked on the
+    // deterministic rank columns like ann_topk_fast; the float/decimal
+    // rank agreement is pinned by RankGapSpec's measured gap floor.
+    "ann_topk_lsh_fast" -> ((s, dir) => {
+      import graft.functions.FloatVectorCosine.cosineFast
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                explode(array(
+                  col("bucket") +: (0 until NPlanes).map(j =>
+                    col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineFast(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup (the fifth dedup flavor, SURVEY.md
     // §2.9): candidate pairs = vectors sharing an LSH bucket, verified
     // with exact-decimal cosine ≥ threshold. Same two-phase topology
@@ -328,6 +355,40 @@ object SimilarityQueries {
          |  FROM pairs
          |)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+
+    // Rank-only twin of ann_topk_lsh: the float-scored pruned path must
+    // reproduce the decimal-exact ranking on the LSH candidate set.
+    "ann_topk_lsh_fast" ->
+      s"""WITH planes AS (
+         |  SELECT j, list_transform(generate_series(1, 64), i ->
+         |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+         |      / 1073741823.5 - 1.0) AS plane
+         |  FROM generate_series(0, ${NPlanes - 1}) t(j)
+         |), sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(CAST(e.embedding[i] AS DOUBLE) * p.plane[i] AS DECIMAL(28,14)))) > 0
+         |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, planes p
+         |  GROUP BY e.vec_id, e.embedding
+         |), qp AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN j = $NPlanes THEN bucket
+         |         ELSE xor(bucket, CAST(power(2, j) AS BIGINT)) END AS bucket
+         |  FROM sig, generate_series(0, $NPlanes) t(j)
+         |  WHERE vec_id < $NQueries
+         |), pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${duckCos("q.embedding", "c.embedding")} AS cos
+         |  FROM qp q JOIN sig c ON q.bucket = c.bucket
+         |  WHERE c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
 
     "dedup_embedding_pairs" ->

@@ -87,7 +87,7 @@ object StreamingQueries {
     * Tables.events (nanos → ms; file sources need an explicit schema),
     * replayed one time-ordered file per trigger.
     */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),

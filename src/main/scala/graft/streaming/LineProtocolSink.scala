@@ -94,21 +94,35 @@ class HttpLineProtocolWriter(measurement: String, endpoint: String,
 
   private def flush(): Unit = {
     if (batch.isEmpty) return
+    val dbEnc = java.net.URLEncoder.encode(db, "UTF-8")
     val url = new java.net.URI(
-      s"$endpoint/write?db=$db&precision=ms").toURL
+      s"$endpoint/write?db=$dbEnc&precision=ms").toURL
     val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
-    val body = (String.join("\n", batch) + "\n").getBytes("UTF-8")
-    conn.setFixedLengthStreamingMode(body.length)
-    val os = conn.getOutputStream
-    try { os.write(body) } finally os.close()
-    val code = conn.getResponseCode
-    if (code < 200 || code >= 300)
-      throw new java.io.IOException(s"line-protocol POST failed: HTTP $code")
-    conn.getInputStream.close()
-    batch.clear()
+    try {
+      // A hung endpoint must fail the task (at-least-once via streaming
+      // retry), not block it forever.
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+      val body = (String.join("\n", batch) + "\n").getBytes("UTF-8")
+      conn.setFixedLengthStreamingMode(body.length)
+      val os = conn.getOutputStream
+      try { os.write(body) } finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300) {
+        // Drain + close the error body so the connection is released
+        // before the task fails (keep-alive pooling otherwise leaks it).
+        val es = conn.getErrorStream
+        if (es != null) {
+          try { while (es.read() != -1) () } finally es.close()
+        }
+        throw new java.io.IOException(s"line-protocol POST failed: HTTP $code")
+      }
+      conn.getInputStream.close()
+      batch.clear()
+    } finally conn.disconnect()
   }
 
   override def close(errorOrNull: Throwable): Unit =
