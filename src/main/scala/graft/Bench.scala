@@ -43,6 +43,10 @@ object Bench {
       spark.range(2000)
         .select(graft.functions.VectorOps.dotDecimal(v, v).as("d"))
         .write.format("noop").mode("overwrite").save()
+      // Building the events stream materializes the shared time-ordered
+      // split dir (one read-sort-write of events per JVM) — harness
+      // setup, not cost of whichever stream_* query runs first.
+      graft.queries.StreamingQueries.eventsStream(spark, sfDir)
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve benchmark (VERDICT r2 item 4): measures the dedup/ANN
+  * query families at 1× and N× (default 10×) corpus size, where the N×
+  * corpus is the fixture self-unioned with id offsets — every doc/vec
+  * gains N−1 exact copies, which makes the LSH collision graph N×
+  * DENSER per bucket (the adversarial case for anything pair-shaped).
+  *
+  * What the curve demonstrates: the pruned paths (LSH star edges,
+  * bucket-probe ANN, IVF) and the linear projections scale ~linearly
+  * with the corpus, because their work is bounded by bands·n edges /
+  * probed-bucket membership — never by in-bucket pairs. Brute-force
+  * top-k also scales linearly (it is O(n·q) by construction) but from
+  * a ~full-corpus-scan offset the pruned paths avoid. A quadratic
+  * regression (e.g. all-pairs in-bucket enumeration) would show up as
+  * a ~N² ratio here — this main is the regression harness for that.
+  *
+  * Output: one JSON line `{"factor":N,"queries":{name:{"x1":s,"xN":s,
+  * "ratio":r}}}` on stdout; human-readable table on stderr. Measured
+  * results are recorded in BENCH_NOTES.md.
+  */
+object ScaleBench {
+
+  private val ScaledQueries = Seq(
+    "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
+    "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
+    "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = buildScaledDir(spark, sfDir, factor)
+
+    // Warm the session (scheduler, codegen, decimal path) so the first
+    // measured query doesn't absorb one-time session cost.
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      sec
+    }
+
+    val rows = ScaledQueries.map { name =>
+      val t1 = time(name, sfDir)
+      val tN = time(name, scaled.toString)
+      System.err.println(f"[scale] $name%-22s 1x ${t1}%7.2f s   ${factor}x ${tN}%7.2f s   ratio ${tN / t1}%5.2f")
+      (name, t1, tN)
+    }
+
+    val qs = rows.map { case (n, t1, tN) =>
+      f""""$n":{"x1":$t1%.3f,"x$factor%d":$tN%.3f,"ratio":${tN / t1}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"factor":$factor,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** A temp table dir: every fixture table symlinked except documents /
+    * embeddings, which are written as `factor`-way self-unions with id
+    * offsets (labels and content preserved → N× denser LSH buckets).
+    */
+  private def buildScaledDir(spark: SparkSession, sfDir: String, factor: Int): Path = {
+    val tmp = Files.createTempDirectory("graft-scale-")
+    sys.addShutdownHook {
+      if (Files.exists(tmp)) {
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
+    }
+    Files.list(Paths.get(sfDir)).iterator().asScala
+      .filterNot(p => p.getFileName.toString.startsWith("documents") ||
+                      p.getFileName.toString.startsWith("embeddings"))
+      .foreach(p => Files.createSymbolicLink(tmp.resolve(p.getFileName), p))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dOff = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until factor)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * dOff)))
+      .reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vOff = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until factor)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
+      .reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    tmp
+  }
+}

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.streaming.{SensorStream, StateInspect}
+import graft.streaming.{PseudoWindow, SensorStream, StateInspect}
 
 /** Live twin of running the reference's `TimingExplorer` job
   * (/root/reference/src/main/java/com/ververica/jobs/TimingExplorer.java:45-107):
@@ -31,6 +31,7 @@ object StreamDemo {
     val outDir = Files.createTempDirectory("graft-demo-out-").toString
     val ckptRaw = Files.createTempDirectory("graft-demo-ckpt-raw-").toString
     val ckptWin = Files.createTempDirectory("graft-demo-ckpt-win-").toString
+    val ckptProc = Files.createTempDirectory("graft-demo-ckpt-proc-").toString
     println(s"[demo] sinks: $outDir  checkpoints: $ckptRaw | $ckptWin")
 
     val points = SensorStream.sensorPointsStream(spark, rowsPerBatch = 10)
@@ -47,6 +48,27 @@ object StreamDemo {
       .outputMode("append")
       .queryName("events_per_second")
       .option("checkpointLocation", ckptWin)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .format("memory")
+      .start()
+
+    // Branch 3 ≙ `eventsProcessedPerSecond` (PseudoWindow with
+    // eventTime=false, TimingExplorer.java:97-103): wall-clock windows
+    // over the same points — counts depend on where batch boundaries
+    // land, so they JITTER around 20/s (both keys) while the
+    // event-time branch stays exactly 10 per key per second. The
+    // jitter is the reference demo's whole point (its README's two
+    // golden charts); see README "Processing-time vs event-time" for a
+    // recorded run.
+    implicit val pEnc = org.apache.spark.sql.Encoders.product[PseudoWindow.Point]
+    val procPts = points
+      .select(col("key"), col("ts_ms").as("tsMs"), col("value"), col("ts"))
+      .as[PseudoWindow.Point](pEnc)
+    val procQuery = PseudoWindow.processingTime(procPts, 1000L).toDF()
+      .writeStream
+      .outputMode("append")
+      .queryName("events_processed_per_second")
+      .option("checkpointLocation", ckptProc)
       .trigger(Trigger.ProcessingTime("1 second"))
       .format("memory")
       .start()
@@ -69,13 +91,22 @@ object StreamDemo {
     })
 
     Thread.sleep(runSeconds * 1000L)
-    rawQuery.stop(); winQuery.stop()
+    rawQuery.stop(); winQuery.stop(); procQuery.stop()
 
     val emitted = spark.table("events_per_second")
     println(s"[demo] emitted windows (expect cnt=10 per key per second):")
     emitted.orderBy("window_end_ms", "key").show(12, truncate = false)
     val bad = emitted.filter(col("cnt") =!= 10).count()
     println(s"[demo] windows with cnt != 10: $bad (event-time determinism holds iff 0)")
+
+    // Processing-time counts: per wall-clock second across both keys —
+    // expected to JITTER (≠ flat 20) because batch boundaries are
+    // wall-clock, exactly the reference demo's golden-image contrast.
+    val proc = spark.table("events_processed_per_second")
+      .groupBy(col("windowEndMs")).agg(sum(col("cnt")).as("events"))
+      .orderBy("windowEndMs")
+    println("[demo] processing-time windows (events per wall-clock second, both keys):")
+    proc.show(12, truncate = false)
 
     println("[demo] offline state inspection (≙ ChangeBackend print):")
     StateInspect.stateMetadata(spark, ckptWin).show(truncate = false)
