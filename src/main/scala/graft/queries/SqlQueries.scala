@@ -26,6 +26,22 @@ object SqlQueries {
     s.sql(q)
   }
 
+  /** Same builders `spark.sql.extensions=graft.GraftExtensions` injects
+    * at session build time, installed on an existing session — so the
+    * SQL surface of the native expressions is exercised through the
+    * driver's plain session too.
+    */
+  private def registerNativeFunctions(s: SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  private def sqlNative(q: String): Q = (s, dir) => {
+    registerViews(s, dir)
+    registerNativeFunctions(s)
+    s.sql(q)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // TPC-H Q4-style: EXISTS correlated subquery through pure SQL.
@@ -50,6 +66,21 @@ object SqlQueries {
         |  SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
         |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY l_partkey""".stripMargin),
+
+    // The native-expression SQL surface: every GraftExtensions-injected
+    // function a SQL user would call (simhash32 / shingle_hashes /
+    // minhash_sig / vec_dot_decimal), composed in one statement over
+    // documents × embeddings — proves the registration path, argument
+    // binding, and codegen of the custom expressions under spark.sql,
+    // not just the Column API.
+    "q_sql_native_funcs" -> sqlNative(
+      """SELECT d.doc_id,
+        |  simhash32(transform(split(d.text, ' '), t ->
+        |    CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 2147483647L)) AS simhash,
+        |  CAST(size(shingle_hashes(split(d.text, ' '), 3)) AS BIGINT) AS n_shingles,
+        |  element_at(minhash_sig(split(d.text, ' ')), 1) AS mh0,
+        |  round(CAST(vec_dot_decimal(e.embedding, e.embedding) AS DOUBLE), 6) AS self_dot_r
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin),
 
     // Full outer join: per-nation customer vs supplier counts.
     "q_sql_outer_join" -> sql(
@@ -81,6 +112,41 @@ object SqlQueries {
         |  SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
         |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY l_partkey""".stripMargin,
+
+    "q_sql_native_funcs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), th AS (
+        |  SELECT doc_id, list_transform(toks, t ->
+        |    CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) % 2147483647) AS th
+        |  FROM toks
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+        |      CASE WHEN list_sum(list_transform(th, h ->
+        |          ((h // CAST(power(2, b) AS BIGINT)) % 2) * 2 - 1)) > 0
+        |        THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM th
+        |), ng AS (
+        |  SELECT doc_id, CAST(len(list_distinct(list_transform(
+        |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+        |    g -> CAST(concat('0x', substr(md5(g), 1, 14)) AS BIGINT) % 2147483647)))
+        |    AS BIGINT) AS n_shingles
+        |  FROM toks
+        |), mh AS (
+        |  SELECT doc_id, list_min(list_transform(list_distinct(toks), s ->
+        |    ((CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % 2147483647) + 7)
+        |      % 2147483647)) AS mh0
+        |  FROM toks
+        |)
+        |SELECT t.doc_id, s.simhash, n.n_shingles, m.mh0,
+        |  round(CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |    CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |      AS DECIMAL(28,14)))) AS DOUBLE), 6) AS self_dot_r
+        |FROM toks t
+        |JOIN sh s USING (doc_id) JOIN ng n USING (doc_id) JOIN mh m USING (doc_id)
+        |JOIN embeddings e ON e.vec_id = t.doc_id""".stripMargin,
 
     "q_sql_outer_join" ->
       """SELECT coalesce(c.k, s.k) AS nationkey,

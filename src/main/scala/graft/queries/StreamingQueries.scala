@@ -219,6 +219,26 @@ object StreamingQueries {
       runToMemory(s, dedup)
     }),
 
+    // The at-scale streaming dedup operator: dropDuplicatesWithinWatermark
+    // keeps per-key state only within the watermark horizon (state is
+    // O(keys-in-horizon), not O(all keys ever) — what an unbounded
+    // deployment actually runs; the plain dropDuplicates above is the
+    // exact-distinct twin with unbounded state). With a 25 h delay and
+    // day-granularity keys, any same-day duplicate arrives while the
+    // first occurrence's state is provably live (a time-ordered replay
+    // can only advance the watermark past firstTs+25h once rows are
+    // beyond the day), so the bounded-state output is STILL the exact
+    // distinct set and shares stream_dedup's oracle.
+    "stream_dedup_within_wm" -> ((s, dir) => {
+      val dedup = eventsStream(s, dir)
+        .withWatermark("ts", "25 hours")
+        .select(col("user_id"), col("event_type"),
+                (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day_ms")
+        .select(col("user_id"), col("event_type"), col("day_ms"))
+      runToMemory(s, dedup)
+    }),
+
     // Built-in session windows (30-min gap) — the engine-managed twin
     // of events_sessionize; append emits sessions once the watermark
     // passes last_event + gap. Sessions spanning a split boundary MERGE
@@ -345,6 +365,13 @@ object StreamingQueries {
         |WHERE window_start_ms + 3600000 <= (SELECT max(ts_ms) FROM e)""".stripMargin,
 
     "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000) AS day_ms
+        |FROM events""".stripMargin,
+
+    // Bounded-state dedup emits the same distinct set (see the query
+    // comment for why the 25 h horizon can never evict a live key).
+    "stream_dedup_within_wm" ->
       """SELECT DISTINCT user_id, event_type,
         |  (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000) AS day_ms
         |FROM events""".stripMargin,
