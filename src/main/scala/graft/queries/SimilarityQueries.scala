@@ -196,6 +196,30 @@ object SimilarityQueries {
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Float-scored IVF: ann_topk_ivf's candidate pruning (decimal-exact
+    // centroid assignment + probe selection — the oracle contract) with
+    // the fused float kernel scoring the probed lists — the 100 TB
+    // composition for IVF search, rank-hashed like ann_topk_fast.
+    "ann_topk_ivf_fast" -> ((s, dir) => {
+      import graft.functions.FloatVectorCosine.cosineFast
+      val emb = embWithNorm(s, dir)
+      val centArr = ivfCentArr(s, dir)
+      val assigned = ivfAssigned(s, dir)
+      val qprobe = emb.filter(col("vec_id") < NQueries)
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                explode(slice(rankedListIds(col("embedding"), col("nrm")),
+                  1, NProbe)).as("list_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(qprobe), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineFast(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+    }),
+
     // One Lloyd iteration of k-means (the iterative primitive of
     // embedding clustering / IVF index training at corpus scale):
     // assign every vector to its nearest current centroid (the same
@@ -446,6 +470,42 @@ object SimilarityQueries {
          |  FROM pairs
          |)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    // Rank-only twin of ann_topk_ivf for the float-scored variant.
+    "ann_topk_ivf_fast" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
+         |  FROM dims GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assigned AS (
+         |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+         |  FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe
+         |), pairs AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+         |  FROM qprobe q JOIN assigned a ON a.list_id = q.list_id
+         |  WHERE a.vec_id <> q.q_id
+         |), rankedp AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id
          |FROM rankedp WHERE rank <= $TopK""".stripMargin,
 
     "kmeans_step" ->

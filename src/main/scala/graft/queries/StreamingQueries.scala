@@ -257,6 +257,22 @@ object StreamingQueries {
       runToMemory(s, sessions)
     }),
 
+    // Sliding windows under streaming (2 h length, 30 min slide — the
+    // streaming twin of events_sliding_window): each event lands in 4
+    // open windows, so per-key state holds 4 concurrent aggregates and
+    // the watermark closes them in slide-step order across the replay
+    // batches.
+    "stream_sliding_window" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("event_type"), window(col("ts"), "2 hours", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+                unix_millis(col("window.start")).as("window_start_ms"),
+                col("cnt"))
+      runToMemory(s, agg)
+    }),
+
     // Strict-parity stateful path: the flatMapGroupsWithState port of
     // the reference's MapState+timer machine, emitting the exact
     // endOfWindow timestamps (start + duration − 1 ms). Per-key counts
@@ -403,6 +419,20 @@ object StreamingQueries {
         |)
         |SELECT * FROM agg
         |WHERE session_end_ms <= (SELECT max(ts_ms) FROM e)""".stripMargin,
+
+    // Batch sliding-window oracle + the append-mode emission cutoff.
+    "stream_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |), agg AS (
+        |  SELECT event_type,
+        |    (ts_ms // 1800000 - i) * 1800000 AS window_start_ms,
+        |    count(*) AS cnt
+        |  FROM e, generate_series(0, 3) t(i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT * FROM agg
+        |WHERE window_start_ms + 7200000 <= (SELECT max(ts_ms) FROM e)""".stripMargin,
 
     "stream_pseudo_window" -> pseudoWindowOracle,
     "stream_pseudo_window_tws" -> pseudoWindowOracle,
