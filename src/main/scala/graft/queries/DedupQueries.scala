@@ -122,6 +122,57 @@ object DedupQueries {
            col("quality") >= 0.6 && col("lang_pred") === "en").as("selected"))
     }),
 
+    // TRUE connected components over the star edges — the canonical
+    // web-scale dedup primitive (dedup_lsh_keep is the one-hop
+    // approximation: a doc whose buckets all contain only larger docs
+    // keeps itself even when transitively linked to a smaller doc).
+    // Distributed min-label propagation with POINTER JUMPING
+    // (lbl ← label(lbl)), the Pregel/MapReduce-CC pattern: neighbor
+    // propagation alone needs diameter iterations, jumping collapses
+    // chains in O(log n) rounds. Each round is one shuffle join + one
+    // partial-aggregable min — at 100 TB this is exactly the
+    // large-star/small-star loop, with per-round persist + unpersist
+    // to keep lineage flat (localCheckpoint cadence on a cluster).
+    // Converges to the unique fixpoint (component min), so the output
+    // is deterministic and hash-checkable against a recursive-CTE
+    // oracle. A convergence failure leaves changed labels and the
+    // oracle catches it — no silent approximation.
+    "dedup_cc" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val star = lshEdges(s, dir)
+      val edges = star.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(star.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var it = 0
+      var done = false
+      while (!done && it < 30) {
+        val prop = edges
+          .join(labels.select(col("v").as("src"), col("lbl").as("plbl")), "src")
+          .select(col("dst").as("v"), col("plbl").as("lbl"))
+        val minned = labels.unionAll(prop)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        val ptr = minned.select(col("v").as("pv"), col("lbl").as("jlbl"))
+        val next = minned.join(ptr, minned("lbl") === ptr("pv"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.select(col("v"), col("lbl").as("nlbl"))
+          .join(labels, "v")
+          .filter(col("nlbl") =!= col("lbl"))
+          .limit(1).count()
+        labels.unpersist()
+        labels = next
+        done = changed == 0
+        it += 1
+      }
+      edges.unpersist()
+      labels.select(col("v").as("doc_id"), col("lbl").as("component_id"),
+                    (col("lbl") < col("v")).as("is_dup"))
+    }),
+
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -283,6 +334,40 @@ object DedupQueries {
          |  JOIN toksets ta ON ta.doc_id = doc_a
          |  JOIN toksets tb ON tb.doc_id = doc_b
          |) WHERE jac >= 0.2""".stripMargin,
+
+    // Recursive-CTE twin of the pointer-jumping loop: min-label
+    // flooding over the undirected star edges. The `lp.lbl < e.dst`
+    // guard keeps the working set finite; the component MIN always
+    // floods fully because it is smaller than every other member.
+    "dedup_cc" ->
+      s"""WITH RECURSIVE sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), edges AS (
+         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  WHERE m.rep < bd.doc_id
+         |), edges2 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM edges
+         |), lp(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, lp.lbl
+         |  FROM lp JOIN edges2 e ON e.src = lp.v
+         |  WHERE lp.lbl < e.dst
+         |)
+         |SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id,
+         |  (min(lbl) < v) AS is_dup
+         |FROM lp GROUP BY v""".stripMargin,
 
     "pipeline_select" ->
       s"""WITH sigs AS (
