@@ -126,57 +126,21 @@ object DedupQueries {
     // web-scale dedup primitive (dedup_lsh_keep is the one-hop
     // approximation: a doc whose buckets all contain only larger docs
     // keeps itself even when transitively linked to a smaller doc).
-    // Distributed min-label propagation with POINTER JUMPING
-    // (lbl ← label(lbl)), the Pregel/MapReduce-CC pattern: neighbor
-    // propagation alone needs diameter iterations, jumping collapses
-    // chains in O(log n) rounds. Each round is one shuffle join + one
-    // partial-aggregable min — at 100 TB this is exactly the
-    // large-star/small-star loop. Each round's result is
-    // localCheckpoint'ed (eager): iterative plans otherwise embed the
-    // whole round history, so analysis/optimization cost grows
-    // superlinearly and the consumer re-pays it — measured 35 s → 9 s
-    // at sf0.1 from truncation alone. On a cluster the same call is a
-    // reliable checkpoint to the cluster FS. Converges to the unique
-    // fixpoint (component min), so the output is deterministic and
-    // hash-checkable against a recursive-CTE oracle. A convergence
-    // failure leaves changed labels and the oracle catches it — no
-    // silent approximation.
+    // Distributed min-label propagation with pointer jumping —
+    // [[graft.operators.ConnectedComponents]] (see its scaladoc for
+    // the round structure, the localCheckpoint lineage-truncation
+    // rationale, and the monotone-sum convergence proof). Converges to
+    // the unique fixpoint (component min), so the output is
+    // deterministic and hash-checkable against a recursive-CTE oracle.
+    // A convergence failure leaves changed labels and the oracle
+    // catches it — no silent approximation.
     "dedup_cc" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel
       val star = lshEdges(s, dir)
-      val edges = star.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(star.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = Tables.documents(s, dir)
-        .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
-        .localCheckpoint()
-      // Convergence check: per-vertex labels only ever DECREASE, so the
-      // global label sum is strictly monotone until the fixpoint — an
-      // unchanged sum means no label changed. One aggregate over the
-      // checkpointed frame instead of a join-and-compare pass.
-      var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
-      var it = 0
-      var done = false
-      while (!done && it < 30) {
-        val prop = edges
-          .join(labels.select(col("v").as("src"), col("lbl").as("plbl")), "src")
-          .select(col("dst").as("v"), col("plbl").as("lbl"))
-        val minned = labels.unionAll(prop)
-          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        val ptr = minned.select(col("v").as("pv"), col("lbl").as("jlbl"))
-        val next = minned.join(ptr, minned("lbl") === ptr("pv"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint() // eager: materializes AND truncates lineage
-        val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
-        labels = next
-        done = nextSum == prevSum
-        prevSum = nextSum
-        it += 1
-      }
-      edges.unpersist()
-      labels.select(col("v").as("doc_id"), col("lbl").as("component_id"),
-                    (col("lbl") < col("v")).as("is_dup"))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      graft.operators.ConnectedComponents.labels(verts, star)
+        .select(col("v").as("doc_id"), col("lbl").as("component_id"),
+                (col("lbl") < col("v")).as("is_dup"))
     }),
 
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
