@@ -143,6 +143,26 @@ object DedupQueries {
                 (col("lbl") < col("v")).as("is_dup"))
     }),
 
+    // Leakage-safe train/val/test split: the split key is the dedup
+    // COMPONENT, not the document — near-duplicates land in the same
+    // split by construction, so a test document can never have a
+    // near-copy in train (the contamination mode document-level
+    // hashing cannot prevent). Deterministic md5-mod sharding on the
+    // component id keeps the assignment engine-reproducible (the same
+    // 80/10/10 every run, every engine) — at 100 TB this is one CC
+    // pass + a pure projection.
+    "pipeline_split" -> ((s, dir) => {
+      val star = lshEdges(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      val shard = conv(substring(md5(col("lbl").cast("string")), 1, 14), 16, 10)
+        .cast("long") % 10
+      graft.operators.ConnectedComponents.labels(verts, star)
+        .select(col("v").as("doc_id"), col("lbl").as("component_id"),
+          when(shard < 8, "train").when(shard === 8, "val")
+            .otherwise("test").as("split"))
+    }),
+
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -338,6 +358,46 @@ object DedupQueries {
          |SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id,
          |  (min(lbl) < v) AS is_dup
          |FROM lp GROUP BY v""".stripMargin,
+
+    // Component-keyed md5-mod sharding on top of the dedup_cc labels.
+    "pipeline_split" ->
+      s"""WITH RECURSIVE sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), edges AS (
+         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  WHERE m.rep < bd.doc_id
+         |), edges2 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM edges
+         |), lp(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, lp.lbl
+         |  FROM lp JOIN edges2 e ON e.src = lp.v
+         |  WHERE lp.lbl < e.dst
+         |), cc AS (
+         |  SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+         |  FROM lp GROUP BY v
+         |)
+         |SELECT doc_id, component_id,
+         |  CASE WHEN shard < 8 THEN 'train'
+         |       WHEN shard = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, component_id,
+         |    (CAST(concat('0x', substr(md5(CAST(component_id AS VARCHAR)), 1, 14)) AS BIGINT)) % 10 AS shard
+         |  FROM cc
+         |)""".stripMargin,
 
     "pipeline_select" ->
       s"""WITH sigs AS (
