@@ -55,6 +55,12 @@ object ScaleBench {
     } catch { case _: Throwable => () }
 
     def time(name: String, dir: String): Double = {
+      // Full per-query cost: the curve measures each query standalone,
+      // so drop cross-query materialized artifacts (the shared-artifact
+      // posture is measured separately — Bench end-to-end, IndexBench
+      // build-vs-marginal).
+      graft.queries.Artifacts.clear()
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -21,8 +21,11 @@ import org.apache.spark.storage.StorageLevel
   * Convergence: per-vertex labels only ever DECREASE, so the global
   * label sum is strictly monotone until the fixpoint — an unchanged
   * sum means no label changed (one aggregate per round instead of a
-  * join-and-compare pass). The fixpoint is the unique component
-  * minimum, so the output is deterministic.
+  * join-and-compare pass). The sum accumulates in DECIMAL(38,0):
+  * at real-id scale (10¹² vertices × 10¹²-range ids ≈ 10²⁴) a Long
+  * sum wraps and "unchanged" stops being a proof; 38 digits cannot
+  * overflow before the byte count does. The fixpoint is the unique
+  * component minimum, so the output is deterministic.
   */
 object ConnectedComponents {
 
@@ -36,8 +39,10 @@ object ConnectedComponents {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = verts.select(col("v"), col("v").as("lbl")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var done = false
     while (!done && it < maxRounds) {
@@ -51,9 +56,9 @@ object ConnectedComponents {
         .select(col("v"),
           least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint() // eager: materializes AND truncates lineage
-      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      val nextSum = labelSum(next)
       labels = next
-      done = nextSum == prevSum
+      done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1
     }

