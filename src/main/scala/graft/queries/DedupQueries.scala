@@ -82,7 +82,9 @@ object DedupQueries {
           (col("rep_id") < col("doc_id")).as("is_dup"))),
 
     // End-to-end training-set curation — the query a 100 TB pipeline
-    // actually materializes: per-doc quality score, language ID,
+    // actually materializes: per-doc quality score, language ID, PII
+    // hit count (the redaction detectors — a doc with detected PII is
+    // excluded rather than silently redacted into the training set),
     // exact-dup keep flag and near-dup (LSH) keep flag, composed into
     // one `selected` decision. Three linear frames joined on doc_id /
     // fingerprint — every constituent is the already-verified
@@ -109,17 +111,21 @@ object DedupQueries {
                 TextOps.langPredict(st.getField("cnt_en"), st.getField("cnt_es"),
                   st.getField("cnt_de")).as("lang_pred"))
             }
-          }.as("s"))
-        .select(col("doc_id"), col("fp"),
+          }.as("s"),
+          (TextOps.piiCounts(col("text")) match {
+            case (e, p, i) => e + p + i
+          }).as("n_pii"))
+        .select(col("doc_id"), col("fp"), col("n_pii"),
                 col("s.quality").as("quality"), col("s.lang_pred").as("lang_pred"))
       val exactKeep = flags.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
       flags.join(exactKeep, "fp")
         .join(lshKeep(s, dir), "doc_id")
-        .select(col("doc_id"), col("quality"), col("lang_pred"),
+        .select(col("doc_id"), col("quality"), col("lang_pred"), col("n_pii"),
           (col("doc_id") === col("keep_id")).as("keep_exact"),
           (col("doc_id") === col("rep_id")).as("keep_neardup"),
           (col("doc_id") === col("keep_id") && col("doc_id") === col("rep_id") &&
-           col("quality") >= 0.6 && col("lang_pred") === "en").as("selected"))
+           col("quality") >= 0.6 && col("lang_pred") === "en" &&
+           col("n_pii") === 0).as("selected"))
     }),
 
     // TRUE connected components over the star edges — the canonical
@@ -154,6 +160,43 @@ object DedupQueries {
         .select(col("v").as("doc_id"), col("lbl").as("component_id"),
           when(shard < 8, "train").when(shard === 8, "val")
             .otherwise("test").as("split"))
+    }),
+
+    // Substring/sequence-level dedup (VERDICT r3 item 2) — the span
+    // operator document-granular dedup misses: a doc that copies a
+    // long passage from another doc but differs elsewhere. Each doc is
+    // chunked into overlapping SpanTokens-token windows (the codegen
+    // ShingleHashes kernel at k=20 — one compiled pass, distinct span
+    // hashes per doc), spans are hash-grouped ACROSS the corpus (count
+    // per span = its document frequency, since spans are distinct
+    // within a doc), and each doc reports how many of its spans recur
+    // elsewhere. Linear end-to-end: one projection + one partial-
+    // aggregable hash agg on span_h + one shuffle join back + one
+    // hash agg on doc_id — never pair-shaped (the span table is
+    // O(total tokens), each span ~doc-frequency rows in the join).
+    // Both engines hash spans identically, so the ~1e-5 31-bit
+    // collision odds at this scale cancel in the compare.
+    "dedup_substring" -> ((s, dir) => {
+      val spans = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHashes(
+            TextOps.tokens(col("text")), SpanTokens)).as("span_h"))
+      val spanDf = spans.groupBy(col("span_h"))
+        .agg(count(lit(1)).as("n_docs"))
+      val perDoc = spans.join(spanDf, "span_h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+             sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans"),
+             max(col("n_docs")).as("max_span_df"))
+      // docs shorter than SpanTokens have zero spans — keep them in
+      // the output (a curation decision needs a row per doc)
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
+          coalesce(col("max_span_df"), lit(0L)).as("max_span_df"),
+          (coalesce(col("n_shared_spans"), lit(0L)) > 0).as("has_shared_span"))
     }),
 
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
@@ -203,6 +246,12 @@ object DedupQueries {
             .as("hamming_next"))
     })
   )
+
+  /** Span window length (tokens) for substring-level dedup — the
+    * LLM-pipeline convention is 20-50; 20 keeps spans meaningful on
+    * the fixture's 10-99-token docs.
+    */
+  private val SpanTokens = 20
 
   // ---- LSH star-graph helpers ----------------------------------------
 
@@ -442,16 +491,20 @@ object DedupQueries {
          |    CASE WHEN len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'a'))
          |           AND len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'data')) THEN 'en'
          |         WHEN len(list_filter(toks, t -> t = 'a')) >= len(list_filter(toks, t -> t = 'data')) THEN 'es'
-         |         ELSE 'de' END AS lang_pred
+         |         ELSE 'de' END AS lang_pred,
+         |    CAST(len(regexp_extract_all(text, '${graft.text.TextOps.EmailPat}'))
+         |       + len(regexp_extract_all(text, '${graft.text.TextOps.PhonePat}'))
+         |       + len(regexp_extract_all(text, '${graft.text.TextOps.IdPat}')) AS BIGINT) AS n_pii
          |  FROM d
          |), exact_keep AS (
          |  SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp
          |)
-         |SELECT f.doc_id, f.quality, f.lang_pred,
+         |SELECT f.doc_id, f.quality, f.lang_pred, f.n_pii,
          |  (f.doc_id = e.keep_id) AS keep_exact,
          |  (f.doc_id = k.rep_id) AS keep_neardup,
          |  (f.doc_id = e.keep_id AND f.doc_id = k.rep_id
-         |   AND f.quality >= 0.6 AND f.lang_pred = 'en') AS selected
+         |   AND f.quality >= 0.6 AND f.lang_pred = 'en'
+         |   AND f.n_pii = 0) AS selected
          |FROM flags f
          |JOIN exact_keep e USING (fp)
          |JOIN lsh_keep k USING (doc_id)""".stripMargin,
@@ -472,6 +525,30 @@ object DedupQueries {
          |       (min(m.rep) < bd.doc_id) AS is_dup
          |FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
          |GROUP BY bd.doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(generate_series(1, greatest(len(toks) - ${SpanTokens - 1}, 0)),
+         |      i -> array_to_string(list_slice(toks, i, i + ${SpanTokens - 1}), ' ')),
+         |    g -> ${h31.format("g")}))) AS span_h
+         |  FROM d
+         |), span_df AS (
+         |  SELECT span_h, count(*) AS n_docs FROM sh GROUP BY 1
+         |), perdoc AS (
+         |  SELECT s.doc_id, count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+         |    max(f.n_docs) AS max_span_df
+         |  FROM sh s JOIN span_df f USING (span_h) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(p.n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+         |  CAST(coalesce(p.max_span_df, 0) AS BIGINT) AS max_span_df,
+         |  (coalesce(p.n_shared_spans, 0) > 0) AS has_shared_span
+         |FROM d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""WITH docs AS (

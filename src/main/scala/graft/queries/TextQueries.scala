@@ -80,6 +80,36 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)),
 
+    // PII/unsafe-span redaction (VERDICT r3 item 7) — the remaining
+    // standard curation stage: per-class regexp detectors emit the
+    // redacted text plus per-class match counts, all in ONE projection
+    // (zero exchanges — CI-asserted in PlanShapeSpec). The fixture
+    // corpus contains no PII by construction, so deterministic
+    // doc_id-derived spans (an email, a phone, an id tag, on
+    // interleaved thirds/quarters/fifths of the corpus) are appended
+    // on BOTH engines — the detectors run against real positive AND
+    // negative rows, not vacuously.
+    "text_redact" -> ((s, dir) => {
+      val (nEmail, nPhone, nId) = TextOps.piiCounts(col("aug"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" reach user"), col("doc_id").cast("string"),
+                     lit("@mail.example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" call 555-01"),
+                     lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" ref ID-"), (col("doc_id") * 7).cast("string")))
+              .otherwise(lit(""))).as("aug"))
+        .select(col("doc_id"),
+          nEmail.as("n_email"), nPhone.as("n_phone"), nId.as("n_id"),
+          (nEmail + nPhone + nId === 0).as("clean"),
+          TextOps.redact(col("aug")).as("redacted"))
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -172,6 +202,34 @@ object TextQueries {
          |GROUP BY token
          |ORDER BY cnt DESC, token
          |LIMIT 20""".stripMargin,
+
+    "text_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0
+         |         THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' ref ID-' || CAST(doc_id * 7 AS VARCHAR)
+         |         ELSE '' END AS aug
+         |  FROM documents
+         |), counted AS (
+         |  SELECT doc_id, aug,
+         |    CAST(len(regexp_extract_all(aug, '${TextOps.EmailPat}')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(aug, '${TextOps.PhonePat}')) AS BIGINT) AS n_phone,
+         |    CAST(len(regexp_extract_all(aug, '${TextOps.IdPat}')) AS BIGINT) AS n_id
+         |  FROM aug
+         |)
+         |SELECT doc_id, n_email, n_phone, n_id,
+         |  (n_email + n_phone + n_id = 0) AS clean,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |    '${TextOps.PhonePat}', '<PHONE>', 'g'),
+         |    '${TextOps.IdPat}', '<ID>', 'g') AS redacted
+         |FROM counted""".stripMargin,
 
     // list_reduce seeds with the first element, so prepend the zero to
     // match aggregate(toks, 0, …); token hash = md5-prefix mod (2^31−1).

@@ -54,4 +54,32 @@ object TextOps {
     when(cntEn >= cntEs && cntEn >= cntDe, "en")
       .when(cntEs >= cntDe, "es")
       .otherwise("de")
+
+  /** PII detector classes for span redaction — restricted to regex
+    * constructs with identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded repeats, greedy `+`/`*`;
+    * no lookaround, no backreferences. A production pipeline swaps in
+    * its own class list; the operator shape (count + global replace
+    * per class, one projection) is the load-bearing part.
+    */
+  val EmailPat = "[a-z0-9.]+@[a-z0-9.]*[a-z]"
+  val PhonePat = "555-[0-9]{4}"
+  val IdPat = "[A-Z]{2}-[0-9]+"
+
+  /** Per-class match count over `text` (codegen'd regexp_count). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailPat)).cast("long"),
+     regexp_count(text, lit(PhonePat)).cast("long"),
+     regexp_count(text, lit(IdPat)).cast("long"))
+
+  /** Global redaction of all three classes (email first: its
+    * replacement token contains capitals, but no `XX-digits` run, so
+    * later classes can never match inside it).
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      IdPat, "<ID>")
 }
