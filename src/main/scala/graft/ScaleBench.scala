@@ -30,7 +30,7 @@ object ScaleBench {
     "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
     "dedup_cc", "dedup_substring",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
-    "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step")
+    "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step", "kmeans_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
