@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Amortized-index ANN benchmark (VERDICT r3 item 5): separates the
+  * INDEX BUILD cost (LSH bucket column + IVF centroids/assignment —
+  * at 100 TB these are stored columns written once per corpus) from
+  * the MARGINAL per-query search cost against the built index. The
+  * scaling curve (ScaleBench) charges every query its full standalone
+  * cost including bucketing; this main measures the number a platform
+  * user actually asks for — "the index exists; what does a query
+  * cost?" — at 1× and `SPARK_GRAFT_SCALE`× corpus size.
+  *
+  * Build = force-materializing the [[graft.queries.Artifacts]] index
+  * frames ([[graft.queries.SimilarityQueries.buildAnnIndexes]]);
+  * marginal = a full search query run with those artifacts warm (the
+  * probe join + scoring + top-k, no bucketing/assignment recompute).
+  *
+  * Output: one JSON line on stdout
+  * `{"factor":N,"rows":{dir:{"build":s,"lsh":s,"ivf":s}}}`;
+  * human-readable table on stderr. Recorded in BENCH_NOTES.md.
+  */
+object IndexBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = ScaleBench.buildScaledDir(spark, sfDir, factor)
+
+    // Warm the session (scheduler, codegen, decimal path) AND the two
+    // measured query shapes — otherwise the first measured row absorbs
+    // their one-time whole-stage-codegen/JIT cost and the 1× marginal
+    // reads slower than the 10× one.
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries("ann_topk_lsh_fast")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      SparkEntry.queries("ann_topk_ivf_fast")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = Seq("x1" -> sfDir, s"x$factor" -> scaled.toString).map {
+      case (tag, dir) =>
+        queries.Artifacts.clear()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        queries.SimilarityQueries.buildAnnIndexes(spark, dir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        // marginal searches against the warm index artifacts
+        val tLsh = run("ann_topk_lsh_fast", dir)
+        val tIvf = run("ann_topk_ivf_fast", dir)
+        System.err.println(
+          f"[index] $tag%-4s build ${tBuild}%6.2f s   lsh_fast ${tLsh}%6.2f s   ivf_fast ${tIvf}%6.2f s")
+        (tag, tBuild, tLsh, tIvf)
+    }
+
+    val js = rows.map { case (tag, b, l, i) =>
+      f""""$tag":{"build":$b%.3f,"lsh":$l%.3f,"ivf":$i%.3f}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"factor":$factor,"rows":$js,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("index_bench.json"), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}

@@ -351,6 +351,20 @@ object SimilarityQueries {
         .as("cent"))
       .agg(array_sort(collect_list(col("cent"))).as("cents"))
 
+  /** Force-build the ANN index artifacts — the LSH bucket column and
+    * the IVF centroid/assignment tables — without running a search.
+    * [[graft.IndexBench]] times this build separately from the
+    * marginal per-query search cost against the built index (the
+    * split a platform user actually asks for: at 100 TB the index is
+    * written once per corpus, queries pay only the probe).
+    */
+  private[graft] def buildAnnIndexes(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): Unit = {
+    lshIndexed(s, dir)
+    ivfAssigned(s, dir)
+    ()
+  }
+
   /** Lloyd iterations run to a bounded fixpoint (VERDICT r3 item 3):
     * fixed round budget, early exit when the quantized centroids reach
     * a fixpoint.
