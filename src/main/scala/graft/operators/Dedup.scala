@@ -108,4 +108,38 @@ object Dedup {
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Substring/sequence-level dedup stats: chunk every document into
+    * overlapping `k`-token spans (the codegen [[graft.functions.ShingleHashes]]
+    * kernel — distinct span hashes per doc in one compiled pass),
+    * hash-group spans across the corpus (count per span = its document
+    * frequency), and report per doc how many of its spans recur in
+    * other documents. Docs shorter than `k` tokens keep a row with
+    * zero spans. Linear end-to-end: one projection + one
+    * partial-aggregable hash agg on span_h + one shuffle join back +
+    * one hash agg on doc_id — never pair-shaped.
+    *
+    * @param docs (doc_id: long, text: string)
+    * @return (doc_id, n_spans, n_shared_spans, max_span_df,
+    *         has_shared_span)
+    */
+  def substringStats(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(TextOps.tokens(col("text")), k)).as("span_h"))
+    val spanDf = spans.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perDoc = spans.join(spanDf, "span_h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans"),
+           max(col("n_docs")).as("max_span_df"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
+        coalesce(col("max_span_df"), lit(0L)).as("max_span_df"),
+        (coalesce(col("n_shared_spans"), lit(0L)) > 0).as("has_shared_span"))
+  }
 }

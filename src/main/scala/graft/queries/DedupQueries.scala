@@ -176,28 +176,10 @@ object DedupQueries {
     // O(total tokens), each span ~doc-frequency rows in the join).
     // Both engines hash spans identically, so the ~1e-5 31-bit
     // collision odds at this scale cancel in the compare.
-    "dedup_substring" -> ((s, dir) => {
-      val spans = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(graft.functions.ShingleHashes(
-            TextOps.tokens(col("text")), SpanTokens)).as("span_h"))
-      val spanDf = spans.groupBy(col("span_h"))
-        .agg(count(lit(1)).as("n_docs"))
-      val perDoc = spans.join(spanDf, "span_h")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-             sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans"),
-             max(col("n_docs")).as("max_span_df"))
-      // docs shorter than SpanTokens have zero spans — keep them in
-      // the output (a curation decision needs a row per doc)
-      Tables.documents(s, dir).select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
-          coalesce(col("max_span_df"), lit(0L)).as("max_span_df"),
-          (coalesce(col("n_shared_spans"), lit(0L)) > 0).as("has_shared_span"))
-    }),
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringStats(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        SpanTokens)),
 
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).

@@ -340,7 +340,7 @@ object SimilarityQueries {
     * `cents` array frame (sorted struct array with per-centroid norms
     * precomputed — see [[ivfCentArr]]'s rationale).
     */
-  private def centsFrameOf(centLong: org.apache.spark.sql.DataFrame) =
+  private[graft] def centsFrameOf(centLong: org.apache.spark.sql.DataFrame) =
     centLong
       .groupBy(col("list_id"))
       .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
@@ -389,29 +389,40 @@ object SimilarityQueries {
     */
   private def trainedCentLong(s: org.apache.spark.sql.SparkSession, dir: String) =
     Artifacts.materialized(s, dir, "kmeans_trained") {
-      var centArr = ivfCentArr(s, dir)
-      var prev: org.apache.spark.sql.DataFrame = null
-      var centLong: org.apache.spark.sql.DataFrame = null
-      var r = 0
-      var converged = false
-      while (r < TrainRounds && !converged) {
-        centLong = assignTo(embWithNorm(s, dir), centArr)
-          .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-          .groupBy(col("list_id"), col("i"))
-          .agg(round(
-            sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
-              count(lit(1)), 6).as("c"))
-          .localCheckpoint()
-        converged = prev != null &&
-          centLong.join(prev.withColumnRenamed("c", "c_prev"),
-              Seq("list_id", "i"), "full_outer")
-            .filter(!(col("c") <=> col("c_prev"))).isEmpty
-        prev = centLong
-        centArr = centsFrameOf(centLong)
-        r += 1
-      }
-      centLong
+      lloydTrainLong(embWithNorm(s, dir), ivfCentArr(s, dir), TrainRounds)
     }
+
+  /** The reusable training loop (spec'd on clustered synthetic data in
+    * KMeansTrainSpec): run quantized Lloyd rounds from `initCents`
+    * over `emb` (vec_id, embedding, nrm), returning the final
+    * long-form centroids.
+    */
+  private[graft] def lloydTrainLong(emb: org.apache.spark.sql.DataFrame,
+                                    initCents: org.apache.spark.sql.DataFrame,
+                                    rounds: Int): org.apache.spark.sql.DataFrame = {
+    var centArr = initCents
+    var prev: org.apache.spark.sql.DataFrame = null
+    var centLong: org.apache.spark.sql.DataFrame = null
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      centLong = assignTo(emb, centArr)
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("list_id"), col("i"))
+        .agg(round(
+          sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+            count(lit(1)), 6).as("c"))
+        .localCheckpoint()
+      converged = prev != null &&
+        centLong.join(prev.withColumnRenamed("c", "c_prev"),
+            Seq("list_id", "i"), "full_outer")
+          .filter(!(col("c") <=> col("c_prev"))).isEmpty
+      prev = centLong
+      centArr = centsFrameOf(centLong)
+      r += 1
+    }
+    centLong
+  }
 
   /** Corpus assignment under the TRAINED centroids (the built index's
     * stored list column).
@@ -445,8 +456,8 @@ object SimilarityQueries {
   /** Assign every vector of `emb` to its nearest centroid of
     * `centArr` (a one-row broadcast array frame) — a pure projection.
     */
-  private def assignTo(emb: org.apache.spark.sql.DataFrame,
-                       centArr: org.apache.spark.sql.DataFrame) =
+  private[graft] def assignTo(emb: org.apache.spark.sql.DataFrame,
+                              centArr: org.apache.spark.sql.DataFrame) =
     emb.crossJoin(broadcast(centArr))
       .withColumn("list_id", element_at(rankedListIds(col("embedding"), col("nrm")), 1))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
