@@ -153,13 +153,49 @@ object DedupQueries {
     // component id keeps the assignment engine-reproducible (the same
     // 80/10/10 every run, every engine) — at 100 TB this is one CC
     // pass + a pure projection.
-    "pipeline_split" -> ((s, dir) => {
-      val shard = conv(substring(md5(col("lbl").cast("string")), 1, 14), 16, 10)
-        .cast("long") % 10
+    "pipeline_split" -> ((s, dir) =>
       ccLabels(s, dir)
         .select(col("v").as("doc_id"), col("lbl").as("component_id"),
-          when(shard < 8, "train").when(shard === 8, "val")
-            .otherwise("test").as("split"))
+                splitOf(col("lbl")).as("split"))),
+
+    // Deterministic stratified sampling — the data-MIXING stage: keep
+    // languages at different rates (en 100%, es 50%, de 10% here; a
+    // real pipeline reads rates from its mixture config). The sampling
+    // decision is md5-mod on doc_id, so it is engine-reproducible,
+    // stable under reruns/backfills (a doc's fate never depends on
+    // partitioning or order), and a pure projection — the only scale
+    // cost is the scan.
+    "pipeline_sample" -> ((s, dir) => {
+      val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("lang") === "en", 100L)
+        .when(col("lang") === "es", 50L).otherwise(10L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), pct.as("pct"), rate.as("rate"),
+                (pct < rate).as("sampled"))
+    }),
+
+    // Token-budget sequence packing — the pretraining batch-prep
+    // stage: concatenate documents in deterministic (doc_id) order
+    // WITHIN their train/val/test split and cut the stream into
+    // fixed-budget packs (docs may straddle a boundary — the standard
+    // concat-then-chunk convention). Composes the CC-derived split
+    // (shared artifact — no second CC pass) with one ranged window
+    // cumsum per split. At 100 TB packing runs per split/shard
+    // partition exactly like this window (partitionBy split), never
+    // as a global single-partition sort.
+    "pipeline_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("split")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(ccLabels(s, dir).select(col("v").as("doc_id"),
+                splitOf(col("lbl")).as("split")), "doc_id")
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("split"), col("n_tokens"),
+          (col("cum_before") / PackBudget).cast("long").as("pack_id"),
+          (col("cum_before") % PackBudget).as("offset_in_pack"))
     }),
 
     // Substring/sequence-level dedup (VERDICT r3 item 2) — the span
@@ -234,6 +270,18 @@ object DedupQueries {
     * the fixture's 10-99-token docs.
     */
   private val SpanTokens = 20
+
+  /** Pack budget (tokens) for sequence packing — small enough that the
+    * fixture yields many packs per split.
+    */
+  private val PackBudget = 512L
+
+  /** Component label → deterministic 80/10/10 split (md5-mod 10). */
+  private def splitOf(lbl: org.apache.spark.sql.Column) = {
+    val shard = conv(substring(md5(lbl.cast("string")), 1, 14), 16, 10)
+      .cast("long") % 10
+    when(shard < 8, "train").when(shard === 8, "val").otherwise("test")
+  }
 
   // ---- LSH star-graph helpers ----------------------------------------
 
@@ -326,6 +374,53 @@ object DedupQueries {
        |  list_min(list_transform($tokExpr, s ->
        |    ((2*j + 1) * (${h31.format("s")}) + j*12345 + 7) % 2147483647)))""".stripMargin
 
+  /** Shared CTE chain: LSH star edges → recursive min-label flooding
+    * (the dedup_cc twin) → `cc(doc_id, component_id)` →
+    * `splits(doc_id, component_id, split)` — prefixed by the caller's
+    * `WITH RECURSIVE`. Consumed by the pipeline_split and
+    * pipeline_pack oracles (the same sharing the Spark side gets from
+    * the materialized ccLabels artifact).
+    */
+  private lazy val ccSplitCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+       |  FROM documents
+       |), bands AS (
+       |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+       |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+       |  FROM sigs, generate_series(0, 3) t(b)
+       |), mins AS (
+       |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+       |  FROM bands GROUP BY 1, 2, 3, 4, 5
+       |), edges AS (
+       |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+       |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+       |  WHERE m.rep < bd.doc_id
+       |), edges2 AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges
+       |), lp(v, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, lp.lbl
+       |  FROM lp JOIN edges2 e ON e.src = lp.v
+       |  WHERE lp.lbl < e.dst
+       |), cc AS (
+       |  SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+       |  FROM lp GROUP BY v
+       |), splits AS (
+       |  SELECT doc_id, component_id,
+       |    CASE WHEN shard < 8 THEN 'train'
+       |         WHEN shard = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id, component_id,
+       |      (CAST(concat('0x', substr(md5(CAST(component_id AS VARCHAR)), 1, 14)) AS BIGINT)) % 10 AS shard
+       |    FROM cc
+       |  )
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
@@ -406,43 +501,37 @@ object DedupQueries {
 
     // Component-keyed md5-mod sharding on top of the dedup_cc labels.
     "pipeline_split" ->
-      s"""WITH RECURSIVE sigs AS (
-         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
-         |  FROM documents
-         |), bands AS (
-         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
-         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
-         |  FROM sigs, generate_series(0, 3) t(b)
-         |), mins AS (
-         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
-         |  FROM bands GROUP BY 1, 2, 3, 4, 5
-         |), edges AS (
-         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
-         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
-         |  WHERE m.rep < bd.doc_id
-         |), edges2 AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM edges
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM edges
-         |), lp(v, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, lp.lbl
-         |  FROM lp JOIN edges2 e ON e.src = lp.v
-         |  WHERE lp.lbl < e.dst
-         |), cc AS (
-         |  SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
-         |  FROM lp GROUP BY v
+      s"""WITH RECURSIVE $ccSplitCtes
+         |SELECT doc_id, component_id, split FROM splits""".stripMargin,
+
+    "pipeline_sample" ->
+      """SELECT doc_id, lang, pct, rate, (pct < rate) AS sampled
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)) % 100 AS pct,
+        |    CAST(CASE WHEN lang = 'en' THEN 100
+        |              WHEN lang = 'es' THEN 50
+        |              ELSE 10 END AS BIGINT) AS rate
+        |  FROM documents
+        |)""".stripMargin,
+
+    // Split-partitioned concat-then-chunk packing over the CC splits.
+    "pipeline_pack" ->
+      s"""WITH RECURSIVE $ccSplitCtes, nt AS (
+         |  SELECT d.doc_id, s.split,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN splits s USING (doc_id)
+         |), packed AS (
+         |  SELECT doc_id, split, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY split ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM nt
          |)
-         |SELECT doc_id, component_id,
-         |  CASE WHEN shard < 8 THEN 'train'
-         |       WHEN shard = 8 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM (
-         |  SELECT doc_id, component_id,
-         |    (CAST(concat('0x', substr(md5(CAST(component_id AS VARCHAR)), 1, 14)) AS BIGINT)) % 10 AS shard
-         |  FROM cc
-         |)""".stripMargin,
+         |SELECT doc_id, split, n_tokens,
+         |  cum_before // $PackBudget AS pack_id,
+         |  cum_before % $PackBudget AS offset_in_pack
+         |FROM packed""".stripMargin,
 
     "pipeline_select" ->
       s"""WITH sigs AS (
