@@ -176,24 +176,29 @@ object DedupQueries {
     }),
 
     // Token-budget sequence packing — the pretraining batch-prep
-    // stage: concatenate documents in deterministic (doc_id) order
-    // WITHIN their train/val/test split and cut the stream into
-    // fixed-budget packs (docs may straddle a boundary — the standard
-    // concat-then-chunk convention). Composes the CC-derived split
-    // (shared artifact — no second CC pass) with one ranged window
-    // cumsum per split. At 100 TB packing runs per split/shard
-    // partition exactly like this window (partitionBy split), never
-    // as a global single-partition sort.
+    // stage: concatenate documents in deterministic (doc_id) order and
+    // cut the stream into fixed-budget packs (docs may straddle a
+    // boundary — the standard concat-then-chunk convention). Packing
+    // runs per (split, shard): the shard key (md5-mod on doc_id) is
+    // what makes the cumsum window SCALE — partitioning by the 3-value
+    // split alone would sort a third of the corpus per task at 100 TB,
+    // while NumPackShards·3 bounded partitions grow with the fan-out
+    // you choose, and the assignment stays deterministic/rerun-stable.
+    // Composes the CC-derived split (shared artifact — no second CC
+    // pass) with one windowed cumsum.
     "pipeline_pack" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("split")).orderBy(col("doc_id"))
+        .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("long") % NumPackShards
       Tables.documents(s, dir)
-        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .select(col("doc_id"), shard.as("shard"),
+                size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
         .join(ccLabels(s, dir).select(col("v").as("doc_id"),
                 splitOf(col("lbl")).as("split")), "doc_id")
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("split"), col("n_tokens"),
+        .select(col("doc_id"), col("split"), col("shard"), col("n_tokens"),
           (col("cum_before") / PackBudget).cast("long").as("pack_id"),
           (col("cum_before") % PackBudget).as("offset_in_pack"))
     }),
@@ -275,6 +280,12 @@ object DedupQueries {
     * fixture yields many packs per split.
     */
   private val PackBudget = 512L
+
+  /** Pack-shard fan-out: bounds the per-window sort partition (a real
+    * deployment sizes this to executors × a few; 4 keeps fixture packs
+    * multi-document).
+    */
+  private val NumPackShards = 4L
 
   /** Component label → deterministic 80/10/10 split (md5-mod 10). */
   private def splitOf(lbl: org.apache.spark.sql.Column) = {
@@ -515,20 +526,22 @@ object DedupQueries {
         |  FROM documents
         |)""".stripMargin,
 
-    // Split-partitioned concat-then-chunk packing over the CC splits.
+    // (split, shard)-partitioned concat-then-chunk packing over the
+    // CC splits.
     "pipeline_pack" ->
       s"""WITH RECURSIVE $ccSplitCtes, nt AS (
          |  SELECT d.doc_id, s.split,
+         |    (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT)) % $NumPackShards AS shard,
          |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents d JOIN splits s USING (doc_id)
          |), packed AS (
-         |  SELECT doc_id, split, n_tokens,
+         |  SELECT doc_id, split, shard, n_tokens,
          |    CAST(coalesce(sum(n_tokens) OVER (
-         |      PARTITION BY split ORDER BY doc_id
+         |      PARTITION BY split, shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM nt
          |)
-         |SELECT doc_id, split, n_tokens,
+         |SELECT doc_id, split, shard, n_tokens,
          |  cum_before // $PackBudget AS pack_id,
          |  cum_before % $PackBudget AS offset_in_pack
          |FROM packed""".stripMargin,
