@@ -124,9 +124,13 @@ object Dedup {
     *         has_shared_span)
     */
   def substringStats(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    // Both the frequency agg and the join-back consume the span table;
+    // persist it so the corpus is tokenized+shingled ONCE (same trick
+    // as the LSH band pass — at scale this is the dominant projection).
     val spans = docs
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashes(TextOps.tokens(col("text")), k)).as("span_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanDf = spans.groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_docs"))
     val perDoc = spans.join(spanDf, "span_h")
