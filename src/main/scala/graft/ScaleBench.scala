@@ -30,7 +30,8 @@ object ScaleBench {
     "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
     "dedup_cc", "dedup_substring",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
-    "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step", "kmeans_train")
+    "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step", "kmeans_train",
+    "text_redact", "pipeline_sample", "pipeline_pack")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
