@@ -123,14 +123,24 @@ object Dedup {
     * @return (doc_id, n_spans, n_shared_spans, max_span_df,
     *         has_shared_span)
     */
-  def substringStats(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+  def substringStats(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
     // Both the frequency agg and the join-back consume the span table;
     // persist it so the corpus is tokenized+shingled ONCE (same trick
     // as the LSH band pass — at scale this is the dominant projection).
-    val spans = docs
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHashes(TextOps.tokens(col("text")), k)).as("span_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    substringStatsFrom(docs,
+      spanTable(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The exploded (doc_id, span_h) table — one row per distinct
+    * k-token span per doc. Callers that feed several consumers should
+    * persist/materialize it (DedupQueries shares it as an artifact).
+    */
+  def spanTable(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(TextOps.tokens(col("text")), k)).as("span_h"))
+
+  /** [[substringStats]] body over a prebuilt span table. */
+  def substringStatsFrom(docs: org.apache.spark.sql.DataFrame,
+                         spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spanDf = spans.groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_docs"))
     val perDoc = spans.join(spanDf, "span_h")

@@ -218,9 +218,19 @@ object DedupQueries {
     // Both engines hash spans identically, so the ~1e-5 31-bit
     // collision odds at this scale cancel in the compare.
     "dedup_substring" -> ((s, dir) =>
-      Dedup.substringStats(
+      Dedup.substringStatsFrom(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        SpanTokens)),
+        docSpans(s, dir))),
+
+    // The repeated-span WORKLIST — what span-level dedup actually acts
+    // on: every span appearing in ≥2 documents, with its document
+    // frequency and first (removal-surviving) document. One hash agg
+    // over the shared span-table artifact.
+    "dedup_substring_spans" -> ((s, dir) =>
+      docSpans(s, dir)
+        .groupBy(col("span_h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
+        .filter(col("n_docs") >= 2)),
 
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).
@@ -286,6 +296,17 @@ object DedupQueries {
     * multi-document).
     */
   private val NumPackShards = 4L
+
+  /** The (doc_id, span_h) table — materialized once per (session,
+    * dir) and shared by `dedup_substring` and
+    * `dedup_substring_spans` (at scale it is the pipeline's spans
+    * table, written once).
+    */
+  private def docSpans(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "doc_spans") {
+      Dedup.spanTable(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), SpanTokens)
+    }
 
   /** Component label → deterministic 80/10/10 split (md5-mod 10). */
   private def splitOf(lbl: org.apache.spark.sql.Column) = {
@@ -633,6 +654,20 @@ object DedupQueries {
          |  CAST(coalesce(p.max_span_df, 0) AS BIGINT) AS max_span_df,
          |  (coalesce(p.n_shared_spans, 0) > 0) AS has_shared_span
          |FROM d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    "dedup_substring_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(generate_series(1, greatest(len(toks) - ${SpanTokens - 1}, 0)),
+         |      i -> array_to_string(list_slice(toks, i, i + ${SpanTokens - 1}), ' ')),
+         |    g -> ${h31.format("g")}))) AS span_h
+         |  FROM d
+         |)
+         |SELECT span_h, count(*) AS n_docs, min(doc_id) AS first_doc_id
+         |FROM sh GROUP BY span_h
+         |HAVING count(*) >= 2""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""WITH docs AS (
