@@ -232,6 +232,36 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
         .filter(col("n_docs") >= 2)),
 
+    // Eval-set CONTAMINATION audit — the measurement that justifies
+    // component-keyed splitting: for each split scheme, count val/test
+    // documents containing a span that also appears in that scheme's
+    // train set. Under the naive doc-hash split the fixture shows real
+    // leakage (eval docs sharing 20-token spans with train); under the
+    // component-keyed split the same corpus yields ZERO rows —
+    // span-sharing docs are transitively LSH-linked here, and the
+    // component split keeps whole components together by construction.
+    // (Absent 'component' rows ARE the result; a corpus with span
+    // overlap across un-linked docs would surface them.) Every input
+    // is a shared artifact (span table, CC labels); the query itself
+    // is two hash aggs + one span-keyed semi-ish join — linear.
+    "pipeline_contamination" -> ((s, dir) => {
+      val spans = docSpans(s, dir)
+      val naive = Tables.documents(s, dir)
+        .select(col("doc_id"), lit("doc_hash").as("scheme"),
+                splitOf(col("doc_id")).as("split"))
+      val comp = ccLabels(s, dir)
+        .select(col("v").as("doc_id"), lit("component").as("scheme"),
+                splitOf(col("lbl")).as("split"))
+      val j = spans.join(naive.unionAll(comp), "doc_id")
+      val trainSpans = j.filter(col("split") === "train")
+        .select(col("scheme"), col("span_h")).distinct()
+      j.filter(col("split") =!= "train")
+        .join(trainSpans, Seq("scheme", "span_h"))
+        .groupBy(col("scheme"), col("split"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_span_hits"))
+    }),
+
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -654,6 +684,41 @@ object DedupQueries {
          |  CAST(coalesce(p.max_span_df, 0) AS BIGINT) AS max_span_df,
          |  (coalesce(p.n_shared_spans, 0) > 0) AS has_shared_span
          |FROM d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    "pipeline_contamination" ->
+      s"""WITH RECURSIVE $ccSplitCtes, d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(generate_series(1, greatest(len(toks) - ${SpanTokens - 1}, 0)),
+         |      i -> array_to_string(list_slice(toks, i, i + ${SpanTokens - 1}), ' ')),
+         |    g -> ${h31.format("g")}))) AS span_h
+         |  FROM d
+         |), naive AS (
+         |  SELECT doc_id, 'doc_hash' AS scheme,
+         |    CASE WHEN shard < 8 THEN 'train'
+         |         WHEN shard = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)) % 10 AS shard
+         |    FROM documents
+         |  )
+         |), assigned AS (
+         |  SELECT doc_id, scheme, split FROM naive
+         |  UNION ALL
+         |  SELECT doc_id, 'component' AS scheme, split FROM splits
+         |), j AS (
+         |  SELECT s.doc_id, a.scheme, a.split, s.span_h
+         |  FROM sh s JOIN assigned a USING (doc_id)
+         |), tr AS (
+         |  SELECT DISTINCT scheme, span_h FROM j WHERE split = 'train'
+         |)
+         |SELECT j.scheme, j.split,
+         |  count(DISTINCT j.doc_id) AS n_docs, count(*) AS n_span_hits
+         |FROM j JOIN tr ON tr.scheme = j.scheme AND tr.span_h = j.span_h
+         |WHERE j.split <> 'train'
+         |GROUP BY 1, 2""".stripMargin,
 
     "dedup_substring_spans" ->
       s"""WITH d AS (
