@@ -17,9 +17,10 @@ import org.apache.spark.sql.SparkSession
   * marginal = a full search query run with those artifacts warm (the
   * probe join + scoring + top-k, no bucketing/assignment recompute).
   *
-  * Output: one JSON line on stdout
-  * `{"factor":N,"rows":{dir:{"build":s,"lsh":s,"ivf":s}}}`;
-  * human-readable table on stderr. Recorded in BENCH_NOTES.md.
+  * Output: one JSON line on stdout,
+  * `{"factor":N,"rows":{"x1":{"build":s,"lsh":s,"ivf":s},
+  * "x<factor>":{...}},"sf":dir}`; human-readable table on stderr.
+  * Recorded in BENCH_NOTES.md.
   */
 object IndexBench {
 
@@ -37,7 +38,9 @@ object IndexBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaled = ScaleBench.buildScaledDir(spark, sfDir, factor)
+    // only embedding-derived artifacts are measured — don't pay the
+    // factor-way documents/events rewrites
+    val scaled = ScaleBench.buildScaledDir(spark, sfDir, factor, Set("embeddings"))
 
     // Warm the session (scheduler, codegen, decimal path) AND the two
     // measured query shapes — otherwise the first measured row absorbs

@@ -35,11 +35,18 @@ object ScaleBench {
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
-    * `factor`× history, same per-batch key horizon). Bounded-state
-    * operators must scale with rows processed, not with retained
-    * history: watermarks evict window/dedup/join state as the longer
-    * replay advances, so wall time should grow ~linearly and never
-    * super-linearly (state blow-up would show up as one).
+    * `factor`× history). Caveat on what this measures: the replay
+    * always cuts history into the same [[graft.queries.StreamingQueries]]
+    * 3 quantile files, so at `factor`× each micro-batch SPANS
+    * `factor`× more event-time and legitimately holds more in-horizon
+    * state before the between-batch watermark advance — the rows
+    * bound growth (observed ≤2× at 10×, ≪linear at 100×) but cannot
+    * by themselves distinguish horizon-bounded state from unbounded
+    * retention; that eviction property is pinned functionally instead
+    * (watermark cutoffs in every stream oracle + the bounded-state
+    * dedup/join operators' spec coverage). A deployment has constant
+    * batch spans (trigger interval), where state is strictly
+    * O(keys-in-horizon).
     */
   private val StreamScaledQueries = Seq(
     "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join")
@@ -110,7 +117,8 @@ object ScaleBench {
     * with an hour's gap between copies, so the watermark advances
     * monotonically through the longer stream).
     */
-  private[graft] def buildScaledDir(spark: SparkSession, sfDir: String, factor: Int): Path = {
+  private[graft] def buildScaledDir(spark: SparkSession, sfDir: String, factor: Int,
+                                    tables: Set[String] = Set("documents", "embeddings", "events")): Path = {
     val tmp = Files.createTempDirectory("graft-scale-")
     sys.addShutdownHook {
       if (Files.exists(tmp)) {
@@ -119,40 +127,44 @@ object ScaleBench {
       }
     }
     Files.list(Paths.get(sfDir)).iterator().asScala
-      .filterNot(p => p.getFileName.toString.startsWith("documents") ||
-                      p.getFileName.toString.startsWith("embeddings") ||
-                      p.getFileName.toString.startsWith("events"))
+      .filterNot(p => tables.exists(t => p.getFileName.toString.startsWith(t)))
       .foreach(p => Files.createSymbolicLink(tmp.resolve(p.getFileName), p))
 
-    // events: raw nanos ts (the streaming source's schema), offset per
-    // copy by span + 1 h so copies never interleave
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    val (tsMin, tsMax) = {
-      val r = ev.agg(min("ts"), max("ts")).head
-      (r.getLong(0), r.getLong(1))
+    if (tables("events")) {
+      // events: raw nanos ts (the streaming source's schema), offset per
+      // copy by span + 1 h so copies never interleave
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val (tsMin, tsMax) = {
+        val r = ev.agg(min("ts"), max("ts")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val span = tsMax - tsMin + 3600L * 1000000000L
+      val eOff = ev.agg(max("event_id")).head.getLong(0) + 1
+      (0 until factor)
+        .map(i => ev.withColumn("event_id", col("event_id") + lit(i * eOff))
+                    .withColumn("ts", col("ts") + lit(i * span)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
     }
-    val span = tsMax - tsMin + 3600L * 1000000000L
-    val eOff = ev.agg(max("event_id")).head.getLong(0) + 1
-    (0 until factor)
-      .map(i => ev.withColumn("event_id", col("event_id") + lit(i * eOff))
-                  .withColumn("ts", col("ts") + lit(i * span)))
-      .reduce(_.unionAll(_))
-      .write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val dOff = docs.agg(max("doc_id")).head.getLong(0) + 1
-    (0 until factor)
-      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * dOff)))
-      .reduce(_.unionAll(_))
-      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dOff = docs.agg(max("doc_id")).head.getLong(0) + 1
+      (0 until factor)
+        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * dOff)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    }
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val vOff = emb.agg(max("vec_id")).head.getLong(0) + 1
-    (0 until factor)
-      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
-      .reduce(_.unionAll(_))
-      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vOff = emb.agg(max("vec_id")).head.getLong(0) + 1
+      (0 until factor)
+        .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    }
     tmp
   }
 }

@@ -124,11 +124,13 @@ object Dedup {
     *         has_shared_span)
     */
   def substringStats(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
-    // Both the frequency agg and the join-back consume the span table;
-    // persist it so the corpus is tokenized+shingled ONCE (same trick
-    // as the LSH band pass — at scale this is the dominant projection).
-    substringStatsFrom(docs,
-      spanTable(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Convenience one-shot form: recomputes the span projection in
+    // both consuming branches. Pipelines should materialize
+    // [[spanTable]] once and call [[substringStatsFrom]] — that is
+    // what the dedup_substring query does via its shared artifact (a
+    // persist here would leak a cached dataset per call with no
+    // release handle).
+    substringStatsFrom(docs, spanTable(docs, k))
 
   /** The exploded (doc_id, span_h) table — one row per distinct
     * k-token span per doc. Callers that feed several consumers should

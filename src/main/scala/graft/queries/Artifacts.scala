@@ -34,12 +34,25 @@ object Artifacts {
 
   /** The memoized, materialized artifact `key` for (s, dir) — built
     * (and eagerly localCheckpoint'ed) on first request.
+    *
+    * The (possibly multi-stage) build runs OUTSIDE the map lock, so a
+    * slow build never convoys unrelated artifact requests; under a
+    * genuine race two threads may build the same artifact and the
+    * loser's copy is discarded (harmless — same deterministic data,
+    * extra blocks freed by the ContextCleaner). The map itself is
+    * bounded by dirs × artifact names in practice; ScaleBench clears
+    * it per timing.
     */
   def materialized(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    cache.synchronized {
-      cache.getOrElseUpdate((s, dir, key), build.localCheckpoint())
+      build: => DataFrame): DataFrame = {
+    val k = (s, dir, key)
+    cache.synchronized(cache.get(k)) match {
+      case Some(df) => df
+      case None =>
+        val built = build.localCheckpoint()
+        cache.synchronized(cache.getOrElseUpdate(k, built))
     }
+  }
 
   /** Drop all memoized artifacts (the next request rebuilds). */
   def clear(): Unit = cache.synchronized(cache.clear())

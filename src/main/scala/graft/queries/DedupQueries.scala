@@ -84,9 +84,11 @@ object DedupQueries {
     // End-to-end training-set curation — the query a 100 TB pipeline
     // actually materializes: per-doc quality score, language ID, PII
     // hit count (the redaction detectors — a doc with detected PII is
-    // excluded rather than silently redacted into the training set),
-    // exact-dup keep flag and near-dup (LSH) keep flag, composed into
-    // one `selected` decision. Three linear frames joined on doc_id /
+    // excluded rather than silently redacted into the training set;
+    // on this PII-free fixture the gate is vacuously open, and the
+    // detectors' positive-row behavior is cross-engine-exercised by
+    // text_redact's injected spans), exact-dup keep flag and near-dup
+    // (LSH) keep flag, composed into one `selected` decision. Three linear frames joined on doc_id /
     // fingerprint — every constituent is the already-verified
     // operator, so this row proves the operators COMPOSE.
     "pipeline_select" -> ((s, dir) => {

@@ -61,12 +61,20 @@ class KMeansTrainSpec extends SparkSpec {
       .withColumn("true_c", (col("vec_id") / PerCluster).cast("long"))
       .select(col("true_c"), col("list_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // every true cluster lands wholly in one trained list
-    val purity = assigned.groupBy(_._1).map { case (_, rs) =>
+    // every true cluster lands wholly in one trained list...
+    val byCluster = assigned.groupBy(_._1)
+    val purity = byCluster.map { case (_, rs) =>
       rs.groupBy(_._2).values.map(_.size).max.toDouble / rs.size
     }.sum / NClusters
-    info(f"post-training cluster purity = $purity%.3f")
+    // ...and those winning lists are DISTINCT — purity alone is 1.0
+    // even if training collapses everything into a single list
+    val winners = byCluster.map { case (_, rs) =>
+      rs.groupBy(_._2).maxBy(_._2.size)._1
+    }.toSet
+    info(f"post-training cluster purity = $purity%.3f, distinct lists = ${winners.size}")
     assert(purity >= 0.99, f"training left mixed clusters (purity $purity%.3f)")
+    assert(winners.size === NClusters,
+      s"clusters collapsed: ${winners.size} distinct lists for $NClusters clusters")
   }
 
   test("early exit at the quantized fixpoint: longer budget, same result") {

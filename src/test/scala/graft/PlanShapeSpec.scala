@@ -15,12 +15,21 @@ import graft.queries._
   */
 class PlanShapeSpec extends SparkSpec {
 
+  // Memoized artifacts (queries/Artifacts.scala) would otherwise show
+  // up as opaque LogicalRDD checkpoint scans and BLIND these sweeps to
+  // regressions inside the artifact builds — clear the memo so every
+  // plan carries its full build inline (cheap at sf0.001).
+  private def fullPlanQuery(name: String) = {
+    Artifacts.clear()
+    SparkEntry.queries(name)(spark, sf)
+  }
+
   private def executedPlan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    fullPlanQuery(name).queryExecution.executedPlan.toString
 
   private def optimizedScan(name: String): String =
     // formatted explain carries the scan's PushedFilters/ReadSchema
-    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+    fullPlanQuery(name).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
   test("q1_agg: quantity filter is pushed into the parquet scan, columns pruned") {
@@ -72,7 +81,7 @@ class PlanShapeSpec extends SparkSpec {
     // i.e. contain no ResolvedHint/broadcast() on the token-set table.
     // (At fixture scale the PLANNER may still pick broadcast; the
     // logical plan must simply not force it.)
-    val logical = SparkEntry.queries("dedup_lsh_pairs")(spark, sf)
+    val logical = fullPlanQuery("dedup_lsh_pairs")
       .queryExecution.optimizedPlan.toString
     assert(!logical.contains("ResolvedHint"),
       "corpus join carries a broadcast hint — OOM by construction at scale")
