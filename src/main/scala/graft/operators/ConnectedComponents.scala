@@ -39,8 +39,11 @@ object ConnectedComponents {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // coalesce: sum over zero rows is NULL — without it an empty verts
+    // frame NPEs at compareTo, so the operator would not be total
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+                      lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = verts.select(col("v"), col("v").as("lbl")).localCheckpoint()
     var prevSum = labelSum(labels)
     var it = 0

@@ -32,6 +32,14 @@ object Artifacts {
   private val cache =
     scala.collection.mutable.HashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Test-only: when true, [[materialized]] returns the raw build —
+    * no memo, no localCheckpoint — so plan-shape assertions sweep the
+    * FULL inline build (a checkpointed artifact shows up as an opaque
+    * LogicalRDD scan and would blind Exchange/hint sweeps to
+    * regressions inside the build). Never set outside tests.
+    */
+  @volatile private[graft] var passthrough = false
+
   /** The memoized, materialized artifact `key` for (s, dir) — built
     * (and eagerly localCheckpoint'ed) on first request.
     *
@@ -45,6 +53,7 @@ object Artifacts {
     */
   def materialized(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
+    if (passthrough) return build
     val k = (s, dir, key)
     cache.synchronized(cache.get(k)) match {
       case Some(df) => df
@@ -56,4 +65,15 @@ object Artifacts {
 
   /** Drop all memoized artifacts (the next request rebuilds). */
   def clear(): Unit = cache.synchronized(cache.clear())
+
+  /** Drop one (session, dir)'s artifacts — call when done with a data
+    * dir (e.g. a ScaleBench temp dir) so the memo doesn't pin its
+    * localCheckpoint blocks for the session's lifetime: the memo holds
+    * strong DataFrame references, and the ContextCleaner only releases
+    * checkpoint blocks once those are unreachable.
+    */
+  def clearDir(s: SparkSession, dir: String): Unit = cache.synchronized {
+    cache.keysIterator.filter(k => k._1 == s && k._2 == dir).toList
+      .foreach(cache.remove)
+  }
 }

@@ -630,8 +630,13 @@ object DedupQueries {
          |         WHEN len(list_filter(toks, t -> t = 'a')) >= len(list_filter(toks, t -> t = 'data')) THEN 'es'
          |         ELSE 'de' END AS lang_pred,
          |    CAST(len(regexp_extract_all(text, '${graft.text.TextOps.EmailPat}'))
-         |       + len(regexp_extract_all(text, '${graft.text.TextOps.PhonePat}'))
-         |       + len(regexp_extract_all(text, '${graft.text.TextOps.IdPat}')) AS BIGINT) AS n_pii
+         |       + len(regexp_extract_all(regexp_replace(text,
+         |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |           '${graft.text.TextOps.PhonePat}'))
+         |       + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+         |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |           '${graft.text.TextOps.PhonePat}', '<PHONE>', 'g'),
+         |           '${graft.text.TextOps.IdPat}')) AS BIGINT) AS n_pii
          |  FROM d
          |), exact_keep AS (
          |  SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp

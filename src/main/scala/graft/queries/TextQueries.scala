@@ -216,12 +216,22 @@ object TextQueries {
          |         THEN ' ref ID-' || CAST(doc_id * 7 AS VARCHAR)
          |         ELSE '' END AS aug
          |  FROM documents
+         |), staged AS (
+         |  -- counts come from the same sequential replacement pass as
+         |  -- the redaction (phone counted on email-redacted text, id on
+         |  -- phone-redacted) — mirrors TextOps.piiCounts
+         |  SELECT doc_id, aug,
+         |    regexp_replace(aug, '${TextOps.EmailPat}', '<EMAIL>', 'g') AS after_email
+         |  FROM aug
+         |), staged2 AS (
+         |  SELECT *, regexp_replace(after_email, '${TextOps.PhonePat}', '<PHONE>', 'g') AS after_phone
+         |  FROM staged
          |), counted AS (
          |  SELECT doc_id, aug,
          |    CAST(len(regexp_extract_all(aug, '${TextOps.EmailPat}')) AS BIGINT) AS n_email,
-         |    CAST(len(regexp_extract_all(aug, '${TextOps.PhonePat}')) AS BIGINT) AS n_phone,
-         |    CAST(len(regexp_extract_all(aug, '${TextOps.IdPat}')) AS BIGINT) AS n_id
-         |  FROM aug
+         |    CAST(len(regexp_extract_all(after_email, '${TextOps.PhonePat}')) AS BIGINT) AS n_phone,
+         |    CAST(len(regexp_extract_all(after_phone, '${TextOps.IdPat}')) AS BIGINT) AS n_id
+         |  FROM staged2
          |)
          |SELECT doc_id, n_email, n_phone, n_id,
          |  (n_email + n_phone + n_id = 0) AS clean,

@@ -66,15 +66,32 @@ object TextOps {
   val PhonePat = "555-[0-9]{4}"
   val IdPat = "[A-Z]{2}-[0-9]+"
 
-  /** Per-class match count over `text` (codegen'd regexp_count). */
-  def piiCounts(text: Column): (Column, Column, Column) =
+  /** Per-class match counts from the SAME sequential replacement pass
+    * that produces [[redact]]'s output: email counts on the raw text,
+    * phone on the email-redacted text, id on the phone-redacted text.
+    * Counting every class on the raw text instead would disagree with
+    * the redaction whenever classes overlap in the raw text (e.g. in
+    * `a555-1234@x.com` the email match consumes the digits the phone
+    * pattern would have matched — raw counting reports phone=1, but
+    * the sequential redaction never replaces a phone). With this
+    * definition n_email+n_phone+n_id always equals the number of
+    * replacement tokens in the redacted output (spec-pinned in
+    * TextRedactSpec). Still one projection — the intermediate
+    * replacements are common subexpressions of [[redact]].
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailPat, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePat, "<PHONE>")
     (regexp_count(text, lit(EmailPat)).cast("long"),
-     regexp_count(text, lit(PhonePat)).cast("long"),
-     regexp_count(text, lit(IdPat)).cast("long"))
+     regexp_count(afterEmail, lit(PhonePat)).cast("long"),
+     regexp_count(afterPhone, lit(IdPat)).cast("long"))
+  }
 
-  /** Global redaction of all three classes (email first: its
-    * replacement token contains capitals, but no `XX-digits` run, so
-    * later classes can never match inside it).
+  /** Global redaction of all three classes, sequentially (email first:
+    * its replacement token contains capitals, but no `XX-digits` run,
+    * so later classes can never match inside it). [[piiCounts]] counts
+    * against the same intermediate texts, so counts and redaction can
+    * never disagree.
     */
   def redact(text: Column): Column =
     regexp_replace(

@@ -15,13 +15,18 @@ import graft.queries._
   */
 class PlanShapeSpec extends SparkSpec {
 
-  // Memoized artifacts (queries/Artifacts.scala) would otherwise show
-  // up as opaque LogicalRDD checkpoint scans and BLIND these sweeps to
-  // regressions inside the artifact builds — clear the memo so every
-  // plan carries its full build inline (cheap at sf0.001).
+  // Memoized artifacts (queries/Artifacts.scala) localCheckpoint their
+  // builds eagerly, so consumer plans contain only an opaque LogicalRDD
+  // scan and these sweeps would be BLIND to regressions inside the
+  // artifact builds (clear()ing alone doesn't help — the rebuild is
+  // checkpointed again). Passthrough mode returns the raw un-checkpointed
+  // build, so every plan carries its full build inline (cheap at
+  // sf0.001; the iterative CC/Lloyd interiors still truncate per round
+  // by design — their per-round bodies are spec'd separately).
   private def fullPlanQuery(name: String) = {
-    Artifacts.clear()
-    SparkEntry.queries(name)(spark, sf)
+    Artifacts.passthrough = true
+    try SparkEntry.queries(name)(spark, sf)
+    finally Artifacts.passthrough = false
   }
 
   private def executedPlan(name: String): String =

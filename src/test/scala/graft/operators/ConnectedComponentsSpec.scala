@@ -49,6 +49,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(big -> big, (big + 1) -> big, (big + 2) -> big, 7L -> 7L))
   }
 
+  test("empty input is total (no NPE from the null aggregate sum)") {
+    // sum over zero rows is NULL — the convergence check must coalesce
+    // it, not crash (ADVICE r4): labels() is total on empty graphs
+    assert(cc(Seq.empty, Seq.empty) === Map.empty)
+  }
+
   test("min joins via a larger intermediate (the anti-one-hop case)") {
     // 5—7 and 1—7: vertex 5's only neighbor is 7 (> 5), so one-hop
     // keeps 5 as its own representative; the true component min is 1.

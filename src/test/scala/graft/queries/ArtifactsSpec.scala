@@ -40,4 +40,35 @@ class ArtifactsSpec extends SparkSpec {
     assert(builds === 3)
     Artifacts.clear()
   }
+
+  test("clearDir evicts one dir's artifacts, leaving other dirs memoized") {
+    var builds = 0
+    def build = { builds += 1; spark.range(2).toDF("v") }
+    Artifacts.clear()
+    Artifacts.materialized(spark, "/dir-a", "k") { build }
+    Artifacts.materialized(spark, "/dir-b", "k") { build }
+    Artifacts.clearDir(spark, "/dir-a")
+    Artifacts.materialized(spark, "/dir-b", "k") { build } // still a hit
+    Artifacts.materialized(spark, "/dir-a", "k") { build } // rebuilt
+    assert(builds === 3)
+    Artifacts.clear()
+  }
+
+  test("passthrough returns the raw un-checkpointed build and skips the memo") {
+    var builds = 0
+    def build = { builds += 1; spark.range(4).toDF("v") }
+    Artifacts.clear()
+    Artifacts.passthrough = true
+    try {
+      val df = Artifacts.materialized(spark, "/dir-pt", "k") { build }
+      Artifacts.materialized(spark, "/dir-pt", "k") { build }
+      assert(builds === 2, "passthrough must not memoize")
+      // the plan must carry the full build, not a checkpoint scan
+      assert(!df.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    } finally Artifacts.passthrough = false
+    Artifacts.materialized(spark, "/dir-pt", "k") { build }
+    Artifacts.materialized(spark, "/dir-pt", "k") { build } // memo hit again
+    assert(builds === 3)
+    Artifacts.clear()
+  }
 }

@@ -39,4 +39,27 @@ class TextRedactSpec extends SparkSpec {
     // no digits left — the chained replaces must be order-safe
     assert(run("x@y.zz AB-12") === ((1L, 0L, 1L, "<EMAIL> <ID>")))
   }
+
+  test("counts agree with the redaction when classes overlap in raw text") {
+    // ADVICE r4: the email match consumes the digits the phone pattern
+    // would have matched on the RAW text ('1234@x.com' is the email;
+    // '555-1234' overlaps it). Counting every class against raw text
+    // would report phone=1 while the redaction replaces no phone;
+    // sequential-pass counting reports what the redaction does.
+    val (e, p, i, red) = run("a555-1234@x.com")
+    assert((e, p, i) === ((1L, 0L, 0L)))
+    assert(red === "a555-<EMAIL>")
+  }
+
+  test("counts equal the replacement tokens in the output, per class") {
+    // the invariant the sequential-pass definition guarantees by
+    // construction — checked on a mix of overlapping and plain spans
+    for (t <- Seq("a555-1234@x.com and 555-9999 ref AB-7",
+                  "AB-5555-1234", "x@y.zz 555-0000 CD-1 e@f.gg")) {
+      val (e, p, i, red) = run(t)
+      def n(tok: String) = tok.r.findAllIn(red).length.toLong
+      assert((e, p, i) === ((n("<EMAIL>"), n("<PHONE>"), n("<ID>"))),
+        s"counts vs tokens diverge for '$t' -> '$red'")
+    }
+  }
 }
