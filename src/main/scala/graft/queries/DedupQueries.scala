@@ -205,6 +205,45 @@ object DedupQueries {
           (col("cum_before") % PackBudget).as("offset_in_pack"))
     }),
 
+    // Deterministic training-order shuffle — the stage between "curated
+    // corpus" and "data loader": every document gets a pseudorandom but
+    // rerun-stable shuffle key (md5 of doc_id, domain-separated from
+    // the sampling/packing hashes by the '#shuffle' suffix), a shard
+    // (key mod NumPackShards — bounded window partitions, same scaling
+    // argument as pipeline_pack), and its position within (split,
+    // shard) in shuffle-key order. A data loader reading shards
+    // round-robin sees a deterministic global shuffle; no full-corpus
+    // sort ever happens (each window sorts one shard of one split).
+    "pipeline_shuffle" -> ((s, dir) => {
+      val skey = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#shuffle"))), 1, 14), 16, 10).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("split"), col("shard")).orderBy(col("skey"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), skey.as("skey"),
+                (skey % NumPackShards).as("shard"))
+        .join(ccLabels(s, dir).select(col("v").as("doc_id"),
+                splitOf(col("lbl")).as("split")), "doc_id")
+        .select(col("doc_id"), col("split"), col("shard"),
+                row_number().over(w).cast("long").as("pos"))
+    }),
+
+    // Per-(split, language) corpus accounting — the token-budget
+    // report every training run starts from: document and token counts
+    // per mixture cell, off the shared CC-labels artifact. One narrow
+    // projection + one partial-aggregable hash agg.
+    "pipeline_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+                col("n_chars"))
+        .join(ccLabels(s, dir).select(col("v").as("doc_id"),
+                splitOf(col("lbl")).as("split")), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).as("n_tokens"),
+             sum(col("n_chars")).as("n_chars"))),
+
     // Substring/sequence-level dedup (VERDICT r3 item 2) — the span
     // operator document-granular dedup misses: a doc that copies a
     // long passage from another doc but differs elsewhere. Each doc is
@@ -262,6 +301,40 @@ object DedupQueries {
         .groupBy(col("scheme"), col("split"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
              count(lit(1)).as("n_span_hits"))
+    }),
+
+    // INCREMENTAL dedup — the daily-ingest path: a production corpus
+    // is not deduped from scratch per batch; each arriving batch is
+    // checked against the existing corpus's exact-fingerprint and LSH
+    // band tables (both materialized artifacts at scale, appended per
+    // batch). The fixture models it with a deterministic 20% "new
+    // batch" (doc_id mod 5 = 4) vs the 80% base corpus. Per new doc:
+    // the smallest base doc it exactly duplicates (md5 fingerprint),
+    // the smallest base doc it shares an LSH band bucket with, and the
+    // is_novel verdict an ingest pipeline acts on. Cost is linear in
+    // the BATCH (the base side is two prebuilt min-per-key tables):
+    // one fingerprint join + one band join + two partial-aggregable
+    // min aggs — never base × batch pairs.
+    "dedup_incremental" -> ((s, dir) => {
+      val isNew = col("doc_id") % 5 === 4
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("fp"))
+      val baseFp = docs.filter(!isNew)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_dup_of"))
+      val bands = lshBands(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseBucketMin = bands.filter(!isNew)
+        .groupBy(bandKeys.map(col): _*)
+        .agg(min(col("doc_id")).as("base_rep"))
+      val nearMin = bands.filter(isNew)
+        .join(baseBucketMin, bandKeys)
+        .groupBy(col("doc_id"))
+        .agg(min(col("base_rep")).as("near_dup_of"))
+      docs.filter(isNew)
+        .join(baseFp, Seq("fp"), "left")
+        .join(nearMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+          (col("exact_dup_of").isNull && col("near_dup_of").isNull).as("is_novel"))
     }),
 
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
@@ -567,6 +640,53 @@ object DedupQueries {
     "pipeline_split" ->
       s"""WITH RECURSIVE $ccSplitCtes
          |SELECT doc_id, component_id, split FROM splits""".stripMargin,
+
+    // Sharded deterministic shuffle over the CC splits.
+    "pipeline_shuffle" ->
+      s"""WITH RECURSIVE $ccSplitCtes, keyed AS (
+         |  SELECT d.doc_id, s.split,
+         |    (CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '#shuffle')), 1, 14)) AS BIGINT)) AS skey
+         |  FROM documents d JOIN splits s USING (doc_id)
+         |)
+         |SELECT doc_id, split, skey % $NumPackShards AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY split, skey % $NumPackShards
+         |    ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |FROM keyed""".stripMargin,
+
+    "pipeline_token_stats" ->
+      s"""WITH RECURSIVE $ccSplitCtes
+         |SELECT s.split, d.lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+         |FROM documents d JOIN splits s USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), base_mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS base_rep
+         |  FROM bands WHERE doc_id % 5 <> 4 GROUP BY 1, 2, 3, 4, 5
+         |), near_min AS (
+         |  SELECT bd.doc_id, min(m.base_rep) AS near_dup_of
+         |  FROM bands bd JOIN base_mins m USING (b, k0, k1, k2, k3)
+         |  WHERE bd.doc_id % 5 = 4 GROUP BY 1
+         |), base_fp AS (
+         |  SELECT md5(text) AS fp, min(doc_id) AS exact_dup_of
+         |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1
+         |)
+         |SELECT d.doc_id, bf.exact_dup_of, nm.near_dup_of,
+         |  (bf.exact_dup_of IS NULL AND nm.near_dup_of IS NULL) AS is_novel
+         |FROM documents d
+         |LEFT JOIN base_fp bf ON bf.fp = md5(d.text)
+         |LEFT JOIN near_min nm ON nm.doc_id = d.doc_id
+         |WHERE d.doc_id % 5 = 4""".stripMargin,
 
     "pipeline_sample" ->
       """SELECT doc_id, lang, pct, rate, (pct < rate) AS sampled

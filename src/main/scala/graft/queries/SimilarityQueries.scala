@@ -26,6 +26,13 @@ object SimilarityQueries {
   private val NProbe = 2
   private val NearDupCos = 0.2
 
+  /** Semantic-dup threshold for `dedup_semantic` — same operating point
+    * as the LSH-bucketed near-dup pairs (the fixture embeddings are
+    * near-unstructured, top-neighbor cosine ≈ 0.3–0.5; a production
+    * SemDeDup runs ~0.9+ on real embeddings — the knob, not the shape).
+    */
+  private val SemDedupCos = 0.2
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-k: first NQueries vectors against the
@@ -276,6 +283,39 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // SEMANTIC dedup (the SemDeDup recipe, public: Abbas et al. 2023):
+    // cluster the corpus embeddings with the TRAINED k-means index,
+    // then within each cluster mark every vector whose cosine to a
+    // smaller-id cluster-mate exceeds the threshold as a semantic
+    // duplicate of the smallest such mate — keep one exemplar per
+    // similar group. The cluster assignment is what makes this scale:
+    // the pair comparison is confined WITHIN clusters (nlist bounds the
+    // quadratic term to Σ|cluster|², never n²), assignment itself is
+    // the compiled broadcast projection, and both the trained centroids
+    // and the assignment are shared artifacts (built once by
+    // kmeans_train / ann_topk_ivf_trained, reused here). Decimal-exact
+    // cosine keeps the ≥-threshold decision engine-identical.
+    "dedup_semantic" -> ((s, dir) => {
+      val assigned = trainedAssigned(s, dir)
+      val a = assigned.select(col("list_id"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("list_id"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val minNbr = a.join(b, Seq("list_id"))
+        .filter(col("va") < col("vb"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
+            (col("na") * col("nb")))
+        .filter(col("cos") >= SemDedupCos)
+        .groupBy(col("vb").as("vec_id"))
+        .agg(min(col("va")).as("min_nbr"))
+      assigned.select(col("vec_id"), col("list_id"))
+        .join(minNbr, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("list_id"),
+          coalesce(col("min_nbr"), col("vec_id")).as("rep_id"),
+          col("min_nbr").isNotNull.as("is_dup"))
     }),
 
     // Exact-decimal label centroids + each vector's cosine to its own
@@ -757,6 +797,32 @@ object SimilarityQueries {
          |)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
          |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    // Trained-cluster-confined near-dup marking over the same unrolled
+    // Lloyd chain as ann_topk_ivf_trained.
+    "dedup_semantic" ->
+      s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent$TrainRounds c
+         |), rankedq AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scoredq
+         |), assignedq AS (
+         |  SELECT vec_id, embedding, list_id FROM rankedq WHERE rk = 1
+         |), close_pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM assignedq a JOIN assignedq b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.embedding", "b.embedding")} >= $SemDedupCos
+         |), min_nbr AS (
+         |  SELECT vb AS vec_id, min(va) AS min_nbr FROM close_pairs GROUP BY 1
+         |)
+         |SELECT q.vec_id, q.list_id,
+         |  coalesce(n.min_nbr, q.vec_id) AS rep_id,
+         |  (n.min_nbr IS NOT NULL) AS is_dup
+         |FROM assignedq q LEFT JOIN min_nbr n USING (vec_id)""".stripMargin,
 
     "emb_lsh_buckets" ->
       s"""WITH planes AS (

@@ -110,6 +110,37 @@ object TextQueries {
           TextOps.redact(col("aug")).as("redacted"))
     }),
 
+    // Intra-document repetition signals (the Gopher-rule family): the
+    // fraction of k-gram occurrences that are repeats of an earlier
+    // k-gram in the SAME document, for k = 2, 3, 5. Cross-doc span
+    // sharing is dedup_substring's job; these flag the
+    // degenerate-generation / boilerplate-loop documents a quality
+    // filter drops (high dup fraction at k=5 ≈ verbatim looping).
+    // Pure projection — array HOFs per row, zero exchanges
+    // (CI-asserted in PlanShapeSpec); no 6-dp rounding tie risk:
+    // fractions are m/n with n ≤ doc token count ≪ 128, and a
+    // HALF_UP-vs-binary tie needs a denominator divisible by 2^7·5^6.
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          let1(TextOps.tokens(col("text"))) { t =>
+            def dupFrac(k: Int) =
+              let1(greatest(size(t) - (k - 1), lit(0))) { n =>
+                when(n === 0, lit(0.0)).otherwise(
+                  round(lit(1.0) -
+                    size(TextOps.shingles(t, k)) / n.cast("double"), 6))
+              }
+            struct(
+              size(t).cast("long").as("n_tokens"),
+              dupFrac(2).as("dup_2gram_frac"),
+              dupFrac(3).as("dup_3gram_frac"),
+              dupFrac(5).as("dup_5gram_frac"))
+          }.as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+                col("r.dup_2gram_frac").as("dup_2gram_frac"),
+                col("r.dup_3gram_frac").as("dup_3gram_frac"),
+                col("r.dup_5gram_frac").as("dup_5gram_frac"))),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -240,6 +271,27 @@ object TextQueries {
          |    '${TextOps.PhonePat}', '<PHONE>', 'g'),
          |    '${TextOps.IdPat}', '<ID>', 'g') AS redacted
          |FROM counted""".stripMargin,
+
+    "text_repetition" ->
+      s"""$toksCte
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+         |    round(1.0 - len(list_distinct(list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+         |      / CAST(len(toks) - 1 AS DOUBLE), 6) END AS dup_2gram_frac,
+         |  CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+         |    round(1.0 - len(list_distinct(list_transform(
+         |      generate_series(1, len(toks) - 2),
+         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+         |      / CAST(len(toks) - 2 AS DOUBLE), 6) END AS dup_3gram_frac,
+         |  CASE WHEN len(toks) < 5 THEN 0.0 ELSE
+         |    round(1.0 - len(list_distinct(list_transform(
+         |      generate_series(1, len(toks) - 4),
+         |      i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
+         |      / CAST(len(toks) - 4 AS DOUBLE), 6) END AS dup_5gram_frac
+         |FROM d""".stripMargin,
 
     // list_reduce seeds with the first element, so prepend the zero to
     // match aggregate(toks, 0, …); token hash = md5-prefix mod (2^31−1).
