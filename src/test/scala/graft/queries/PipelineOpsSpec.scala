@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant tests for the round-5 pipeline operators (the oracle
+  * checks them end-to-end against DuckDB; these pin the semantic
+  * properties a hash compare can't express — independence from the
+  * oracle's own formula, coverage/partition laws, and the
+  * exact-implies-near containment of incremental dedup).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("text_repetition matches an independent Scala recomputation per doc") {
+    val got = TextQueries.queries("text_repetition")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(50).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val toks = r.getString(1).split(" ", -1).toSeq
+      def dupFrac(k: Int): Double = {
+        val n = toks.length - (k - 1)
+        if (n <= 0) 0.0
+        else {
+          val grams = (0 until n).map(i => toks.slice(i, i + k).mkString(" "))
+          BigDecimal(1.0 - grams.distinct.length.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      val (n, d2, d3, d5) = got(r.getLong(0))
+      assert(n === toks.length.toLong)
+      assert(d2 === dupFrac(2), s"doc ${r.getLong(0)} 2-gram")
+      assert(d3 === dupFrac(3), s"doc ${r.getLong(0)} 3-gram")
+      assert(d5 === dupFrac(5), s"doc ${r.getLong(0)} 5-gram")
+    }
+  }
+
+  test("pipeline_shuffle: a permutation — every doc once, contiguous positions per (split, shard)") {
+    val rows = DedupQueries.queries("pipeline_shuffle")(spark, sf).collect()
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_.getLong(0)).distinct.length.toLong === nDocs)
+    rows.groupBy(r => (r.getString(1), r.getLong(2))).foreach {
+      case ((split, shard), rs) =>
+        val pos = rs.map(_.getLong(3)).sorted.toSeq
+        assert(pos === (1L to rs.length).toSeq,
+          s"positions not contiguous in ($split, $shard)")
+    }
+  }
+
+  test("pipeline_shuffle is rerun-stable (deterministic hash order, no rand())") {
+    val a = DedupQueries.queries("pipeline_shuffle")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = DedupQueries.queries("pipeline_shuffle")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a === b)
+  }
+
+  test("dedup_incremental: covers exactly the batch; matches are base docs; exact implies near") {
+    val rows = DedupQueries.queries("dedup_incremental")(spark, sf).collect()
+    val batch = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === batch)
+    rows.foreach { r =>
+      val exact = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val near = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      // matches must come from the base corpus, never the batch itself
+      (exact ++ near).foreach(m => assert(m % 5 != 4, s"batch-internal match $m"))
+      // identical text => identical signature => shared band bucket, so
+      // an exact duplicate can never be reported as band-novel
+      if (exact.isDefined)
+        assert(near.isDefined, s"doc ${r.getLong(0)}: exact dup but near-novel")
+      assert(r.getBoolean(3) === (exact.isEmpty && near.isEmpty))
+    }
+  }
+
+  test("dedup_semantic: total, cluster-consistent, min-exemplar keep rule") {
+    val out = SimilarityQueries.queries("dedup_semantic")(spark, sf).collect()
+    val nVecs = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong === nVecs)
+    val list = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (vec, rep, isDup) = (r.getLong(0), r.getLong(2), r.getBoolean(3))
+      assert(rep <= vec, s"rep $rep > vec $vec")
+      assert(isDup === (rep < vec))
+      // the exemplar lives in the same trained cluster
+      assert(list(rep) === list(vec), s"rep $rep in another cluster than $vec")
+    }
+    // at least one semantic dup exists at the fixture operating point
+    assert(out.exists(_.getBoolean(3)), "threshold marks nothing — dead operator")
+  }
+}
