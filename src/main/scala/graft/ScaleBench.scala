@@ -28,10 +28,11 @@ object ScaleBench {
 
   private val ScaledQueries = Seq(
     "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
-    "dedup_cc", "dedup_substring",
+    "dedup_cc", "dedup_substring", "dedup_incremental", "dedup_semantic",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
     "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step", "kmeans_train",
-    "text_redact", "pipeline_sample", "pipeline_pack")
+    "text_redact", "text_repetition", "pipeline_sample", "pipeline_pack",
+    "pipeline_shuffle")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -296,7 +296,12 @@ object SimilarityQueries {
     // the compiled broadcast projection, and both the trained centroids
     // and the assignment are shared artifacts (built once by
     // kmeans_train / ann_topk_ivf_trained, reused here). Decimal-exact
-    // cosine keeps the ≥-threshold decision engine-identical.
+    // cosine keeps the ≥-threshold decision engine-identical. Scale
+    // contract (measured, BENCH_NOTES r5): at FIXED nlist a 10× corpus
+    // grows cluster pair work ~100× (5.2× wall here); production keeps
+    // |cluster| constant by scaling nlist with the corpus — the fixture
+    // pins nlist to its 10 labels only because the trained-index oracle
+    // chain initializes from label means.
     "dedup_semantic" -> ((s, dir) => {
       val assigned = trainedAssigned(s, dir)
       val a = assigned.select(col("list_id"), col("vec_id").as("va"),
