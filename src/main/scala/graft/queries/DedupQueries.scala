@@ -92,33 +92,7 @@ object DedupQueries {
     // fingerprint — every constituent is the already-verified
     // operator, so this row proves the operators COMPOSE.
     "pipeline_select" -> ((s, dir) => {
-      val flags = Tables.documents(s, dir)
-        .select(col("doc_id"), md5(col("text")).as("fp"),
-          let1(TextOps.tokens(col("text"))) { t =>
-            let1(struct(
-                size(t).cast("long").as("n_tokens"),
-                size(array_distinct(t)).cast("long").as("n_distinct"),
-                (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a")).as("n_stop"),
-                TextOps.tokenCount(t, "the").as("cnt_en"),
-                TextOps.tokenCount(t, "a").as("cnt_es"),
-                TextOps.tokenCount(t, "data").as("cnt_de"),
-                length(col("text")).cast("long").as("n_chars"))) { st =>
-              val nTok = st.getField("n_tokens")
-              val ttr = st.getField("n_distinct") / nTok
-              val stopRatio = st.getField("n_stop") / nTok
-              val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
-              struct(
-                round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
-                      least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"),
-                TextOps.langPredict(st.getField("cnt_en"), st.getField("cnt_es"),
-                  st.getField("cnt_de")).as("lang_pred"))
-            }
-          }.as("s"),
-          (TextOps.piiCounts(col("text")) match {
-            case (e, p, i) => e + p + i
-          }).as("n_pii"))
-        .select(col("doc_id"), col("fp"), col("n_pii"),
-                col("s.quality").as("quality"), col("s.lang_pred").as("lang_pred"))
+      val flags = docFlags(s, dir)
       val exactKeep = flags.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
       flags.join(exactKeep, "fp")
         .join(lshKeep(s, dir), "doc_id")
@@ -129,6 +103,29 @@ object DedupQueries {
            col("quality") >= 0.6 && col("lang_pred") === "en" &&
            col("n_pii") === 0).as("selected"))
     }),
+
+    // Per-SOURCE curation report — the domain-level filtering stage of
+    // web-corpus pipelines (C4/RefinedWeb-style: decide per domain,
+    // not only per document): document count, near-dup count/rate
+    // (from the shared LSH keep artifact), PII-document count, and a
+    // decimal-routed mean quality, folded into a keep_source decision.
+    // Thresholds compare ROUNDED values, so the boolean is decided on
+    // numbers both engines already agree on bit-for-bit. One flags
+    // projection + one partial-aggregable agg over ~|sources| groups.
+    "pipeline_source_report" -> ((s, dir) =>
+      docFlags(s, dir)
+        .join(lshKeep(s, dir), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("rep_id") < col("doc_id"), 1L).otherwise(0L)).as("n_neardup"),
+             sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+             (sum(col("quality").cast("decimal(18,6)")).cast("double") /
+               count(lit(1))).as("mq"))
+        .select(col("source"), col("n_docs"), col("n_neardup"), col("n_pii_docs"),
+          round(col("mq"), 6).as("mean_quality"),
+          round(col("n_neardup") / col("n_docs").cast("double"), 6).as("neardup_rate"))
+        .withColumn("keep_source",
+          col("mean_quality") >= 0.55 && col("neardup_rate") < 0.5)),
 
     // TRUE connected components over the star edges — the canonical
     // web-scale dedup primitive (dedup_lsh_keep is the one-hop
@@ -412,6 +409,40 @@ object DedupQueries {
       Dedup.spanTable(
         Tables.documents(s, dir).select(col("doc_id"), col("text")), SpanTokens)
     }
+
+  /** Per-document curation flags (quality score, language prediction,
+    * sequential-pass PII count, exact fingerprint, source) — one narrow
+    * projection shared by `pipeline_select` and
+    * `pipeline_source_report`.
+    */
+  private def docFlags(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        let1(TextOps.tokens(col("text"))) { t =>
+          let1(struct(
+              size(t).cast("long").as("n_tokens"),
+              size(array_distinct(t)).cast("long").as("n_distinct"),
+              (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a")).as("n_stop"),
+              TextOps.tokenCount(t, "the").as("cnt_en"),
+              TextOps.tokenCount(t, "a").as("cnt_es"),
+              TextOps.tokenCount(t, "data").as("cnt_de"),
+              length(col("text")).cast("long").as("n_chars"))) { st =>
+            val nTok = st.getField("n_tokens")
+            val ttr = st.getField("n_distinct") / nTok
+            val stopRatio = st.getField("n_stop") / nTok
+            val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
+            struct(
+              round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+                    least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"),
+              TextOps.langPredict(st.getField("cnt_en"), st.getField("cnt_es"),
+                st.getField("cnt_de")).as("lang_pred"))
+          }
+        }.as("s"),
+        (TextOps.piiCounts(col("text")) match {
+          case (e, p, i) => e + p + i
+        }).as("n_pii"))
+      .select(col("doc_id"), col("source"), col("fp"), col("n_pii"),
+              col("s.quality").as("quality"), col("s.lang_pred").as("lang_pred"))
 
   /** Component label → deterministic 80/10/10 split (md5-mod 10). */
   private def splitOf(lbl: org.apache.spark.sql.Column) = {
@@ -770,6 +801,55 @@ object DedupQueries {
          |FROM flags f
          |JOIN exact_keep e USING (fp)
          |JOIN lsh_keep k USING (doc_id)""".stripMargin,
+
+    "pipeline_source_report" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), lsh_keep AS (
+         |  SELECT bd.doc_id, min(m.rep) AS rep_id
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  GROUP BY bd.doc_id
+         |), d AS (
+         |  SELECT doc_id, text, source,
+         |         string_split(text, ' ') AS toks
+         |  FROM documents
+         |), flags AS (
+         |  SELECT doc_id, source,
+         |    round((len(list_distinct(toks)) / len(toks)) * 0.4 +
+         |      (1.0 - (len(list_filter(toks, t -> t = 'the')) +
+         |              len(list_filter(toks, t -> t = 'a'))) / len(toks)) * 0.3 +
+         |      least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0, 1.0) * 0.3,
+         |      6) AS quality,
+         |    CAST(len(regexp_extract_all(text, '${graft.text.TextOps.EmailPat}'))
+         |       + len(regexp_extract_all(regexp_replace(text,
+         |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |           '${graft.text.TextOps.PhonePat}'))
+         |       + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+         |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |           '${graft.text.TextOps.PhonePat}', '<PHONE>', 'g'),
+         |           '${graft.text.TextOps.IdPat}')) AS BIGINT) AS n_pii
+         |  FROM d
+         |), agg AS (
+         |  SELECT f.source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN k.rep_id < f.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |    CAST(sum(CASE WHEN f.n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         |    round(CAST(sum(CAST(f.quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+         |  FROM flags f JOIN lsh_keep k USING (doc_id)
+         |  GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_neardup, n_pii_docs, mean_quality,
+         |  round(n_neardup / CAST(n_docs AS DOUBLE), 6) AS neardup_rate,
+         |  (mean_quality >= 0.55 AND
+         |   round(n_neardup / CAST(n_docs AS DOUBLE), 6) < 0.5) AS keep_source
+         |FROM agg""".stripMargin,
 
     "dedup_lsh_keep" ->
       s"""WITH sigs AS (

@@ -31,7 +31,7 @@ object SimilarityQueries {
     * near-unstructured, top-neighbor cosine ≈ 0.3–0.5; a production
     * SemDeDup runs ~0.9+ on real embeddings — the knob, not the shape).
     */
-  private val SemDedupCos = 0.2
+  private[graft] val SemDedupCos = 0.2
 
   val queries: Map[String, Q] = Map(
 
@@ -302,26 +302,21 @@ object SimilarityQueries {
     // |cluster| constant by scaling nlist with the corpus — the fixture
     // pins nlist to its 10 labels only because the trained-index oracle
     // chain initializes from label means.
-    "dedup_semantic" -> ((s, dir) => {
-      val assigned = trainedAssigned(s, dir)
-      val a = assigned.select(col("list_id"), col("vec_id").as("va"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = assigned.select(col("list_id"), col("vec_id").as("vb"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      val minNbr = a.join(b, Seq("list_id"))
-        .filter(col("va") < col("vb"))
-        .withColumn("cos",
-          VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
-            (col("na") * col("nb")))
-        .filter(col("cos") >= SemDedupCos)
-        .groupBy(col("vb").as("vec_id"))
-        .agg(min(col("va")).as("min_nbr"))
-      assigned.select(col("vec_id"), col("list_id"))
-        .join(minNbr, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("list_id"),
-          coalesce(col("min_nbr"), col("vec_id")).as("rep_id"),
-          col("min_nbr").isNotNull.as("is_dup"))
-    }),
+    "dedup_semantic" -> ((s, dir) =>
+      semanticDedup(s, dir)((ea, eb, na, nb) =>
+        VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb))),
+
+    // The production hot path of semantic dedup: identical candidate
+    // confinement and keep rule, but the per-pair score — the Σ|c|²
+    // term — runs on the fused float kernel instead of the exact
+    // decimal route. Hash-checked against the SAME decimal oracle:
+    // sound because the fixture's minimum |cos − τ| margin over all
+    // within-cluster pairs dominates the float/decimal divergence
+    // (measured and pinned in SemanticGapSpec, the RankGapSpec
+    // companion for threshold decisions).
+    "dedup_semantic_fast" -> ((s, dir) =>
+      semanticDedup(s, dir)((ea, eb, _, _) =>
+        graft.functions.FloatVectorCosine.cosineFast(ea, eb))),
 
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
@@ -470,12 +465,38 @@ object SimilarityQueries {
   }
 
   /** Corpus assignment under the TRAINED centroids (the built index's
-    * stored list column).
+    * stored list column). private[graft] so SemanticGapSpec can measure
+    * the threshold-margin soundness condition on the real clusters.
     */
-  private def trainedAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def trainedAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
     Artifacts.materialized(s, dir, "ivf_assigned_trained") {
       assignTo(embWithNorm(s, dir), centsFrameOf(trainedCentLong(s, dir)))
     }
+
+  /** Shared body of `dedup_semantic` / `dedup_semantic_fast`: within
+    * each trained cluster, link every vector to smaller-id cluster
+    * mates with cosine ≥ [[SemDedupCos]] (scored by `cosOf(ea, eb, na,
+    * nb)`), keep the min-id exemplar per similar group.
+    */
+  private def semanticDedup(s: org.apache.spark.sql.SparkSession, dir: String)(
+      cosOf: (Column, Column, Column, Column) => Column) = {
+    val assigned = trainedAssigned(s, dir)
+    val a = assigned.select(col("list_id"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val minNbr = a.join(b, Seq("list_id"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", cosOf(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= SemDedupCos)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("min_nbr"))
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(minNbr, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("min_nbr"), col("vec_id")).as("rep_id"),
+        col("min_nbr").isNotNull.as("is_dup"))
+  }
 
   /** Per-row centroid ranking (cos desc, list_id asc) over the
     * broadcast `cents` array — a pure projection, no shuffle/window.
@@ -545,6 +566,34 @@ object SimilarityQueries {
          |)""".stripMargin
     }.mkString
   }
+
+  /** Decimal-exact DuckDB twin shared by `dedup_semantic` and
+    * `dedup_semantic_fast` (same unrolled Lloyd chain as
+    * `ann_topk_ivf_trained`).
+    */
+  private lazy val semanticDedupSql: String =
+    s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (
+       |  SELECT e.vec_id, e.embedding, c.list_id,
+       |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+       |  FROM embeddings e, cent$TrainRounds c
+       |), rankedq AS (
+       |  SELECT vec_id, embedding, list_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+       |  FROM scoredq
+       |), assignedq AS (
+       |  SELECT vec_id, embedding, list_id FROM rankedq WHERE rk = 1
+       |), close_pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assignedq a JOIN assignedq b
+       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  WHERE ${duckCos("a.embedding", "b.embedding")} >= $SemDedupCos
+       |), min_nbr AS (
+       |  SELECT vb AS vec_id, min(va) AS min_nbr FROM close_pairs GROUP BY 1
+       |)
+       |SELECT q.vec_id, q.list_id,
+       |  coalesce(n.min_nbr, q.vec_id) AS rep_id,
+       |  (n.min_nbr IS NOT NULL) AS is_dup
+       |FROM assignedq q LEFT JOIN min_nbr n USING (vec_id)""".stripMargin
 
   // DuckDB twin of VectorOps.cosine: per-element double products
   // rounded to DECIMAL(28,14), exact decimal sum, double finish.
@@ -805,29 +854,12 @@ object SimilarityQueries {
 
     // Trained-cluster-confined near-dup marking over the same unrolled
     // Lloyd chain as ann_topk_ivf_trained.
-    "dedup_semantic" ->
-      s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (
-         |  SELECT e.vec_id, e.embedding, c.list_id,
-         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
-         |  FROM embeddings e, cent$TrainRounds c
-         |), rankedq AS (
-         |  SELECT vec_id, embedding, list_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
-         |  FROM scoredq
-         |), assignedq AS (
-         |  SELECT vec_id, embedding, list_id FROM rankedq WHERE rk = 1
-         |), close_pairs AS (
-         |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM assignedq a JOIN assignedq b
-         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-         |  WHERE ${duckCos("a.embedding", "b.embedding")} >= $SemDedupCos
-         |), min_nbr AS (
-         |  SELECT vb AS vec_id, min(va) AS min_nbr FROM close_pairs GROUP BY 1
-         |)
-         |SELECT q.vec_id, q.list_id,
-         |  coalesce(n.min_nbr, q.vec_id) AS rep_id,
-         |  (n.min_nbr IS NOT NULL) AS is_dup
-         |FROM assignedq q LEFT JOIN min_nbr n USING (vec_id)""".stripMargin,
+    "dedup_semantic" -> semanticDedupSql,
+
+    // The float-scored variant must reproduce the decimal-exact keep
+    // decisions bit-for-bit (threshold-margin soundness pinned by
+    // SemanticGapSpec), so it shares the decimal oracle.
+    "dedup_semantic_fast" -> semanticDedupSql,
 
     "emb_lsh_buckets" ->
       s"""WITH planes AS (
