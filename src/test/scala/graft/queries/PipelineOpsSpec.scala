@@ -78,6 +78,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("curated corpus writes split-partitioned parquet; read-back prunes partitions") {
+    // the batch SINK posture: a pipeline materializes its curated
+    // output partitioned by the split column, so downstream training
+    // jobs read train/ val/ test/ via partition pruning, never a full
+    // scan + filter
+    val out = java.nio.file.Files.createTempDirectory("graft-curated-").toString
+    try {
+      val curated = DedupQueries.queries("pipeline_split")(spark, sf)
+      curated.write.mode("overwrite").partitionBy("split").parquet(out)
+      val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("split=")).toSet
+      assert(dirs === Set("split=train", "split=val", "split=test"))
+      val back = spark.read.parquet(out)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("component_id"), col("split"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(rows(back) === rows(curated))
+      // the split filter must reach the scan as a partition filter
+      val plan = back.filter(col("split") === "val").queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert("PartitionFilters: \\[.*split#\\d+ = val".r.findFirstIn(plan).isDefined,
+        s"split filter not pruning partitions:\n${plan.take(1500)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("dedup_semantic: total, cluster-consistent, min-exemplar keep rule") {
     val out = SimilarityQueries.queries("dedup_semantic")(spark, sf).collect()
     val nVecs = graft.tables.Tables.embeddings(spark, sf).count()
