@@ -47,6 +47,7 @@ object Bench {
       // split dir (one read-sort-write of events per JVM) — harness
       // setup, not cost of whichever stream_* query runs first.
       graft.queries.StreamingQueries.eventsStream(spark, sfDir)
+      graft.queries.StreamingQueries.documentsStream(spark, sfDir)
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -455,9 +455,11 @@ object DedupQueries {
 
   /** Per-bucket join key: band index + the RAW 4-long signature slice
     * (no md5 band strings on the shuffle — narrower rows,
-    * primitive-equality codegen hash agg/join).
+    * primitive-equality codegen hash agg/join). private[graft]: the
+    * streaming incremental-dedup query joins its per-batch bands
+    * against the static base-bucket table on the same key.
     */
-  private val bandKeys: Seq[String] =
+  private[graft] val bandKeys: Seq[String] =
     "band" +: (0 until Dedup.RowsPerBand).map(i => s"k$i")
 
   /** One row per (doc, band) with the band's signature slice unpacked
@@ -470,7 +472,14 @@ object DedupQueries {
     * Verify/Bench clearCache() between queries, so nothing leaks.
     */
   private def lshBands(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir)
+    bandsOf(Tables.documents(s, dir))
+
+  /** The band projection over an arbitrary (doc_id, text, …) frame —
+    * batch or a streaming micro-batch (it is a pure narrow projection,
+    * so it runs unchanged on both).
+    */
+  private[graft] def bandsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"),
         Dedup.minhashSignature(array_distinct(col("toks"))).as("sig"))

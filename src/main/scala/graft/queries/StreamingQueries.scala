@@ -103,6 +103,57 @@ object StreamingQueries {
       .withColumn("ts", timestamp_millis(col("ts_ms")))
   }
 
+  /** documents-dir → doc_id-range split source dir (3 files in id
+    * order), built once per JVM — the arriving-batches fixture for the
+    * streaming ingest path. Range cuts on doc_id: every document lands
+    * in exactly one file, so per-doc projections (fingerprint, bands)
+    * never straddle a micro-batch.
+    */
+  private val docsSplitCache = scala.collection.mutable.HashMap[String, Path]()
+
+  private def docsSplitDir(s: SparkSession, dir: String): Path =
+    docsSplitCache.synchronized {
+      docsSplitCache.getOrElseUpdate(dir, {
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val bounds = raw.stat
+          .approxQuantile("doc_id", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
+          .map(_.toLong)
+        val srcDir = Files.createTempDirectory("graft-docs-splits-")
+        val work = Files.createTempDirectory("graft-docs-splitwork-")
+        val base = System.currentTimeMillis() - 3600000L
+        (0 until NumSplits).foreach { i =>
+          val lo = if (i == 0) None else Some(bounds(i - 1))
+          val hi = if (i == NumSplits - 1) None else Some(bounds(i))
+          val slice = raw
+            .filter(lo.map(col("doc_id") >= _).getOrElse(lit(true)) &&
+                    hi.map(col("doc_id") < _).getOrElse(lit(true)))
+          val out = work.resolve(s"out$i")
+          slice.coalesce(1).write.parquet(out.toString)
+          val part = Files.list(out).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          val dest = srcDir.resolve(f"$i%03d.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(base + i * 1000L))
+        }
+        deleteRecursively(work)
+        sys.addShutdownHook(deleteRecursively(srcDir))
+        srcDir
+      })
+    }
+
+  /** documents as a streaming DataFrame, replayed one id-ordered file
+    * per trigger — the "daily ingest" fixture.
+    */
+  private[graft] def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsSplitDir(s, dir).toString)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse
@@ -346,6 +397,60 @@ object StreamingQueries {
       runToMemory(s, joined)
     }),
 
+    // STREAMING incremental dedup — dedup_incremental's ingest twin,
+    // and the production shape of "dedup the daily crawl against the
+    // corpus": new documents ARRIVE as micro-batches (3 id-ordered
+    // files) and each batch runs the incremental check inside
+    // foreachBatch against the STATIC base-corpus artifacts (exact-
+    // fingerprint mins + LSH band-bucket mins, persisted once before
+    // the stream starts — at 100 TB these are the corpus's index
+    // tables, appended per ingest cycle). foreachBatch is the
+    // batch-incremental hybrid Spark idiom: per batch it is a plain
+    // stream-static join + per-doc agg (stateless across batches —
+    // doc-range splits mean a doc's rows never straddle batches), so
+    // the accumulated output over all batches is EXACTLY the batch
+    // query's result and shares dedup_incremental's oracle.
+    "stream_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val isNew = col("doc_id") % 5 === 4
+      val base = graft.tables.Tables.documents(s, dir).filter(!isNew)
+      val baseFp = base
+        .select(Dedup.exactFingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_dup_of"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseBucketMin = DedupQueries.bandsOf(base)
+        .groupBy(DedupQueries.bandKeys.map(col): _*)
+        .agg(min(col("doc_id")).as("base_rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Files.createTempDirectory("graft-incr-out-")
+      sys.addShutdownHook(deleteRecursively(out))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = documentsStream(s, dir).filter(isNew)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val fp = batch.select(col("doc_id"),
+            Dedup.exactFingerprint(col("text")).as("fp"))
+          val nearMin = DedupQueries.bandsOf(batch)
+            .join(baseBucketMin, DedupQueries.bandKeys)
+            .groupBy(col("doc_id"))
+            .agg(min(col("base_rep")).as("near_dup_of"))
+          fp.join(baseFp, Seq("fp"), "left")
+            .join(nearMin, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+              (col("exact_dup_of").isNull && col("near_dup_of").isNull).as("is_novel"))
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      baseFp.unpersist()
+      baseBucketMin.unpersist()
+      s.read.parquet(out.toString)
+    }),
+
     // The same MapState+timer machine on the MODERN arbitrary-state
     // API (transformWithState, Spark 4.x): real per-key MapState + one
     // registered timer per open window — the literal structural twin
@@ -436,6 +541,11 @@ object StreamingQueries {
 
     "stream_pseudo_window" -> pseudoWindowOracle,
     "stream_pseudo_window_tws" -> pseudoWindowOracle,
+
+    // Identical output contract to the batch incremental dedup — the
+    // hash-match proves ingest-incremental ≡ batch for the dedup
+    // decision itself.
+    "stream_incremental_dedup" -> DedupQueries.oracleSql("dedup_incremental"),
 
     "stream_stream_join" ->
       """WITH e AS (
