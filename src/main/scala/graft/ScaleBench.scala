@@ -98,7 +98,13 @@ object ScaleBench {
       graft.queries.StreamingQueries.eventsStream(spark, scaled.toString)
     } catch { case _: Throwable => () }
 
-    val rows = (ScaledQueries ++ StreamScaledQueries).map { name =>
+    // SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the run (targeted 100×
+    // rows without paying for the full suite at that factor).
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = (ScaledQueries ++ StreamScaledQueries)
+      .filter(q => only.forall(_.contains(q)))
+    val rows = selected.map { name =>
       val t1 = time(name, sfDir)
       val tN = time(name, scaled.toString)
       System.err.println(f"[scale] $name%-22s 1x ${t1}%7.2f s   ${factor}x ${tN}%7.2f s   ratio ${tN / t1}%5.2f")
