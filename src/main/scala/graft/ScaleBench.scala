@@ -111,7 +111,44 @@ object ScaleBench {
       (name, t1, tN)
     }
 
-    val qs = rows.map { case (n, t1, tN) =>
+    // Semantic dedup's production control: nlist ∝ corpus holds
+    // cluster size constant, so total pair work grows linearly — the
+    // contrast row to dedup_semantic_fast's fixed-nlist quadratic
+    // (run when selected, or by default with the full suite).
+    def customRow(name: String)(run: (String, Int) => Unit): Seq[(String, Double, Double)] =
+      if (only.forall(_.contains(name))) {
+        def timeIt(dir: String, nlist: Int): Double = {
+          graft.queries.Artifacts.clear()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          run(dir, nlist)
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }
+        val t1 = timeIt(sfDir, 10)
+        val tN = timeIt(scaled.toString, 10 * factor)
+        System.err.println(f"[scale] $name%-28s 1x ${t1}%7.2f s   ${factor}x ${tN}%7.2f s   ratio ${tN / t1}%5.2f")
+        Seq((name, t1, tN))
+      } else Seq.empty
+
+    val scaledNlistRows =
+      // flat assignment: pair work linear, assignment O(n·nlist) —
+      // quadratic again when nlist ∝ n (the measured trap)
+      customRow("dedup_semantic_scaled_nlist") { (dir, nlist) =>
+        graft.queries.SimilarityQueries.semanticDedupScaledNlist(spark, dir, nlist)
+          .write.format("noop").mode("overwrite").save()
+      } ++
+      // hierarchical assignment: O(n·(√nlist + nlist/√nlist)·dim) —
+      // the production control that keeps the TOTAL linear
+      customRow("dedup_semantic_hier_nlist") { (dir, nlist) =>
+        val ncoarse = math.max(4, math.sqrt(nlist.toDouble).round.toInt)
+        graft.queries.SimilarityQueries
+          .semanticDedupHierarchicalNlist(spark, dir, nlist, ncoarse)
+          .write.format("noop").mode("overwrite").save()
+      }
+
+    val qs = (rows ++ scaledNlistRows).map { case (n, t1, tN) =>
       f""""$n":{"x1":$t1%.3f,"x$factor%d":$tN%.3f,"ratio":${tN / t1}%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"factor":$factor,"queries":$qs,"sf":"$sfDir"}""")

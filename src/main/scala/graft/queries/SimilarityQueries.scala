@@ -479,8 +479,11 @@ object SimilarityQueries {
     * nb)`), keep the min-id exemplar per similar group.
     */
   private def semanticDedup(s: org.apache.spark.sql.SparkSession, dir: String)(
+      cosOf: (Column, Column, Column, Column) => Column) =
+    semanticDedupOver(trainedAssigned(s, dir))(cosOf)
+
+  private def semanticDedupOver(assigned: org.apache.spark.sql.DataFrame)(
       cosOf: (Column, Column, Column, Column) => Column) = {
-    val assigned = trainedAssigned(s, dir)
     val a = assigned.select(col("list_id"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("list_id"), col("vec_id").as("vb"),
@@ -496,6 +499,71 @@ object SimilarityQueries {
       .select(col("vec_id"), col("list_id"),
         coalesce(col("min_nbr"), col("vec_id")).as("rep_id"),
         col("min_nbr").isNotNull.as("is_dup"))
+  }
+
+  /** The PRODUCTION scale control for semantic dedup, demonstrated:
+    * same float-scored pipeline but with `nlist` seed centroids (the
+    * first `nlist` corpus vectors — no Lloyd pass; this is a cost
+    * harness, not an oracle query), so a caller scaling nlist ∝ corpus
+    * holds |cluster| (and per-cluster pair work) constant.
+    * [[graft.ScaleBench]] measures it at 1×/N× with nlist 10/10·N —
+    * the linear-total evidence the fixed-nlist `dedup_semantic_fast`
+    * row cannot show by construction.
+    */
+  private[graft] def semanticDedupScaledNlist(
+      s: org.apache.spark.sql.SparkSession, dir: String, nlist: Int) = {
+    val emb = embWithNorm(s, dir)
+    val seeds = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("list_id"),
+              posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("list_id"), col("i"), col("x").cast("double").as("c"))
+    semanticDedupOver(assignTo(emb, centsFrameOf(seeds)))((ea, eb, _, _) =>
+      graft.functions.FloatVectorCosine.cosineFast(ea, eb))
+  }
+
+  /** Scaled-nlist semantic dedup with HIERARCHICAL (two-level)
+    * assignment — the missing piece the flat scaled-nlist harness
+    * exposes: with nlist ∝ n, brute-force assignment is O(n·nlist) =
+    * quadratic again (measured 221× at 100×, WORSE than fixed nlist's
+    * 141×). Production IVF builds assign through a coarse level:
+    * rank `ncoarse` super-centroids per vector (one compiled
+    * projection), then rank only the winning cell's children (a
+    * broadcast join keyed on the coarse id + one more compiled
+    * projection over ~nlist/ncoarse centroids) — O(n·(ncoarse +
+    * nlist/ncoarse)·dim), minimized at ncoarse ≈ √nlist. Seed
+    * centroids are the first `nlist` vectors, coarse seeds the first
+    * `ncoarse` (each coarse seed is its own child, so no cell is
+    * empty and every coarse id joins). Cost harness, not an oracle
+    * query: two-level argmin need not equal the global argmin — the
+    * clusters are consistent, which is all SemDeDup needs.
+    */
+  private[graft] def semanticDedupHierarchicalNlist(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int, ncoarse: Int) = {
+    import graft.functions.CentroidRanks
+    val emb = embWithNorm(s, dir)
+    val coarse = centsFrameOf(
+      emb.filter(col("vec_id") < ncoarse)
+        .select(col("vec_id").as("list_id"),
+                posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("list_id"), col("i"), col("x").cast("double").as("c")))
+    // the nlist child centroids, each assigned to its nearest coarse
+    // cell, packed into one cents array PER coarse id (ncoarse rows)
+    val childCents = assignTo(emb.filter(col("vec_id") < nlist), coarse)
+      .select(col("list_id").as("coarse_id"),
+        struct(col("vec_id").as("list_id"),
+          transform(col("embedding"), x => x.cast("double")).as("centroid"),
+          col("nrm").as("cnorm")).as("cent"))
+      .groupBy(col("coarse_id"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    val assigned = assignTo(emb, coarse)
+      .withColumnRenamed("list_id", "coarse_id")
+      .join(broadcast(childCents), Seq("coarse_id"))
+      .withColumn("list_id",
+        element_at(CentroidRanks(col("embedding"), col("nrm"), col("cents")), 1))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    semanticDedupOver(assigned)((ea, eb, _, _) =>
+      graft.functions.FloatVectorCosine.cosineFast(ea, eb))
   }
 
   /** Per-row centroid ranking (cos desc, list_id asc) over the
