@@ -318,6 +318,18 @@ object SimilarityQueries {
       semanticDedup(s, dir)((ea, eb, _, _) =>
         graft.functions.FloatVectorCosine.cosineFast(ea, eb))),
 
+    // Semantic dedup under HIERARCHICAL (two-level) cluster
+    // assignment — the assignment structure that keeps the operator
+    // linear when nlist scales with the corpus (the measured
+    // 141×/221×/22× contrast in BENCH_NOTES): rank ncoarse coarse
+    // cells per vector, then only the winning cell's children. Both
+    // levels are the decimal-exact compiled ranking, so the whole
+    // two-level argmin chain is hash-checked end to end; the same
+    // keep rule runs over the resulting lists.
+    "dedup_semantic_hier" -> ((s, dir) =>
+      semanticDedupOver(hierAssigned(s, dir))((ea, eb, na, nb) =>
+        VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb))),
+
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
     "emb_centroid_sim" -> ((s, dir) => {
@@ -539,7 +551,22 @@ object SimilarityQueries {
     */
   private[graft] def semanticDedupHierarchicalNlist(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      nlist: Int, ncoarse: Int) = {
+      nlist: Int, ncoarse: Int) =
+    semanticDedupOver(hierarchicalAssignment(s, dir, nlist, ncoarse))(
+      (ea, eb, _, _) => graft.functions.FloatVectorCosine.cosineFast(ea, eb))
+
+  /** The two-level assignment itself: seed centroids = first `nlist`
+    * vectors, coarse seeds = first `ncoarse` (⊂ the seeds, so no cell
+    * is empty); every vector ranks the coarse cells (one compiled
+    * projection), then only its winning cell's children (broadcast
+    * join on the coarse id + one more compiled projection). Both
+    * levels use the decimal-exact [[graft.functions.CentroidRanks]]
+    * with the (cos DESC, id ASC) tiebreak, so the assignment is
+    * deterministic and oracle-checkable.
+    */
+  private def hierarchicalAssignment(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int, ncoarse: Int): org.apache.spark.sql.DataFrame = {
     import graft.functions.CentroidRanks
     val emb = embWithNorm(s, dir)
     val coarse = centsFrameOf(
@@ -556,15 +583,25 @@ object SimilarityQueries {
           col("nrm").as("cnorm")).as("cent"))
       .groupBy(col("coarse_id"))
       .agg(array_sort(collect_list(col("cent"))).as("cents"))
-    val assigned = assignTo(emb, coarse)
+    assignTo(emb, coarse)
       .withColumnRenamed("list_id", "coarse_id")
       .join(broadcast(childCents), Seq("coarse_id"))
       .withColumn("list_id",
         element_at(CentroidRanks(col("embedding"), col("nrm"), col("cents")), 1))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
-    semanticDedupOver(assigned)((ea, eb, _, _) =>
-      graft.functions.FloatVectorCosine.cosineFast(ea, eb))
   }
+
+  /** Fixture operating point for the oracle-checked hierarchical
+    * queries: 40 seed lists under 6 coarse cells (≈12 vectors per
+    * list on the 500-vector fixture).
+    */
+  private val HierNlist = 40
+  private val HierNcoarse = 6
+
+  private def hierAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "hier_assigned") {
+      hierarchicalAssignment(s, dir, HierNlist, HierNcoarse)
+    }
 
   /** Per-row centroid ranking (cos desc, list_id asc) over the
     * broadcast `cents` array — a pure projection, no shuffle/window.
@@ -923,6 +960,53 @@ object SimilarityQueries {
     // Trained-cluster-confined near-dup marking over the same unrolled
     // Lloyd chain as ann_topk_ivf_trained.
     "dedup_semantic" -> semanticDedupSql,
+
+    // Two-level argmin chain: child→coarse, vec→coarse, then vec→child
+    // within the winning cell — each ranking the (cos DESC, id ASC)
+    // twin of the compiled CentroidRanks tiebreak.
+    "dedup_semantic_hier" ->
+      s"""WITH coarse AS (
+         |  SELECT vec_id AS coarse_id, embedding FROM embeddings WHERE vec_id < $HierNcoarse
+         |), child AS (
+         |  SELECT vec_id AS child_id, embedding FROM embeddings WHERE vec_id < $HierNlist
+         |), cscore AS (
+         |  SELECT c.child_id, k.coarse_id,
+         |    row_number() OVER (PARTITION BY c.child_id
+         |      ORDER BY ${duckCos("c.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
+         |  FROM child c, coarse k
+         |), cassign AS (
+         |  SELECT child_id, coarse_id FROM cscore WHERE rk = 1
+         |), vscore AS (
+         |  SELECT e.vec_id, k.coarse_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCos("e.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
+         |  FROM embeddings e, coarse k
+         |), vassign AS (
+         |  SELECT vec_id, coarse_id FROM vscore WHERE rk = 1
+         |), fscore AS (
+         |  SELECT e.vec_id, ch.child_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCos("e.embedding", "che.embedding")} DESC, ch.child_id) AS rk
+         |  FROM embeddings e
+         |  JOIN vassign va ON va.vec_id = e.vec_id
+         |  JOIN cassign ch ON ch.coarse_id = va.coarse_id
+         |  JOIN embeddings che ON che.vec_id = ch.child_id
+         |), assigned AS (
+         |  SELECT vec_id, child_id AS list_id FROM fscore WHERE rk = 1
+         |), close_pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM assigned a
+         |  JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${duckCos("ea.embedding", "eb.embedding")} >= $SemDedupCos
+         |), min_nbr AS (
+         |  SELECT vb AS vec_id, min(va) AS min_nbr FROM close_pairs GROUP BY 1
+         |)
+         |SELECT a.vec_id, a.list_id,
+         |  coalesce(n.min_nbr, a.vec_id) AS rep_id,
+         |  (n.min_nbr IS NOT NULL) AS is_dup
+         |FROM assigned a LEFT JOIN min_nbr n USING (vec_id)""".stripMargin,
 
     // The float-scored variant must reproduce the decimal-exact keep
     // decisions bit-for-bit (threshold-margin soundness pinned by
