@@ -71,13 +71,20 @@ object IndexBench {
         // marginal searches against the warm index artifacts
         val tLsh = run("ann_topk_lsh_fast", dir)
         val tIvf = run("ann_topk_ivf_fast", dir)
+        // semantic dedup against the warm TRAINED index: the first run
+        // pays the kmeans_train + assignment build, the second only the
+        // within-cluster pair pass — the per-ingest-cycle marginal
+        val t1sem = System.nanoTime()
+        run("dedup_semantic_fast", dir)
+        val tSemBuild = (System.nanoTime() - t1sem) / 1e9
+        val tSem = run("dedup_semantic_fast", dir)
         System.err.println(
-          f"[index] $tag%-4s build ${tBuild}%6.2f s   lsh_fast ${tLsh}%6.2f s   ivf_fast ${tIvf}%6.2f s")
-        (tag, tBuild, tLsh, tIvf)
+          f"[index] $tag%-4s build ${tBuild}%6.2f s   lsh_fast ${tLsh}%6.2f s   ivf_fast ${tIvf}%6.2f s   sem_build ${tSemBuild}%6.2f s   sem_marginal ${tSem}%6.2f s")
+        (tag, tBuild, tLsh, tIvf, tSemBuild, tSem)
     }
 
-    val js = rows.map { case (tag, b, l, i) =>
-      f""""$tag":{"build":$b%.3f,"lsh":$l%.3f,"ivf":$i%.3f}"""
+    val js = rows.map { case (tag, b, l, i, sb, sm) =>
+      f""""$tag":{"build":$b%.3f,"lsh":$l%.3f,"ivf":$i%.3f,"sem_build":$sb%.3f,"sem_marginal":$sm%.3f}"""
     }.mkString("{", ",", "}")
     val line = s"""{"factor":$factor,"rows":$js,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("index_bench.json"), line + "\n")
