@@ -141,6 +141,25 @@ object TextQueries {
                 col("r.dup_3gram_frac").as("dup_3gram_frac"),
                 col("r.dup_5gram_frac").as("dup_5gram_frac"))),
 
+    // The pair-count primitive of BPE VOCAB TRAINING (the statistics
+    // step of the merge loop): global counts of adjacent character
+    // pairs within words, deterministic top-20. Each merge iteration
+    // of a tokenizer build is exactly this agg (over the current
+    // symbol sequences) + applying the winning merge — iterating it
+    // would reuse the bounded-fixpoint pattern of kmeans_train /
+    // ConnectedComponents. Generator path: one explode over tokens,
+    // one over in-token positions, one partial-aggregable agg.
+    "text_bpe_pairs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -304,6 +323,17 @@ object TextQueries {
          |        CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
          |FROM d""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), p AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+        |    i -> substr(tok, i, 2))) AS pair
+        |  FROM toks WHERE length(tok) >= 2
+        |)
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "text_bpe_tokens" ->
       s"""WITH b AS (

@@ -66,6 +66,18 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(rIvf >= 0.30, f"IVF recall@5 $rIvf%.3f regressed")
   }
 
+  test("dedup_semantic_hier: lists are seed ids, every exemplar shares its member's list") {
+    val rows = SimilarityQueries.queries("dedup_semantic_hier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val list = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) < 40, s"list ${r.getLong(1)} is not a seed id")
+      assert(r.getLong(2) <= r.getLong(0))
+      assert(list(r.getLong(2)) === list(r.getLong(0)),
+        s"exemplar ${r.getLong(2)} in another list than ${r.getLong(0)}")
+    }
+  }
+
   test("dedup_embedding_pairs: ordered pairs above threshold only") {
     val rows = SimilarityQueries.queries("dedup_embedding_pairs")(spark, sf)
       .collect()
