@@ -174,6 +174,42 @@ object DedupQueries {
                 (pct < rate).as("sampled"))
     }),
 
+    // Temperature-weighted DOMAIN MIXING — the stage that turns "one
+    // corpus" into "a training mixture": each source's token quota is
+    // ∝ T_s^α (α = 1/2 here — the standard temperature-sampling
+    // exponent that upweights small domains relative to proportional
+    // sampling), and documents fill the quota in deterministic
+    // md5-shuffled order (domain-separated '#mix' hash — a doc's fate
+    // is rerun/backfill-stable and independent of partitioning). The
+    // quota is C·√T_s with the budget coefficient C a config constant
+    // (≙ B/Σ_s √T_s computed once offline) — keeping the decision
+    // per-source-local means no cross-source normalization term and
+    // bit-identical floor() on both engines. Shape: one narrow
+    // projection + two windows over the same source partition (one
+    // partition-total, one ordered cumsum) — a single shuffle keyed on
+    // source. A web-scale deployment with million-doc domains shards
+    // the cumsum window exactly like pipeline_pack's (split, shard)
+    // key and allocates the quota across shards proportionally.
+    "pipeline_mix" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val skey = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#mix"))), 1, 14), 16, 10).cast("long")
+      val bySource = W.partitionBy(col("source"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), skey.as("skey"),
+                size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("source_tokens", sum(col("n_tokens")).over(bySource))
+        .withColumn("target_tokens",
+          floor(lit(MixCoef) * sqrt(col("source_tokens").cast("double")))
+            .cast("long"))
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(bySource.orderBy(col("skey"), col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, 0)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+                col("source_tokens"), col("target_tokens"), col("cum_tokens"),
+                (col("cum_tokens") <= col("target_tokens")).as("selected"))
+    }),
+
     // Token-budget sequence packing — the pretraining batch-prep
     // stage: concatenate documents in deterministic (doc_id) order and
     // cut the stream into fixed-budget packs (docs may straddle a
@@ -398,6 +434,13 @@ object DedupQueries {
     * multi-document).
     */
   private val NumPackShards = 4L
+
+  /** Mixing-budget coefficient for `pipeline_mix`: per-source token
+    * quota = MixCoef·√T_s (≙ B/Σ√T_s for a global budget B, folded to
+    * a constant so the per-source decision needs no cross-source
+    * normalization). 3.0 selects a few docs per fixture source.
+    */
+  private val MixCoef = 3.0
 
   /** The (doc_id, span_h) table — materialized once per (session,
     * dir) and shared by `dedup_substring` and
@@ -738,6 +781,26 @@ object DedupQueries {
         |              ELSE 10 END AS BIGINT) AS rate
         |  FROM documents
         |)""".stripMargin,
+
+    // Temperature-weighted source quotas + md5-ordered greedy fill.
+    "pipeline_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#mix')), 1, 14)) AS BIGINT)) AS skey,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS source_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY skey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM d
+         |)
+         |SELECT doc_id, source, n_tokens, source_tokens,
+         |  CAST(floor($MixCoef * sqrt(CAST(source_tokens AS DOUBLE))) AS BIGINT) AS target_tokens,
+         |  cum_tokens,
+         |  (cum_tokens <= CAST(floor($MixCoef * sqrt(CAST(source_tokens AS DOUBLE))) AS BIGINT)) AS selected
+         |FROM t""".stripMargin,
 
     // (split, shard)-partitioned concat-then-chunk packing over the
     // CC splits.

@@ -114,6 +114,29 @@ object EventQueries {
         .orderBy(col("n_events").desc, col("user_id"))
         .limit(20)),
 
+    // Cohort retention matrix — the other canonical event-analytics
+    // operator next to funnel: users grouped by first-active day, then
+    // for each later day the count of cohort members still active.
+    // Shape: one partial-aggregable min per user, one shuffle join
+    // back on user_id, one distinct on (user, cohort, offset), one
+    // count agg — every stage keyed and partial-aggregable, no per-user
+    // event collection, so a user with millions of events costs the
+    // same as one with two (the scale shape for retention analytics).
+    "events_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+                (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("day_ms")).as("cohort_day_ms"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day_ms"),
+          ((col("day_ms") - col("cohort_day_ms")) / 86400000L)
+            .cast("long").as("offset_days"))
+        .distinct()
+        .groupBy(col("cohort_day_ms"), col("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Ordered funnel (sequential pattern): users reaching
     // view → click-after-view → purchase-after-click, by strict event
     // order. Each stage is one partial-aggregable min per user + one
@@ -240,6 +263,20 @@ object EventQueries {
         |GROUP BY user_id
         |ORDER BY n_events DESC, user_id
         |LIMIT 20""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000) AS day_ms
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(day_ms) AS cohort_day_ms FROM e GROUP BY user_id
+        |)
+        |SELECT c.cohort_day_ms,
+        |  (e.day_ms - c.cohort_day_ms) // 86400000 AS offset_days,
+        |  count(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "events_funnel" ->
       """WITH e AS (

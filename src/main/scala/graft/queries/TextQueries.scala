@@ -160,6 +160,78 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)),
 
+    // The C4/Gopher RULE-FILTER family (public recipes: Raffel et al.
+    // 2020 §2.2, Rae et al. 2021 A1.1) — the per-document boolean gate
+    // every web-corpus pipeline runs before any model-based scoring:
+    // word-count bounds, mean-word-length bounds, minimum stopword
+    // evidence, symbol-ratio cap, terminal-punctuation check,
+    // boilerplate markers ("lorem ipsum", curly braces), and a
+    // repeated-2-gram cap (the fixture's bigram-dup spread peaks at
+    // ~0.13, so the 0.1 knob splits it naturally; longer-gram caps
+    // are the same expression at a different k). The fixture corpus is
+    // punctuation-free word soup, so (same device as text_redact)
+    // deterministic doc_id-keyed suffixes are appended on BOTH
+    // engines — every rule then has real positive AND negative rows,
+    // including sub-3-char mean word length via the short-token run.
+    // ONE projection, zero exchanges
+    // (CI-asserted in PlanShapeSpec); at 100 TB this is a scan-speed
+    // gate that drops ~half the corpus before anything expensive runs.
+    "text_c4_filters" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0,
+              lit(" a b c d e f g h i j k l m n o p q r s t u v w x y z" +
+                  " 1 2 3 4 5 6 7 8 9 0")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" lorem ipsum dolor"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" function() { return 0; }"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")))
+            .as("aug"))
+        .select(col("doc_id"),
+          let1(TextOps.tokens(col("aug"))) { t =>
+            let1(struct(
+                size(t).cast("long").as("n_words"),
+                length(col("aug")).cast("long").as("n_chars"),
+                (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a"))
+                  .as("n_stop"),
+                length(regexp_replace(col("aug"), "[^#{}();]", ""))
+                  .cast("long").as("n_sym"),
+                greatest(size(t) - 1, lit(0)).cast("long").as("n_2gram"),
+                size(TextOps.shingles(t, 2)).cast("long").as("n_2distinct"))) { st =>
+              val nW = st.getField("n_words")
+              val meanLen = (st.getField("n_chars") - (nW - 1)) / nW
+              val dup2 = when(st.getField("n_2gram") === 0, lit(0.0))
+                .otherwise(round(lit(1.0) -
+                  st.getField("n_2distinct") / st.getField("n_2gram").cast("double"), 6))
+              struct(
+                nW.as("n_words"),
+                (nW >= 50 && nW <= 100000).as("ok_n_words"),
+                (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_word_len"),
+                (st.getField("n_stop") >= 2).as("ok_stopwords"),
+                (st.getField("n_sym") / st.getField("n_chars").cast("double") <= 0.01)
+                  .as("ok_symbol_ratio"),
+                substring(col("aug"), -1, 1).isin(".", "!", "?").as("ok_terminal_punct"),
+                (!col("aug").contains("lorem ipsum")).as("ok_no_lorem"),
+                (!col("aug").contains("{")).as("ok_no_braces"),
+                (dup2 <= 0.1).as("ok_dup_2gram"))
+            }
+          }.as("f"))
+        .select(col("doc_id"), col("f.n_words").as("n_words"),
+                col("f.ok_n_words").as("ok_n_words"),
+                col("f.ok_mean_word_len").as("ok_mean_word_len"),
+                col("f.ok_stopwords").as("ok_stopwords"),
+                col("f.ok_symbol_ratio").as("ok_symbol_ratio"),
+                col("f.ok_terminal_punct").as("ok_terminal_punct"),
+                col("f.ok_no_lorem").as("ok_no_lorem"),
+                col("f.ok_no_braces").as("ok_no_braces"),
+                col("f.ok_dup_2gram").as("ok_dup_2gram"))
+        .withColumn("keep",
+          col("ok_n_words") && col("ok_mean_word_len") && col("ok_stopwords") &&
+          col("ok_symbol_ratio") && col("ok_terminal_punct") &&
+          col("ok_no_lorem") && col("ok_no_braces") && col("ok_dup_2gram"))),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -311,6 +383,49 @@ object TextQueries {
          |      i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
          |      / CAST(len(toks) - 4 AS DOUBLE), 6) END AS dup_5gram_frac
          |FROM d""".stripMargin,
+
+    "text_c4_filters" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' a b c d e f g h i j k l m n o p q r s t u v w x y z 1 2 3 4 5 6 7 8 9 0' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' function() { return 0; }' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS aug
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, aug, string_split(aug, ' ') AS toks,
+        |    CAST(length(aug) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(aug, '[^#{}();]', '', 'g')) AS BIGINT) AS n_sym
+        |  FROM aug
+        |), g AS (
+        |  SELECT doc_id, aug, n_chars, n_sym,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(toks, t -> t = 'the'))
+        |       + len(list_filter(toks, t -> t = 'a')) AS BIGINT) AS n_stop,
+        |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2gram,
+        |    CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS BIGINT) AS n_2distinct
+        |  FROM f
+        |), flags AS (
+        |  SELECT doc_id, n_words,
+        |    (n_words >= 50 AND n_words <= 100000) AS ok_n_words,
+        |    ((n_chars - (n_words - 1)) / n_words >= 3.0
+        |     AND (n_chars - (n_words - 1)) / n_words <= 10.0) AS ok_mean_word_len,
+        |    (n_stop >= 2) AS ok_stopwords,
+        |    (n_sym / CAST(n_chars AS DOUBLE) <= 0.01) AS ok_symbol_ratio,
+        |    (right(aug, 1) IN ('.', '!', '?')) AS ok_terminal_punct,
+        |    (NOT contains(aug, 'lorem ipsum')) AS ok_no_lorem,
+        |    (NOT contains(aug, '{')) AS ok_no_braces,
+        |    (CASE WHEN n_2gram = 0 THEN 0.0
+        |          ELSE round(1.0 - n_2distinct / CAST(n_2gram AS DOUBLE), 6) END
+        |       <= 0.1) AS ok_dup_2gram
+        |  FROM g
+        |)
+        |SELECT *,
+        |  (ok_n_words AND ok_mean_word_len AND ok_stopwords AND ok_symbol_ratio
+        |   AND ok_terminal_punct AND ok_no_lorem AND ok_no_braces
+        |   AND ok_dup_2gram) AS keep
+        |FROM flags""".stripMargin,
 
     // list_reduce seeds with the first element, so prepend the zero to
     // match aggregate(toks, 0, …); token hash = md5-prefix mod (2^31−1).

@@ -49,7 +49,7 @@ class PlanShapeSpec extends SparkSpec {
   test("narrow extension operators plan with zero exchanges") {
     // pure projections: any Exchange here means a scale regression
     Seq("text_stats", "text_quality", "text_fingerprint", "text_bpe_tokens",
-        "text_redact", "text_repetition", "pipeline_sample")
+        "text_redact", "text_repetition", "text_c4_filters", "pipeline_sample")
       .foreach { name =>
         val plan = executedPlan(name)
         assert(!plan.contains("Exchange"), s"$name gained a shuffle:\n${plan.take(1500)}")

@@ -106,6 +106,64 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_mix: per-source quota respected, selection is a greedy prefix") {
+    val rows = DedupQueries.queries("pipeline_mix")(spark, sf).collect()
+    assert(rows.length.toLong ===
+      graft.tables.Tables.documents(spark, sf).count())
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)),
+      "degenerate selection — quota selects everything or nothing")
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val target = rs.head.getLong(4)
+      assert(rs.map(_.getLong(4)).distinct.length === 1, s"$src: target not constant")
+      val selTokens = rs.filter(_.getBoolean(6)).map(_.getLong(2)).sum
+      assert(selTokens <= target, s"$src: selected $selTokens > quota $target")
+      // greedy prefix: cum_tokens of selected rows are all <= target and
+      // every unselected row's cumsum exceeds the target (no gaps)
+      rs.foreach { r =>
+        assert(r.getBoolean(6) === (r.getLong(5) <= target),
+          s"$src doc ${r.getLong(0)}: selection not the cumsum prefix")
+      }
+    }
+  }
+
+  test("text_c4_filters: keep is the rule conjunction; every rule splits the corpus") {
+    val df = TextQueries.queries("text_c4_filters")(spark, sf)
+    val flagCols = df.columns.filter(_.startsWith("ok_"))
+    val rows = df.collect()
+    val idx = df.columns.zipWithIndex.toMap
+    rows.foreach { r =>
+      assert(r.getBoolean(idx("keep")) ===
+        flagCols.forall(c => r.getBoolean(idx(c))), s"doc ${r.getLong(0)}")
+    }
+    // the augmentation exists so no rule is vacuous — each must have
+    // real positive AND negative rows on the fixture
+    flagCols.foreach { c =>
+      val pos = rows.count(_.getBoolean(idx(c)))
+      assert(pos > 0 && pos < rows.length, s"$c is vacuous ($pos/${rows.length})")
+    }
+    val kept = rows.count(_.getBoolean(idx("keep")))
+    assert(kept > 0 && kept < rows.length)
+  }
+
+  test("events_retention: offset 0 counts every cohort member exactly once") {
+    val rows = EventQueries.queries("events_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    rows.keys.foreach { case (_, off) => assert(off >= 0L) }
+    // independent recomputation of cohort sizes: min event day per user
+    val cohortSizes = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"),
+        (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+      .groupBy(col("user_id")).agg(min(col("day_ms")).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cohortSizes.foreach { case (day, n) =>
+      assert(rows((day, 0L)) === n, s"cohort $day offset-0 != cohort size")
+    }
+    // retention never exceeds the cohort size at any offset
+    rows.foreach { case ((day, _), n) => assert(n <= cohortSizes(day)) }
+  }
+
   test("dedup_semantic: total, cluster-consistent, min-exemplar keep rule") {
     val out = SimilarityQueries.queries("dedup_semantic")(spark, sf).collect()
     val nVecs = graft.tables.Tables.embeddings(spark, sf).count()
