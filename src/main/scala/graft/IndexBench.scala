@@ -4,8 +4,9 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Amortized-index ANN benchmark (VERDICT r3 item 5): separates the
-  * INDEX BUILD cost (LSH bucket column + IVF centroids/assignment —
-  * at 100 TB these are stored columns written once per corpus) from
+  * INDEX BUILD cost (LSH bucket column + IVF centroids/assignment +
+  * PQ codebook/code column — at 100 TB these are stored columns
+  * written once per corpus) from
   * the MARGINAL per-query search cost against the built index. The
   * scaling curve (ScaleBench) charges every query its full standalone
   * cost including bucketing; this main measures the number a platform
@@ -52,6 +53,8 @@ object IndexBench {
         .write.format("noop").mode("overwrite").save()
       SparkEntry.queries("ann_topk_ivf_fast")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      SparkEntry.queries("ann_topk_pq")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
     def run(name: String, dir: String): Double = {
@@ -71,6 +74,7 @@ object IndexBench {
         // marginal searches against the warm index artifacts
         val tLsh = run("ann_topk_lsh_fast", dir)
         val tIvf = run("ann_topk_ivf_fast", dir)
+        val tPq = run("ann_topk_pq", dir)
         // semantic dedup against the warm TRAINED index: the first run
         // pays the kmeans_train + assignment build, the second only the
         // within-cluster pair pass — the per-ingest-cycle marginal
@@ -79,12 +83,12 @@ object IndexBench {
         val tSemBuild = (System.nanoTime() - t1sem) / 1e9
         val tSem = run("dedup_semantic_fast", dir)
         System.err.println(
-          f"[index] $tag%-4s build ${tBuild}%6.2f s   lsh_fast ${tLsh}%6.2f s   ivf_fast ${tIvf}%6.2f s   sem_build ${tSemBuild}%6.2f s   sem_marginal ${tSem}%6.2f s")
-        (tag, tBuild, tLsh, tIvf, tSemBuild, tSem)
+          f"[index] $tag%-4s build ${tBuild}%6.2f s   lsh_fast ${tLsh}%6.2f s   ivf_fast ${tIvf}%6.2f s   pq ${tPq}%6.2f s   sem_build ${tSemBuild}%6.2f s   sem_marginal ${tSem}%6.2f s")
+        (tag, tBuild, tLsh, tIvf, tPq, tSemBuild, tSem)
     }
 
-    val js = rows.map { case (tag, b, l, i, sb, sm) =>
-      f""""$tag":{"build":$b%.3f,"lsh":$l%.3f,"ivf":$i%.3f,"sem_build":$sb%.3f,"sem_marginal":$sm%.3f}"""
+    val js = rows.map { case (tag, b, l, i, p, sb, sm) =>
+      f""""$tag":{"build":$b%.3f,"lsh":$l%.3f,"ivf":$i%.3f,"pq":$p%.3f,"sem_build":$sb%.3f,"sem_marginal":$sm%.3f}"""
     }.mkString("{", ",", "}")
     val line = s"""{"factor":$factor,"rows":$js,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("index_bench.json"), line + "\n")

@@ -330,6 +330,72 @@ object SimilarityQueries {
       semanticDedupOver(hierAssigned(s, dir))((ea, eb, na, nb) =>
         VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb))),
 
+    // PRODUCT QUANTIZATION codebook (public recipe: Jégou et al. 2011)
+    // — the third leg of the ANN triad next to LSH (hash pruning) and
+    // IVF (cluster pruning): memory compression. The 64-dim space
+    // splits into PqM=8 subspaces of 8 dims; each subspace gets a
+    // PqK=16-entry codebook (6-dp-quantized exact-decimal means over
+    // the deterministic vec_id-mod-K partition — the same quantized-
+    // boundary convention as the Lloyd rounds, so every downstream
+    // decimal is engine-identical). Long form (m, j, d, c) — the
+    // 8×16×8 table an index server ships as its dictionary.
+    "pq_codebook" -> ((s, dir) =>
+      pqCodebookLong(s, dir)
+        .select(col("m"), col("j").cast("long").as("j"), col("d"), col("c"))),
+
+    // The ENCODED corpus: every vector compressed to PqM 4-bit codes —
+    // at 100 TB this is THE stored column (8 bytes/vector vs 256 for
+    // raw floats; the scan that feeds ADC search reads 32× less).
+    // Encoding is a pure broadcast projection (no shuffle): per
+    // subspace, argmin_j ‖sub − c_j‖² via the monotone surrogate
+    // ‖c_j‖² − 2·sub·c_j — both terms exact decimals (the codegen
+    // kernel) cast to double, so the argmin and its j-tiebreak are
+    // bit-identical on both engines.
+    "pq_codes" -> ((s, dir) =>
+      pqEncoded(s, dir)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+        .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))),
+
+    // ADC (asymmetric distance computation) top-k: the query stays
+    // exact, the corpus is its codes — score(q, v) = Σ_m lut[m][code_m]
+    // where lut = the query's per-subspace inner products with every
+    // codebook entry (PqM·PqK = 128 decimal dots per QUERY, not per
+    // corpus row). The corpus-side scan does 8 array lookups + 8 exact
+    // decimal adds per row — no float multiplies at all — then one
+    // partial top-k per partition + the final window on q_id. The lut
+    // rides in the tiny broadcast query frame.
+    "ann_topk_pq" -> ((s, dir) =>
+      adcRanked(s, dir)
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("score").cast("double"), 6).as("score_r"))),
+
+    // The production PQ composition: ADC shortlists PqRerank=20
+    // candidates from the compressed corpus, then ONLY those rows read
+    // their raw embeddings for an exact-decimal cosine re-rank to
+    // top-k — the standard two-stage shape (compressed scan over
+    // everything, exact math over a constant-size shortlist). The
+    // whole chain — codebook, codes, lut, shortlist, re-rank — is
+    // hash-checked end to end.
+    "ann_topk_pq_rerank" -> ((s, dir) => {
+      val cand = adcRanked(s, dir).filter(col("rank") <= PqRerank)
+        .select(col("q_id"), col("vec_id"))
+      val emb = embWithNorm(s, dir)
+      val qe = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand.join(emb, "vec_id").join(broadcast(qe), "q_id")
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
     "emb_centroid_sim" -> ((s, dir) => {
@@ -414,6 +480,7 @@ object SimilarityQueries {
                                      dir: String): Unit = {
     lshIndexed(s, dir)
     ivfAssigned(s, dir)
+    pqEncoded(s, dir) // codebook + the 8-byte-per-vector code column
     ()
   }
 
@@ -603,6 +670,136 @@ object SimilarityQueries {
       hierarchicalAssignment(s, dir, HierNlist, HierNcoarse)
     }
 
+  // ---- Product-quantization building blocks ------------------------
+
+  /** PQ geometry: PqM subspaces × PqDsub dims (= Dim), PqK codebook
+    * entries per subspace; ADC shortlists PqRerank before the exact
+    * re-rank. 16 codes/subspace = 4 bits — a byte-pair-packable code
+    * word; the fixture keeps K small so every code has ~31 members.
+    */
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqK = 16
+  private val PqRerank = 20
+
+  /** Long-form PQ codebook (m, j, d, c): subspace-m centroid j =
+    * 6-dp-quantized exact-decimal mean over vectors with
+    * vec_id ≡ j (mod PqK). One posexplode + one (PqM·PqK·PqDsub)-group
+    * partial agg — the codebook build is a single linear pass.
+    * Materialized once per (session, dir): it is the index dictionary
+    * every PQ query reads.
+    */
+  private def pqCodebookLong(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "pq_codebook") {
+      pqCodebookLongOf(Tables.embeddings(s, dir), col("vec_id") % PqK)
+    }
+
+  /** The codebook build over an arbitrary (vec_id, embedding) frame
+    * with a caller-chosen init-partition column (the fixture queries
+    * use vec_id mod K; PqRecallSpec uses the true cluster id —
+    * modeling a trained codebook). private[graft] for the spec.
+    */
+  private[graft] def pqCodebookLongOf(emb: org.apache.spark.sql.DataFrame,
+                                      initGroup: Column) =
+    emb
+      .select(initGroup.cast("long").as("j"),
+              posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("j"), (col("i") / PqDsub).cast("long").as("m"),
+              (col("i") % PqDsub).cast("long").as("d"), col("x"))
+      .groupBy(col("m"), col("j"), col("d"))
+      .agg(round(
+        sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+          count(lit(1)), 6).as("c"))
+
+  /** One-row broadcast frame: cents[m+1] = subspace m's codebook as a
+    * j-sorted struct array (j, centroid, ccsq = exact-decimal ‖c‖² as
+    * double — a per-entry constant precomputed once, not re-derived
+    * per corpus row).
+    */
+  private[graft] def pqCentArrOf(cbLong: org.apache.spark.sql.DataFrame) =
+    cbLong
+      .groupBy(col("m"), col("j"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("pairs"))
+      .select(col("m"),
+        struct(col("j"),
+          transform(col("pairs"), p => p.getField("c")).as("centroid")).as("jc"))
+      .select(col("m"),
+        struct(col("jc.j").as("j"), col("jc.centroid").as("centroid"),
+          VectorOps.normSqDecimal(col("jc.centroid")).cast("double").as("ccsq"))
+          .as("jc"))
+      .groupBy(col("m"))
+      .agg(array_sort(collect_list(col("jc"))).as("jcents"))
+      .agg(array_sort(collect_list(struct(col("m"), col("jcents")))).as("mj"))
+      .select(transform(col("mj"), x => x.getField("jcents")).as("cents"))
+
+  private def pqCentArr(s: org.apache.spark.sql.SparkSession, dir: String) =
+    pqCentArrOf(pqCodebookLong(s, dir))
+
+  /** The encoded corpus (vec_id, codes: array of PqM codes) —
+    * materialized once per (session, dir); a pure broadcast projection
+    * (argmin over PqK entries per subspace via the lexicographic
+    * struct min on (dist-surrogate, j)).
+    */
+  private def pqEncoded(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "pq_encoded") {
+      pqEncodedOf(Tables.embeddings(s, dir), pqCentArr(s, dir))
+    }
+
+  private[graft] def pqEncodedOf(emb: org.apache.spark.sql.DataFrame,
+                                 centArr: org.apache.spark.sql.DataFrame) =
+    emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(PqM - 1)), m =>
+          array_min(transform(element_at(col("cents"), (m + 1).cast("int")), c =>
+            struct(
+              (c.getField("ccsq") - lit(2.0) *
+                VectorOps.dotDecimal(
+                  slice(col("embedding"), m * PqDsub + 1, lit(PqDsub)),
+                  c.getField("centroid")).cast("double")).as("dist"),
+              c.getField("j").as("j"))))
+            .getField("j")).as("codes"))
+
+  /** Shared ADC scoring for `ann_topk_pq` / `ann_topk_pq_rerank`:
+    * every (query, corpus vector) pair scored as Σ_m lut[m·K+code_m]
+    * with the per-query lut built once on the broadcast side. Decimal
+    * types are sized so Spark's decimal-addition typing stays exact:
+    * entries (18,14) (|ip| ≤ ~3 for the fixture's |x| ≤ 0.6), the
+    * fold accumulator (22,14) — (22,14)+(18,14) → (23,14), no
+    * precision-loss rescale (the dotDecimalHof pitfall).
+    */
+  private def adcRanked(s: org.apache.spark.sql.SparkSession, dir: String) =
+    adcRankedOf(Tables.embeddings(s, dir), pqCentArr(s, dir),
+      pqEncoded(s, dir), NQueries)
+
+  /** `k` = codebook entries per subspace (the lut stride) — PqK for
+    * the fixture queries; the recall spec's cluster-aligned codebook
+    * has one entry per true cluster.
+    */
+  private[graft] def adcRankedOf(emb: org.apache.spark.sql.DataFrame,
+                                 centArr: org.apache.spark.sql.DataFrame,
+                                 enc: org.apache.spark.sql.DataFrame,
+                                 nq: Int, k: Int = PqK) = {
+    val q = emb.filter(col("vec_id") < nq)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"),
+        flatten(transform(sequence(lit(0), lit(PqM - 1)), m =>
+          transform(element_at(col("cents"), (m + 1).cast("int")), c =>
+            VectorOps.dotDecimal(
+              slice(col("embedding"), m * PqDsub + 1, lit(PqDsub)),
+              c.getField("centroid")).cast("decimal(18,14)")))).as("lut"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        aggregate(sequence(lit(0), lit(PqM - 1)),
+          lit(0).cast("decimal(22,14)"),
+          (acc, m) => (acc + element_at(col("lut"),
+            (m * k + element_at(col("codes"), m + 1) + 1).cast("int")))
+            .cast("decimal(22,14)")))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Per-row centroid ranking (cos desc, list_id asc) over the
     * broadcast `cents` array — a pure projection, no shuffle/window.
     * The codegen'd [[graft.functions.CentroidRanks]] expression
@@ -699,6 +896,56 @@ object SimilarityQueries {
        |  coalesce(n.min_nbr, q.vec_id) AS rep_id,
        |  (n.min_nbr IS NOT NULL) AS is_dup
        |FROM assignedq q LEFT JOIN min_nbr n USING (vec_id)""".stripMargin
+
+  /** Shared PQ CTE chain: codebook (6-dp-quantized decimal means over
+    * the vec_id-mod-K partition) → per-(vec, subspace) assignment via
+    * the double surrogate ‖c‖² − 2·sub·c (both exact decimal sums cast
+    * to double — the engine's formula) → the encoded corpus.
+    */
+  private def pqCtes: String =
+    s"""pdims AS (
+       |  SELECT vec_id % $PqK AS j, (i - 1) // $PqDsub AS m, (i - 1) % $PqDsub AS d,
+       |    CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) t(i)
+       |), cbdims AS (
+       |  SELECT m, j, d,
+       |    round(CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS c
+       |  FROM pdims GROUP BY 1, 2, 3
+       |), cb AS (
+       |  SELECT m, j, list(c ORDER BY d) AS centroid FROM cbdims GROUP BY m, j
+       |), enc_scored AS (
+       |  SELECT e.vec_id, cb.m, cb.j,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqDsub), d ->
+       |      CAST(cb.centroid[d] * cb.centroid[d] AS DECIMAL(28,14)))) AS DOUBLE)
+       |    - 2 * CAST(list_sum(list_transform(generate_series(1, $PqDsub), d ->
+       |      CAST(CAST(e.embedding[cb.m * $PqDsub + d] AS DOUBLE) * cb.centroid[d] AS DECIMAL(28,14)))) AS DOUBLE) AS dist
+       |  FROM embeddings e, cb
+       |), enc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+       |    FROM enc_scored) WHERE rk = 1
+       |)""".stripMargin
+
+  /** ADC continuation of [[pqCtes]]: per-query lookup tables + the
+    * decimal-exact Σ_m lut[code_m] ranking.
+    */
+  private def pqAdcCtes: String =
+    s"""$pqCtes, lut AS (
+       |  SELECT q.vec_id AS q_id, cb.m, cb.j,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqDsub), d ->
+       |      CAST(CAST(q.embedding[cb.m * $PqDsub + d] AS DOUBLE) * cb.centroid[d] AS DECIMAL(28,14)))) AS DECIMAL(28,14)) AS ip
+       |  FROM embeddings q, cb WHERE q.vec_id < $NQueries
+       |), adc AS (
+       |  SELECT l.q_id, c.vec_id, sum(l.ip) AS score
+       |  FROM enc c JOIN lut l ON l.m = c.m AND l.j = c.code
+       |  WHERE c.vec_id <> l.q_id
+       |  GROUP BY 1, 2
+       |), adcranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM adc
+       |)""".stripMargin
 
   // DuckDB twin of VectorOps.cosine: per-element double products
   // rounded to DECIMAL(28,14), exact decimal sum, double finish.
@@ -1012,6 +1259,39 @@ object SimilarityQueries {
     // decisions bit-for-bit (threshold-margin soundness pinned by
     // SemanticGapSpec), so it shares the decimal oracle.
     "dedup_semantic_fast" -> semanticDedupSql,
+
+    "pq_codebook" ->
+      s"""WITH $pqCtes
+         |SELECT CAST(m AS BIGINT) AS m, CAST(j AS BIGINT) AS j,
+         |  CAST(d AS BIGINT) AS d, c
+         |FROM cbdims""".stripMargin,
+
+    "pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+         |FROM enc""".stripMargin,
+
+    "ann_topk_pq" ->
+      s"""WITH $pqAdcCtes
+         |SELECT q_id, rank, vec_id, round(CAST(score AS DOUBLE), 6) AS score_r
+         |FROM adcranked WHERE rank <= $TopK""".stripMargin,
+
+    "ann_topk_pq_rerank" ->
+      s"""WITH $pqAdcCtes, cand AS (
+         |  SELECT q_id, vec_id FROM adcranked WHERE rank <= $PqRerank
+         |), rr AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    ${duckCos("q.embedding", "e.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.q_id
+         |), rrranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM rr
+         |)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM rrranked WHERE rank <= $TopK""".stripMargin,
 
     "emb_lsh_buckets" ->
       s"""WITH planes AS (
