@@ -32,8 +32,10 @@ object ScaleBench {
     "dedup_semantic_fast", "dedup_semantic_hier", "pipeline_source_report",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
     "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step", "kmeans_train",
-    "text_redact", "text_repetition", "pipeline_sample", "pipeline_pack",
-    "pipeline_shuffle")
+    "pq_codes", "ann_topk_pq", "ann_topk_pq_rerank",
+    "text_redact", "text_repetition", "text_c4_filters",
+    "pipeline_sample", "pipeline_mix", "pipeline_pack",
+    "pipeline_shuffle", "events_retention")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -114,6 +114,31 @@ object EventQueries {
         .orderBy(col("n_events").desc, col("user_id"))
         .limit(20)),
 
+    // Z-score anomaly flagging per event_type — the monitoring-side
+    // analytics operator: per-group mean/σ from EXACT decimal sums
+    // (Σv at the money convention, Σv² at the vector convention — both
+    // order-insensitive, so partial aggregation plans can't perturb
+    // them), broadcast back onto the stream, |z| > 2 flags the
+    // outliers. One ~5-group partial agg + one broadcast join + one
+    // projection; z is derived from engine-identical doubles, so the
+    // whole score column hash-matches.
+    "events_anomaly" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("value"))).cast("double").as("s1"),
+             sum((col("value") * col("value")).cast("decimal(28,14)"))
+               .cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+          sqrt(col("s2") / col("n") -
+               (col("s1") / col("n")) * (col("s1") / col("n"))).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mean")) / col("sd"), 6).as("z"),
+          (abs((col("value") - col("mean")) / col("sd")) > 2.0).as("is_outlier"))
+    }),
+
     // Cohort retention matrix — the other canonical event-analytics
     // operator next to funnel: users grouped by first-active day, then
     // for each later day the count of cohort members still active.
@@ -263,6 +288,24 @@ object EventQueries {
         |GROUP BY user_id
         |ORDER BY n_events DESC, user_id
         |LIMIT 20""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value FROM events
+        |), st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, s1 / n AS mean,
+        |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+        |  FROM st
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - m.mean) / m.sd, 6) AS z,
+        |  (abs((e.value - m.mean) / m.sd) > 2.0) AS is_outlier
+        |FROM e JOIN m USING (event_type)""".stripMargin,
 
     "events_retention" ->
       """WITH e AS (

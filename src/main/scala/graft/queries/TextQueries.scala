@@ -232,6 +232,41 @@ object TextQueries {
           col("ok_symbol_ratio") && col("ok_terminal_punct") &&
           col("ok_no_lorem") && col("ok_no_braces") && col("ok_dup_2gram"))),
 
+    // ONE FULL BPE MERGE ITERATION — closes the loop text_bpe_pairs
+    // opens: pick the globally winning pair (count desc, pair asc),
+    // APPLY it to every word (greedy left-to-right non-overlapping
+    // replacement — the BPE convention, and exactly what literal
+    // `replace()` does in both engines; the merged symbol becomes '#',
+    // absent from the corpus alphabet), and emit the NEXT iteration's
+    // statistics: the post-merge top-20 adjacent-symbol pair counts
+    // (pairs may now contain '#' — merged-symbol adjacency, the real
+    // BPE state). A tokenizer build is this query iterated with the
+    // growing merge table as the symbol map — the bounded-fixpoint
+    // pattern of kmeans_train. Shape: the winner is a 1-row broadcast;
+    // the apply+recount is one generator projection + one
+    // partial-aggregable agg — linear at any corpus size.
+    "text_bpe_merge" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val winner = toks
+        .filter(length(col("tok")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1)
+        .select(col("p").as("winner"))
+      toks.crossJoin(broadcast(winner))
+        .select(expr("replace(tok, winner, '#')").as("sym"))
+        .filter(length(col("sym")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("sym")) - 1),
+          i => col("sym").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -448,6 +483,25 @@ object TextQueries {
         |  FROM toks WHERE length(tok) >= 2
         |)
         |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "text_bpe_merge" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), w AS (
+        |  SELECT p AS winner FROM (
+        |    SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+        |      i -> substr(tok, i, 2))) AS p
+        |    FROM toks WHERE length(tok) >= 2
+        |  ) GROUP BY p ORDER BY count(*) DESC, p LIMIT 1
+        |), merged AS (
+        |  SELECT replace(tok, winner, '#') AS sym FROM toks, w
+        |), p2 AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(sym) - 1),
+        |    i -> substr(sym, i, 2))) AS pair
+        |  FROM merged WHERE length(sym) >= 2
+        |)
+        |SELECT pair, count(*) AS cnt FROM p2
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "text_bpe_tokens" ->
