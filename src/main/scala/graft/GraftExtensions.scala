@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CentroidRanks, DecimalDotProduct, FloatVectorCosine,
-  MinHashSig, ShingleHashes, SimHash32}
+  MinHashSig, PqCodes, ShingleHashes, SimHash32}
 
 /** Session-extension entry point: registers the library's native
   * expressions at session build time —
@@ -43,5 +43,8 @@ object GraftExtensions {
      }),
     (FunctionIdentifier("centroid_ranks"),
      new ExpressionInfo(classOf[CentroidRanks].getName, "centroid_ranks"),
-     (exprs: Seq[Expression]) => CentroidRanks(exprs.head, exprs(1), exprs(2))))
+     (exprs: Seq[Expression]) => CentroidRanks(exprs.head, exprs(1), exprs(2))),
+    (FunctionIdentifier("pq_encode"),
+     new ExpressionInfo(classOf[PqCodes].getName, "pq_encode"),
+     (exprs: Seq[Expression]) => PqCodes(exprs.head, exprs(1))))
 }

@@ -745,8 +745,24 @@ object SimilarityQueries {
       pqEncodedOf(Tables.embeddings(s, dir), pqCentArr(s, dir))
     }
 
+  /** The production encode: one compiled [[graft.functions.PqCodes]]
+    * pass per row (the fused M × K × Dsub loop inside
+    * WholeStageCodegen). Bit-identical to [[pqEncodedHofOf]], the
+    * interpreted reference formulation `PqCodesSpec` cross-checks.
+    */
   private[graft] def pqEncodedOf(emb: org.apache.spark.sql.DataFrame,
                                  centArr: org.apache.spark.sql.DataFrame) =
+    emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        graft.functions.PqCodes(col("embedding"), col("cents")).as("codes"))
+
+  /** The higher-order-function reference formulation of the encoder
+    * (per subspace: array_min over (surrogate-dist, j) structs) —
+    * kept as the independent route the codegen expression is
+    * spec-checked against, the DecimalDotProductSpec pattern.
+    */
+  private[graft] def pqEncodedHofOf(emb: org.apache.spark.sql.DataFrame,
+                                    centArr: org.apache.spark.sql.DataFrame) =
     emb.crossJoin(broadcast(centArr))
       .select(col("vec_id"),
         transform(sequence(lit(0), lit(PqM - 1)), m =>
