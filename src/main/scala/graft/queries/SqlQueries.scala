@@ -82,6 +82,30 @@ object SqlQueries {
         |  round(CAST(vec_dot_decimal(e.embedding, e.embedding) AS DOUBLE), 6) AS self_dot_r
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin),
 
+    // RECURSIVE CTE (new SQL surface in Spark 4): calendar gap-fill —
+    // generate the first 60 days from the first order date and count
+    // orders per day INCLUDING empty days (the time-series densify
+    // every dashboard needs; a lateral generate_series does the same
+    // at engines that have it — the recursion is the portable form,
+    // and the same construct DuckDB uses in our connected-components
+    // oracle). Depth 60 stays under Spark's default
+    // cteRecursionLevelLimit of 100.
+    "q_sql_recursive" -> sql(
+      """WITH RECURSIVE ms AS (
+        |  -- o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+        |  -- cast is an identity reinterpretation to epoch millis
+        |  SELECT unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS t FROM orders
+        |), days(day_ms, k) AS (
+        |  SELECT (SELECT min(t - t % 86400000) FROM ms) AS day_ms, 0 AS k
+        |  UNION ALL
+        |  SELECT day_ms + 86400000, k + 1 FROM days WHERE k < 59
+        |), per_day AS (
+        |  SELECT t - t % 86400000 AS day_ms, count(*) AS n
+        |  FROM ms GROUP BY 1
+        |)
+        |SELECT d.day_ms, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
+        |FROM days d LEFT JOIN per_day p ON p.day_ms = d.day_ms""".stripMargin),
+
     // Full outer join: per-nation customer vs supplier counts.
     "q_sql_outer_join" -> sql(
       """SELECT coalesce(c.k, s.k) AS nationkey,
@@ -147,6 +171,20 @@ object SqlQueries {
         |FROM toks t
         |JOIN sh s USING (doc_id) JOIN ng n USING (doc_id) JOIN mh m USING (doc_id)
         |JOIN embeddings e ON e.vec_id = t.doc_id""".stripMargin,
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE days(day_ms, k) AS (
+        |  SELECT (SELECT min(epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % 86400000)
+        |          FROM orders), 0
+        |  UNION ALL
+        |  SELECT day_ms + 86400000, k + 1 FROM days WHERE k < 59
+        |), per_day AS (
+        |  SELECT epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % 86400000 AS day_ms,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT d.day_ms, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
+        |FROM days d LEFT JOIN per_day p ON p.day_ms = d.day_ms""".stripMargin,
 
     "q_sql_outer_join" ->
       """SELECT coalesce(c.k, s.k) AS nationkey,
