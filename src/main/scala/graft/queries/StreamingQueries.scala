@@ -349,6 +349,39 @@ object StreamingQueries {
     // attribution joins. Cross-batch matches (view in batch k, purchase
     // in batch k+1) exercise the buffered join state; bounded replay ≡
     // the batch interval join, so the oracle is exact.
+    // Stream-STATIC join — the enrichment operator class the planner
+    // treats distinctly from stream-stream: the arriving stream joins
+    // a static dimension (here the per-type mean/σ stats aggregated
+    // once from the base table — a broadcastable dim; at 100 TB the
+    // static side is a warehouse table and the join keeps NO state,
+    // each micro-batch planning it like a batch join). The enriched
+    // stream counts |z| > 2 outliers per (type, 1 h window) — the
+    // streaming twin of events_anomaly's scoring, and incremental ≡
+    // batch is proven by the batch oracle.
+    "stream_static_join" -> ((s, dir) => {
+      val stats = graft.tables.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("value"))).cast("double").as("s1"),
+             sum((col("value") * col("value")).cast("decimal(28,14)"))
+               .cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+          sqrt(col("s2") / col("n") -
+               (col("s1") / col("n")) * (col("s1") / col("n"))).as("sd"))
+      val out = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .join(broadcast(stats), "event_type")
+        .withColumn("is_outlier",
+          abs((col("value") - col("mean")) / col("sd")) > 2.0)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"),
+                unix_millis(col("window.start")).as("window_start_ms"),
+                col("cnt"), col("n_outliers"))
+      runToMemory(s, out)
+    }),
+
     "stream_stream_join" -> ((s, dir) => {
       val views = eventsStream(s, dir)
         .filter(col("event_type") === "view")
@@ -546,6 +579,36 @@ object StreamingQueries {
     // hash-match proves ingest-incremental ≡ batch for the dedup
     // decision itself.
     "stream_incremental_dedup" -> DedupQueries.oracleSql("dedup_incremental"),
+
+    // Batch twin of the stream-static enrichment: same stats, same
+    // z-threshold, same hourly grouping — every window closes by the
+    // end of the replay, so no cutoff term is needed.
+    "stream_static_join" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events
+        |), st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, s1 / n AS mean,
+        |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+        |  FROM st
+        |)
+        |, agg AS (
+        |  SELECT e.event_type,
+        |    e.ts_ms - e.ts_ms % 3600000 AS window_start_ms,
+        |    count(*) AS cnt,
+        |    CAST(sum(CASE WHEN abs((e.value - m.mean) / m.sd) > 2.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM e JOIN m USING (event_type)
+        |  GROUP BY 1, 2
+        |)
+        |-- append-mode cutoff: a window emits once the final watermark
+        |-- (= max event time) passes its end
+        |SELECT * FROM agg
+        |WHERE window_start_ms + 3600000 <= (SELECT max(ts_ms) FROM e)""".stripMargin,
 
     "stream_stream_join" ->
       """WITH e AS (
