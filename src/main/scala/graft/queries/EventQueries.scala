@@ -162,6 +162,56 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Deterministic HYPERLOGLOG distinct-count sketch (Flajolet et al.
+    // 2007) — the approximate aggregate every OLAP engine ships,
+    // made EXACTLY oracle-checkable by building the sketch on the
+    // md5 hash route both engines share: h = 60-bit md5 prefix,
+    // register = h mod 256, rho = leading-zero rank of the remaining
+    // 52-bit field (computed via binary-string length — pure integer
+    // math, no float log), register value = max rho. The harmonic
+    // term Σ2^(−Mj) is scaled to the INTEGER Σ2^(53−Mj) (≤ 2^61, an
+    // exact BIGINT sum — double summation order could differ across
+    // partial-agg plans), and the standard small-range linear-counting
+    // correction applies below 2.5m with empty registers. The fixture
+    // exercises both branches (linear counting at sf≤0.01, raw HLL at
+    // sf0.1). Shape: one projection + one 256-group partial agg — the
+    // sketch IS mergeable state, which is why engines ship it for
+    // 100 TB distinct counts.
+    "sketch_hll_users" -> ((s, dir) => {
+      val m = 256
+      val e = Tables.events(s, dir).select(col("user_id"))
+      val regs = e
+        .select(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .select((col("h") % m).as("reg"),
+                expr("CAST(h DIV 256 AS BIGINT)").as("rest"))
+        .withColumn("rho", when(col("rest") === 0, 53L)
+          .otherwise(lit(53L) - length(conv(col("rest"), 10, 2))))
+        .groupBy(col("reg")).agg(max(col("rho")).as("mj"))
+      val agg = regs.agg(
+        count(lit(1)).as("n_present"),
+        sum(pow(lit(2.0), lit(53) - col("mj")).cast("long")).as("sum_present"))
+      val truth = e.agg(countDistinct(col("user_id")).as("true_distinct"))
+      // alpha_256·m²·2^53 — evaluated in the same literal order DuckDB
+      // uses, so the constant is bit-identical
+      val hllC = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+      agg.crossJoin(truth)
+        .withColumn("zeros", lit(m.toLong) - col("n_present"))
+        .withColumn("sum_terms",
+          col("sum_present") + col("zeros") * lit(1L << 53))
+        .withColumn("est_raw", lit(hllC) / col("sum_terms"))
+        .withColumn("estimate",
+          when(col("est_raw") <= 2.5 * m && col("zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+            .otherwise(col("est_raw")))
+        .select(lit(m.toLong).as("m"), col("n_present"), col("zeros"),
+                round(col("est_raw"), 6).as("est_raw_r"),
+                round(col("estimate"), 6).as("estimate_r"),
+                col("true_distinct"),
+                round((col("estimate") - col("true_distinct")) /
+                      col("true_distinct"), 6).as("rel_err_r"))
+    }),
+
     // Ordered funnel (sequential pattern): users reaching
     // view → click-after-view → purchase-after-click, by strict event
     // order. Each stage is one partial-aggregable min per user + one
@@ -320,6 +370,47 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "sketch_hll_users" ->
+      """WITH h AS (
+        |  SELECT (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT h % 256 AS reg, h // 256 AS rest FROM h
+        |), rr AS (
+        |  SELECT reg, CASE WHEN rest = 0 THEN 53
+        |              ELSE 53 - length(to_base(rest, 2)) END AS rho
+        |  FROM r
+        |), regs AS (
+        |  SELECT reg, max(rho) AS mj FROM rr GROUP BY reg
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_present,
+        |         CAST(sum(CAST(power(2, 53 - mj) AS BIGINT)) AS BIGINT) AS sum_present
+        |  FROM regs
+        |), t AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct FROM events
+        |), c AS (
+        |  SELECT n_present, CAST(256 - n_present AS BIGINT) AS zeros,
+        |    sum_present + (256 - n_present) * 9007199254740992 AS sum_terms,
+        |    true_distinct
+        |  FROM a, t
+        |), est AS (
+        |  SELECT *,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |      / sum_terms AS est_raw,
+        |    CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |              / sum_terms <= 640.0 AND 256 - n_present > 0
+        |         THEN 256.0 * ln(256.0 / (256 - n_present))
+        |         ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |              / sum_terms END AS estimate
+        |  FROM c
+        |)
+        |SELECT CAST(256 AS BIGINT) AS m, n_present, zeros,
+        |  round(est_raw, 6) AS est_raw_r,
+        |  round(estimate, 6) AS estimate_r,
+        |  true_distinct,
+        |  round((estimate - true_distinct) / true_distinct, 6) AS rel_err_r
+        |FROM est""".stripMargin,
 
     "events_funnel" ->
       """WITH e AS (

@@ -267,6 +267,45 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Deterministic COUNT-MIN sketch (Cormode & Muthukrishnan 2005) —
+    // the bounded-memory heavy-hitter counter: d=4 hash rows × w=64
+    // counters, each row keyed by a domain-separated md5 hash (the
+    // cross-engine route), estimate = min over rows of the collided
+    // counter — an OVER-estimate by construction, never under. The
+    // query audits the sketch against exact truth on the global top-10
+    // tokens: one generator projection (4 rows per token occurrence) +
+    // one 256-group partial agg for the sketch, one exact agg for the
+    // truth, one tiny join for the audit. All-integer math — the hash
+    // check is exact. At 100 TB the 4×64 counter table is the
+    // mergeable fixed-size state that replaces a billion-row exact
+    // count when only the heavy tail matters.
+    "sketch_cms_tokens" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val cms = toks
+        .select(col("token"), explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("r"),
+          (TextOps.tokenHash31(concat(col("token"), lit("#cms"),
+            col("r").cast("string"))) % 64).as("bucket"))
+        .groupBy(col("r"), col("bucket"))
+        .agg(count(lit(1)).as("counter"))
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt_true"))
+        .orderBy(col("cnt_true").desc, col("token"))
+        .limit(10)
+      top
+        .select(col("token"), col("cnt_true"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("token"), col("cnt_true"), col("r"),
+          (TextOps.tokenHash31(concat(col("token"), lit("#cms"),
+            col("r").cast("string"))) % 64).as("bucket"))
+        .join(broadcast(cms), Seq("r", "bucket"))
+        .groupBy(col("token"), col("cnt_true"))
+        .agg(min(col("counter")).as("cnt_cms"))
+        .select(col("token"), col("cnt_true"), col("cnt_cms"),
+                (col("cnt_cms") - col("cnt_true")).as("overcount"))
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -484,6 +523,32 @@ object TextQueries {
         |)
         |SELECT pair, count(*) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "sketch_cms_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), hashed AS (
+        |  SELECT r, (CAST(concat('0x', substr(md5(concat(token, '#cms', CAST(r AS VARCHAR))), 1, 14)) AS BIGINT)
+        |             % 2147483647) % 64 AS bucket
+        |  FROM toks, generate_series(0, 3) t(r)
+        |), cms AS (
+        |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS counter
+        |  FROM hashed GROUP BY 1, 2
+        |), top AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt_true
+        |  FROM toks GROUP BY 1
+        |  ORDER BY cnt_true DESC, token LIMIT 10
+        |), probes AS (
+        |  SELECT t.token, t.cnt_true, g.r,
+        |    (CAST(concat('0x', substr(md5(concat(t.token, '#cms', CAST(g.r AS VARCHAR))), 1, 14)) AS BIGINT)
+        |     % 2147483647) % 64 AS bucket
+        |  FROM top t, generate_series(0, 3) g(r)
+        |)
+        |SELECT p.token, p.cnt_true,
+        |  CAST(min(c.counter) AS BIGINT) AS cnt_cms,
+        |  CAST(min(c.counter) - p.cnt_true AS BIGINT) AS overcount
+        |FROM probes p JOIN cms c USING (r, bucket)
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_bpe_merge" ->
       """WITH toks AS (
