@@ -306,6 +306,46 @@ object TextQueries {
                 (col("cnt_cms") - col("cnt_true")).as("overcount"))
     }),
 
+    // BPE VOCAB TRAINING to a bounded number of merges — the
+    // text_bpe_merge step iterated with the growing merge table, the
+    // same bounded-fixpoint pattern as kmeans_train / connected
+    // components (per-round localCheckpoint truncates the lineage so
+    // round N's plan doesn't embed rounds 1..N−1). Each round: global
+    // pair statistics over the CURRENT symbol sequences → winning pair
+    // (count desc, pair asc) → greedy non-overlapping apply (merged
+    // pair becomes a fresh single placeholder symbol, so later rounds
+    // can merge INTO it — real BPE state). Output = the merge table
+    // (round, winning pair, application count): exactly what a
+    // tokenizer build persists. Each round is one generator projection
+    // + one partial-aggregable agg + a 1-row broadcast — O(rounds·n)
+    // at any corpus size, and the unrolled-round DuckDB twin proves
+    // every round end to end.
+    "text_bpe_train" -> ((s, dir) => {
+      val placeholders = Seq("#", "@", "~")
+      var syms = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("sym"))
+      val perRound = placeholders.zipWithIndex.map { case (ph, r) =>
+        val winner = syms.filter(length(col("sym")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("sym")) - 1),
+            i => col("sym").substr(i, lit(2)))).as("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("p")).limit(1)
+          .select(col("p").as("winner"))
+        val merged = syms.crossJoin(broadcast(winner))
+          .select(col("winner"), col("sym"),
+            expr(s"replace(sym, winner, '$ph')").as("sym2"))
+        val stats = merged.groupBy(col("winner"))
+          .agg(sum((length(col("sym")) - length(col("sym2"))).cast("long"))
+            .as("n_applied"))
+          .select(lit(r + 1L).as("round"), col("winner").as("pair"),
+                  col("n_applied"))
+        syms = merged.select(col("sym2").as("sym")).localCheckpoint()
+        stats
+      }
+      perRound.reduce(_.unionByName(_))
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -549,6 +589,44 @@ object TextQueries {
         |  CAST(min(c.counter) - p.cnt_true AS BIGINT) AS overcount
         |FROM probes p JOIN cms c USING (r, bucket)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Unrolled 3-round twin: each round recomputes the winner over the
+    // previous round's replaced symbols.
+    "text_bpe_train" -> {
+      def winnerCte(src: String, w: String) =
+        s"""$w AS (
+           |  SELECT p AS winner FROM (
+           |    SELECT unnest(list_transform(generate_series(1, length(sym) - 1),
+           |      i -> substr(sym, i, 2))) AS p
+           |    FROM $src WHERE length(sym) >= 2
+           |  ) GROUP BY p ORDER BY count(*) DESC, p LIMIT 1
+           |)""".stripMargin
+      s"""WITH s0 AS (
+         |  SELECT unnest(string_split(text, ' ')) AS sym FROM documents
+         |), ${winnerCte("s0", "w1")}, m1 AS (
+         |  SELECT s0.sym, replace(s0.sym, w1.winner, '#') AS sym2, w1.winner
+         |  FROM s0, w1
+         |), s1 AS (SELECT sym2 AS sym FROM m1),
+         |${winnerCte("s1", "w2")}, m2 AS (
+         |  SELECT s1.sym, replace(s1.sym, w2.winner, '@') AS sym2, w2.winner
+         |  FROM s1, w2
+         |), s2 AS (SELECT sym2 AS sym FROM m2),
+         |${winnerCte("s2", "w3")}, m3 AS (
+         |  SELECT s2.sym, replace(s2.sym, w3.winner, '~') AS sym2, w3.winner
+         |  FROM s2, w3
+         |)
+         |SELECT CAST(1 AS BIGINT) AS round, winner AS pair,
+         |  CAST(sum(length(sym) - length(sym2)) AS BIGINT) AS n_applied
+         |FROM m1 GROUP BY 2
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), winner,
+         |  CAST(sum(length(sym) - length(sym2)) AS BIGINT)
+         |FROM m2 GROUP BY 2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), winner,
+         |  CAST(sum(length(sym) - length(sym2)) AS BIGINT)
+         |FROM m3 GROUP BY 2""".stripMargin
+    },
 
     "text_bpe_merge" ->
       """WITH toks AS (
