@@ -35,7 +35,8 @@ object ScaleBench {
     "pq_codes", "ann_topk_pq", "ann_topk_pq_rerank",
     "text_redact", "text_repetition", "text_c4_filters",
     "pipeline_sample", "pipeline_mix", "pipeline_pack",
-    "pipeline_shuffle", "events_retention")
+    "pipeline_shuffle", "pipeline_dataset_card", "events_retention",
+    "sketch_hll_users", "sketch_cms_tokens", "text_bpe_train")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -53,7 +54,8 @@ object ScaleBench {
     * O(keys-in-horizon).
     */
   private val StreamScaledQueries = Seq(
-    "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join")
+    "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join",
+    "stream_static_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -17,6 +17,18 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Multi-format SOURCE coverage (SURVEY §2.3 notes the reference
+    // has no file scans at all): the documents table re-materialized
+    // as CSV / JSON lines / ORC and read back through each reader with
+    // an explicit schema, then aggregated — the write→read round trip
+    // sits INSIDE the hash-checked path, so a quoting/escaping/type
+    // mapping bug in either direction breaks the oracle match
+    // (sum_text_len is the sensitive column: the text field carries
+    // spaces and must survive CSV quoting byte-exactly).
+    "q_scan_csv" -> ((s, dir) => scanVia(s, dir, "csv")),
+    "q_scan_json" -> ((s, dir) => scanVia(s, dir, "json")),
+    "q_scan_orc" -> ((s, dir) => scanVia(s, dir, "orc")),
+
     // TPC-H Q1-style scan→filter→agg (pruned columns, pushed filter).
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -261,7 +273,34 @@ object RelationalQueries {
     })
   )
 
+  /** Shared body of the format-source queries: read `documents`
+    * through the given format's round trip and aggregate per lang.
+    */
+  private def scanVia(s: org.apache.spark.sql.SparkSession, dir: String,
+                      fmt: String) =
+    graft.tables.FormatSources.documentsVia(s, dir, fmt)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           sum(length(col("text")).cast("long")).as("sum_text_len"),
+           min(col("doc_id")).as("min_doc_id"),
+           max(col("doc_id")).as("max_doc_id"))
+
+  /** One oracle text shared by all three formats — the round trip must
+    * reproduce the original parquet exactly.
+    */
+  private val scanOracle =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents
+      |GROUP BY lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_scan_csv" -> scanOracle,
+    "q_scan_json" -> scanOracle,
+    "q_scan_orc" -> scanOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

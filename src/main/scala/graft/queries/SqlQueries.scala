@@ -106,6 +106,22 @@ object SqlQueries {
         |SELECT d.day_ms, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
         |FROM days d LEFT JOIN per_day p ON p.day_ms = d.day_ms""".stripMargin),
 
+    // UNPIVOT (wide → long melt, the inverse of events_pivot): the
+    // per-line charge columns melted to (charge_type, amount) rows and
+    // re-aggregated — Spark's UNPIVOT clause generates the rows before
+    // the partial agg, so the plan is one generator + one hash agg.
+    // The oracle uses the portable UNION ALL form (same semantics).
+    "q_sql_unpivot" -> sql(
+      """SELECT l_returnflag, charge_type,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_returnflag, charge_type, amount
+        |  FROM lineitem
+        |  UNPIVOT (amount FOR charge_type IN (
+        |    l_extendedprice AS price, l_discount AS discount, l_tax AS tax))
+        |)
+        |GROUP BY 1, 2""".stripMargin),
+
     // Full outer join: per-nation customer vs supplier counts.
     "q_sql_outer_join" -> sql(
       """SELECT coalesce(c.k, s.k) AS nationkey,
@@ -185,6 +201,18 @@ object SqlQueries {
         |)
         |SELECT d.day_ms, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
         |FROM days d LEFT JOIN per_day p ON p.day_ms = d.day_ms""".stripMargin,
+
+    "q_sql_unpivot" ->
+      """SELECT l_returnflag, charge_type,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_returnflag, 'price' AS charge_type, l_extendedprice AS amount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+        |)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_sql_outer_join" ->
       """SELECT coalesce(c.k, s.k) AS nationkey,
