@@ -178,38 +178,10 @@ object EventQueries {
     // sketch IS mergeable state, which is why engines ship it for
     // 100 TB distinct counts.
     "sketch_hll_users" -> ((s, dir) => {
-      val m = 256
       val e = Tables.events(s, dir).select(col("user_id"))
-      val regs = e
-        .select(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-        .select((col("h") % m).as("reg"),
-                expr("CAST(h DIV 256 AS BIGINT)").as("rest"))
-        .withColumn("rho", when(col("rest") === 0, 53L)
-          .otherwise(lit(53L) - length(conv(col("rest"), 10, 2))))
-        .groupBy(col("reg")).agg(max(col("rho")).as("mj"))
-      val agg = regs.agg(
-        count(lit(1)).as("n_present"),
-        sum(pow(lit(2.0), lit(53) - col("mj")).cast("long")).as("sum_present"))
-      val truth = e.agg(countDistinct(col("user_id")).as("true_distinct"))
-      // alpha_256·m²·2^53 — evaluated in the same literal order DuckDB
-      // uses, so the constant is bit-identical
-      val hllC = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
-      agg.crossJoin(truth)
-        .withColumn("zeros", lit(m.toLong) - col("n_present"))
-        .withColumn("sum_terms",
-          col("sum_present") + col("zeros") * lit(1L << 53))
-        .withColumn("est_raw", lit(hllC) / col("sum_terms"))
-        .withColumn("estimate",
-          when(col("est_raw") <= 2.5 * m && col("zeros") > 0,
-            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
-            .otherwise(col("est_raw")))
-        .select(lit(m.toLong).as("m"), col("n_present"), col("zeros"),
-                round(col("est_raw"), 6).as("est_raw_r"),
-                round(col("estimate"), 6).as("estimate_r"),
-                col("true_distinct"),
-                round((col("estimate") - col("true_distinct")) /
-                      col("true_distinct"), 6).as("rel_err_r"))
+      hllFinish(
+        hllRegisters(e).groupBy(col("reg")).agg(max(col("rho")).as("mj")),
+        e.agg(countDistinct(col("user_id")).as("true_distinct")))
     }),
 
     // Ordered funnel (sequential pattern): users reaching
@@ -236,6 +208,52 @@ object EventQueries {
         .unionByName(stage("3_purchase", p))
     })
   )
+
+  /** Per-row HLL register projection: (reg, rho) from the 60-bit md5
+    * prefix — the mergeable half of the sketch ([[hllFinish]] is the
+    * other). private[graft]: the streaming query builds PER-BATCH
+    * partial sketches with the same projection and merges them by
+    * register max.
+    */
+  private[graft] def hllRegisters(users: org.apache.spark.sql.DataFrame) =
+    users
+      .select(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .select((col("h") % 256).as("reg"),
+              expr("CAST(h DIV 256 AS BIGINT)").as("rest"))
+      .withColumn("rho", when(col("rest") === 0, 53L)
+        .otherwise(lit(53L) - length(conv(col("rest"), 10, 2))))
+      .select(col("reg"), col("rho"))
+
+  /** The estimate finish over a merged (reg, mj) register table:
+    * integer-scaled harmonic sum + linear-counting correction, audited
+    * against `truth` (a 1-row `true_distinct` frame).
+    */
+  private[graft] def hllFinish(regs: org.apache.spark.sql.DataFrame,
+                               truth: org.apache.spark.sql.DataFrame) = {
+    val m = 256
+    // alpha_256·m²·2^53 — evaluated in the same literal order DuckDB
+    // uses, so the constant is bit-identical
+    val hllC = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+    regs.agg(
+        count(lit(1)).as("n_present"),
+        sum(pow(lit(2.0), lit(53) - col("mj")).cast("long")).as("sum_present"))
+      .crossJoin(truth)
+      .withColumn("zeros", lit(m.toLong) - col("n_present"))
+      .withColumn("sum_terms",
+        col("sum_present") + col("zeros") * lit(1L << 53))
+      .withColumn("est_raw", lit(hllC) / col("sum_terms"))
+      .withColumn("estimate",
+        when(col("est_raw") <= 2.5 * m && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("est_raw")))
+      .select(lit(m.toLong).as("m"), col("n_present"), col("zeros"),
+              round(col("est_raw"), 6).as("est_raw_r"),
+              round(col("estimate"), 6).as("estimate_r"),
+              col("true_distinct"),
+              round((col("estimate") - col("true_distinct")) /
+                    col("true_distinct"), 6).as("rel_err_r"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     // epoch_ns // 1000000 ≡ the engine's ts_ms (integer floor division

@@ -484,6 +484,41 @@ object StreamingQueries {
       s.read.parquet(out.toString)
     }),
 
+    // Streaming HLL: the distinct-count sketch accumulated ACROSS
+    // micro-batches — each batch computes its partial (reg, max rho)
+    // register table (the identical projection as the batch sketch),
+    // the partials append to a register log, and the final merge is
+    // max-per-register + the same estimate finish. Sketch mergeability
+    // IS the property that makes HLL the streaming/distributed
+    // distinct counter, and the hash-match against sketch_hll_users'
+    // oracle proves merge(partials) ≡ batch sketch exactly. At scale
+    // the register log is the sketch state a streaming agg holds
+    // per-key; foreachBatch + parquet models it observably.
+    "stream_hll_users" -> ((s, dir) => {
+      val regDir = Files.createTempDirectory("graft-hll-regs-")
+      sys.addShutdownHook(deleteRecursively(regDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("user_id"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.hllRegisters(batch)
+            .groupBy(col("reg")).agg(max(col("rho")).as("mj"))
+            .write.mode("append").parquet(regDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(regDir.toString)
+        .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+      EventQueries.hllFinish(merged,
+        graft.tables.Tables.events(s, dir)
+          .agg(countDistinct(col("user_id")).as("true_distinct")))
+    }),
+
     // The same MapState+timer machine on the MODERN arbitrary-state
     // API (transformWithState, Spark 4.x): real per-key MapState + one
     // registered timer per open window — the literal structural twin
@@ -579,6 +614,10 @@ object StreamingQueries {
     // hash-match proves ingest-incremental ≡ batch for the dedup
     // decision itself.
     "stream_incremental_dedup" -> DedupQueries.oracleSql("dedup_incremental"),
+
+    // Merge of per-batch partial sketches ≡ the batch sketch — shares
+    // the batch HLL oracle.
+    "stream_hll_users" -> EventQueries.oracleSql("sketch_hll_users"),
 
     // Batch twin of the stream-static enrichment: same stats, same
     // z-threshold, same hourly grouping — every window closes by the
