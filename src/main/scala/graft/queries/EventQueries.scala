@@ -125,15 +125,7 @@ object EventQueries {
     "events_anomaly" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("value"))
-      val stats = e.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-             sum(dec(col("value"))).cast("double").as("s1"),
-             sum((col("value") * col("value")).cast("decimal(28,14)"))
-               .cast("double").as("s2"))
-        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
-          sqrt(col("s2") / col("n") -
-               (col("s1") / col("n")) * (col("s1") / col("n"))).as("sd"))
-      e.join(broadcast(stats), "event_type")
+      e.join(broadcast(anomalyStats(e)), "event_type")
         .select(col("event_id"), col("event_type"),
           round((col("value") - col("mean")) / col("sd"), 6).as("z"),
           (abs((col("value") - col("mean")) / col("sd")) > 2.0).as("is_outlier"))
@@ -209,6 +201,21 @@ object EventQueries {
     })
   )
 
+  /** Per-type (mean, sd) from EXACT decimal moment sums — the static
+    * scoring dimension shared by `events_anomaly` and the streaming
+    * `stream_static_join` (one definition, so the "streaming twin"
+    * equivalence can never drift).
+    */
+  private[graft] def anomalyStats(e: org.apache.spark.sql.DataFrame) =
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("s1"),
+           sum((col("value") * col("value")).cast("decimal(28,14)"))
+             .cast("double").as("s2"))
+      .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+        sqrt(col("s2") / col("n") -
+             (col("s1") / col("n")) * (col("s1") / col("n"))).as("sd"))
+
   /** Per-row HLL register projection: (reg, rho) from the 60-bit md5
     * prefix — the mergeable half of the sketch ([[hllFinish]] is the
     * other). private[graft]: the streaming query builds PER-BATCH
@@ -243,6 +250,12 @@ object EventQueries {
       .withColumn("sum_terms",
         col("sum_present") + col("zeros") * lit(1L << 53))
       .withColumn("est_raw", lit(hllC) / col("sum_terms"))
+      // the linear-counting ln is the one non-correctly-rounded libm
+      // call in a checked column; its argument domain is FINITE
+      // (zeros ∈ 1..255), and all 255 values were verified to round
+      // identically (6 dp) under JVM Math.log and DuckDB ln in this
+      // container — the 1-ulp divergence risk is discharged by
+      // enumeration, not assumed away
       .withColumn("estimate",
         when(col("est_raw") <= 2.5 * m && col("zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))

@@ -790,6 +790,14 @@ object SimilarityQueries {
   /** `k` = codebook entries per subspace (the lut stride) — PqK for
     * the fixture queries; the recall spec's cluster-aligned codebook
     * has one entry per true cluster.
+    *
+    * POSITIONAL-LUT CONTRACT: `lut[m·k + code + 1]` assumes every
+    * subspace's j-sorted entries are exactly j = 0..k−1 with no gaps —
+    * true for every caller (mod-K and division init groups over a
+    * corpus that populates every class; PqCodesSpec asserts the
+    * contiguity on the fixture codebook). An init scheme that can
+    * leave empty classes must densify j first or the lut reads the
+    * wrong entry silently.
     */
   private[graft] def adcRankedOf(emb: org.apache.spark.sql.DataFrame,
                                  centArr: org.apache.spark.sql.DataFrame,

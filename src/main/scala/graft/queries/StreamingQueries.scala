@@ -341,14 +341,6 @@ object StreamingQueries {
         .select(col("key"), col("windowEndMs").as("window_end_ms"), col("cnt"))
     }),
 
-    // Stream-stream inner join with event-time range bounds: views
-    // joined to the same user's purchases within the following hour.
-    // Watermarks on BOTH sides + the time-range condition let the
-    // engine purge join state once the watermark passes ts_v + 1 h —
-    // bounded state at unbounded input, the production shape for
-    // attribution joins. Cross-batch matches (view in batch k, purchase
-    // in batch k+1) exercise the buffered join state; bounded replay ≡
-    // the batch interval join, so the oracle is exact.
     // Stream-STATIC join — the enrichment operator class the planner
     // treats distinctly from stream-stream: the arriving stream joins
     // a static dimension (here the per-type mean/σ stats aggregated
@@ -359,15 +351,9 @@ object StreamingQueries {
     // streaming twin of events_anomaly's scoring, and incremental ≡
     // batch is proven by the batch oracle.
     "stream_static_join" -> ((s, dir) => {
-      val stats = graft.tables.Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-             sum(dec(col("value"))).cast("double").as("s1"),
-             sum((col("value") * col("value")).cast("decimal(28,14)"))
-               .cast("double").as("s2"))
-        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
-          sqrt(col("s2") / col("n") -
-               (col("s1") / col("n")) * (col("s1") / col("n"))).as("sd"))
+      val stats = EventQueries.anomalyStats(
+        graft.tables.Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")))
       val out = eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .join(broadcast(stats), "event_type")
@@ -382,6 +368,14 @@ object StreamingQueries {
       runToMemory(s, out)
     }),
 
+    // Stream-stream inner join with event-time range bounds: views
+    // joined to the same user's purchases within the following hour.
+    // Watermarks on BOTH sides + the time-range condition let the
+    // engine purge join state once the watermark passes ts_v + 1 h —
+    // bounded state at unbounded input, the production shape for
+    // attribution joins. Cross-batch matches (view in batch k, purchase
+    // in batch k+1) exercise the buffered join state; bounded replay ≡
+    // the batch interval join, so the oracle is exact.
     "stream_stream_join" -> ((s, dir) => {
       val views = eventsStream(s, dir)
         .filter(col("event_type") === "view")
@@ -620,8 +614,9 @@ object StreamingQueries {
     "stream_hll_users" -> EventQueries.oracleSql("sketch_hll_users"),
 
     // Batch twin of the stream-static enrichment: same stats, same
-    // z-threshold, same hourly grouping — every window closes by the
-    // end of the replay, so no cutoff term is needed.
+    // z-threshold, same hourly grouping, with the append-mode cutoff —
+    // the final open windows (end > max event time = final watermark)
+    // are never emitted by the stream.
     "stream_static_join" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events

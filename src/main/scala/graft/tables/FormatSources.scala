@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   */
 object FormatSources {
 
+  // keyed by (dir, fmt) like the streaming split-source caches: the
+  // materialized data depends only on those, so suites/sessions share
+  // one copy and no stopped SparkSession is pinned by the map
   private val cache =
-    scala.collection.mutable.HashMap[(SparkSession, String, String), Path]()
+    scala.collection.mutable.HashMap[(String, String), Path]()
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -30,7 +33,7 @@ object FormatSources {
 
   private def materialized(s: SparkSession, dir: String, fmt: String): Path =
     cache.synchronized {
-      cache.getOrElseUpdate((s, dir, fmt), {
+      cache.getOrElseUpdate((dir, fmt), {
         val out = Files.createTempDirectory(s"graft-docs-$fmt-")
         sys.addShutdownHook {
           if (Files.exists(out)) {

@@ -16,6 +16,18 @@ class PqCodesSpec extends SparkSpec {
   private def centArr = SimilarityQueries.pqCentArrOf(
     SimilarityQueries.pqCodebookLongOf(emb, col("vec_id") % 16))
 
+  test("codebook j values are contiguous 0..K-1 per subspace (the positional-lut contract)") {
+    // adcRankedOf indexes the flattened lut as m*k + code + 1 — only
+    // sound when every subspace's j-sorted entries are gap-free
+    val rows = SimilarityQueries.pqCodebookLongOf(emb, col("vec_id") % 16)
+      .select(col("m"), col("j")).distinct().collect()
+      .groupBy(_.getLong(0)).map { case (m, rs) => m -> rs.map(_.getLong(1)).sorted.toSeq }
+    assert(rows.keySet === (0L until 8L).toSet)
+    rows.foreach { case (m, js) =>
+      assert(js === (0L until 16L).toSeq, s"subspace $m has gaps: $js")
+    }
+  }
+
   test("matches the HOF array_min formulation on every corpus vector") {
     val cg = SimilarityQueries.pqEncodedOf(emb, centArr)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
