@@ -210,6 +210,44 @@ object DedupQueries {
                 (col("cum_tokens") <= col("target_tokens")).as("selected"))
     }),
 
+    // EXACT probability-proportional-to-size (PPS) SYSTEMATIC sampling
+    // — the weighted sampler data mixing actually wants (inclusion
+    // probability ∝ token count) with zero floating point: docs line
+    // up in deterministic md5-shuffled order along the token axis
+    // [0, T); the n sample positions are p_k = floor(k·T/n); a doc is
+    // hit once per position inside its [cum_before, cum_end) interval,
+    // counted by pure BIGINT ceil-division (k_min = ⌈cb·n/T⌉, k_end =
+    // ⌈ce·n/T⌉ — no pow/ln, unlike the A-Res reservoir key route, so
+    // the whole decision is engine-exact). Any doc with n_tok ≥ T/n is
+    // guaranteed selected; expected hits = n·n_tok/T exactly. Shape:
+    // one agg for T (broadcast scalar), one ordered cumsum window, one
+    // projection. The global cumsum window is the fixture shape — at
+    // 100 TB the order key shards like pipeline_pack and each shard
+    // gets its token-share of positions.
+    "pipeline_sample_weighted" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val n = WeightedSampleN
+      val skey = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#wsample"))), 1, 14), 16, 10).cast("long")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), skey.as("skey"),
+                size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val total = docs.agg(sum(col("n_tokens")).as("t_total"))
+      val w = W.orderBy(col("skey"), col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      docs
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("k_min",
+          expr(s"CAST((cum_before * $n + t_total - 1) DIV t_total AS BIGINT)"))
+        .withColumn("k_end",
+          expr(s"CAST(((cum_before + n_tokens) * $n + t_total - 1) DIV t_total AS BIGINT)"))
+        .withColumn("n_hits",
+          greatest(least(col("k_end"), lit(n.toLong)) - col("k_min"), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+                col("n_hits"), (col("n_hits") > 0).as("selected"))
+    }),
+
     // Token-budget sequence packing — the pretraining batch-prep
     // stage: concatenate documents in deterministic (doc_id) order and
     // cut the stream into fixed-budget packs (docs may straddle a
@@ -470,6 +508,11 @@ object DedupQueries {
     * normalization). 3.0 selects a few docs per fixture source.
     */
   private val MixCoef = 3.0
+
+  /** Sample-position count for `pipeline_sample_weighted` — small
+    * enough that selection is genuinely sparse on the fixture.
+    */
+  private val WeightedSampleN = 20
 
   /** The (doc_id, span_h) table — materialized once per (session,
     * dir) and shared by `dedup_substring` and
@@ -830,6 +873,31 @@ object DedupQueries {
          |  cum_tokens,
          |  (cum_tokens <= CAST(floor($MixCoef * sqrt(CAST(source_tokens AS DOUBLE))) AS BIGINT)) AS selected
          |FROM t""".stripMargin,
+
+    // Integer-exact PPS systematic sampler over the md5-shuffled token
+    // axis.
+    "pipeline_sample_weighted" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#wsample')), 1, 14)) AS BIGINT)) AS skey,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS t_total
+         |  FROM d
+         |), h AS (
+         |  SELECT doc_id, n_tokens, cum_before,
+         |    (cum_before * $WeightedSampleN + t_total - 1) // t_total AS k_min,
+         |    ((cum_before + n_tokens) * $WeightedSampleN + t_total - 1) // t_total AS k_end
+         |  FROM c
+         |)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  CAST(greatest(least(k_end, $WeightedSampleN) - k_min, 0) AS BIGINT) AS n_hits,
+         |  (greatest(least(k_end, $WeightedSampleN) - k_min, 0) > 0) AS selected
+         |FROM h""".stripMargin,
 
     // (split, shard)-partitioned concat-then-chunk packing over the
     // CC splits.

@@ -126,6 +126,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_sample_weighted: exactly n hits, PPS guarantee for heavy docs") {
+    val rows = DedupQueries.queries("pipeline_sample_weighted")(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum === 20L, "systematic sampler must place exactly n positions")
+    rows.foreach(r => assert(r.getBoolean(4) === (r.getLong(3) > 0)))
+    // inclusion guarantee: any doc with n_tokens >= T/n is hit at least once
+    val t = rows.map(_.getLong(1)).sum
+    rows.filter(_.getLong(1) >= (t + 19) / 20).foreach { r =>
+      assert(r.getBoolean(4), s"doc ${r.getLong(0)} exceeds T/n but was not selected")
+    }
+  }
+
   test("text_c4_filters: keep is the rule conjunction; every rule splits the corpus") {
     val df = TextQueries.queries("text_c4_filters")(spark, sf)
     val flagCols = df.columns.filter(_.startsWith("ok_"))
