@@ -144,6 +144,45 @@ object DedupQueries {
         .select(col("v").as("doc_id"), col("lbl").as("component_id"),
                 (col("lbl") < col("v")).as("is_dup"))),
 
+    // Bounded-iteration PAGERANK over the similarity graph — the
+    // second canonical distributed graph operator next to connected
+    // components (dedup_cc): rank(v) = (1−d)/N + d·Σ_{u→v} rank(u)/
+    // deg(u) iterated PrRounds times from the uniform init over the
+    // symmetrized LSH star edges (the shared artifact — the graph is
+    // a table here too). Each round is one shuffle join
+    // (rank ⋈ edges) + one partial-aggregable sum — the CC round
+    // shape — with contributions decimal-routed (order-independent
+    // sums) and ranks QUANTIZED to 9 dp at the round boundary, the
+    // Lloyd-round convention that keeps N chained rounds
+    // engine-identical. Isolated docs hold the teleport floor;
+    // dangling mass is not redistributed (the per-node recurrence is
+    // the oracle contract, exactly unrolled in DuckDB). At 100 TB:
+    // O(rounds · |E|), per-round localCheckpoint, same posture as CC.
+    "graph_pagerank" -> ((s, dir) => {
+      val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      val edges = lshEdges(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(lshEdges(s, dir)
+          .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val n = verts.count()
+      var rank = verts.select(col("v"),
+        round(lit(1.0) / n, 9).as("pr")).localCheckpoint()
+      (1 to PrRounds).foreach { _ =>
+        val contrib = rank.join(edges, col("v") === col("src"))
+          .join(deg, "src")
+          .select(col("dst"),
+            (col("pr") / col("deg")).cast("decimal(28,14)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("in_sum"))
+        rank = verts.join(contrib, col("v") === col("dst"), "left")
+          .select(col("v"),
+            round(lit(0.15) / n +
+              lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 9).as("pr"))
+          .localCheckpoint()
+      }
+      rank.select(col("v").as("doc_id"), col("pr"))
+    }),
+
     // Leakage-safe train/val/test split: the split key is the dedup
     // COMPONENT, not the document — near-duplicates land in the same
     // split by construction, so a test document can never have a
@@ -514,6 +553,9 @@ object DedupQueries {
     */
   private val WeightedSampleN = 20
 
+  /** PageRank iteration budget (bounded like the Lloyd/CC loops). */
+  private val PrRounds = 3
+
   /** The (doc_id, span_h) table — materialized once per (session,
     * dir) and shared by `dedup_substring` and
     * `dedup_substring_spans` (at scale it is the pipeline's spans
@@ -873,6 +915,37 @@ object DedupQueries {
          |  cum_tokens,
          |  (cum_tokens <= CAST(floor($MixCoef * sqrt(CAST(source_tokens AS DOUBLE))) AS BIGINT)) AS selected
          |FROM t""".stripMargin,
+
+    // Unrolled 3-round PageRank twin over the symmetrized star edges
+    // (edges2 of the CC chain; the unreferenced recursive CTEs prune
+    // away). Literals are cast to DOUBLE explicitly — DuckDB parses
+    // bare 0.15/0.85 as DECIMAL and its decimal division would
+    // diverge from the engine's double arithmetic.
+    "graph_pagerank" -> {
+      def roundCte(r: Int) =
+        s"""c$r AS (
+           |  SELECT e.dst,
+           |    sum(CAST(r${r - 1}.pr / d.deg AS DECIMAL(28,14))) AS s
+           |  FROM r${r - 1}
+           |  JOIN edges2 e ON e.src = r${r - 1}.v
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY 1
+           |), r$r AS (
+           |  SELECT dv.doc_id AS v,
+           |    round(CAST(0.15 AS DOUBLE) / nn.n +
+           |          CAST(0.85 AS DOUBLE) * coalesce(CAST(c$r.s AS DOUBLE), 0.0), 9) AS pr
+           |  FROM documents dv CROSS JOIN nn LEFT JOIN c$r ON c$r.dst = dv.doc_id
+           |)""".stripMargin
+      s"""WITH RECURSIVE $ccSplitCtes, deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges2 GROUP BY 1
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |), r0 AS (
+         |  SELECT doc_id AS v, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+         |  FROM documents, nn
+         |), ${(1 to PrRounds).map(roundCte).mkString(", ")}
+         |SELECT v AS doc_id, pr FROM r$PrRounds""".stripMargin
+    },
 
     // Integer-exact PPS systematic sampler over the md5-shuffled token
     // axis.
