@@ -122,6 +122,22 @@ object SqlQueries {
         |)
         |GROUP BY 1, 2""".stripMargin),
 
+    // LATERAL correlated subquery (Spark 3.2+/DuckDB share the
+    // construct): per-nation top-2 customers by account balance — the
+    // per-group top-N idiom expressed as a join whose right side
+    // re-executes per left row. The planner rewrites it to a
+    // DomainJoin + window internally; the surface matters for SQL
+    // users porting warehouse queries.
+    "q_sql_lateral" -> sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 2
+        |) t""".stripMargin),
+
     // Full outer join: per-nation customer vs supplier counts.
     "q_sql_outer_join" -> sql(
       """SELECT coalesce(c.k, s.k) AS nationkey,
@@ -213,6 +229,16 @@ object SqlQueries {
         |  SELECT l_returnflag, 'tax', l_tax FROM lineitem
         |)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_sql_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 2
+        |) t""".stripMargin,
 
     "q_sql_outer_join" ->
       """SELECT coalesce(c.k, s.k) AS nationkey,
