@@ -122,6 +122,19 @@ object SqlQueries {
         |)
         |GROUP BY 1, 2""".stripMargin),
 
+    // GROUPING SETS — the general form of rollup/cube (both already
+    // covered as DataFrame ops): an explicit, asymmetric set list
+    // {(flag,status), (flag), ()} with GROUPING() disambiguating real
+    // NULLs from superaggregate rows. Identical SQL on both engines.
+    "q_sql_groupingsets" -> sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+
     // LATERAL correlated subquery (Spark 3.2+/DuckDB share the
     // construct): per-nation top-2 customers by account balance — the
     // per-group top-N idiom expressed as a join whose right side
@@ -229,6 +242,15 @@ object SqlQueries {
         |  SELECT l_returnflag, 'tax', l_tax FROM lineitem
         |)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_sql_groupingsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "q_sql_lateral" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
