@@ -160,11 +160,17 @@ object DedupQueries {
     // O(rounds · |E|), per-round localCheckpoint, same posture as CC.
     "graph_pagerank" -> ((s, dir) => {
       val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      // persist the symmetrized edges + degrees ONCE outside the loop
+      // (the ConnectedComponents.labels posture) — each eager round
+      // would otherwise rescan the edge artifact twice and re-run the
+      // deg shuffle
       val edges = lshEdges(s, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(lshEdges(s, dir)
           .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = verts.count()
       var rank = verts.select(col("v"),
         round(lit(1.0) / n, 9).as("pr")).localCheckpoint()
@@ -180,6 +186,10 @@ object DedupQueries {
               lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 9).as("pr"))
           .localCheckpoint()
       }
+      // harness clearCache() releases these after the query; unpersist
+      // eagerly anyway so back-to-back spec runs don't stack copies
+      edges.unpersist()
+      deg.unpersist()
       rank.select(col("v").as("doc_id"), col("pr"))
     }),
 
@@ -550,8 +560,10 @@ object DedupQueries {
 
   /** Sample-position count for `pipeline_sample_weighted` — small
     * enough that selection is genuinely sparse on the fixture.
+    * private[graft]: PipelineOpsSpec asserts the exactly-n invariant
+    * against this constant.
     */
-  private val WeightedSampleN = 20
+  private[graft] val WeightedSampleN = 20
 
   /** PageRank iteration budget (bounded like the Lloyd/CC loops). */
   private val PrRounds = 3

@@ -127,12 +127,13 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("pipeline_sample_weighted: exactly n hits, PPS guarantee for heavy docs") {
+    val n = DedupQueries.WeightedSampleN.toLong
     val rows = DedupQueries.queries("pipeline_sample_weighted")(spark, sf).collect()
-    assert(rows.map(_.getLong(3)).sum === 20L, "systematic sampler must place exactly n positions")
+    assert(rows.map(_.getLong(3)).sum === n, "systematic sampler must place exactly n positions")
     rows.foreach(r => assert(r.getBoolean(4) === (r.getLong(3) > 0)))
     // inclusion guarantee: any doc with n_tokens >= T/n is hit at least once
     val t = rows.map(_.getLong(1)).sum
-    rows.filter(_.getLong(1) >= (t + 19) / 20).foreach { r =>
+    rows.filter(_.getLong(1) >= (t + n - 1) / n).foreach { r =>
       assert(r.getBoolean(4), s"doc ${r.getLong(0)} exceeds T/n but was not selected")
     }
   }
