@@ -32,7 +32,7 @@ object ScaleBench {
     "dedup_semantic_fast", "dedup_semantic_hier", "pipeline_source_report",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
     "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step", "kmeans_train",
-    "pq_codes", "ann_topk_pq", "ann_topk_pq_rerank",
+    "pq_codes", "ann_topk_pq", "ann_topk_pq_rerank", "ann_topk_ivfpq",
     "text_redact", "text_repetition", "text_c4_filters",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "events_retention",

@@ -370,6 +370,49 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank").cast("long").as("rank"),
                 col("vec_id"), round(col("score").cast("double"), 6).as("score_r"))),
 
+    // IVF + PQ — the composed production index (the FAISS IVFPQ
+    // architecture, public: Jégou et al. 2011 §IV): the IVF coarse
+    // quantizer prunes the corpus to nprobe lists (decimal-exact
+    // assignment — the oracle contract), then the CANDIDATES are
+    // scored from their 8-byte PQ codes via the query's lut — never
+    // touching raw candidate vectors at all. At 100 TB this is the
+    // shape that makes billion-vector search RAM-resident: list id +
+    // code word = 9 bytes/vector of index state; the scan reads only
+    // the probed lists' codes. All three inputs are shared artifacts
+    // (IVF assignment, PQ codebook, code column).
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val emb = embWithNorm(s, dir)
+      val centArr = ivfCentArr(s, dir)
+      val qprobe = emb.filter(col("vec_id") < NQueries)
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                explode(slice(rankedListIds(col("embedding"), col("nrm")),
+                  1, NProbe)).as("list_id"))
+        .crossJoin(broadcast(pqCentArr(s, dir)))
+        .select(col("q_id"), col("list_id"),
+          flatten(transform(sequence(lit(0), lit(PqM - 1)), m =>
+            transform(element_at(col("cents"), (m + 1).cast("int")), c =>
+              VectorOps.dotDecimal(
+                slice(col("q_emb"), m * PqDsub + 1, lit(PqDsub)),
+                c.getField("centroid")).cast("decimal(18,14)")))).as("lut"))
+      val cand = ivfAssigned(s, dir).select(col("vec_id"), col("list_id"))
+        .join(pqEncoded(s, dir), "vec_id")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      cand.join(broadcast(qprobe), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score",
+          aggregate(sequence(lit(0), lit(PqM - 1)),
+            lit(0).cast("decimal(22,14)"),
+            (acc, m) => (acc + element_at(col("lut"),
+              (m * PqK + element_at(col("codes"), m + 1) + 1).cast("int")))
+              .cast("decimal(22,14)")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("score").cast("double"), 6).as("score_r"))
+    }),
+
     // The production PQ composition: ADC shortlists PqRerank=20
     // candidates from the compressed corpus, then ONLY those rows read
     // their raw embeddings for an exact-decimal cosine re-rank to
@@ -1297,6 +1340,53 @@ object SimilarityQueries {
 
     "ann_topk_pq" ->
       s"""WITH $pqAdcCtes
+         |SELECT q_id, rank, vec_id, round(CAST(score AS DOUBLE), 6) AS score_r
+         |FROM adcranked WHERE rank <= $TopK""".stripMargin,
+
+    // IVF probe selection (label-mean coarse quantizer, nprobe=2) ×
+    // PQ-code ADC scoring of the probed lists' members.
+    "ann_topk_ivfpq" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
+         |  FROM dims GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assigned AS (
+         |  SELECT vec_id, list_id FROM ranked WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, list_id
+         |  FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe
+         |), $pqCtes, lut AS (
+         |  SELECT q.vec_id AS q_id, cb.m, cb.j,
+         |    CAST(list_sum(list_transform(generate_series(1, $PqDsub), d ->
+         |      CAST(CAST(q.embedding[cb.m * $PqDsub + d] AS DOUBLE) * cb.centroid[d] AS DECIMAL(28,14)))) AS DECIMAL(28,14)) AS ip
+         |  FROM embeddings q, cb WHERE q.vec_id < $NQueries
+         |), candpairs AS (
+         |  SELECT qp.q_id, a.vec_id
+         |  FROM qprobe qp JOIN assigned a ON a.list_id = qp.list_id
+         |  WHERE a.vec_id <> qp.q_id
+         |), adc AS (
+         |  SELECT cp.q_id, cp.vec_id, sum(l.ip) AS score
+         |  FROM candpairs cp
+         |  JOIN enc c ON c.vec_id = cp.vec_id
+         |  JOIN lut l ON l.q_id = cp.q_id AND l.m = c.m AND l.j = c.code
+         |  GROUP BY 1, 2
+         |), adcranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+         |  FROM adc
+         |)
          |SELECT q_id, rank, vec_id, round(CAST(score AS DOUBLE), 6) AS score_r
          |FROM adcranked WHERE rank <= $TopK""".stripMargin,
 
