@@ -56,6 +56,27 @@ object MultimodalQueries {
                 col("dims.height").cast("long").as("height"),
                 col("rs.out_w").as("out_w"), col("rs.out_h").as("out_h"))),
 
+    // MEDIA DEDUP composition: payload → feature vector → sign-LSH
+    // bucket → duplicate groups — the binary-column twin of the
+    // embedding dedup pipeline, exercising blob → featurize → index →
+    // group end to end. The stub features are md5-derived (no metric
+    // locality — documented env constraint), so the groups here are
+    // exact-payload duplicates plus hash-coincidental bucket mates; a
+    // real CLIP-style encoder drops into the same array<double> column
+    // and the identical downstream (bucket, group) plan then yields
+    // true NEAR-dup media clusters. The fixture corpus contains real
+    // exact copies, so the groups are non-trivial.
+    "mm_near_dup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bytes", col("text").cast("binary"))
+        .select(col("doc_id").as("media_id"),
+          MultimodalOps.featureStub(col("bytes"), 8).as("feat"))
+        .withColumn("bucket",
+          graft.functions.VectorOps.lshBucket(col("feat"), 8, 8))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_items"), min(col("media_id")).as("rep_id"))
+        .filter(col("n_items") >= 2)),
+
     // frame sampling for video payloads: every 12th frame, exploded.
     "mm_frame_sample" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -102,6 +123,27 @@ object MultimodalQueries {
          |  greatest(1, (width * 224) // greatest(width, height)) AS out_w,
          |  greatest(1, (height * 224) // greatest(width, height)) AS out_h
          |FROM d""".stripMargin,
+
+    "mm_near_dup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, list_transform(generate_series(0, 7), i ->
+        |    (CAST(concat('0x', substr(md5(concat(md5(text), '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+        |      / 1073741823.5 - 1.0) AS feat
+        |  FROM documents
+        |), planes AS (
+        |  SELECT j, list_transform(generate_series(1, 8), i ->
+        |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+        |      / 1073741823.5 - 1.0) AS plane
+        |  FROM generate_series(0, 7) t(j)
+        |), sig AS (
+        |  SELECT f.media_id,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 8), i ->
+        |      CAST(f.feat[i] * p.plane[i] AS DECIMAL(28,14)))) > 0
+        |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM f, planes p GROUP BY f.media_id
+        |)
+        |SELECT bucket, count(*) AS n_items, min(media_id) AS rep_id
+        |FROM sig GROUP BY bucket HAVING count(*) >= 2""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH v AS (
