@@ -154,6 +154,26 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Event-type TRANSITION MATRIX (first-order Markov estimate) — the
+    // sequence-analytics companion to funnel/sessionize: per user's
+    // time-ordered stream, count (prev → next) type transitions and
+    // row-normalize to transition probabilities. One window pass keyed
+    // on user_id (the same single shuffle as sessionize) + one
+    // partial-aggregable agg over ≤|types|² groups + a tiny window for
+    // the row sums.
+    "events_markov" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val counts = Tables.events(s, dir)
+        .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.withColumn("p",
+        round(col("cnt") /
+          sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 6))
+    }),
+
     // Deterministic HYPERLOGLOG distinct-count sketch (Flajolet et al.
     // 2007) — the approximate aggregate every OLAP engine ships,
     // made EXACTLY oracle-checkable by building the sketch on the
@@ -401,6 +421,24 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "events_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events
+        |), t AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ms, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, cnt,
+        |  round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin,
 
     "sketch_hll_users" ->
       """WITH h AS (

@@ -513,6 +513,41 @@ object StreamingQueries {
           .agg(countDistinct(col("user_id")).as("true_distinct")))
     }),
 
+    // Streaming COUNT-MIN: the heavy-hitter sketch accumulated across
+    // micro-batches — each ingest batch contributes its partial
+    // (r, bucket, count) counter table (the identical projection as
+    // the batch sketch) and the merge is SUM per counter: the ADDITIVE
+    // merge semantics, complementing stream_hll_users' max-merge (the
+    // two mergeability laws every sketch deployment relies on). The
+    // audit against the exact top-10 shares sketch_cms_tokens' oracle
+    // — merge(partials) ≡ batch sketch, hash-proven.
+    "stream_cms_tokens" -> ((s, dir) => {
+      val cmsDir = Files.createTempDirectory("graft-cms-regs-")
+      sys.addShutdownHook(deleteRecursively(cmsDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = documentsStream(s, dir)
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextQueries.cmsBuckets(batch)
+            .groupBy(col("r"), col("bucket"))
+            .agg(count(lit(1)).as("counter"))
+            .write.mode("append").parquet(cmsDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(cmsDir.toString)
+        .groupBy(col("r"), col("bucket"))
+        .agg(sum(col("counter")).as("counter"))
+      TextQueries.cmsAudit(merged,
+        graft.tables.Tables.documents(s, dir)
+          .select(explode(graft.text.TextOps.tokens(col("text"))).as("token")))
+    }),
+
     // The same MapState+timer machine on the MODERN arbitrary-state
     // API (transformWithState, Spark 4.x): real per-key MapState + one
     // registered timer per open window — the literal structural twin
@@ -612,6 +647,10 @@ object StreamingQueries {
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
     "stream_hll_users" -> EventQueries.oracleSql("sketch_hll_users"),
+
+    // Sum-merge of per-batch counter tables ≡ the batch CMS — shares
+    // the batch count-min oracle.
+    "stream_cms_tokens" -> TextQueries.oracleSql("sketch_cms_tokens"),
 
     // Batch twin of the stream-static enrichment: same stats, same
     // z-threshold, same hourly grouping, with the append-mode cutoff —

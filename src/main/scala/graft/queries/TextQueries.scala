@@ -282,28 +282,10 @@ object TextQueries {
     "sketch_cms_tokens" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
-      val cms = toks
-        .select(col("token"), explode(sequence(lit(0), lit(3))).as("r"))
-        .select(col("r"),
-          (TextOps.tokenHash31(concat(col("token"), lit("#cms"),
-            col("r").cast("string"))) % 64).as("bucket"))
-        .groupBy(col("r"), col("bucket"))
-        .agg(count(lit(1)).as("counter"))
-      val top = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt_true"))
-        .orderBy(col("cnt_true").desc, col("token"))
-        .limit(10)
-      top
-        .select(col("token"), col("cnt_true"),
-          explode(sequence(lit(0), lit(3))).as("r"))
-        .select(col("token"), col("cnt_true"), col("r"),
-          (TextOps.tokenHash31(concat(col("token"), lit("#cms"),
-            col("r").cast("string"))) % 64).as("bucket"))
-        .join(broadcast(cms), Seq("r", "bucket"))
-        .groupBy(col("token"), col("cnt_true"))
-        .agg(min(col("counter")).as("cnt_cms"))
-        .select(col("token"), col("cnt_true"), col("cnt_cms"),
-                (col("cnt_cms") - col("cnt_true")).as("overcount"))
+      cmsAudit(
+        cmsBuckets(toks).groupBy(col("r"), col("bucket"))
+          .agg(count(lit(1)).as("counter")),
+        toks)
     }),
 
     // BPE VOCAB TRAINING to a bounded number of merges — the
@@ -376,6 +358,42 @@ object TextQueries {
                 col("t.n_words").as("n_words"),
                 col("t.bpe_per_word").as("bpe_per_word")))
   )
+
+  /** Per-occurrence CMS bucket projection: (r, bucket) for each of the
+    * d=4 hash rows — the mergeable half of the sketch (counters merge
+    * by SUM, the additive complement to HLL's max-merge).
+    * private[graft]: the streaming twin builds per-batch partial
+    * counter tables from the same projection.
+    */
+  private[graft] def cmsBuckets(toks: org.apache.spark.sql.DataFrame) =
+    toks
+      .select(col("token"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"),
+        (TextOps.tokenHash31(concat(col("token"), lit("#cms"),
+          col("r").cast("string"))) % 64).as("bucket"))
+
+  /** The heavy-hitter audit over a merged (r, bucket, counter) table:
+    * exact global top-10 tokens probed against the sketch,
+    * estimate = min over rows.
+    */
+  private[graft] def cmsAudit(cms: org.apache.spark.sql.DataFrame,
+                              toks: org.apache.spark.sql.DataFrame) = {
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt_true"))
+      .orderBy(col("cnt_true").desc, col("token"))
+      .limit(10)
+    top
+      .select(col("token"), col("cnt_true"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("token"), col("cnt_true"), col("r"),
+        (TextOps.tokenHash31(concat(col("token"), lit("#cms"),
+          col("r").cast("string"))) % 64).as("bucket"))
+      .join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy(col("token"), col("cnt_true"))
+      .agg(min(col("counter")).as("cnt_cms"))
+      .select(col("token"), col("cnt_true"), col("cnt_cms"),
+              (col("cnt_cms") - col("cnt_true")).as("overcount"))
+  }
 
   /** GPT-2-style pre-tokenizer pattern, restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB) —
