@@ -122,6 +122,24 @@ object SqlQueries {
         |)
         |GROUP BY 1, 2""".stripMargin),
 
+    // SQL PIVOT clause (the DataFrame pivot exists as events_pivot;
+    // this is the SQL-surface form warehouse users port): daily
+    // event-type count matrix through `PIVOT ... FOR ... IN`. The
+    // oracle is the portable FILTER-aggregation form.
+    "q_sql_pivot" -> sql(
+      """SELECT day_ms,
+        |  CAST(coalesce(click, 0) AS BIGINT) AS click,
+        |  CAST(coalesce(purchase, 0) AS BIGINT) AS purchase,
+        |  CAST(coalesce(error, 0) AS BIGINT) AS error,
+        |  CAST(coalesce(signup, 0) AS BIGINT) AS signup,
+        |  CAST(coalesce(view, 0) AS BIGINT) AS view
+        |FROM (
+        |  SELECT event_type, ts_ms - ts_ms % 86400000 AS day_ms FROM events
+        |)
+        |PIVOT (count(*) FOR event_type IN
+        |  ('click' AS click, 'purchase' AS purchase, 'error' AS error,
+        |   'signup' AS signup, 'view' AS view))""".stripMargin),
+
     // GROUPING SETS — the general form of rollup/cube (both already
     // covered as DataFrame ops): an explicit, asymmetric set list
     // {(flag,status), (flag), ()} with GROUPING() disambiguating real
@@ -242,6 +260,16 @@ object SqlQueries {
         |  SELECT l_returnflag, 'tax', l_tax FROM lineitem
         |)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_sql_pivot" ->
+      """SELECT (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000) AS day_ms,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1""".stripMargin,
 
     "q_sql_groupingsets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -328,6 +328,25 @@ object TextQueries {
       perRound.reduce(_.unionByName(_))
     }),
 
+    // Zipf rank-frequency profile of the corpus vocabulary — the
+    // distribution diagnostic every corpus report includes: tokens
+    // ranked by frequency with each rank's share of the top-1 count
+    // (a Zipfian corpus shows ratio ≈ 1/rank). One agg + one global
+    // top-20 sort; the max is a 1-row broadcast.
+    "text_zipf" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val top1 = freq.agg(max(col("cnt")).as("cmax"))
+      freq.orderBy(col("cnt").desc, col("token")).limit(20)
+        .crossJoin(broadcast(top1))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .select(col("rank"), col("token"), col("cnt"),
+                round(col("cnt") / col("cmax").cast("double"), 6).as("ratio_to_top"))
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -645,6 +664,20 @@ object TextQueries {
          |  CAST(sum(length(sym) - length(sym2)) AS BIGINT)
          |FROM m3 GROUP BY 2""".stripMargin
     },
+
+    "text_zipf" ->
+      """WITH f AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  ) GROUP BY token
+        |), top AS (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |  FROM f ORDER BY cnt DESC, token LIMIT 20
+        |)
+        |SELECT rank, token, cnt,
+        |  round(cnt / CAST((SELECT max(cnt) FROM f) AS DOUBLE), 6) AS ratio_to_top
+        |FROM top""".stripMargin,
 
     "text_bpe_merge" ->
       """WITH toks AS (
