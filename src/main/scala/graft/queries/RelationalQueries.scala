@@ -29,6 +29,23 @@ object RelationalQueries {
     "q_scan_json" -> ((s, dir) => scanVia(s, dir, "json")),
     "q_scan_orc" -> ((s, dir) => scanVia(s, dir, "orc")),
 
+    // RANGE-frame window (value-based, vs the ROWS frames elsewhere):
+    // per customer, each order's trailing-30-day order count and spend
+    // — the moving-aggregate shape where the frame is defined by the
+    // ORDER BY VALUE distance (ties and gaps handled by the engine,
+    // deterministic regardless of row order within equal timestamps).
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_ms"))
+        .rangeBetween(-2592000000L, 0L) // 30 days in ms
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms"),
+          dec(col("o_totalprice")).as("price_dec"))
+        .select(col("o_orderkey"), col("o_custkey"), col("ts_ms"),
+          count(lit(1)).over(w).as("n_30d"),
+          asDouble(sum(col("price_dec")).over(w)).as("spend_30d"))
+    }),
+
     // TPC-H Q1-style scan→filter→agg (pruned columns, pushed filter).
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -298,6 +315,20 @@ object RelationalQueries {
       |GROUP BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    epoch_ms(o_orderdate) AS ts_ms,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey, ts_ms,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(price_dec) OVER w AS DOUBLE) AS spend_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_ms
+        |  RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q_scan_csv" -> scanOracle,
     "q_scan_json" -> scanOracle,
     "q_scan_orc" -> scanOracle,
