@@ -29,6 +29,28 @@ object RelationalQueries {
     "q_scan_json" -> ((s, dir) => scanVia(s, dir, "json")),
     "q_scan_orc" -> ((s, dir) => scanVia(s, dir, "orc")),
 
+    // Distribution-rank window functions (the analytic trio the
+    // ranking queries don't cover): quartile bucket via ntile(4),
+    // percent_rank, and cume_dist over customer balances per nation —
+    // one window shuffle keyed on nationality, all three functions in
+    // the same pass. Ties broken by custkey so the orderings are
+    // engine-identical. Rounded to 7 dp, NOT the usual 6: the outputs
+    // are exact rationals k/n, and a 640-customer nation at sf0.1 puts
+    // 41/640 = 0.0640625 exactly on the 6-dp half-grid where Spark
+    // (HALF_UP) and DuckDB (half-to-even) disagree; at 7 dp none of
+    // the fixture partition sizes (with < 2^8 in their factorization)
+    // can produce a half-grid value at all — verified at all three
+    // sfs.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 7).as("pct_rank"),
+          round(cume_dist().over(w), 7).as("cume"))
+    }),
+
     // RANGE-frame window (value-based, vs the ROWS frames elsewhere):
     // per customer, each order's trailing-30-day order count and spend
     // — the moving-aggregate shape where the frame is defined by the
@@ -315,6 +337,14 @@ object RelationalQueries {
       |GROUP BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_dist" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 7) AS pct_rank,
+        |  round(cume_dist() OVER w, 7) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
     "q_window_range_frame" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,
