@@ -154,6 +154,31 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // RFM SEGMENTATION — the classic customer-value matrix: per user,
+    // recency (last event time), frequency (event count), monetary
+    // (exact decimal value sum), each scored into quintiles by
+    // ntile(5) with user_id tiebreaks. One partial-aggregable per-user
+    // agg + three windowed quintile passes. The global ntile windows
+    // are the fixture shape — at 100 TB the quintile CUTOFFS come from
+    // an approx-quantile pass (or the exact sort-based q_percentiles
+    // machinery) and scoring becomes a broadcast-threshold projection.
+    "events_rfm" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_ms")).as("last_ms"),
+             count(lit(1)).as("freq"),
+             asDouble(sum(dec(col("value")))).as("monetary"))
+      def quint(o: org.apache.spark.sql.Column*) =
+        ntile(5).over(Window.orderBy(o: _*)).cast("long")
+      per.select(col("user_id"), col("last_ms"), col("freq"),
+          round(col("monetary"), 6).as("monetary"),
+          quint(col("last_ms").desc, col("user_id")).as("r_score"),
+          quint(col("freq").desc, col("user_id")).as("f_score"),
+          quint(col("monetary").desc, col("user_id")).as("m_score"))
+        .withColumn("segment",
+          concat(col("r_score"), col("f_score"), col("m_score")))
+    }),
+
     // Event-type TRANSITION MATRIX (first-order Markov estimate) — the
     // sequence-analytics companion to funnel/sessionize: per user's
     // time-ordered stream, count (prev → next) type transitions and
@@ -421,6 +446,25 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(epoch_ns(ts) // 1000000) AS last_ms,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id
+        |), scored AS (
+        |  SELECT user_id, last_ms, freq, round(monetary, 6) AS monetary,
+        |    CAST(ntile(5) OVER (ORDER BY last_ms DESC, user_id) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+        |  FROM per
+        |)
+        |SELECT user_id, last_ms, CAST(freq AS BIGINT) AS freq, monetary,
+        |  r_score, f_score, m_score,
+        |  concat(r_score, f_score, m_score) AS segment
+        |FROM scored""".stripMargin,
 
     "events_markov" ->
       """WITH e AS (
