@@ -1,6 +1,10 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,13 +14,25 @@ import org.apache.spark.sql.types._
   * transformations that scale as narrow projections (no shuffle, no
   * driver involvement) over a 100 TB media table.
   *
-  * The actual codecs are STUBBED — this container has no image/audio
-  * libraries — with deterministic md5-derived fakes, so the Spark-side
-  * plumbing (schemas, binary columns, batch iteration shape,
-  * partitioning) is real and oracle-testable while the codec call is
-  * a drop-in point.
+  * The image path is a REAL codec: payloads are genuine PNG files
+  * (encoded with `javax.imageio.ImageIO`, the JDK's built-in
+  * PNG/JPEG/BMP/GIF/TIFF codec suite) and `decodePngs` decodes them
+  * back on the executors — width/height and per-band pixel sums come
+  * from the decoded raster, not from metadata. Fixture payloads are
+  * synthesized from hash-derived parameters (a gradient image:
+  * r = cr+x, g = cg+y, b = cb), so the DuckDB oracle can compute the
+  * expected decode output in closed form while the Spark side still
+  * exercises encode → bytes → decode end to end: a green CORRECTNESS
+  * row proves the codec round-trip, pixel for pixel.
+  *
+  * Video remains container-metadata only (`n_frames`) — the JDK ships
+  * no video codec; frame sampling operates on the metadata column the
+  * way it would on a demuxer's header read.
   */
 object MultimodalOps {
+
+  // Never spill decode scratch to disk files on executors.
+  ImageIO.setUseCache(false)
 
   /** media table schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -25,38 +41,114 @@ object MultimodalOps {
     StructField("bytes", BinaryType, nullable = false),
     StructField("meta", StructType(Seq(
       StructField("source", StringType),
-      StructField("n_bytes", LongType))))))
+      StructField("n_frames", LongType))))))
 
   private val P = 2147483647L
 
   private def h31(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long") % P
 
-  /** STUB decode: deterministic pseudo-dimensions from the payload
-    * hash. A real implementation calls the codec here (per row or per
-    * mapPartitions batch) and fills the same schema:
-    * struct(width int, height int, n_frames int).
+  /** Salted 31-bit parameter hash over the document text — the same
+    * md5-prefix chain the DuckDB oracle inlines, so both engines derive
+    * identical synthesis parameters.
     */
-  def decodeStub(bytes: Column): Column = {
-    val h = h31(bytes)
-    struct(
-      (h % 1920L + 1L).cast("int").as("width"),
-      (h % 1080L + 1L).cast("int").as("height"),
-      (h % 216L + 24L).cast("int").as("n_frames"))
+  private def ph(text: Column, salt: String): Column =
+    h31(concat(md5(text), lit("_" + salt)))
+
+  /** Deterministic gradient image: r(x,y) = cr+x, g(x,y) = cg+y,
+    * b(x,y) = cb, PNG-encoded. With w,h ≤ 112 and cr,cg ≤ 143 no band
+    * value exceeds 254, so there is no wrap and every band sum has a
+    * closed form the oracle can compute.
+    */
+  def synthPng(w: Int, h: Int, cr: Int, cg: Int, cb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = ((cr + x) << 16) | ((cg + y) << 8) | cb
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** STUB feature extractor: `dim` deterministic pseudo-activations in
-    * [-1, 1) from the payload hash — stands in for an image/audio
-    * embedding model; downstream similarity ops (VectorOps) consume it
-    * unchanged.
+  /** Real decode of one payload: dimensions and per-band pixel sums
+    * read from the decoded raster.
     */
-  def featureStub(bytes: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      (h31(concat(md5(bytes), lit("_"), i.cast("string"))) /
-        lit(1073741823.5) - 1.0))
+  def decodePng(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xFF
+      sg += (rgb >> 8) & 0xFF
+      sb += rgb & 0xFF
+      i += 1
+    }
+    (w.toLong, h.toLong, sr, sg, sb)
+  }
+
+  private val encodePngUdf =
+    udf((w: Int, h: Int, cr: Int, cg: Int, cb: Int) => synthPng(w, h, cr, cg, cb))
+
+  /** The media fixture: one real PNG per document, parameters derived
+    * from the salted hash chain (w,h ∈ [16,112], cr,cg ∈ [0,143],
+    * cb ∈ [0,255]); `n_frames` is container metadata for the video
+    * kind. Encoding runs on the executors as a narrow projection.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.tables.Tables.documents(s, dir)
+    val t = col("text")
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      (h31(t) % 216L + 24L).as("n_frames"),
+      col("source"),
+      encodePngUdf(
+        (ph(t, "w") % 97L + 16L).cast("int"),
+        (ph(t, "h") % 97L + 16L).cast("int"),
+        (ph(t, "r") % 144L).cast("int"),
+        (ph(t, "g") % 144L).cast("int"),
+        (ph(t, "b") % 256L).cast("int")).as("bytes"))
+  }
+
+  /** Batched real decode in the `mapPartitions` shape — the iterator is
+    * consumed in batches of `batchSize` payloads (amortizing codec
+    * buffers per batch, the same batch contract as `mapInPandas`), and
+    * each input row gains (width, height, sum_r, sum_g, sum_b) decoded
+    * from the actual PNG raster. Carried columns pass through, so the
+    * decode composes as a narrow projection — no shuffle, no driver.
+    */
+  def decodePngs(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, sr, sg, sb) = decodePng(r.getAs[Array[Byte]](bytesIdx))
+          Row.fromSeq(r.toSeq ++ Seq(w, h, sr, sg, sb))
+        }
+      }
+    }(enc)
+  }
 
   /** Frame sampling for video payloads: every `step`-th frame index of
-    * the decoded frame count — pure array generation, exploded by the
+    * the container frame count — pure array generation, exploded by the
     * caller.
     */
   def sampleFrames(nFrames: Column, step: Int): Column =
@@ -66,8 +158,8 @@ object MultimodalOps {
     * standard vision-model preprocessing step): the longer edge
     * becomes `target`, the shorter scales proportionally (min 1 px).
     * Pure INTEGER arithmetic (`w·target DIV max(w,h)`) so the computed
-    * geometry is engine-exact — the actual pixel resampling is the
-    * codec stub's territory.
+    * geometry is engine-exact — pixel resampling itself would ride the
+    * same `decodePngs` mapPartitions path.
     */
   def resizeDims(width: Column, height: Column, target: Int): Column = {
     val longEdge = greatest(width.cast("long"), height.cast("long"))
@@ -79,29 +171,5 @@ object MultimodalOps {
       greatest(lit(1L),
         floor(edge.cast("long") * target / longEdge).cast("long"))
     struct(fit(width).as("out_w"), fit(height).as("out_h"))
-  }
-
-  /** The mapPartitions batch-decode shape: demonstrates how a real
-    * vectorized decoder plugs in — the iterator is consumed in batches
-    * of `batchSize` payloads (amortizing model/codec init per batch,
-    * exactly the mapInPandas batch contract), and each input row maps
-    * to (media_id, n_bytes, first_byte). Only the two extraction
-    * lambdas are stubs.
-    */
-  def decodeBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
-    val out = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("n_bytes", LongType),
-      StructField("first_byte", IntegerType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
-    media.select("media_id", "bytes").mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // real codec: val decoded = Codec.decodeAll(batch.map(_.getAs[Array[Byte]]("bytes")))
-        batch.map { r =>
-          val b = r.getAs[Array[Byte]]("bytes")
-          Row(r.getLong(0), b.length.toLong, if (b.isEmpty) -1 else b(0) & 0xFF)
-        }
-      }
-    }(enc)
   }
 }

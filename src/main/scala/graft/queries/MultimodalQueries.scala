@@ -4,146 +4,156 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.MultimodalOps
 import graft.tables.Tables
 
-/** Multimodal extension queries (SURVEY.md §2.9): a media table is
-  * synthesized deterministically from `documents` (payload = UTF-8
-  * bytes of the text — a stand-in blob with a real BinaryType column),
-  * then decoded/featurized with the stubbed codecs. The DuckDB twins
-  * compute the same md5-derived values from the text directly (same
-  * bytes ⇒ same md5 ⇒ same result) — so the Spark side exercises the
-  * binary-column path end-to-end while staying oracle-checkable.
+/** Multimodal extension queries (SURVEY.md §2.9) over a media fixture
+  * of REAL PNG payloads: `MultimodalOps.mediaTable` encodes one
+  * deterministic gradient PNG per document (synthesis parameters from
+  * the md5 chain), and every decode-family query runs the actual JDK
+  * `ImageIO` codec on the executors via `decodePngs`. The DuckDB twins
+  * compute the expected decode output in closed form from the same
+  * parameters — so a green hash match proves decode(encode(params))
+  * reproduced the raster pixel-for-pixel, not that two stubs agree.
+  *
+  * Video stays metadata-only (`n_frames`): the JDK has no video codec,
+  * so frame sampling reads the container field, as a demuxer would.
   */
 object MultimodalQueries {
 
   val queries: Map[String, Q] = Map(
 
-    // decode + dimensions per media item (narrow projection over blobs).
+    // REAL decode: dims from the decoded raster (ImageIO), container
+    // metadata carried through — a narrow projection over blobs.
     "mm_decode_dims" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id").as("media_id"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-          col("text").cast("binary").as("bytes"),
-          col("source"))
-        .withColumn("dims", MultimodalOps.decodeStub(col("bytes")))
+      MultimodalOps.decodePngs(
+          MultimodalOps.mediaTable(s, dir)
+            .select(col("media_id"), col("kind"), col("n_frames"), col("bytes")))
         .select(col("media_id"), col("kind"),
-                col("dims.width").cast("long").as("width"),
-                col("dims.height").cast("long").as("height"),
-                col("dims.n_frames").cast("long").as("n_frames"),
-                length(col("bytes")).cast("long").as("n_bytes"))),
+                col("width"), col("height"), col("n_frames"),
+                (col("width") * col("height")).as("n_pixels"))),
 
-    // feature extraction: 8-dim stub embedding, first two activations.
+    // REAL pixel statistics: per-band sums from the decoded raster and
+    // integer-exact per-mille band means (the 3-dim color signature a
+    // vision pipeline hands to its embedding model).
     "mm_features" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("bytes", col("text").cast("binary"))
-        .withColumn("feat", MultimodalOps.featureStub(col("bytes"), 8))
-        .select(
-          col("doc_id").as("media_id"),
-          round(element_at(col("feat"), 1), 6).as("f0"),
-          round(element_at(col("feat"), 2), 6).as("f1"),
-          round(aggregate(col("feat"), lit(0.0), (a, x) => a + x * x), 6).as("feat_norm_sq"))),
+      MultimodalOps.decodePngs(
+          MultimodalOps.mediaTable(s, dir).select(col("media_id"), col("bytes")))
+        .select(col("media_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"),
+                expr("sum_r * 1000 div (width * height)").as("mean_r_milli"),
+                expr("sum_g * 1000 div (width * height)").as("mean_g_milli"),
+                expr("sum_b * 1000 div (width * height)").as("mean_b_milli"))),
 
     // aspect-preserving resize geometry to fit 224×224 (the vision
-    // preprocessing step) — integer math over the decoded dims.
+    // preprocessing step) — integer math over the REAL decoded dims.
     "mm_resize" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("bytes", col("text").cast("binary"))
-        .withColumn("dims", MultimodalOps.decodeStub(col("bytes")))
-        .withColumn("rs", MultimodalOps.resizeDims(
-          col("dims.width"), col("dims.height"), 224))
-        .select(col("doc_id").as("media_id"),
-                col("dims.width").cast("long").as("width"),
-                col("dims.height").cast("long").as("height"),
+      MultimodalOps.decodePngs(
+          MultimodalOps.mediaTable(s, dir).select(col("media_id"), col("bytes")))
+        .withColumn("rs", MultimodalOps.resizeDims(col("width"), col("height"), 224))
+        .select(col("media_id"), col("width"), col("height"),
                 col("rs.out_w").as("out_w"), col("rs.out_h").as("out_h"))),
 
-    // MEDIA DEDUP composition: payload → feature vector → sign-LSH
-    // bucket → duplicate groups — the binary-column twin of the
-    // embedding dedup pipeline, exercising blob → featurize → index →
-    // group end to end. The stub features are md5-derived (no metric
-    // locality — documented env constraint), so the groups here are
-    // exact-payload duplicates plus hash-coincidental bucket mates; a
-    // real CLIP-style encoder drops into the same array<double> column
-    // and the identical downstream (bucket, group) plan then yields
-    // true NEAR-dup media clusters. The fixture corpus contains real
-    // exact copies, so the groups are non-trivial.
+    // MEDIA DEDUP composition: payload → REAL decode → pixel-statistic
+    // feature vector → sign-LSH bucket → duplicate groups. Exact-copy
+    // payloads decode to identical statistics and land in the same
+    // bucket, so the groups are true payload duplicates (plus
+    // hash-coincidental bucket mates); a learned encoder drops into the
+    // same array<double> column with the identical downstream plan.
     "mm_near_dup" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("bytes", col("text").cast("binary"))
-        .select(col("doc_id").as("media_id"),
-          MultimodalOps.featureStub(col("bytes"), 8).as("feat"))
+      MultimodalOps.decodePngs(
+          MultimodalOps.mediaTable(s, dir).select(col("media_id"), col("bytes")))
+        .select(col("media_id"),
+          array(col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"),
+                col("width") * col("height"),
+                col("sum_r") + col("sum_g") + col("sum_b"),
+                col("sum_r") - col("sum_b")).cast("array<double>").as("feat"))
         .withColumn("bucket",
           graft.functions.VectorOps.lshBucket(col("feat"), 8, 8))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_items"), min(col("media_id")).as("rep_id"))
         .filter(col("n_items") >= 2)),
 
-    // frame sampling for video payloads: every 12th frame, exploded.
+    // frame sampling for video payloads: every 12th frame index of the
+    // container frame count, exploded.
     "mm_frame_sample" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .filter(col("doc_id") % 3 === 2) // kind == video
-        .withColumn("bytes", col("text").cast("binary"))
-        .withColumn("dims", MultimodalOps.decodeStub(col("bytes")))
-        .select(col("doc_id").as("media_id"),
-                explode(MultimodalOps.sampleFrames(col("dims.n_frames"), 12)).as("frame_idx")))
+      MultimodalOps.mediaTable(s, dir)
+        .filter(col("kind") === "video")
+        .select(col("media_id"),
+                explode(MultimodalOps.sampleFrames(col("n_frames"), 12)).as("frame_idx")))
   )
 
   private val h31txt = "CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) % 2147483647"
 
+  private def hp(salt: String) =
+    s"(CAST(concat('0x', substr(md5(concat(md5(text), '_$salt')), 1, 14)) AS BIGINT) % 2147483647)"
+
+  /** Shared synthesis-parameter CTE: the same salted md5 chain
+    * `MultimodalOps.mediaTable` uses to build the PNGs.
+    */
+  private val paramsCte =
+    s"""params AS (
+       |  SELECT doc_id AS media_id,
+       |    ${hp("w")} % 97 + 16 AS w,
+       |    ${hp("h")} % 97 + 16 AS h,
+       |    ${hp("r")} % 144 AS cr,
+       |    ${hp("g")} % 144 AS cg,
+       |    ${hp("b")} % 256 AS cb
+       |  FROM documents
+       |), stats AS (
+       |  -- closed-form decode expectation for the gradient image
+       |  -- r=cr+x, g=cg+y, b=cb: what ImageIO must read back.
+       |  SELECT media_id, w, h,
+       |    h * (w*cr + (w*(w-1))//2) AS sum_r,
+       |    w * (h*cg + (h*(h-1))//2) AS sum_g,
+       |    w*h*cb AS sum_b
+       |  FROM params
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "mm_decode_dims" ->
-      s"""SELECT doc_id AS media_id,
-         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-         |  ($h31txt) % 1920 + 1 AS width,
-         |  ($h31txt) % 1080 + 1 AS height,
-         |  ($h31txt) % 216 + 24 AS n_frames,
-         |  CAST(length(text) AS BIGINT) AS n_bytes
-         |FROM documents""".stripMargin,
+      s"""WITH $paramsCte, nf AS (
+         |  SELECT doc_id, ($h31txt) % 216 + 24 AS n_frames FROM documents
+         |)
+         |SELECT p.media_id,
+         |  ['image', 'audio', 'video'][CAST(p.media_id % 3 + 1 AS INT)] AS kind,
+         |  p.w AS width, p.h AS height,
+         |  nf.n_frames,
+         |  p.w * p.h AS n_pixels
+         |FROM params p JOIN nf ON nf.doc_id = p.media_id""".stripMargin,
 
     "mm_features" ->
-      """WITH f AS (
-        |  SELECT doc_id, list_transform(generate_series(0, 7), i ->
-        |    (CAST(concat('0x', substr(md5(concat(md5(text), '_', i)), 1, 14)) AS BIGINT) % 2147483647)
-        |      / 1073741823.5 - 1.0) AS feat
-        |  FROM documents
-        |)
-        |SELECT doc_id AS media_id,
-        |  round(feat[1], 6) AS f0,
-        |  round(feat[2], 6) AS f1,
-        |  round(list_sum(list_transform(feat, x -> x * x)), 6) AS feat_norm_sq
-        |FROM f""".stripMargin,
+      s"""WITH $paramsCte
+         |SELECT media_id, w AS width, h AS height, sum_r, sum_g, sum_b,
+         |  (sum_r * 1000) // (w*h) AS mean_r_milli,
+         |  (sum_g * 1000) // (w*h) AS mean_g_milli,
+         |  (sum_b * 1000) // (w*h) AS mean_b_milli
+         |FROM stats""".stripMargin,
 
     "mm_resize" ->
-      s"""WITH d AS (
-         |  SELECT doc_id AS media_id,
-         |    ($h31txt) % 1920 + 1 AS width,
-         |    ($h31txt) % 1080 + 1 AS height
-         |  FROM documents
-         |)
-         |SELECT media_id, width, height,
-         |  greatest(1, (width * 224) // greatest(width, height)) AS out_w,
-         |  greatest(1, (height * 224) // greatest(width, height)) AS out_h
-         |FROM d""".stripMargin,
+      s"""WITH $paramsCte
+         |SELECT media_id, w AS width, h AS height,
+         |  greatest(1, (w * 224) // greatest(w, h)) AS out_w,
+         |  greatest(1, (h * 224) // greatest(w, h)) AS out_h
+         |FROM params""".stripMargin,
 
     "mm_near_dup" ->
-      """WITH f AS (
-        |  SELECT doc_id AS media_id, list_transform(generate_series(0, 7), i ->
-        |    (CAST(concat('0x', substr(md5(concat(md5(text), '_', i)), 1, 14)) AS BIGINT) % 2147483647)
-        |      / 1073741823.5 - 1.0) AS feat
-        |  FROM documents
-        |), planes AS (
-        |  SELECT j, list_transform(generate_series(1, 8), i ->
-        |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
-        |      / 1073741823.5 - 1.0) AS plane
-        |  FROM generate_series(0, 7) t(j)
-        |), sig AS (
-        |  SELECT f.media_id,
-        |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 8), i ->
-        |      CAST(f.feat[i] * p.plane[i] AS DECIMAL(28,14)))) > 0
-        |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM f, planes p GROUP BY f.media_id
-        |)
-        |SELECT bucket, count(*) AS n_items, min(media_id) AS rep_id
-        |FROM sig GROUP BY bucket HAVING count(*) >= 2""".stripMargin,
+      s"""WITH $paramsCte, f AS (
+         |  SELECT media_id,
+         |    [w, h, sum_r, sum_g, sum_b, w*h, sum_r+sum_g+sum_b, sum_r-sum_b] AS feat
+         |  FROM stats
+         |), planes AS (
+         |  SELECT j, list_transform(generate_series(1, 8), i ->
+         |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+         |      / 1073741823.5 - 1.0) AS plane
+         |  FROM generate_series(0, 7) t(j)
+         |), sig AS (
+         |  SELECT f.media_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 8), i ->
+         |      CAST(f.feat[i] * p.plane[i] AS DECIMAL(28,14)))) > 0
+         |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM f, planes p GROUP BY f.media_id
+         |)
+         |SELECT bucket, count(*) AS n_items, min(media_id) AS rep_id
+         |FROM sig GROUP BY bucket HAVING count(*) >= 2""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH v AS (

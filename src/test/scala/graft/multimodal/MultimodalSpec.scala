@@ -5,33 +5,71 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  private def media = graft.tables.Tables.documents(spark, sf)
-    .select(col("doc_id").as("media_id"),
-            col("text").cast("binary").as("bytes"))
-
-  test("decodeBatched preserves cardinality and yields real byte stats") {
-    val out = MultimodalOps.decodeBatched(media, batchSize = 7)
-    assert(out.schema.fieldNames.toSeq == Seq("media_id", "n_bytes", "first_byte"))
-    val rows = out.collect()
-    assert(rows.length == media.count())
-    assert(rows.forall(r => r.getLong(1) > 0 && r.getInt(2) >= 0 && r.getInt(2) < 256))
+  test("png codec round-trip matches the closed form (pure, no Spark)") {
+    // gradient image r=cr+x, g=cg+y, b=cb at (w,h,cr,cg,cb)=(5,3,10,20,30):
+    //   sum_r = h·Σx(cr+x) = 3·(10+11+12+13+14) = 180
+    //   sum_g = w·Σy(cg+y) = 5·(20+21+22)       = 315
+    //   sum_b = w·h·cb     = 15·30              = 450
+    val bytes = MultimodalOps.synthPng(5, 3, 10, 20, 30)
+    // a real PNG file: magic header present
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val (w, h, sr, sg, sb) = MultimodalOps.decodePng(bytes)
+    assert((w, h, sr, sg, sb) == (5L, 3L, 180L, 315L, 450L))
   }
 
-  test("decode stub is deterministic across evaluations") {
-    val a = media.withColumn("d", MultimodalOps.decodeStub(col("bytes")))
-      .select("media_id", "d.width", "d.height").collect().toSet
-    val b = media.withColumn("d", MultimodalOps.decodeStub(col("bytes")))
-      .select("media_id", "d.width", "d.height").collect().toSet
+  test("decodePngs recovers every image's closed-form raster statistics") {
+    // expected values computed independently from the synthesis params
+    // (the same arithmetic the DuckDB oracle runs) — the decode path
+    // must reproduce them from the actual PNG bytes.
+    def ph(salt: String) =
+      conv(substring(md5(concat(md5(col("text")), lit("_" + salt))), 1, 14), 16, 10)
+        .cast("long") % 2147483647L
+    val expected = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id").as("media_id"),
+        (ph("w") % 97L + 16L).as("w"), (ph("h") % 97L + 16L).as("h"),
+        (ph("r") % 144L).as("cr"), (ph("g") % 144L).as("cg"), (ph("b") % 256L).as("cb"))
+      .select(col("media_id"), col("w"), col("h"),
+        (col("h") * (col("w") * col("cr") + col("w") * (col("w") - 1) / 2)).as("sum_r"),
+        (col("w") * (col("h") * col("cg") + col("h") * (col("h") - 1) / 2)).as("sum_g"),
+        (col("w") * col("h") * col("cb")).as("sum_b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Number](3).longValue,
+         r.getAs[Number](4).longValue, r.getLong(5))).toMap
+
+    val decoded = MultimodalOps.decodePngs(
+        MultimodalOps.mediaTable(spark, sf).select(col("media_id"), col("bytes")),
+        batchSize = 7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    assert(decoded.nonEmpty && decoded.size == expected.size)
+    decoded.foreach { case (id, got) =>
+      val (w, h, sr, sg, sb) = expected(id)
+      assert(got == ((w, h, sr, sg, sb)), s"media_id=$id")
+    }
+  }
+
+  test("media table payloads are real PNGs and decode deterministically") {
+    val media = MultimodalOps.mediaTable(spark, sf).select(col("media_id"), col("bytes"))
+    val magics = media.select(substring(col("bytes"), 2, 3).cast("string").as("m"))
+      .distinct().collect().map(_.getString(0))
+    assert(magics.toSeq == Seq("PNG"))
+    def run() = MultimodalOps.decodePngs(media)
+      .select("media_id", "width", "height", "sum_r").collect().toSet
+    val a = run(); val b = run()
     assert(a == b && a.nonEmpty)
   }
 
-  test("feature stub feeds the similarity ops (cosine self-sim = 1)") {
+  test("decoded pixel statistics feed the similarity ops (cosine self-sim = 1)") {
     import graft.functions.VectorOps
-    val withFeat = media.withColumn("feat",
-      MultimodalOps.featureStub(col("bytes"), 8).cast("array<float>"))
+    val withFeat = MultimodalOps.decodePngs(
+        MultimodalOps.mediaTable(spark, sf).select(col("media_id"), col("bytes")))
+      .select(col("media_id"),
+        array(col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+          .cast("array<float>").as("feat"))
     val sims = withFeat
       .select(VectorOps.cosine(col("feat"), col("feat")).as("c"))
       .collect().map(_.getDouble(0))
-    assert(sims.forall(c => math.abs(c - 1.0) < 1e-9))
+    assert(sims.nonEmpty && sims.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 }
