@@ -330,6 +330,23 @@ object SimilarityQueries {
       semanticDedupOver(hierAssigned(s, dir))((ea, eb, na, nb) =>
         VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb))),
 
+    // Semantic dedup at the PRODUCTION operating point: nlist ∝ corpus.
+    // A vector seeds a cluster iff h31("seed_" ‖ vec_id) mod SeedMod
+    // = 0 — a per-row Bernoulli gate (p = 1/SeedMod), so the seed count
+    // grows with the corpus (E[nlist] = n/SeedMod) and the expected
+    // cluster size stays ~SeedMod at ANY scale, holding the Σ|cluster|²
+    // pair term linear in n — WITHOUT a count() barrier: seed selection
+    // is a stateless per-row predicate, the one shape that composes
+    // with streaming ingest at 100 TB. Assignment is the same compiled
+    // broadcast projection and the keep rule is identical to
+    // dedup_semantic, with the decimal-exact cosine, so the whole
+    // seeds → assign → pair → keep chain is hash-checked. (The fixed-
+    // nlist dedup_semantic stays as the trained-index decimal anchor;
+    // this entry is the scale-safe posture, oracle-checked.)
+    "dedup_semantic_scaled" -> ((s, dir) =>
+      semanticDedupOver(scaledAssigned(s, dir))((ea, eb, na, nb) =>
+        VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb))),
+
     // PRODUCT QUANTIZATION codebook (public recipe: Jégou et al. 2011)
     // — the third leg of the ANN triad next to LSH (hash pruning) and
     // IVF (cluster pruning): memory compression. The 64-dim space
@@ -622,6 +639,34 @@ object SimilarityQueries {
         coalesce(col("min_nbr"), col("vec_id")).as("rep_id"),
         col("min_nbr").isNotNull.as("is_dup"))
   }
+
+  /** Corpus-proportional seed gate for `dedup_semantic_scaled`:
+    * p = 1/SeedMod per vector, so E[|cluster|] ≈ SeedMod at any corpus
+    * size (11 seeds on the 500-vector fixture, 43 at 2000 — measured).
+    */
+  private[graft] val SeedMod = 50
+
+  /** Seed centroids in long form: the md5-gated vectors themselves
+    * (raw components as double — no Lloyd pass; the gate IS the
+    * k-means++-free production init, chosen uniformly by hash).
+    */
+  private def scaledSeedsLong(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(
+        VectorOps.hash31(concat(lit("seed_"), col("vec_id").cast("string")))
+          % SeedMod === 0)
+      .select(col("vec_id").as("list_id"),
+              posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("list_id"), col("i"), col("x").cast("double").as("c"))
+
+  /** Corpus assignment under the Bernoulli-gate seeds — materialized
+    * once per (session, dir); the scale-safe twin of
+    * [[trainedAssigned]].
+    */
+  private def scaledAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "scaled_assigned") {
+      val emb = embWithNorm(s, dir)
+      assignTo(emb, centsFrameOf(scaledSeedsLong(emb)))
+    }
 
   /** The PRODUCTION scale control for semantic dedup, demonstrated:
     * same float-scored pipeline but with `nlist` seed centroids (the
@@ -1274,6 +1319,37 @@ object SimilarityQueries {
     // Trained-cluster-confined near-dup marking over the same unrolled
     // Lloyd chain as ann_topk_ivf_trained.
     "dedup_semantic" -> semanticDedupSql,
+
+    // The Bernoulli-gate seed chain: seeds = md5-gated vectors, one
+    // decimal-exact assignment pass, same keep rule as dedup_semantic.
+    "dedup_semantic_scaled" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS list_id, embedding
+         |  FROM embeddings
+         |  WHERE (CAST(concat('0x', substr(md5(concat('seed_', CAST(vec_id AS VARCHAR))), 1, 14)) AS BIGINT)
+         |         % 2147483647) % $SeedMod = 0
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, s.list_id,
+         |    ${duckCos("e.embedding", "s.embedding")} AS ccos
+         |  FROM embeddings e, seeds s
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assignedq AS (
+         |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+         |), close_pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM assignedq a JOIN assignedq b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.embedding", "b.embedding")} >= $SemDedupCos
+         |), min_nbr AS (
+         |  SELECT vb AS vec_id, min(va) AS min_nbr FROM close_pairs GROUP BY 1
+         |)
+         |SELECT q.vec_id, q.list_id,
+         |  coalesce(n.min_nbr, q.vec_id) AS rep_id,
+         |  (n.min_nbr IS NOT NULL) AS is_dup
+         |FROM assignedq q LEFT JOIN min_nbr n USING (vec_id)""".stripMargin,
 
     // Two-level argmin chain: child→coarse, vec→coarse, then vec→child
     // within the winning cell — each ranking the (cos DESC, id ASC)
