@@ -221,6 +221,27 @@ object EventQueries {
         e.agg(countDistinct(col("user_id")).as("true_distinct")))
     }),
 
+    // Deterministic mergeable QUANTILE sketch (fixed-grid histogram,
+    // the HdrHistogram recipe): values bucket at quarter-unit
+    // resolution (bucket = ⌊value·4⌋ — k/4 grid points are exact
+    // doubles, so the projection is engine-identical), the sketch
+    // state is the (bucket, count) table — FIXED-size, SUM-mergeable
+    // (the additive law, like CMS; vs HLL's max-merge), one partial-
+    // aggregable hash agg to build. The finish is pure integer rank
+    // math: rank_p = ⌈n·p/100⌉ = (n·p + 99) DIV 100, estimate = the
+    // first bucket whose cumulative count reaches the rank (grid lower
+    // edge). Audited per-quantile against the EXACT kth order
+    // statistic — at 100 TB the audit is the expensive global sort
+    // (q_percentiles' shape); the sketch replaces it with one linear
+    // pass + a ~2.3k-counter merge.
+    "sketch_quantiles" -> ((s, dir) => {
+      val vals = Tables.events(s, dir)
+        .filter(col("value").isNotNull).select(col("value"))
+      quantileFinish(
+        quantileBuckets(vals).groupBy(col("bucket")).agg(count(lit(1)).as("cnt")),
+        vals)
+    }),
+
     // Ordered funnel (sequential pattern): users reaching
     // view → click-after-view → purchase-after-click, by strict event
     // order. Each stage is one partial-aggregable min per user + one
@@ -313,7 +334,61 @@ object EventQueries {
                     col("true_distinct"), 6).as("rel_err_r"))
   }
 
+  /** Per-row histogram-bucket projection — the mergeable half of the
+    * quantile sketch ([[quantileFinish]] is the other). private[graft]:
+    * the streaming twin builds PER-BATCH partial histograms with the
+    * same projection and merges them by bucket SUM.
+    */
+  private[graft] def quantileBuckets(vals: org.apache.spark.sql.DataFrame) =
+    vals.select(floor(col("value") * 4).cast("long").as("bucket"))
+
+  /** Quantile estimates from a merged (bucket, cnt) histogram: integer
+    * rank math over the cumulative counts, audited against the exact
+    * kth order statistic of `vals`. The cumulative window runs over the
+    * ~2.3k-row bucket table (sketch-sized, not data-sized); only the
+    * audit sorts the raw values.
+    */
+  private[graft] def quantileFinish(hist: org.apache.spark.sql.DataFrame,
+                                    vals: org.apache.spark.sql.DataFrame) = {
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+    val ranks = hist.agg(sum(col("cnt")).as("n"))
+      .select(col("n"),
+        explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("q_pct"))
+      .withColumn("rk", expr("(n * q_pct + 99) div 100"))
+    val est = broadcast(ranks).join(cum, col("cum") >= col("rk"))
+      .groupBy(col("q_pct"), col("rk"))
+      .agg(min(col("bucket")).as("bkt"))
+    val sorted = vals.withColumn("rn",
+      row_number().over(Window.orderBy(col("value"))))
+    est.join(sorted, col("rn") === col("rk"))
+      .select(col("q_pct"), (col("bkt") / lit(4.0)).as("est"),
+              col("value").as("true_q"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Same fixed-grid histogram + integer rank math as the engine; the
+    // audit join pins each estimate to the exact kth order statistic.
+    "sketch_quantiles" ->
+      """WITH v AS (
+        |  SELECT value FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT CAST(floor(value * 4) AS BIGINT) AS bucket, count(*) AS cnt
+        |  FROM v GROUP BY 1
+        |), cum AS (
+        |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM b
+        |), ranks AS (
+        |  SELECT CAST(q_pct AS BIGINT) AS q_pct, (n * q_pct + 99) // 100 AS rk
+        |  FROM (SELECT sum(cnt) AS n FROM b), (SELECT unnest([50, 90, 95, 99]) AS q_pct)
+        |), est AS (
+        |  SELECT r.q_pct, r.rk, min(c.bucket) AS bkt
+        |  FROM ranks r JOIN cum c ON c.cum >= r.rk GROUP BY 1, 2
+        |), sorted AS (
+        |  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v
+        |)
+        |SELECT e.q_pct, CAST(e.bkt AS DOUBLE) / 4 AS est, s.value AS true_q
+        |FROM est e JOIN sorted s ON s.rn = e.rk""".stripMargin,
+
     // epoch_ns // 1000000 ≡ the engine's ts_ms (integer floor division
     // — double division would lose ms precision at epoch-nanos scale).
     "events_window_agg" ->

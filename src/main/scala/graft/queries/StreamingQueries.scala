@@ -548,6 +548,39 @@ object StreamingQueries {
           .select(explode(graft.text.TextOps.tokens(col("text"))).as("token")))
     }),
 
+    // Streaming QUANTILE sketch: each micro-batch contributes its
+    // partial (bucket, cnt) fixed-grid histogram (the identical
+    // projection as the batch sketch) and the merge is SUM per bucket
+    // — the additive mergeability law again, this time carrying rank
+    // information: merge(partials) ≡ batch histogram, so the quantile
+    // finish over the merged state hash-matches sketch_quantiles'
+    // oracle exactly. The audit's exact order statistic reads the
+    // batch table (the stream replays the same totality).
+    "stream_quantiles" -> ((s, dir) => {
+      val histDir = Files.createTempDirectory("graft-qsk-regs-")
+      sys.addShutdownHook(deleteRecursively(histDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .filter(col("value").isNotNull).select(col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.quantileBuckets(batch)
+            .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(histDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(histDir.toString)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      EventQueries.quantileFinish(merged,
+        graft.tables.Tables.events(s, dir)
+          .filter(col("value").isNotNull).select(col("value")))
+    }),
+
     // The same MapState+timer machine on the MODERN arbitrary-state
     // API (transformWithState, Spark 4.x): real per-key MapState + one
     // registered timer per open window — the literal structural twin
@@ -647,6 +680,7 @@ object StreamingQueries {
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
     "stream_hll_users" -> EventQueries.oracleSql("sketch_hll_users"),
+    "stream_quantiles" -> EventQueries.oracleSql("sketch_quantiles"),
 
     // Sum-merge of per-batch counter tables ≡ the batch CMS — shares
     // the batch count-min oracle.

@@ -28,4 +28,37 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - truth) / truth <= 5 * se,
       s"estimate $est vs true $truth exceeds 5 standard errors")
   }
+
+  test("quantile sketch: grid-resolution error bound holds on every quantile") {
+    val rows = EventQueries.queries("sketch_quantiles")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(50L, 90L, 95L, 99L))
+    rows.foreach { r =>
+      val (est, truth) = (r.getDouble(1), r.getDouble(2))
+      // estimate = lower edge of the bucket holding the true kth order
+      // statistic, so it sits within one 1/4-wide cell below the truth
+      assert(est <= truth && truth - est < 0.25,
+        s"p${r.getLong(0)}: est $est vs true $truth breaks the 1/4-grid bound")
+    }
+  }
+
+  test("quantile sketch: merged partial histograms equal the batch histogram") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.tables.Tables.events(spark, sf)
+      .filter(col("value").isNotNull).select(col("value"))
+    val batch = EventQueries.quantileBuckets(vals)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    // split on an arbitrary per-row predicate and merge by bucket SUM —
+    // the additive law the streaming twin relies on
+    val parts = Seq(
+      vals.filter(col("value") * 100 % 3 < 1.5),
+      vals.filter(!(col("value") * 100 % 3 < 1.5)))
+    val merged = parts
+      .map(p => EventQueries.quantileBuckets(p)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt")))
+      .reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val b = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b.nonEmpty && b === m)
+  }
 }
