@@ -81,6 +81,31 @@ class PlanShapeSpec extends SparkSpec {
       "no partial aggregation phase visible")
   }
 
+  test("AQE skew-join splits the hot partition (metric-asserted, not eyeballed)") {
+    // adversarial 90%-hot-key join, thresholds scaled to test size; the
+    // final adaptive plan must report the skew split in its own
+    // AQEShuffleRead metrics — the runtime answer to skew that
+    // q_salted_join's static rewrite complements (SkewBench measures
+    // the wall-clock three-way contrast at 20M rows)
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (_, parts, splits, plan) = SkewBench.runJoin(
+        SkewBench.skewedFact(spark, 400000L).join(SkewBench.dimTable(spark), "k"))
+      assert(parts >= 1, s"no skewed partition detected:\n${plan.take(1500)}")
+      assert(splits >= 2, s"skewed partition not split:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedup_lsh_pairs: no forced broadcast of the corpus, star edges bounded") {
     // the query must leave corpus-side join strategy to the planner —
     // i.e. contain no ResolvedHint/broadcast() on the token-set table.
