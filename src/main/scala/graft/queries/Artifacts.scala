@@ -63,8 +63,29 @@ object Artifacts {
     }
   }
 
+  private val scalarCache =
+    scala.collection.mutable.HashMap[(SparkSession, String, String), Long]()
+
+  /** Memoized scalar statistic for (s, dir) — e.g. the corpus row
+    * count, which a warehouse keeps as a catalog statistic with the
+    * table rather than recounting per consumer query. Same keying and
+    * clear() lifecycle as the frame memo.
+    */
+  def scalar(s: SparkSession, dir: String, key: String)(build: => Long): Long = {
+    val k = (s, dir, key)
+    scalarCache.synchronized(scalarCache.get(k)) match {
+      case Some(v) => v
+      case None =>
+        val v = build
+        scalarCache.synchronized(scalarCache.getOrElseUpdate(k, v))
+    }
+  }
+
   /** Drop all memoized artifacts (the next request rebuilds). */
-  def clear(): Unit = cache.synchronized(cache.clear())
+  def clear(): Unit = {
+    cache.synchronized(cache.clear())
+    scalarCache.synchronized(scalarCache.clear())
+  }
 
   /** Drop one (session, dir)'s artifacts — call when done with a data
     * dir (e.g. a ScaleBench temp dir) so the memo doesn't pin its
@@ -72,8 +93,14 @@ object Artifacts {
     * strong DataFrame references, and the ContextCleaner only releases
     * checkpoint blocks once those are unreachable.
     */
-  def clearDir(s: SparkSession, dir: String): Unit = cache.synchronized {
-    cache.keysIterator.filter(k => k._1 == s && k._2 == dir).toList
-      .foreach(cache.remove)
+  def clearDir(s: SparkSession, dir: String): Unit = {
+    cache.synchronized {
+      cache.keysIterator.filter(k => k._1 == s && k._2 == dir).toList
+        .foreach(cache.remove)
+    }
+    scalarCache.synchronized {
+      scalarCache.keysIterator.filter(k => k._1 == s && k._2 == dir).toList
+        .foreach(scalarCache.remove)
+    }
   }
 }

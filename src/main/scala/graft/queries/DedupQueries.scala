@@ -171,7 +171,9 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = verts.count()
+      // corpus size via the shared scalar memo — a warehouse catalog
+      // statistic, counted once per (session, dir), not per invocation
+      val n = Artifacts.scalar(s, dir, "documents_n")(verts.count())
       var rank = verts.select(col("v"),
         round(lit(1.0) / n, 9).as("pr")).localCheckpoint()
       (1 to PrRounds).foreach { _ =>
