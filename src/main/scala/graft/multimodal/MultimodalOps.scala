@@ -147,6 +147,89 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Deterministic PCM16 mono WAV at 16 kHz: `nBlocks` repetitions of
+    * the 256-sample ramp s(t) = base + (t mod 256). With |base| ≤
+    * 16000 no sample wraps, so every decoded statistic has a closed
+    * form. A REAL container: RIFF/WAVE header + little-endian PCM via
+    * `javax.sound.sampled.AudioSystem` — the JDK's audio codec.
+    */
+  def synthWav(nBlocks: Int, base: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = nBlocks * 256
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = base + (t % 256)
+      pcm(2 * t) = (s & 0xFF).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real decode of one WAV payload: (n_samples, sample_rate, sum,
+    * sum of squares, min, max) read from the decoded PCM frames.
+    */
+  def decodeWav(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val rate = ais.getFormat.getSampleRate.toLong
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    var sum = 0L; var sumSq = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var t = 0
+    while (t < n) {
+      val s = ((pcm(2 * t) & 0xFF) | (pcm(2 * t + 1) << 8)).toShort.toLong
+      sum += s; sumSq += s * s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      t += 1
+    }
+    (n.toLong, rate, sum, sumSq, mn, mx)
+  }
+
+  private val encodeWavUdf =
+    udf((nBlocks: Int, base: Int) => synthWav(nBlocks, base))
+
+  /** The audio fixture: one real 16 kHz PCM16 WAV per document
+    * (parameters from the salted hash chain: 16..112 blocks of 256
+    * samples, base amplitude in [-16000, 16000]).
+    */
+  def audioTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.tables.Tables.documents(s, dir)
+    val t = col("text")
+    docs.select(
+      col("doc_id").as("media_id"),
+      encodeWavUdf(
+        (ph(t, "an") % 97L + 16L).cast("int"),
+        (ph(t, "ac") % 32001L - 16000L).cast("int")).as("bytes"))
+  }
+
+  /** Batched real WAV decode in the same `mapPartitions` shape as
+    * [[decodePngs]], appending the decoded sample statistics.
+    */
+  def decodeWavs(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("n_samples", LongType), StructField("sample_rate", LongType),
+      StructField("sum_amp", LongType), StructField("sum_sq", LongType),
+      StructField("min_amp", LongType), StructField("max_amp", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (n, rate, sum, sumSq, mn, mx) = decodeWav(r.getAs[Array[Byte]](bytesIdx))
+          Row.fromSeq(r.toSeq ++ Seq(n, rate, sum, sumSq, mn, mx))
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video payloads: every `step`-th frame index of
     * the container frame count — pure array generation, exploded by the
     * caller.

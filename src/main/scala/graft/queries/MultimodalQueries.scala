@@ -28,6 +28,14 @@ object MultimodalQueries {
       MultimodalOps.decodePngs(MultimodalOps.mediaTable(s, dir).drop("source"))
     }
 
+  /** The decoded audio table — WAV encode + real decode once per
+    * (session, dir), shared by the mm_audio_* consumers.
+    */
+  private def decodedAudio(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "audio_decoded") {
+      MultimodalOps.decodeWavs(MultimodalOps.audioTable(s, dir))
+    }
+
   val queries: Map[String, Q] = Map(
 
     // REAL decode: dims from the decoded raster (ImageIO), container
@@ -83,7 +91,30 @@ object MultimodalQueries {
       decodedMedia(s, dir)
         .filter(col("kind") === "video")
         .select(col("media_id"),
-                explode(MultimodalOps.sampleFrames(col("n_frames"), 12)).as("frame_idx")))
+                explode(MultimodalOps.sampleFrames(col("n_frames"), 12)).as("frame_idx"))),
+
+    // REAL audio decode: container metadata (rate) + sample count +
+    // amplitude range read from the decoded PCM frames (the JDK's
+    // javax.sound.sampled WAV codec, run on the executors).
+    "mm_audio_decode" -> ((s, dir) =>
+      decodedAudio(s, dir)
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+                expr("n_samples * 1000 div sample_rate").as("duration_ms"),
+                col("min_amp"), col("max_amp"))),
+
+    // REAL audio features: integer-exact energy statistics from the
+    // decoded samples — the loudness/energy signature an audio
+    // pipeline computes before segmentation or VAD.
+    "mm_audio_features" -> ((s, dir) =>
+      decodedAudio(s, dir)
+        .select(col("media_id"), col("sum_amp"), col("sum_sq"),
+                // FLOOR division (not `div`): sum_amp can be negative,
+                // where Spark's div truncates toward zero but DuckDB's
+                // // floors — floor on exact doubles matches // exactly
+                // (numerator < 2^53; quotient ≥ 1/n from any integer)
+                floor(col("sum_amp") * 1000 / col("n_samples")).cast("long")
+                  .as("mean_amp_milli"),
+                expr("sum_sq div n_samples").as("mean_sq")))
   )
 
   private val h31txt = "CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) % 2147483647"
@@ -166,6 +197,40 @@ object MultimodalQueries {
          |  FROM documents WHERE doc_id % 3 = 2
          |)
          |SELECT media_id, unnest(generate_series(0, max_frame, 12)) AS frame_idx
-         |FROM v""".stripMargin
+         |FROM v""".stripMargin,
+
+    // closed-form decode expectation for the ramp waveform
+    // s(t) = c + (t mod 256) over nb 256-sample blocks:
+    //   n = 256·nb, Σs = n·c + nb·32640, Σs² = n·c² + 2c·nb·32640
+    //   + nb·5559680 (Σr = 32640, Σr² = 5559680 over r = 0..255)
+    "mm_audio_decode" ->
+      s"""WITH p AS (
+         |  SELECT doc_id AS media_id,
+         |    ${hp("an")} % 97 + 16 AS nb,
+         |    ${hp("ac")} % 32001 - 16000 AS c
+         |  FROM documents
+         |)
+         |SELECT media_id, nb * 256 AS n_samples,
+         |  CAST(16000 AS BIGINT) AS sample_rate,
+         |  (nb * 256 * 1000) // 16000 AS duration_ms,
+         |  c AS min_amp, c + 255 AS max_amp
+         |FROM p""".stripMargin,
+
+    "mm_audio_features" ->
+      s"""WITH p AS (
+         |  SELECT doc_id AS media_id,
+         |    ${hp("an")} % 97 + 16 AS nb,
+         |    ${hp("ac")} % 32001 - 16000 AS c
+         |  FROM documents
+         |), st AS (
+         |  SELECT media_id, nb * 256 AS n,
+         |    nb * 256 * c + nb * 32640 AS sum_amp,
+         |    nb * 256 * c * c + 2 * c * nb * 32640 + nb * 5559680 AS sum_sq
+         |  FROM p
+         |)
+         |SELECT media_id, sum_amp, sum_sq,
+         |  (sum_amp * 1000) // n AS mean_amp_milli,
+         |  sum_sq // n AS mean_sq
+         |FROM st""".stripMargin
   )
 }

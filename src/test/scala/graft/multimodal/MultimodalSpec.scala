@@ -60,6 +60,33 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("wav codec round-trip matches the closed form (pure, no Spark)") {
+    // ramp s(t) = c + (t mod 256), nb=2 blocks, c=-100:
+    //   n = 512, Σs = 512·(−100) + 2·32640 = 14080
+    //   Σs² = 512·100² + 2·(−100)·2·32640 + 2·5559680 = 3,183,360
+    val bytes = MultimodalOps.synthWav(2, -100)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val (n, rate, sum, sumSq, mn, mx) = MultimodalOps.decodeWav(bytes)
+    assert((n, rate, sum, sumSq, mn, mx) == ((512L, 16000L, 14080L, 3183360L, -100L, 155L)))
+  }
+
+  test("decodeWavs recovers every payload's closed-form sample statistics") {
+    def ph(salt: String) =
+      conv(substring(md5(concat(md5(col("text")), lit("_" + salt))), 1, 14), 16, 10)
+        .cast("long") % 2147483647L
+    val expected = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id").as("media_id"),
+        (ph("an") % 97L + 16L).as("nb"), (ph("ac") % 32001L - 16000L).as("c"))
+      .select(col("media_id"), (col("nb") * 256).as("n"),
+        (col("nb") * 256 * col("c") + col("nb") * 32640L).as("sum_amp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val decoded = MultimodalOps.decodeWavs(
+        MultimodalOps.audioTable(spark, sf), batchSize = 7)
+      .select("media_id", "n_samples", "sum_amp").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(decoded.nonEmpty && decoded == expected)
+  }
+
   test("decoded pixel statistics feed the similarity ops (cosine self-sim = 1)") {
     import graft.functions.VectorOps
     val withFeat = MultimodalOps.decodePngs(
