@@ -221,6 +221,24 @@ object EventQueries {
         e.agg(countDistinct(col("user_id")).as("true_distinct")))
     }),
 
+    // Deterministic BLOOM FILTER (Bloom 1970) — the membership sketch
+    // completing the suite's merge laws: HLL merges by MAX, CMS by
+    // SUM, Bloom by OR (set union of bit positions). m=4096 bits, k=4
+    // salted md5 hashes; state = the set-bit table, bounded by m
+    // regardless of corpus size. The check probes 3000 candidate keys
+    // and reports the (is_present × is_member) confusion counts
+    // against the EXACT membership truth: the no-false-negative
+    // guarantee is visible as the absent (present=true, member=false)
+    // cell, and the false-positive load is the (false, true) count.
+    // At 100 TB this is the cheap pre-filter in front of an
+    // incremental-dedup anti join: a "no" from the filter skips the
+    // shuffle probe for most novel keys.
+    "sketch_bloom" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key")).distinct()
+      bloomCheck(bloomBits(base), base, bloomProbes(s))
+    }),
+
     // Deterministic mergeable QUANTILE sketch (fixed-grid histogram,
     // the HdrHistogram recipe): values bucket at quarter-unit
     // resolution (bucket = ⌊value·4⌋ — k/4 grid points are exact
@@ -334,6 +352,54 @@ object EventQueries {
                     col("true_distinct"), 6).as("rel_err_r"))
   }
 
+  private val BloomBits = 4096L
+  private val BloomK = 4
+
+  /** Salted md5 bit position: hash_i(key) = h31("bloom_i_" ‖ key) mod m
+    * — the same md5-prefix route every sketch here shares.
+    */
+  private def bloomBitIdx(i: org.apache.spark.sql.Column,
+                          key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("bloom_"), i.cast("string"), lit("_"), key)),
+      1, 14), 16, 10).cast("long") % 2147483647L % BloomBits
+
+  /** The filter itself: the DISTINCT set-bit table over k salted
+    * hashes per key — bounded by m rows, mergeable by UNION (the OR
+    * law). private[graft]: the streaming twin builds PER-BATCH partial
+    * bit tables with the same projection and ORs them by distinct.
+    */
+  private[graft] def bloomBits(keys: org.apache.spark.sql.DataFrame) =
+    keys.select(explode(sequence(lit(0), lit(BloomK - 1))).as("i"), col("key"))
+      .select(bloomBitIdx(col("i"), col("key")).as("bit_idx"))
+      .distinct()
+
+  /** 3000 candidate keys (ids 0..2999 as strings) — covers present and
+    * absent keys at every fixture sf.
+    */
+  private[graft] def bloomProbes(s: org.apache.spark.sql.SparkSession) =
+    s.range(3000).select(col("id").as("probe_id"), col("id").cast("string").as("key"))
+
+  /** Membership check + exact-truth confusion counts: a probe is a
+    * Bloom member iff all k of its bit positions are set.
+    */
+  private[graft] def bloomCheck(bits: org.apache.spark.sql.DataFrame,
+                                base: org.apache.spark.sql.DataFrame,
+                                probes: org.apache.spark.sql.DataFrame) = {
+    val matched = probes
+      .select(col("probe_id"), explode(sequence(lit(0), lit(BloomK - 1))).as("i"), col("key"))
+      .select(col("probe_id"), bloomBitIdx(col("i"), col("key")).as("bit_idx"))
+      .join(bits, Seq("bit_idx"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_set"))
+    probes
+      .join(matched, Seq("probe_id"), "left")
+      .join(base.select(col("key"), lit(true).as("present_flag")), Seq("key"), "left")
+      .select(
+        coalesce(col("present_flag"), lit(false)).as("is_present"),
+        (coalesce(col("n_set"), lit(0L)) === BloomK).as("is_member"))
+      .groupBy(col("is_present"), col("is_member"))
+      .agg(count(lit(1)).as("n_probes"))
+  }
+
   /** Per-row histogram-bucket projection — the mergeable half of the
     * quantile sketch ([[quantileFinish]] is the other). private[graft]:
     * the streaming twin builds PER-BATCH partial histograms with the
@@ -367,6 +433,37 @@ object EventQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same k salted md5 bit positions, same all-k-set membership rule,
+    // exact-truth confusion counts.
+    "sketch_bloom" ->
+      """WITH base AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events
+        |), bits AS (
+        |  SELECT DISTINCT
+        |    (CAST(concat('0x', substr(md5(concat('bloom_', i, '_', key)), 1, 14)) AS BIGINT)
+        |     % 2147483647) % 4096 AS bit_idx
+        |  FROM base, generate_series(0, 3) t(i)
+        |), probes AS (
+        |  SELECT g AS probe_id, CAST(g AS VARCHAR) AS key
+        |  FROM generate_series(0, 2999) s(g)
+        |), matched AS (
+        |  SELECT probe_id, count(*) AS n_set
+        |  FROM (
+        |    SELECT p.probe_id,
+        |      (CAST(concat('0x', substr(md5(concat('bloom_', i, '_', p.key)), 1, 14)) AS BIGINT)
+        |       % 2147483647) % 4096 AS bit_idx
+        |    FROM probes p, generate_series(0, 3) t(i)
+        |  ) WHERE bit_idx IN (SELECT bit_idx FROM bits)
+        |  GROUP BY 1
+        |), flags AS (
+        |  SELECT p.probe_id,
+        |    (p.key IN (SELECT key FROM base)) AS is_present,
+        |    (coalesce(m.n_set, 0) = 4) AS is_member
+        |  FROM probes p LEFT JOIN matched m USING (probe_id)
+        |)
+        |SELECT is_present, is_member, count(*) AS n_probes
+        |FROM flags GROUP BY 1, 2""".stripMargin,
+
     // Same fixed-grid histogram + integer rank math as the engine; the
     // audit join pins each estimate to the exact kth order statistic.
     "sketch_quantiles" ->

@@ -548,6 +548,34 @@ object StreamingQueries {
           .select(explode(graft.text.TextOps.tokens(col("text"))).as("token")))
     }),
 
+    // Streaming BLOOM filter: each micro-batch contributes its partial
+    // set-bit table (the identical k-hash projection as the batch
+    // sketch) and the merge is OR — distinct over the union of
+    // positions: the third mergeability law (max/sum/OR) the sketch
+    // suite relies on, hash-proven against sketch_bloom's oracle.
+    "stream_bloom" -> ((s, dir) => {
+      val bitsDir = Files.createTempDirectory("graft-bloom-bits-")
+      sys.addShutdownHook(deleteRecursively(bitsDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("user_id").cast("string").as("key"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.bloomBits(batch.distinct())
+            .write.mode("append").parquet(bitsDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(bitsDir.toString).distinct()
+      val base = graft.tables.Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key")).distinct()
+      EventQueries.bloomCheck(merged, base, EventQueries.bloomProbes(s))
+    }),
+
     // Streaming QUANTILE sketch: each micro-batch contributes its
     // partial (bucket, cnt) fixed-grid histogram (the identical
     // projection as the batch sketch) and the merge is SUM per bucket
@@ -681,6 +709,7 @@ object StreamingQueries {
     // the batch HLL oracle.
     "stream_hll_users" -> EventQueries.oracleSql("sketch_hll_users"),
     "stream_quantiles" -> EventQueries.oracleSql("sketch_quantiles"),
+    "stream_bloom" -> EventQueries.oracleSql("sketch_bloom"),
 
     // Sum-merge of per-batch counter tables ≡ the batch CMS — shares
     // the batch count-min oracle.

@@ -41,6 +41,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter: no false negatives, and partial filters OR-merge to the batch filter") {
+    import org.apache.spark.sql.functions._
+    val rows = EventQueries.queries("sketch_bloom")(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // the defining one-sided guarantee: every present key is a member
+    assert(rows.getOrElse((true, false), 0L) === 0L, s"false negatives: $rows")
+    assert(rows.getOrElse((true, true), 0L) > 0L)
+
+    val base = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id").cast("string").as("key")).distinct()
+    val batchBits = EventQueries.bloomBits(base)
+      .collect().map(_.getLong(0)).toSet
+    // OR law: union of per-part partial filters == the batch filter
+    val parts = Seq(base.filter(col("key").cast("long") % 2 === 0),
+                    base.filter(col("key").cast("long") % 2 =!= 0))
+    val merged = parts.map(p => EventQueries.bloomBits(p)
+      .collect().map(_.getLong(0)).toSet).reduce(_ union _)
+    assert(batchBits.nonEmpty && merged === batchBits)
+  }
+
   test("quantile sketch: merged partial histograms equal the batch histogram") {
     import org.apache.spark.sql.functions._
     val vals = graft.tables.Tables.events(spark, sf)
