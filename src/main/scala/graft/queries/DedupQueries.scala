@@ -195,6 +195,48 @@ object DedupQueries {
       rank.select(col("v").as("doc_id"), col("pr"))
     }),
 
+    // TRIANGLE COUNT over the dedup graph — the third graph primitive
+    // next to CC and PageRank (cohesion: how clique-like are the
+    // near-dup neighborhoods?). Degree-ordered "compact-forward"
+    // enumeration (Latapy 2008, the m^1.5 algorithm): orient every
+    // edge from its (degree, id)-smaller endpoint, enumerate wedges at
+    // each apex (out-degree is O(√m) under this orientation, which is
+    // what bounds the join), and semi-join against the canonicalized
+    // edge set to close them — each triangle counted exactly once at
+    // its unique apex. Output also carries Σd(d−1)/2 (wedge capacity)
+    // and the global clustering coefficient in exact ppm integer math.
+    "graph_triangles" -> ((s, dir) => {
+      val edges = lshEdges(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val deg = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = edges
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+                when(aFirst, col("b")).otherwise(col("a")).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wedges = oriented.select(col("u"), col("t").as("t1"))
+        .join(oriented.select(col("u"), col("t").as("t2")), Seq("u"))
+        .filter(col("t1") < col("t2"))
+      val closing = oriented.select(
+        least(col("u"), col("t")).as("t1"), greatest(col("u"), col("t")).as("t2"))
+      val nt = wedges.join(closing, Seq("t1", "t2"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_vertices"),
+              sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(nt)
+        .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+                col("n_triangles"),
+                coalesce(expr("(3 * n_triangles * 1000000) div nullif(n_wedges, 0)"),
+                  lit(0L)).as("clustering_ppm"))
+    }),
+
     // Leakage-safe train/val/test split: the split key is the dedup
     // COMPONENT, not the document — near-duplicates land in the same
     // split by construction, so a test document can never have a
@@ -770,6 +812,48 @@ object DedupQueries {
        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same star edges → same (degree, id) orientation → wedge +
+    // closing-edge EXISTS — exact integer outputs throughout
+    "graph_triangles" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), edges AS (
+         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  WHERE m.rep < bd.doc_id
+         |), deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
+         |  ) GROUP BY 1
+         |), oriented AS (
+         |  SELECT CASE WHEN (da.d, e.doc_a) < (db.d, e.doc_b) THEN e.doc_a ELSE e.doc_b END AS u,
+         |         CASE WHEN (da.d, e.doc_a) < (db.d, e.doc_b) THEN e.doc_b ELSE e.doc_a END AS t
+         |  FROM edges e JOIN deg da ON da.v = e.doc_a JOIN deg db ON db.v = e.doc_b
+         |), wedges AS (
+         |  SELECT w1.u, w1.t AS t1, w2.t AS t2
+         |  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.t < w2.t
+         |), closing AS (
+         |  SELECT least(u, t) AS t1, greatest(u, t) AS t2 FROM oriented
+         |), tri AS (
+         |  SELECT count(*) AS n_triangles FROM wedges w
+         |  WHERE EXISTS (SELECT 1 FROM closing c WHERE c.t1 = w.t1 AND c.t2 = w.t2)
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg
+         |), ecnt AS (SELECT count(*) AS n_edges FROM edges)
+         |SELECT s.n_vertices, e.n_edges, s.n_wedges, t.n_triangles,
+         |  coalesce((3 * t.n_triangles * 1000000) // nullif(s.n_wedges, 0), 0) AS clustering_ppm
+         |FROM stats s, ecnt e, tri t""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
