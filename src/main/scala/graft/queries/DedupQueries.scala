@@ -237,6 +237,26 @@ object DedupQueries {
                   lit(0L)).as("clustering_ppm"))
     }),
 
+    // K-CORE DECOMPOSITION over the dedup graph — the fourth graph
+    // primitive (CC: who is connected; PageRank: who is central;
+    // triangles: how clique-like; k-core: how DEEPLY embedded). The
+    // coreness of a near-dup vertex separates incidental bucket
+    // collisions (coreness 1) from genuinely dense duplicate
+    // neighborhoods (coreness ≥ 2) — the standard graph-density
+    // signal for template/boilerplate families in web-corpus dedup.
+    // Batagelj–Zaveršnik peeling, distributed as bounded synchronous
+    // rounds: drop every vertex with degree < k, recompute, repeat —
+    // each round is one partial-aggregable degree count + two
+    // semi-joins (O(|E|), skew-immune), KcRounds rounds per k, cores
+    // computed incrementally (the 3-core peels FROM the 2-core's
+    // edges, never from scratch). The round count is part of the
+    // oracle contract (same bounded unroll in DuckDB), and
+    // `KCoreSpec` proves the fixture reaches its fixpoint within
+    // budget, so the bound is an engineering cap, not an
+    // approximation. At 100 TB: O(rounds · |E|) with per-round
+    // localCheckpoint — the CC/PageRank posture exactly.
+    "graph_kcore" -> ((s, dir) => kcoreness(s, dir, KcRounds)),
+
     // Leakage-safe train/val/test split: the split key is the dedup
     // COMPONENT, not the document — near-duplicates land in the same
     // split by construction, so a test document can never have a
@@ -612,6 +632,52 @@ object DedupQueries {
   /** PageRank iteration budget (bounded like the Lloyd/CC loops). */
   private val PrRounds = 3
 
+  /** Peel-round budget per k for `graph_kcore` (bounded like the
+    * Lloyd/CC/PageRank loops; fixpoint-on-fixture proven by
+    * KCoreSpec). private[graft]: the spec re-runs with KcRounds + 1
+    * to prove the cap is past the fixpoint.
+    */
+  private[graft] val KcRounds = 6
+
+  /** `graph_kcore` body, parameterized by round budget so KCoreSpec
+    * can prove fixpoint (rounds vs rounds+1 identical). Coreness is
+    * capped at 3: 0 = isolated, 1 = touches an edge, 2/3 = survives
+    * the 2-/3-core peel — the decision signal a dedup pipeline reads
+    * (bucket-incidental vs dense family); deeper cores add rounds,
+    * not structure.
+    */
+  private[graft] def kcoreness(s: org.apache.spark.sql.SparkSession,
+                               dir: String, rounds: Int) = {
+    val sym = lshEdges(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(lshEdges(s, dir)
+        .select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    def peel(start: org.apache.spark.sql.DataFrame, k: Int) = {
+      var e = start
+      (1 to rounds).foreach { _ =>
+        val surv = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("u"))
+        e = e.join(surv, Seq("u"), "left_semi")
+          .join(surv.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+      }
+      e
+    }
+    val e2 = peel(sym, 2)
+    val e3 = peel(e2, 3)
+    def members(e: org.apache.spark.sql.DataFrame, flag: String) =
+      e.select(col("u").as("doc_id")).distinct().withColumn(flag, lit(1L))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(members(sym, "k1"), Seq("doc_id"), "left")
+      .join(members(e2, "k2"), Seq("doc_id"), "left")
+      .join(members(e3, "k3"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("k1"), lit(0L)) + coalesce(col("k2"), lit(0L)) +
+         coalesce(col("k3"), lit(0L))).as("coreness"))
+  }
+
   /** The (doc_id, span_h) table — materialized once per (session,
     * dir) and shared by `dedup_substring` and
     * `dedup_substring_spans` (at scale it is the pipeline's spans
@@ -853,6 +919,55 @@ object DedupQueries {
          |SELECT s.n_vertices, e.n_edges, s.n_wedges, t.n_triangles,
          |  coalesce((3 * t.n_triangles * 1000000) // nullif(s.n_wedges, 0), 0) AS clustering_ppm
          |FROM stats s, ecnt e, tri t""".stripMargin,
+
+    // same star edges → same bounded synchronous peel rounds: the
+    // Spark loop unrolled to a CTE chain (identical round count, so
+    // the two engines agree even short of the fixpoint — KCoreSpec
+    // proves the fixpoint IS reached on the fixtures). Every round
+    // CTE is MATERIALIZED: each references its predecessor 2-3
+    // times, and DuckDB's default inlining would expand the chain
+    // exponentially (3^rounds base scans ⇒ fd exhaustion — observed,
+    // not hypothetical).
+    "graph_kcore" -> {
+      def peelCtes(src: String, k: Int, p: String) =
+        (1 to KcRounds).map { r =>
+          val prev = if (r == 1) src else s"${p}e${r - 1}"
+          s"""${p}s$r AS MATERIALIZED (
+             |  SELECT u FROM $prev GROUP BY u HAVING count(*) >= $k
+             |), ${p}e$r AS MATERIALIZED (
+             |  SELECT e.u, e.v FROM $prev e
+             |  WHERE EXISTS (SELECT 1 FROM ${p}s$r s WHERE s.u = e.u)
+             |    AND EXISTS (SELECT 1 FROM ${p}s$r s WHERE s.u = e.v)
+             |)""".stripMargin
+        }.mkString(", ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), edges AS MATERIALIZED (
+         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  WHERE m.rep < bd.doc_id
+         |), sym AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS v FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM edges
+         |), ${peelCtes("sym", 2, "a")}, ${peelCtes(s"ae$KcRounds", 3, "b")}
+         |SELECT d.doc_id,
+         |  CAST((CASE WHEN c1.u IS NULL THEN 0 ELSE 1 END) +
+         |       (CASE WHEN c2.u IS NULL THEN 0 ELSE 1 END) +
+         |       (CASE WHEN c3.u IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS coreness
+         |FROM documents d
+         |LEFT JOIN (SELECT DISTINCT u FROM sym) c1 ON c1.u = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT u FROM ae$KcRounds) c2 ON c2.u = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT u FROM be$KcRounds) c3 ON c3.u = d.doc_id""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
