@@ -38,7 +38,8 @@ object ScaleBench {
     "text_redact", "text_repetition", "text_c4_filters",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "events_retention",
-    "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles", "text_bpe_train")
+    "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
+    "sketch_kmv", "sketch_kmv_jaccard", "text_bpe_train")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -260,6 +260,80 @@ object EventQueries {
         vals)
     }),
 
+    // Deterministic KMV / theta sketch (k-minimum-values, Bar-Yossef
+    // et al. 2002 — the bottom-k form of Apache DataSketches' theta):
+    // per event_type, the k=256 SMALLEST distinct 56-bit md5 hashes;
+    // estimate = (k−1)·2^56 / h_(k) (exact when the type has < k
+    // distinct users — the sketch holds them all; the fixture
+    // exercises both branches across sfs). What KMV adds over HLL is
+    // that the state is a SAMPLE of the keyspace, so sketches compose
+    // under set EXPRESSIONS (see sketch_kmv_jaccard) — HLL only
+    // unions. Build shape: distinct-project, then distributed
+    // k-min SELECTION without a data-sized sort ([[kmvKMin]]: bucket
+    // histogram + boundary-bucket rank — O(n) + a window over ~n/1024
+    // rows). Merge law: k smallest of unioned sketches ≡ sketch of
+    // union (stream_kmv hash-proves it).
+    "sketch_kmv" -> ((s, dir) =>
+      kmvEstimate(kmvKMin(kmvHashes(Tables.events(s, dir)), "event_type"),
+        Tables.events(s, dir).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("true_distinct")))),
+
+    // KMV set expressions: pairwise audience overlap between event
+    // types — THE query theta sketches exist for (distinct-count
+    // sketches that can intersect). For each type pair: re-rank the
+    // two sketches' union to k, ρ = fraction of those k present in
+    // BOTH sketches (an unbiased Jaccard estimate), intersection ≈
+    // ρ · KMV(union). Everything past the shared sketch build is
+    // sketch-sized (≤ 2k rows per pair — the broadcast nested-loop
+    // pair expansion is over a ≤ T·k-row frame, not data), and the
+    // exact-truth audit join is the expensive thing the sketch
+    // replaces at 100 TB.
+    "sketch_kmv_jaccard" -> ((s, dir) => {
+      val sk = kmvKMin(kmvHashes(Tables.events(s, dir)), "event_type")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val types = sk.select(col("event_type")).distinct()
+      val pairs = types.select(col("event_type").as("type_a"))
+        .crossJoin(types.select(col("event_type").as("type_b")))
+        .filter(col("type_a") < col("type_b"))
+      val u = broadcast(pairs)
+        .join(sk, col("event_type") === col("type_a") ||
+                  col("event_type") === col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("h"))
+        .agg(max(when(col("event_type") === col("type_a"), 1).otherwise(0)).as("ina"),
+             max(when(col("event_type") === col("type_b"), 1).otherwise(0)).as("inb"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))))
+        .filter(col("rn") <= KmvK)
+      val est = u.groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_union_sketch"),
+             sum(col("ina") * col("inb")).cast("long").as("n_both"),
+             max(col("h")).as("kth_h"))
+        .withColumn("union_est",
+          when(col("n_union_sketch") < KmvK, col("n_union_sketch").cast("double"))
+            .otherwise(lit(KmvEstNum) / col("kth_h").cast("double")))
+      val du = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sz = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = du.select(col("event_type").as("type_a"), col("user_id"))
+        .join(du.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_inter"))
+      est
+        .join(inter, Seq("type_a", "type_b"), "left")
+        .join(sz.select(col("event_type").as("type_a"), col("n").as("na")), "type_a")
+        .join(sz.select(col("event_type").as("type_b"), col("n").as("nb")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_union_sketch"), col("n_both"),
+          round(col("n_both").cast("double") / col("n_union_sketch"), 6)
+            .as("jaccard_est_r"),
+          round((col("n_both").cast("double") / col("n_union_sketch")) *
+            col("union_est"), 6).as("inter_est_r"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter_true"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
+            .as("jaccard_true_r"))
+    }),
+
     // Ordered funnel (sequential pattern): users reaching
     // view → click-after-view → purchase-after-click, by strict event
     // order. Each stage is one partial-aggregable min per user + one
@@ -432,7 +506,163 @@ object EventQueries {
               col("value").as("true_q"))
   }
 
+  /** KMV sketch size. */
+  private[graft] val KmvK = 256
+
+  /** (k−1)·2^56 — the KMV estimator numerator. Both factors have ≤ 8
+    * significant bits, so the double product is EXACT and the whole
+    * estimate divergence budget is one correctly-rounded division
+    * (engine-identical by IEEE 754).
+    */
+  private[graft] val KmvEstNum = 255.0 * 72057594037927936.0
+
+  /** 2^56 hash space → 1024 selection buckets. */
+  private val KmvBucketShift = 46
+
+  /** Distinct (event_type, h) with h = the 56-bit md5 prefix of the
+    * user id — the shared hash route every sketch here rides.
+    * private[graft]: the streaming twin applies the same projection
+    * per micro-batch.
+    */
+  private[graft] def kmvHashes(events: org.apache.spark.sql.DataFrame) =
+    events.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+
+  /** The k smallest h per group WITHOUT a data-sized sort — the
+    * distributed-selection shape that survives 100 TB: (1) a
+    * partial-aggregable bucket histogram (1024 buckets over the hash
+    * space), (2) a cumulative window over the SKETCH-SIZED histogram
+    * finds each group's boundary bucket, (3) rows strictly below the
+    * boundary pass outright; only the boundary bucket's ≈ n/1024 rows
+    * are ranked. A per-group sort window would instead sort every
+    * distinct key into ‖groups‖ tasks — the exact skew this avoids.
+    */
+  private[graft] def kmvKMin(hashed: org.apache.spark.sql.DataFrame,
+                             grp: String): org.apache.spark.sql.DataFrame = {
+    val withBkt = hashed.withColumn("bkt",
+      expr(s"h div ${1L << KmvBucketShift}"))
+    val hist = withBkt.groupBy(col(grp), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col(grp)).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // last bucket whose preceding cumulative count is still short of k
+    // (the group's final bucket when the whole group is smaller than k)
+    val bound = cum.filter(col("cum_before") < KmvK)
+      .groupBy(col(grp)).agg(max(col("bkt")).as("bound_bkt"))
+    val flagged = withBkt.join(broadcast(bound), Seq(grp))
+    val below = flagged.filter(col("bkt") < col("bound_bkt"))
+      .select(col(grp), col("h"))
+    val boundary = flagged.filter(col("bkt") === col("bound_bkt"))
+      .join(broadcast(cum.select(col(grp), col("bkt"), col("cum_before"))),
+        Seq(grp, "bkt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(grp)).orderBy(col("h"))))
+      .filter(col("rn") <= lit(KmvK.toLong) - col("cum_before"))
+      .select(col(grp), col("h"))
+    below.unionByName(boundary)
+  }
+
+  /** Estimate finish over a merged per-type sketch, audited against
+    * exact per-type distinct counts.
+    */
+  private[graft] def kmvEstimate(sketch: org.apache.spark.sql.DataFrame,
+                                 truth: org.apache.spark.sql.DataFrame) =
+    sketch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth_h"))
+      .join(truth, "event_type")
+      .withColumn("est",
+        when(col("n_seen") < KmvK, col("n_seen").cast("double"))
+          .otherwise(lit(KmvEstNum) / col("kth_h").cast("double")))
+      .select(col("event_type"), col("n_seen"), col("kth_h"),
+        round(col("est"), 6).as("estimate_r"), col("true_distinct"),
+        round((col("est") - col("true_distinct")) / col("true_distinct"), 6)
+          .as("rel_err_r"))
+
   val oracleSql: Map[String, String] = Map(
+    // same 56-bit md5 route, same bottom-k set (rank over distinct
+    // hashes — the selection mechanics differ, the SET cannot), same
+    // exact-double estimator
+    "sketch_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        |  FROM events
+        |), sk AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h QUALIFY rn <= 256
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen, max(h) AS kth_h
+        |  FROM sk GROUP BY 1
+        |), t AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+        |  FROM events GROUP BY 1
+        |), e AS (
+        |  SELECT a.event_type, a.n_seen, a.kth_h, t.true_distinct,
+        |    CASE WHEN a.n_seen < 256 THEN CAST(a.n_seen AS DOUBLE)
+        |         ELSE CAST(255.0 AS DOUBLE) * CAST(72057594037927936.0 AS DOUBLE) / CAST(a.kth_h AS DOUBLE) END AS est
+        |  FROM a JOIN t USING (event_type)
+        |)
+        |SELECT event_type, n_seen, kth_h, round(est, 6) AS estimate_r,
+        |  true_distinct,
+        |  round((est - true_distinct) / true_distinct, 6) AS rel_err_r
+        |FROM e""".stripMargin,
+
+    // pairwise: re-rank the two sketches' union to k, count survivors
+    // present in both, audit against the exact intersection join
+    "sketch_kmv_jaccard" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        |  FROM events
+        |), sk AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h QUALIFY rn <= 256
+        |), ty AS (SELECT DISTINCT event_type FROM events
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM ty a JOIN ty b ON a.event_type < b.event_type
+        |), ex AS (
+        |  SELECT p.type_a, p.type_b, s.h,
+        |    max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS inb
+        |  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+        |  GROUP BY 1, 2, 3
+        |), u AS (
+        |  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        |  FROM ex QUALIFY rn <= 256
+        |), ua AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_union_sketch,
+        |    CAST(sum(ina * inb) AS BIGINT) AS n_both, max(h) AS kth_h
+        |  FROM u GROUP BY 1, 2
+        |), ue AS (
+        |  SELECT *, CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
+        |       ELSE CAST(255.0 AS DOUBLE) * CAST(72057594037927936.0 AS DOUBLE) / CAST(kth_h AS DOUBLE) END AS union_est
+        |  FROM ua
+        |), du AS (SELECT DISTINCT event_type, user_id FROM events
+        |), sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1
+        |), it AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ue.type_a, ue.type_b, ue.n_union_sketch, ue.n_both,
+        |  round(CAST(ue.n_both AS DOUBLE) / ue.n_union_sketch, 6) AS jaccard_est_r,
+        |  round((CAST(ue.n_both AS DOUBLE) / ue.n_union_sketch) * ue.union_est, 6) AS inter_est_r,
+        |  coalesce(it.n_inter, 0) AS n_inter_true,
+        |  round(CAST(coalesce(it.n_inter, 0) AS DOUBLE) /
+        |        (sa.n + sb.n - coalesce(it.n_inter, 0)), 6) AS jaccard_true_r
+        |FROM ue
+        |LEFT JOIN it ON it.type_a = ue.type_a AND it.type_b = ue.type_b
+        |JOIN sz sa ON sa.event_type = ue.type_a
+        |JOIN sz sb ON sb.event_type = ue.type_b""".stripMargin,
+
     // Same k salted md5 bit positions, same all-k-set membership rule,
     // exact-truth confusion counts.
     "sketch_bloom" ->

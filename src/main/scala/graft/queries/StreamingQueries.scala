@@ -609,6 +609,39 @@ object StreamingQueries {
           .filter(col("value").isNotNull).select(col("value")))
     }),
 
+    // Streaming KMV: each micro-batch contributes its partial
+    // bottom-k sketch (the identical hash projection + k-min
+    // selection as the batch sketch) and the merge is RE-SELECTION —
+    // k smallest of the unioned partials. That law (any of the k
+    // globally-smallest hashes is among its own batch's k smallest)
+    // is the fourth merge semantics in the suite: max (HLL), sum
+    // (CMS/quantiles), OR (Bloom), bottom-k (KMV) — hash-proven
+    // against sketch_kmv's oracle. State per type is ≤ k hashes,
+    // bounded regardless of history.
+    "stream_kmv" -> ((s, dir) => {
+      val skDir = Files.createTempDirectory("graft-kmv-parts-")
+      sys.addShutdownHook(deleteRecursively(skDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("event_type"), col("user_id"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.kmvKMin(EventQueries.kmvHashes(batch), "event_type")
+            .write.mode("append").parquet(skDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = EventQueries.kmvKMin(
+        s.read.parquet(skDir.toString).distinct(), "event_type")
+      EventQueries.kmvEstimate(merged,
+        graft.tables.Tables.events(s, dir).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("true_distinct")))
+    }),
+
     // The same MapState+timer machine on the MODERN arbitrary-state
     // API (transformWithState, Spark 4.x): real per-key MapState + one
     // registered timer per open window — the literal structural twin
@@ -710,6 +743,7 @@ object StreamingQueries {
     "stream_hll_users" -> EventQueries.oracleSql("sketch_hll_users"),
     "stream_quantiles" -> EventQueries.oracleSql("sketch_quantiles"),
     "stream_bloom" -> EventQueries.oracleSql("sketch_bloom"),
+    "stream_kmv" -> EventQueries.oracleSql("sketch_kmv"),
 
     // Sum-merge of per-batch counter tables ≡ the batch CMS — shares
     // the batch count-min oracle.
