@@ -39,7 +39,8 @@ object ScaleBench {
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "events_retention",
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
-    "sketch_kmv", "sketch_kmv_jaccard", "text_bpe_train")
+    "sketch_kmv", "sketch_kmv_jaccard", "text_bpe_train",
+    "text_bm25", "text_inverted_index")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -347,6 +347,91 @@ object TextQueries {
                 round(col("cnt") / col("cmax").cast("double"), 6).as("ratio_to_top"))
     }),
 
+    // BM25 RANKED RETRIEVAL (Robertson et al., Okapi; Lucene's
+    // positive log(1 + (N−df+0.5)/(df+0.5)) idf form) — the relevance
+    // scorer a corpus-curation pipeline uses to pull topic-targeted
+    // training subsets. Query = one rare + two common terms (df 25
+    // vs ~385 per 500 docs at every sf), so the idf spread is real.
+    // Shape: one token explode, two partial-aggregable aggs (per-doc
+    // length, per-(doc,term) tf), a 3-row df/stats broadcast, one
+    // scoring projection, and a distributed top-20
+    // (TakeOrderedAndProject — no global sort materialized).
+    // Determinism: each term contribution is quantized to 9 dp and
+    // decimal-summed (order-free), ranking compares the EXACT decimal
+    // score with doc_id tiebreak, and the one libm call (ln) has a
+    // 3-value argument domain per sf — cross-checked by the 3-sf
+    // oracle verify, the HLL enumeration discipline.
+    "text_bm25" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val hits = toks.filter(col("token").isin(Bm25Terms: _*))
+      val tf = hits.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = hits.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(dl, "doc_id")
+        .join(broadcast(df), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf", log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+        .withColumn("tfn",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(1.0) - lit(0.75) +
+               lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+        .withColumn("contrib_q",
+          round(col("idf") * col("tfn"), 9).cast("decimal(28,9)"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("score_d"))
+        .orderBy(col("score_d").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_d").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"),
+                round(col("score_d").cast("double"), 6).as("score_r"))
+    }),
+
+    // INVERTED INDEX build — the posting-list table behind BM25 at
+    // interactive latency (score only the union of the query terms'
+    // postings instead of exploding the corpus per query). Output:
+    // per-token df, corpus frequency, and the first 10 posting
+    // doc_ids, for the top-20 tokens by df. The rank-head filter
+    // (row_number ≤ 10 per token) is Spark's WindowGroupLimit shape:
+    // each map task emits at most 10 rows per token BEFORE the
+    // shuffle, so a stop-word token with a billion postings ships 10
+    // rows per partition, not a collected list — the reason this is
+    // a window + filter and not a collect_list over raw postings.
+    "text_inverted_index" -> ((s, dir) => {
+      val perDoc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = perDoc.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val heads = perDoc.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("token")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .groupBy(col("token"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("token"),
+          expr("concat_ws(',', transform(ids, x -> CAST(x AS STRING)))")
+            .as("postings_head"))
+      stats.join(heads, "token")
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("df").desc, col("token"))).cast("long"))
+        .select(col("rank"), col("token"), col("df"), col("cf"),
+                col("postings_head"))
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -429,6 +514,9 @@ object TextQueries {
       |  FROM documents
       |)""".stripMargin
 
+  /** BM25 query terms: one rare (df ≈ 5% of docs) + two common. */
+  private val Bm25Terms = Seq("dup", "spark", "vector")
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       s"""$toksCte
@@ -467,6 +555,82 @@ object TextQueries {
          |  count(*) AS cnt
          |FROM scored
          |GROUP BY 1, 2""".stripMargin,
+
+    // identical double expression tree (every literal CAST AS DOUBLE —
+    // bare decimals would route through DuckDB DECIMAL arithmetic),
+    // 9-dp-quantized decimal-summed contributions, ranking on the
+    // exact decimal score
+    "text_bm25" ->
+      s"""$toksCte, tok AS (
+         |  SELECT doc_id, token FROM d, unnest(toks) AS u(token)
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+         |), hits AS (
+         |  SELECT doc_id, token FROM tok
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM hits GROUP BY 1, 2
+         |), df AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM hits) GROUP BY 1
+         |), scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln(CAST(1.0 AS DOUBLE) +
+         |         (CAST(st.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+         |         (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      *
+         |      (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+         |       (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+         |         CAST(0.75 AS DOUBLE) *
+         |          (CAST(dl.dl AS DOUBLE) /
+         |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))))
+         |    , 9) AS DECIMAL(28,9)) AS contrib_q
+         |  FROM tf
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN df ON df.token = tf.token
+         |  CROSS JOIN st
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |    sum(contrib_q) AS score_d
+         |  FROM scored GROUP BY 1
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score_d DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, n_terms_hit, round(CAST(score_d AS DOUBLE), 6) AS score_r
+         |FROM agg
+         |ORDER BY score_d DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    // same (token, doc) grouping, same first-10 posting heads (the
+    // ordered SET is engine-independent; only the selection mechanics
+    // differ)
+    "text_inverted_index" ->
+      s"""$toksCte, tok AS (
+         |  SELECT doc_id, token FROM d, unnest(toks) AS u(token)
+         |), per_doc AS (
+         |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |         CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM per_doc GROUP BY 1
+         |), heads AS (
+         |  SELECT token,
+         |    array_to_string(
+         |      list_transform(list(doc_id ORDER BY doc_id)[1:10],
+         |                     x -> CAST(x AS VARCHAR)), ',') AS postings_head
+         |  FROM per_doc GROUP BY 1
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY s.df DESC, s.token) AS BIGINT) AS rank,
+         |  s.token, s.df, s.cf, h.postings_head
+         |FROM stats s JOIN heads h ON h.token = s.token
+         |ORDER BY s.df DESC, s.token
+         |LIMIT 20""".stripMargin,
 
     "text_token_freq" ->
       s"""$toksCte

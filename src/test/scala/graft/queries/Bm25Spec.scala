@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** Independent recomputation + retrieval-semantics checks for BM25 and
+  * the inverted index: the score math is re-derived from raw counts in
+  * plain Scala (no DataFrame), and the rare query term must dominate
+  * the ranking (that is what idf is FOR).
+  */
+class Bm25Spec extends SparkSpec {
+
+  private val terms = Seq("dup", "spark", "vector")
+
+  test("top-1 score equals a from-scratch scalar recomputation") {
+    val top = TextQueries.queries("text_bm25")(spark, sf)
+      .collect().minBy(_.getAs[Long]("rank"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val id = top.getAs[Long]("doc_id")
+    val score = terms.map { t =>
+      val tf = docs(id).count(_ == t).toDouble
+      if (tf == 0) BigDecimal(0)
+      else {
+        val df = docs.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val tfn = tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (docs(id).size / avgdl)))
+        BigDecimal(idf * tfn).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }.sum
+    assert(score.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ===
+      top.getAs[Double]("score_r"), top.toString)
+  }
+
+  test("the rare term dominates: every top-20 doc contains it") {
+    val topIds = TextQueries.queries("text_bm25")(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val withRare = Tables.documents(spark, sf)
+      .filter(array_contains(split(col("text"), " "), "dup"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(topIds.subsetOf(withRare),
+      s"docs without 'dup' outranked rare-term docs: ${topIds -- withRare}")
+  }
+
+  test("posting heads are the true 10 smallest doc ids per token") {
+    val row = TextQueries.queries("text_inverted_index")(spark, sf)
+      .collect().minBy(_.getAs[Long]("rank"))
+    val tok = row.getAs[String]("token")
+    val expected = Tables.documents(spark, sf)
+      .filter(array_contains(split(col("text"), " "), tok))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.take(10)
+    assert(row.getAs[String]("postings_head") === expected.mkString(","))
+  }
+
+  test("posting-head rank filter plans as a group limit, not a full sort-collect") {
+    val plan = TextQueries.queries("text_inverted_index")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=10 not pushed to WindowGroupLimit:\n${plan.take(1500)}")
+  }
+}
