@@ -334,6 +334,58 @@ object EventQueries {
             .as("jaccard_true_r"))
     }),
 
+    // Z-ORDER LAYOUT for data skipping — the storage-side lever that
+    // decides 100 TB scan cost before any operator runs. Rows are
+    // assigned to 64 "files" under three layouts (sorted by user
+    // bucket, sorted by time ≙ arrival order, sorted by the Morton
+    // interleave of both), each file keeps min/max footer stats, and
+    // three range workloads (user-only, day-only, user∧day) are
+    // pruned against them. The point this measures is the MIXED-
+    // WORKLOAD law a single-dimension sort cannot beat: by_user
+    // prunes the user query and scans everything for the day query,
+    // by_time the reverse, while the Morton curve bounds BOTH
+    // dimensions per file, so its worst predicate still skips —
+    // LayoutSpec pins z's worst-case touched-file count strictly
+    // below each single-dim layout's worst case. The interleave is a
+    // generated 20-term div/mod expression (whole-stage codegen,
+    // engine-exact); ntile models the file split deterministically —
+    // at scale the same boundaries come from repartitionByRange(z) +
+    // sortWithinPartitions, the standard OPTIMIZE ZORDER shape (one
+    // global range-sort paid once so every later scan skips).
+    "layout_zorder" -> ((s, dir) => {
+      val wide = 1000000L
+      val z = Tables.events(s, dir).select(
+          col("event_id"),
+          (col("user_id") % 1024).as("a"),
+          (expr("ts_ms div 86400000") % 1024).as("b"))
+        .withColumn("z", expr(zInterleave("div")))
+      def fileStats(name: String, ord: Seq[org.apache.spark.sql.Column]) =
+        z.withColumn("file_id",
+            ntile(ZFiles).over(Window.orderBy(ord: _*)).cast("long"))
+          .groupBy(col("file_id"))
+          .agg(min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+               min(col("b")).as("b_min"), max(col("b")).as("b_max"),
+               count(lit(1)).as("n_rows"))
+          .withColumn("layout", lit(name))
+      val stats = fileStats("by_user", Seq(col("a"), col("event_id")))
+        .unionByName(fileStats("by_time", Seq(col("event_id"))))
+        .unionByName(fileStats("zorder", Seq(col("z"), col("event_id"))))
+      def p(n: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+        struct(lit(n).as("pred"), lit(aLo).as("a_lo"), lit(aHi).as("a_hi"),
+               lit(bLo).as("b_lo"), lit(bHi).as("b_hi"))
+      val preds = s.range(1).select(explode(array(
+          p("p_user", 0L, 7L, -wide, wide),
+          p("p_day", -wide, wide, 267L, 274L),
+          p("p_both", 0L, 7L, 267L, 274L))).as("q"))
+        .select(col("q.*"))
+      stats.crossJoin(broadcast(preds))
+        .filter(col("a_min") <= col("a_hi") && col("a_max") >= col("a_lo") &&
+                col("b_min") <= col("b_hi") && col("b_max") >= col("b_lo"))
+        .groupBy(col("layout"), col("pred"))
+        .agg(count(lit(1)).as("files_touched"),
+             sum(col("n_rows")).as("rows_scanned"))
+    }),
+
     // Ordered funnel (sequential pattern): users reaching
     // view → click-after-view → purchase-after-click, by strict event
     // order. Each stage is one partial-aggregable min per user + one
@@ -506,6 +558,21 @@ object EventQueries {
               col("value").as("true_q"))
   }
 
+  /** File count for the z-order layout demo. */
+  private[graft] val ZFiles = 64
+
+  /** 10-bit × 10-bit Morton interleave as a generated integer
+    * expression (a's bits at even positions, b's at odd) — pure
+    * div/mod/multiply/add, so the same formula (with `div` spelled
+    * per engine) is bit-exact on both and stays inside whole-stage
+    * codegen on Spark.
+    */
+  private[graft] def zInterleave(divOp: String): String =
+    (0 until 10).map { i =>
+      s"((a $divOp ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+      s"((b $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
   /** KMV sketch size. */
   private[graft] val KmvK = 256
 
@@ -583,6 +650,49 @@ object EventQueries {
           .as("rel_err_r"))
 
   val oracleSql: Map[String, String] = Map(
+    // same generated Morton formula (`//` for DuckDB), same ntile
+    // file split (identical floor semantics), same footer-stat
+    // pruning per (layout, predicate)
+    "layout_zorder" ->
+      s"""WITH e AS (
+         |  SELECT event_id, (user_id % 1024) AS a,
+         |         ((epoch_ns(ts) // 1000000) // 86400000) % 1024 AS b
+         |  FROM events
+         |), zz AS (
+         |  SELECT *, ${zInterleave("//")} AS z FROM e
+         |), fu AS (
+         |  SELECT a, b, CAST(ntile($ZFiles) OVER (ORDER BY a, event_id) AS BIGINT) AS file_id FROM zz
+         |), ft AS (
+         |  SELECT a, b, CAST(ntile($ZFiles) OVER (ORDER BY event_id) AS BIGINT) AS file_id FROM zz
+         |), fz AS (
+         |  SELECT a, b, CAST(ntile($ZFiles) OVER (ORDER BY z, event_id) AS BIGINT) AS file_id FROM zz
+         |), stats AS (
+         |  SELECT 'by_user' AS layout, file_id, min(a) AS a_min, max(a) AS a_max,
+         |         min(b) AS b_min, max(b) AS b_max, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM fu GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'by_time', file_id, min(a), max(a), min(b), max(b),
+         |         CAST(count(*) AS BIGINT) FROM ft GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'zorder', file_id, min(a), max(a), min(b), max(b),
+         |         CAST(count(*) AS BIGINT) FROM fz GROUP BY 2
+         |), preds AS (
+         |  SELECT * FROM (VALUES
+         |    ('p_user', CAST(0 AS BIGINT), CAST(7 AS BIGINT),
+         |     CAST(-1000000 AS BIGINT), CAST(1000000 AS BIGINT)),
+         |    ('p_day', CAST(-1000000 AS BIGINT), CAST(1000000 AS BIGINT),
+         |     CAST(267 AS BIGINT), CAST(274 AS BIGINT)),
+         |    ('p_both', CAST(0 AS BIGINT), CAST(7 AS BIGINT),
+         |     CAST(267 AS BIGINT), CAST(274 AS BIGINT))
+         |  ) AS t(pred, a_lo, a_hi, b_lo, b_hi)
+         |)
+         |SELECT s.layout, p.pred, CAST(count(*) AS BIGINT) AS files_touched,
+         |  CAST(sum(s.n_rows) AS BIGINT) AS rows_scanned
+         |FROM stats s CROSS JOIN preds p
+         |WHERE s.a_min <= p.a_hi AND s.a_max >= p.a_lo
+         |  AND s.b_min <= p.b_hi AND s.b_max >= p.b_lo
+         |GROUP BY 1, 2""".stripMargin,
+
     // same 56-bit md5 route, same bottom-k set (rank over distinct
     // hashes — the selection mechanics differ, the SET cannot), same
     // exact-double estimator
