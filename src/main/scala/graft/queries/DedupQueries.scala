@@ -550,6 +550,59 @@ object DedupQueries {
           (col("exact_dup_of").isNull && col("near_dup_of").isNull).as("is_novel"))
     }),
 
+    // BLOOM-PRUNED incremental dedup — the sketch COMPOSED into the
+    // join path: a 4 KiB Bloom filter over the base corpus's exact
+    // fingerprints pre-filters the ingest batch, and only Bloom
+    // MEMBERS probe the shuffle join against the base fingerprint
+    // table; non-members are declared no-exact-dup outright. The
+    // no-false-negative law makes the pruning a pure optimization —
+    // the output is IDENTICAL to dedup_incremental (same oracle, and
+    // BloomJoinSpec collect-compares the frames), while the probe
+    // side of the expensive join shrinks to true-dups + the
+    // false-positive load. At 100 TB this is the standard shape: the
+    // filter is sketch-sized broadcast state (vs the base fingerprint
+    // table, which is corpus-sized and must be shuffle-joined), so
+    // most novel keys never enter the exchange.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val isNew = col("doc_id") % 5 === 4
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.exactFingerprint(col("text")).as("fp"))
+      val baseFp = docs.filter(!isNew)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_dup_of"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // size the filter to the base: 16 bits/key keeps the
+      // false-positive load ~1% regardless of corpus scale (a fixed m
+      // saturates: at sf0.1 the 4096-bit sketch_bloom table would
+      // pass ~92% of probes). The base count is a warehouse catalog
+      // statistic — memoized per (session, dir) like documents_n.
+      val m = 16L * Artifacts.scalar(s, dir, "base_fp_n")(baseFp.count())
+      val bits = EventQueries.bloomBits(baseFp.select(col("fp").as("key")), m)
+      val newDocs = docs.filter(isNew)
+      val members = EventQueries.bloomMembers(
+        newDocs.select(col("doc_id").as("id"), col("fp").as("key")), bits, m)
+        .select(col("id").as("doc_id"))
+      // members probe the join; non-members bypass it entirely (the
+      // point of the filter — their rows never enter the exchange)
+      val exactAll = newDocs.join(members, Seq("doc_id"), "left_semi")
+        .join(baseFp, Seq("fp"), "left")
+        .select(col("doc_id"), col("exact_dup_of"))
+        .unionByName(newDocs.join(members, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(null).cast("long").as("exact_dup_of")))
+      val bands = lshBands(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseBucketMin = bands.filter(!isNew)
+        .groupBy(bandKeys.map(col): _*)
+        .agg(min(col("doc_id")).as("base_rep"))
+      val nearMin = bands.filter(isNew)
+        .join(baseBucketMin, bandKeys)
+        .groupBy(col("doc_id"))
+        .agg(min(col("base_rep")).as("near_dup_of"))
+      exactAll
+        .join(nearMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+          (col("exact_dup_of").isNull && col("near_dup_of").isNull).as("is_novel"))
+    }),
+
     // MinHash estimate vs exact Jaccard on fixed consecutive pairs —
     // the estimator-calibration query (and the n-gram-Jaccard scorer).
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -823,6 +876,36 @@ object DedupQueries {
 
   // ---- DuckDB twins ---------------------------------------------------
 
+  /** Incremental-dedup oracle — shared verbatim by `dedup_incremental`
+    * and `dedup_incremental_bloom` (the Bloom pre-filter has no false
+    * negatives, so pruning cannot change the result).
+    */
+  private lazy val IncrementalOracle: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+       |  FROM documents
+       |), bands AS (
+       |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+       |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+       |  FROM sigs, generate_series(0, 3) t(b)
+       |), base_mins AS (
+       |  SELECT b, k0, k1, k2, k3, min(doc_id) AS base_rep
+       |  FROM bands WHERE doc_id % 5 <> 4 GROUP BY 1, 2, 3, 4, 5
+       |), near_min AS (
+       |  SELECT bd.doc_id, min(m.base_rep) AS near_dup_of
+       |  FROM bands bd JOIN base_mins m USING (b, k0, k1, k2, k3)
+       |  WHERE bd.doc_id % 5 = 4 GROUP BY 1
+       |), base_fp AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS exact_dup_of
+       |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1
+       |)
+       |SELECT d.doc_id, bf.exact_dup_of, nm.near_dup_of,
+       |  (bf.exact_dup_of IS NULL AND nm.near_dup_of IS NULL) AS is_novel
+       |FROM documents d
+       |LEFT JOIN base_fp bf ON bf.fp = md5(d.text)
+       |LEFT JOIN near_min nm ON nm.doc_id = d.doc_id
+       |WHERE d.doc_id % 5 = 4""".stripMargin
+
   private val h31 = "CAST(concat('0x', substr(md5(%s), 1, 14)) AS BIGINT) %% 2147483647"
 
   private def sigCte(tokExpr: String): String =
@@ -878,6 +961,10 @@ object DedupQueries {
        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Bloom pruning is invisible in the result (no false negatives) —
+    // the composed query shares the unpruned oracle verbatim.
+    "dedup_incremental_bloom" -> IncrementalOracle,
+
     // same star edges → same (degree, id) orientation → wedge +
     // closing-edge EXISTS — exact integer outputs throughout
     "graph_triangles" ->
@@ -1072,31 +1159,7 @@ object DedupQueries {
          |FROM documents d JOIN splits s USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH sigs AS (
-         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
-         |  FROM documents
-         |), bands AS (
-         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
-         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
-         |  FROM sigs, generate_series(0, 3) t(b)
-         |), base_mins AS (
-         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS base_rep
-         |  FROM bands WHERE doc_id % 5 <> 4 GROUP BY 1, 2, 3, 4, 5
-         |), near_min AS (
-         |  SELECT bd.doc_id, min(m.base_rep) AS near_dup_of
-         |  FROM bands bd JOIN base_mins m USING (b, k0, k1, k2, k3)
-         |  WHERE bd.doc_id % 5 = 4 GROUP BY 1
-         |), base_fp AS (
-         |  SELECT md5(text) AS fp, min(doc_id) AS exact_dup_of
-         |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1
-         |)
-         |SELECT d.doc_id, bf.exact_dup_of, nm.near_dup_of,
-         |  (bf.exact_dup_of IS NULL AND nm.near_dup_of IS NULL) AS is_novel
-         |FROM documents d
-         |LEFT JOIN base_fp bf ON bf.fp = md5(d.text)
-         |LEFT JOIN near_min nm ON nm.doc_id = d.doc_id
-         |WHERE d.doc_id % 5 = 4""".stripMargin,
+    "dedup_incremental" -> IncrementalOracle,
 
     "pipeline_sample" ->
       """SELECT doc_id, lang, pct, rate, (pct < rate) AS sampled

@@ -485,18 +485,20 @@ object EventQueries {
     * — the same md5-prefix route every sketch here shares.
     */
   private def bloomBitIdx(i: org.apache.spark.sql.Column,
-                          key: org.apache.spark.sql.Column) =
+                          key: org.apache.spark.sql.Column,
+                          m: Long = BloomBits) =
     conv(substring(md5(concat(lit("bloom_"), i.cast("string"), lit("_"), key)),
-      1, 14), 16, 10).cast("long") % 2147483647L % BloomBits
+      1, 14), 16, 10).cast("long") % 2147483647L % m
 
   /** The filter itself: the DISTINCT set-bit table over k salted
     * hashes per key — bounded by m rows, mergeable by UNION (the OR
     * law). private[graft]: the streaming twin builds PER-BATCH partial
     * bit tables with the same projection and ORs them by distinct.
     */
-  private[graft] def bloomBits(keys: org.apache.spark.sql.DataFrame) =
+  private[graft] def bloomBits(keys: org.apache.spark.sql.DataFrame,
+                               m: Long = BloomBits) =
     keys.select(explode(sequence(lit(0), lit(BloomK - 1))).as("i"), col("key"))
-      .select(bloomBitIdx(col("i"), col("key")).as("bit_idx"))
+      .select(bloomBitIdx(col("i"), col("key"), m).as("bit_idx"))
       .distinct()
 
   /** 3000 candidate keys (ids 0..2999 as strings) — covers present and
@@ -504,6 +506,23 @@ object EventQueries {
     */
   private[graft] def bloomProbes(s: org.apache.spark.sql.SparkSession) =
     s.range(3000).select(col("id").as("probe_id"), col("id").cast("string").as("key"))
+
+  /** Bloom MEMBERS of a (id, key) probe frame: ids whose k bit
+    * positions are all set. private[graft]: the bloom-pruned
+    * incremental-dedup join uses the filter as a probe-side
+    * pre-filter (no false negatives ⇒ pruning cannot change the join
+    * result).
+    */
+  private[graft] def bloomMembers(probes: org.apache.spark.sql.DataFrame,
+                                  bits: org.apache.spark.sql.DataFrame,
+                                  m: Long = BloomBits) =
+    probes
+      .select(col("id"), explode(sequence(lit(0), lit(BloomK - 1))).as("i"), col("key"))
+      .select(col("id"), bloomBitIdx(col("i"), col("key"), m).as("bit_idx"))
+      .join(bits, Seq("bit_idx"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === BloomK)
+      .select(col("id"))
 
   /** Membership check + exact-truth confusion counts: a probe is a
     * Bloom member iff all k of its bit positions are set.
