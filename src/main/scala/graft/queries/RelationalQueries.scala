@@ -288,6 +288,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
              asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))),
 
+    // BUCKETED CO-LOCATED JOIN — the third join-topology rewrite next
+    // to salting (skew) and broadcasting (small dims): both sides are
+    // WRITTEN bucketed+sorted on the join key, so the SortMergeJoin
+    // consumes the buckets' layout directly and plans with ZERO
+    // exchanges on the join (BucketJoinSpec counts them; the only
+    // shuffle left is the final 5-group agg). This is the at-rest
+    // answer to a join repeated every run: at 100 TB the
+    // orders⋈lineitem shuffle is re-paid by every pipeline execution
+    // unless the tables are bucket-aligned once at write time —
+    // exactly what a warehouse does with its fact tables. The bucket
+    // tables are session-scoped catalog tables in a temp-dir database
+    // (built once per (session, dir); the catalog memo IS the
+    // "written once" posture).
+    "q_bucketed_join" -> ((s, dir) => {
+      val (o, l) = bucketedTables(s, dir)
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             asDouble(sum(dec(col("l_extendedprice")))).as("sum_price"))
+    }),
+
     // BINNED range join (operators.RangeJoin): parts classified into
     // price bands via lo <= p_retailprice < hi. A naive range join is
     // a nested-loop scan of every (row, band) pair; the binned rewrite
@@ -311,6 +332,29 @@ object RelationalQueries {
              asDouble(sum(dec(col("p_retailprice")))).as("sum_price"))
     })
   )
+
+  /** Bucketed orders/lineitem catalog tables (8 buckets, sorted on
+    * the join key), written once per (session, dir) into a temp-dir
+    * database — the "bucket-align the fact tables at write time"
+    * warehouse posture. private[graft]: BucketJoinSpec reuses them to
+    * count exchanges against the unbucketed plan.
+    */
+  private[graft] def bucketedTables(s: org.apache.spark.sql.SparkSession,
+                                    dir: String) = {
+    val db = s"graft_bkt_${math.abs(dir.hashCode.toLong)}"
+    if (!s.catalog.databaseExists(db)) {
+      val loc = java.nio.file.Files.createTempDirectory("graft-bkt-")
+      loc.toFile.deleteOnExit()
+      s.sql(s"CREATE DATABASE $db LOCATION '${loc.toString}'")
+      Tables.orders(s, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      Tables.lineitem(s, dir).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+    }
+    (s.table(s"$db.orders_b"), s.table(s"$db.lineitem_b"))
+  }
 
   /** Shared body of the format-source queries: read `documents`
     * through the given format's round trip and aggregate per lang.
@@ -337,6 +381,14 @@ object RelationalQueries {
       |GROUP BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // bucketing is a layout property, not a semantics change — the
+    // oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "q_window_dist" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
