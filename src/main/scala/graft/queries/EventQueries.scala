@@ -386,6 +386,35 @@ object EventQueries {
              sum(col("n_rows")).as("rows_scanned"))
     }),
 
+    // COLUMN PROFILER — the ANALYZE TABLE operator a warehouse runs
+    // before planning anything else: per column, row/null/distinct
+    // counts and min/max (stringified on fixed-format domains —
+    // integers, short decimals, enum strings — where both engines
+    // print identically). One single-pass aggregate over the table,
+    // unpivoted to one row per column. The multi-column exact
+    // countDistinct expands the input ×|columns| before the partial
+    // agg — the exact-profile cost; at 100 TB each distinct count
+    // rides the HLL register projection instead (sketch_hll_users'
+    // machinery: one pass, 256 counters per column, mergeable), and
+    // min/max/null counts come from parquet footers for free.
+    "events_profile" -> ((s, dir) => {
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val exprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")))
+      Tables.events(s, dir)
+        .agg(exprs.head, exprs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("column"), col("n_rows"),
+          col(s"${c}_nulls").as("n_null"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_s"),
+          col(s"${c}_max").as("max_s"))): _*)).as("p"))
+        .select(col("p.*"))
+    }),
+
     // Ordered funnel (sequential pattern): users reaching
     // view → click-after-view → purchase-after-click, by strict event
     // order. Each stage is one partial-aggregable min per user + one
@@ -669,6 +698,15 @@ object EventQueries {
           .as("rel_err_r"))
 
   val oracleSql: Map[String, String] = Map(
+    // one UNION ALL branch per profiled column
+    "events_profile" -> Seq("event_id", "user_id", "event_type", "value").map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
     // same generated Morton formula (`//` for DuckDB), same ntile
     // file split (identical floor semantics), same footer-stat
     // pruning per (layout, predicate)

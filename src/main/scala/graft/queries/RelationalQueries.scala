@@ -288,6 +288,35 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
              asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))),
 
+    // SCD2 / CDC MERGE — the warehouse upsert-with-history operator
+    // (MERGE INTO ... WHEN MATCHED / NOT MATCHED, Kimball type-2):
+    // a deterministic change batch (balance updates for custkey%7=3,
+    // inserts for custkey%11=5) merges into the customer dimension,
+    // closing out superseded versions (valid_to set, is_current
+    // dropped) and opening new ones. Shape: the matched/unmatched
+    // split is a semi + anti join SHARING one shuffle key (the merge
+    // join every CDC engine runs), plus unions — linear in
+    // base + batch, no row ever rewritten in place (the
+    // copy-on-write posture Delta/Iceberg MERGE compiles to).
+    "cdc_scd2" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), dec(col("c_acctbal")).as("bal"))
+      val changes = base.filter(col("k") % 7 === 3)
+        .select(col("k"), (col("bal") + lit(100.50).cast("decimal(18,4)")).as("bal"))
+      val inserts = base.filter(col("k") % 11 === 5)
+        .select((col("k") + 1000000L).as("k"), col("bal"))
+      def row(src: org.apache.spark.sql.DataFrame, version: Long,
+              from: Long, closed: Boolean) =
+        src.select(col("k").as("c_custkey"), asDouble(col("bal")).as("acctbal"),
+          lit(version).as("version"), lit(from).as("valid_from"),
+          (if (closed) lit(from + 1) else lit(null).cast("long")).as("valid_to"),
+          lit(!closed).as("is_current"))
+      row(base.join(changes.select(col("k")), Seq("k"), "left_semi"), 1L, 0L, closed = true)
+        .unionByName(row(base.join(changes.select(col("k")), Seq("k"), "left_anti"), 1L, 0L, closed = false))
+        .unionByName(row(changes, 2L, 1L, closed = false))
+        .unionByName(row(inserts, 1L, 1L, closed = false))
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the third join-topology rewrite next
     // to salting (skew) and broadcasting (small dims): both sides are
     // WRITTEN bucketed+sorted on the join key, so the SortMergeJoin
@@ -381,6 +410,29 @@ object RelationalQueries {
       |GROUP BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same matched/unmatched split spelled as WHERE branches
+    "cdc_scd2" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+        |  FROM customer
+        |), changes AS (
+        |  SELECT k, bal + CAST(100.50 AS DECIMAL(18,4)) AS bal
+        |  FROM base WHERE k % 7 = 3
+        |), inserts AS (
+        |  SELECT k + 1000000 AS k, bal FROM base WHERE k % 11 = 5
+        |)
+        |SELECT k AS c_custkey, CAST(bal AS DOUBLE) AS acctbal,
+        |  CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(1 AS BIGINT) AS valid_to, false AS is_current
+        |FROM base WHERE k % 7 = 3
+        |UNION ALL
+        |SELECT k, CAST(bal AS DOUBLE), 1, 0, NULL, true
+        |FROM base WHERE k % 7 <> 3
+        |UNION ALL
+        |SELECT k, CAST(bal AS DOUBLE), 2, 1, NULL, true FROM changes
+        |UNION ALL
+        |SELECT k, CAST(bal AS DOUBLE), 1, 1, NULL, true FROM inserts""".stripMargin,
+
     // bucketing is a layout property, not a semantics change — the
     // oracle is the plain join
     "q_bucketed_join" ->

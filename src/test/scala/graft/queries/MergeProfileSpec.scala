@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Structural invariants for the SCD2 merge and the column profiler —
+  * the laws a consumer of either table relies on.
+  */
+class MergeProfileSpec extends SparkSpec {
+
+  test("scd2: exactly one current version per key, history closed correctly") {
+    val t = RelationalQueries.queries("cdc_scd2")(spark, sf)
+      .persist()
+    val perKey = t.groupBy(col("c_custkey"))
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"),
+           count(lit(1)).as("n_vers"))
+    // every key has exactly one open version
+    assert(perKey.filter(col("n_cur") =!= 1L).count() === 0L)
+    // closed rows end exactly where their successor starts
+    val bad = t.filter(!col("is_current"))
+      .join(t.filter(col("is_current"))
+              .select(col("c_custkey"), col("valid_from").as("succ_from")),
+            "c_custkey")
+      .filter(col("valid_to") =!= col("succ_from"))
+    assert(bad.count() === 0L)
+    // changed keys carry two versions, untouched keys one
+    val hist = perKey.groupBy(col("n_vers")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.keySet === Set(1L, 2L), hist.toString)
+    t.unpersist()
+  }
+
+  test("profile: per-column rows agree on table-level facts") {
+    val rows = EventQueries.queries("events_profile")(spark, sf).collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("n_rows")).distinct.length === 1)
+    val byCol = rows.map(r => r.getAs[String]("column") -> r).toMap
+    // event_type is a 5-value enum; ids are unique per event
+    assert(byCol("event_type").getAs[Long]("n_distinct") === 5L)
+    assert(byCol("event_id").getAs[Long]("n_distinct") ===
+      byCol("event_id").getAs[Long]("n_rows"))
+  }
+}
