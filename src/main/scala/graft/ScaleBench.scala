@@ -172,7 +172,8 @@ object ScaleBench {
     * monotonically through the longer stream).
     */
   private[graft] def buildScaledDir(spark: SparkSession, sfDir: String, factor: Int,
-                                    tables: Set[String] = Set("documents", "embeddings", "events")): Path = {
+                                    tables: Set[String] = Set("documents", "embeddings", "events",
+                                      "orders", "lineitem", "customer")): Path = {
     val tmp = Files.createTempDirectory("graft-scale-")
     sys.addShutdownHook {
       if (Files.exists(tmp)) {
@@ -218,6 +219,33 @@ object ScaleBench {
         .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
         .reduce(_.unionAll(_))
         .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    }
+
+    // relational fact/dim tables: ONE shared o_orderkey offset keeps
+    // the orders⋈lineitem join aligned across copies (every copy joins
+    // only within itself — the row multiplicity a real N× warehouse
+    // has)
+    if (tables("orders") || tables("lineitem")) {
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      val oOff = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+      (0 until factor)
+        .map(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOff)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("orders.parquet").toString)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until factor)
+        .map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOff)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("lineitem.parquet").toString)
+    }
+
+    if (tables("customer")) {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val cOff = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      (0 until factor)
+        .map(i => cust.withColumn("c_custkey", col("c_custkey") + lit(i * cOff)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("customer.parquet").toString)
     }
     tmp
   }

@@ -106,6 +106,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_bm25: the documents scan reads only doc_id and text") {
+    val plan = optimizedScan("text_bm25")
+    assert(!plan.contains("source") && !plan.contains("n_chars"),
+      s"bm25 scan reads unreferenced columns:\n${plan.take(1500)}")
+  }
+
+  test("events_profile: one scan, no joins — a single-pass profile") {
+    val plan = executedPlan("events_profile")
+    assert(!plan.contains("Join"), s"profiler joins:\n${plan.take(1500)}")
+    assert("FileScan|LogicalRDD".r.findAllIn(plan).length <= 1,
+      s"profiler scans the table more than once:\n${plan.take(1500)}")
+  }
+
   test("dedup_lsh_pairs: no forced broadcast of the corpus, star edges bounded") {
     // the query must leave corpus-side join strategy to the planner —
     // i.e. contain no ResolvedHint/broadcast() on the token-set table.
