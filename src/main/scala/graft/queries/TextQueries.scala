@@ -432,6 +432,46 @@ object TextQueries {
                 col("postings_head"))
     }),
 
+    // BIGRAM LANGUAGE-MODEL SCORING — the "LM perplexity filter" stage
+    // of CCNet/Gopher-style curation pipelines (docs whose token
+    // sequences the corpus LM finds improbable are boilerplate/noise),
+    // with the 5-gram KenLM swapped for an exactly-computable add-1
+    // bigram model: p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V). Per doc,
+    // the mean log-probability of its bigrams — low = anomalous
+    // sequencing. Shape: one bigram explode (compiled transform over
+    // token positions), two partial-aggregable count tables, one
+    // shuffle join of doc bigrams against the model (at 100 TB the
+    // bigram table is itself big data — this is a join, deliberately
+    // not a broadcast), per-bigram log-probs quantized to 9 dp and
+    // decimal-summed so the per-doc mean is order-free.
+    "text_bigram_lm" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val bi = toks
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = toks.select(explode(col("t")).as("w")).distinct()
+        .agg(count(lit(1)).as("v"))
+      bi
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", round(log(
+          (col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")), 9).cast("decimal(28,9)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast("double") / col("n_bigrams"), 6)
+            .as("avg_logprob_r"))
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -605,6 +645,36 @@ object TextQueries {
          |FROM agg
          |ORDER BY score_d DESC, doc_id
          |LIMIT 20""".stripMargin,
+
+    // same add-1 bigram model, same 9-dp-quantized decimal-summed
+    // log-probs (ln args are corpus-count rationals — finite domain,
+    // 3-sf-verified like the BM25 idf)
+    "text_bigram_lm" ->
+      s"""$toksCte, bi AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |  FROM d, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS t(b)
+         |  WHERE len(toks) >= 2
+         |), c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1
+         |), vocab AS (
+         |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |  FROM d, unnest(toks) AS u(token)
+         |), lp AS (
+         |  SELECT bi.doc_id,
+         |    CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) /
+         |                  CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
+         |         AS DECIMAL(28,9)) AS lp
+         |  FROM bi
+         |  JOIN c12 ON c12.w1 = bi.w1 AND c12.w2 = bi.w2
+         |  JOIN c1 ON c1.w1 = bi.w1
+         |  CROSS JOIN vocab
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob_r
+         |FROM lp GROUP BY 1""".stripMargin,
 
     // same (token, doc) grouping, same first-10 posting heads (the
     // ordered SET is engine-independent; only the selection mechanics
