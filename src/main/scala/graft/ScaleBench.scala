@@ -41,7 +41,7 @@ object ScaleBench {
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
     "sketch_kmv", "sketch_kmv_jaccard", "text_bpe_train",
     "text_bm25", "text_inverted_index", "layout_zorder", "q_bucketed_join",
-    "events_profile", "cdc_scd2", "text_bigram_lm")
+    "events_profile", "events_profile_approx", "cdc_scd2", "text_bigram_lm")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -415,6 +415,40 @@ object EventQueries {
         .select(col("p.*"))
     }),
 
+    // APPROXIMATE COLUMN PROFILER — the 100 TB posture the exact
+    // profiler's scaladoc promises, implemented: per-column distinct
+    // counts ride GROUPED HLL registers (256 counters per column,
+    // mergeable state) instead of the multi-distinct Expand, so the
+    // whole profile is ONE narrow pass + a (|cols|·256)-row agg. The
+    // same pass carries null counts and min/max. Exact distinct
+    // audits the estimate per column (rel_err in the output) — the
+    // audit is the expensive thing this query replaces. The fixture
+    // exercises BOTH estimator branches per run: event_type (5
+    // distinct) lands in linear counting, event_id (all-distinct) in
+    // the raw harmonic estimate.
+    "events_profile_approx" -> ((s, dir) => {
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val pairs = Tables.events(s, dir)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("colname"), col(c).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.*"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val present = pairs.filter(col("v").isNotNull)
+      val regs = present
+        .select(col("colname"),
+          conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long").as("h"))
+        .select(col("colname"), (col("h") % 256).as("reg"),
+                expr("CAST(h DIV 256 AS BIGINT)").as("rest"))
+        .withColumn("rho", when(col("rest") === 0, 53L)
+          .otherwise(lit(53L) - length(conv(col("rest"), 10, 2))))
+        .groupBy(col("colname"), col("reg")).agg(max(col("rho")).as("mj"))
+      val truth = pairs.groupBy(col("colname"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+             countDistinct(col("v")).as("true_distinct"))
+      hllGroupFinish(regs, truth)
+    }),
+
     // Ordered funnel (sequential pattern): users reaching
     // view → click-after-view → purchase-after-click, by strict event
     // order. Each stage is one partial-aggregable min per user + one
@@ -505,6 +539,34 @@ object EventQueries {
               col("true_distinct"),
               round((col("estimate") - col("true_distinct")) /
                     col("true_distinct"), 6).as("rel_err_r"))
+  }
+
+  /** Grouped HLL finish for the approximate profiler: the exact
+    * [[hllFinish]] math (integer-scaled harmonic sum, linear-counting
+    * fallback — the ln's zeros ∈ 1..255 domain is the enumeration-
+    * verified one) applied per colname group.
+    */
+  private[graft] def hllGroupFinish(regs: org.apache.spark.sql.DataFrame,
+                                    truth: org.apache.spark.sql.DataFrame) = {
+    val m = 256
+    val hllC = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+    regs.groupBy(col("colname"))
+      .agg(count(lit(1)).as("n_present"),
+           sum(pow(lit(2.0), lit(53) - col("mj")).cast("long")).as("sum_present"))
+      .join(truth, "colname")
+      .withColumn("zeros", lit(m.toLong) - col("n_present"))
+      .withColumn("sum_terms",
+        col("sum_present") + col("zeros") * lit(1L << 53))
+      .withColumn("est_raw", lit(hllC) / col("sum_terms"))
+      .withColumn("estimate",
+        when(col("est_raw") <= 2.5 * m && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("est_raw")))
+      .select(col("colname").as("column"), col("n_rows"), col("n_null"),
+        col("true_distinct"),
+        round(col("estimate"), 6).as("estimate_r"),
+        round((col("estimate") - col("true_distinct")) /
+              col("true_distinct"), 6).as("rel_err_r"))
   }
 
   private val BloomBits = 4096L
@@ -698,6 +760,53 @@ object EventQueries {
           .as("rel_err_r"))
 
   val oracleSql: Map[String, String] = Map(
+    // per-column HLL chain — the sketch_hll_users oracle grouped by
+    // column, over the same stringified-value route
+    "events_profile_approx" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS colname, CAST(event_id AS VARCHAR) AS v FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'event_type', event_type FROM events
+        |  UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+        |), h AS (
+        |  SELECT colname, CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h
+        |  FROM p WHERE v IS NOT NULL
+        |), r AS (
+        |  SELECT colname, h % 256 AS reg, h // 256 AS rest FROM h
+        |), rr AS (
+        |  SELECT colname, reg, CASE WHEN rest = 0 THEN 53
+        |              ELSE 53 - length(to_base(rest, 2)) END AS rho
+        |  FROM r
+        |), regs AS (
+        |  SELECT colname, reg, max(rho) AS mj FROM rr GROUP BY 1, 2
+        |), a AS (
+        |  SELECT colname, CAST(count(*) AS BIGINT) AS n_present,
+        |         CAST(sum(CAST(power(2, 53 - mj) AS BIGINT)) AS BIGINT) AS sum_present
+        |  FROM regs GROUP BY 1
+        |), t AS (
+        |  SELECT colname, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         CAST(count(DISTINCT v) AS BIGINT) AS true_distinct
+        |  FROM p GROUP BY 1
+        |), c AS (
+        |  SELECT a.colname, t.n_rows, t.n_null, t.true_distinct,
+        |    CAST(256 - a.n_present AS BIGINT) AS zeros,
+        |    a.sum_present + (256 - a.n_present) * 9007199254740992 AS sum_terms
+        |  FROM a JOIN t USING (colname)
+        |), est AS (
+        |  SELECT *,
+        |    CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |              / sum_terms <= 640.0 AND zeros > 0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |         ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |              / sum_terms END AS estimate
+        |  FROM c
+        |)
+        |SELECT colname AS "column", n_rows, n_null, true_distinct,
+        |  round(estimate, 6) AS estimate_r,
+        |  round((estimate - true_distinct) / true_distinct, 6) AS rel_err_r
+        |FROM est""".stripMargin,
+
     // one UNION ALL branch per profiled column
     "events_profile" -> Seq("event_id", "user_id", "event_type", "value").map { c =>
       s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

@@ -30,6 +30,22 @@ class MergeProfileSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("approx profile: estimates inside HLL tolerance, facts exact") {
+    val approx = EventQueries.queries("events_profile_approx")(spark, sf)
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val exact = EventQueries.queries("events_profile")(spark, sf)
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (c, r) =>
+      // m=256 ⇒ σ ≈ 1.04/√256 ≈ 6.5%; allow ~3σ
+      assert(math.abs(r.getAs[Double]("rel_err_r")) < 0.25, s"$c: $r")
+      // the non-estimated facts must agree with the exact profiler
+      assert(r.getAs[Long]("n_rows") === exact(c).getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_null") === exact(c).getAs[Long]("n_null"))
+      assert(r.getAs[Long]("true_distinct") === exact(c).getAs[Long]("n_distinct"))
+    }
+  }
+
   test("profile: per-column rows agree on table-level facts") {
     val rows = EventQueries.queries("events_profile")(spark, sf).collect()
     assert(rows.length === 4)
