@@ -33,11 +33,13 @@ object ScaleBench {
     "dedup_semantic_fast", "dedup_semantic_hier", "dedup_semantic_scaled",
     "pipeline_source_report",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
-    "ann_topk_lsh_fast", "ann_topk_ivf", "kmeans_step", "kmeans_train",
+    "ann_topk_lsh_fast", "ann_topk_ivf", "ann_topk_filtered",
+    "kmeans_step", "kmeans_train",
     "pq_codes", "ann_topk_pq", "ann_topk_pq_rerank", "ann_topk_ivfpq",
     "text_redact", "text_repetition", "text_c4_filters",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "events_retention",
+    "events_gapfill",
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
     "sketch_kmv", "sketch_kmv_jaccard", "text_bpe_train",
     "text_bm25", "text_inverted_index", "layout_zorder", "q_bucketed_join",

@@ -415,6 +415,38 @@ object EventQueries {
         .select(col("p.*"))
     }),
 
+    // GAP-FILL + LOCF RESAMPLING — the time-series operator every
+    // metrics store ships (PromQL/InfluxDB `fill(previous)`,
+    // Timescale `time_bucket_gapfill`): project events onto a dense
+    // hourly grid per type, mark the empty buckets, and carry the
+    // last observed hourly mean forward. The grid is GENERATED
+    // (sequence over the global [min,max] hour — a 2-value broadcast,
+    // never a data-sized range), the join back is one shuffle on
+    // (type, hour), and LOCF is `last(ignoreNulls)` over a running
+    // frame — per-type ordered state, the same shape streaming LOCF
+    // holds per key. Carried values are carried ALREADY-ROUNDED, so
+    // cross-engine equality survives arbitrarily long carry chains.
+    "events_gapfill" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"), col("value"))
+      val hourly = e.groupBy(col("event_type"), col("hour_ms"))
+        .agg(count(lit(1)).as("cnt"),
+             asDouble(sum(dec(col("value")))).as("sv"))
+        .withColumn("avg_r", round(col("sv") / col("cnt"), 6))
+      val bounds = e.agg(min(col("hour_ms")).as("h0"), max(col("hour_ms")).as("h1"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), lit(3600000L))).as("hour_ms"))
+      grid.join(hourly, Seq("event_type", "hour_ms"), "left")
+        .select(col("event_type"), col("hour_ms"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("sv").isNull.as("is_gap"),
+          last(col("avg_r"), ignoreNulls = true).over(
+            Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+              .rowsBetween(Window.unboundedPreceding, 0)).as("locf_avg_r"))
+    }),
+
     // APPROXIMATE COLUMN PROFILER — the 100 TB posture the exact
     // profiler's scaladoc promises, implemented: per-column distinct
     // counts ride GROUPED HLL registers (256 counters per column,
@@ -760,6 +792,35 @@ object EventQueries {
           .as("rel_err_r"))
 
   val oracleSql: Map[String, String] = Map(
+    // same dense grid (unnest over an expression generate_series —
+    // the table-function form rejects lateral bounds), same
+    // carry-of-rounded-values LOCF
+    "events_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - (epoch_ns(ts) // 1000000) % 3600000 AS hour_ms,
+        |    value
+        |  FROM events
+        |), hourly AS (
+        |  SELECT event_type, hour_ms, CAST(count(*) AS BIGINT) AS cnt,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_r
+        |  FROM e GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(hour_ms) AS h0, max(hour_ms) AS h1 FROM e
+        |), grid AS (
+        |  SELECT ty.event_type, u.g AS hour_ms
+        |  FROM (SELECT DISTINCT event_type FROM e) ty, b,
+        |       unnest(generate_series(b.h0, b.h1, 3600000)) u(g)
+        |)
+        |SELECT g.event_type, g.hour_ms,
+        |  coalesce(h.cnt, 0) AS cnt,
+        |  (h.cnt IS NULL) AS is_gap,
+        |  last_value(h.avg_r IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_r
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_ms = g.hour_ms""".stripMargin,
+
     // per-column HLL chain — the sketch_hll_users oracle grouped by
     // column, over the same stringified-value route
     "events_profile_approx" ->

@@ -83,6 +83,33 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"))
     }),
 
+    // FILTERED ANN — vector search under a metadata predicate (the
+    // production case every vector store special-cases: "nearest
+    // neighbors WHERE label matches"). PRE-filter semantics: the
+    // predicate cuts the candidate set BEFORE any distance is
+    // computed (post-filtering a top-k can return < k survivors —
+    // the classic filtered-search bug), so the compiled cosine
+    // kernel runs on ~1/|labels| of the corpus. Per-query predicate
+    // (each query wants its own label) — the harder shape, since the
+    // filter is a join condition, not a constant scan filter. Exact
+    // by construction; shares the rank-only output convention of
+    // ann_topk_fast.
+    "ann_topk_filtered" -> ((s, dir) => {
+      import graft.functions.FloatVectorCosine.cosineFast
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(q), col("label") === col("q_label") &&
+                             col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineFast(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+    }),
+
     // LSH bucketing (sign random projection, 8 deterministic
     // hyperplanes → 256 buckets): the scale path's partitioning key.
     "emb_lsh_buckets" -> ((s, dir) =>
@@ -1092,6 +1119,22 @@ object SimilarityQueries {
          |    ${duckCos("q.embedding", "c.embedding")} AS cos
          |  FROM embeddings q, embeddings c
          |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+
+    // pre-filter semantics: the label predicate joins BEFORE ranking
+    "ann_topk_filtered" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${duckCos("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |    AND c.label = q.label
          |), ranked AS (
          |  SELECT q_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
