@@ -415,6 +415,41 @@ object EventQueries {
         .select(col("p.*"))
     }),
 
+    // GROUPED QUANTILE SKETCH — p50/p90/p95/p99 PER EVENT TYPE, the
+    // observability query every service dashboard runs (latency
+    // percentiles per endpoint). The global sketch_quantiles
+    // machinery keyed by group: per-(type, bucket) fixed-grid
+    // histogram (one partial-aggregable agg — the sketch state is now
+    // |types|×~2.3k counters, still sketch-sized), integer rank math
+    // over each type's cumulative buckets, per-type exact-order-
+    // statistic audit. At 100 TB the audit is a per-group global
+    // sort; the sketch answer needs one linear pass + a counter
+    // merge, which is why histograms are how latency percentiles
+    // ship.
+    "sketch_quantiles_by_type" -> ((s, dir) => {
+      val vals = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val hist = vals
+        .select(col("event_type"), floor(col("value") * 4).cast("long").as("bucket"))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+      val ranks = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+        .select(col("event_type"), col("n"),
+          explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("q_pct"))
+        .withColumn("rk", expr("(n * q_pct + 99) div 100"))
+      val est = broadcast(ranks).join(cum, Seq("event_type"))
+        .filter(col("cum") >= col("rk"))
+        .groupBy(col("event_type"), col("q_pct"), col("rk"))
+        .agg(min(col("bucket")).as("bkt"))
+      val sorted = vals.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      est.join(sorted, col("rn") === col("rk") &&
+                       est("event_type") === sorted("event_type"))
+        .select(est("event_type"), col("q_pct"),
+                (col("bkt") / lit(4.0)).as("est"), col("value").as("true_q"))
+    }),
+
     // GAP-FILL + LOCF RESAMPLING — the time-series operator every
     // metrics store ships (PromQL/InfluxDB `fill(previous)`,
     // Timescale `time_bucket_gapfill`): project events onto a dense
@@ -445,6 +480,55 @@ object EventQueries {
           last(col("avg_r"), ignoreNulls = true).over(
             Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
               .rowsBetween(Window.unboundedPreceding, 0)).as("locf_avg_r"))
+    }),
+
+    // LINEAR-INTERPOLATION RESAMPLING — the lerp twin of the LOCF
+    // gap-fill (Timescale `interpolate()`, Pandas `.interpolate()`):
+    // each empty bucket takes the line between its nearest observed
+    // neighbors, weighted by integer hour distances; null outside the
+    // observed range (nothing to anchor to), exact value AT an
+    // observation (the pt = nt branch — both anchors are the row
+    // itself). Anchors are the ROUNDED hourly means and the weights
+    // are ratios of integer timestamps, so the interpolation is
+    // engine-exact. Two ignoreNulls running frames (backward +
+    // forward) — the same per-key ordered state as LOCF, run in both
+    // directions.
+    "events_gapfill_lerp" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"), col("value"))
+      val hourly = e.groupBy(col("event_type"), col("hour_ms"))
+        .agg(count(lit(1)).as("cnt"),
+             asDouble(sum(dec(col("value")))).as("sv"))
+        .withColumn("avg_r", round(col("sv") / col("cnt"), 6))
+      val bounds = e.agg(min(col("hour_ms")).as("h0"), max(col("hour_ms")).as("h1"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), lit(3600000L))).as("hour_ms"))
+      // BOTH anchor passes are RUNNING (unbounded-preceding) frames —
+      // the forward anchors ride a DESCENDING sort rather than an
+      // UNBOUNDED FOLLOWING frame, because Spark evaluates following
+      // frames by re-scanning current→end per row: O(n²) per
+      // partition (measured: 5.8× at 10× vs 1.1× for the LOCF twin
+      // before this rewrite; linear after). Same rows, one extra
+      // sort, linear work.
+      val wPrev = Window.partitionBy(col("event_type"))
+        .orderBy(col("hour_ms")).rowsBetween(Window.unboundedPreceding, 0)
+      val wNextRev = Window.partitionBy(col("event_type"))
+        .orderBy(col("hour_ms").desc).rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("event_type", "hour_ms"), "left")
+        .withColumn("pv", last(col("avg_r"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("avg_r").isNotNull, col("hour_ms")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", last(col("avg_r"), ignoreNulls = true).over(wNextRev))
+        .withColumn("nt", last(when(col("avg_r").isNotNull, col("hour_ms")),
+          ignoreNulls = true).over(wNextRev))
+        .select(col("event_type"), col("hour_ms"), col("avg_r").isNull.as("is_gap"),
+          when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+            .when(col("nt") === col("pt"), col("pv"))
+            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+              ((col("hour_ms") - col("pt")).cast("double") /
+               (col("nt") - col("pt")).cast("double")), 6)).as("lerp_avg_r"))
     }),
 
     // APPROXIMATE COLUMN PROFILER — the 100 TB posture the exact
@@ -821,6 +905,44 @@ object EventQueries {
         |FROM grid g
         |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_ms = g.hour_ms""".stripMargin,
 
+    // same dense grid, same rounded anchors, same integer-ratio lerp
+    "events_gapfill_lerp" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - (epoch_ns(ts) // 1000000) % 3600000 AS hour_ms,
+        |    value
+        |  FROM events
+        |), hourly AS (
+        |  SELECT event_type, hour_ms, CAST(count(*) AS BIGINT) AS cnt,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_r
+        |  FROM e GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(hour_ms) AS h0, max(hour_ms) AS h1 FROM e
+        |), grid AS (
+        |  SELECT ty.event_type, u.g AS hour_ms
+        |  FROM (SELECT DISTINCT event_type FROM e) ty, b,
+        |       unnest(generate_series(b.h0, b.h1, 3600000)) u(g)
+        |), anch AS (
+        |  SELECT g.event_type, g.hour_ms, h.avg_r,
+        |    last_value(h.avg_r IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN h.avg_r IS NOT NULL THEN g.hour_ms END IGNORE NULLS) OVER wp AS pt,
+        |    first_value(h.avg_r IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN h.avg_r IS NOT NULL THEN g.hour_ms END IGNORE NULLS) OVER wn AS nt
+        |  FROM grid g
+        |  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_ms = g.hour_ms
+        |  WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.hour_ms
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY g.event_type ORDER BY g.hour_ms
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, hour_ms, (avg_r IS NULL) AS is_gap,
+        |  CASE WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |       WHEN nt = pt THEN pv
+        |       ELSE round(pv + (nv - pv) *
+        |         (CAST(hour_ms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6)
+        |  END AS lerp_avg_r
+        |FROM anch""".stripMargin,
+
     // per-column HLL chain — the sketch_hll_users oracle grouped by
     // column, over the same stringified-value route
     "events_profile_approx" ->
@@ -1052,6 +1174,36 @@ object EventQueries {
         |)
         |SELECT e.q_pct, CAST(e.bkt AS DOUBLE) / 4 AS est, s.value AS true_q
         |FROM est e JOIN sorted s ON s.rn = e.rk""".stripMargin,
+
+    // the global sketch_quantiles chain, keyed by event_type
+    "sketch_quantiles_by_type" ->
+      """WITH v AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bucket, count(*) AS cnt
+        |  FROM v GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bucket,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+        |  FROM b
+        |), ranks AS (
+        |  SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct, (n * q_pct + 99) // 100 AS rk
+        |  FROM (SELECT event_type, sum(cnt) AS n FROM b GROUP BY 1),
+        |       (SELECT unnest([50, 90, 95, 99]) AS q_pct)
+        |), est AS (
+        |  SELECT r.event_type, r.q_pct, r.rk, min(c.bucket) AS bkt
+        |  FROM ranks r
+        |  JOIN cum c ON c.event_type = r.event_type AND c.cum >= r.rk
+        |  GROUP BY 1, 2, 3
+        |), sorted AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM v
+        |)
+        |SELECT e.event_type, e.q_pct, CAST(e.bkt AS DOUBLE) / 4 AS est,
+        |  s.value AS true_q
+        |FROM est e
+        |JOIN sorted s ON s.event_type = e.event_type AND s.rn = e.rk""".stripMargin,
 
     // epoch_ns // 1000000 ≡ the engine's ts_ms (integer floor division
     // — double division would lose ms precision at epoch-nanos scale).

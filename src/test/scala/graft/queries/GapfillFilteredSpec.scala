@@ -28,6 +28,26 @@ class GapfillFilteredSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)))
   }
 
+  test("lerp: anchors exact at observations, interpolations between their anchors") {
+    val gf = EventQueries.queries("events_gapfill")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val lerp = EventQueries.queries("events_gapfill_lerp")(spark, sf).collect()
+    var interpolated = 0
+    lerp.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      if (!r.getBoolean(2)) {
+        // at an observation the lerp IS the observed hourly mean (the
+        // locf query carries the same value at observation rows)
+        assert(r.getDouble(3) === gf(key).getDouble(4), key.toString)
+      } else if (!r.isNullAt(3)) {
+        interpolated += 1
+        // an interpolated value never escapes the corpus value range
+        assert(r.getDouble(3) >= -1e-6 && r.getDouble(3) <= 1000.0, r.toString)
+      }
+    }
+    assert(interpolated > 0, "no gap was interpolated — vacuous")
+  }
+
   test("filtered ANN: every neighbor satisfies the query's predicate") {
     val labels = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label")).collect()
