@@ -39,7 +39,8 @@ object ScaleBench {
     "text_redact", "text_repetition", "text_c4_filters",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "events_retention",
-    "events_gapfill", "events_gapfill_lerp", "sketch_quantiles_by_type",
+    "events_gapfill", "events_gapfill_lerp", "events_drift",
+    "sketch_quantiles_by_type",
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
     "sketch_kmv", "sketch_kmv_jaccard", "text_bpe_train",
     "text_bm25", "text_inverted_index", "layout_zorder", "q_bucketed_join",

@@ -415,6 +415,52 @@ object EventQueries {
         .select(col("p.*"))
     }),
 
+    // CUSUM DRIFT DETECTION — the real two-sided tabular CUSUM control
+    // chart (Page 1954; slack k = 0.5σ, decision limit h = 5σ — the
+    // textbook settings), not the naive Σ(x−μ) random walk, whose
+    // excursions grow like σ·√n and make any fixed limit either mute
+    // or always-on depending on scale. The sequential recursion
+    // S⁺_i = max(0, S⁺_{i-1} + (x_i − μ − k)) looks like a
+    // flatMapGroupsWithState fold, but the classic prefix identity
+    // makes it a pure window expression: with P_i = Σ_{j≤i}(x_j−μ−k),
+    //   S⁺_i = P_i − min(0, min_{j≤i} P_j)
+    // (and symmetrically S⁻ from the +k prefix and a running max), so
+    // the whole chart is two window passes over ONE sort — Spark
+    // plans both frames in a single Window partition-sort, no extra
+    // exchange, linear per partition. Everything is decimal: μ and σ
+    // come from the anomalyStats sums rounded once to 6 dp, the two
+    // slack thresholds are rounded to 6 dp and cast to decimal, the
+    // prefix sums and running extrema are then EXACT, and the drift
+    // flag compares decimals — an arbitrarily long chain stays
+    // engine-identical with no float accumulation anywhere.
+    "events_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val stats = anomalyStats(e)
+        .select(col("event_type"), round(col("mean"), 6).as("mu_r"),
+                round(col("sd"), 6).as("sd_r"))
+        .select(col("event_type"),
+          round(col("mu_r") + lit(0.5) * col("sd_r"), 6)
+            .cast("decimal(18,6)").as("k_up"),
+          round(col("mu_r") - lit(0.5) * col("sd_r"), 6)
+            .cast("decimal(18,6)").as("k_dn"),
+          round(lit(5.0) * col("sd_r"), 6).cast("decimal(18,6)").as("h"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.join(broadcast(stats), "event_type")
+        .withColumn("pu", sum(dec(col("value")) - col("k_up")).over(w))
+        .withColumn("pd", sum(dec(col("value")) - col("k_dn")).over(w))
+        .withColumn("s_up", col("pu") - least(lit(0).cast("decimal(18,6)"),
+                                              min(col("pu")).over(w)))
+        .withColumn("s_dn", col("pd") - greatest(lit(0).cast("decimal(18,6)"),
+                                                 max(col("pd")).over(w)))
+        .select(col("event_type"), col("event_id"), col("ts_ms"),
+          round(asDouble(col("s_up")), 6).as("cusum_up"),
+          round(asDouble(col("s_dn")), 6).as("cusum_dn"),
+          (col("s_up") > col("h") || col("s_dn") < -col("h")).as("is_drift"))
+    }),
+
     // GROUPED QUANTILE SKETCH — p50/p90/p95/p99 PER EVENT TYPE, the
     // observability query every service dashboard runs (latency
     // percentiles per endpoint). The global sketch_quantiles
@@ -1174,6 +1220,50 @@ object EventQueries {
         |)
         |SELECT e.q_pct, CAST(e.bkt AS DOUBLE) / 4 AS est, s.value AS true_q
         |FROM est e JOIN sorted s ON s.rn = e.rk""".stripMargin,
+
+    // same rounded μ/σ (the events_anomaly sums, same op order), same
+    // 6-dp slack thresholds, exact decimal prefixes and extrema,
+    // decimal flag compare — DuckDB forbids nested window calls, so
+    // the prefix and its running extremum are two chained CTEs
+    "events_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, round(s1 / n, 6) AS mu_r,
+        |    round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS sd_r
+        |  FROM st
+        |), k AS (
+        |  SELECT event_type,
+        |    CAST(round(mu_r + 0.5 * sd_r, 6) AS DECIMAL(18,6)) AS k_up,
+        |    CAST(round(mu_r - 0.5 * sd_r, 6) AS DECIMAL(18,6)) AS k_dn,
+        |    CAST(round(5.0 * sd_r, 6) AS DECIMAL(18,6)) AS h
+        |  FROM m
+        |), p AS (
+        |  SELECT e.event_type, e.event_id, e.ts_ms, k.h,
+        |    sum(CAST(e.value AS DECIMAL(18,4)) - k.k_up) OVER w AS pu,
+        |    sum(CAST(e.value AS DECIMAL(18,4)) - k.k_dn) OVER w AS pd
+        |  FROM e JOIN k USING (event_type)
+        |  WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts_ms, e.event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), x AS (
+        |  SELECT *,
+        |    pu - least(CAST(0 AS DECIMAL(18,6)), min(pu) OVER w) AS s_up,
+        |    pd - greatest(CAST(0 AS DECIMAL(18,6)), max(pd) OVER w) AS s_dn
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, event_id, ts_ms,
+        |  round(CAST(s_up AS DOUBLE), 6) AS cusum_up,
+        |  round(CAST(s_dn AS DOUBLE), 6) AS cusum_dn,
+        |  (s_up > h OR s_dn < -h) AS is_drift
+        |FROM x""".stripMargin,
 
     // the global sketch_quantiles chain, keyed by event_type
     "sketch_quantiles_by_type" ->
