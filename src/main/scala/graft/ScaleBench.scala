@@ -63,7 +63,7 @@ object ScaleBench {
     */
   private val StreamScaledQueries = Seq(
     "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join",
-    "stream_static_join")
+    "stream_static_join", "stream_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

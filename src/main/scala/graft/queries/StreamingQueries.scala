@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.streaming.PseudoWindow
+import graft.streaming.{CusumStream, PseudoWindow}
 
 /** Streaming operators run end-to-end as bounded MULTI-BATCH queries:
   * the events table is split into [[NumSplits]] time-ordered files and
@@ -657,6 +657,40 @@ object StreamingQueries {
       val counts = graft.streaming.PseudoWindowTws.eventTime(pts, 3600000L)
       runToMemory(s, counts.toDF(), rocksdb = true)
         .select(col("key"), col("windowEndMs").as("window_end_ms"), col("cnt"))
+    }),
+
+    // ONLINE CUSUM drift monitoring — events_drift's streaming twin.
+    // The batch chart is a window identity over the full history; the
+    // monitor runs the textbook sequential recursion per series as a
+    // flatMapGroupsWithState fold (state = two scale-6 decimals per
+    // key, constant regardless of history), with the control limits
+    // trained offline on the reference corpus and joined on as a
+    // broadcast static dimension. Decimal-string transport + a
+    // BigDecimal fold keep the chart bit-identical to the batch
+    // window identity — shares events_drift's oracle.
+    "stream_drift" -> ((s, dir) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[CusumStream.In]
+      val e = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val stats = EventQueries.anomalyStats(e)
+        .select(col("event_type"), round(col("mean"), 6).as("mu_r"),
+                round(col("sd"), 6).as("sd_r"))
+        .select(col("event_type"),
+          round(col("mu_r") + lit(0.5) * col("sd_r"), 6)
+            .cast("decimal(18,6)").cast("string").as("k_up"),
+          round(col("mu_r") - lit(0.5) * col("sd_r"), 6)
+            .cast("decimal(18,6)").cast("string").as("k_dn"),
+          round(lit(5.0) * col("sd_r"), 6)
+            .cast("decimal(18,6)").cast("string").as("h"))
+      val in = eventsStream(s, dir)
+        .filter(col("value").isNotNull)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type").as("key"), col("event_id").as("eventId"),
+                col("ts_ms").as("tsMs"), dec(col("value")).cast("string").as("x"),
+                col("k_up").as("kUp"), col("k_dn").as("kDn"), col("h"))
+        .as[CusumStream.In]
+      runToMemory(s, CusumStream.chart(in).toDF())
     })
   )
 
@@ -748,6 +782,10 @@ object StreamingQueries {
     // Sum-merge of per-batch counter tables ≡ the batch CMS — shares
     // the batch count-min oracle.
     "stream_cms_tokens" -> TextQueries.oracleSql("sketch_cms_tokens"),
+
+    // The sequential stateful fold ≡ the batch window identity —
+    // shares the batch CUSUM oracle (bit-identical chart).
+    "stream_drift" -> EventQueries.oracleSql("events_drift"),
 
     // Batch twin of the stream-static enrichment: same stats, same
     // z-threshold, same hourly grouping, with the append-mode cutoff —

@@ -78,4 +78,13 @@ class DriftSpec extends SparkSpec {
     assert(flagged > 0, "no drift flagged — limit vacuous at fixture size")
     assert(flagged < rows.length / 10, s"$flagged/${rows.length} flagged — limit always-on")
   }
+
+  test("online stateful fold across micro-batches ≡ batch window identity") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+       r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+    val streamed = StreamingQueries.queries("stream_drift")(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == rows.map(key).toSet)
+  }
 }
