@@ -648,8 +648,56 @@ object DedupQueries {
         .select(col("doc_id"), col("simhash"),
           when(col("next_sh").isNotNull, Dedup.hamming(col("simhash"), col("next_sh")))
             .as("hamming_next"))
+    }),
+
+    // SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo's merge/purge
+    // blocking) with EDIT-DISTANCE matching — the character-level
+    // member of the near-dup family (MinHash/LSH sees token SETS and
+    // is blind to character edits inside tokens; levenshtein is the
+    // complementary signal record linkage uses). Records sort by a
+    // normalized 64-char key; each record is compared only to its W
+    // following neighbors in sort order, so pair work is ≤ W·n —
+    // never all-pairs — and the only heavy op is a sort, which is
+    // exactly what a cluster does well (cf. layout_zorder). Blocking
+    // on the key's 2-char prefix makes the sort a bounded-bucket
+    // window partition (at 100 TB the prefix length is the
+    // bucket-granularity knob; a longer prefix = more, smaller
+    // sorts); as with any blocking scheme, pairs whose keys diverge
+    // in the first 2 chars are out of reach BY DESIGN — the recall
+    // trade LSH makes with non-colliding bands. The plan is one
+    // shuffle on the bucket, one in-partition sort, W constant-offset
+    // lead() frames folded into a single Window node, a generator,
+    // and the levenshtein filter — no self-join, no pair blow-up.
+    // Edit distance on the fixed 64-char keys bounds the per-pair
+    // cost at 64² cells; the integer distance is engine-exact.
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 64)
+            .as("snkey"))
+        .withColumn("bkt", substring(col("snkey"), 1, 2))
+      val w = Window.partitionBy(col("bkt")).orderBy(col("snkey"), col("doc_id"))
+      val nbrs = (1 to SnWindow).map(i =>
+        struct(lead(col("doc_id"), i).over(w).as("nbr_id"),
+               lead(col("snkey"), i).over(w).as("nbr_key")))
+      keyed.withColumn("nbrs", array(nbrs: _*))
+        .select(col("doc_id"), col("snkey"), explode(col("nbrs")).as("nbr"))
+        .filter(col("nbr.nbr_id").isNotNull)
+        .withColumn("edit_dist", levenshtein(col("snkey"), col("nbr.nbr_key")))
+        .filter(col("edit_dist") <= SnMaxDist)
+        .select(col("doc_id").as("doc_a"), col("nbr.nbr_id").as("doc_b"),
+                col("edit_dist"))
     })
   )
+
+  /** Sorted-neighborhood window width (neighbors compared per record)
+    * and match threshold (edit distance on the 64-char normalized
+    * key; 16 ≈ 75% character similarity). private[graft]: the spec
+    * asserts the ≤ W·n pair-work bound against these constants.
+    */
+  private[graft] val SnWindow = 8
+  private[graft] val SnMaxDist = 16
 
   /** Span window length (tokens) for substring-level dedup — the
     * LLM-pipeline convention is 20-50; 20 keeps spans meaningful on
@@ -1558,6 +1606,29 @@ object DedupQueries {
          |)
          |SELECT a.doc_id, a.simhash,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming_next
-         |FROM sh a LEFT JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+         |FROM sh a LEFT JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    // same normalized 64-char key, same 2-char-prefix blocking, same
+    // sort; the W constant-offset leads become a rank-range self-join
+    // (DuckDB's lead() takes only constant offsets in the same spirit,
+    // but the join form is clearer as SQL) — identical pair set, and
+    // levenshtein is an integer both engines compute identically
+    "dedup_sorted_neighborhood" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64)
+         |      AS snkey
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, snkey, substr(snkey, 1, 2) AS bkt,
+         |    row_number() OVER (PARTITION BY substr(snkey, 1, 2)
+         |                       ORDER BY snkey, doc_id) AS rn
+         |  FROM k
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.snkey, b.snkey) AS INTEGER) AS edit_dist
+         |FROM r a JOIN r b
+         |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 8
+         |WHERE levenshtein(a.snkey, b.snkey) <= 16""".stripMargin
   )
 }
