@@ -37,6 +37,7 @@ object ScaleBench {
     "ann_topk_lsh_fast", "ann_topk_ivf", "ann_topk_filtered",
     "kmeans_step", "kmeans_train",
     "pq_codes", "ann_topk_pq", "ann_topk_pq_rerank", "ann_topk_ivfpq",
+    "sq_codes", "ann_topk_sq",
     "text_redact", "text_repetition", "text_c4_filters",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "events_retention",

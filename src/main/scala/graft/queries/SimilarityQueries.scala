@@ -483,6 +483,67 @@ object SimilarityQueries {
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // SCALAR QUANTIZATION (SQ8) — the third compression point in the
+    // index family, between raw floats and PQ: one uniform int8 grid
+    // PER DIMENSION (min/max over the corpus), no codebook training
+    // at all. 64 bytes/vector (4× less scan than float32; PQ's 8
+    // bytes is 32× but needs k-means and loses more recall) — the
+    // pragmatic default of production vector stores (FAISS
+    // ScalarQuantizer, public). The "codebook" is the 64-row min/max
+    // table — broadcast state measured in KILOBYTES at any corpus
+    // size, and rebuilding it is one narrow min/max aggregation
+    // (partial-aggregable, no shuffle pressure) vs PQ's Lloyd
+    // iterations.
+    "sq_minmax" -> ((s, dir) =>
+      sqDims(s, dir)
+        .select((col("i0") + 1).cast("long").as("d"), col("mn"), col("mx"))),
+
+    // The encoded corpus: every vector as 64 int8 codes. Encoding is
+    // a pure broadcast projection (no shuffle); the grid arithmetic
+    // is plain IEEE double (sub/mul/div/floor — identical ops in
+    // identical order on both engines), so the codes hash-match
+    // without any decimal routing.
+    "sq_codes" -> ((s, dir) =>
+      sqEncoded(s, dir)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("d0", "code")))
+        .select(col("vec_id"), (col("d0") + 1).cast("long").as("d"), col("code"))),
+
+    // SQ-ADC top-k: the query stays exact, the corpus is its int8
+    // codes — each candidate dim is reconstructed to its cell
+    // midpoint (mn + (code+½)·rng/255, IEEE-exact) and the per-dim
+    // products are rounded to decimal(28,14) and summed exactly, so
+    // the ranking is engine-identical. Same scan shape as the other
+    // ADC paths: tiny broadcast query side, one narrow corpus pass,
+    // partial top-k per partition, final window on q_id.
+    "ann_topk_sq" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      sqEncoded(s, dir)
+        .crossJoin(broadcast(sqArrs(s, dir)))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score",
+          aggregate(sequence(lit(0), lit(Dim - 1)),
+            lit(0).cast("decimal(23,14)"),
+            (acc, d) => {
+              val i = (d + 1).cast("int")
+              val mn = element_at(col("mn_arr"), i)
+              val rng = element_at(col("rng_arr"), i)
+              val xhat = when(rng === 0.0, mn)
+                .otherwise(mn +
+                  (element_at(col("codes"), i).cast("double") + lit(0.5)) *
+                    rng / lit(255.0))
+              (acc + (element_at(col("q_emb"), i).cast("double") * xhat)
+                .cast("decimal(28,14)")).cast("decimal(23,14)")
+            }))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id"), round(col("score").cast("double"), 6).as("score_r"))
+    }),
+
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
     "emb_centroid_sim" -> ((s, dir) => {
@@ -503,6 +564,50 @@ object SimilarityQueries {
                 round(VectorOps.cosine(col("embedding"), col("centroid")), 6).as("cos_centroid"))
     })
   )
+
+  // ---- SQ8 building blocks ----
+
+  /** Per-dimension corpus min/max (0-based dim `i0`) — the whole SQ
+    * "codebook": 64 rows, kilobytes at any corpus size.
+    */
+  private def sqDims(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("i0", "x")))
+      .groupBy(col("i0"))
+      .agg(min(col("x").cast("double")).as("mn"),
+           max(col("x").cast("double")).as("mx"))
+
+  /** The min/range grid as two broadcastable 64-element arrays. */
+  private def sqArrs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    sqDims(s, dir)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i0"), col("mn"), col("mx"))))
+        .as("ps"))
+      .select(transform(col("ps"), p => p.getField("mn")).as("mn_arr"),
+              transform(col("ps"), p => p.getField("mx") - p.getField("mn"))
+                .as("rng_arr"))
+
+  /** The SQ8-encoded corpus (vec_id, codes: array<int>) — shared by
+    * `sq_codes` and `ann_topk_sq` via the artifact memo. code =
+    * clamp(⌊(x − mn)·255 / rng⌋, 0, 255), pure IEEE double (both
+    * engines run the identical correctly-rounded ops, so no decimal
+    * routing is needed for the grid itself).
+    */
+  private def sqEncoded(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "sq_encoded") {
+      Tables.embeddings(s, dir)
+        .crossJoin(broadcast(sqArrs(s, dir)))
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, d) => {
+            val i = (d + 1).cast("int")
+            val mn = element_at(col("mn_arr"), i)
+            val rng = element_at(col("rng_arr"), i)
+            when(rng === 0.0, lit(0L))
+              .otherwise(least(lit(255L), greatest(lit(0L),
+                floor((x.cast("double") - mn) * lit(255.0) / rng))))
+              .cast("int")
+          }).as("codes"))
+    }
 
   // ---- IVF building blocks (shared by ann_topk_ivf / kmeans_step) ----
 
@@ -1086,6 +1191,32 @@ object SimilarityQueries {
        |  FROM adc
        |)""".stripMargin
 
+  /** SQ8 oracle building blocks: the per-dim min/max grid, the
+    * min/range arrays, and the int8 codes — the identical IEEE double
+    * formula tree as the Spark side (sub, mul, div, floor in the same
+    * order; doubles are correctly rounded per IEEE 754 in both
+    * engines, so the codes agree bit-for-bit with no decimal route).
+    */
+  private def sqCtes: String =
+    s"""sqdims AS (
+       |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings, generate_series(1, $Dim) t(i)
+       |  GROUP BY 1
+       |), sqm AS (
+       |  SELECT list(mn ORDER BY i) AS mn_arr,
+       |    list(mx - mn ORDER BY i) AS rng_arr
+       |  FROM sqdims
+       |), sqcodes AS (
+       |  SELECT e.vec_id, i,
+       |    CASE WHEN m.rng_arr[i] = CAST(0 AS DOUBLE) THEN 0
+       |      ELSE CAST(least(255, greatest(0,
+       |        CAST(floor((CAST(e.embedding[i] AS DOUBLE) - m.mn_arr[i])
+       |          * CAST(255 AS DOUBLE) / m.rng_arr[i]) AS BIGINT))) AS INTEGER)
+       |    END AS code
+       |  FROM embeddings e, generate_series(1, $Dim) t(i), sqm m
+       |)""".stripMargin
+
   // DuckDB twin of VectorOps.cosine: per-element double products
   // rounded to DECIMAL(28,14), exact decimal sum, double finish.
   private def duckCos(a: String, b: String): String =
@@ -1097,6 +1228,41 @@ object SimilarityQueries {
        |      CAST(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sq_minmax" ->
+      s"""WITH $sqCtes
+         |SELECT CAST(i AS BIGINT) AS d, mn, mx FROM sqdims""".stripMargin,
+
+    "sq_codes" ->
+      s"""WITH $sqCtes
+         |SELECT vec_id, CAST(i AS BIGINT) AS d, code FROM sqcodes""".stripMargin,
+
+    // midpoint reconstruction in the same IEEE formula tree, per-dim
+    // products rounded to DECIMAL(28,14), exact decimal sum (order-
+    // free), rank by (score DESC, vec_id)
+    "ann_topk_sq" ->
+      s"""WITH $sqCtes, sqxhat AS (
+         |  SELECT c.vec_id, c.i,
+         |    CASE WHEN m.rng_arr[c.i] = CAST(0 AS DOUBLE) THEN m.mn_arr[c.i]
+         |      ELSE m.mn_arr[c.i] + (CAST(c.code AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |        * m.rng_arr[c.i] / CAST(255 AS DOUBLE)
+         |    END AS v
+         |  FROM sqcodes c, sqm m
+         |), sqscores AS (
+         |  SELECT q.vec_id AS q_id, x.vec_id,
+         |    CAST(sum(CAST(CAST(q.embedding[x.i] AS DOUBLE) * x.v
+         |      AS DECIMAL(28,14))) AS DECIMAL(23,14)) AS score
+         |  FROM sqxhat x, embeddings q
+         |  WHERE q.vec_id < $NQueries AND x.vec_id <> q.vec_id
+         |  GROUP BY 1, 2
+         |), sqranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sqscores
+         |)
+         |SELECT q_id, rank, vec_id, round(CAST(score AS DOUBLE), 6) AS score_r
+         |FROM sqranked WHERE rank <= $TopK""".stripMargin,
+
     "ann_topk_bruteforce" ->
       s"""WITH pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
