@@ -334,6 +334,43 @@ object EventQueries {
             .as("jaccard_true_r"))
     }),
 
+    // JOIN-SIZE ESTIMATION via correlated hash sampling — the planner
+    // capability behind "should this join broadcast / how many shuffle
+    // partitions": |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated WITHOUT
+    // running the join by sampling keys with the SAME hash on both
+    // sides (h(k) mod P = 0 — correlated: a sampled key is sampled on
+    // both sides, so its full contribution f_A·f_B is observed
+    // exactly; the estimator is unbiased with rate 1/P). The join
+    // here is views ⋈ purchases on user_id — the many-to-many
+    // attribution shape whose size a planner actually mis-guesses.
+    // At 100 TB the estimator path filters each side to ~1/P of its
+    // KEYS at the scan (pushed hash predicate), aggregates
+    // sketch-sized frames, and joins those — the exact-truth audit
+    // join is the expensive thing it replaces.
+    "sketch_join_size" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def freq(t: String, n: String) = e.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(n))
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
+        .cast("long")
+      // estimator path: per-side key-frequency aggs over SAMPLED keys
+      val sa = freq("view", "f_a").filter(h % JoinSampleP === 0)
+      val sb = freq("purchase", "f_b").filter(h % JoinSampleP === 0)
+      val est = sa.join(sb, "user_id")
+        .agg(coalesce(sum(col("f_a") * col("f_b")), lit(0L)).as("samp"),
+             count(lit(1)).as("n_sampled_keys"))
+      // audit path: the exact join size the estimate replaces
+      val truth = freq("view", "f_a").join(freq("purchase", "f_b"), "user_id")
+        .agg(coalesce(sum(col("f_a") * col("f_b")), lit(0L))
+          .as("true_join_size"))
+      est.crossJoin(truth)
+        .select(col("n_sampled_keys"),
+          (col("samp") * JoinSampleP).as("estimate"),
+          col("true_join_size"),
+          round((col("samp") * JoinSampleP - col("true_join_size"))
+            .cast("double") / col("true_join_size"), 6).as("rel_err_r"))
+    }),
+
     // Z-ORDER LAYOUT for data skipping — the storage-side lever that
     // decides 100 TB scan cost before any operator runs. Rows are
     // assigned to 64 "files" under three layouts (sorted by user
@@ -858,6 +895,12 @@ object EventQueries {
   /** 2^56 hash space → 1024 selection buckets. */
   private val KmvBucketShift = 46
 
+  /** Correlated-sampling modulus for `sketch_join_size` (rate 1/P).
+    * private[graft]: SketchSpec asserts the sampled-key rate and the
+    * unbiasedness law against it.
+    */
+  private[graft] val JoinSampleP = 8
+
   /** Distinct (event_type, h) with h = the 56-bit md5 prefix of the
     * user id — the shared hash route every sketch here rides.
     * private[graft]: the streaming twin applies the same projection
@@ -1167,6 +1210,32 @@ object EventQueries {
         |LEFT JOIN it ON it.type_a = ue.type_a AND it.type_b = ue.type_b
         |JOIN sz sa ON sa.event_type = ue.type_a
         |JOIN sz sb ON sb.event_type = ue.type_b""".stripMargin,
+
+    // same md5 hash route, same mod-P correlated sample on both
+    // sides, integer contributions throughout; the one double op is
+    // the final rel-err division (engine-identical by IEEE 754)
+    "sketch_join_size" ->
+      """WITH fa AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS f_a FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), fb AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS f_b FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |), est AS (
+        |  SELECT CAST(coalesce(sum(f_a * f_b), 0) AS BIGINT) AS samp,
+        |    CAST(count(*) AS BIGINT) AS n_sampled_keys
+        |  FROM fa JOIN fb USING (user_id)
+        |  WHERE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+        |          AS BIGINT) % 8 = 0
+        |), t AS (
+        |  SELECT CAST(coalesce(sum(f_a * f_b), 0) AS BIGINT) AS true_join_size
+        |  FROM fa JOIN fb USING (user_id)
+        |)
+        |SELECT e.n_sampled_keys, CAST(e.samp * 8 AS BIGINT) AS estimate,
+        |  t.true_join_size,
+        |  round(CAST(e.samp * 8 - t.true_join_size AS DOUBLE)
+        |        / t.true_join_size, 6) AS rel_err_r
+        |FROM est e, t""".stripMargin,
 
     // Same k salted md5 bit positions, same all-k-set membership rule,
     // exact-truth confusion counts.
