@@ -28,7 +28,8 @@ object ScaleBench {
 
   private val ScaledQueries = Seq(
     "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
-    "dedup_cc", "graph_pagerank", "graph_triangles", "graph_kcore", "dedup_substring",
+    "dedup_cc", "graph_pagerank", "graph_triangles", "graph_kcore", "graph_bfs",
+    "dedup_substring",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
     "dedup_semantic",
     "dedup_semantic_fast", "dedup_semantic_hier", "dedup_semantic_scaled",

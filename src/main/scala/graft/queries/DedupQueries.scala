@@ -688,8 +688,36 @@ object DedupQueries {
         .filter(col("edit_dist") <= SnMaxDist)
         .select(col("doc_id").as("doc_a"), col("nbr.nbr_id").as("doc_b"),
                 col("edit_dist"))
+    }),
+
+    // MULTI-SOURCE BFS over the dedup graph: every document's hop
+    // distance to its component's canonical representative (the CC
+    // label minimum — the shared artifact), all components in ONE
+    // pass. hop_dist is the length of the near-dup transitivity chain
+    // that links a doc to the copy the pipeline keeps — the curation
+    // signal behind "how aggressive is transitive dedup here" (a
+    // 1-hop dup collided with its keeper directly; a 4-hop dup is
+    // kept-or-dropped purely by chain closure). Frontier expansion as
+    // iterated join/min with the CC round shape and convergence
+    // early-exit (graft.operators.Bfs); distances cap at BfsRounds
+    // hops — vertices further out carry no row, identically bounded
+    // in the unrolled oracle recursion.
+    "graph_bfs" -> ((s, dir) => {
+      val seeds = ccLabels(s, dir).select(col("lbl").as("v")).distinct()
+      val pairs = lshEdges(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Bfs.distances(seeds, pairs, BfsRounds)
+        .select(col("v").as("doc_id"), col("dist").as("hop_dist"))
     })
   )
+
+  /** BFS hop horizon for `graph_bfs` — comfortably past the LSH star
+    * graph's tiny diameter (stars have radius 1 around bucket reps;
+    * chains of overlapping stars rarely exceed a few hops).
+    * private[graft]: BfsSpec re-runs with BfsRounds + 1 to prove the
+    * cap is past the fixpoint.
+    */
+  private[graft] val BfsRounds = 6
 
   /** Sorted-neighborhood window width (neighbors compared per record)
     * and match threshold (edit distance on the 64-char normalized
@@ -896,7 +924,7 @@ object DedupQueries {
     * graph is a table consumed by pair verification AND connected
     * components, not a per-consumer recompute.
     */
-  private def lshEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def lshEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
     Artifacts.materialized(s, dir, "lsh_edges") {
       val bands = lshBands(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1629,6 +1657,22 @@ object DedupQueries {
          |  CAST(levenshtein(a.snkey, b.snkey) AS INTEGER) AS edit_dist
          |FROM r a JOIN r b
          |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 8
-         |WHERE levenshtein(a.snkey, b.snkey) <= 16""".stripMargin
+         |WHERE levenshtein(a.snkey, b.snkey) <= 16""".stripMargin,
+
+    // same CC chain for the seed set (component reps), then the BFS
+    // recursion: (v, dist) pairs bounded at BfsRounds hops, min per
+    // vertex — UNION-dedup terminates the recursion at the bound
+    "graph_bfs" ->
+      s"""WITH RECURSIVE $ccSplitCtes, seeds AS (
+         |  SELECT DISTINCT component_id AS v FROM cc
+         |), bfs(v, dist) AS (
+         |  SELECT v, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT e.dst, bfs.dist + 1
+         |  FROM bfs JOIN edges2 e ON e.src = bfs.v
+         |  WHERE bfs.dist < $BfsRounds
+         |)
+         |SELECT v AS doc_id, min(dist) AS hop_dist
+         |FROM bfs GROUP BY 1""".stripMargin
   )
 }
