@@ -41,7 +41,8 @@ object ScaleBench {
     "sq_codes", "ann_topk_sq",
     "text_redact", "text_repetition", "text_c4_filters",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
-    "pipeline_shuffle", "pipeline_dataset_card", "events_retention",
+    "pipeline_shuffle", "pipeline_dataset_card", "pipeline_k_anonymity",
+    "events_retention",
     "events_gapfill", "events_gapfill_lerp", "events_drift",
     "sketch_quantiles_by_type",
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",

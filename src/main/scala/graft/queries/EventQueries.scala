@@ -334,6 +334,44 @@ object EventQueries {
             .as("jaccard_true_r"))
     }),
 
+    // K-ANONYMITY GENERALIZATION LADDER — the metadata-privacy stage
+    // of a release pipeline (PII redaction covers free text; this
+    // covers the quasi-identifiers that re-identify people by
+    // COMBINATION: activity type × time × coarse user cohort). Each
+    // (event_type, user_bucket, day) cell reports its population at
+    // three generalization levels — day, week, all-time — and
+    // `anon_level` is the FIRST level whose population reaches K=5:
+    // 0 = publishable at day granularity, 1 = generalize the
+    // timestamp to week, 2 = strip time entirely, -1 = suppress the
+    // cell (no generalization of time alone reaches K). This is the
+    // Samarati/Sweeney generalize-or-suppress decision, restricted
+    // to a single-attribute ladder so it stays one pass: three
+    // partial-aggregable counts + two agg-sized joins — no row-level
+    // shuffle beyond the aggs, linear at any corpus size.
+    "pipeline_k_anonymity" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+          (col("user_id") % 10).as("user_bucket"),
+          (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+        .withColumn("week_ms",
+          col("day_ms") - col("day_ms") % (7L * 86400000L))
+      val day = e.groupBy(col("event_type"), col("user_bucket"),
+          col("week_ms"), col("day_ms"))
+        .agg(count(lit(1)).as("n_day"))
+      val week = e.groupBy(col("event_type"), col("user_bucket"),
+          col("week_ms"))
+        .agg(count(lit(1)).as("n_week"))
+      val all = e.groupBy(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n_all"))
+      day.join(week, Seq("event_type", "user_bucket", "week_ms"))
+        .join(all, Seq("event_type", "user_bucket"))
+        .select(col("event_type"), col("user_bucket"), col("day_ms"),
+          col("n_day"), col("n_week"), col("n_all"),
+          when(col("n_day") >= KAnonK, 0L)
+            .when(col("n_week") >= KAnonK, 1L)
+            .when(col("n_all") >= KAnonK, 2L)
+            .otherwise(-1L).as("anon_level"))
+    }),
+
     // JOIN-SIZE ESTIMATION via correlated hash sampling — the planner
     // capability behind "should this join broadcast / how many shuffle
     // partitions": |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated WITHOUT
@@ -901,6 +939,12 @@ object EventQueries {
     */
   private[graft] val JoinSampleP = 8
 
+  /** k-anonymity threshold for `pipeline_k_anonymity` — the textbook
+    * k=5 release bar. private[graft]: KAnonymitySpec asserts the
+    * ladder law against it.
+    */
+  private[graft] val KAnonK = 5
+
   /** Distinct (event_type, h) with h = the 56-bit md5 prefix of the
     * user id — the shared hash route every sketch here rides.
     * private[graft]: the streaming twin applies the same projection
@@ -1210,6 +1254,37 @@ object EventQueries {
         |LEFT JOIN it ON it.type_a = ue.type_a AND it.type_b = ue.type_b
         |JOIN sz sa ON sa.event_type = ue.type_a
         |JOIN sz sb ON sb.event_type = ue.type_b""".stripMargin,
+
+    // integer counts and thresholds only — nothing to round
+    "pipeline_k_anonymity" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 10 AS user_bucket,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000)
+        |      AS day_ms
+        |  FROM events
+        |), e2 AS (
+        |  SELECT *, day_ms - day_ms % 604800000 AS week_ms FROM e
+        |), d AS (
+        |  SELECT event_type, user_bucket, week_ms, day_ms,
+        |    CAST(count(*) AS BIGINT) AS n_day
+        |  FROM e2 GROUP BY 1, 2, 3, 4
+        |), w AS (
+        |  SELECT event_type, user_bucket, week_ms,
+        |    CAST(count(*) AS BIGINT) AS n_week
+        |  FROM e2 GROUP BY 1, 2, 3
+        |), a AS (
+        |  SELECT event_type, user_bucket, CAST(count(*) AS BIGINT) AS n_all
+        |  FROM e2 GROUP BY 1, 2
+        |)
+        |SELECT d.event_type, d.user_bucket, d.day_ms, d.n_day, w.n_week,
+        |  a.n_all,
+        |  CAST(CASE WHEN d.n_day >= 5 THEN 0
+        |            WHEN w.n_week >= 5 THEN 1
+        |            WHEN a.n_all >= 5 THEN 2
+        |            ELSE -1 END AS BIGINT) AS anon_level
+        |FROM d
+        |JOIN w USING (event_type, user_bucket, week_ms)
+        |JOIN a USING (event_type, user_bucket)""".stripMargin,
 
     // same md5 hash route, same mod-P correlated sample on both
     // sides, integer contributions throughout; the one double op is
