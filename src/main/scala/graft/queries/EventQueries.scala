@@ -334,6 +334,34 @@ object EventQueries {
             .as("jaccard_true_r"))
     }),
 
+    // SEASONAL BASELINE + HOT-HOUR FLAGS — the periodic twin of the
+    // CUSUM/z-score monitors: traffic has a daily shape, so "is this
+    // hour anomalous" must compare each hour's count to the baseline
+    // FOR THAT HOUR-OF-DAY (an absolute threshold flags every
+    // evening peak). Two partial-aggregable passes: hourly counts,
+    // then the per-(type, hour-of-day) mean over all occurrences of
+    // that clock hour; each hour is flagged hot/cold when it departs
+    // ≥50% from its own seasonal baseline. The division is
+    // decimal-routed once and rounded to 6 dp, and the flag compares
+    // rounded values — engine-identical. At 100 TB both aggs are
+    // |types|·|hours| rows: the profile is dashboard-sized state.
+    "events_seasonality" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"))
+        .agg(count(lit(1)).as("cnt"))
+      val withHod = hourly
+        .withColumn("hod", expr("(hour_ms % 86400000) div 3600000"))
+      val base = withHod.groupBy(col("event_type"), col("hod"))
+        .agg(round(sum(col("cnt")).cast("double") / count(lit(1)), 6)
+          .as("baseline_r"))
+      withHod.join(base, Seq("event_type", "hod"))
+        .select(col("event_type"), col("hour_ms"), col("hod"), col("cnt"),
+          col("baseline_r"),
+          (col("cnt") >= lit(1.5) * col("baseline_r")).as("is_hot"),
+          (col("cnt") <= lit(0.5) * col("baseline_r")).as("is_cold"))
+    }),
+
     // K-ANONYMITY GENERALIZATION LADDER — the metadata-privacy stage
     // of a release pipeline (PII redaction covers free text; this
     // covers the quasi-identifiers that re-identify people by
@@ -1254,6 +1282,29 @@ object EventQueries {
         |LEFT JOIN it ON it.type_a = ue.type_a AND it.type_b = ue.type_b
         |JOIN sz sa ON sa.event_type = ue.type_a
         |JOIN sz sb ON sb.event_type = ue.type_b""".stripMargin,
+
+    // same hourly counts, same hour-of-day fold, same once-rounded
+    // baseline division; the flags compare against CAST(... AS
+    // DOUBLE) products of already-agreed values
+    "events_seasonality" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+        |      AS hour_ms,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), h2 AS (
+        |  SELECT *, (hour_ms % 86400000) // 3600000 AS hod FROM hourly
+        |), base AS (
+        |  SELECT event_type, hod,
+        |    round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS baseline_r
+        |  FROM h2 GROUP BY 1, 2
+        |)
+        |SELECT h2.event_type, h2.hour_ms, CAST(h2.hod AS BIGINT) AS hod,
+        |  h2.cnt, b.baseline_r,
+        |  (h2.cnt >= CAST(1.5 AS DOUBLE) * b.baseline_r) AS is_hot,
+        |  (h2.cnt <= CAST(0.5 AS DOUBLE) * b.baseline_r) AS is_cold
+        |FROM h2 JOIN base b USING (event_type, hod)""".stripMargin,
 
     // integer counts and thresholds only — nothing to round
     "pipeline_k_anonymity" ->

@@ -359,6 +359,52 @@ object RelationalQueries {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_parts"),
              asDouble(sum(dec(col("p_retailprice")))).as("sum_price"))
+    }),
+
+    // DATA-QUALITY EXPECTATIONS — the dbt-test/Great-Expectations
+    // audit a warehouse runs before anything downstream trusts a
+    // load: referential integrity (orphan FKs via anti-join — the
+    // join the planner turns into a broadcast-or-shuffle semi
+    // difference), primary-key uniqueness, null-rate, and value/date
+    // range checks, one summary row per expectation. Every check is
+    // a partial-aggregable count or an anti-join count — nothing
+    // row-sized leaves the executors, so the audit scans each table
+    // once at any corpus size. Integer counts only; `pass` compares
+    // a count to zero.
+    "q_expectations" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      def row(name: String, checked: org.apache.spark.sql.DataFrame,
+              violations: org.apache.spark.sql.Column) =
+        checked.agg(count(lit(1)).as("n_checked"),
+            coalesce(sum(when(violations, 1L).otherwise(0L)), lit(0L))
+              .as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"),
+                  col("n_violations"), (col("n_violations") === 0L).as("pass"))
+      val orphanLi = row("lineitem_fk_orders",
+        li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey").as("l_orderkey"),
+                         lit(1L).as("fk_hit")).distinct(),
+                Seq("l_orderkey"), "left"),
+        col("fk_hit").isNull)
+      val orphanO = row("orders_fk_customer",
+        o.select(col("o_custkey"))
+          .join(c.select(col("c_custkey").as("o_custkey"),
+                         lit(1L).as("fk_hit")).distinct(),
+                Seq("o_custkey"), "left"),
+        col("fk_hit").isNull)
+      val dupPk = row("orders_pk_unique",
+        o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n")),
+        col("n") > 1L)
+      val nullCust = row("orders_custkey_not_null", o, col("o_custkey").isNull)
+      val qtyRange = row("lineitem_quantity_range", li,
+        col("l_quantity") < 1.0 || col("l_quantity") > 50.0)
+      val dateRange = row("orders_date_range", o,
+        unix_millis(col("o_orderdate").cast("timestamp")) < 788918400000L ||
+          unix_millis(col("o_orderdate").cast("timestamp")) >= 1009843200000L)
+      Seq(orphanLi, orphanO, dupPk, nullCust, qtyRange, dateRange)
+        .reduce(_ unionByName _)
     })
   )
 
@@ -627,6 +673,60 @@ object RelationalQueries {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // integer counts only; same check definitions, one row each
+    "q_expectations" ->
+      """SELECT 'lineitem_fk_orders' AS check_name,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(coalesce(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_violations,
+        |  coalesce(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+        |    AS pass
+        |FROM lineitem l
+        |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'orders_fk_customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT),
+        |  coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+        |FROM orders ord
+        |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON c.c_custkey = ord.o_custkey
+        |UNION ALL
+        |SELECT 'orders_pk_unique',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) = 0
+        |FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'orders_custkey_not_null',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT),
+        |  coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |    THEN 1 ELSE 0 END), 0) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_date_range',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN
+        |      epoch_ms(CAST(o_orderdate AS TIMESTAMP)) < 788918400000
+        |      OR epoch_ms(CAST(o_orderdate AS TIMESTAMP)) >= 1009843200000
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN
+        |      epoch_ms(CAST(o_orderdate AS TIMESTAMP)) < 788918400000
+        |      OR epoch_ms(CAST(o_orderdate AS TIMESTAMP)) >= 1009843200000
+        |    THEN 1 ELSE 0 END), 0) = 0
+        |FROM orders""".stripMargin
   )
 }
