@@ -44,7 +44,7 @@ object ScaleBench {
     "pipeline_shuffle", "pipeline_dataset_card", "pipeline_k_anonymity",
     "events_retention",
     "events_gapfill", "events_gapfill_lerp", "events_drift",
-    "events_seasonality", "q_expectations",
+    "events_seasonality", "q_expectations", "events_paths",
     "sketch_quantiles_by_type",
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
     "sketch_kmv", "sketch_kmv_jaccard", "sketch_join_size", "text_bpe_train",

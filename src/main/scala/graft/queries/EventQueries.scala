@@ -334,6 +334,45 @@ object EventQueries {
             .as("jaccard_true_r"))
     }),
 
+    // PATH MINING — the "what do users actually do" query behind
+    // funnel DISCOVERY (events_funnel measures a path you name; this
+    // surfaces the paths worth naming): the top-20 event-type
+    // trigrams that occur inside a session, with occurrence and
+    // session reach counts. Sessionize (the events_sessionize
+    // boundary rule) → two lead() frames on the same session window
+    // (one sort carries both) → a trigram explode-free projection →
+    // one partial-aggregable count over a vocabulary bounded by
+    // |types|³ — the final top-k window runs on that sketch-sized
+    // frame, never on data. Session reach dedups on a composed integer key
+    // (user·10⁶ + session), exact in both engines.
+    "events_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val bySess = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val tri = Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               col("ts_ms") - col("prev_ts") > SessionGapMs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+        .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+                  .as("path"),
+                (col("user_id") * 1000000L + col("session_idx")).as("sess_key"))
+      tri.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_occurrences"),
+             countDistinct(col("sess_key")).as("n_sessions"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("path"))))
+        .filter(col("rank") <= 20)
+        .select(col("rank").cast("long").as("rank"), col("path"),
+                col("n_occurrences"), col("n_sessions"))
+    }),
+
     // SEASONAL BASELINE + HOT-HOUR FLAGS — the periodic twin of the
     // CUSUM/z-score monitors: traffic has a daily shape, so "is this
     // hour anomalous" must compare each hour's count to the baseline
@@ -1282,6 +1321,44 @@ object EventQueries {
         |LEFT JOIN it ON it.type_a = ue.type_a AND it.type_b = ue.type_b
         |JOIN sz sa ON sa.event_type = ue.type_a
         |JOIN sz sb ON sb.event_type = ue.type_b""".stripMargin,
+
+    // same session boundary rule, same two leads, integer counts and
+    // the same (count DESC, path) rank
+    "events_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), sx AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |  FROM f
+        |), tri AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |      || '>' || lead(event_type, 2) OVER w AS path,
+        |    user_id * 1000000 + session_idx AS sess_key,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM sx
+        |  WINDOW w AS (PARTITION BY user_id, session_idx
+        |               ORDER BY ts_ms, event_id)
+        |), cnt AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |    CAST(count(DISTINCT sess_key) AS BIGINT) AS n_sessions
+        |  FROM tri WHERE t3 IS NOT NULL GROUP BY 1
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank
+        |  FROM cnt
+        |)
+        |SELECT rank, path, n_occurrences, n_sessions
+        |FROM ranked WHERE rank <= 20""".stripMargin,
 
     // same hourly counts, same hour-of-day fold, same once-rounded
     // baseline division; the flags compare against CAST(... AS
