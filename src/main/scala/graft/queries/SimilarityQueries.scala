@@ -26,6 +26,12 @@ object SimilarityQueries {
   private val NProbe = 2
   private val NearDupCos = 0.2
 
+  /** Per-modality shortlist depth for `search_hybrid_rrf` — the
+    * standard RRF operating point (fuse two top-20s to a top-5).
+    * private[graft]: HybridRrfSpec asserts the fusion law against it.
+    */
+  private[graft] val HybridShortlist = 20
+
   /** Semantic-dup threshold for `dedup_semantic` — same operating point
     * as the LSH-bucketed near-dup pairs (the fixture embeddings are
     * near-unstructured, top-neighbor cosine ≈ 0.3–0.5; a production
@@ -542,6 +548,90 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
                 col("vec_id"), round(col("score").cast("double"), 6).as("score_r"))
+    }),
+
+    // HYBRID RETRIEVAL with RECIPROCAL RANK FUSION — the modern
+    // search stack's signature composition: a lexical ranking (BM25,
+    // the text_bm25 formula with the query doc's distinct tokens as
+    // the term set) and a semantic ranking (exact-decimal cosine, the
+    // bruteforce anchor route) each produce a top-20 shortlist per
+    // query, and RRF fuses them as Σ 1/(60 + rank) over the shortlist
+    // union — rank-based fusion needs no score calibration between
+    // modalities, which is exactly why production systems use it
+    // (public: Cormack/Clarke/Buettcher SIGIR'09). Both legs keep
+    // their proven plan shapes (posting-pruned tf for the lexical
+    // side, broadcast query × narrow corpus scan for the semantic
+    // side); the fusion is a full-outer join of two
+    // shortlist-sized frames — at 100 TB the only data-sized work is
+    // the two legs, which an index serves (text_inverted_index /
+    // ann_topk_*). Ranks are ints, the RRF sum is two
+    // correctly-rounded IEEE divisions and one add — engine-exact.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import graft.text.TextOps
+      // lexical leg: per-query-doc BM25 over the corpus
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val qterms = toks.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("q_id"), col("token")).distinct()
+      val tf = toks
+        .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val lex = tf.join(broadcast(qterms), Seq("token"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dl, "doc_id").join(broadcast(df), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf", log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+        .withColumn("tfn",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(1.0) - lit(0.75) +
+               lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+        .withColumn("contrib_q",
+          round(col("idf") * col("tfn"), 9).cast("decimal(28,9)"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("contrib_q")).as("score_lex"))
+      val wLex = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_lex").desc, col("doc_id"))
+      val lexTop = lex.withColumn("rank_lex", row_number().over(wLex))
+        .filter(col("rank_lex") <= HybridShortlist)
+        .select(col("q_id"), col("doc_id"),
+                col("rank_lex").cast("long").as("rank_lex"))
+      // semantic leg: exact-decimal cosine top-20
+      val emb = embWithNorm(s, dir)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"))
+      val wSem = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val semTop = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank_sem", row_number().over(wSem))
+        .filter(col("rank_sem") <= HybridShortlist)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+                col("rank_sem").cast("long").as("rank_sem"))
+      // fusion over the shortlist union
+      val wF = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      lexTop.join(semTop, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex").cast("double")),
+                   lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_sem").cast("double")),
+                   lit(0.0)))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("doc_id"), col("rank_lex"), col("rank_sem"),
+                round(col("rrf"), 9).as("rrf_r"))
     }),
 
     // Exact-decimal label centroids + each vector's cosine to its own
@@ -1262,6 +1352,78 @@ object SimilarityQueries {
          |)
          |SELECT q_id, rank, vec_id, round(CAST(score AS DOUBLE), 6) AS score_r
          |FROM sqranked WHERE rank <= $TopK""".stripMargin,
+
+    // same BM25 formula tree as text_bm25 (9-dp-rounded contribs,
+    // decimal sums), same duckCos semantic leg, FULL JOIN fusion with
+    // the identical IEEE 1/(60+rank) arithmetic
+    "search_hybrid_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token
+         |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+         |), qt AS (
+         |  SELECT DISTINCT doc_id AS q_id, token FROM tok
+         |  WHERE doc_id < $NQueries
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2
+         |), df AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), lexs AS (
+         |  SELECT qt.q_id, tf.doc_id,
+         |    sum(CAST(round(
+         |      ln(CAST(1.0 AS DOUBLE) +
+         |         (CAST(st.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+         |         (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      *
+         |      (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+         |       (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+         |         CAST(0.75 AS DOUBLE) *
+         |          (CAST(dl.dl AS DOUBLE) /
+         |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))))
+         |    , 9) AS DECIMAL(28,9))) AS score_lex
+         |  FROM tf
+         |  JOIN qt ON qt.token = tf.token AND tf.doc_id <> qt.q_id
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN df ON df.token = tf.token
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2
+         |), lextop AS (
+         |  SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_lex DESC, doc_id) AS BIGINT) AS rank_lex
+         |  FROM lexs QUALIFY rank_lex <= $HybridShortlist
+         |), sems AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+         |    ${duckCos("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |), semtop AS (
+         |  SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
+         |  FROM sems QUALIFY rank_sem <= $HybridShortlist
+         |), fused AS (
+         |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    l.rank_lex, s.rank_sem,
+         |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.rank_lex),
+         |             CAST(0 AS DOUBLE)) +
+         |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + s.rank_sem),
+         |             CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lextop l
+         |  FULL JOIN semtop s ON s.q_id = l.q_id AND s.doc_id = l.doc_id
+         |)
+         |SELECT q_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rank_lex, rank_sem, round(rrf, 9) AS rrf_r
+         |FROM fused QUALIFY rank <= $TopK""".stripMargin,
 
     "ann_topk_bruteforce" ->
       s"""WITH pairs AS (
