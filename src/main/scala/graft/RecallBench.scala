@@ -249,7 +249,38 @@ object RecallBench {
           .withColumn("cos", FloatVectorCosine.cosineFast(col("q_emb"), col("embedding"))))
     }
 
-    val all = ivfRows ++ ivfpqRows ++ ivfpqRrRows ++ lshRows
+    // ---- SQ8: full-scan int8 ADC (no probe knob — the compression
+    // point that trades NO candidates for 4× scan reduction; its
+    // "curve" is the single full-scan row, placed here so the table
+    // shows what pruning buys relative to lossless-ish compression)
+    val sqArr = SimilarityQueries.sqArrsOf(emb).cache()
+    sqArr.count()
+    val sqEnc = SimilarityQueries.sqEncodedOf(emb, sqArr).cache()
+    sqEnc.count()
+    val sqRows = Seq {
+      measure("sq8", 0)(
+        sqEnc.crossJoin(broadcast(sqArr)).crossJoin(broadcast(qdf))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("xhat", transform(col("codes"), (c, d) => {
+            val i = (d + 1).cast("int")
+            val mn = element_at(col("mn_arr"), i)
+            val rng = element_at(col("rng_arr"), i)
+            when(rng === 0.0, mn)
+              .otherwise(mn + (c.cast("double") + lit(0.5)) * rng / lit(255.0))
+          }))
+          // rank by cosine over the reconstruction (the ground truth's
+          // metric; q's own norm is rank-invariant and dropped)
+          .withColumn("cos",
+            aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0),
+              (acc, d) => {
+                val i = (d + 1).cast("int")
+                acc + element_at(col("q_emb"), i).cast("double") *
+                  element_at(col("xhat"), i)
+              }) /
+            sqrt(aggregate(col("xhat"), lit(0.0), (acc, x) => acc + x * x))))
+    }
+
+    val all = ivfRows ++ ivfpqRows ++ ivfpqRrRows ++ lshRows ++ sqRows
     val js = all.map(r =>
       f"""{"family":"${r.family}","probe":${r.probe},"candPerQuery":${r.cand},"sec":${r.sec}%.3f,"recall":${r.recall}%.4f}""")
       .mkString("[", ",", "]")

@@ -667,9 +667,14 @@ object SimilarityQueries {
       .agg(min(col("x").cast("double")).as("mn"),
            max(col("x").cast("double")).as("mx"))
 
-  /** The min/range grid as two broadcastable 64-element arrays. */
-  private def sqArrs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    sqDims(s, dir)
+  /** The min/range grid as two broadcastable 64-element arrays
+    * (frame-parameterized for RecallBench's synthetic corpus).
+    */
+  private[graft] def sqArrsOf(emb: org.apache.spark.sql.DataFrame) =
+    emb.select(posexplode(col("embedding")).as(Seq("i0", "x")))
+      .groupBy(col("i0"))
+      .agg(min(col("x").cast("double")).as("mn"),
+           max(col("x").cast("double")).as("mx"))
       .groupBy()
       .agg(array_sort(collect_list(struct(col("i0"), col("mn"), col("mx"))))
         .as("ps"))
@@ -677,26 +682,34 @@ object SimilarityQueries {
               transform(col("ps"), p => p.getField("mx") - p.getField("mn"))
                 .as("rng_arr"))
 
+  private def sqArrs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    sqArrsOf(Tables.embeddings(s, dir))
+
+  /** SQ8 encode of an embedding frame against a min/range grid frame.
+    * code = clamp(⌊(x − mn)·255 / rng⌋, 0, 255), pure IEEE double
+    * (both engines run the identical correctly-rounded ops, so no
+    * decimal routing is needed for the grid itself).
+    */
+  private[graft] def sqEncodedOf(emb: org.apache.spark.sql.DataFrame,
+                                 arrs: org.apache.spark.sql.DataFrame) =
+    emb.crossJoin(broadcast(arrs))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, d) => {
+          val i = (d + 1).cast("int")
+          val mn = element_at(col("mn_arr"), i)
+          val rng = element_at(col("rng_arr"), i)
+          when(rng === 0.0, lit(0L))
+            .otherwise(least(lit(255L), greatest(lit(0L),
+              floor((x.cast("double") - mn) * lit(255.0) / rng))))
+            .cast("int")
+        }).as("codes"))
+
   /** The SQ8-encoded corpus (vec_id, codes: array<int>) — shared by
-    * `sq_codes` and `ann_topk_sq` via the artifact memo. code =
-    * clamp(⌊(x − mn)·255 / rng⌋, 0, 255), pure IEEE double (both
-    * engines run the identical correctly-rounded ops, so no decimal
-    * routing is needed for the grid itself).
+    * `sq_codes` and `ann_topk_sq` via the artifact memo.
     */
   private def sqEncoded(s: org.apache.spark.sql.SparkSession, dir: String) =
     Artifacts.materialized(s, dir, "sq_encoded") {
-      Tables.embeddings(s, dir)
-        .crossJoin(broadcast(sqArrs(s, dir)))
-        .select(col("vec_id"),
-          transform(col("embedding"), (x, d) => {
-            val i = (d + 1).cast("int")
-            val mn = element_at(col("mn_arr"), i)
-            val rng = element_at(col("rng_arr"), i)
-            when(rng === 0.0, lit(0L))
-              .otherwise(least(lit(255L), greatest(lit(0L),
-                floor((x.cast("double") - mn) * lit(255.0) / rng))))
-              .cast("int")
-          }).as("codes"))
+      sqEncodedOf(Tables.embeddings(s, dir), sqArrs(s, dir))
     }
 
   // ---- IVF building blocks (shared by ann_topk_ivf / kmeans_step) ----
