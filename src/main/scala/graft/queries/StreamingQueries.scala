@@ -659,6 +659,47 @@ object StreamingQueries {
         .select(col("key"), col("windowEndMs").as("window_end_ms"), col("cnt"))
     }),
 
+    // STREAMING seasonal profiler — events_seasonality's ingest twin:
+    // each micro-batch contributes its partial (type, hour, count)
+    // table and the merge is SUM per cell (the additive mergeability
+    // law again); the baseline + flag finish runs over the merged
+    // profile, which is dashboard-sized state (|types|·|hours| rows)
+    // regardless of history. Shares the batch oracle — sum-merge ≡
+    // batch, hash-proven.
+    "stream_seasonality" -> ((s, dir) => {
+      val hrDir = Files.createTempDirectory("graft-season-parts-")
+      sys.addShutdownHook(deleteRecursively(hrDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("event_type"),
+                (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("event_type"), col("hour_ms"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(hrDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(hrDir.toString)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val withHod = merged
+        .withColumn("hod", expr("(hour_ms % 86400000) div 3600000"))
+      val base = withHod.groupBy(col("event_type"), col("hod"))
+        .agg(round(sum(col("cnt")).cast("double") / count(lit(1)), 6)
+          .as("baseline_r"))
+      withHod.join(base, Seq("event_type", "hod"))
+        .select(col("event_type"), col("hour_ms"), col("hod"), col("cnt"),
+          col("baseline_r"),
+          (col("cnt") >= lit(1.5) * col("baseline_r")).as("is_hot"),
+          (col("cnt") <= lit(0.5) * col("baseline_r")).as("is_cold"))
+    }),
+
     // ONLINE CUSUM drift monitoring — events_drift's streaming twin.
     // The batch chart is a window identity over the full history; the
     // monitor runs the textbook sequential recursion per series as a
@@ -786,6 +827,10 @@ object StreamingQueries {
     // The sequential stateful fold ≡ the batch window identity —
     // shares the batch CUSUM oracle (bit-identical chart).
     "stream_drift" -> EventQueries.oracleSql("events_drift"),
+
+    // Sum-merge of per-batch hourly partials ≡ the batch profile —
+    // shares the batch seasonality oracle.
+    "stream_seasonality" -> EventQueries.oracleSql("events_seasonality"),
 
     // Batch twin of the stream-static enrichment: same stats, same
     // z-threshold, same hourly grouping, with the append-mode cutoff —

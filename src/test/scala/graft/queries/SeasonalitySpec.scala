@@ -44,4 +44,13 @@ class SeasonalitySpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(_.getBoolean(6)),
       "fixture exercises neither flag — law vacuous")
   }
+
+  test("sum-merged streaming partials reproduce the batch profile exactly") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getDouble(4), r.getBoolean(5), r.getBoolean(6))
+    val streamed = StreamingQueries.queries("stream_seasonality")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == rows.map(key).toSet)
+  }
 }
