@@ -317,6 +317,22 @@ object RelationalQueries {
         .unionByName(row(inserts, 1L, 1L, closed = false))
     }),
 
+    // TIME TRAVEL over the SCD2 dimension — the query the history
+    // columns exist FOR: reconstruct the table state AS OF each
+    // version boundary (t = 0: pre-merge; t = 1: post-merge) by the
+    // interval predicate valid_from ≤ t < coalesce(valid_to, ∞). A
+    // pure filter over the merge output — snapshot reads cost one
+    // scan regardless of how many versions history holds, which is
+    // the SCD2 design point (vs snapshot-per-day copies).
+    "cdc_snapshot" -> ((s, dir) => {
+      val scd2 = queries("cdc_scd2")(s, dir)
+      val ts = s.range(2).select(col("id").as("t"))
+      scd2.crossJoin(broadcast(ts))
+        .filter(col("valid_from") <= col("t") &&
+                (col("valid_to").isNull || col("valid_to") > col("t")))
+        .select(col("t"), col("c_custkey"), col("acctbal"), col("version"))
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the third join-topology rewrite next
     // to salting (skew) and broadcasting (small dims): both sides are
     // WRITTEN bucketed+sorted on the join key, so the SortMergeJoin
@@ -478,6 +494,35 @@ object RelationalQueries {
         |SELECT k, CAST(bal AS DOUBLE), 2, 1, NULL, true FROM changes
         |UNION ALL
         |SELECT k, CAST(bal AS DOUBLE), 1, 1, NULL, true FROM inserts""".stripMargin,
+
+    // the scd2 CTE chain + the same interval predicate over both
+    // version boundaries
+    "cdc_snapshot" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+        |  FROM customer
+        |), changes AS (
+        |  SELECT k, bal + CAST(100.50 AS DECIMAL(18,4)) AS bal
+        |  FROM base WHERE k % 7 = 3
+        |), inserts AS (
+        |  SELECT k + 1000000 AS k, bal FROM base WHERE k % 11 = 5
+        |), scd2 AS (
+        |  SELECT k AS c_custkey, CAST(bal AS DOUBLE) AS acctbal,
+        |    CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(1 AS BIGINT) AS valid_to
+        |  FROM base WHERE k % 7 = 3
+        |  UNION ALL
+        |  SELECT k, CAST(bal AS DOUBLE), 1, 0, NULL FROM base WHERE k % 7 <> 3
+        |  UNION ALL
+        |  SELECT k, CAST(bal AS DOUBLE), 2, 1, NULL FROM changes
+        |  UNION ALL
+        |  SELECT k, CAST(bal AS DOUBLE), 1, 1, NULL FROM inserts
+        |)
+        |SELECT t.t, s.c_custkey, s.acctbal, s.version
+        |FROM scd2 s, (SELECT CAST(g AS BIGINT) AS t
+        |              FROM generate_series(0, 1) gs(g)) t
+        |WHERE s.valid_from <= t.t
+        |  AND (s.valid_to IS NULL OR s.valid_to > t.t)""".stripMargin,
 
     // bucketing is a layout property, not a semantics change — the
     // oracle is the plain join

@@ -176,7 +176,39 @@ object SqlQueries {
         |  coalesce(s.n_supp, 0) AS n_supp
         |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
         |FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
-        |ON c.k = s.k""".stripMargin)
+        |ON c.k = s.k""".stripMargin),
+
+    // Aggregate FILTER clause (SQL:2003; the conditional-aggregation
+    // surface warehouse queries use instead of CASE-inside-SUM):
+    // per-priority order stats with three differently-filtered
+    // aggregates in ONE pass — the planner folds every FILTER into
+    // the same partial hash agg, so adding a filtered metric costs a
+    // column, not a scan. Identical SQL on both engines.
+    "q_sql_filter_agg" -> sql(
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS sum_finished,
+        |  CAST(coalesce(max(o_totalprice)
+        |    FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS max_open
+        |FROM orders
+        |GROUP BY 1""".stripMargin),
+
+    // IGNORE NULLS window navigation (the LOCF idiom in its SQL
+    // surface form): per customer in order-date order, the most
+    // recent PRECEDING big-ticket order key — lag over a
+    // NULLified column with IGNORE NULLS skips arbitrarily far back,
+    // which a plain lag(n) cannot express. One window sort; same
+    // clause on both engines.
+    "q_sql_ignore_nulls" -> sql(
+      """SELECT o_orderkey, o_custkey,
+        |  lag(CASE WHEN o_totalprice > 200000 THEN o_orderkey END)
+        |    IGNORE NULLS OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY unix_millis(CAST(o_orderdate AS TIMESTAMP)), o_orderkey)
+        |    AS prev_big_order
+        |FROM orders""".stripMargin)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -289,6 +321,28 @@ object SqlQueries {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2
         |) t""".stripMargin,
+
+    "q_sql_filter_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS sum_finished,
+        |  CAST(coalesce(max(o_totalprice)
+        |    FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS max_open
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // DuckDB spells the modifier inside the argument list
+    // (`lag(x IGNORE NULLS)`); Spark after the call — same semantics
+    "q_sql_ignore_nulls" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(CASE WHEN o_totalprice > 200000 THEN o_orderkey END IGNORE NULLS)
+        |    OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY epoch_ms(CAST(o_orderdate AS TIMESTAMP)), o_orderkey)
+        |    AS prev_big_order
+        |FROM orders""".stripMargin,
 
     "q_sql_outer_join" ->
       """SELECT coalesce(c.k, s.k) AS nationkey,

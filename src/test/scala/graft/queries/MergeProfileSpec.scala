@@ -30,6 +30,32 @@ class MergeProfileSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("time travel: snapshot@0 is the pre-merge table, snapshot@1 the post-merge state") {
+    val snap = RelationalQueries.queries("cdc_snapshot")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3))).toMap)
+      .toMap
+    val base = graft.tables.Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        asDouble(dec(col("c_acctbal"))).as("bal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // t=0: exactly the original table, all version 1
+    assert(snap(0L).view.mapValues(_._1).toMap == base)
+    assert(snap(0L).values.forall(_._2 == 1L))
+    // t=1: changed keys re-balanced at version 2, inserts present,
+    // untouched keys carried forward unchanged
+    base.foreach { case (k, b) =>
+      val (gb, gv) = snap(1L)(k)
+      if (k % 7 == 3) { assert(gv == 2L); assert(math.abs(gb - (b + 100.50)) < 1e-9) }
+      else { assert(gv == 1L); assert(gb == b) }
+      if (k % 11 == 5) assert(snap(1L).contains(k + 1000000L))
+    }
+    // each key appears exactly once per snapshot (the map sizes prove
+    // no duplicate versions leak through the interval predicate)
+    assert(snap(0L).size == base.size)
+    assert(snap(1L).size == base.size + base.keys.count(_ % 11 == 5))
+  }
+
   test("approx profile: estimates inside HLL tolerance, facts exact") {
     val approx = EventQueries.queries("events_profile_approx")(spark, sf)
       .collect().map(r => r.getAs[String]("column") -> r).toMap
