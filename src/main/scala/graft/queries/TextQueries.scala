@@ -55,6 +55,52 @@ object TextQueries {
                 col("q.stop_ratio").as("stop_ratio"),
                 col("q.quality").as("quality"))),
 
+    // FILTER CALIBRATION — the eval step a curation pipeline owes its
+    // quality score: does `quality` actually separate the class it
+    // gates on? AUC computed exactly by the rank-sum (Mann-Whitney)
+    // identity over per-SCORE aggregates: group docs by (rounded)
+    // score into an |distinct-scores|-sized frame, then
+    // 2U = Σ_s np_s·(2·cum_nn_below + nn_s) — all integers, so the
+    // only float op is the final division. The cumulative window
+    // runs over the sketch-sized score frame, never over docs (the
+    // same tiny-frame top-k convention as events_paths); the
+    // doc-sized work is one partial-aggregable count pass. Plus the
+    // confusion matrix and P/R/F1 at the pipeline_select gate
+    // (quality ≥ 0.6) — each a single IEEE division of integer
+    // counts.
+    "text_quality_auc" -> ((s, dir) => {
+      val scored = queries("text_quality")(s, dir)
+        .select(col("doc_id"), col("quality"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), (col("lang") === "en").as("is_pos")), "doc_id")
+      val sg = scored.groupBy(col("quality"))
+        .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("np"),
+             sum(when(!col("is_pos"), 1L).otherwise(0L)).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val auc = sg
+        .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"),
+             sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      val conf = scored.agg(
+        sum(when(col("is_pos") && col("quality") >= 0.6, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_pos") && col("quality") >= 0.6, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_pos") && col("quality") < 0.6, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("is_pos") && col("quality") < 0.6, 1L).otherwise(0L)).as("tn"))
+      auc.crossJoin(conf).select(
+        col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 9).as("auc_r"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6)
+          .as("precision_r"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 6)
+          .as("recall_r"),
+        round((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+          .as("f1_r"))
+    }),
+
     // Language-ID heuristic vs the labeled `lang` column: marker-token
     // argmax + agreement matrix (lang × lang_pred counts).
     "text_langid" -> ((s, dir) => {
@@ -579,6 +625,53 @@ object TextQueries {
          |SELECT doc_id, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
          |  round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(mean_len / 10.0, 1.0) * 0.3, 6) AS quality
          |FROM q""".stripMargin,
+
+    // the text_quality chain + the rank-sum identity over per-score
+    // integer aggregates; every division is a single IEEE double op
+    // over integers
+    "text_quality_auc" ->
+      s"""$toksCte, q AS (
+         |  SELECT doc_id, lang,
+         |    len(list_distinct(toks)) / len(toks) AS ttr,
+         |    (len(list_filter(toks, t -> t = 'the')) + len(list_filter(toks, t -> t = 'a'))) / len(toks) AS stop_ratio,
+         |    (length(text) - (len(toks) - 1)) / len(toks) AS mean_len
+         |  FROM d
+         |), qual AS (
+         |  SELECT doc_id,
+         |    round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(mean_len / 10.0, 1.0) * 0.3, 6) AS quality,
+         |    (lang = 'en') AS is_pos
+         |  FROM q
+         |), sg AS (
+         |  SELECT quality,
+         |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM qual GROUP BY 1
+         |), cum AS (
+         |  SELECT *, CAST(coalesce(sum(nn) OVER (ORDER BY quality
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_nn
+         |  FROM sg
+         |), agg AS (
+         |  SELECT CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+         |    CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+         |  FROM cum
+         |), conf AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN is_pos AND quality >= CAST(0.6 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN NOT is_pos AND quality >= CAST(0.6 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN is_pos AND quality < CAST(0.6 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT is_pos AND quality < CAST(0.6 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM qual
+         |)
+         |SELECT a.n_pos, a.n_neg,
+         |  round(CAST(a.u2 AS DOUBLE) / CAST(2 * a.n_pos * a.n_neg AS DOUBLE), 9)
+         |    AS auc_r,
+         |  c.tp, c.fp, c.fn, c.tn,
+         |  round(CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fp AS DOUBLE), 6) AS precision_r,
+         |  round(CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fn AS DOUBLE), 6) AS recall_r,
+         |  round(CAST(2 * c.tp AS DOUBLE) / CAST(2 * c.tp + c.fp + c.fn AS DOUBLE), 6)
+         |    AS f1_r
+         |FROM agg a, conf c""".stripMargin,
 
     "text_langid" ->
       s"""$toksCte, scored AS (
