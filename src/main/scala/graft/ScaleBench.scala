@@ -50,7 +50,8 @@ object ScaleBench {
     "sketch_kmv", "sketch_kmv_jaccard", "sketch_join_size", "text_bpe_train",
     "text_bm25", "text_inverted_index", "search_hybrid_rrf",
     "layout_zorder", "q_bucketed_join",
-    "events_profile", "events_profile_approx", "cdc_scd2", "text_bigram_lm")
+    "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
+    "text_bigram_lm", "text_quality_auc")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -69,7 +70,7 @@ object ScaleBench {
     */
   private val StreamScaledQueries = Seq(
     "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join",
-    "stream_static_join", "stream_drift")
+    "stream_static_join", "stream_drift", "stream_seasonality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
