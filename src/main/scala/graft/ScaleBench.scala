@@ -31,6 +31,7 @@ object ScaleBench {
     "dedup_cc", "graph_pagerank", "graph_triangles", "graph_kcore", "graph_bfs",
     "dedup_substring",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
+    "dedup_containment",
     "dedup_semantic",
     "dedup_semantic_fast", "dedup_semantic_hier", "dedup_semantic_scaled",
     "pipeline_source_report",
@@ -44,7 +45,7 @@ object ScaleBench {
     "pipeline_shuffle", "pipeline_dataset_card", "pipeline_k_anonymity",
     "events_retention",
     "events_gapfill", "events_gapfill_lerp", "events_drift",
-    "events_seasonality", "q_expectations", "events_paths",
+    "events_seasonality", "q_expectations", "events_paths", "events_binning",
     "sketch_quantiles_by_type",
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
     "sketch_kmv", "sketch_kmv_jaccard", "sketch_join_size", "text_bpe_train",

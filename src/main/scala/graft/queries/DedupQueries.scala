@@ -690,6 +690,38 @@ object DedupQueries {
                 col("edit_dist"))
     }),
 
+    // CONTAINMENT-scored candidate pairs — the ASYMMETRIC near-dup
+    // signal Jaccard structurally misses: a short doc fully embedded
+    // in a long one has |A∩B|/|A| = 1 but Jaccard ≈ |A|/|B| (tiny),
+    // so symmetric thresholds pass exactly the subset-duplication
+    // case web dedup most wants to catch (quotes, boilerplate
+    // wrappers, page-of-pages). Same star-edge blocking and hashed
+    // token sets as the verified LSH pairs; per edge, one
+    // intersection feeds both direction scores and the max-≥0.8
+    // containment decision (compared on the 6-dp-rounded values both
+    // engines already agree on).
+    "dedup_containment" -> ((s, dir) => {
+      val e = lshEdges(s, dir)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes(TextOps.tokens(col("text")), 1).as("tokset"))
+      e.join(docs.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("tokset", "set_a"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("tokset", "set_b"), "doc_b")
+        .withColumn("n_inter",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("cont_a",
+          round(col("n_inter").cast("double") / size(col("set_a")), 6))
+        .withColumn("cont_b",
+          round(col("n_inter").cast("double") / size(col("set_b")), 6))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          size(col("set_a")).cast("long").as("n_a"),
+          size(col("set_b")).cast("long").as("n_b"),
+          col("cont_a").as("containment_a"), col("cont_b").as("containment_b"),
+          (greatest(col("cont_a"), col("cont_b")) >= 0.8).as("is_contained"))
+    }),
+
     // MULTI-SOURCE BFS over the dedup graph: every document's hop
     // distance to its component's canonical representative (the CC
     // label minimum — the shared artifact), all components in ONE
@@ -1658,6 +1690,48 @@ object DedupQueries {
          |FROM r a JOIN r b
          |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 8
          |WHERE levenshtein(a.snkey, b.snkey) <= 16""".stripMargin,
+
+    // same star edges + hashed token sets as dedup_lsh_pairs; both
+    // direction scores from one intersection, decision on rounded
+    // values
+    "dedup_containment" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), edges AS (
+         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  WHERE m.rep < bd.doc_id
+         |), toksets AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(string_split(text, ' '), s ->
+         |      ${h31.format("s")})) AS tokset
+         |  FROM documents
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(ta.tokset, tb.tokset)) AS BIGINT) AS n_inter,
+         |  CAST(len(ta.tokset) AS BIGINT) AS n_a,
+         |  CAST(len(tb.tokset) AS BIGINT) AS n_b,
+         |  round(len(list_intersect(ta.tokset, tb.tokset)) /
+         |    CAST(len(ta.tokset) AS DOUBLE), 6) AS containment_a,
+         |  round(len(list_intersect(ta.tokset, tb.tokset)) /
+         |    CAST(len(tb.tokset) AS DOUBLE), 6) AS containment_b,
+         |  (greatest(
+         |    round(len(list_intersect(ta.tokset, tb.tokset)) /
+         |      CAST(len(ta.tokset) AS DOUBLE), 6),
+         |    round(len(list_intersect(ta.tokset, tb.tokset)) /
+         |      CAST(len(tb.tokset) AS DOUBLE), 6)) >= CAST(0.8 AS DOUBLE))
+         |    AS is_contained
+         |FROM edges
+         |JOIN toksets ta ON ta.doc_id = doc_a
+         |JOIN toksets tb ON tb.doc_id = doc_b""".stripMargin,
 
     // same CC chain for the seed set (component reps), then the BFS
     // recursion: (v, dist) pairs bounded at BfsRounds hops, min per

@@ -334,6 +334,26 @@ object EventQueries {
             .as("jaccard_true_r"))
     }),
 
+    // EQUAL-FREQUENCY BINNING — quantile discretization per type,
+    // the feature-engineering transform that turns a numeric column
+    // into decile categories for tabular training (rank-based, so
+    // immune to outliers where equal-WIDTH bins collapse). ntile(10)
+    // over a per-type total order (value, event_id — ties broken, so
+    // both engines assign identical bins), summarized to the 10-row
+    // bin table a feature store publishes: population and [lo, hi]
+    // value range per bin. The per-type window sort distributes
+    // across types; the output is dashboard-sized.
+    "events_binning" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+             min(col("value")).as("lo"), max(col("value")).as("hi"))
+    }),
+
     // PATH MINING — the "what do users actually do" query behind
     // funnel DISCOVERY (events_funnel measures a path you name; this
     // surfaces the paths worth naming): the top-20 event-type
@@ -1321,6 +1341,23 @@ object EventQueries {
         |LEFT JOIN it ON it.type_a = ue.type_a AND it.type_b = ue.type_b
         |JOIN sz sa ON sa.event_type = ue.type_a
         |JOIN sz sb ON sb.event_type = ue.type_b""".stripMargin,
+
+    // same tie-broken total order, same standard ntile fill rule
+    // (first n mod k buckets get the extra row); min/max are exact
+    // input doubles
+    "events_binning" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL
+        |), binned AS (
+        |  SELECT event_type, value,
+        |    CAST(ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS bin
+        |  FROM e
+        |)
+        |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM binned GROUP BY 1, 2""".stripMargin,
 
     // same session boundary rule, same two leads, integer counts and
     // the same (count DESC, path) rank
