@@ -425,16 +425,19 @@ object EventQueries {
     // of a release pipeline (PII redaction covers free text; this
     // covers the quasi-identifiers that re-identify people by
     // COMBINATION: activity type × time × coarse user cohort). Each
-    // (event_type, user_bucket, day) cell reports its population at
-    // three generalization levels — day, week, all-time — and
-    // `anon_level` is the FIRST level whose population reaches K=5:
-    // 0 = publishable at day granularity, 1 = generalize the
-    // timestamp to week, 2 = strip time entirely, -1 = suppress the
-    // cell (no generalization of time alone reaches K). This is the
-    // Samarati/Sweeney generalize-or-suppress decision, restricted
-    // to a single-attribute ladder so it stays one pass: three
-    // partial-aggregable counts + two agg-sized joins — no row-level
-    // shuffle beyond the aggs, linear at any corpus size.
+    // (event_type, user_bucket, day) cell either publishes at day
+    // granularity (n_day ≥ K=5) or generalizes with the OTHER sub-K
+    // cells of its group — and the population that must clear K is
+    // the RESIDUAL (the sum of the sub-K cells that actually merge),
+    // not the whole week/cohort count: a naive whole-group test
+    // publishes week rows whose merged population is far below K
+    // (measured on this fixture: level-1 rows of population 1),
+    // which silently breaks the k-anonymity guarantee the release
+    // claims. anon_level: 0 = day, 1 = week residual ≥ K, 2 =
+    // all-time residual ≥ K, -1 = suppress. Still one pass: the
+    // residual aggregates are filtered partial-aggregable sums over
+    // the day-cell frame — no row-level shuffle beyond the first
+    // agg, linear at any corpus size.
     "pipeline_k_anonymity" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("event_type"),
           (col("user_id") % 10).as("user_bucket"),
@@ -444,19 +447,46 @@ object EventQueries {
       val day = e.groupBy(col("event_type"), col("user_bucket"),
           col("week_ms"), col("day_ms"))
         .agg(count(lit(1)).as("n_day"))
-      val week = e.groupBy(col("event_type"), col("user_bucket"),
-          col("week_ms"))
-        .agg(count(lit(1)).as("n_week"))
-      val all = e.groupBy(col("event_type"), col("user_bucket"))
-        .agg(count(lit(1)).as("n_all"))
-      day.join(week, Seq("event_type", "user_bucket", "week_ms"))
-        .join(all, Seq("event_type", "user_bucket"))
+      val wkr = day.filter(col("n_day") < KAnonK)
+        .groupBy(col("event_type"), col("user_bucket"), col("week_ms"))
+        .agg(sum(col("n_day")).as("rw"))
+      val dayW = day
+        .join(wkr, Seq("event_type", "user_bucket", "week_ms"), "left")
+        .withColumn("r_week", coalesce(col("rw"), lit(0L)))
+      val atr = dayW.filter(col("n_day") < KAnonK && col("r_week") < KAnonK)
+        .groupBy(col("event_type"), col("user_bucket"))
+        .agg(sum(col("n_day")).as("ra"))
+      dayW.join(atr, Seq("event_type", "user_bucket"), "left")
+        .withColumn("r_all", coalesce(col("ra"), lit(0L)))
         .select(col("event_type"), col("user_bucket"), col("day_ms"),
-          col("n_day"), col("n_week"), col("n_all"),
+          col("n_day"), col("r_week"), col("r_all"),
           when(col("n_day") >= KAnonK, 0L)
-            .when(col("n_week") >= KAnonK, 1L)
-            .when(col("n_all") >= KAnonK, 2L)
+            .when(col("r_week") >= KAnonK, 1L)
+            .when(col("r_all") >= KAnonK, 2L)
             .otherwise(-1L).as("anon_level"))
+    }),
+
+    // K-ANONYMITY APPLY — the release table the ladder decision
+    // produces: every day-cell is re-aggregated AT ITS PUBLISHED
+    // granularity (day cells stay; week-published cells from the
+    // same week MERGE into one row; all-time-published cells merge
+    // per cohort; suppressed cells are dropped), so the published
+    // population of a merged row is the sum of its members — the
+    // invariant that makes the release actually k-anonymous rather
+    // than day-rows relabeled. One join of the day-cell frame with
+    // the ladder decision + one partial-aggregable re-aggregation.
+    "pipeline_anonymize" -> ((s, dir) => {
+      val ladder = queries("pipeline_k_anonymity")(s, dir)
+      ladder.filter(col("anon_level") >= 0L)
+        .withColumn("published_ms",
+          when(col("anon_level") === 0L, col("day_ms"))
+            .when(col("anon_level") === 1L,
+              col("day_ms") - col("day_ms") % (7L * 86400000L))
+            .otherwise(lit(null).cast("long")))
+        .groupBy(col("event_type"), col("user_bucket"),
+                 col("anon_level"), col("published_ms"))
+        .agg(sum(col("n_day")).as("n_published"),
+             count(lit(1)).as("n_cells_merged"))
     }),
 
     // JOIN-SIZE ESTIMATION via correlated hash sampling — the planner
@@ -1420,7 +1450,8 @@ object EventQueries {
         |  (h2.cnt <= CAST(0.5 AS DOUBLE) * b.baseline_r) AS is_cold
         |FROM h2 JOIN base b USING (event_type, hod)""".stripMargin,
 
-    // integer counts and thresholds only — nothing to round
+    // integer counts and thresholds only — nothing to round; the
+    // residual aggregates are the filtered sums over the day frame
     "pipeline_k_anonymity" ->
       """WITH e AS (
         |  SELECT event_type, user_id % 10 AS user_bucket,
@@ -1433,23 +1464,66 @@ object EventQueries {
         |  SELECT event_type, user_bucket, week_ms, day_ms,
         |    CAST(count(*) AS BIGINT) AS n_day
         |  FROM e2 GROUP BY 1, 2, 3, 4
-        |), w AS (
-        |  SELECT event_type, user_bucket, week_ms,
-        |    CAST(count(*) AS BIGINT) AS n_week
-        |  FROM e2 GROUP BY 1, 2, 3
-        |), a AS (
-        |  SELECT event_type, user_bucket, CAST(count(*) AS BIGINT) AS n_all
-        |  FROM e2 GROUP BY 1, 2
+        |), dw AS (
+        |  SELECT *, CAST(coalesce(sum(CASE WHEN n_day < 5 THEN n_day END)
+        |      OVER (PARTITION BY event_type, user_bucket, week_ms), 0)
+        |    AS BIGINT) AS r_week
+        |  FROM d
+        |), da AS (
+        |  SELECT *, CAST(coalesce(sum(CASE WHEN n_day < 5 AND r_week < 5
+        |        THEN n_day END)
+        |      OVER (PARTITION BY event_type, user_bucket), 0)
+        |    AS BIGINT) AS r_all
+        |  FROM dw
         |)
-        |SELECT d.event_type, d.user_bucket, d.day_ms, d.n_day, w.n_week,
-        |  a.n_all,
-        |  CAST(CASE WHEN d.n_day >= 5 THEN 0
-        |            WHEN w.n_week >= 5 THEN 1
-        |            WHEN a.n_all >= 5 THEN 2
+        |SELECT event_type, user_bucket, day_ms, n_day, r_week, r_all,
+        |  CAST(CASE WHEN n_day >= 5 THEN 0
+        |            WHEN r_week >= 5 THEN 1
+        |            WHEN r_all >= 5 THEN 2
         |            ELSE -1 END AS BIGINT) AS anon_level
-        |FROM d
-        |JOIN w USING (event_type, user_bucket, week_ms)
-        |JOIN a USING (event_type, user_bucket)""".stripMargin,
+        |FROM da""".stripMargin,
+
+    // the residual-ladder CTE chain + the same published-granularity
+    // re-aggregation; integer counts only
+    "pipeline_anonymize" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 10 AS user_bucket,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000)
+        |      AS day_ms
+        |  FROM events
+        |), e2 AS (
+        |  SELECT *, day_ms - day_ms % 604800000 AS week_ms FROM e
+        |), d AS (
+        |  SELECT event_type, user_bucket, week_ms, day_ms,
+        |    CAST(count(*) AS BIGINT) AS n_day
+        |  FROM e2 GROUP BY 1, 2, 3, 4
+        |), dw AS (
+        |  SELECT *, CAST(coalesce(sum(CASE WHEN n_day < 5 THEN n_day END)
+        |      OVER (PARTITION BY event_type, user_bucket, week_ms), 0)
+        |    AS BIGINT) AS r_week
+        |  FROM d
+        |), da AS (
+        |  SELECT *, CAST(coalesce(sum(CASE WHEN n_day < 5 AND r_week < 5
+        |        THEN n_day END)
+        |      OVER (PARTITION BY event_type, user_bucket), 0)
+        |    AS BIGINT) AS r_all
+        |  FROM dw
+        |), ladder AS (
+        |  SELECT event_type, user_bucket, day_ms, n_day,
+        |    CAST(CASE WHEN n_day >= 5 THEN 0
+        |              WHEN r_week >= 5 THEN 1
+        |              WHEN r_all >= 5 THEN 2
+        |              ELSE -1 END AS BIGINT) AS anon_level
+        |  FROM da
+        |)
+        |SELECT event_type, user_bucket, anon_level,
+        |  CASE WHEN anon_level = 0 THEN day_ms
+        |       WHEN anon_level = 1 THEN day_ms - day_ms % 604800000
+        |       ELSE NULL END AS published_ms,
+        |  CAST(sum(n_day) AS BIGINT) AS n_published,
+        |  CAST(count(*) AS BIGINT) AS n_cells_merged
+        |FROM ladder WHERE anon_level >= 0
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // same md5 hash route, same mod-P correlated sample on both
     // sides, integer contributions throughout; the one double op is
