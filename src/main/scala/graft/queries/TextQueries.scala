@@ -116,6 +116,43 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // KEYWORD EXTRACTION — top-3 tf-idf terms per document, the
+    // doc-tagging projection (search facets, topic labels, index
+    // keys) the ranked-retrieval family doesn't emit: BM25 ranks
+    // docs for a query; this ranks TERMS for a doc. The idf is the
+    // BM25 idf quantized to 6 dp BEFORE the integer tf multiply —
+    // the product is then an exact scale-6 decimal needing no second
+    // rounding, so there is no half-grid for the engines' ln ulp
+    // difference to straddle (round-9-then-round-6 DID mismatch on
+    // one sf0.01 row); the per-doc top-3 is a rank filter that compiles to
+    // WindowGroupLimit — each map task emits ≤3 rows per doc BEFORE
+    // the shuffle, the per-group-top-k shape that survives scale.
+    "text_keywords" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(df), "token").crossJoin(broadcast(nDocs))
+        .withColumn("idf_dec",
+          round(log(lit(1.0) +
+            ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))), 6).cast("decimal(18,6)"))
+        // idf quantized BEFORE the integer multiply: the product is an
+        // exact scale-6 decimal, so the emitted score needs no second
+        // rounding — no half-grid for the engines' ln ulp to straddle
+        .withColumn("score", col("idf_dec") * col("tf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("tf"), col("df"),
+          col("score").cast("double").as("score_r"))
+    }),
+
     // Global token frequency via explode (generator path) —
     // deterministic top-20 with token tiebreak.
     "text_token_freq" -> ((s, dir) =>
@@ -672,6 +709,35 @@ object TextQueries {
          |  round(CAST(2 * c.tp AS DOUBLE) / CAST(2 * c.tp + c.fp + c.fn AS DOUBLE), 6)
          |    AS f1_r
          |FROM agg a, conf c""".stripMargin,
+
+    // same tf/df tables, the BM25 idf with the same 9-dp round
+    // lifted to decimal × integer tf, same (score DESC, token) rank
+    "text_keywords" ->
+      s"""$toksCte, tok AS (
+         |  SELECT doc_id, token FROM d, unnest(toks) AS u(token)
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), df AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    CAST(round(
+         |      ln(CAST(1.0 AS DOUBLE) +
+         |         (CAST(nd.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+         |         (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |    , 6) AS DECIMAL(18,6)) * tf.tf AS score
+         |  FROM tf JOIN df USING (token) CROSS JOIN nd
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, rank, token, tf, df,
+         |  CAST(score AS DOUBLE) AS score_r
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "text_langid" ->
       s"""$toksCte, scored AS (

@@ -56,6 +56,35 @@ class Bm25Spec extends SparkSpec {
     assert(row.getAs[String]("postings_head") === expected.mkString(","))
   }
 
+  test("keyword extraction: scores recompute from raw tf/df, ranks ordered, ≤3 per doc") {
+    import graft.tables.Tables
+    val rows = TextQueries.queries("text_keywords")(spark, sf).collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = toks.length
+    val tf = toks.flatMap { case (d, ts) => ts.map(t => (d, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.toSeq.map(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    def idf6(dfv: Long): BigDecimal =
+      BigDecimal(math.log(1.0 + ((n - dfv).toDouble + 0.5) / (dfv + 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val (d, t) = (r.getLong(0), r.getString(2))
+      assert(r.getLong(3) == tf((d, t)) && r.getLong(4) == df(t))
+      assert(r.getDouble(5) == (idf6(df(t)) * BigDecimal(tf((d, t)))).toDouble)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (d, rs) =>
+      assert(rs.length <= 3 && rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length))
+      // the extracted keywords genuinely are the doc's best-scoring terms
+      val all = toks.toMap.apply(d).distinct
+        .map(t => (t, (idf6(df(t)) * BigDecimal(tf((d, t)))).toDouble))
+        .sortBy { case (t, sc) => (-sc, t) }.take(rs.length)
+      assert(rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq == all.map(_._1))
+    }
+  }
+
   test("posting-head rank filter plans as a group limit, not a full sort-collect") {
     val plan = TextQueries.queries("text_inverted_index")(spark, sf)
       .queryExecution.executedPlan.toString
