@@ -29,6 +29,7 @@ object ScaleBench {
   private val ScaledQueries = Seq(
     "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
     "dedup_cc", "graph_pagerank", "graph_triangles", "graph_kcore", "graph_bfs",
+    "graph_modularity",
     "dedup_substring",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
     "dedup_containment",

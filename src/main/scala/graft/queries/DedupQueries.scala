@@ -722,6 +722,54 @@ object DedupQueries {
           (greatest(col("cont_a"), col("cont_b")) >= 0.8).as("is_contained"))
     }),
 
+    // PARTITION MODULARITY — the one-number quality score for the
+    // dedup clustering (Newman's Q): for each component,
+    // e_c/m − (d_c/2m)², summed — "how much denser inside components
+    // than a degree-preserving random graph". This is the metric
+    // that tells a pipeline owner whether the LSH band settings
+    // produce real clusters or noise, computed EXACTLY: intra-edge
+    // counts and degree sums are integers off two agg-sized joins
+    // (edges ⋈ labels on each endpoint), and the only float ops are
+    // the two final divisions per component (IEEE, engine-exact).
+    // Output: per-component rows + the global Q as component_id = -1.
+    "graph_modularity" -> ((s, dir) => {
+      val labels = ccLabels(s, dir)
+        .select(col("v"), col("lbl"))
+      val e = lshEdges(s, dir)
+      val m = e.agg(count(lit(1)).as("m"))
+      // intra-component edges: both endpoints share a label
+      val ec = e
+        .join(labels.select(col("v").as("doc_a"), col("lbl").as("la")), "doc_a")
+        .join(labels.select(col("v").as("doc_b"), col("lbl").as("lb")), "doc_b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("component_id"))
+        .agg(count(lit(1)).as("e_in"))
+      // degree sums per component (each undirected edge adds 1 to
+      // both endpoints' degrees)
+      val deg = e.select(col("doc_a").as("v"))
+        .unionAll(e.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val dc = labels.join(deg, "v")
+        .groupBy(col("lbl").as("component_id"))
+        .agg(sum(col("deg")).as("d_sum"))
+      val per = dc.join(ec, Seq("component_id"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .withColumn("q_c",
+          round(col("e_in").cast("double") / col("m") -
+            (col("d_sum").cast("double") / (lit(2L) * col("m")).cast("double")) *
+            (col("d_sum").cast("double") / (lit(2L) * col("m")).cast("double")),
+            9))
+        .select(col("component_id"), col("e_in"), col("d_sum"), col("q_c"))
+      // global Q: the 9-dp per-component terms are exact decimals, so
+      // the decimal sum is order-free (a double sum would be
+      // order-dependent across engines)
+      val global = per.agg(lit(-1L).as("component_id"),
+        sum(col("e_in")).as("e_in"), sum(col("d_sum")).as("d_sum"),
+        sum(col("q_c").cast("decimal(28,9)")).cast("double").as("q_c"))
+      per.unionByName(global)
+    }),
+
     // MULTI-SOURCE BFS over the dedup graph: every document's hop
     // distance to its component's canonical representative (the CC
     // label minimum — the shared artifact), all components in ONE
@@ -1732,6 +1780,43 @@ object DedupQueries {
          |FROM edges
          |JOIN toksets ta ON ta.doc_id = doc_a
          |JOIN toksets tb ON tb.doc_id = doc_b""".stripMargin,
+
+    // the CC chain + the same two agg-sized joins; per-component
+    // terms 9-dp-rounded then decimal-summed for the order-free
+    // global Q
+    "graph_modularity" ->
+      s"""WITH RECURSIVE $ccSplitCtes, m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+         |), ec AS (
+         |  SELECT ca.component_id, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM edges e
+         |  JOIN cc ca ON ca.doc_id = e.doc_a
+         |  JOIN cc cb ON cb.doc_id = e.doc_b
+         |  WHERE ca.component_id = cb.component_id
+         |  GROUP BY 1
+         |), deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS v FROM edges
+         |    UNION ALL
+         |    SELECT doc_b AS v FROM edges
+         |  ) GROUP BY 1
+         |), dc AS (
+         |  SELECT cc.component_id, CAST(sum(deg.deg) AS BIGINT) AS d_sum
+         |  FROM cc JOIN deg ON deg.v = cc.doc_id
+         |  GROUP BY 1
+         |), per AS (
+         |  SELECT dc.component_id, coalesce(ec.e_in, 0) AS e_in, dc.d_sum,
+         |    round(CAST(coalesce(ec.e_in, 0) AS DOUBLE) / m.m -
+         |      (CAST(dc.d_sum AS DOUBLE) / CAST(2 * m.m AS DOUBLE)) *
+         |      (CAST(dc.d_sum AS DOUBLE) / CAST(2 * m.m AS DOUBLE)), 9) AS q_c
+         |  FROM dc LEFT JOIN ec USING (component_id) CROSS JOIN m
+         |)
+         |SELECT component_id, CAST(e_in AS BIGINT) AS e_in, d_sum, q_c FROM per
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(sum(e_in) AS BIGINT),
+         |  CAST(sum(d_sum) AS BIGINT),
+         |  CAST(sum(CAST(q_c AS DECIMAL(28,9))) AS DOUBLE)
+         |FROM per""".stripMargin,
 
     // same CC chain for the seed set (component reps), then the BFS
     // recursion: (v, dist) pairs bounded at BfsRounds hops, min per

@@ -31,6 +31,36 @@ class ContainmentBinningSpec extends SparkSpec {
       math.abs(r.getDouble(5) - r.getDouble(6)) > 0.1))
   }
 
+  test("modularity: exact recompute from edges+labels; one-cluster partitions score zero") {
+    val rows = DedupQueries.queries("graph_modularity")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val edges = DedupQueries.lshEdges(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = DedupQueries.queries("dedup_cc")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.length.toDouble
+    val eIn = edges.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy { case (a, _) => lbl(a) }.view.mapValues(_.length.toLong).toMap
+    val dSum = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(lbl).view.mapValues(_.length.toLong).toMap
+    var q = BigDecimal(0)
+    dSum.foreach { case (c, d) =>
+      val qc = BigDecimal(eIn.getOrElse(c, 0L) / m - (d / (2 * m)) * (d / (2 * m)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val (ge, gd, gq) = rows(c)
+      assert(ge == eIn.getOrElse(c, 0L) && gd == d, s"component $c")
+      assert(gq == qc.toDouble, s"component $c: $gq vs $qc")
+      q += qc
+    }
+    assert(rows(-1L)._3 == q.toDouble)
+    assert(rows(-1L)._3 >= -0.5 && rows(-1L)._3 <= 1.0)
+    // degenerate-partition identity: if ALL edges are intra-component
+    // of a single component, its q_c is 1·(m/m) − 1² = 0
+    if (dSum.size == 1) assert(rows(-1L)._3 == 0.0)
+  }
+
   test("binning: equal-frequency fill, ordered non-overlapping ranges, full coverage") {
     val rows = EventQueries.queries("events_binning")(spark, sf).collect()
     val n = Tables.events(spark, sf).filter(col("value").isNotNull).count()
