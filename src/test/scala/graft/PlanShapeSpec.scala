@@ -129,4 +129,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!logical.contains("ResolvedHint"),
       "corpus join carries a broadcast hint — OOM by construction at scale")
   }
+
+  test("events_drift: the whole two-sided chart rides ONE sort, ONE exchange") {
+    // the running frames chain into consecutive Window nodes (their
+    // withColumn dependencies force the split) but they all share the
+    // identical partition-sort — so the plan must carry exactly one
+    // Sort and one data Exchange; a second sort/shuffle means the
+    // prefix-identity rewrite regressed to multiple passes
+    val plan = executedPlan("events_drift")
+    assert("\\+- Sort ".r.findAllIn(plan).length == 1, plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      plan.take(1500)) // window sort + the tiny stats-agg exchange
+  }
+
+  test("text_keywords: the per-doc top-3 plans as a group limit") {
+    // the rank filter must compile to WindowGroupLimit (map-side ≤3
+    // rows per doc BEFORE the shuffle) — a plain Window + Filter
+    // ships every doc×term row through the sort
+    val plan = executedPlan("text_keywords")
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
+  test("events_binning: one shuffle feeds the per-type ntile, one the re-agg") {
+    // window on (type) + partial-aggregable summary: two exchanges
+    // max; more means the bin table re-shuffles row-sized data
+    val plan = executedPlan("events_binning")
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan.take(1500))
+  }
 }
