@@ -303,8 +303,14 @@ object RelationalQueries {
         .select(col("c_custkey").as("k"), dec(col("c_acctbal")).as("bal"))
       val changes = base.filter(col("k") % 7 === 3)
         .select(col("k"), (col("bal") + lit(100.50).cast("decimal(18,4)")).as("bal"))
+      // Insert keys start past the OBSERVED key domain (memoized one-row
+      // agg), not a fixed constant — a constant offset collides with
+      // genuine keys on scaled/replicated corpora (ADVICE r7: ScaleBench
+      // replicates custkey with ~15k·factor offsets, crossing 1e6 at
+      // large factors and folding "not matched" rows into the base
+      // population).
       val inserts = base.filter(col("k") % 11 === 5)
-        .select((col("k") + 1000000L).as("k"), col("bal"))
+        .select((col("k") + lit(insertKeyOffset(s, dir))).as("k"), col("bal"))
       def row(src: org.apache.spark.sql.DataFrame, version: Long,
               from: Long, closed: Boolean) =
         src.select(col("k").as("c_custkey"), asDouble(col("bal")).as("acctbal"),
@@ -424,6 +430,26 @@ object RelationalQueries {
     })
   )
 
+  /** SCD2 insert-key offset: one past the observed key domain,
+    * memoized per (session, dir) — scaled corpora (ScaleBench's
+    * replicated customer) keep their "not matched" rows disjoint from
+    * the base population at any factor.
+    */
+  private def insertKeyOffset(s: org.apache.spark.sql.SparkSession,
+                              dir: String): Long =
+    Artifacts.scalar(s, dir, "cdc_insert_key_offset") {
+      Tables.customer(s, dir).agg(max(col("c_custkey"))).head.getLong(0) + 1L
+    }
+
+  /** Monotonic db-name registry for [[bucketedTables]] — keyed on the
+    * FULL (session, dir) pair, not dir.hashCode (ADVICE r7: a 32-bit
+    * hash collision between two data dirs in one session would
+    * silently serve the first dir's buckets to the second).
+    */
+  private val bktDbNames =
+    scala.collection.mutable.HashMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private val bktDbSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Bucketed orders/lineitem catalog tables (8 buckets, sorted on
     * the join key), written once per (session, dir) into a temp-dir
     * database — the "bucket-align the fact tables at write time"
@@ -432,7 +458,9 @@ object RelationalQueries {
     */
   private[graft] def bucketedTables(s: org.apache.spark.sql.SparkSession,
                                     dir: String) = {
-    val db = s"graft_bkt_${math.abs(dir.hashCode.toLong)}"
+    val db = bktDbNames.synchronized {
+      bktDbNames.getOrElseUpdate((s, dir), s"graft_bkt_${bktDbNames.size}")
+    }
     if (!s.catalog.databaseExists(db)) {
       val loc = java.nio.file.Files.createTempDirectory("graft-bkt-")
       loc.toFile.deleteOnExit()
@@ -481,7 +509,8 @@ object RelationalQueries {
         |  SELECT k, bal + CAST(100.50 AS DECIMAL(18,4)) AS bal
         |  FROM base WHERE k % 7 = 3
         |), inserts AS (
-        |  SELECT k + 1000000 AS k, bal FROM base WHERE k % 11 = 5
+        |  SELECT k + (SELECT max(k) + 1 FROM base) AS k, bal
+        |  FROM base WHERE k % 11 = 5
         |)
         |SELECT k AS c_custkey, CAST(bal AS DOUBLE) AS acctbal,
         |  CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS valid_from,
@@ -505,7 +534,8 @@ object RelationalQueries {
         |  SELECT k, bal + CAST(100.50 AS DECIMAL(18,4)) AS bal
         |  FROM base WHERE k % 7 = 3
         |), inserts AS (
-        |  SELECT k + 1000000 AS k, bal FROM base WHERE k % 11 = 5
+        |  SELECT k + (SELECT max(k) + 1 FROM base) AS k, bal
+        |  FROM base WHERE k % 11 = 5
         |), scd2 AS (
         |  SELECT k AS c_custkey, CAST(bal AS DOUBLE) AS acctbal,
         |    CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS valid_from,

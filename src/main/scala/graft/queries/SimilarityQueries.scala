@@ -566,73 +566,63 @@ object SimilarityQueries {
     // the two legs, which an index serves (text_inverted_index /
     // ann_topk_*). Ranks are ints, the RRF sum is two
     // correctly-rounded IEEE divisions and one add — engine-exact.
-    "search_hybrid_rrf" -> ((s, dir) => {
-      import graft.text.TextOps
-      // lexical leg: per-query-doc BM25 over the corpus
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val qterms = toks.filter(col("doc_id") < NQueries)
-        .select(col("doc_id").as("q_id"), col("token")).distinct()
-      val tf = toks
-        .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val lex = tf.join(broadcast(qterms), Seq("token"))
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(dl, "doc_id").join(broadcast(df), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-        .withColumn("idf", log(lit(1.0) +
-          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))))
-        .withColumn("tfn",
-          col("tf").cast("double") * lit(2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(1.0) - lit(0.75) +
-               lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-        .withColumn("contrib_q",
-          round(col("idf") * col("tfn"), 9).cast("decimal(28,9)"))
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(sum(col("contrib_q")).as("score_lex"))
-      val wLex = Window.partitionBy(col("q_id"))
-        .orderBy(col("score_lex").desc, col("doc_id"))
-      val lexTop = lex.withColumn("rank_lex", row_number().over(wLex))
-        .filter(col("rank_lex") <= HybridShortlist)
-        .select(col("q_id"), col("doc_id"),
-                col("rank_lex").cast("long").as("rank_lex"))
-      // semantic leg: exact-decimal cosine top-20
-      val emb = embWithNorm(s, dir)
-      val q = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                col("nrm").as("q_nrm"))
-      val wSem = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val semTop = emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos",
-          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
-            (col("q_nrm") * col("nrm")))
-        .withColumn("rank_sem", row_number().over(wSem))
-        .filter(col("rank_sem") <= HybridShortlist)
-        .select(col("q_id"), col("vec_id").as("doc_id"),
-                col("rank_sem").cast("long").as("rank_sem"))
-      // fusion over the shortlist union
-      val wF = Window.partitionBy(col("q_id"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-      lexTop.join(semTop, Seq("q_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex").cast("double")),
-                   lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("rank_sem").cast("double")),
-                   lit(0.0)))
-        .withColumn("rank", row_number().over(wF))
-        .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("doc_id"), col("rank_lex"), col("rank_sem"),
-                round(col("rrf"), 9).as("rrf_r"))
-    }),
+    "search_hybrid_rrf" -> ((s, dir) =>
+      rrfFuse(lexShortlist(s, dir), {
+        // semantic leg: exact-decimal cosine top-20 over the FULL
+        // corpus — the recall anchor (every candidate scored). The
+        // production posture is search_hybrid_rrf_indexed below.
+        val emb = embWithNorm(s, dir)
+        val q = emb.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                  col("nrm").as("q_nrm"))
+        val wSem = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+              (col("q_nrm") * col("nrm")))
+          .withColumn("rank_sem", row_number().over(wSem))
+          .filter(col("rank_sem") <= HybridShortlist)
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+                  col("rank_sem").cast("long").as("rank_sem"))
+      })),
+
+    // INDEX-BACKED hybrid retrieval — the 100 TB posture of
+    // search_hybrid_rrf (VERDICT r7 item 1): the semantic shortlist
+    // comes from the TRAINED IVF index (the ann_topk_ivf_trained
+    // probe path — broadcast probe join keyed on list_id over the
+    // shared kmeans_trained / ivf_assigned_trained artifacts) instead
+    // of a brute-force corpus scan. The cosine kernel runs only on
+    // the NProbe probed lists (~NProbe/nlist of the corpus), so the
+    // semantic leg inherits the IVF family's sub-linear scaling; the
+    // brute-force variant above stays as the recall anchor, the way
+    // dedup_semantic anchors dedup_semantic_scaled. Decimal-exact
+    // scoring + the unrolled Lloyd oracle chain keep the whole
+    // build → probe → fuse composition hash-checked end to end.
+    "search_hybrid_rrf_indexed" -> ((s, dir) =>
+      rrfFuse(lexShortlist(s, dir), {
+        val emb = embWithNorm(s, dir)
+        val centArr = centsFrameOf(trainedCentLong(s, dir))
+        val assigned = trainedAssigned(s, dir)
+        val qprobe = emb.filter(col("vec_id") < NQueries)
+          .crossJoin(broadcast(centArr))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                  col("nrm").as("q_nrm"),
+                  explode(slice(rankedListIds(col("embedding"), col("nrm")),
+                    1, NProbe)).as("list_id"))
+        val wSem = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(qprobe), Seq("list_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+              (col("q_nrm") * col("nrm")))
+          .withColumn("rank_sem", row_number().over(wSem))
+          .filter(col("rank_sem") <= HybridShortlist)
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+                  col("rank_sem").cast("long").as("rank_sem"))
+      })),
 
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
@@ -654,6 +644,71 @@ object SimilarityQueries {
                 round(VectorOps.cosine(col("embedding"), col("centroid")), 6).as("cos_centroid"))
     })
   )
+
+  // ---- hybrid-retrieval building blocks ----
+
+  /** Lexical shortlist shared by both hybrid variants: per-query-doc
+    * BM25 (the text_bm25 formula, posting-pruned tf with the query
+    * docs' distinct tokens as the term set) → top-[[HybridShortlist]]
+    * per query with 9-dp-quantized decimal contribs.
+    */
+  private def lexShortlist(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.text.TextOps
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = toks.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("token")).distinct()
+    val tf = toks
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val lex = tf.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id").join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(1.0) - lit(0.75) +
+             lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("contrib_q",
+        round(col("idf") * col("tfn"), 9).cast("decimal(28,9)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib_q")).as("score_lex"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_lex").desc, col("doc_id"))
+    lex.withColumn("rank_lex", row_number().over(wLex))
+      .filter(col("rank_lex") <= HybridShortlist)
+      .select(col("q_id"), col("doc_id"),
+              col("rank_lex").cast("long").as("rank_lex"))
+  }
+
+  /** RRF fusion over the shortlist union (Σ 1/(60 + rank), IEEE-exact)
+    * → final top-[[TopK]] per query. Shortlist-sized frames only — at
+    * 100 TB all data-sized work lives in the two legs.
+    */
+  private def rrfFuse(lexTop: org.apache.spark.sql.DataFrame,
+                      semTop: org.apache.spark.sql.DataFrame) = {
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lexTop.join(semTop, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_lex").cast("double")),
+                 lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_sem").cast("double")),
+                 lit(0.0)))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+              col("doc_id"), col("rank_lex"), col("rank_sem"),
+              round(col("rrf"), 9).as("rrf_r"))
+  }
 
   // ---- SQ8 building blocks ----
 
@@ -1330,6 +1385,74 @@ object SimilarityQueries {
        |   * sqrt(CAST(list_sum(list_transform(generate_series(1, 64), i ->
        |      CAST(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))))""".stripMargin
 
+  /** BM25 shortlist CTEs shared by both hybrid-RRF oracles (the
+    * text_bm25 formula tree, 9-dp-rounded contribs, decimal sums).
+    */
+  private def hybridLexCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, token
+       |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+       |), qt AS (
+       |  SELECT DISTINCT doc_id AS q_id, token FROM tok
+       |  WHERE doc_id < $NQueries
+       |), tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2
+       |), df AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), lexs AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    sum(CAST(round(
+       |      ln(CAST(1.0 AS DOUBLE) +
+       |         (CAST(st.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |         (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |      *
+       |      (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+       |       (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+       |         CAST(0.75 AS DOUBLE) *
+       |          (CAST(dl.dl AS DOUBLE) /
+       |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))))
+       |    , 9) AS DECIMAL(28,9))) AS score_lex
+       |  FROM tf
+       |  JOIN qt ON qt.token = tf.token AND tf.doc_id <> qt.q_id
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN df ON df.token = tf.token
+       |  CROSS JOIN st
+       |  GROUP BY 1, 2
+       |), lextop AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_lex DESC, doc_id) AS BIGINT) AS rank_lex
+       |  FROM lexs QUALIFY rank_lex <= $HybridShortlist
+       |)""".stripMargin
+
+  /** RRF fusion tail shared by both hybrid-RRF oracles: FULL JOIN of
+    * `lextop`/`semtop`, IEEE 1/(60+rank) sums, final top-[[TopK]].
+    */
+  private def hybridFuseTail: String =
+    s""", fused AS (
+       |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+       |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |    l.rank_lex, s.rank_sem,
+       |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.rank_lex),
+       |             CAST(0 AS DOUBLE)) +
+       |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + s.rank_sem),
+       |             CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lextop l
+       |  FULL JOIN semtop s ON s.q_id = l.q_id AND s.doc_id = l.doc_id
+       |)
+       |SELECT q_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, rank_lex, rank_sem, round(rrf, 9) AS rrf_r
+       |FROM fused QUALIFY rank <= $TopK""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sq_minmax" ->
       s"""WITH $sqCtes
@@ -1370,48 +1493,7 @@ object SimilarityQueries {
     // decimal sums), same duckCos semantic leg, FULL JOIN fusion with
     // the identical IEEE 1/(60+rank) arithmetic
     "search_hybrid_rrf" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, token
-         |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
-         |), dl AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
-         |), st AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
-         |), qt AS (
-         |  SELECT DISTINCT doc_id AS q_id, token FROM tok
-         |  WHERE doc_id < $NQueries
-         |), tf AS (
-         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
-         |  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2
-         |), df AS (
-         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-         |), lexs AS (
-         |  SELECT qt.q_id, tf.doc_id,
-         |    sum(CAST(round(
-         |      ln(CAST(1.0 AS DOUBLE) +
-         |         (CAST(st.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
-         |         (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-         |      *
-         |      (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
-         |       (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-         |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-         |         CAST(0.75 AS DOUBLE) *
-         |          (CAST(dl.dl AS DOUBLE) /
-         |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))))
-         |    , 9) AS DECIMAL(28,9))) AS score_lex
-         |  FROM tf
-         |  JOIN qt ON qt.token = tf.token AND tf.doc_id <> qt.q_id
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  JOIN df ON df.token = tf.token
-         |  CROSS JOIN st
-         |  GROUP BY 1, 2
-         |), lextop AS (
-         |  SELECT q_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score_lex DESC, doc_id) AS BIGINT) AS rank_lex
-         |  FROM lexs QUALIFY rank_lex <= $HybridShortlist
-         |), sems AS (
+      s"""WITH $hybridLexCtes, sems AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
          |    ${duckCos("q.embedding", "c.embedding")} AS cos
          |  FROM embeddings q, embeddings c
@@ -1421,22 +1503,36 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
          |  FROM sems QUALIFY rank_sem <= $HybridShortlist
-         |), fused AS (
-         |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
-         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
-         |    l.rank_lex, s.rank_sem,
-         |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.rank_lex),
-         |             CAST(0 AS DOUBLE)) +
-         |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + s.rank_sem),
-         |             CAST(0 AS DOUBLE)) AS rrf
-         |  FROM lextop l
-         |  FULL JOIN semtop s ON s.q_id = l.q_id AND s.doc_id = l.doc_id
-         |)
-         |SELECT q_id,
-         |  CAST(row_number() OVER (PARTITION BY q_id
-         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
-         |  doc_id, rank_lex, rank_sem, round(rrf, 9) AS rrf_r
-         |FROM fused QUALIFY rank <= $TopK""".stripMargin,
+         |)$hybridFuseTail""".stripMargin,
+
+    // Indexed variant: the same lexical CTEs and fusion tail, with the
+    // semantic shortlist produced by the unrolled trained-Lloyd probe
+    // chain (ann_topk_ivf_trained's CTEs at shortlist depth 20).
+    "search_hybrid_rrf_indexed" ->
+      s"""WITH ${lloydCtes(TrainRounds)}, $hybridLexCtes, scoredq AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent$TrainRounds c
+         |), rankedq AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scoredq
+         |), assignedq AS (
+         |  SELECT vec_id, embedding, list_id FROM rankedq WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+         |  FROM rankedq WHERE vec_id < $NQueries AND rk <= $NProbe
+         |), sems AS (
+         |  SELECT q.q_id, a.vec_id AS doc_id,
+         |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+         |  FROM qprobe q JOIN assignedq a ON a.list_id = q.list_id
+         |  WHERE a.vec_id <> q.q_id
+         |), semtop AS (
+         |  SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
+         |  FROM sems QUALIFY rank_sem <= $HybridShortlist
+         |)$hybridFuseTail""".stripMargin,
 
     "ann_topk_bruteforce" ->
       s"""WITH pairs AS (

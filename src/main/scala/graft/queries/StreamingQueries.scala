@@ -50,16 +50,23 @@ object StreamingQueries {
     */
   private val splitCache = scala.collection.mutable.HashMap[String, Path]()
 
-  private def splitSourceDir(s: SparkSession, dir: String): Path =
+  private[graft] def splitSourceDir(s: SparkSession, dir: String): Path =
     splitCache.synchronized {
       splitCache.getOrElseUpdate(dir, {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = s.read.parquet(s"$dir/events.parquet")
-        // Exact quantiles (relativeError=0) of the raw nanos ts; cast to
-        // long so the range comparison is exact — equal-ts rows land in
-        // exactly one split.
+          .withColumn("split_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+        // Exact quantiles (relativeError=0) of the MILLISECOND ts — the
+        // granularity every downstream operator keys on. Cutting on raw
+        // nanos could land a boundary BETWEEN two events that share an
+        // ms but differ in sub-ms nanos (sf0.1 has such pairs), and a
+        // cross-batch stateful fold (CusumStream) would then process
+        // them in stream order instead of the batch oracle's
+        // (ts_ms, event_id) order. Cutting on ms keeps every ms cohort
+        // in exactly one split; the long comparison is exact, so
+        // equal-ms rows land in exactly one split.
         val bounds = raw.stat
-          .approxQuantile("ts", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
+          .approxQuantile("split_ms", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
           .map(_.toLong)
         val srcDir = Files.createTempDirectory("graft-stream-splits-")
         val work = Files.createTempDirectory("graft-stream-splitwork-")
@@ -68,8 +75,9 @@ object StreamingQueries {
           val lo = if (i == 0) None else Some(bounds(i - 1))
           val hi = if (i == NumSplits - 1) None else Some(bounds(i))
           val slice = raw
-            .filter(lo.map(col("ts") >= _).getOrElse(lit(true)) &&
-                    hi.map(col("ts") < _).getOrElse(lit(true)))
+            .filter(lo.map(col("split_ms") >= _).getOrElse(lit(true)) &&
+                    hi.map(col("split_ms") < _).getOrElse(lit(true)))
+            .drop("split_ms")
           val out = work.resolve(s"out$i")
           slice.coalesce(1).write.parquet(out.toString)
           val part = Files.list(out).iterator().asScala

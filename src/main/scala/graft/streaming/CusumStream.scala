@@ -30,9 +30,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the state-store shuffle like any keyed stream.
   *
   * Exactness across batches relies on the replay being time-ordered
-  * BETWEEN batches (the ts-quantile split source guarantees every
-  * event of batch k precedes batch k+1) and sorted WITHIN the batch
-  * here — ties broken by event_id, same as the batch window sort.
+  * BETWEEN batches at MILLISECOND granularity — the split source cuts
+  * on ms quantiles, so an ms cohort (the unit this fold sorts by)
+  * never straddles a batch boundary — and sorted WITHIN the batch
+  * here by (ts_ms, event_id), same as the batch window sort. A raw
+  * nanos cut would not suffice: two events sharing an ms but
+  * differing in sub-ms nanos could land in different batches and be
+  * folded in stream order instead (MultiBatchReplaySpec pins the
+  * ms-disjointness of the split files).
   */
 object CusumStream {
 

@@ -50,4 +50,38 @@ class HybridRrfSpec extends SparkSpec {
     // structural RRF property on the formula itself
     assert(rrf(Some(5L), Some(20L)) > rrf(Some(5L), None))
   }
+
+  private lazy val idxRows =
+    SimilarityQueries.queries("search_hybrid_rrf_indexed")(spark, dir).collect()
+
+  test("indexed variant: rrf_r is the same fused formula over its emitted ranks") {
+    idxRows.foreach { r =>
+      val lex = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val sem = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(lex.nonEmpty || sem.nonEmpty, r.toString)
+      val expect = BigDecimal(rrf(lex, sem))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == expect, s"$r vs $expect")
+    }
+  }
+
+  test("indexed variant shares the lexical leg: lex ranks agree with the anchor per (q, doc)") {
+    val anchorLex = rows.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val idxLex = idxRows.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val shared = anchorLex.keySet intersect idxLex.keySet
+    assert(shared.nonEmpty, "no shared lexical winners to compare")
+    shared.foreach(k => assert(anchorLex(k) == idxLex(k), s"lex rank differs at $k"))
+  }
+
+  test("indexed semantic recall vs the brute anchor is non-trivial at the fused top-k") {
+    // The IVF probe prunes the corpus; the fused top-5 should still
+    // substantially overlap the anchor's (recall floor — the indexed
+    // leg probes the lists the true neighbors live in).
+    val a = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = idxRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (a intersect b).size.toDouble / a.size
+    assert(recall >= 0.5, s"fused top-k overlap $recall below floor")
+  }
 }

@@ -43,12 +43,14 @@ class MergeProfileSpec extends SparkSpec {
     assert(snap(0L).view.mapValues(_._1).toMap == base)
     assert(snap(0L).values.forall(_._2 == 1L))
     // t=1: changed keys re-balanced at version 2, inserts present,
-    // untouched keys carried forward unchanged
+    // untouched keys carried forward unchanged. Insert keys start one
+    // past the observed key domain (not a fixed constant — ADVICE r7).
+    val insOffset = base.keys.max + 1L
     base.foreach { case (k, b) =>
       val (gb, gv) = snap(1L)(k)
       if (k % 7 == 3) { assert(gv == 2L); assert(math.abs(gb - (b + 100.50)) < 1e-9) }
       else { assert(gv == 1L); assert(gb == b) }
-      if (k % 11 == 5) assert(snap(1L).contains(k + 1000000L))
+      if (k % 11 == 5) assert(snap(1L).contains(k + insOffset))
     }
     // each key appears exactly once per snapshot (the map sizes prove
     // no duplicate versions leak through the interval predicate)

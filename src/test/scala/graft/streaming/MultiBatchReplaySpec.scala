@@ -61,4 +61,34 @@ class MultiBatchReplaySpec extends SparkSpec {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty,
       "incremental append-mode result diverged from the batch aggregation")
   }
+
+  test("split files never divide an ms cohort and are strictly ms-ordered") {
+    // Cross-batch stateful folds (CusumStream) sort each batch by
+    // (ts_ms, event_id); bit-identity with the batch oracle's global
+    // (ts_ms, event_id) order therefore needs every ms cohort to live
+    // in exactly ONE split file, with files strictly ordered on ms —
+    // a nanos-quantile cut could straddle two same-ms events (sf0.1
+    // has sub-ms-distinct pairs). The split cuts on ms to guarantee
+    // this; pin it here.
+    val srcDir = StreamingQueries.splitSourceDir(spark, sf)
+    val files = Files.list(srcDir).iterator()
+    val ranges = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val r = spark.read.parquet(f.toString)
+          .select(expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"))
+          .agg(min(col("ms")), max(col("ms"))).head
+        ranges += ((f.getFileName.toString, r.getLong(0), r.getLong(1)))
+      }
+    }
+    assert(ranges.length >= 3, s"expected >=3 split files, saw $ranges")
+    ranges.toList.sortBy(_._1).sliding(2).foreach {
+      case Seq((fa, _, maxA), (fb, minB, _)) =>
+        assert(maxA < minB,
+          s"$fa max ms $maxA overlaps $fb min ms $minB — an ms cohort straddles a batch boundary")
+      case _ => ()
+    }
+  }
 }
