@@ -82,13 +82,29 @@ object IndexBench {
         run("dedup_semantic_fast", dir)
         val tSemBuild = (System.nanoTime() - t1sem) / 1e9
         val tSem = run("dedup_semantic_fast", dir)
+        // incremental maintenance split: base-index build (train +
+        // assign the 80% base) vs the marginal APPEND (assign the 20%
+        // batch against frozen centroids + union) vs a search against
+        // the appended index — the daily-ingest numbers a vector-store
+        // user asks for. At 100 TB the append is |batch| projections;
+        // it must stay far under the build.
+        val tA0 = System.nanoTime()
+        queries.SimilarityQueries.appendBaseAssigned(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val tAppendBuild = (System.nanoTime() - tA0) / 1e9
+        val tA1 = System.nanoTime()
+        queries.SimilarityQueries.appendedAssigned(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val tAppend = (System.nanoTime() - tA1) / 1e9
+        val tAppendSearch = run("ann_index_append", dir)
         System.err.println(
-          f"[index] $tag%-4s build ${tBuild}%6.2f s   lsh_fast ${tLsh}%6.2f s   ivf_fast ${tIvf}%6.2f s   pq ${tPq}%6.2f s   sem_build ${tSemBuild}%6.2f s   sem_marginal ${tSem}%6.2f s")
-        (tag, tBuild, tLsh, tIvf, tPq, tSemBuild, tSem)
+          f"[index] $tag%-4s build ${tBuild}%6.2f s   lsh_fast ${tLsh}%6.2f s   ivf_fast ${tIvf}%6.2f s   pq ${tPq}%6.2f s   sem_build ${tSemBuild}%6.2f s   sem_marginal ${tSem}%6.2f s   append_build ${tAppendBuild}%6.2f s   append ${tAppend}%6.2f s   append_search ${tAppendSearch}%6.2f s")
+        (tag, tBuild, tLsh, tIvf, tPq, tSemBuild, tSem, tAppendBuild, tAppend,
+          tAppendSearch)
     }
 
-    val js = rows.map { case (tag, b, l, i, p, sb, sm) =>
-      f""""$tag":{"build":$b%.3f,"lsh":$l%.3f,"ivf":$i%.3f,"pq":$p%.3f,"sem_build":$sb%.3f,"sem_marginal":$sm%.3f}"""
+    val js = rows.map { case (tag, b, l, i, p, sb, sm, ab, ap, as) =>
+      f""""$tag":{"build":$b%.3f,"lsh":$l%.3f,"ivf":$i%.3f,"pq":$p%.3f,"sem_build":$sb%.3f,"sem_marginal":$sm%.3f,"append_build":$ab%.3f,"append":$ap%.3f,"append_search":$as%.3f}"""
     }.mkString("{", ",", "}")
     val line = s"""{"factor":$factor,"rows":$js,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("index_bench.json"), line + "\n")

@@ -295,28 +295,26 @@ object SimilarityQueries {
     // centroids and the corpus assignment they induce. The unrolled-N
     // DuckDB twin replays the identical quantized Lloyd rounds, so the
     // whole build+search composition is hash-checked end to end.
-    "ann_topk_ivf_trained" -> ((s, dir) => {
-      val emb = embWithNorm(s, dir)
-      val centArr = centsFrameOf(trainedCentLong(s, dir))
-      val assigned = trainedAssigned(s, dir)
-      val qprobe = emb.filter(col("vec_id") < NQueries)
-        .crossJoin(broadcast(centArr))
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                col("nrm").as("q_nrm"),
-                explode(slice(rankedListIds(col("embedding"), col("nrm")),
-                  1, NProbe)).as("list_id"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(qprobe), Seq("list_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos",
-          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
-            (col("q_nrm") * col("nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id"), round(col("cos"), 6).as("cos_r"))
-    }),
+    "ann_topk_ivf_trained" -> ((s, dir) =>
+      ivfSearchOver(s, dir)(centsFrameOf(trainedCentLong(s, dir)),
+                            trainedAssigned(s, dir))),
+
+    // INCREMENTAL index maintenance — the daily-ingest path of a
+    // production vector store: the IVF index was trained BEFORE
+    // today's batch existed (centroids fit on vec_id % 10 < 8, a
+    // frozen artifact), and the new batch is folded in by pure
+    // assignment against those frozen centroids — no retrain, no
+    // touching the existing lists (they are a stored artifact reused
+    // verbatim). Search runs over base-lists ∪ batch-assignments.
+    // Because assignment is a pure per-row projection of the frozen
+    // centroids, append ≡ rebuild row-for-row — IvfAppendSpec pins
+    // that identity (and that the batch opens no new lists), and the
+    // DuckDB twin exploits it: one full-corpus assignment pass over
+    // the base-trained chain. At 100 TB the marginal ingest cost is
+    // |batch| assignment projections + an append — never a corpus
+    // rescan (IndexBench measures the build/append/search split).
+    "ann_index_append" -> ((s, dir) =>
+      ivfSearchOver(s, dir)(appendCentArr(s, dir), appendedAssigned(s, dir))),
 
     // SEMANTIC dedup (the SemDeDup recipe, public: Abbas et al. 2023):
     // cluster the corpus embeddings with the TRAINED k-means index,
@@ -902,6 +900,87 @@ object SimilarityQueries {
       assignTo(embWithNorm(s, dir), centsFrameOf(trainedCentLong(s, dir)))
     }
 
+  /** IVF probe search (the `ann_topk_ivf` plan shape: broadcast probe
+    * join keyed on list_id) against an arbitrary (centroids, assigned
+    * lists) index pair — shared by `ann_topk_ivf_trained` and the
+    * append path `ann_index_append`, and by IvfAppendSpec's
+    * append-≡-rebuild identity proof.
+    */
+  private[graft] def ivfSearchOver(s: org.apache.spark.sql.SparkSession, dir: String)(
+      centArr: org.apache.spark.sql.DataFrame,
+      assigned: org.apache.spark.sql.DataFrame) = {
+    val emb = embWithNorm(s, dir)
+    val qprobe = emb.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"),
+              explode(slice(rankedListIds(col("embedding"), col("nrm")),
+                1, NProbe)).as("list_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(qprobe), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+          (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+              col("vec_id"), round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** Ingest split for the index-append path: `vec_id % AppendMod ∈
+    * {8, 9}` is "today's batch" (~20% of the corpus); the rest is the
+    * base the index was trained on. A modulus split (not a prefix
+    * split) so the batch hits every label/cluster.
+    */
+  private val AppendMod = 10L
+
+  private def appendBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    embWithNorm(s, dir).filter(col("vec_id") % AppendMod < 8)
+
+  private[graft] def appendBatch(s: org.apache.spark.sql.SparkSession, dir: String) =
+    embWithNorm(s, dir).filter(col("vec_id") % AppendMod >= 8)
+
+  /** Centroids trained on the BASE corpus only — the index as it
+    * existed before today's batch arrived. Same quantized Lloyd chain
+    * as [[trainedCentLong]], initialized from the base's label means.
+    */
+  private[graft] def appendTrainedCentLong(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "kmeans_trained_base") {
+      val init = centsFrameOf(
+        appendBase(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+                count(lit(1))).as("c"))
+          .select(col("label").cast("long").as("list_id"), col("i"), col("c")))
+      lloydTrainLong(appendBase(s, dir), init, TrainRounds)
+    }
+
+  private[graft] def appendCentArr(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "ivf_cents_base") {
+      centsFrameOf(appendTrainedCentLong(s, dir))
+    }
+
+  /** The stored lists of the base index — built once, reused verbatim
+    * by every append (never reassigned).
+    */
+  private[graft] def appendBaseAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "ivf_assigned_base") {
+      assignTo(appendBase(s, dir), appendCentArr(s, dir))
+    }
+
+  /** The appended index: base lists ∪ the new batch assigned to the
+    * FROZEN centroids — the whole marginal ingest cost is |batch|
+    * assignment projections.
+    */
+  private[graft] def appendedAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "ivf_assigned_appended") {
+      appendBaseAssigned(s, dir).unionByName(
+        assignTo(appendBatch(s, dir), appendCentArr(s, dir)))
+    }
+
   /** Shared body of `dedup_semantic` / `dedup_semantic_fast`: within
     * each trained cluster, link every vector to smaller-id cluster
     * mates with cosine ≥ [[SemDedupCos]] (scored by `cosOf(ea, eb, na,
@@ -1238,12 +1317,13 @@ object SimilarityQueries {
     * The quantized round boundary is what keeps N chained rounds
     * engine-identical (see the kmeans_train query comment).
     */
-  private def lloydCtes(rounds: Int): String = {
+  private def lloydCtes(rounds: Int, trainWhere: String = ""): String = {
+    val w0 = if (trainWhere.isEmpty) "" else s"\n  $trainWhere"
     val init =
       s"""dims0 AS (
          |  SELECT label, i,
          |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
-         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  FROM embeddings, generate_series(1, 64) t(i)$w0
          |  GROUP BY label, i
          |), cent0 AS (
          |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
@@ -1253,7 +1333,7 @@ object SimilarityQueries {
       s""", scored$r AS (
          |  SELECT e.vec_id, e.embedding, c.list_id,
          |    ${duckCos("e.embedding", "c.centroid")} AS ccos
-         |  FROM embeddings e, cent${r - 1} c
+         |  FROM embeddings e, cent${r - 1} c$w0
          |), ranked$r AS (
          |  SELECT vec_id, embedding, list_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
@@ -1771,6 +1851,38 @@ object SimilarityQueries {
 
     "ann_topk_ivf_trained" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent$TrainRounds c
+         |), rankedq AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scoredq
+         |), assignedq AS (
+         |  SELECT vec_id, embedding, list_id FROM rankedq WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+         |  FROM rankedq WHERE vec_id < $NQueries AND rk <= $NProbe
+         |), pairs AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+         |  FROM qprobe q JOIN assignedq a ON a.list_id = q.list_id
+         |  WHERE a.vec_id <> q.q_id
+         |), rankedp AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
+         |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    // The append path: training CTEs restricted to the base corpus
+    // (vec_id % 10 < 8 — the index predates the batch), then ONE
+    // full-corpus assignment pass = base lists ∪ batch assignment
+    // (sound because assignment is a pure per-row projection of the
+    // frozen centroids; IvfAppendSpec pins the identity engine-side).
+    "ann_index_append" ->
+      s"""WITH ${lloydCtes(TrainRounds, s"WHERE vec_id % $AppendMod < 8")}, scoredq AS (
          |  SELECT e.vec_id, e.embedding, c.list_id,
          |    ${duckCos("e.embedding", "c.centroid")} AS ccos
          |  FROM embeddings e, cent$TrainRounds c
