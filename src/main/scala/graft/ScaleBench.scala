@@ -55,6 +55,7 @@ object ScaleBench {
     "search_hybrid_rrf_indexed", "ann_index_append",
     "layout_zorder", "q_bucketed_join",
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
+    "q_sql_merge",
     "text_bigram_lm", "text_quality_auc")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
@@ -74,7 +75,8 @@ object ScaleBench {
     */
   private val StreamScaledQueries = Seq(
     "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join",
-    "stream_static_join", "stream_drift", "stream_seasonality")
+    "stream_static_join", "stream_drift", "stream_seasonality",
+    "stream_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

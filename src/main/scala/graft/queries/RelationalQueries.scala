@@ -323,6 +323,28 @@ object RelationalQueries {
         .unionByName(row(inserts, 1L, 1L, closed = false))
     }),
 
+    // REAL `MERGE INTO` — the SQL statement users actually run for
+    // CDC upserts, exercised end-to-end against graft's own DSv2
+    // row-level catalog ([[graft.sources.MemRowLevelCatalog]]):
+    // Spark's analyzer rewrites the statement into the group-based
+    // ReplaceData plan (MergeRows over a full-group scan +
+    // copy-on-write replacement commit) — the exact compilation path
+    // a lakehouse MERGE takes; only the storage behind the connector
+    // is an in-JVM row store. One statement produces the same SCD2
+    // table cdc_scd2 composes from semi/anti joins, and shares its
+    // oracle verbatim (the q_sql_* identical-result pattern). The
+    // staging source uses the classic null-merge-key trick: each
+    // change row appears twice — once keyed (matches and closes the
+    // current version), once with a NULL key (never matches, inserts
+    // the successor version); MergeIntoSpec pins the ReplaceData/
+    // MergeRows plan shape and the row-for-row identity with
+    // cdc_scd2.
+    "q_sql_merge" -> ((s, dir) => {
+      val tbl = mergedScd2Table(s, dir)
+      s.table(tbl).select(col("c_custkey"), col("acctbal"), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+    }),
+
     // TIME TRAVEL over the SCD2 dimension — the query the history
     // columns exist FOR: reconstruct the table state AS OF each
     // version boundary (t = 0: pre-merge; t = 1: post-merge) by the
@@ -441,6 +463,61 @@ object RelationalQueries {
       Tables.customer(s, dir).agg(max(col("c_custkey"))).head.getLong(0) + 1L
     }
 
+  /** Run the SCD2 merge ONCE per (session, dir) through the real
+    * `MERGE INTO` SQL surface against a [[graft.sources.MemRowLevelCatalog]]
+    * table, returning the catalog table name holding the merged
+    * dimension. Base load goes through the DSv2 batch-write path
+    * (`writeTo(...).append()` — per-task buffered writers, commit
+    * messages, driver-side commit), the merge through the group-based
+    * row-level-operation path.
+    */
+  private val mergeTables =
+    scala.collection.mutable.HashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def mergedScd2Table(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    mergeTables.synchronized {
+      mergeTables.getOrElseUpdate((s, dir), {
+        s.conf.set("spark.sql.catalog.graft_mem",
+          classOf[graft.sources.MemRowLevelCatalog].getName)
+        val id = mergeTables.size
+        val tbl = s"graft_mem.cdc.scd2_$id"
+        graft.sources.MemTableStore.create(s"cdc.scd2_$id",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_custkey BIGINT, acctbal DOUBLE, version BIGINT, " +
+            "valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN"))
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey").as("k"), dec(col("c_acctbal")).as("bal"))
+        base.select(col("k").as("c_custkey"), asDouble(col("bal")).as("acctbal"),
+            lit(1L).as("version"), lit(0L).as("valid_from"),
+            lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+          .writeTo(tbl).append()
+        val changes = base.filter(col("k") % 7 === 3)
+          .select(col("k"),
+                  (col("bal") + lit(100.50).cast("decimal(18,4)")).as("bal"))
+        val inserts = base.filter(col("k") % 11 === 5)
+          .select((col("k") + lit(insertKeyOffset(s, dir))).as("k"), col("bal"))
+        val staging = changes
+          .select(col("k").as("merge_key"), col("k"),
+                  asDouble(col("bal")).as("bal"), lit(2L).as("version"))
+          .unionByName(changes.select(
+            lit(null).cast("long").as("merge_key"), col("k"),
+            asDouble(col("bal")).as("bal"), lit(2L).as("version")))
+          .unionByName(inserts.select(col("k").as("merge_key"), col("k"),
+            asDouble(col("bal")).as("bal"), lit(1L).as("version")))
+        val view = s"graft_merge_staging_$id"
+        staging.createOrReplaceTempView(view)
+        s.sql(
+          s"""MERGE INTO $tbl t USING $view s
+             |ON t.c_custkey = s.merge_key AND t.is_current
+             |WHEN MATCHED THEN UPDATE SET valid_to = 1, is_current = false
+             |WHEN NOT MATCHED THEN INSERT
+             |  (c_custkey, acctbal, version, valid_from, valid_to, is_current)
+             |  VALUES (s.k, s.bal, s.version, 1, NULL, true)""".stripMargin)
+        tbl
+      })
+    }
+
   /** Monotonic db-name registry for [[bucketedTables]] — keyed on the
     * FULL (session, dir) pair, not dir.hashCode (ADVICE r7: a 32-bit
     * hash collision between two data dirs in one session would
@@ -499,30 +576,39 @@ object RelationalQueries {
       |FROM documents
       |GROUP BY lang""".stripMargin
 
+  /** One oracle text shared by `cdc_scd2` (the composed semi/anti-join
+    * twin) and `q_sql_merge` (the real `MERGE INTO` statement) — both
+    * must produce this table row-for-row.
+    */
+  private val scd2Oracle =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+      |  FROM customer
+      |), changes AS (
+      |  SELECT k, bal + CAST(100.50 AS DECIMAL(18,4)) AS bal
+      |  FROM base WHERE k % 7 = 3
+      |), inserts AS (
+      |  SELECT k + (SELECT max(k) + 1 FROM base) AS k, bal
+      |  FROM base WHERE k % 11 = 5
+      |)
+      |SELECT k AS c_custkey, CAST(bal AS DOUBLE) AS acctbal,
+      |  CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS valid_from,
+      |  CAST(1 AS BIGINT) AS valid_to, false AS is_current
+      |FROM base WHERE k % 7 = 3
+      |UNION ALL
+      |SELECT k, CAST(bal AS DOUBLE), 1, 0, NULL, true
+      |FROM base WHERE k % 7 <> 3
+      |UNION ALL
+      |SELECT k, CAST(bal AS DOUBLE), 2, 1, NULL, true FROM changes
+      |UNION ALL
+      |SELECT k, CAST(bal AS DOUBLE), 1, 1, NULL, true FROM inserts""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same matched/unmatched split spelled as WHERE branches
-    "cdc_scd2" ->
-      """WITH base AS (
-        |  SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
-        |  FROM customer
-        |), changes AS (
-        |  SELECT k, bal + CAST(100.50 AS DECIMAL(18,4)) AS bal
-        |  FROM base WHERE k % 7 = 3
-        |), inserts AS (
-        |  SELECT k + (SELECT max(k) + 1 FROM base) AS k, bal
-        |  FROM base WHERE k % 11 = 5
-        |)
-        |SELECT k AS c_custkey, CAST(bal AS DOUBLE) AS acctbal,
-        |  CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS valid_from,
-        |  CAST(1 AS BIGINT) AS valid_to, false AS is_current
-        |FROM base WHERE k % 7 = 3
-        |UNION ALL
-        |SELECT k, CAST(bal AS DOUBLE), 1, 0, NULL, true
-        |FROM base WHERE k % 7 <> 3
-        |UNION ALL
-        |SELECT k, CAST(bal AS DOUBLE), 2, 1, NULL, true FROM changes
-        |UNION ALL
-        |SELECT k, CAST(bal AS DOUBLE), 1, 1, NULL, true FROM inserts""".stripMargin,
+    "cdc_scd2" -> scd2Oracle,
+
+    // the real MERGE statement must land on the identical table
+    "q_sql_merge" -> scd2Oracle,
 
     // the scd2 CTE chain + the same interval predicate over both
     // version boundaries

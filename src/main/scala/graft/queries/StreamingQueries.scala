@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.streaming.{CusumStream, PseudoWindow}
+import graft.streaming.{CusumStream, GapFillStream, PseudoWindow}
 
 /** Streaming operators run end-to-end as bounded MULTI-BATCH queries:
   * the events table is split into [[NumSplits]] time-ordered files and
@@ -740,6 +740,31 @@ object StreamingQueries {
                 col("k_up").as("kUp"), col("k_dn").as("kDn"), col("h"))
         .as[CusumStream.In]
       runToMemory(s, CusumStream.chart(in).toDF())
+    }),
+
+    // STREAMING LOCF GAP-FILL — events_gapfill's streaming twin. The
+    // batch resampler is a generated grid + one shuffle + a running
+    // ignoreNulls frame; continuously, the same semantics are per-key
+    // ordered state that must emit on TIME PASSING (watermark), not
+    // on data arriving — empty buckets get rows too. GapFillStream
+    // holds (cursor, carry, open-hour partials) per key and drains
+    // buckets as the watermark closes them; the decimal-string
+    // partial-sum transport keeps hour means bit-identical to the
+    // batch aggregate even when an hour straddles micro-batches.
+    // Emission cutoff = hours closed by the final watermark (the
+    // shared stream_* contract); the grid origin is the fixture's
+    // global min hour, computed batch-side (a production resampler's
+    // grid anchor is config, not stream-derived).
+    "stream_gapfill" -> ((s, dir) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[GapFillStream.In]
+      val h0 = graft.tables.Tables.events(s, dir)
+        .agg(min(expr("ts_ms - ts_ms % 3600000"))).head.getLong(0)
+      val in = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_type").as("key"), col("ts_ms").as("tsMs"),
+                col("value"), col("ts"))
+        .as[GapFillStream.In]
+      runToMemory(s, GapFillStream.grid(in, h0).toDF())
     })
   )
 
@@ -839,6 +864,38 @@ object StreamingQueries {
     // Sum-merge of per-batch hourly partials ≡ the batch profile —
     // shares the batch seasonality oracle.
     "stream_seasonality" -> EventQueries.oracleSql("events_seasonality"),
+
+    // events_gapfill's oracle with the append-mode cutoff: the stream
+    // emits exactly the buckets the final watermark (= max ts) closed.
+    // Truncating the grid tail cannot change earlier rows — LOCF only
+    // carries forward.
+    "stream_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - (epoch_ns(ts) // 1000000) % 3600000 AS hour_ms,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    value
+        |  FROM events
+        |), hourly AS (
+        |  SELECT event_type, hour_ms, CAST(count(*) AS BIGINT) AS cnt,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_r
+        |  FROM e GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(hour_ms) AS h0, max(hour_ms) AS h1, max(ts_ms) AS wm FROM e
+        |), grid AS (
+        |  SELECT ty.event_type, u.g AS hour_ms
+        |  FROM (SELECT DISTINCT event_type FROM e) ty, b,
+        |       unnest(generate_series(b.h0, b.h1, 3600000)) u(g)
+        |  WHERE u.g + 3599999 <= b.wm
+        |)
+        |SELECT g.event_type, g.hour_ms,
+        |  coalesce(h.cnt, 0) AS cnt,
+        |  (h.cnt IS NULL) AS is_gap,
+        |  last_value(h.avg_r IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_r
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_ms = g.hour_ms""".stripMargin,
 
     // Batch twin of the stream-static enrichment: same stats, same
     // z-threshold, same hourly grouping, with the append-mode cutoff —

@@ -151,4 +151,27 @@ class StreamStateSizeSpec extends SparkSpec {
     assert(s10 <= 3 * s1,
       s"join state grew with history: 1x max=$s1, 10x max=$s10")
   }
+
+  // stream_gapfill's operator shape: per-key LOCF gap-fill. State is
+  // one row per key holding (cursor, carry, open-hour partials) —
+  // pending drains as the watermark closes buckets, so total state
+  // rows are O(keys) and the per-key blob is O(horizon), never
+  // O(history). 10× more replay HOURS must not move the row count.
+  private def gapfill(src: DataFrame): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[GapFillStream.In]
+    val in = src
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type").as("key"), col("ts_ms").as("tsMs"),
+              lit(1.0).as("value"), col("ts"))
+      .as[GapFillStream.In]
+    GapFillStream.grid(in, gridOriginMs = 0L).toDF()
+  }
+
+  test("gap-fill state rows stay flat across a 10x-history replay") {
+    val s1 = maxStateRows(gapfill(source(dir1x)))
+    val s10 = maxStateRows(gapfill(source(dir10x)))
+    assert(s1 > 0)
+    assert(s10 <= 3 * s1,
+      s"gap-fill state grew with history: 1x max=$s1, 10x max=$s10")
+  }
 }
