@@ -78,10 +78,27 @@ object ScaleBench {
     "stream_static_join", "stream_drift", "stream_seasonality",
     "stream_gapfill")
 
+  /** The per-series sorts (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
+    * item 5): each partitions its window by `event_type` and sorts
+    * within the series, so the self-union adversary (same types, N×
+    * LONGER series) measures the worst axis — a bigger single sort per
+    * partition. Production scaling is the OTHER axis: more endpoints /
+    * metrics / tenants = more SERIES of unchanged length, which are
+    * independent window partitions that distribute. The series mode
+    * measures that axis directly.
+    */
+  private val SeriesScaledQueries = Seq(
+    "events_drift", "events_binning", "sketch_quantiles_by_type",
+    "events_seasonality", "events_anomaly")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    // "corpus" (default): self-union adversary — same keys/types, N×
+    // denser buckets / longer series. "series": events self-unioned
+    // under N× DISTINCT event_type values — more series, same length.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "corpus")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -92,7 +109,9 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaled = buildScaledDir(spark, sfDir, factor)
+    val scaled =
+      if (mode == "series") buildSeriesScaledDir(spark, sfDir, factor)
+      else buildScaledDir(spark, sfDir, factor)
 
     // Warm the session (scheduler, codegen, decimal path) so the first
     // measured query doesn't absorb one-time session cost.
@@ -118,17 +137,21 @@ object ScaleBench {
     // Build both split source dirs BEFORE timing: the one-time
     // read-sort-write of the events fixture is harness setup (Bench
     // warms it the same way), not per-query streaming cost.
-    try {
-      graft.queries.StreamingQueries.eventsStream(spark, sfDir)
-      graft.queries.StreamingQueries.eventsStream(spark, scaled.toString)
-    } catch { case _: Throwable => () }
+    if (mode != "series") {
+      try {
+        graft.queries.StreamingQueries.eventsStream(spark, sfDir)
+        graft.queries.StreamingQueries.eventsStream(spark, scaled.toString)
+      } catch { case _: Throwable => () }
+    }
 
     // SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the run (targeted 100×
     // rows without paying for the full suite at that factor).
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = (ScaledQueries ++ StreamScaledQueries)
-      .filter(q => only.forall(_.contains(q)))
+    val baseQueries =
+      if (mode == "series") SeriesScaledQueries
+      else ScaledQueries ++ StreamScaledQueries
+    val selected = baseQueries.filter(q => only.forall(_.contains(q)))
     val rows = selected.map { name =>
       val t1 = time(name, sfDir)
       val tN = time(name, scaled.toString)
@@ -141,7 +164,7 @@ object ScaleBench {
     // contrast row to dedup_semantic_fast's fixed-nlist quadratic
     // (run when selected, or by default with the full suite).
     def customRow(name: String)(run: (String, Int) => Unit): Seq[(String, Double, Double)] =
-      if (only.forall(_.contains(name))) {
+      if (mode != "series" && only.forall(_.contains(name))) {
         def timeIt(dir: String, nlist: Int): Double = {
           graft.queries.Artifacts.clear()
           spark.catalog.clearCache()
@@ -176,7 +199,7 @@ object ScaleBench {
     val qs = (rows ++ scaledNlistRows).map { case (n, t1, tN) =>
       f""""$n":{"x1":$t1%.3f,"x$factor%d":$tN%.3f,"ratio":${tN / t1}%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"factor":$factor,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"factor":$factor,"mode":"$mode","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -263,6 +286,41 @@ object ScaleBench {
         .reduce(_.unionAll(_))
         .write.mode("overwrite").parquet(tmp.resolve("customer.parquet").toString)
     }
+    tmp
+  }
+
+  /** More-SERIES temp dir: events self-unioned `factor` ways with a
+    * DISTINCT `event_type` per copy (`type#i`) and offset event_ids —
+    * timestamps and values untouched, so every copy is a fresh series
+    * of UNCHANGED length (vs [[buildScaledDir]]'s same-type union that
+    * makes each series `factor`× LONGER). The per-series window sorts
+    * (`events_drift`/`events_binning`/`sketch_quantiles_by_type`)
+    * partition on `event_type`: this dir multiplies their partition
+    * COUNT, the axis a production deployment actually grows on (more
+    * endpoints/metrics/tenants), while the per-partition sort stays
+    * constant-size.
+    */
+  private[graft] def buildSeriesScaledDir(spark: SparkSession, sfDir: String,
+                                          factor: Int): Path = {
+    val tmp = Files.createTempDirectory("graft-series-")
+    sys.addShutdownHook {
+      if (Files.exists(tmp)) {
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
+    }
+    Files.list(Paths.get(sfDir)).iterator().asScala
+      .filterNot(_.getFileName.toString.startsWith("events"))
+      .foreach(p => Files.createSymbolicLink(tmp.resolve(p.getFileName), p))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val eOff = ev.agg(max("event_id")).head.getLong(0) + 1
+    (0 until factor)
+      .map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * eOff))
+        .withColumn("event_type", concat(col("event_type"), lit(s"#$i"))))
+      .reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
     tmp
   }
 }
