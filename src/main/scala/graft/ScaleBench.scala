@@ -78,14 +78,17 @@ object ScaleBench {
     "stream_static_join", "stream_drift", "stream_seasonality",
     "stream_gapfill")
 
-  /** The per-series sorts (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
-    * item 5): each partitions its window by `event_type` and sorts
-    * within the series, so the self-union adversary (same types, N×
-    * LONGER series) measures the worst axis — a bigger single sort per
-    * partition. Production scaling is the OTHER axis: more endpoints /
+  /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
+    * item 5): three of the five (`events_drift`, `events_binning`,
+    * `sketch_quantiles_by_type`) partition a window by `event_type` and
+    * sort within the series, so the corpus-mode self-union (same types,
+    * N× LONGER series) measures their worst axis — a bigger single sort
+    * per partition; the other two (`events_seasonality`,
+    * `events_anomaly`) are per-type hash aggregations that scale on
+    * group count. Production scaling is the OTHER axis: more endpoints /
     * metrics / tenants = more SERIES of unchanged length, which are
-    * independent window partitions that distribute. The series mode
-    * measures that axis directly.
+    * independent window partitions / groups that distribute. The series
+    * mode measures that axis directly.
     */
   private val SeriesScaledQueries = Seq(
     "events_drift", "events_binning", "sketch_quantiles_by_type",
@@ -98,7 +101,11 @@ object ScaleBench {
     // "corpus" (default): self-union adversary — same keys/types, N×
     // denser buckets / longer series. "series": events self-unioned
     // under N× DISTINCT event_type values — more series, same length.
+    // Fail fast on anything else (a typo must not silently fall back
+    // to the 70+-query corpus run).
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "corpus")
+    require(mode == "corpus" || mode == "series",
+      s"SPARK_GRAFT_SCALE_MODE='$mode' — accepted values: corpus, series")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -225,19 +232,23 @@ object ScaleBench {
       .foreach(p => Files.createSymbolicLink(tmp.resolve(p.getFileName), p))
 
     if (tables("events")) {
-      // events: raw nanos ts (the streaming source's schema), offset per
-      // copy by span + 1 h so copies never interleave
+      // events: normalize the fixture's ts to epoch-ms (adaptive to its
+      // physical type, Tables.tsMsExpr), offset each copy by span + 1 h
+      // so copies never interleave, and write ts back as ms-precision
+      // TIMESTAMP — the adaptive loaders read either shape.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val loaded = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = loaded.withColumn("__ms", graft.tables.Tables.tsMsExpr(loaded.schema("ts").dataType))
       val (tsMin, tsMax) = {
-        val r = ev.agg(min("ts"), max("ts")).head
+        val r = ev.agg(min("__ms"), max("__ms")).head
         (r.getLong(0), r.getLong(1))
       }
-      val span = tsMax - tsMin + 3600L * 1000000000L
+      val span = tsMax - tsMin + 3600L * 1000L
       val eOff = ev.agg(max("event_id")).head.getLong(0) + 1
       (0 until factor)
         .map(i => ev.withColumn("event_id", col("event_id") + lit(i * eOff))
-                    .withColumn("ts", col("ts") + lit(i * span)))
+                    .withColumn("ts", timestamp_millis(col("__ms") + lit(i * span)))
+                    .drop("__ms"))
         .reduce(_.unionAll(_))
         .write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
     }
@@ -315,10 +326,13 @@ object ScaleBench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val eOff = ev.agg(max("event_id")).head.getLong(0) + 1
+    // concat_ws, not concat: a NULL event_type must still fan out into
+    // per-copy distinct series instead of collapsing every copy's null
+    // rows into one factor×-longer null series.
     (0 until factor)
       .map(i => ev
         .withColumn("event_id", col("event_id") + lit(i * eOff))
-        .withColumn("event_type", concat(col("event_type"), lit(s"#$i"))))
+        .withColumn("event_type", concat_ws("#", coalesce(col("event_type"), lit("null")), lit(i.toString))))
       .reduce(_.unionAll(_))
       .write.mode("overwrite").parquet(tmp.resolve("events.parquet").toString)
     tmp

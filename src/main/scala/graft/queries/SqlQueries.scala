@@ -12,17 +12,37 @@ import graft.tables.Tables
   */
 object SqlQueries {
 
-  /** Register every sf table as a temp view (idempotent per session). */
-  def registerViews(s: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
-    Tables.documents(s, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
-    Tables.events(s, dir).createOrReplaceTempView("events")
+  private val AllTables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings", "events")
+
+  private def loadTable(s: SparkSession, dir: String, t: String): DataFrame = t match {
+    case "documents"  => Tables.documents(s, dir)
+    case "embeddings" => Tables.embeddings(s, dir)
+    case "events"     => Tables.events(s, dir)
+    case other        => Tables.load(s, dir, other)
   }
 
+  /** Register sf tables as temp views (idempotent per session). With
+    * `only` set, just those tables are loaded — the per-query path
+    * passes the tables its SQL text references so one bad fixture
+    * (e.g. a regenerated events.parquet, VERDICT r8) can never take
+    * down SQL queries that don't read it.
+    */
+  def registerViews(s: SparkSession, dir: String,
+                    only: Option[Set[String]] = None): Unit =
+    AllTables.filter(t => only.forall(_.contains(t)))
+      .foreach(t => loadTable(s, dir, t).createOrReplaceTempView(t))
+
+  /** Table names referenced (as whole words) in a SQL text — a
+    * superset of the truly referenced set is fine; registering an
+    * extra view is harmless, missing one is an analysis error.
+    */
+  private def referencedTables(q: String): Set[String] =
+    AllTables.filter(t => s"\\b$t\\b".r.findFirstIn(q).isDefined).toSet
+
   private def sql(q: String): Q = (s, dir) => {
-    registerViews(s, dir)
+    registerViews(s, dir, Some(referencedTables(q)))
     s.sql(q)
   }
 
@@ -37,7 +57,7 @@ object SqlQueries {
     }
 
   private def sqlNative(q: String): Q = (s, dir) => {
-    registerViews(s, dir)
+    registerViews(s, dir, Some(referencedTables(q)))
     registerNativeFunctions(s)
     s.sql(q)
   }

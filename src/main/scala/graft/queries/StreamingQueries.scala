@@ -54,19 +54,27 @@ object StreamingQueries {
     splitCache.synchronized {
       splitCache.getOrElseUpdate(dir, {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("split_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+        val loaded = s.read.parquet(s"$dir/events.parquet")
+        // Normalize to the CANONICAL split-file schema (`ts_ms` BIGINT
+        // instead of the fixture's physical `ts`) before writing, so
+        // eventsStream's explicit file-source schema is independent of
+        // whatever ts type the driver regenerates the fixture with
+        // (nanos-as-long vs TIMESTAMP(MICROS) — see Tables.tsMsExpr).
+        val raw = loaded
+          .withColumn("ts_ms", graft.tables.Tables.tsMsExpr(loaded.schema("ts").dataType))
+          .select(col("event_id"), col("ts_ms"), col("user_id"),
+                  col("event_type"), col("value"), col("props"))
         // Exact quantiles (relativeError=0) of the MILLISECOND ts — the
         // granularity every downstream operator keys on. Cutting on raw
-        // nanos could land a boundary BETWEEN two events that share an
-        // ms but differ in sub-ms nanos (sf0.1 has such pairs), and a
+        // sub-ms ts could land a boundary BETWEEN two events that share
+        // an ms but differ below it (sf0.1 has such pairs), and a
         // cross-batch stateful fold (CusumStream) would then process
         // them in stream order instead of the batch oracle's
         // (ts_ms, event_id) order. Cutting on ms keeps every ms cohort
         // in exactly one split; the long comparison is exact, so
         // equal-ms rows land in exactly one split.
         val bounds = raw.stat
-          .approxQuantile("split_ms", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
+          .approxQuantile("ts_ms", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
           .map(_.toLong)
         val srcDir = Files.createTempDirectory("graft-stream-splits-")
         val work = Files.createTempDirectory("graft-stream-splitwork-")
@@ -75,9 +83,8 @@ object StreamingQueries {
           val lo = if (i == 0) None else Some(bounds(i - 1))
           val hi = if (i == NumSplits - 1) None else Some(bounds(i))
           val slice = raw
-            .filter(lo.map(col("split_ms") >= _).getOrElse(lit(true)) &&
-                    hi.map(col("split_ms") < _).getOrElse(lit(true)))
-            .drop("split_ms")
+            .filter(lo.map(col("ts_ms") >= _).getOrElse(lit(true)) &&
+                    hi.map(col("ts_ms") < _).getOrElse(lit(true)))
           val out = work.resolve(s"out$i")
           slice.coalesce(1).write.parquet(out.toString)
           val part = Files.list(out).iterator().asScala
@@ -95,19 +102,20 @@ object StreamingQueries {
     }
 
   /** events as a streaming DataFrame with (ts_ms, ts) like
-    * Tables.events (nanos → ms; file sources need an explicit schema),
-    * replayed one time-ordered file per trigger.
+    * Tables.events, replayed one time-ordered file per trigger. The
+    * split files carry the canonical `ts_ms` BIGINT column (written by
+    * [[splitSourceDir]]), so this explicit file-source schema never
+    * tracks the fixture's physical ts type.
     */
   private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts_ms", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val srcDir = splitSourceDir(s, dir)
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
-      .withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
       .withColumn("ts", timestamp_millis(col("ts_ms")))
   }
 

@@ -76,9 +76,8 @@ class MultiBatchReplaySpec extends SparkSpec {
     while (files.hasNext) {
       val f = files.next()
       if (f.getFileName.toString.endsWith(".parquet")) {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val r = spark.read.parquet(f.toString)
-          .select(expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"))
+          .select(col("ts_ms").as("ms"))
           .agg(min(col("ms")), max(col("ms"))).head
         ranges += ((f.getFileName.toString, r.getLong(0), r.getLong(1)))
       }
