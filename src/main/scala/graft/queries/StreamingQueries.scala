@@ -773,11 +773,62 @@ object StreamingQueries {
                 col("value"), col("ts"))
         .as[GapFillStream.In]
       runToMemory(s, GapFillStream.grid(in, h0).toDF())
+    }),
+
+    // The same LOCF grid on transformWithState (engine-managed
+    // MapState + ValueState + named timers) — the PseudoWindow /
+    // PseudoWindowTws pairing applied to the resampler, so both
+    // stateful APIs cover the emit-on-time-passing pattern. Shares
+    // stream_gapfill's oracle: the hash match proves fmgws ≡ tws ≡
+    // batch for this operator.
+    "stream_gapfill_tws" -> ((s, dir) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[GapFillStream.In]
+      val h0 = graft.tables.Tables.events(s, dir)
+        .agg(min(expr("ts_ms - ts_ms % 3600000"))).head.getLong(0)
+      val in = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_type").as("key"), col("ts_ms").as("tsMs"),
+                col("value"), col("ts"))
+        .as[GapFillStream.In]
+      runToMemory(s, graft.streaming.GapFillStreamTws.grid(in, h0).toDF(),
+        rocksdb = true)
     })
   )
 
   // Both oracles cut at the final watermark: windows closed by
   // wm = max(ts_ms) are exactly those with end ≤ wm.
+  /** Shared by `stream_gapfill` (flatMapGroupsWithState) and
+    * `stream_gapfill_tws` (transformWithState): both compute the same
+    * LOCF hourly grid, so one oracle text pins fmgws ≡ tws ≡ batch.
+    */
+  private val GapfillOracle =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 1000000) - (epoch_ns(ts) // 1000000) % 3600000 AS hour_ms,
+      |    epoch_ns(ts) // 1000000 AS ts_ms,
+      |    value
+      |  FROM events
+      |), hourly AS (
+      |  SELECT event_type, hour_ms, CAST(count(*) AS BIGINT) AS cnt,
+      |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_r
+      |  FROM e GROUP BY 1, 2
+      |), b AS (
+      |  SELECT min(hour_ms) AS h0, max(hour_ms) AS h1, max(ts_ms) AS wm FROM e
+      |), grid AS (
+      |  SELECT ty.event_type, u.g AS hour_ms
+      |  FROM (SELECT DISTINCT event_type FROM e) ty, b,
+      |       unnest(generate_series(b.h0, b.h1, 3600000)) u(g)
+      |  WHERE u.g + 3599999 <= b.wm
+      |)
+      |SELECT g.event_type, g.hour_ms,
+      |  coalesce(h.cnt, 0) AS cnt,
+      |  (h.cnt IS NULL) AS is_gap,
+      |  last_value(h.avg_r IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.hour_ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_r
+      |FROM grid g
+      |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_ms = g.hour_ms""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "stream_window_agg" ->
       """WITH e AS (
@@ -877,33 +928,9 @@ object StreamingQueries {
     // emits exactly the buckets the final watermark (= max ts) closed.
     // Truncating the grid tail cannot change earlier rows — LOCF only
     // carries forward.
-    "stream_gapfill" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    (epoch_ns(ts) // 1000000) - (epoch_ns(ts) // 1000000) % 3600000 AS hour_ms,
-        |    epoch_ns(ts) // 1000000 AS ts_ms,
-        |    value
-        |  FROM events
-        |), hourly AS (
-        |  SELECT event_type, hour_ms, CAST(count(*) AS BIGINT) AS cnt,
-        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_r
-        |  FROM e GROUP BY 1, 2
-        |), b AS (
-        |  SELECT min(hour_ms) AS h0, max(hour_ms) AS h1, max(ts_ms) AS wm FROM e
-        |), grid AS (
-        |  SELECT ty.event_type, u.g AS hour_ms
-        |  FROM (SELECT DISTINCT event_type FROM e) ty, b,
-        |       unnest(generate_series(b.h0, b.h1, 3600000)) u(g)
-        |  WHERE u.g + 3599999 <= b.wm
-        |)
-        |SELECT g.event_type, g.hour_ms,
-        |  coalesce(h.cnt, 0) AS cnt,
-        |  (h.cnt IS NULL) AS is_gap,
-        |  last_value(h.avg_r IGNORE NULLS) OVER (
-        |    PARTITION BY g.event_type ORDER BY g.hour_ms
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_r
-        |FROM grid g
-        |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour_ms = g.hour_ms""".stripMargin,
+    "stream_gapfill" -> GapfillOracle,
+    // tws twin computes the identical grid — same oracle text.
+    "stream_gapfill_tws" -> GapfillOracle,
 
     // Batch twin of the stream-static enrichment: same stats, same
     // z-threshold, same hourly grouping, with the append-mode cutoff —
