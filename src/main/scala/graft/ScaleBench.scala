@@ -35,6 +35,7 @@ object ScaleBench {
     "dedup_containment",
     "dedup_semantic",
     "dedup_semantic_fast", "dedup_semantic_hier", "dedup_semantic_scaled",
+    "dedup_semantic_hier_scaled",
     "pipeline_source_report",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",
     "ann_topk_lsh_fast", "ann_topk_ivf", "ann_topk_filtered",
