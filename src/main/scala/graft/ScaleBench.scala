@@ -42,7 +42,7 @@ object ScaleBench {
     "kmeans_step", "kmeans_train",
     "pq_codes", "ann_topk_pq", "ann_topk_pq_rerank", "ann_topk_ivfpq",
     "sq_codes", "ann_topk_sq",
-    "text_redact", "text_repetition", "text_c4_filters",
+    "text_redact", "text_repetition", "text_c4_filters", "text_chunk",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "pipeline_k_anonymity",
     "pipeline_anonymize",

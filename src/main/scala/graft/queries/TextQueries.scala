@@ -12,7 +12,36 @@ import graft.text.TextOps
   */
 object TextQueries {
 
+  /** Sliding-window chunk geometry for `text_chunk`: window of
+    * ChunkSize chars advancing by ChunkStride (overlap = Size−Stride)
+    * — the standard RAG / context-prep shape. Fixture docs are 48-553
+    * chars, so every doc yields 1-7 chunks and both the overlap and
+    * the short-tail cases are exercised.
+    */
+  private val ChunkSize = 120
+  private val ChunkStride = 90
+
   val queries: Map[String, Q] = Map(
+
+    // Document CHUNKING — the context-window prep step every RAG /
+    // embedding / training pipeline runs before vectorizing or
+    // packing: fixed-size character windows with overlap, emitted
+    // with stable (doc_id, chunk_idx) identity so downstream
+    // embedding and packing stages key on the chunk. One generator
+    // projection (explode over an arithmetic sequence) — zero
+    // exchanges, no UDF; at 100 TB this is a map-only pass whose
+    // output feeds the ANN index build.
+    "text_chunk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), (length(col("text")) - 1).cast("int"),
+            lit(ChunkStride))).as("start_pos"))
+        .select(col("doc_id"),
+          (col("start_pos") / ChunkStride).cast("long").as("chunk_idx"),
+          col("start_pos").cast("long").as("start_pos"),
+          expr(s"substring(text, start_pos + 1, $ChunkSize)").as("chunk_text"))
+        .withColumn("chunk_len", length(col("chunk_text")).cast("long"))),
 
     // Per-document token statistics (pure projection — no shuffle).
     "text_stats" -> ((s, dir) =>
@@ -641,6 +670,16 @@ object TextQueries {
   private val Bm25Terms = Seq("dup", "spark", "vector")
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""SELECT d.doc_id,
+         |  CAST(g.s // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(g.s AS BIGINT) AS start_pos,
+         |  substr(d.text, CAST(g.s AS INT) + 1, $ChunkSize) AS chunk_text,
+         |  CAST(length(substr(d.text, CAST(g.s AS INT) + 1, $ChunkSize)) AS BIGINT) AS chunk_len
+         |FROM documents d,
+         |  unnest(generate_series(0, length(d.text) - 1, $ChunkStride)) g(s)
+         |WHERE length(d.text) > 0""".stripMargin,
+
     "text_stats" ->
       s"""$toksCte
          |SELECT doc_id, n_chars,
