@@ -440,6 +440,48 @@ object TextQueries {
       perRound.reduce(_.unionByName(_))
     }),
 
+    // BPE ENCODE — the APPLY side of the tokenizer loop
+    // (text_bpe_train learns the merges; this runs them over the
+    // corpus): re-derive the 3 trained merges with the identical
+    // winner chain, then apply them in training order to every word
+    // of every document and account tokens per doc — the token-budget
+    // bookkeeping (n_bpe_tokens, compression vs raw chars) a training
+    // pipeline runs with its OWN trained vocab, not a generic
+    // whitespace count. The merges ride in a 1-row broadcast; the
+    // encode itself is a projection + one partial-aggregable per-doc
+    // agg — O(rounds·n) total, no pair recount at encode time.
+    "text_bpe_encode" -> ((s, dir) => {
+      val placeholders = Seq("#", "@", "~")
+      var syms = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("sym"))
+      val winners = placeholders.map { ph =>
+        val w = syms.filter(length(col("sym")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("sym")) - 1),
+            i => col("sym").substr(i, lit(2)))).as("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("p")).limit(1)
+          .select(col("p"))
+        syms = syms.crossJoin(broadcast(w.select(col("p").as("w"))))
+          .select(expr(s"replace(sym, w, '$ph')").as("sym")).localCheckpoint()
+        w
+      }
+      val wFrame = broadcast(winners(0).select(col("p").as("w1"))
+        .crossJoin(winners(1).select(col("p").as("w2")))
+        .crossJoin(winners(2).select(col("p").as("w3"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("sym"))
+        .crossJoin(wFrame)
+        .select(col("doc_id"), col("sym"),
+          expr("replace(replace(replace(sym, w1, '#'), w2, '@'), w3, '~')").as("m"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+             sum(length(col("sym"))).cast("long").as("n_chars"),
+             sum(length(col("m"))).cast("long").as("n_bpe_tokens"),
+             round(sum(length(col("m"))).cast("double") /
+                   sum(length(col("sym"))).cast("double"), 6).as("compression"))
+    }),
+
     // Zipf rank-frequency profile of the corpus vocabulary — the
     // distribution diagnostic every corpus report includes: tokens
     // ranked by frequency with each rank's share of the top-1 count
@@ -1095,6 +1137,39 @@ object TextQueries {
          |SELECT CAST(3 AS BIGINT), winner,
          |  CAST(sum(length(sym) - length(sym2)) AS BIGINT)
          |FROM m3 GROUP BY 2""".stripMargin
+    },
+
+    // Same winner chain, then the merges applied per document word in
+    // training order — the per-doc token accounting twin.
+    "text_bpe_encode" -> {
+      def winnerCte(src: String, w: String) =
+        s"""$w AS (
+           |  SELECT p AS winner FROM (
+           |    SELECT unnest(list_transform(generate_series(1, length(sym) - 1),
+           |      i -> substr(sym, i, 2))) AS p
+           |    FROM $src WHERE length(sym) >= 2
+           |  ) GROUP BY p ORDER BY count(*) DESC, p LIMIT 1
+           |)""".stripMargin
+      s"""WITH s0 AS (
+         |  SELECT unnest(string_split(text, ' ')) AS sym FROM documents
+         |), ${winnerCte("s0", "w1")}, s1 AS (
+         |  SELECT replace(s0.sym, w1.winner, '#') AS sym FROM s0, w1
+         |), ${winnerCte("s1", "w2")}, s2 AS (
+         |  SELECT replace(s1.sym, w2.winner, '@') AS sym FROM s1, w2
+         |), ${winnerCte("s2", "w3")}, enc AS (
+         |  SELECT t.doc_id, t.sym,
+         |    replace(replace(replace(t.sym, w1.winner, '#'), w2.winner, '@'),
+         |            w3.winner, '~') AS m
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS sym
+         |        FROM documents) t, w1, w2, w3
+         |)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(sym)) AS BIGINT) AS n_chars,
+         |  CAST(sum(length(m)) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(length(m)) AS DOUBLE) /
+         |        CAST(sum(length(sym)) AS DOUBLE), 6) AS compression
+         |FROM enc GROUP BY doc_id""".stripMargin
     },
 
     "text_zipf" ->
