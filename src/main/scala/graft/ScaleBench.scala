@@ -53,7 +53,7 @@ object ScaleBench {
     "sketch_hll_users", "sketch_cms_tokens", "sketch_quantiles",
     "sketch_kmv", "sketch_kmv_jaccard", "sketch_join_size", "text_bpe_train",
     "text_bpe_encode",
-    "text_bm25", "text_inverted_index", "text_keywords", "search_hybrid_rrf",
+    "text_bm25", "text_inverted_index", "text_keywords", "search_hybrid_rrf", "search_mmr",
     "search_hybrid_rrf_indexed", "ann_index_append",
     "layout_zorder", "q_bucketed_join",
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",

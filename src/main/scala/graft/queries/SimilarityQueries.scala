@@ -26,6 +26,11 @@ object SimilarityQueries {
   private val NProbe = 2
   private val NearDupCos = 0.2
 
+  /** Shortlist depth `search_mmr` re-ranks (the pq_rerank operating
+    * point: a 20-candidate exact shortlist feeding a TopK selection).
+    */
+  private val MmrShortlist = 20
+
   /** Per-modality shortlist depth for `search_hybrid_rrf` — the
     * standard RRF operating point (fuse two top-20s to a top-5).
     * private[graft]: HybridRrfSpec asserts the fusion law against it.
@@ -638,6 +643,73 @@ object SimilarityQueries {
           .select(col("q_id"), col("vec_id").as("doc_id"),
                   col("rank_sem").cast("long").as("rank_sem"))
       })),
+
+    // MMR re-rank (maximal marginal relevance, Carbonell & Goldstein
+    // 1998) — the diversity-aware selection step a production RAG /
+    // retrieval stack runs over its ANN shortlist: greedily pick
+    // argmax of λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s), so
+    // near-duplicate candidates can't crowd the result set. The
+    // expensive part (the corpus scan) is the shortlist, which the
+    // IVF/PQ family already bounds; MMR itself touches only
+    // shortlist² pairwise sims per query (20² here) — broadcast-size
+    // at any corpus scale. TopK unrolled greedy rounds with the
+    // kmeans convention: scores 9-dp-quantized at each pick boundary,
+    // (score DESC, vec_id) tiebreak, so every pick is engine-exact
+    // and the DuckDB twin unrolls the identical rounds.
+    "search_mmr" -> ((s, dir) => {
+      val emb = embWithNorm(s, dir)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"))
+      val wRel = Window.partitionBy(col("q_id"))
+        .orderBy(col("rel").desc, col("vec_id"))
+      val cands = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rel",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank_rel", row_number().over(wRel))
+        .filter(col("rank_rel") <= MmrShortlist)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+        .localCheckpoint()
+      val sa = cands.select(col("q_id"), col("vec_id").as("a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val sb = cands.select(col("q_id"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val sims = sa.join(sb, Seq("q_id")).filter(col("a") =!= col("b"))
+        .withColumn("sim",
+          VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
+            (col("na") * col("nb")))
+        .select(col("q_id"), col("a"), col("b"), col("sim"))
+        .localCheckpoint()
+      val slim = cands.select(col("q_id"), col("vec_id"), col("rel"))
+      var selected = slim
+        .withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("mmr_rank"),
+                col("rel").as("score"))
+      for (r <- 2 to TopK) {
+        val sel = selected.select(col("q_id"), col("vec_id"))
+        val scored = slim
+          .join(sel, Seq("q_id", "vec_id"), "left_anti")
+          .join(sims.select(col("q_id"), col("a").as("vec_id"), col("b"), col("sim")),
+                Seq("q_id", "vec_id"))
+          .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+          .groupBy(col("q_id"), col("vec_id"), col("rel"))
+          .agg(max(col("sim")).as("maxsim"))
+          .withColumn("score",
+            round(lit(0.7) * col("rel") - lit(0.3) * col("maxsim"), 9))
+        val wPick = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))
+        selected = selected.unionByName(
+          scored.withColumn("rk", row_number().over(wPick))
+            .filter(col("rk") === 1)
+            .select(col("q_id"), col("vec_id"), lit(r.toLong).as("mmr_rank"),
+                    col("score"))).localCheckpoint()
+      }
+      selected.select(col("q_id"), col("mmr_rank"), col("vec_id"),
+        round(col("score"), 6).as("score_r"))
+    }),
 
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
@@ -1673,6 +1745,59 @@ object SimilarityQueries {
          |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
          |  FROM sems QUALIFY rank_sem <= $HybridShortlist
          |)$hybridFuseTail""".stripMargin,
+
+    // Unrolled TopK-round greedy: each round anti-joins the selected
+    // picks, max-aggregates sim to them, quantizes the MMR score to
+    // 9 dp, and takes the (score DESC, vec_id) argmax — mirror of the
+    // engine's loop, round for round.
+    "search_mmr" -> {
+      def pickRound(r: Int): String = {
+        val selUnion = (1 until r)
+          .map(i => s"SELECT q_id, vec_id FROM p$i").mkString(" UNION ALL ")
+        s"""sel$r AS ($selUnion), sc$r AS (
+           |  SELECT c.q_id, c.vec_id,
+           |    round(0.7 * c.rel - 0.3 * max(s.sim), 9) AS score
+           |  FROM cands c
+           |  LEFT JOIN sel$r dup ON dup.q_id = c.q_id AND dup.vec_id = c.vec_id
+           |  JOIN sims s ON s.q_id = c.q_id AND s.a = c.vec_id
+           |  JOIN sel$r sel ON sel.q_id = s.q_id AND sel.vec_id = s.b
+           |  WHERE dup.vec_id IS NULL
+           |  GROUP BY c.q_id, c.vec_id, c.rel
+           |), p$r AS (
+           |  SELECT q_id, vec_id, CAST($r AS BIGINT) AS mmr_rank, score
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |          ORDER BY score DESC, vec_id) AS rk FROM sc$r)
+           |  WHERE rk = 1
+           |)""".stripMargin
+      }
+      val rounds = (2 to TopK).map(pickRound).mkString(", ")
+      val finalUnion = (1 to TopK)
+        .map(i => s"SELECT q_id, mmr_rank, vec_id, score FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""WITH cands AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |      ${duckCos("q.embedding", "c.embedding")} AS rel,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC, c.vec_id)
+         |        AS rank_rel
+         |    FROM embeddings q, embeddings c
+         |    WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |  ) WHERE rank_rel <= $MmrShortlist
+         |), sims AS (
+         |  SELECT x.q_id, x.vec_id AS a, y.vec_id AS b,
+         |    ${duckCos("ex.embedding", "ey.embedding")} AS sim
+         |  FROM cands x
+         |  JOIN cands y ON x.q_id = y.q_id AND x.vec_id <> y.vec_id
+         |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+         |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+         |), p1 AS (
+         |  SELECT q_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank, rel AS score
+         |  FROM cands WHERE rank_rel = 1
+         |), $rounds
+         |SELECT q_id, mmr_rank, vec_id, round(score, 6) AS score_r
+         |FROM ($finalUnion)""".stripMargin
+    },
 
     "ann_topk_bruteforce" ->
       s"""WITH pairs AS (
