@@ -157,6 +157,58 @@ object StreamingQueries {
       })
     }
 
+  /** embeddings-dir → vec_id-range split dir (3 id-ordered files)
+    * restricted to the APPEND batch (`vec_id % 10 >= 8`, the
+    * ann_index_append ingest split) — the arriving-vectors fixture
+    * for streaming index ingest. Range cuts on vec_id: a vector never
+    * straddles a micro-batch.
+    */
+  private val embSplitCache = scala.collection.mutable.HashMap[String, Path]()
+
+  private def embSplitDir(s: SparkSession, dir: String): Path =
+    embSplitCache.synchronized {
+      embSplitCache.getOrElseUpdate(dir, {
+        val raw = s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 10 >= 8)
+        val bounds = raw.stat
+          .approxQuantile("vec_id", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
+          .map(_.toLong)
+        val srcDir = Files.createTempDirectory("graft-emb-splits-")
+        val work = Files.createTempDirectory("graft-emb-splitwork-")
+        val base = System.currentTimeMillis() - 3600000L
+        (0 until NumSplits).foreach { i =>
+          val lo = if (i == 0) None else Some(bounds(i - 1))
+          val hi = if (i == NumSplits - 1) None else Some(bounds(i))
+          val slice = raw
+            .filter(lo.map(col("vec_id") >= _).getOrElse(lit(true)) &&
+                    hi.map(col("vec_id") < _).getOrElse(lit(true)))
+          val out = work.resolve(s"out$i")
+          slice.coalesce(1).write.parquet(out.toString)
+          val part = Files.list(out).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          val dest = srcDir.resolve(f"$i%03d.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(base + i * 1000L))
+        }
+        deleteRecursively(work)
+        sys.addShutdownHook(deleteRecursively(srcDir))
+        srcDir
+      })
+    }
+
+  /** The append batch's vectors as a streaming DataFrame, one
+    * id-ordered file per trigger.
+    */
+  private[graft] def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embSplitDir(s, dir).toString)
+  }
+
   /** documents as a streaming DataFrame, replayed one id-ordered file
     * per trigger — the "daily ingest" fixture.
     */
@@ -792,6 +844,42 @@ object StreamingQueries {
         .as[GapFillStream.In]
       runToMemory(s, graft.streaming.GapFillStreamTws.grid(in, h0).toDF(),
         rocksdb = true)
+    }),
+
+    // STREAMING index ingest — ann_index_append's arriving-batches
+    // twin (the stream_incremental_dedup pattern applied to the
+    // vector index): the append batch's vectors arrive as 3
+    // id-ordered micro-batches; foreachBatch assigns each batch to
+    // the FROZEN base centroids (a pure broadcast projection — the
+    // same marginal cost a vector store pays per ingest tick) and
+    // appends the assignments to the persisted lists. The search then
+    // runs over base lists ∪ streamed assignments. Assignment is a
+    // pure per-row function of the frozen centroids, so
+    // ingest-incremental ≡ batch append ≡ full rebuild row-for-row —
+    // the query shares ann_index_append's oracle, and the hash match
+    // IS the proof.
+    "stream_ann_index_append" -> ((s, dir) => {
+      val centArr = SimilarityQueries.appendCentArr(s, dir)
+      val out = Files.createTempDirectory("graft-annstream-out-")
+      sys.addShutdownHook(deleteRecursively(out))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = embeddingsStream(s, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val withNrm = batch.withColumn("nrm",
+            sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double")))
+          SimilarityQueries.assignTo(withNrm, centArr)
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val appended = SimilarityQueries.appendBaseAssigned(s, dir)
+        .unionByName(s.read.parquet(out.toString))
+      SimilarityQueries.ivfSearchOver(s, dir)(centArr, appended)
     })
   )
 
@@ -904,6 +992,11 @@ object StreamingQueries {
     // hash-match proves ingest-incremental ≡ batch for the dedup
     // decision itself.
     "stream_incremental_dedup" -> DedupQueries.oracleSql("dedup_incremental"),
+
+    // Ingest-incremental index ≡ batch append ≡ full rebuild (frozen
+    // centroids ⇒ assignment is a pure per-row function) — shares the
+    // batch append oracle.
+    "stream_ann_index_append" -> SimilarityQueries.oracleSql("ann_index_append"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
