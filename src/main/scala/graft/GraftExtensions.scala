@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CentroidRanks, DecimalDotProduct, FloatVectorCosine,
-  MinHashSig, PqCodes, ShingleHashes, SimHash32}
+  JaroWinkler, MinHashSig, PqCodes, ShingleHashes, SimHash32}
 
 /** Session-extension entry point: registers the library's native
   * expressions at session build time —
@@ -46,5 +46,8 @@ object GraftExtensions {
      (exprs: Seq[Expression]) => CentroidRanks(exprs.head, exprs(1), exprs(2))),
     (FunctionIdentifier("pq_encode"),
      new ExpressionInfo(classOf[PqCodes].getName, "pq_encode"),
-     (exprs: Seq[Expression]) => PqCodes(exprs.head, exprs(1))))
+     (exprs: Seq[Expression]) => PqCodes(exprs.head, exprs(1))),
+    (FunctionIdentifier("jaro_winkler"),
+     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+     (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
 }

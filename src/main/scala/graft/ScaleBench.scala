@@ -32,7 +32,7 @@ object ScaleBench {
     "graph_modularity",
     "dedup_substring",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
-    "dedup_containment",
+    "dedup_jaro_winkler", "dedup_containment",
     "dedup_semantic",
     "dedup_semantic_fast", "dedup_semantic_hier", "dedup_semantic_scaled",
     "dedup_semantic_hier_scaled",
@@ -55,7 +55,8 @@ object ScaleBench {
     "text_bpe_encode",
     "text_bm25", "text_inverted_index", "text_keywords", "search_hybrid_rrf", "search_mmr",
     "search_hybrid_rrf_indexed", "ann_index_append",
-    "layout_zorder", "q_bucketed_join",
+    "layout_zorder", "layout_hilbert", "q_bucketed_join",
+    "events_regression", "events_entropy_mi",
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
     "q_sql_merge",
     "text_bigram_lm", "text_quality_auc")
@@ -78,7 +79,8 @@ object ScaleBench {
   private val StreamScaledQueries = Seq(
     "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join",
     "stream_static_join", "stream_drift", "stream_seasonality",
-    "stream_gapfill", "stream_gapfill_tws", "stream_ann_index_append")
+    "stream_gapfill", "stream_gapfill_tws", "stream_ann_index_append",
+    "stream_topk")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

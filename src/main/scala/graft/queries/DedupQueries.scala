@@ -690,6 +690,40 @@ object DedupQueries {
                 col("edit_dist"))
     }),
 
+    // JARO-WINKLER record linkage over the same sorted-neighborhood
+    // blocks — the fuzzy-matching scorer entity resolution uses where
+    // edit distance over-penalizes transpositions and length gaps
+    // (names, addresses, titles). Spark has no built-in, so this is
+    // the library's `jaro_winkler` native expression (codegen'd
+    // static kernel — stays inside the blocking join's whole-stage
+    // span; a Scala UDF would box every pair), case-verified against
+    // DuckDB's `jaro_winkler_similarity`, which is also the oracle
+    // here. Decisions compare the 6-dp-rounded score (fixture margin
+    // from the 0.92 threshold: 0.045 — JaroWinklerSpec pins it), so
+    // the keep set is engine-identical. Same linear blocking scale
+    // shape as dedup_sorted_neighborhood: sort + bounded window,
+    // never all-pairs.
+    "dedup_jaro_winkler" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.JaroWinkler
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 64)
+            .as("snkey"))
+        .withColumn("bkt", substring(col("snkey"), 1, 2))
+      val w = Window.partitionBy(col("bkt")).orderBy(col("snkey"), col("doc_id"))
+      val nbrs = (1 to SnWindow).map(i =>
+        struct(lead(col("doc_id"), i).over(w).as("nbr_id"),
+               lead(col("snkey"), i).over(w).as("nbr_key")))
+      keyed.withColumn("nbrs", array(nbrs: _*))
+        .select(col("doc_id"), col("snkey"), explode(col("nbrs")).as("nbr"))
+        .filter(col("nbr.nbr_id").isNotNull)
+        .withColumn("jw", round(JaroWinkler(col("snkey"), col("nbr.nbr_key")), 6))
+        .filter(col("jw") >= JwThreshold)
+        .select(col("doc_id").as("doc_a"), col("nbr.nbr_id").as("doc_b"),
+                col("jw"))
+    }),
+
     // CONTAINMENT-scored candidate pairs — the ASYMMETRIC near-dup
     // signal Jaccard structurally misses: a short doc fully embedded
     // in a long one has |A∩B|/|A| = 1 but Jaccard ≈ |A|/|B| (tiny),
@@ -806,6 +840,11 @@ object DedupQueries {
     */
   private[graft] val SnWindow = 8
   private[graft] val SnMaxDist = 16
+
+  /** `dedup_jaro_winkler` keep threshold (on the 6-dp-rounded score;
+    * fixture margin 0.045, pinned by JaroWinklerSpec).
+    */
+  private[graft] val JwThreshold = 0.92
 
   /** Span window length (tokens) for substring-level dedup — the
     * LLM-pipeline convention is 20-50; 20 keeps spans meaningful on
@@ -1738,6 +1777,27 @@ object DedupQueries {
          |FROM r a JOIN r b
          |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 8
          |WHERE levenshtein(a.snkey, b.snkey) <= 16""".stripMargin,
+
+    // same blocks, DuckDB's own jaro_winkler_similarity as the scorer
+    // — the native-expression parity proof; decisions on the rounded
+    // score both engines agree on
+    "dedup_jaro_winkler" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64)
+         |      AS snkey
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, snkey, substr(snkey, 1, 2) AS bkt,
+         |    row_number() OVER (PARTITION BY substr(snkey, 1, 2)
+         |                       ORDER BY snkey, doc_id) AS rn
+         |  FROM k
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(jaro_winkler_similarity(a.snkey, b.snkey), 6) AS jw
+         |FROM r a JOIN r b
+         |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + $SnWindow
+         |WHERE round(jaro_winkler_similarity(a.snkey, b.snkey), 6) >= $JwThreshold""".stripMargin,
 
     // same star edges + hashed token sets as dedup_lsh_pairs; both
     // direction scores from one intersection, decision on rounded

@@ -15,6 +15,12 @@ object EventQueries {
 
   private val SessionGapMs = 1800000L // 30 min
 
+  /** `events_regression` time origin (2024-01-01T00:00Z): x = ts_ms −
+    * T0 keeps the regressor small enough for exact DECIMAL(12,0)
+    * moment sums (fixture spans ~30 days ⇒ x ≤ 2.6e9 ms).
+    */
+  private val RegT0Ms = 1704067200000L
+
   val queries: Map[String, Q] = Map(
 
     // Tumbling 1 h window per event_type (≙ PseudoWindow over a real
@@ -129,6 +135,78 @@ object EventQueries {
         .select(col("event_id"), col("event_type"),
           round((col("value") - col("mean")) / col("sd"), 6).as("z"),
           (abs((col("value") - col("mean")) / col("sd")) > 2.0).as("is_outlier"))
+    }),
+
+    // Per-series OLS TREND — closed-form linear regression of value
+    // against event time, one fit per event_type, the "is this metric
+    // drifting and how fast" question a monitoring pipeline asks of
+    // every series it tracks. The whole fit is five MERGEABLE moment
+    // sums (n, Σx, Σy, Σxy, Σx², Σy²) — x as exact ms-offset DECIMAL,
+    // y at the money convention — so one partial-aggregable hash agg
+    // over ~5 groups IS the training pass: at 100 TB this is the
+    // canonical "closed-form ML as aggregation" shape (no iteration,
+    // no driver-side math, state = one row per series). Slope /
+    // intercept / R² are derived from the exact sums in a fixed
+    // double-arithmetic order both engines evaluate identically, then
+    // rounded once at 6 dp (slope rescaled to per-hour so the rounding
+    // keeps ~4 significant digits; RegressionSpec pins the boundary
+    // margin).
+    "events_regression" -> ((s, dir) => {
+      val sums = regressionSums(s, dir)
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val slopeMs = num / den
+      sums.select(col("event_type"), col("n"),
+        round(slopeMs * lit(3600000.0), 6).as("slope_per_hour"),
+        round(col("sy") / col("n") - slopeMs * (col("sx") / col("n")), 6)
+          .as("intercept"),
+        round((num * num) /
+          (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    }),
+
+    // INFORMATION-THEORETIC dependence profile — H(type), H(hour) and
+    // their mutual information, the "is this column informative about
+    // that one" question feature selection and data-card tooling asks
+    // (a near-zero NMI here certifies the fixture's type mix is
+    // time-of-day independent; a real clickstream would show a strong
+    // diurnal MI). Everything reduces to the (type, hour) contingency
+    // table: one partial-aggregable count agg to ~5·24 cells, marginals
+    // re-aggregated FROM the cells (no second scan), then per-cell
+    // p·ln terms quantized at 12 dp and decimal-summed (the bigram-LM
+    // convention) so the sums are order-free and engine-identical. At
+    // 100 TB the scan cost is the count agg; the rest is
+    // dashboard-sized.
+    "events_entropy_mi" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"), expr("(ts_ms div 3600000) % 24").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("nij"))
+      val nt = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("nt"))
+      val nh = cells.groupBy(col("hour")).agg(sum(col("nij")).as("nh"))
+      val tot = cells.agg(sum(col("nij")).as("nn"))
+      def dterm(c: org.apache.spark.sql.Column) =
+        round(c, 12).cast("decimal(28,12)")
+      val mi = cells.join(broadcast(nt), "event_type")
+        .join(broadcast(nh), "hour").crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(dterm((col("nij") / col("nn")) *
+            log((col("nn").cast("double") * col("nij")) /
+                (col("nt").cast("double") * col("nh"))))).as("mi_sum"))
+      val ht = nt.crossJoin(broadcast(tot))
+        .agg(sum(dterm(-(col("nt") / col("nn")) * log(col("nt") / col("nn"))))
+          .as("h_type"))
+      val hh = nh.crossJoin(broadcast(tot))
+        .agg(sum(dterm(-(col("nh") / col("nn")) * log(col("nh") / col("nn"))))
+          .as("h_hour"))
+      mi.crossJoin(ht).crossJoin(hh).select(
+        col("n_cells"),
+        round(col("h_type").cast("double"), 6).as("h_type"),
+        round(col("h_hour").cast("double"), 6).as("h_hour"),
+        round(col("mi_sum").cast("double"), 6).as("mi"),
+        round(col("mi_sum").cast("double") /
+          sqrt(col("h_type").cast("double") * col("h_hour").cast("double")), 6)
+          .as("nmi"))
     }),
 
     // Cohort retention matrix — the other canonical event-analytics
@@ -578,6 +656,53 @@ object EventQueries {
              sum(col("n_rows")).as("rows_scanned"))
     }),
 
+    // HILBERT-curve layout, head-to-head against Z-order on the SAME
+    // zone-map skip metric: the Hilbert curve never takes the long
+    // diagonal jumps Morton order takes at quadrant seams, so its
+    // per-file bounding boxes are tighter and a 2-D selective
+    // predicate touches fewer files — the reason Delta/Iceberg grew
+    // hilbert_clustered alongside zorder. The index is 10 arithmetic
+    // iterations (quadrant code + reflect/swap rotation) generated
+    // from ONE shared step definition for both engines; the whole
+    // clustering pass is sort-only, so at 100 TB it rides the same
+    // write-time range partitioner any OPTIMIZE job uses. Output =
+    // files_touched / rows_scanned per (layout, predicate); the
+    // HilbertSpec pins the curve's bijection + unit-step adjacency
+    // and that hilbert ≤ zorder files on the 2-D predicate here.
+    "layout_hilbert" -> ((s, dir) => {
+      val wide = 1000000L
+      val base = Tables.events(s, dir).select(
+          col("event_id"),
+          (col("user_id") % 1024).as("a"),
+          (expr("ts_ms div 86400000") % 1024).as("b"))
+        .withColumn("z", expr(zInterleave("div")))
+      val h = hilbertIndex(base, 10)
+      def fileStats(name: String, ord: Seq[org.apache.spark.sql.Column]) =
+        h.withColumn("file_id",
+            ntile(ZFiles).over(Window.orderBy(ord: _*)).cast("long"))
+          .groupBy(col("file_id"))
+          .agg(min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+               min(col("b")).as("b_min"), max(col("b")).as("b_max"),
+               count(lit(1)).as("n_rows"))
+          .withColumn("layout", lit(name))
+      val stats = fileStats("zorder", Seq(col("z"), col("event_id")))
+        .unionByName(fileStats("hilbert", Seq(col("hd"), col("event_id"))))
+      def p(n: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+        struct(lit(n).as("pred"), lit(aLo).as("a_lo"), lit(aHi).as("a_hi"),
+               lit(bLo).as("b_lo"), lit(bHi).as("b_hi"))
+      val preds = s.range(1).select(explode(array(
+          p("p_user", 0L, 7L, -wide, wide),
+          p("p_day", -wide, wide, 267L, 274L),
+          p("p_both", 0L, 7L, 267L, 274L))).as("q"))
+        .select(col("q.*"))
+      stats.crossJoin(broadcast(preds))
+        .filter(col("a_min") <= col("a_hi") && col("a_max") >= col("a_lo") &&
+                col("b_min") <= col("b_hi") && col("b_max") >= col("b_lo"))
+        .groupBy(col("layout"), col("pred"))
+        .agg(count(lit(1)).as("files_touched"),
+             sum(col("n_rows")).as("rows_scanned"))
+    }),
+
     // COLUMN PROFILER — the ANALYZE TABLE operator a warehouse runs
     // before planning anything else: per column, row/null/distinct
     // counts and min/max (stringified on fixed-format domains —
@@ -828,6 +953,24 @@ object EventQueries {
     })
   )
 
+  /** The five exact moment sums behind `events_regression` — exposed
+    * so RegressionSpec can re-derive the unrounded outputs and measure
+    * their distance from the 6-dp rounding boundary.
+    */
+  private[graft] def regressionSums(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts_ms") - lit(RegT0Ms)).cast("decimal(12,0)").as("x"),
+        col("value"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        asDouble(sum(col("x"))).as("sx"),
+        asDouble(sum(dec(col("value")))).as("sy"),
+        asDouble(sum(col("x") * dec(col("value")))).as("sxy"),
+        asDouble(sum(col("x") * col("x"))).as("sxx"),
+        asDouble(sum((col("value") * col("value")).cast("decimal(28,14)")))
+          .as("syy"))
+
   /** Per-type (mean, sd) from EXACT decimal moment sums — the static
     * scoring dimension shared by `events_anomaly` and the streaming
     * `stream_static_join` (one definition, so the "streaming twin"
@@ -1036,6 +1179,58 @@ object EventQueries {
       s"((a $divOp ${1L << i}) % 2) * ${1L << (2 * i)} + " +
       s"((b $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
+
+  /** One Hilbert xy2d iteration (Wikipedia's canonical loop,
+    * arithmetic-only so both engines evaluate it identically): rx/ry
+    * are bit tests via floor-div parity, the quadrant code
+    * (3·rx) XOR ry is written as 3rx + ry − 2·rx·ry (equal on
+    * {0,1}²), and the reflect+swap rotation is CASE arithmetic. Both
+    * the Spark chain and the DuckDB CTE chain consume THESE strings,
+    * so the two engines share the algorithm text by construction
+    * (the zInterleave pattern, one level up).
+    */
+  private[graft] def hilbertStep(s: Long, n: Long, divOp: String): Seq[(String, String)] = Seq(
+    "rx" -> s"(hx $divOp $s) % 2",
+    "ry" -> s"(hy $divOp $s) % 2",
+    "hd" -> s"hd + $s * $s * (3 * rx + ry - 2 * rx * ry)",
+    "x1" -> s"CASE WHEN ry = 0 AND rx = 1 THEN ${n - 1} - hx ELSE hx END",
+    "y1" -> s"CASE WHEN ry = 0 AND rx = 1 THEN ${n - 1} - hy ELSE hy END",
+    "hx" -> "CASE WHEN ry = 0 THEN y1 ELSE x1 END",
+    "hy" -> "CASE WHEN ry = 0 THEN x1 ELSE y1 END")
+
+  /** Hilbert curve index over (a, b) ∈ [0, 2^bits)² — adds `hd`.
+    * 10·7 chained projections of integer CASE arithmetic, all inside
+    * one whole-stage-codegen span (no shuffle, no UDF).
+    */
+  private[graft] def hilbertIndex(df: org.apache.spark.sql.DataFrame, bits: Int): org.apache.spark.sql.DataFrame = {
+    val n = 1L << bits
+    var cur = df.withColumn("hx", col("a").cast("long"))
+      .withColumn("hy", col("b").cast("long"))
+      .withColumn("hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      for ((name, e) <- hilbertStep(1L << i, n, "div")) cur = cur.withColumn(name, expr(e))
+      cur = cur.drop("rx", "ry", "x1", "y1")
+    }
+    cur.drop("hx", "hy")
+  }
+
+  /** The same iterations as chained DuckDB CTEs `h1..h$bits` (caller
+    * provides `h0` with columns `$carry, hx, hy, hd`).
+    */
+  private[graft] def hilbertCtes(bits: Int, carry: String): String =
+    ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val exprs = hilbertStep(1L << i, 1L << bits, "//").toMap
+      s"""h${idx + 1} AS (
+         |  SELECT $carry,
+         |    ${exprs("hx")} AS hx,
+         |    ${exprs("hy")} AS hy,
+         |    ${exprs("hd")} AS hd
+         |  FROM (
+         |    SELECT *, ${exprs("x1")} AS x1, ${exprs("y1")} AS y1
+         |    FROM (SELECT *, ${exprs("rx")} AS rx, ${exprs("ry")} AS ry FROM h$idx) i$idx
+         |  ) m$idx
+         |)""".stripMargin
+    }.mkString(", ")
 
   /** KMV sketch size. */
   private[graft] val KmvK = 256
@@ -1275,6 +1470,45 @@ object EventQueries {
          |  UNION ALL
          |  SELECT 'zorder', file_id, min(a), max(a), min(b), max(b),
          |         CAST(count(*) AS BIGINT) FROM fz GROUP BY 2
+         |), preds AS (
+         |  SELECT * FROM (VALUES
+         |    ('p_user', CAST(0 AS BIGINT), CAST(7 AS BIGINT),
+         |     CAST(-1000000 AS BIGINT), CAST(1000000 AS BIGINT)),
+         |    ('p_day', CAST(-1000000 AS BIGINT), CAST(1000000 AS BIGINT),
+         |     CAST(267 AS BIGINT), CAST(274 AS BIGINT)),
+         |    ('p_both', CAST(0 AS BIGINT), CAST(7 AS BIGINT),
+         |     CAST(267 AS BIGINT), CAST(274 AS BIGINT))
+         |  ) AS t(pred, a_lo, a_hi, b_lo, b_hi)
+         |)
+         |SELECT s.layout, p.pred, CAST(count(*) AS BIGINT) AS files_touched,
+         |  CAST(sum(s.n_rows) AS BIGINT) AS rows_scanned
+         |FROM stats s CROSS JOIN preds p
+         |WHERE s.a_min <= p.a_hi AND s.a_max >= p.a_lo
+         |  AND s.b_min <= p.b_hi AND s.b_max >= p.b_lo
+         |GROUP BY 1, 2""".stripMargin,
+
+    // same iterations as the Spark side (hilbertStep strings verbatim,
+    // `//` for floor div), unrolled as 10 chained CTEs
+    "layout_hilbert" ->
+      s"""WITH e AS (
+         |  SELECT event_id, (user_id % 1024) AS a,
+         |         ((epoch_ns(ts) // 1000000) // 86400000) % 1024 AS b
+         |  FROM events
+         |), h0 AS (
+         |  SELECT event_id, a, b, ${zInterleave("//")} AS z,
+         |         a AS hx, b AS hy, 0 AS hd
+         |  FROM e
+         |), ${hilbertCtes(10, "event_id, a, b, z")}, fz AS (
+         |  SELECT a, b, CAST(ntile($ZFiles) OVER (ORDER BY z, event_id) AS BIGINT) AS file_id FROM h10
+         |), fh AS (
+         |  SELECT a, b, CAST(ntile($ZFiles) OVER (ORDER BY hd, event_id) AS BIGINT) AS file_id FROM h10
+         |), stats AS (
+         |  SELECT 'zorder' AS layout, file_id, min(a) AS a_min, max(a) AS a_max,
+         |         min(b) AS b_min, max(b) AS b_max, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM fz GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'hilbert', file_id, min(a), max(a), min(b), max(b),
+         |         CAST(count(*) AS BIGINT) FROM fh GROUP BY 2
          |), preds AS (
          |  SELECT * FROM (VALUES
          |    ('p_user', CAST(0 AS BIGINT), CAST(7 AS BIGINT),
@@ -1796,6 +2030,78 @@ object EventQueries {
         |  round((e.value - m.mean) / m.sd, 6) AS z,
         |  (abs((e.value - m.mean) / m.sd) > 2.0) AS is_outlier
         |FROM e JOIN m USING (event_type)""".stripMargin,
+
+    // Same fixed double-arithmetic order as the Spark side: every
+    // derived quantity is (n·Σxy − ΣxΣy) / (n·Σx² − Σx²)-shaped off
+    // EXACT decimal moment sums, so the doubles agree bit-for-bit
+    // before the single 6-dp rounding.
+    "events_regression" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST((epoch_ns(ts) // 1000000) - $RegT0Ms AS DECIMAL(12,0)) AS x,
+         |    value
+         |  FROM events
+         |), sums AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         |    CAST(sum(x * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+         |    -- DECIMAL(19) lift forces the x² product into the int128
+         |    -- class (DuckDB caps a product at the wider INPUT's
+         |    -- storage class, so 12·12 would overflow int64)
+         |    CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE) AS syy
+         |  FROM e GROUP BY 1
+         |)
+         |SELECT event_type, n,
+         |  round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 3600000.0, 6)
+         |    AS slope_per_hour,
+         |  round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n), 6)
+         |    AS intercept,
+         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM sums""".stripMargin,
+
+    // marginals re-aggregated from the cells, p·ln terms quantized at
+    // 12 dp and decimal-summed — term-for-term the Spark plan
+    "events_entropy_mi" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ((epoch_ns(ts) // 1000000) // 3600000) % 24 AS hour
+        |  FROM events
+        |), cells AS (
+        |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS nij
+        |  FROM e GROUP BY 1, 2
+        |), nt AS (
+        |  SELECT event_type, CAST(sum(nij) AS BIGINT) AS nt FROM cells GROUP BY 1
+        |), nh AS (
+        |  SELECT hour, CAST(sum(nij) AS BIGINT) AS nh FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells
+        |), mi AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    sum(CAST(round((nij / nn) *
+        |      ln((CAST(nn AS DOUBLE) * nij) / (CAST(nt AS DOUBLE) * nh)), 12)
+        |      AS DECIMAL(28,12))) AS mi_sum
+        |  FROM cells JOIN nt USING (event_type) JOIN nh USING (hour)
+        |  CROSS JOIN tot
+        |), ht AS (
+        |  SELECT sum(CAST(round(-(nt / nn) * ln(nt / nn), 12)
+        |    AS DECIMAL(28,12))) AS h_type
+        |  FROM nt CROSS JOIN tot
+        |), hh AS (
+        |  SELECT sum(CAST(round(-(nh / nn) * ln(nh / nn), 12)
+        |    AS DECIMAL(28,12))) AS h_hour
+        |  FROM nh CROSS JOIN tot
+        |)
+        |SELECT n_cells,
+        |  round(CAST(h_type AS DOUBLE), 6) AS h_type,
+        |  round(CAST(h_hour AS DOUBLE), 6) AS h_hour,
+        |  round(CAST(mi_sum AS DOUBLE), 6) AS mi,
+        |  round(CAST(mi_sum AS DOUBLE) /
+        |        sqrt(CAST(h_type AS DOUBLE) * CAST(h_hour AS DOUBLE)), 6) AS nmi
+        |FROM mi CROSS JOIN ht CROSS JOIN hh""".stripMargin,
 
     "events_retention" ->
       """WITH e AS (

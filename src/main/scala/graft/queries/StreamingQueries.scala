@@ -616,6 +616,44 @@ object StreamingQueries {
           .select(explode(graft.text.TextOps.tokens(col("text"))).as("token")))
     }),
 
+    // Streaming TOP-K leaderboard: per-batch (user → count, decimal
+    // Σvalue) partials appended to a state log, merged by SUM, k-cut
+    // at read time. The deliberate point next to the sketch twins:
+    // top-k itself is NOT mergeable — a per-batch top-20 would
+    // under-count any user whose events spread across batches and
+    // never entered a batch's local 20 — so the correct streaming
+    // leaderboard keeps FULL per-key additive partials (bounded by
+    // |keys|, not |events|) and truncates only at serving. Counts and
+    // decimal sums are associative, so merge(partials) ≡ the batch
+    // aggregation exactly: hash-proven by sharing events_top_users'
+    // oracle.
+    "stream_topk" -> ((s, dir) => {
+      val aggDir = Files.createTempDirectory("graft-topk-partials-")
+      sys.addShutdownHook(deleteRecursively(aggDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("user_id"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+                 sum(dec(col("value"))).as("sum_dec"))
+            .write.mode("append").parquet(aggDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      s.read.parquet(aggDir.toString)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"),
+             asDouble(sum(col("sum_dec"))).as("sum_value"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // Streaming BLOOM filter: each micro-batch contributes its partial
     // set-bit table (the identical k-hash projection as the batch
     // sketch) and the merge is OR — distinct over the union of
@@ -997,6 +1035,10 @@ object StreamingQueries {
     // centroids ⇒ assignment is a pure per-row function) — shares the
     // batch append oracle.
     "stream_ann_index_append" -> SimilarityQueries.oracleSql("ann_index_append"),
+
+    // Sum-merge of full per-key partials + read-time k-cut ≡ the batch
+    // leaderboard — shares events_top_users' oracle.
+    "stream_topk" -> EventQueries.oracleSql("events_top_users"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
