@@ -152,6 +152,18 @@ object ScaleBench {
       try {
         graft.queries.StreamingQueries.eventsStream(spark, sfDir)
         graft.queries.StreamingQueries.eventsStream(spark, scaled.toString)
+        // Warm the STREAMING engine too (micro-batch planner, state
+        // store init, sink codegen): without this the first streaming
+        // row of a subset run absorbs ~15-30 s of one-time engine
+        // cost that the full suite hides in its 70 earlier queries.
+        val warmDir = Files.createTempDirectory("graft-stream-warm-")
+        val ckpt = Files.createTempDirectory("graft-ckpt-")
+        Files.writeString(warmDir.resolve("w.txt"), "warm")
+        val wq = spark.readStream.textFile(warmDir.toString)
+          .writeStream.option("checkpointLocation", ckpt.toString)
+          .foreachBatch((_: org.apache.spark.sql.Dataset[String], _: Long) => ())
+          .start()
+        wq.processAllAvailable(); wq.stop()
       } catch { case _: Throwable => () }
     }
 

@@ -178,10 +178,14 @@ object EventQueries {
     // 100 TB the scan cost is the count agg; the rest is
     // dashboard-sized.
     "events_entropy_mi" -> ((s, dir) => {
+      // cells feeds FOUR consumers (mi, nt, nh, tot) — persist the
+      // ~|types|·24-row table so the events scan runs once, not 4×
+      // (measured 2.97× at 10× without it; scan-bound ≈1× with it)
       val cells = Tables.events(s, dir)
         .select(col("event_type"), expr("(ts_ms div 3600000) % 24").as("hour"))
         .groupBy(col("event_type"), col("hour"))
         .agg(count(lit(1)).as("nij"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nt = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("nt"))
       val nh = cells.groupBy(col("hour")).agg(sum(col("nij")).as("nh"))
       val tot = cells.agg(sum(col("nij")).as("nn"))
