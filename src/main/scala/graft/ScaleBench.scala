@@ -29,7 +29,7 @@ object ScaleBench {
   private val ScaledQueries = Seq(
     "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
     "dedup_cc", "graph_pagerank", "graph_triangles", "graph_kcore", "graph_bfs",
-    "graph_modularity",
+    "graph_modularity", "graph_lpa",
     "dedup_substring",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
     "dedup_jaro_winkler", "dedup_containment",
@@ -56,7 +56,7 @@ object ScaleBench {
     "text_bm25", "text_inverted_index", "text_keywords", "search_hybrid_rrf", "search_mmr",
     "search_hybrid_rrf_indexed", "ann_index_append",
     "layout_zorder", "layout_hilbert", "q_bucketed_join",
-    "events_regression", "events_entropy_mi",
+    "events_regression", "events_entropy_mi", "events_ewma",
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
     "q_sql_merge",
     "text_bigram_lm", "text_quality_auc")
@@ -96,7 +96,7 @@ object ScaleBench {
     */
   private val SeriesScaledQueries = Seq(
     "events_drift", "events_binning", "sketch_quantiles_by_type",
-    "events_seasonality", "events_anomaly")
+    "events_seasonality", "events_anomaly", "events_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -756,6 +756,49 @@ object DedupQueries {
           (greatest(col("cont_a"), col("cont_b")) >= 0.8).as("is_contained"))
     }),
 
+    // LABEL-PROPAGATION COMMUNITIES — the near-linear community
+    // detector (Raghavan 2007) next to CC's reachability classes: a
+    // node adopts the MOST FREQUENT label among its neighbors, so
+    // dense near-dup neighborhoods converge to one label while
+    // bridge-connected groups that CC would merge stay distinct.
+    // Deterministic by construction: synchronous rounds, vote ties
+    // broken by (count desc, label asc) under row_number, isolated
+    // and unvoted nodes keep their current label — so LpaRounds
+    // chained rounds are engine-identical and the DuckDB twin unrolls
+    // them exactly. Shape per round: one edge-join + one (dst, lbl)
+    // count agg + one per-dst top-1 (WindowGroupLimit) + one label
+    // left-join — all partial-aggregable or bounded-window, O(rounds
+    // ·|E|) like PageRank, per-round localCheckpoint against plan
+    // blow-up. At 100 TB this is THE communities algorithm you run
+    // when Louvain's global modularity sweep is too expensive.
+    "graph_lpa" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      val edges = lshEdges(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(lshEdges(s, dir)
+          .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var lbl = verts.select(col("v"), col("v").as("lbl")).localCheckpoint()
+      (1 to LpaRounds).foreach { _ =>
+        val votes = lbl.join(edges, col("v") === col("src"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        val top = votes.withColumn("rn", row_number().over(
+            Window.partitionBy(col("dst"))
+              .orderBy(col("cnt").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("dst"), col("lbl").as("new_lbl"))
+        lbl = lbl.join(top, col("v") === col("dst"), "left")
+          .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      edges.unpersist()
+      val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      lbl.join(sizes, "lbl")
+        .select(col("v").as("doc_id"), col("lbl").as("community_id"),
+                col("community_size"))
+    }),
+
     // PARTITION MODULARITY — the one-number quality score for the
     // dedup clustering (Newman's Q): for each component,
     // e_c/m − (d_c/2m)², summed — "how much denser inside components
@@ -879,6 +922,11 @@ object DedupQueries {
 
   /** PageRank iteration budget (bounded like the Lloyd/CC loops). */
   private val PrRounds = 3
+
+  /** `graph_lpa` synchronous vote rounds (star-edge graphs settle in
+    * 2; 4 exercises the stability fixpoint in the unrolled oracle).
+    */
+  private val LpaRounds = 4
 
   /** Peel-round budget per k for `graph_kcore` (bounded like the
     * Lloyd/CC/PageRank loops; fixpoint-on-fixture proven by
@@ -1428,6 +1476,36 @@ object DedupQueries {
          |  FROM documents, nn
          |), ${(1 to PrRounds).map(roundCte).mkString(", ")}
          |SELECT v AS doc_id, pr FROM r$PrRounds""".stripMargin
+    },
+
+    // Unrolled synchronous LPA rounds over the same symmetrized star
+    // edges; vote top-1 via the identical (count desc, label asc)
+    // row_number tie-break, unvoted nodes carry their label.
+    "graph_lpa" -> {
+      def roundCte(r: Int) =
+        s"""v$r AS (
+           |  SELECT e.dst, l.lbl, count(*) AS cnt
+           |  FROM l${r - 1} l JOIN edges2 e ON e.src = l.v
+           |  GROUP BY 1, 2
+           |), b$r AS (
+           |  SELECT dst, lbl AS new_lbl,
+           |    row_number() OVER (PARTITION BY dst
+           |                       ORDER BY cnt DESC, lbl) AS rn
+           |  FROM v$r
+           |), l$r AS (
+           |  SELECT l.v, coalesce(b.new_lbl, l.lbl) AS lbl
+           |  FROM l${r - 1} l
+           |  LEFT JOIN (SELECT dst, new_lbl FROM b$r WHERE rn = 1) b
+           |    ON b.dst = l.v
+           |)""".stripMargin
+      s"""WITH RECURSIVE $ccSplitCtes, l0 AS (
+         |  SELECT doc_id AS v, doc_id AS lbl FROM documents
+         |), ${(1 to LpaRounds).map(roundCte).mkString(", ")}
+         |SELECT l.v AS doc_id, CAST(l.lbl AS BIGINT) AS community_id,
+         |  CAST(s.cnt AS BIGINT) AS community_size
+         |FROM l$LpaRounds l
+         |JOIN (SELECT lbl, count(*) AS cnt FROM l$LpaRounds GROUP BY 1) s
+         |  USING (lbl)""".stripMargin
     },
 
     // Integer-exact PPS systematic sampler over the md5-shuffled token

@@ -21,6 +21,12 @@ object EventQueries {
     */
   private val RegT0Ms = 1704067200000L
 
+  /** `events_ewma` kernel: smoothing factor and truncation depth
+    * (tail weight (1−α)^32 ≈ 8e-4 of an event's influence).
+    */
+  private val EwmaAlpha = 0.2
+  private val EwmaLags = 32
+
   val queries: Map[String, Q] = Map(
 
     // Tumbling 1 h window per event_type (≙ PseudoWindow over a real
@@ -78,6 +84,48 @@ object EventQueries {
         .select(col("event_type"),
                 unix_millis(col("window.start")).as("window_start_ms"),
                 col("cnt"))),
+
+    // EWMA smoothing per series — the monitoring dashboard's standard
+    // trend line, defined here as the 32-lag TRUNCATED causal kernel
+    // ewma_t = Σ_{k<32} α(1−α)^k·x_{t−k} (α=0.2; the k=32 tail weight
+    // is 8e-4): a pure function of a bounded trailing window, so it is
+    // deterministic, oracle-exact (per-term 9-dp quantization +
+    // decimal sum — the bigram-LM convention), and needs no recursive
+    // state. Shape: one window sort per series collects the 32-value
+    // frame, posexplode expands ×32, one hash agg folds back — the
+    // deliberate batch formulation of the recursion (a streaming
+    // deployment holds s_t as one ValueState per series and pays O(1)
+    // per event — the stream_gapfill machinery's shape; here the 32×
+    // expansion buys bit-exact cross-engine verifiability).
+    "events_ewma" -> ((s, dir) => {
+      // 32 lag() evaluators on ONE shared window spec — a single
+      // window pass emits every trailing value as a column, and the
+      // kernel is a codegen'd 32-term decimal chain in the downstream
+      // projection. Two rejected shapes, both measured: posexplode +
+      // re-group pays a 32·|events|-row SHUFFLE (105 s at 10× series);
+      // collect_list + aggregate() HOF keeps the plan shuffle-free but
+      // interprets 32·|events| boxed lambda steps (88 s). This one's
+      // only exchange is the window sort (1.8 s at 10× series).
+      val lagWin = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val terms = (0 until EwmaLags).map { k =>
+        coalesce(
+          round(lag(col("value"), k).over(lagWin) * lit(EwmaAlpha) *
+            lit(math.pow(1.0 - EwmaAlpha, k)), 9).cast("decimal(28,9)"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"))
+      }
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts_ms"), col("value"))
+        // cast back to (28,9) after every add: a bare 32-term reduce
+        // escalates the result precision past 38, and Spark's
+        // precision-loss rule then SHRINKS the scale toward 6 digits
+        // (measured: 5e-6 drift vs the exact sum). (28,9)+(28,9) is
+        // exact at these magnitudes; the re-cast keeps it that way.
+        .withColumn("ewma", round(
+          terms.reduce((a, b) => (a + b).cast("decimal(28,9)"))
+            .cast("double"), 6))
+        .select(col("event_id"), col("event_type"), col("ts_ms"), col("ewma"))
+    }),
 
     // JSON property extraction + aggregation (props is a JSON string).
     "events_json_props" -> ((s, dir) =>
@@ -2106,6 +2154,31 @@ object EventQueries {
         |  round(CAST(mi_sum AS DOUBLE) /
         |        sqrt(CAST(h_type AS DOUBLE) * CAST(h_hour AS DOUBLE)), 6) AS nmi
         |FROM mi CROSS JOIN ht CROSS JOIN hh""".stripMargin,
+
+    // same 32-value frames (windowed list() preserves frame order),
+    // zipped unnest for the 1-based position (lag = n − i vs Spark's
+    // 0-based n − 1 − pos), same 9-dp-quantized terms decimal-summed
+    "events_ewma" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
+         |  FROM events
+         |), f AS (
+         |  SELECT event_id, event_type, ts_ms,
+         |    list(value) OVER (PARTITION BY event_type
+         |                      ORDER BY ts_ms, event_id
+         |                      ROWS BETWEEN ${EwmaLags - 1} PRECEDING AND CURRENT ROW)
+         |      AS frame
+         |  FROM e
+         |), t AS (
+         |  SELECT event_id, event_type, ts_ms, len(frame) AS n,
+         |    unnest(frame) AS x,
+         |    unnest(generate_series(1, len(frame))) AS i
+         |  FROM f
+         |)
+         |SELECT event_id, event_type, ts_ms,
+         |  round(CAST(sum(CAST(round(x * $EwmaAlpha * pow(${1.0 - EwmaAlpha}, n - i), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS ewma
+         |FROM t GROUP BY 1, 2, 3""".stripMargin,
 
     "events_retention" ->
       """WITH e AS (
