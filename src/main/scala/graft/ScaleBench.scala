@@ -80,7 +80,7 @@ object ScaleBench {
     "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join",
     "stream_static_join", "stream_drift", "stream_seasonality",
     "stream_gapfill", "stream_gapfill_tws", "stream_ann_index_append",
-    "stream_topk")
+    "stream_topk", "stream_ewma")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.streaming.{CusumStream, GapFillStream, PseudoWindow}
+import graft.streaming.{CusumStream, EwmaStream, GapFillStream, PseudoWindow}
 
 /** Streaming operators run end-to-end as bounded MULTI-BATCH queries:
   * the events table is split into [[NumSplits]] time-ordered files and
@@ -840,6 +840,22 @@ object StreamingQueries {
       runToMemory(s, CusumStream.chart(in).toDF())
     }),
 
+    // STREAMING EWMA — events_ewma's online twin: the batch window
+    // pass becomes a per-key trailing buffer (31 doubles of state)
+    // folded event-by-event, the constant-memory form the batch
+    // scaladoc points at. Same quantized 32-term kernel, same
+    // weights, raw doubles bit-identical across batches — shares
+    // events_ewma's oracle: stateful-online ≡ windowed-batch,
+    // hash-proven.
+    "stream_ewma" -> ((s, dir) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[EwmaStream.In]
+      val in = eventsStream(s, dir)
+        .select(col("event_type").as("key"), col("event_id").as("eventId"),
+                col("ts_ms").as("tsMs"), col("value").as("x"))
+        .as[EwmaStream.In]
+      runToMemory(s, EwmaStream.smooth(in).toDF())
+    }),
+
     // STREAMING LOCF GAP-FILL — events_gapfill's streaming twin. The
     // batch resampler is a generated grid + one shuffle + a running
     // ignoreNulls frame; continuously, the same semantics are per-key
@@ -1054,6 +1070,10 @@ object StreamingQueries {
     // The sequential stateful fold ≡ the batch window identity —
     // shares the batch CUSUM oracle (bit-identical chart).
     "stream_drift" -> EventQueries.oracleSql("events_drift"),
+
+    // Stateful online fold ≡ the batch 32-lag window kernel — shares
+    // events_ewma's oracle.
+    "stream_ewma" -> EventQueries.oracleSql("events_ewma"),
 
     // Sum-merge of per-batch hourly partials ≡ the batch profile —
     // shares the batch seasonality oracle.
