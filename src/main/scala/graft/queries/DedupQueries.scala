@@ -847,6 +847,44 @@ object DedupQueries {
       per.unionByName(global)
     }),
 
+    // ADAMIC-ADAR link prediction — score NON-adjacent doc pairs by
+    // Σ_z 1/ln(deg(z)) over their common neighbors z (the canonical
+    // similarity-completion operator: "these two docs share rare
+    // neighbors, the LSH bands probably just missed the edge").
+    // Wedge enumeration is a self-join of the symmetrized star edges
+    // on the middle vertex — the triangle-count shape — bounded by the
+    // hub cap (Σ deg(z)² ≤ cap·|E|, see AaHubCap), then one
+    // partial-aggregable sum per candidate pair, an anti-join against
+    // the existing edges (predictions only), and a top-k cut under a
+    // total order. deg(z) ≥ 2 for any wedge middle, so ln is never 0.
+    // 1/ln terms are 12-dp-quantized and decimal-summed (order-free,
+    // engine-identical); score rounded once at 6 dp.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val e = lshEdges(s, dir)
+      val edges = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val mid = edges.join(deg.filter(col("deg") <= AaHubCap), "src")
+      val left  = mid.select(col("src").as("z"), col("dst").as("u"), col("deg"))
+      val right = mid.select(col("src").as("z"), col("dst").as("w"))
+      val scores = left.join(right, "z").filter(col("u") < col("w"))
+        .groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("common_neighbors"),
+             sum(round(lit(1.0) / log(col("deg")), 12).cast("decimal(28,12)"))
+               .as("aa"))
+      val predicted = scores.join(
+        edges.select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"), "left_anti")
+      val out = predicted.select(col("u").as("doc_a"), col("w").as("doc_b"),
+          col("common_neighbors"),
+          round(asDouble(col("aa")), 6).as("aa_score"))
+        .orderBy(col("aa_score").desc, col("doc_a"), col("doc_b"))
+        .limit(AaTopK)
+      edges.unpersist()
+      out
+    }),
+
     // MULTI-SOURCE BFS over the dedup graph: every document's hop
     // distance to its component's canonical representative (the CC
     // label minimum — the shared artifact), all components in ONE
@@ -927,6 +965,16 @@ object DedupQueries {
     * 2; 4 exercises the stability fixpoint in the unrolled oracle).
     */
   private val LpaRounds = 4
+
+  /** `graph_adamic_adar` hub cap: wedges through a middle vertex with
+    * degree > cap are skipped — the standard production bound that
+    * keeps common-neighbor enumeration Σ deg(z)² ≤ cap·|E| instead of
+    * quadratic in a super-hub's bucket (a stopword-like hub predicts
+    * nothing anyway: its 1/ln(deg) weight is why Adamic-Adar
+    * discounts it). Same constant on both engines.
+    */
+  private val AaHubCap = 64
+  private val AaTopK   = 50
 
   /** Peel-round budget per k for `graph_kcore` (bounded like the
     * Lloyd/CC/PageRank loops; fixpoint-on-fixture proven by
@@ -1507,6 +1555,31 @@ object DedupQueries {
          |JOIN (SELECT lbl, count(*) AS cnt FROM l$LpaRounds GROUP BY 1) s
          |  USING (lbl)""".stripMargin
     },
+
+    // same star edges, same hub cap, same 12-dp quantized 1/ln terms,
+    // same anti-join + (score desc, pair) top-k — term-for-term
+    "graph_adamic_adar" ->
+      s"""WITH RECURSIVE $ccSplitCtes, deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges2 GROUP BY 1
+         |), mid AS (
+         |  SELECT e.src AS z, e.dst, d.deg
+         |  FROM edges2 e JOIN deg d USING (src)
+         |  WHERE d.deg <= $AaHubCap
+         |), sc AS (
+         |  SELECT a.dst AS u, b.dst AS w,
+         |    CAST(count(*) AS BIGINT) AS common_neighbors,
+         |    sum(CAST(round(CAST(1.0 AS DOUBLE) / ln(a.deg), 12)
+         |             AS DECIMAL(28,12))) AS aa
+         |  FROM mid a JOIN mid b ON a.z = b.z AND a.dst < b.dst
+         |  GROUP BY 1, 2
+         |)
+         |SELECT u AS doc_a, w AS doc_b, common_neighbors,
+         |  round(CAST(aa AS DOUBLE), 6) AS aa_score
+         |FROM sc
+         |WHERE NOT EXISTS (SELECT 1 FROM edges2 e
+         |                  WHERE e.src = sc.u AND e.dst = sc.w)
+         |ORDER BY aa_score DESC, doc_a, doc_b
+         |LIMIT $AaTopK""".stripMargin,
 
     // Integer-exact PPS systematic sampler over the md5-shuffled token
     // axis.

@@ -27,6 +27,9 @@ object EventQueries {
   private val EwmaAlpha = 0.2
   private val EwmaLags = 32
 
+  /** `events_acf` lags (hours): short-range memory + the daily cycle. */
+  private val AcfLags = Seq(1, 2, 3, 24)
+
   val queries: Map[String, Q] = Map(
 
     // Tumbling 1 h window per event_type (≙ PseudoWindow over a real
@@ -199,18 +202,59 @@ object EventQueries {
     // rounded once at 6 dp (slope rescaled to per-hour so the rounding
     // keeps ~4 significant digits; RegressionSpec pins the boundary
     // margin).
-    "events_regression" -> ((s, dir) => {
-      val sums = regressionSums(s, dir)
-      val num = col("n") * col("sxy") - col("sx") * col("sy")
-      val den = col("n") * col("sxx") - col("sx") * col("sx")
-      val slopeMs = num / den
-      sums.select(col("event_type"), col("n"),
-        round(slopeMs * lit(3600000.0), 6).as("slope_per_hour"),
-        round(col("sy") / col("n") - slopeMs * (col("sx") / col("n")), 6)
-          .as("intercept"),
-        round((num * num) /
-          (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
-          .as("r2"))
+    "events_regression" -> ((s, dir) =>
+      regressionFinish(regressionSums(s, dir))),
+
+    // Per-series AUTOCORRELATION function — lag-k dependence of the
+    // hourly mean series (k ∈ 1, 2, 3, 24 h), the diagnostic that
+    // separates "noise" from "memory" and surfaces daily periodicity
+    // (the k=24 row) before anyone fits a forecast model. Scale shape:
+    // ONE partial-aggregable hash agg reduces |events| to the hourly
+    // series (≤ 24·days rows per series — dashboard-sized), and every
+    // lag join/stat after that runs on the tiny table, so at 100 TB
+    // the cost is the scan. Exactness: hourly means are 9-dp-quantized
+    // (the round-boundary convention), ȳ is the decimal mean of the
+    // quantized series, centered products are 12-dp-quantized and
+    // decimal-summed (order-free), ACF rounded once at 6 dp. Pairs at
+    // lag k are the hours where BOTH t and t+k exist (join, not
+    // positional lag — gap hours don't fabricate adjacency); the
+    // denominator is the full-series Σ(y−ȳ)² (the standard estimator).
+    "events_acf" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type"),
+                (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"),
+                col("value"))
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(count(lit(1)).as("nh"), sum(dec(col("value"))).as("s_dec"))
+        .select(col("event_type"), col("hour_ms"),
+                round(asDouble(col("s_dec")) / col("nh"), 9).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+             asDouble(sum(col("y").cast("decimal(28,9)"))).as("sy"))
+        .select(col("event_type"), col("n_hours"),
+                (col("sy") / col("n_hours")).as("ybar"))
+      val centered = hourly.join(broadcast(stats), "event_type")
+      def q12(c: org.apache.spark.sql.Column) =
+        round(c, 12).cast("decimal(28,12)")
+      val den = centered.groupBy(col("event_type"))
+        .agg(sum(q12((col("y") - col("ybar")) * (col("y") - col("ybar"))))
+          .as("den"))
+      val perLag = AcfLags.map { k =>
+        val b = hourly.select(col("event_type"),
+          (col("hour_ms") - lit(k * 3600000L)).as("hour_ms"),
+          col("y").as("yb"))
+        centered.join(b, Seq("event_type", "hour_ms"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+               sum(q12((col("y") - col("ybar")) * (col("yb") - col("ybar"))))
+                 .as("num"))
+          .select(col("event_type"), lit(k.toLong).as("lag_hours"),
+                  col("n_pairs"), col("num"))
+      }.reduce(_.unionByName(_))
+      perLag.join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag_hours"), col("n_pairs"),
+                round(asDouble(col("num")) / asDouble(col("den")), 6).as("acf"))
     }),
 
     // INFORMATION-THEORETIC dependence profile — H(type), H(hour) and
@@ -225,41 +269,8 @@ object EventQueries {
     // convention) so the sums are order-free and engine-identical. At
     // 100 TB the scan cost is the count agg; the rest is
     // dashboard-sized.
-    "events_entropy_mi" -> ((s, dir) => {
-      // cells feeds FOUR consumers (mi, nt, nh, tot) — persist the
-      // ~|types|·24-row table so the events scan runs once, not 4×
-      // (measured 2.97× at 10× without it; scan-bound ≈1× with it)
-      val cells = Tables.events(s, dir)
-        .select(col("event_type"), expr("(ts_ms div 3600000) % 24").as("hour"))
-        .groupBy(col("event_type"), col("hour"))
-        .agg(count(lit(1)).as("nij"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nt = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("nt"))
-      val nh = cells.groupBy(col("hour")).agg(sum(col("nij")).as("nh"))
-      val tot = cells.agg(sum(col("nij")).as("nn"))
-      def dterm(c: org.apache.spark.sql.Column) =
-        round(c, 12).cast("decimal(28,12)")
-      val mi = cells.join(broadcast(nt), "event_type")
-        .join(broadcast(nh), "hour").crossJoin(broadcast(tot))
-        .agg(count(lit(1)).as("n_cells"),
-          sum(dterm((col("nij") / col("nn")) *
-            log((col("nn").cast("double") * col("nij")) /
-                (col("nt").cast("double") * col("nh"))))).as("mi_sum"))
-      val ht = nt.crossJoin(broadcast(tot))
-        .agg(sum(dterm(-(col("nt") / col("nn")) * log(col("nt") / col("nn"))))
-          .as("h_type"))
-      val hh = nh.crossJoin(broadcast(tot))
-        .agg(sum(dterm(-(col("nh") / col("nn")) * log(col("nh") / col("nn"))))
-          .as("h_hour"))
-      mi.crossJoin(ht).crossJoin(hh).select(
-        col("n_cells"),
-        round(col("h_type").cast("double"), 6).as("h_type"),
-        round(col("h_hour").cast("double"), 6).as("h_hour"),
-        round(col("mi_sum").cast("double"), 6).as("mi"),
-        round(col("mi_sum").cast("double") /
-          sqrt(col("h_type").cast("double") * col("h_hour").cast("double")), 6)
-          .as("nmi"))
-    }),
+    "events_entropy_mi" -> ((s, dir) =>
+      entropyFinish(entropyCells(Tables.events(s, dir)))),
 
     // Cohort retention matrix — the other canonical event-analytics
     // operator next to funnel: users grouped by first-active day, then
@@ -1010,18 +1021,101 @@ object EventQueries {
     * their distance from the 6-dp rounding boundary.
     */
   private[graft] def regressionSums(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.events(s, dir)
-      .select(col("event_type"),
+    momentsAsDoubles(regressionMoments(Tables.events(s, dir)))
+
+  /** The EXACT decimal moment aggregation over a (event_type, ts_ms,
+    * value) frame — the mergeable half of the OLS fit: decimal sums
+    * are associative and exact, so per-micro-batch partial moment rows
+    * re-summed per series equal the one-pass batch aggregation
+    * bit-for-bit (the property `stream_regression` hash-proves by
+    * sharing `events_regression`'s oracle).
+    */
+  private[graft] def regressionMoments(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("event_type"),
         (col("ts_ms") - lit(RegT0Ms)).cast("decimal(12,0)").as("x"),
         col("value"))
       .groupBy(col("event_type")).agg(
         count(lit(1)).as("n"),
-        asDouble(sum(col("x"))).as("sx"),
-        asDouble(sum(dec(col("value")))).as("sy"),
-        asDouble(sum(col("x") * dec(col("value")))).as("sxy"),
-        asDouble(sum(col("x") * col("x"))).as("sxx"),
-        asDouble(sum((col("value") * col("value")).cast("decimal(28,14)")))
-          .as("syy"))
+        sum(col("x")).as("sx_d"),
+        sum(dec(col("value"))).as("sy_d"),
+        sum(col("x") * dec(col("value"))).as("sxy_d"),
+        sum(col("x") * col("x")).as("sxx_d"),
+        sum((col("value") * col("value")).cast("decimal(28,14)")).as("syy_d"))
+
+  /** Exact-decimal moments → the double inputs of the closed-form
+    * derivation. ONE cast site shared by the batch plan and the merged
+    * streaming partials, so both twins enter [[regressionFinish]] with
+    * identical doubles.
+    */
+  private[graft] def momentsAsDoubles(m: org.apache.spark.sql.DataFrame) =
+    m.select(col("event_type"), col("n"),
+      asDouble(col("sx_d")).as("sx"), asDouble(col("sy_d")).as("sy"),
+      asDouble(col("sxy_d")).as("sxy"), asDouble(col("sxx_d")).as("sxx"),
+      asDouble(col("syy_d")).as("syy"))
+
+  /** Closed-form slope / intercept / R² from the exact moment sums, in
+    * a fixed double-arithmetic order both engines evaluate identically
+    * (see `events_regression`'s scaladoc), rounded once at 6 dp.
+    */
+  private[graft] def regressionFinish(sums: org.apache.spark.sql.DataFrame) = {
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slopeMs = num / den
+    sums.select(col("event_type"), col("n"),
+      round(slopeMs * lit(3600000.0), 6).as("slope_per_hour"),
+      round(col("sy") / col("n") - slopeMs * (col("sx") / col("n")), 6)
+        .as("intercept"),
+      round((num * num) /
+        (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("r2"))
+  }
+
+  /** The (type, hour) contingency table behind `events_entropy_mi` —
+    * the mergeable half: cell counts are additive, so per-micro-batch
+    * partial cell tables sum-merged equal the one-pass batch count agg
+    * exactly (`stream_entropy_mi` hash-proves this by sharing the
+    * batch oracle). Takes any frame with (event_type, ts_ms).
+    */
+  private[graft] def entropyCells(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("event_type"), expr("(ts_ms div 3600000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("nij"))
+
+  /** H(type), H(hour), MI, NMI off a (event_type, hour, nij)
+    * contingency table — everything downstream of the cells is
+    * dashboard-sized. Persists the cells frame: it feeds FOUR
+    * consumers (mi, nt, nh, tot); without the persist the upstream
+    * scan re-ran 4× (measured 2.97× at 10×; scan-bound ≈1× with it).
+    */
+  private[graft] def entropyFinish(cellsIn: org.apache.spark.sql.DataFrame) = {
+      val cells = cellsIn
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nt = cells.groupBy(col("event_type")).agg(sum(col("nij")).as("nt"))
+      val nh = cells.groupBy(col("hour")).agg(sum(col("nij")).as("nh"))
+      val tot = cells.agg(sum(col("nij")).as("nn"))
+      def dterm(c: org.apache.spark.sql.Column) =
+        round(c, 12).cast("decimal(28,12)")
+      val mi = cells.join(broadcast(nt), "event_type")
+        .join(broadcast(nh), "hour").crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(dterm((col("nij") / col("nn")) *
+            log((col("nn").cast("double") * col("nij")) /
+                (col("nt").cast("double") * col("nh"))))).as("mi_sum"))
+      val ht = nt.crossJoin(broadcast(tot))
+        .agg(sum(dterm(-(col("nt") / col("nn")) * log(col("nt") / col("nn"))))
+          .as("h_type"))
+      val hh = nh.crossJoin(broadcast(tot))
+        .agg(sum(dterm(-(col("nh") / col("nn")) * log(col("nh") / col("nn"))))
+          .as("h_hour"))
+      mi.crossJoin(ht).crossJoin(hh).select(
+        col("n_cells"),
+        round(col("h_type").cast("double"), 6).as("h_type"),
+        round(col("h_hour").cast("double"), 6).as("h_hour"),
+        round(col("mi_sum").cast("double"), 6).as("mi"),
+        round(col("mi_sum").cast("double") /
+          sqrt(col("h_type").cast("double") * col("h_hour").cast("double")), 6)
+          .as("nmi"))
+  }
 
   /** Per-type (mean, sd) from EXACT decimal moment sums — the static
     * scoring dimension shared by `events_anomaly` and the streaming
@@ -2114,6 +2208,41 @@ object EventQueries {
          |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
          |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          |FROM sums""".stripMargin,
+
+    // same hourly 9-dp quantization, decimal mean, 12-dp centered
+    // products, lag-k pair join — term-for-term the Spark plan
+    "events_acf" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |          / count(*), 9) AS y
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |    CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS ybar
+         |  FROM h GROUP BY 1
+         |), dn AS (
+         |  SELECT h.event_type,
+         |    sum(CAST(round((y - ybar) * (y - ybar), 12) AS DECIMAL(28,12)))
+         |      AS den
+         |  FROM h JOIN st USING (event_type) GROUP BY 1
+         |), lags(k) AS (VALUES (1), (2), (3), (24)
+         |), pr AS (
+         |  SELECT a.event_type, l.k, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    sum(CAST(round((a.y - st.ybar) * (b.y - st.ybar), 12)
+         |             AS DECIMAL(28,12))) AS num
+         |  FROM h a
+         |  CROSS JOIN lags l
+         |  JOIN h b ON b.event_type = a.event_type
+         |          AND b.hour_ms = a.hour_ms + l.k * 3600000
+         |  JOIN st ON st.event_type = a.event_type
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pr.event_type, CAST(pr.k AS BIGINT) AS lag_hours, n_pairs,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+         |FROM pr JOIN dn ON dn.event_type = pr.event_type""".stripMargin,
 
     // marginals re-aggregated from the cells, p·ln terms quantized at
     // 12 dp and decimal-summed — term-for-term the Spark plan

@@ -654,6 +654,72 @@ object StreamingQueries {
         .limit(20)
     }),
 
+    // Streaming OLS — closed-form ML as a MERGEABLE aggregation, the
+    // online counterpart of `events_regression`: each micro-batch
+    // contributes one exact-decimal moment row per series (n, Σx, Σy,
+    // Σxy, Σx², Σy²), the merge is per-column SUM (decimal addition is
+    // associative and exact), and the slope/intercept/R² finish runs
+    // over the merged state at serving time. State is one row per
+    // series per batch — bounded by |series|·|batches|, never |events|
+    // — and compacting it to one row per series is itself just the
+    // merge. Shares `events_regression`'s oracle: the hash match
+    // proves online moment accumulation ≡ one-pass batch training.
+    "stream_regression" -> ((s, dir) => {
+      val momDir = Files.createTempDirectory("graft-ols-partials-")
+      sys.addShutdownHook(deleteRecursively(momDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.regressionMoments(batch)
+            .write.mode("append").parquet(momDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(momDir.toString)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"),
+             sum(col("sx_d")).as("sx_d"), sum(col("sy_d")).as("sy_d"),
+             sum(col("sxy_d")).as("sxy_d"), sum(col("sxx_d")).as("sxx_d"),
+             sum(col("syy_d")).as("syy_d"))
+      EventQueries.regressionFinish(EventQueries.momentsAsDoubles(merged))
+    }),
+
+    // Streaming entropy/MI — the contingency table is the sketch: each
+    // micro-batch contributes its partial (type, hour) cell counts,
+    // the merge is SUM per cell (additive law), and the H/MI/NMI
+    // finish runs over the merged ~|types|·24-row table. Shares
+    // `events_entropy_mi`'s oracle — merge(partials) ≡ batch count
+    // agg, hash-proven, extending the mergeability suite from
+    // frequency (CMS) and cardinality (HLL) to information measures.
+    "stream_entropy_mi" -> ((s, dir) => {
+      val cellsDir = Files.createTempDirectory("graft-ent-partials-")
+      sys.addShutdownHook(deleteRecursively(cellsDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("event_type"), col("ts_ms"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.entropyCells(batch)
+            .write.mode("append").parquet(cellsDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(cellsDir.toString)
+        .groupBy(col("event_type"), col("hour"))
+        .agg(sum(col("nij")).as("nij"))
+      EventQueries.entropyFinish(merged)
+    }),
+
     // Streaming BLOOM filter: each micro-batch contributes its partial
     // set-bit table (the identical k-hash projection as the batch
     // sketch) and the merge is OR — distinct over the union of
@@ -1055,6 +1121,8 @@ object StreamingQueries {
     // Sum-merge of full per-key partials + read-time k-cut ≡ the batch
     // leaderboard — shares events_top_users' oracle.
     "stream_topk" -> EventQueries.oracleSql("events_top_users"),
+    "stream_regression" -> EventQueries.oracleSql("events_regression"),
+    "stream_entropy_mi" -> EventQueries.oracleSql("events_entropy_mi"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
