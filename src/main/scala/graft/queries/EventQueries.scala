@@ -212,13 +212,18 @@ object EventQueries {
     // ONE partial-aggregable hash agg reduces |events| to the hourly
     // series (≤ 24·days rows per series — dashboard-sized), and every
     // lag join/stat after that runs on the tiny table, so at 100 TB
-    // the cost is the scan. Exactness: hourly means are 9-dp-quantized
-    // (the round-boundary convention), ȳ is the decimal mean of the
-    // quantized series, centered products are 12-dp-quantized and
-    // decimal-summed (order-free), ACF rounded once at 6 dp. Pairs at
-    // lag k are the hours where BOTH t and t+k exist (join, not
-    // positional lag — gap hours don't fabricate adjacency); the
-    // denominator is the full-series Σ(y−ȳ)² (the standard estimator).
+    // the cost is the scan. Exactness: hourly means are 9-dp decimals,
+    // and the centered sums are EXPANDED algebraically — Σ(yₜ−ȳ)
+    // (yₜ₊ₖ−ȳ) = Σyₐyᵦ − ȳΣyₐ − ȳΣyᵦ + nȳ² — so every aggregate is an
+    // EXACT decimal sum of exact 9-dp products (no per-term rounding,
+    // hence no rounding-boundary tie a 1-ulp divergence could flip —
+    // the centered-form 12-dp quantization measurably lands ON a
+    // boundary at sf0.001) and the centering runs once per group in
+    // fixed-order scalar double math both engines evaluate
+    // identically. Pairs at lag k are the hours where BOTH t and t+k
+    // exist (join, not positional lag — gap hours don't fabricate
+    // adjacency); the denominator is the full-series Σ(y−ȳ)² (the
+    // standard estimator).
     "events_acf" -> ((s, dir) => {
       val hourly = Tables.events(s, dir)
         .select(col("event_type"),
@@ -227,34 +232,42 @@ object EventQueries {
         .groupBy(col("event_type"), col("hour_ms"))
         .agg(count(lit(1)).as("nh"), sum(dec(col("value"))).as("s_dec"))
         .select(col("event_type"), col("hour_ms"),
-                round(asDouble(col("s_dec")) / col("nh"), 9).as("y"))
+                round(asDouble(col("s_dec")) / col("nh"), 9)
+                  .cast("decimal(18,9)").as("y"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = hourly.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_hours"),
-             asDouble(sum(col("y").cast("decimal(28,9)"))).as("sy"))
+             sum(col("y")).as("sy_d"),
+             sum(col("y") * col("y")).as("s2_d"))
         .select(col("event_type"), col("n_hours"),
-                (col("sy") / col("n_hours")).as("ybar"))
-      val centered = hourly.join(broadcast(stats), "event_type")
-      def q12(c: org.apache.spark.sql.Column) =
-        round(c, 12).cast("decimal(28,12)")
-      val den = centered.groupBy(col("event_type"))
-        .agg(sum(q12((col("y") - col("ybar")) * (col("y") - col("ybar"))))
-          .as("den"))
+                (asDouble(col("sy_d")) / col("n_hours")).as("ybar"),
+                // den = Σy² − 2ȳΣy + nȳ², written in the one order
+                // both engines share
+                (asDouble(col("s2_d"))
+                  - lit(2.0) * (asDouble(col("sy_d")) / col("n_hours"))
+                    * asDouble(col("sy_d"))
+                  + col("n_hours") * (asDouble(col("sy_d")) / col("n_hours"))
+                    * (asDouble(col("sy_d")) / col("n_hours"))).as("den"))
       val perLag = AcfLags.map { k =>
         val b = hourly.select(col("event_type"),
           (col("hour_ms") - lit(k * 3600000L)).as("hour_ms"),
           col("y").as("yb"))
-        centered.join(b, Seq("event_type", "hour_ms"))
+        hourly.join(b, Seq("event_type", "hour_ms"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_pairs"),
-               sum(q12((col("y") - col("ybar")) * (col("yb") - col("ybar"))))
-                 .as("num"))
+               sum(col("y") * col("yb")).as("sab_d"),
+               sum(col("y")).as("sa_d"),
+               sum(col("yb")).as("sb_d"))
           .select(col("event_type"), lit(k.toLong).as("lag_hours"),
-                  col("n_pairs"), col("num"))
+                  col("n_pairs"), col("sab_d"), col("sa_d"), col("sb_d"))
       }.reduce(_.unionByName(_))
-      perLag.join(broadcast(den), "event_type")
+      perLag.join(broadcast(stats), "event_type")
         .select(col("event_type"), col("lag_hours"), col("n_pairs"),
-                round(asDouble(col("num")) / asDouble(col("den")), 6).as("acf"))
+          round((asDouble(col("sab_d"))
+                  - col("ybar") * asDouble(col("sa_d"))
+                  - col("ybar") * asDouble(col("sb_d"))
+                  + col("n_pairs") * col("ybar") * col("ybar"))
+                / col("den"), 6).as("acf"))
     }),
 
     // INFORMATION-THEORETIC dependence profile — H(type), H(hour) and
@@ -2209,40 +2222,41 @@ object EventQueries {
          |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          |FROM sums""".stripMargin,
 
-    // same hourly 9-dp quantization, decimal mean, 12-dp centered
-    // products, lag-k pair join — term-for-term the Spark plan
+    // same 9-dp hourly decimals, same EXPANDED exact-decimal sums, the
+    // identical fixed-order double centering — term-for-term
     "events_acf" ->
       s"""WITH h AS (
          |  SELECT event_type,
          |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
          |      AS hour_ms,
-         |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-         |          / count(*), 9) AS y
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
          |  FROM events GROUP BY 1, 2
          |), st AS (
          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-         |    CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS ybar
+         |    CAST(sum(y) AS DOUBLE) / count(*) AS ybar,
+         |    CAST(sum(y * y) AS DOUBLE)
+         |      - CAST(2.0 AS DOUBLE) * (CAST(sum(y) AS DOUBLE) / count(*))
+         |        * CAST(sum(y) AS DOUBLE)
+         |      + count(*) * (CAST(sum(y) AS DOUBLE) / count(*))
+         |        * (CAST(sum(y) AS DOUBLE) / count(*)) AS den
          |  FROM h GROUP BY 1
-         |), dn AS (
-         |  SELECT h.event_type,
-         |    sum(CAST(round((y - ybar) * (y - ybar), 12) AS DECIMAL(28,12)))
-         |      AS den
-         |  FROM h JOIN st USING (event_type) GROUP BY 1
          |), lags(k) AS (VALUES (1), (2), (3), (24)
          |), pr AS (
          |  SELECT a.event_type, l.k, CAST(count(*) AS BIGINT) AS n_pairs,
-         |    sum(CAST(round((a.y - st.ybar) * (b.y - st.ybar), 12)
-         |             AS DECIMAL(28,12))) AS num
+         |    CAST(sum(a.y * b.y) AS DOUBLE) AS sab,
+         |    CAST(sum(a.y) AS DOUBLE) AS sa,
+         |    CAST(sum(b.y) AS DOUBLE) AS sb
          |  FROM h a
          |  CROSS JOIN lags l
          |  JOIN h b ON b.event_type = a.event_type
          |          AND b.hour_ms = a.hour_ms + l.k * 3600000
-         |  JOIN st ON st.event_type = a.event_type
          |  GROUP BY 1, 2
          |)
          |SELECT pr.event_type, CAST(pr.k AS BIGINT) AS lag_hours, n_pairs,
-         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
-         |FROM pr JOIN dn ON dn.event_type = pr.event_type""".stripMargin,
+         |  round((sab - st.ybar * sa - st.ybar * sb
+         |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
+         |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
 
     // marginals re-aggregated from the cells, p·ln terms quantized at
     // 12 dp and decimal-summed — term-for-term the Spark plan
