@@ -30,6 +30,9 @@ object EventQueries {
   /** `events_acf` lags (hours): short-range memory + the daily cycle. */
   private val AcfLags = Seq(1, 2, 3, 24)
 
+  /** `events_cross_corr` lags: contemporaneous, 1 h lead, daily lead. */
+  private val CcfLags = Seq(0, 1, 24)
+
   val queries: Map[String, Q] = Map(
 
     // Tumbling 1 h window per event_type (≙ PseudoWindow over a real
@@ -225,29 +228,9 @@ object EventQueries {
     // adjacency); the denominator is the full-series Σ(y−ȳ)² (the
     // standard estimator).
     "events_acf" -> ((s, dir) => {
-      val hourly = Tables.events(s, dir)
-        .select(col("event_type"),
-                (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"),
-                col("value"))
-        .groupBy(col("event_type"), col("hour_ms"))
-        .agg(count(lit(1)).as("nh"), sum(dec(col("value"))).as("s_dec"))
-        .select(col("event_type"), col("hour_ms"),
-                round(asDouble(col("s_dec")) / col("nh"), 9)
-                  .cast("decimal(18,9)").as("y"))
+      val hourly = hourlySeries(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = hourly.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_hours"),
-             sum(col("y")).as("sy_d"),
-             sum(col("y") * col("y")).as("s2_d"))
-        .select(col("event_type"), col("n_hours"),
-                (asDouble(col("sy_d")) / col("n_hours")).as("ybar"),
-                // den = Σy² − 2ȳΣy + nȳ², written in the one order
-                // both engines share
-                (asDouble(col("s2_d"))
-                  - lit(2.0) * (asDouble(col("sy_d")) / col("n_hours"))
-                    * asDouble(col("sy_d"))
-                  + col("n_hours") * (asDouble(col("sy_d")) / col("n_hours"))
-                    * (asDouble(col("sy_d")) / col("n_hours"))).as("den"))
+      val stats = seriesStats(hourly)
       val perLag = AcfLags.map { k =>
         val b = hourly.select(col("event_type"),
           (col("hour_ms") - lit(k * 3600000L)).as("hour_ms"),
@@ -268,6 +251,51 @@ object EventQueries {
                   - col("ybar") * asDouble(col("sb_d"))
                   + col("n_pairs") * col("ybar") * col("ybar"))
                 / col("den"), 6).as("acf"))
+    }),
+
+    // CROSS-correlation between series — "does series A lead series
+    // B?": for each ordered type pair (a ≠ b) and lag k ∈ 0, 1, 24 h,
+    // the normalized covariance of a's hourly mean at t with b's at
+    // t+k. The lead-lag matrix is how an ops team finds upstream
+    // causes (k where |CCF| peaks = b trails a by k hours) and how a
+    // feature pipeline screens redundant signals. Same posture as
+    // events_acf: one hash agg to the hourly series, then every
+    // join/stat runs on |types|²·hours dashboard-sized tables; same
+    // exactness: expanded exact-decimal sums, full-series means and
+    // variances from [[seriesStats]], one fixed-order double finish,
+    // ccf = (Σab − āΣb − b̄Σa + nāb̄)/√(den_a·den_b) rounded at 6 dp.
+    "events_cross_corr" -> ((s, dir) => {
+      val hourly = hourlySeries(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = seriesStats(hourly)
+      val perLag = CcfLags.map { k =>
+        val b = hourly.select(col("event_type").as("type_b"),
+          (col("hour_ms") - lit(k * 3600000L)).as("hour_ms"),
+          col("y").as("yb"))
+        hourly.select(col("event_type").as("type_a"), col("hour_ms"),
+            col("y").as("ya"))
+          .join(b, "hour_ms")
+          .filter(col("type_a") =!= col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+               sum(col("ya") * col("yb")).as("sab_d"),
+               sum(col("ya")).as("sa_d"),
+               sum(col("yb")).as("sb_d"))
+          .select(col("type_a"), col("type_b"), lit(k.toLong).as("lag_hours"),
+                  col("n_pairs"), col("sab_d"), col("sa_d"), col("sb_d"))
+      }.reduce(_.unionByName(_))
+      val sa = stats.select(col("event_type").as("type_a"),
+        col("ybar").as("ybar_a"), col("den").as("den_a"))
+      val sb = stats.select(col("event_type").as("type_b"),
+        col("ybar").as("ybar_b"), col("den").as("den_b"))
+      perLag.join(broadcast(sa), "type_a").join(broadcast(sb), "type_b")
+        .select(col("type_a"), col("type_b"), col("lag_hours"),
+          col("n_pairs"),
+          round((asDouble(col("sab_d"))
+                  - col("ybar_a") * asDouble(col("sb_d"))
+                  - col("ybar_b") * asDouble(col("sa_d"))
+                  + col("n_pairs") * col("ybar_a") * col("ybar_b"))
+                / sqrt(col("den_a") * col("den_b")), 6).as("ccf"))
     }),
 
     // INFORMATION-THEORETIC dependence profile — H(type), H(hour) and
@@ -1035,6 +1063,39 @@ object EventQueries {
     */
   private[graft] def regressionSums(s: org.apache.spark.sql.SparkSession, dir: String) =
     momentsAsDoubles(regressionMoments(Tables.events(s, dir)))
+
+  /** The 9-dp-decimal hourly mean series behind `events_acf` /
+    * `events_cross_corr`: ONE partial-aggregable hash agg reduces
+    * |events| to ≤ 24·days rows per series; everything downstream is
+    * dashboard-sized.
+    */
+  private def hourlySeries(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+              (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"),
+              col("value"))
+      .groupBy(col("event_type"), col("hour_ms"))
+      .agg(count(lit(1)).as("nh"), sum(dec(col("value"))).as("s_dec"))
+      .select(col("event_type"), col("hour_ms"),
+              round(asDouble(col("s_dec")) / col("nh"), 9)
+                .cast("decimal(18,9)").as("y"))
+
+  /** Per-series (n_hours, ȳ, Σ(y−ȳ)²) off exact decimal sums; the
+    * variance term is EXPANDED (Σy² − 2ȳΣy + nȳ²) in the one double
+    * order both engines share — no per-term rounding anywhere.
+    */
+  private def seriesStats(hourly: org.apache.spark.sql.DataFrame) =
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(col("y")).as("sy_d"),
+           sum(col("y") * col("y")).as("s2_d"))
+      .select(col("event_type"), col("n_hours"),
+              (asDouble(col("sy_d")) / col("n_hours")).as("ybar"),
+              (asDouble(col("s2_d"))
+                - lit(2.0) * (asDouble(col("sy_d")) / col("n_hours"))
+                  * asDouble(col("sy_d"))
+                + col("n_hours") * (asDouble(col("sy_d")) / col("n_hours"))
+                  * (asDouble(col("sy_d")) / col("n_hours"))).as("den"))
 
   /** The EXACT decimal moment aggregation over a (event_type, ts_ms,
     * value) frame — the mergeable half of the OLS fit: decimal sums
@@ -2257,6 +2318,47 @@ object EventQueries {
          |  round((sab - st.ybar * sa - st.ybar * sb
          |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
          |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
+
+    // same hourly decimals and expanded sums as events_acf, cross-type
+    // aligned pairs, √(den_a·den_b) normalizer — term-for-term
+    "events_cross_corr" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |    CAST(sum(y) AS DOUBLE) / count(*) AS ybar,
+         |    CAST(sum(y * y) AS DOUBLE)
+         |      - CAST(2.0 AS DOUBLE) * (CAST(sum(y) AS DOUBLE) / count(*))
+         |        * CAST(sum(y) AS DOUBLE)
+         |      + count(*) * (CAST(sum(y) AS DOUBLE) / count(*))
+         |        * (CAST(sum(y) AS DOUBLE) / count(*)) AS den
+         |  FROM h GROUP BY 1
+         |), lags(k) AS (VALUES (0), (1), (24)
+         |), pr AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.k,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(a.y * b.y) AS DOUBLE) AS sab,
+         |    CAST(sum(a.y) AS DOUBLE) AS sa,
+         |    CAST(sum(b.y) AS DOUBLE) AS sb
+         |  FROM h a
+         |  CROSS JOIN lags l
+         |  JOIN h b ON b.hour_ms = a.hour_ms + l.k * 3600000
+         |          AND b.event_type <> a.event_type
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT pr.type_a, pr.type_b, CAST(pr.k AS BIGINT) AS lag_hours,
+         |  n_pairs,
+         |  round((sab - sta.ybar * sb - stb.ybar * sa
+         |         + n_pairs * sta.ybar * stb.ybar)
+         |        / sqrt(sta.den * stb.den), 6) AS ccf
+         |FROM pr
+         |JOIN st sta ON sta.event_type = pr.type_a
+         |JOIN st stb ON stb.event_type = pr.type_b""".stripMargin,
 
     // marginals re-aggregated from the cells, p·ln terms quantized at
     // 12 dp and decimal-summed — term-for-term the Spark plan

@@ -84,6 +84,26 @@ class AcfAdamicSpec extends SparkSpec {
     }
   }
 
+  test("cross-correlation is lag-0 symmetric, bounded, and pair-complete") {
+    val rows = EventQueries.queries("events_cross_corr")(spark, sf).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[Long]("lag_hours"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("ccf")))
+    val types = rows.map(_._1).distinct.sorted
+    // every ordered pair at every lag (full hour grid ⇒ no empty join)
+    assert(rows.length == types.length * (types.length - 1) * 3)
+    rows.foreach { case (a, b, k, n, ccf) =>
+      assert(a != b)
+      assert(n > 0)
+      assert(math.abs(ccf) <= 1.0 + 1e-6, s"($a,$b,k=$k): ccf=$ccf")
+    }
+    // CCF(a,b,0) ≡ CCF(b,a,0): identical pair set, symmetric formula
+    val lag0 = rows.filter(_._3 == 0L).map(r => (r._1, r._2) -> r._5).toMap
+    lag0.foreach { case ((a, b), v) =>
+      assert(lag0((b, a)) == v, s"lag-0 asymmetry: ($a,$b)=$v vs ${lag0((b, a))}")
+    }
+  }
+
   test("Adamic-Adar predicts only non-edges, with sane scores and margins") {
     val out = DedupQueries.queries("graph_adamic_adar")(spark, sf).collect()
     assert(out.nonEmpty, "fixture produced no predicted links")
