@@ -847,6 +847,60 @@ object DedupQueries {
       per.unionByName(global)
     }),
 
+    // LSH INDEX EVALUATION — the measurement loop every production
+    // dedup pipeline runs before trusting its index: on a
+    // deterministic ~25% doc sample (md5-mod, engine-reproducible),
+    // compute the EXACT all-pairs Jaccard truth (≥ 0.2, the
+    // dedup_lsh_pairs threshold), compare against "same CC component"
+    // (the dedup decision the pipeline actually takes), and report the
+    // confusion counts + precision/recall/F1. Scale posture: the
+    // quadratic truth is confined to the SAMPLE — that's the
+    // methodology, not a shortcut (the sample is sized to make
+    // all-pairs affordable; the broadcast side is the bounded sample,
+    // never the corpus) — and the predicted pairs are cluster-confined
+    // (Σ|component∩sample|²). Counts are exact integers; the three
+    // ratios are scalar double math rounded at 6 dp.
+    "dedup_lsh_eval" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes(TextOps.tokens(col("text")), 1)
+            .as("tokset"))
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+          16, 10).cast("long") % 4 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sample.select(col("doc_id").as("doc_a"), col("tokset").as("set_a"))
+      val b = sample.select(col("doc_id").as("doc_b"), col("tokset").as("set_b"))
+      val truth = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .filter(Dedup.jaccard(col("set_a"), col("set_b")) >= 0.2)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+      val slabels = sample.select(col("doc_id"))
+        .join(ccLabels(s, dir), col("doc_id") === col("v"))
+        .select(col("doc_id"), col("lbl"))
+      val pred = slabels.select(col("doc_id").as("doc_a"), col("lbl"))
+        .join(slabels.select(col("doc_id").as("doc_b"), col("lbl")), "lbl")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1).as("p"))
+      val conf = truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("t").isNotNull && col("p").isNull, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(col("t").isNull && col("p").isNotNull, 1L).otherwise(0L))
+            .as("fp"))
+      val nSample = sample.agg(count(lit(1)).as("n_sample"))
+      val prec = col("tp").cast("double") / (col("tp") + col("fp"))
+      val rec  = col("tp").cast("double") / (col("tp") + col("fn"))
+      conf.crossJoin(broadcast(nSample)).select(
+        col("n_sample"),
+        (col("tp") + col("fn")).as("n_truth"),
+        (col("tp") + col("fp")).as("n_pred"),
+        col("tp"), col("fp"), col("fn"),
+        round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        round(lit(2.0) * prec * rec / (prec + rec), 6).as("f1"))
+    }),
+
     // ADAMIC-ADAR link prediction — score NON-adjacent doc pairs by
     // Σ_z 1/ln(deg(z)) over their common neighbors z (the canonical
     // similarity-completion operator: "these two docs share rare
@@ -1555,6 +1609,52 @@ object DedupQueries {
          |JOIN (SELECT lbl, count(*) AS cnt FROM l$LpaRounds GROUP BY 1) s
          |  USING (lbl)""".stripMargin
     },
+
+    // same md5 sample, same hashed-token exact Jaccard truth, same
+    // CC-component prediction, same confusion algebra — term-for-term
+    "dedup_lsh_eval" ->
+      s"""WITH RECURSIVE $ccSplitCtes, toksets AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(string_split(text, ' '), s ->
+         |      ${h31.format("s")})) AS tokset
+         |  FROM documents
+         |), sample AS (
+         |  SELECT doc_id, tokset FROM toksets
+         |  WHERE (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+         |         AS BIGINT)) % 4 = 0
+         |), truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS t
+         |  FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.tokset, b.tokset)) /
+         |    CAST(len(list_distinct(list_concat(a.tokset, b.tokset)))
+         |         AS DOUBLE) >= 0.2
+         |), slabels AS (
+         |  SELECT s.doc_id, c.component_id AS lbl
+         |  FROM sample s JOIN cc c USING (doc_id)
+         |), pred AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS p
+         |  FROM slabels a JOIN slabels b
+         |    ON a.lbl = b.lbl AND a.doc_id < b.doc_id
+         |), conf AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN t.t = 1 AND p.p = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN t.t = 1 AND p.p IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN t.t IS NULL AND p.p = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fp
+         |  FROM truth t FULL OUTER JOIN pred p USING (doc_a, doc_b)
+         |), ns AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sample FROM sample
+         |)
+         |SELECT n_sample, tp + fn AS n_truth, tp + fp AS n_pred, tp, fp, fn,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+         |  round(CAST(2.0 AS DOUBLE) * (CAST(tp AS DOUBLE) / (tp + fp))
+         |        * (CAST(tp AS DOUBLE) / (tp + fn))
+         |        / ((CAST(tp AS DOUBLE) / (tp + fp))
+         |           + (CAST(tp AS DOUBLE) / (tp + fn))), 6) AS f1
+         |FROM conf CROSS JOIN ns""".stripMargin,
 
     // same star edges, same hub cap, same 12-dp quantized 1/ln terms,
     // same anti-join + (score desc, pair) top-k — term-for-term

@@ -236,6 +236,30 @@ object SimilarityQueries {
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // RECALL@k AS A QUERY — the acceptance metric for the IVF index,
+    // promoted from spec/bench evidence (AnnRecallSpec,
+    // recall_bench.json) to a first-class operator a pipeline can run
+    // per index build: per query point, |IVF top-k ∩ brute top-k| / k.
+    // Composes the two oracle-matched rankings, so the oracle is their
+    // SQL composed — integer overlap counts, one exact division. At
+    // 100 TB the brute leg runs on the SAME sampled query panel this
+    // fixture uses (recall estimation needs tens of queries, not the
+    // corpus); the IVF leg is the production path being measured.
+    "ann_recall_ivf" -> ((s, dir) => {
+      val brute = queries("ann_topk_bruteforce")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val ivf = queries("ann_topk_ivf")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val overlap = brute.join(ivf, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      brute.select(col("q_id")).distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / TopK, 6)
+            .as("recall_at_k"))
+    }),
+
     // Float-scored IVF: ann_topk_ivf's candidate pruning (decimal-exact
     // centroid assignment + probe selection — the oracle contract) with
     // the fused float kernel scoring the probed lists — the 100 TB
@@ -1665,7 +1689,24 @@ object SimilarityQueries {
        |  doc_id, rank_lex, rank_sem, round(rrf, 9) AS rrf_r
        |FROM fused QUALIFY rank <= $TopK""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = oracleBase +
+    // composes the two already-oracle-matched rankings: WITH b/i wrap
+    // their full SQL as subqueries, the recall is integer overlap
+    // counting — added post-Map so the composition can read oracleBase
+    ("ann_recall_ivf" -> {
+      val b = "ann_topk_bruteforce"; val i = "ann_topk_ivf"
+      s"""WITH b AS (${oracleBase(b)}), i AS (${oracleBase(i)}), o AS (
+         |  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM b JOIN i USING (q_id, vec_id) GROUP BY 1
+         |)
+         |SELECT q.q_id, coalesce(o.n_overlap, 0) AS n_overlap,
+         |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / $TopK, 6)
+         |    AS recall_at_k
+         |FROM (SELECT DISTINCT q_id FROM b) q LEFT JOIN o USING (q_id)"""
+        .stripMargin
+    })
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "sq_minmax" ->
       s"""WITH $sqCtes
          |SELECT CAST(i AS BIGINT) AS d, mn, mx FROM sqdims""".stripMargin,

@@ -720,6 +720,45 @@ object StreamingQueries {
       EventQueries.entropyFinish(merged)
     }),
 
+    // Streaming cohort RETENTION — two merge laws at once: per batch,
+    // the DISTINCT (user, active-day) pairs are appended (idempotent
+    // set-union state, bounded by |users|·|active days| — the matrix
+    // support — never |events|), and the cohort day is the MIN over
+    // the merged pairs (min is mergeable, so a user's cohort is
+    // correct even when their first-ever event arrives in a later
+    // batch than some other event — exactly the case a per-batch
+    // cohort assignment would get wrong). The finish over the merged
+    // state IS the batch plan; shares events_retention's oracle,
+    // hash-proven.
+    "stream_retention" -> ((s, dir) => {
+      val pairsDir = Files.createTempDirectory("graft-ret-partials-")
+      sys.addShutdownHook(deleteRecursively(pairsDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("user_id"),
+                (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.distinct()
+            .write.mode("append").parquet(pairsDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val pairs = s.read.parquet(pairsDir.toString).distinct()
+      val cohort = pairs.groupBy(col("user_id"))
+        .agg(min(col("day_ms")).as("cohort_day_ms"))
+      pairs.join(cohort, "user_id")
+        .select(col("cohort_day_ms"),
+          ((col("day_ms") - col("cohort_day_ms")) / 86400000L)
+            .cast("long").as("offset_days"))
+        .groupBy(col("cohort_day_ms"), col("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Streaming BLOOM filter: each micro-batch contributes its partial
     // set-bit table (the identical k-hash projection as the batch
     // sketch) and the merge is OR — distinct over the union of
@@ -1123,6 +1162,7 @@ object StreamingQueries {
     "stream_topk" -> EventQueries.oracleSql("events_top_users"),
     "stream_regression" -> EventQueries.oracleSql("events_regression"),
     "stream_entropy_mi" -> EventQueries.oracleSql("events_entropy_mi"),
+    "stream_retention" -> EventQueries.oracleSql("events_retention"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
