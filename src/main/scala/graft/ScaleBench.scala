@@ -57,6 +57,8 @@ object ScaleBench {
     "search_hybrid_rrf_indexed", "ann_index_append",
     "layout_zorder", "layout_hilbert", "q_bucketed_join",
     "events_regression", "events_entropy_mi", "events_ewma",
+    "events_acf", "events_cross_corr",
+    "graph_adamic_adar", "dedup_lsh_eval", "ann_recall_ivf",
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
     "q_sql_merge",
     "text_bigram_lm", "text_quality_auc")
@@ -80,7 +82,9 @@ object ScaleBench {
     "stream_window_agg", "stream_dedup_within_wm", "stream_stream_join",
     "stream_static_join", "stream_drift", "stream_seasonality",
     "stream_gapfill", "stream_gapfill_tws", "stream_ann_index_append",
-    "stream_topk", "stream_ewma")
+    "stream_topk", "stream_ewma",
+    "stream_regression", "stream_entropy_mi", "stream_retention",
+    "stream_rfm", "stream_acf")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,
@@ -96,7 +100,8 @@ object ScaleBench {
     */
   private val SeriesScaledQueries = Seq(
     "events_drift", "events_binning", "sketch_quantiles_by_type",
-    "events_seasonality", "events_anomaly", "events_ewma")
+    "events_seasonality", "events_anomaly", "events_ewma",
+    "events_acf", "events_cross_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

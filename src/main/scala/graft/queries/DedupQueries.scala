@@ -849,24 +849,28 @@ object DedupQueries {
 
     // LSH INDEX EVALUATION — the measurement loop every production
     // dedup pipeline runs before trusting its index: on a
-    // deterministic ~25% doc sample (md5-mod, engine-reproducible),
-    // compute the EXACT all-pairs Jaccard truth (≥ 0.2, the
+    // deterministic FIXED-SIZE doc sample (the EvalSampleN smallest
+    // md5 keys — engine-reproducible, and constant-size under corpus
+    // growth, so the quadratic truth never scales; the top-N plans as
+    // TakeOrdered, a scan + per-partition top-N merge, never a full
+    // sort), compute the EXACT all-pairs Jaccard truth (≥ 0.2, the
     // dedup_lsh_pairs threshold), compare against "same CC component"
     // (the dedup decision the pipeline actually takes), and report the
-    // confusion counts + precision/recall/F1. Scale posture: the
-    // quadratic truth is confined to the SAMPLE — that's the
-    // methodology, not a shortcut (the sample is sized to make
-    // all-pairs affordable; the broadcast side is the bounded sample,
-    // never the corpus) — and the predicted pairs are cluster-confined
-    // (Σ|component∩sample|²). Counts are exact integers; the three
-    // ratios are scalar double math rounded at 6 dp.
+    // confusion counts + precision/recall/F1. The broadcast side is
+    // the bounded sample, never the corpus; predicted pairs are
+    // cluster-confined (Σ|component∩sample|²). Counts are exact
+    // integers; the three ratios are scalar double math rounded at
+    // 6 dp.
     "dedup_lsh_eval" -> ((s, dir) => {
       val sample = Tables.documents(s, dir)
         .select(col("doc_id"),
           graft.functions.ShingleHashes(TextOps.tokens(col("text")), 1)
-            .as("tokset"))
-        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 14),
-          16, 10).cast("long") % 4 === 0)
+            .as("tokset"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+            16, 10).cast("long").as("skey"))
+        .orderBy(col("skey"), col("doc_id"))
+        .limit(EvalSampleN)
+        .select(col("doc_id"), col("tokset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sample.select(col("doc_id").as("doc_a"), col("tokset").as("set_a"))
       val b = sample.select(col("doc_id").as("doc_b"), col("tokset").as("set_b"))
@@ -1029,6 +1033,11 @@ object DedupQueries {
     */
   private val AaHubCap = 64
   private val AaTopK   = 50
+
+  /** `dedup_lsh_eval` sample size — FIXED, so the all-pairs truth is
+    * O(EvalSampleN²) regardless of corpus size.
+    */
+  private val EvalSampleN = 128
 
   /** Peel-round budget per k for `graph_kcore` (bounded like the
     * Lloyd/CC/PageRank loops; fixpoint-on-fixture proven by
@@ -1620,8 +1629,9 @@ object DedupQueries {
          |  FROM documents
          |), sample AS (
          |  SELECT doc_id, tokset FROM toksets
-         |  WHERE (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
-         |         AS BIGINT)) % 4 = 0
+         |  ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+         |           AS BIGINT), doc_id
+         |  LIMIT $EvalSampleN
          |), truth AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS t
          |  FROM sample a JOIN sample b ON a.doc_id < b.doc_id

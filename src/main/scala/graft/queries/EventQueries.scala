@@ -227,31 +227,7 @@ object EventQueries {
     // exist (join, not positional lag — gap hours don't fabricate
     // adjacency); the denominator is the full-series Σ(y−ȳ)² (the
     // standard estimator).
-    "events_acf" -> ((s, dir) => {
-      val hourly = hourlySeries(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = seriesStats(hourly)
-      val perLag = AcfLags.map { k =>
-        val b = hourly.select(col("event_type"),
-          (col("hour_ms") - lit(k * 3600000L)).as("hour_ms"),
-          col("y").as("yb"))
-        hourly.join(b, Seq("event_type", "hour_ms"))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_pairs"),
-               sum(col("y") * col("yb")).as("sab_d"),
-               sum(col("y")).as("sa_d"),
-               sum(col("yb")).as("sb_d"))
-          .select(col("event_type"), lit(k.toLong).as("lag_hours"),
-                  col("n_pairs"), col("sab_d"), col("sa_d"), col("sb_d"))
-      }.reduce(_.unionByName(_))
-      perLag.join(broadcast(stats), "event_type")
-        .select(col("event_type"), col("lag_hours"), col("n_pairs"),
-          round((asDouble(col("sab_d"))
-                  - col("ybar") * asDouble(col("sa_d"))
-                  - col("ybar") * asDouble(col("sb_d"))
-                  + col("n_pairs") * col("ybar") * col("ybar"))
-                / col("den"), 6).as("acf"))
-    }),
+    "events_acf" -> ((s, dir) => acfFromHourly(hourlySeries(s, dir))),
 
     // CROSS-correlation between series — "does series A lead series
     // B?": for each ordered type pair (a ≠ b) and lag k ∈ 0, 1, 24 h,
@@ -344,22 +320,8 @@ object EventQueries {
     // are the fixture shape — at 100 TB the quintile CUTOFFS come from
     // an approx-quantile pass (or the exact sort-based q_percentiles
     // machinery) and scoring becomes a broadcast-threshold projection.
-    "events_rfm" -> ((s, dir) => {
-      val per = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(max(col("ts_ms")).as("last_ms"),
-             count(lit(1)).as("freq"),
-             asDouble(sum(dec(col("value")))).as("monetary"))
-      def quint(o: org.apache.spark.sql.Column*) =
-        ntile(5).over(Window.orderBy(o: _*)).cast("long")
-      per.select(col("user_id"), col("last_ms"), col("freq"),
-          round(col("monetary"), 6).as("monetary"),
-          quint(col("last_ms").desc, col("user_id")).as("r_score"),
-          quint(col("freq").desc, col("user_id")).as("f_score"),
-          quint(col("monetary").desc, col("user_id")).as("m_score"))
-        .withColumn("segment",
-          concat(col("r_score"), col("f_score"), col("m_score")))
-    }),
+    "events_rfm" -> ((s, dir) =>
+      rfmFinish(rfmPerUser(Tables.events(s, dir)))),
 
     // Event-type TRANSITION MATRIX (first-order Markov estimate) — the
     // sequence-analytics companion to funnel/sessionize: per user's
@@ -1064,21 +1026,86 @@ object EventQueries {
   private[graft] def regressionSums(s: org.apache.spark.sql.SparkSession, dir: String) =
     momentsAsDoubles(regressionMoments(Tables.events(s, dir)))
 
+  /** The mergeable half of `events_rfm`: per-user (max ts, count,
+    * EXACT decimal value sum). max/count/decimal-sum are all
+    * associative, so per-micro-batch partial rows re-merged per user
+    * equal the one-pass batch aggregation exactly (`stream_rfm`'s
+    * hash proof).
+    */
+  private[graft] def rfmPerUser(e: org.apache.spark.sql.DataFrame) =
+    e.groupBy(col("user_id"))
+      .agg(max(col("ts_ms")).as("last_ms"),
+           count(lit(1)).as("freq"),
+           sum(dec(col("value"))).as("mon_dec"))
+
+  /** The RFM quintile scoring over a merged per-user table — the
+    * serving-time half: three ntile windows with user_id tiebreaks.
+    */
+  private[graft] def rfmFinish(per: org.apache.spark.sql.DataFrame) = {
+    def quint(o: org.apache.spark.sql.Column*) =
+      ntile(5).over(Window.orderBy(o: _*)).cast("long")
+    per.select(col("user_id"), col("last_ms"), col("freq"),
+        round(asDouble(col("mon_dec")), 6).as("monetary"),
+        quint(col("last_ms").desc, col("user_id")).as("r_score"),
+        quint(col("freq").desc, col("user_id")).as("f_score"),
+        quint(asDouble(col("mon_dec")).desc, col("user_id")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** The 9-dp-decimal hourly mean series behind `events_acf` /
     * `events_cross_corr`: ONE partial-aggregable hash agg reduces
     * |events| to ≤ 24·days rows per series; everything downstream is
     * dashboard-sized.
     */
   private def hourlySeries(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.events(s, dir)
-      .select(col("event_type"),
-              (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"),
-              col("value"))
+    hourlyFromCells(hourlyCells(Tables.events(s, dir)))
+
+  /** The mergeable half of the hourly series: per-(type, hour) count +
+    * exact decimal sum — both additive, so per-micro-batch partial
+    * cells sum-merged equal the batch agg (`stream_acf`'s hash proof).
+    */
+  private[graft] def hourlyCells(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("event_type"),
+             (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"),
+             col("value"))
       .groupBy(col("event_type"), col("hour_ms"))
       .agg(count(lit(1)).as("nh"), sum(dec(col("value"))).as("s_dec"))
-      .select(col("event_type"), col("hour_ms"),
-              round(asDouble(col("s_dec")) / col("nh"), 9)
-                .cast("decimal(18,9)").as("y"))
+
+  /** Cells → the 9-dp-decimal hourly mean series. */
+  private[graft] def hourlyFromCells(cells: org.apache.spark.sql.DataFrame) =
+    cells.select(col("event_type"), col("hour_ms"),
+      round(asDouble(col("s_dec")) / col("nh"), 9)
+        .cast("decimal(18,9)").as("y"))
+
+  /** The ACF computation over an hourly series frame — see
+    * `events_acf`'s scaladoc; shared verbatim by the streaming twin.
+    */
+  private[graft] def acfFromHourly(hourlyIn: org.apache.spark.sql.DataFrame) = {
+      val hourly = hourlyIn
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = seriesStats(hourly)
+      val perLag = AcfLags.map { k =>
+        val b = hourly.select(col("event_type"),
+          (col("hour_ms") - lit(k * 3600000L)).as("hour_ms"),
+          col("y").as("yb"))
+        hourly.join(b, Seq("event_type", "hour_ms"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+               sum(col("y") * col("yb")).as("sab_d"),
+               sum(col("y")).as("sa_d"),
+               sum(col("yb")).as("sb_d"))
+          .select(col("event_type"), lit(k.toLong).as("lag_hours"),
+                  col("n_pairs"), col("sab_d"), col("sa_d"), col("sb_d"))
+      }.reduce(_.unionByName(_))
+      perLag.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("lag_hours"), col("n_pairs"),
+          round((asDouble(col("sab_d"))
+                  - col("ybar") * asDouble(col("sa_d"))
+                  - col("ybar") * asDouble(col("sb_d"))
+                  + col("n_pairs") * col("ybar") * col("ybar"))
+                / col("den"), 6).as("acf"))
+  }
 
   /** Per-series (n_hours, ȳ, Σ(y−ȳ)²) off exact decimal sums; the
     * variance term is EXPANDED (Σy² − 2ȳΣy + nȳ²) in the one double

@@ -759,6 +759,68 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Streaming RFM — the max-merge law joins the suite: per batch,
+    // per-user (max ts, count, decimal Σvalue) partials; the merge is
+    // (MAX, SUM, SUM) per user — all associative — and the quintile
+    // scoring runs over the merged per-user table at serving time
+    // (ntile is rank-based, NOT mergeable — same serving-time cut
+    // argument as stream_topk). State is one row per user per batch,
+    // compacted by the merge. Shares events_rfm's oracle, hash-proven.
+    "stream_rfm" -> ((s, dir) => {
+      val perDir = Files.createTempDirectory("graft-rfm-partials-")
+      sys.addShutdownHook(deleteRecursively(perDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.rfmPerUser(batch)
+            .write.mode("append").parquet(perDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(perDir.toString)
+        .groupBy(col("user_id"))
+        .agg(max(col("last_ms")).as("last_ms"),
+             sum(col("freq")).as("freq"),
+             sum(col("mon_dec")).as("mon_dec"))
+      EventQueries.rfmFinish(merged)
+    }),
+
+    // Streaming ACF — the hourly contingency cells are the mergeable
+    // state (count + exact decimal sum per (series, hour), both
+    // additive); the 9-dp mean projection, lag joins and fixed-order
+    // double centering all run over the merged dashboard-sized table.
+    // Shares events_acf's oracle: merge(partials) ≡ batch hourly agg,
+    // so online accumulation reproduces the full autocorrelation
+    // diagnostics bit-for-bit.
+    "stream_acf" -> ((s, dir) => {
+      val cellsDir = Files.createTempDirectory("graft-acf-partials-")
+      sys.addShutdownHook(deleteRecursively(cellsDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.hourlyCells(batch)
+            .write.mode("append").parquet(cellsDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(cellsDir.toString)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
+      EventQueries.acfFromHourly(EventQueries.hourlyFromCells(merged))
+    }),
+
     // Streaming BLOOM filter: each micro-batch contributes its partial
     // set-bit table (the identical k-hash projection as the batch
     // sketch) and the merge is OR — distinct over the union of
@@ -1163,6 +1225,8 @@ object StreamingQueries {
     "stream_regression" -> EventQueries.oracleSql("events_regression"),
     "stream_entropy_mi" -> EventQueries.oracleSql("events_entropy_mi"),
     "stream_retention" -> EventQueries.oracleSql("events_retention"),
+    "stream_rfm" -> EventQueries.oracleSql("events_rfm"),
+    "stream_acf" -> EventQueries.oracleSql("events_acf"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
