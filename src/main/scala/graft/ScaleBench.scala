@@ -45,7 +45,7 @@ object ScaleBench {
     "text_redact", "text_repetition", "text_c4_filters", "text_chunk",
     "pipeline_sample", "pipeline_sample_weighted", "pipeline_mix", "pipeline_pack",
     "pipeline_shuffle", "pipeline_dataset_card", "pipeline_k_anonymity",
-    "pipeline_anonymize",
+    "pipeline_anonymize", "pipeline_dp_release",
     "events_retention",
     "events_gapfill", "events_gapfill_lerp", "events_drift",
     "events_seasonality", "q_expectations", "events_paths", "events_binning",

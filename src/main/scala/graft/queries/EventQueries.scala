@@ -633,6 +633,37 @@ object EventQueries {
              count(lit(1)).as("n_cells_merged"))
     }),
 
+    // DIFFERENTIALLY-PRIVATE histogram release (Laplace mechanism) —
+    // the third rung of the privacy ladder next to k-anonymity
+    // (suppression) and the anonymize roll-up (generalization): the
+    // (event_type, day) count table released with Laplace(1/ε) noise
+    // (ε = 1, sensitivity 1 for counting queries), noisy counts
+    // rounded to integers and clamped at 0, the standard discrete
+    // release. Noise is SEEDED from the cell key via the md5-uniform
+    // route (53-bit mantissa → inverse-CDF), so the release is
+    // deterministic and engine-reproducible — the auditable-replay
+    // variant real DP pipelines use for regression testing; a
+    // production release swaps the cell-keyed seed for a secret
+    // non-replayable one (one line) and DROPS the true count column
+    // this demo keeps for the oracle. Scale: one partial-aggregable
+    // count agg + a pure projection; the noise adds zero shuffles.
+    "pipeline_dp_release" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+                (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+        .groupBy(col("event_type"), col("day_ms"))
+        .agg(count(lit(1)).as("n"))
+      val h = conv(substring(md5(concat_ws("#",
+          col("event_type"), col("day_ms"), lit("dp"))), 1, 13), 16, 10)
+        .cast("long")
+      val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+      val v = u - lit(0.5)
+      val noise = -signum(v) * log(lit(1.0) - lit(2.0) * abs(v)) * lit(DpB)
+      cells.select(col("event_type"), col("day_ms"), col("n"),
+        greatest(lit(0L),
+          round(col("n") + noise, 0).cast("long")).as("n_noisy"))
+    }),
+
     // JOIN-SIZE ESTIMATION via correlated hash sampling — the planner
     // capability behind "should this join broadcast / how many shuffle
     // partitions": |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated WITHOUT
@@ -1504,6 +1535,9 @@ object EventQueries {
     */
   private[graft] val KAnonK = 5
 
+  /** `pipeline_dp_release` Laplace scale b = sensitivity/ε = 1/1. */
+  private val DpB = 1.0
+
   /** Distinct (event_type, h) with h = the 56-bit md5 prefix of the
     * user id — the shared hash route every sketch here rides.
     * private[graft]: the streaming twin applies the same projection
@@ -1966,6 +2000,30 @@ object EventQueries {
 
     // the residual-ladder CTE chain + the same published-granularity
     // re-aggregation; integer counts only
+    // same md5-uniform seed, same inverse-CDF Laplace draw, same
+    // integer round + clamp — term-for-term (margin pinned in spec)
+    "pipeline_dp_release" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 86400000)
+        |      AS day_ms,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), seeded AS (
+        |  SELECT event_type, day_ms, n,
+        |    (CAST(concat('0x', substr(md5(
+        |        concat_ws('#', event_type, day_ms, 'dp')), 1, 13)) AS BIGINT)
+        |     + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496.0 AS DOUBLE) AS u
+        |  FROM cells
+        |)
+        |SELECT event_type, day_ms, n,
+        |  CAST(greatest(0, round(n +
+        |    -sign(u - CAST(0.5 AS DOUBLE))
+        |      * ln(CAST(1.0 AS DOUBLE)
+        |            - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE)))
+        |      * CAST(1.0 AS DOUBLE), 0)) AS BIGINT) AS n_noisy
+        |FROM seeded""".stripMargin,
+
     "pipeline_anonymize" ->
       """WITH e AS (
         |  SELECT event_type, user_id % 10 AS user_bucket,
