@@ -626,6 +626,58 @@ object TextQueries {
             .as("avg_logprob_r"))
     }),
 
+    // HELD-OUT PERPLEXITY — the production CCNet/LLaMA configuration
+    // of the LM quality filter: the scoring model is trained on a
+    // DIFFERENT corpus than the one being scored (CCNet trains KenLM
+    // on Wikipedia and scores Common Crawl), so unseen bigrams and
+    // unseen histories are the NORMAL case, not an edge case. Here the
+    // doc_id-parity split is the deterministic stand-in for "a
+    // reference corpus": train the add-1 bigram model on even doc_ids,
+    // score odd doc_ids. Unseen (w1,w2) backs off to (0+1)/(c1+V);
+    // unseen history w1 to 1/V — both via LEFT joins + coalesce (the
+    // in-corpus variant above can inner-join because every scored
+    // bigram is by construction in the model; this one cannot). Output
+    // is the per-doc mean log-prob AND the perplexity exp(−avg) — the
+    // number the filter thresholds on. Same scale shape: two
+    // partial-aggregable count tables from the train half, one shuffle
+    // join of test bigrams against the model (at 100 TB the model
+    // table is big data — deliberately not a broadcast), 9-dp
+    // quantized decimal-summed log-probs; the single per-doc exp runs
+    // in fixed order on an engine-identical double (PerplexitySpec
+    // pins the 4-dp rounding margin).
+    "text_perplexity_heldout" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val train = toks.filter(col("doc_id") % 2 === 0)
+      val trainBi = bigrams(train)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c12 = trainBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = trainBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = train.select(explode(col("t")).as("w")).distinct()
+        .agg(count(lit(1)).as("v"))
+      bigrams(toks.filter(col("doc_id") % 2 === 1))
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", round(log(
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 9)
+          .cast("decimal(28,9)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast("double") / col("n_bigrams"), 6)
+            .as("avg_logprob_r"),
+          round(exp(-col("slp").cast("double") / col("n_bigrams")), 4)
+            .as("ppl_r"))
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
     // detection that, unlike a bag-of-words hash, respects word order).
     "text_fingerprint" -> ((s, dir) =>
@@ -914,6 +966,44 @@ object TextQueries {
          |)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob_r
+         |FROM lp GROUP BY 1""".stripMargin,
+
+    // same parity split, same add-1 backoff via LEFT joins, same 9-dp
+    // quantized decimal sums; the exp runs once per doc on the shared
+    // double avg
+    "text_perplexity_heldout" ->
+      s"""$toksCte, train AS (
+         |  SELECT doc_id, toks FROM d WHERE doc_id % 2 = 0
+         |), train_bi AS (
+         |  SELECT b.w1 AS w1, b.w2 AS w2
+         |  FROM train, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS t(b)
+         |  WHERE len(toks) >= 2
+         |), c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM train_bi GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM train_bi GROUP BY 1
+         |), vocab AS (
+         |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |  FROM train, unnest(toks) AS u(token)
+         |), test_bi AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |  FROM d, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS t(b)
+         |  WHERE len(toks) >= 2 AND doc_id % 2 = 1
+         |), lp AS (
+         |  SELECT test_bi.doc_id,
+         |    CAST(round(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE) /
+         |                  CAST(coalesce(c1.c1, 0) + vocab.v AS DOUBLE)), 9)
+         |         AS DECIMAL(28,9)) AS lp
+         |  FROM test_bi
+         |  LEFT JOIN c12 ON c12.w1 = test_bi.w1 AND c12.w2 = test_bi.w2
+         |  LEFT JOIN c1 ON c1.w1 = test_bi.w1
+         |  CROSS JOIN vocab
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob_r,
+         |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl_r
          |FROM lp GROUP BY 1""".stripMargin,
 
     // same (token, doc) grouping, same first-10 posting heads (the
