@@ -274,6 +274,46 @@ object EventQueries {
                 / sqrt(col("den_a") * col("den_b")), 6).as("ccf"))
     }),
 
+    // THEIL-SEN robust slope — the median of all pairwise slopes of
+    // the hourly mean series, per event_type: the robust complement to
+    // `events_regression`'s OLS fit (breakdown point 29% — a burst of
+    // corrupted hours that would drag the least-squares line barely
+    // moves the pairwise median; running both and diffing them is the
+    // standard "is the trend real or an outlier artifact" check).
+    // Scale shape: the |events|-bound work is the SAME one
+    // partial-aggregable hash agg to the hourly series; the O(hours²)
+    // pair enumeration runs per series on the dashboard-sized table
+    // (bounded by the time span, independent of event volume), so at
+    // 100 TB the cost is still the scan. Exactness: each slope is an
+    // exact-decimal Δy cast to double over an exact integer Δhours —
+    // one IEEE division both engines perform identically — and the
+    // median is selected by rank, not averaged across engines: lo/hi
+    // ranks (n+1)÷2 and n÷2+1 picked under a total order, midpoint in
+    // one fixed double op ((lo+hi)/2 ≡ lo when n is odd).
+    "events_theilsen" -> ((s, dir) => {
+      val hourly = hourlySeries(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = hourly.select(col("event_type"),
+        col("hour_ms").as("h2"), col("y").as("y2"))
+      val slopes = hourly.join(b, Seq("event_type"))
+        .filter(col("h2") > col("hour_ms"))
+        .select(col("event_type"),
+          ((col("y2") - col("y")).cast("double") /
+           ((col("h2") - col("hour_ms")) / lit(3600000.0))).as("slope"))
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      slopes
+        .withColumn("rn", row_number().over(byType.orderBy(col("slope"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(n + 1) DIV 2") ||
+                col("rn") === expr("n DIV 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_pairs"),
+             min(col("slope")).as("lo"), max(col("slope")).as("hi"))
+        .select(col("event_type"), col("n_pairs"),
+          round((col("lo") + col("hi")) / 2.0, 6).as("slope_per_hour_r"))
+    }),
+
     // INFORMATION-THEORETIC dependence profile — H(type), H(hour) and
     // their mutual information, the "is this column informative about
     // that one" question feature selection and data-card tooling asks
@@ -2403,6 +2443,34 @@ object EventQueries {
          |  round((sab - st.ybar * sa - st.ybar * sb
          |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
          |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
+
+    // same 9-dp hourly decimals, same exact-decimal Δy over integer
+    // Δhours slopes, same rank-selected median (lo/hi ranks, fixed
+    // (lo+hi)/2 midpoint)
+    "events_theilsen" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), sl AS (
+         |  SELECT a.event_type,
+         |    CAST(b.y - a.y AS DOUBLE) /
+         |      ((b.hour_ms - a.hour_ms) // 3600000) AS slope
+         |  FROM h a
+         |  JOIN h b ON b.event_type = a.event_type AND b.hour_ms > a.hour_ms
+         |), rk AS (
+         |  SELECT event_type, slope,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM sl
+         |)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+         |  round((min(slope) + max(slope)) / 2, 6) AS slope_per_hour_r
+         |FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+         |GROUP BY 1""".stripMargin,
 
     // same hourly decimals and expanded sums as events_acf, cross-type
     // aligned pairs, √(den_a·den_b) normalizer — term-for-term
