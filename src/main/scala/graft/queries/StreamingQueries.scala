@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.streaming.{CusumStream, EwmaStream, GapFillStream, PseudoWindow}
+import graft.streaming.{CusumStream, EwmaStream, FunnelStream, GapFillStream, PseudoWindow}
 
 /** Streaming operators run end-to-end as bounded MULTI-BATCH queries:
   * the events table is split into [[NumSplits]] time-ordered files and
@@ -1007,6 +1007,38 @@ object StreamingQueries {
       runToMemory(s, CusumStream.chart(in).toDF())
     }),
 
+    // STREAMING FUNNEL — events_funnel's online twin. The batch chain
+    // of conditional mins is NOT mergeable (a stage's min depends on
+    // the previous stage's min, so per-batch partials can't re-merge),
+    // which puts funnel in the CUSUM class: a per-user stateful fold
+    // over the time-ordered replay, state = three write-once optional
+    // longs per user. The fold emits each user's current attainment
+    // per batch; write-once-ness makes the serving-time
+    // reconstruction (min over non-null emissions per user) exact.
+    // Shares events_funnel's oracle: online stage-gating ≡ the batch
+    // min-chain, hash-proven.
+    "stream_funnel" -> ((s, dir) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[FunnelStream.In]
+      val in = eventsStream(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+                col("ts_ms").as("tsMs"), col("event_type").as("eventType"))
+        .as[FunnelStream.In]
+      val emitted = runToMemory(s, FunnelStream.track(in).toDF())
+      val fin = emitted.groupBy(col("user_id"))
+        .agg(min(col("t_view")).as("t_view"),
+             min(col("t_click")).as("t_click"),
+             min(col("t_purchase")).as("t_purchase"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def stage(name: String, reached: org.apache.spark.sql.Column) =
+        fin.filter(reached.isNotNull)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage("1_view", col("t_view"))
+        .unionByName(stage("2_click", col("t_click")))
+        .unionByName(stage("3_purchase", col("t_purchase")))
+    }),
+
     // STREAMING EWMA — events_ewma's online twin: the batch window
     // pass becomes a per-key trailing buffer (31 doubles of state)
     // folded event-by-event, the constant-memory form the batch
@@ -1242,6 +1274,7 @@ object StreamingQueries {
     // The sequential stateful fold ≡ the batch window identity —
     // shares the batch CUSUM oracle (bit-identical chart).
     "stream_drift" -> EventQueries.oracleSql("events_drift"),
+    "stream_funnel" -> EventQueries.oracleSql("events_funnel"),
 
     // Stateful online fold ≡ the batch 32-lag window kernel — shares
     // events_ewma's oracle.
