@@ -586,6 +586,61 @@ object TextQueries {
                 col("postings_head"))
     }),
 
+    // SPARSE TF-IDF COSINE RETRIEVAL — the vector-space twin of
+    // text_bm25 and the SPARSE leg of hybrid search (dense ANN covers
+    // the other): docs and query are tf-idf vectors over the full
+    // vocabulary, score = cos(q, d) = Σ w(t,q)·w(t,d) / (|q|·|d|).
+    // Unlike BM25's per-term contributions, cosine needs DOC NORMS
+    // over every term in the doc — |d|² is one partial-aggregable agg
+    // over the whole (doc, token) table and is exactly the kind of
+    // per-doc artifact a 100 TB pipeline precomputes once per index
+    // build; the per-query retrieval cost is then bounded by the
+    // postings of the query terms (token-filter pushdown), never a
+    // corpus scan. Exactness: idf = ln((N+1)/(df+1)) + 1 quantized at
+    // 9 dp (the BM25 ln convention); weights tf·idf are EXACT scale-9
+    // decimals (integer × 9-dp), squares/products exact scale-18
+    // decimals, sums decimal-exact, and the final
+    // dot/(√nq²·√nd²) runs in fixed-order IEEE double both engines
+    // share (sqrt is correctly-rounded — no transcendental gap).
+    "search_tfidf_cosine" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf_q", round(
+          log((col("n_docs") + 1).cast("double") /
+              (col("df") + 1).cast("double")) + lit(1.0), 9)
+          .cast("decimal(18,9)"))
+        .select(col("token"), col("idf_q"))
+      val w = tf.join(idf, "token")
+        .withColumn("w",
+          (col("tf").cast("decimal(9,0)") * col("idf_q")).cast("decimal(18,9)"))
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("nd2"))
+      val qTerms = idf.filter(col("token").isin(Bm25Terms: _*))
+        .select(col("token"), col("idf_q").as("qw"))
+      val qNorm = qTerms.agg(sum(col("qw") * col("qw")).as("nq2"))
+      val scored = w.join(broadcast(qTerms), "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"), sum(col("qw") * col("w")).as("dot_d"))
+        .join(norms, "doc_id")
+        .crossJoin(broadcast(qNorm))
+        .withColumn("score", col("dot_d").cast("double") /
+          (sqrt(col("nq2").cast("double")) * sqrt(col("nd2").cast("double"))))
+      scored
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"),
+                round(col("score"), 6).as("score_r"))
+    }),
+
     // BIGRAM LANGUAGE-MODEL SCORING — the "LM perplexity filter" stage
     // of CCNet/Gopher-style curation pipelines (docs whose token
     // sequences the corpus LM finds improbable are boilerplate/noise),
@@ -967,6 +1022,51 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob_r
          |FROM lp GROUP BY 1""".stripMargin,
+
+    // same 9-dp idf quantization, same exact scale-9 weights and
+    // scale-18 squares/products, same fixed-order double finish
+    "search_tfidf_cosine" ->
+      s"""$toksCte, tok AS (
+         |  SELECT doc_id, token FROM d, unnest(toks) AS u(token)
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d
+         |), idf AS (
+         |  SELECT token,
+         |    CAST(round(ln(CAST(nd.n_docs + 1 AS DOUBLE) /
+         |                  CAST(count(*) + 1 AS DOUBLE)) + 1.0, 9)
+         |         AS DECIMAL(18,9)) AS idf_q
+         |  FROM tf, nd GROUP BY token, nd.n_docs
+         |), w AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(CAST(tf.tf AS DECIMAL(9,0)) * idf.idf_q AS DECIMAL(18,9)) AS w
+         |  FROM tf JOIN idf USING (token)
+         |), norms AS (
+         |  SELECT doc_id, sum(w * w) AS nd2 FROM w GROUP BY 1
+         |), q AS (
+         |  SELECT token, idf_q AS qw FROM idf
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |), qn AS (
+         |  SELECT sum(qw * qw) AS nq2 FROM q
+         |), dot AS (
+         |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |         sum(q.qw * w.w) AS dot_d
+         |  FROM w JOIN q ON q.token = w.token GROUP BY 1
+         |), sc AS (
+         |  SELECT dot.doc_id, dot.n_terms_hit,
+         |    CAST(dot.dot_d AS DOUBLE) /
+         |      (sqrt(CAST(qn.nq2 AS DOUBLE)) * sqrt(CAST(norms.nd2 AS DOUBLE)))
+         |      AS score
+         |  FROM dot JOIN norms ON norms.doc_id = dot.doc_id CROSS JOIN qn
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |    AS rank,
+         |  doc_id, n_terms_hit, round(score, 6) AS score_r
+         |FROM sc
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
 
     // same parity split, same add-1 backoff via LEFT joins, same 9-dp
     // quantized decimal sums; the exp runs once per doc on the shared
