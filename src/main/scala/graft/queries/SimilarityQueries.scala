@@ -753,8 +753,89 @@ object SimilarityQueries {
       emb.join(broadcast(centroids), col("label") === col("c_label"))
         .select(col("vec_id"), col("label"),
                 round(VectorOps.cosine(col("embedding"), col("centroid")), 6).as("cos_centroid"))
-    })
+    }),
+
+    // PCA TOP COMPONENT via power iteration — "iterative linear
+    // algebra as mergeable aggregation": the |corpus|-bound work is
+    // ONE pass building the second-moment upper triangle (d(d+1)/2 =
+    // 2080 cells for d=64) plus the per-dim sums — all exact decimal
+    // partial-aggregable sums, so at 100 TB the covariance is a
+    // map-side-combined hash agg whose shuffle is 2080 rows per
+    // partition regardless of corpus size (the per-row d²/2 products
+    // ARE the FLOPs any covariance pass pays; here they stay inside
+    // one codegen stage feeding the partial agg). Everything after —
+    // C = S/n − μμᵀ and [[PcaRounds]] unrolled power steps v ←
+    // C·v/‖C·v‖ — runs on the dashboard-sized 2080-row table (tiny
+    // joins, never a corpus rescan). Exactness: x quantized 9 dp,
+    // covariance quantized 12 dp off fixed-order doubles, each
+    // iterate's matvec an exact decimal sum re-quantized at 12 dp,
+    // norms via correctly-rounded sqrt — every double both engines
+    // compute is identical, so the unrolled DuckDB twin hash-matches
+    // the full 8-step trajectory. Output: the principal axis
+    // (per-dim loadings) + the dominant-eigenvalue estimate ‖C·v₇‖ —
+    // the "how much variance does one direction explain" number that
+    // decides whether an embedding column can be compressed before
+    // indexing (the PQ/SQ decision input). The operator contract is
+    // the DETERMINISTIC k-step trajectory (what the oracle checks);
+    // how close k steps get to the true eigenpair depends on the
+    // spectral gap — the fixture is isotropic by construction
+    // (λ₂/λ₁ ≈ 0.99, measured), so recovery is spec'd on
+    // planted-spike synthetic data instead (PcaPowerSpec, the
+    // KMeansTrainSpec pattern).
+    "emb_pca_power" -> ((s, dir) => pcaPowerOf(Tables.embeddings(s, dir)))
   )
+
+  /** The PCA power-iteration chain over a (vec_id, embedding) frame —
+    * exposed so PcaPowerSpec can run it on planted-spike synthetic
+    * data where the spectral gap makes k steps actually converge.
+    */
+  private[graft] def pcaPowerOf(embRaw: org.apache.spark.sql.DataFrame,
+                                rounds: Int = PcaRounds): org.apache.spark.sql.DataFrame = {
+      val e = embRaw
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double"), 9).cast("decimal(18,9)").as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = embRaw.agg(count(lit(1)).as("n"))
+      val mu = e.groupBy(col("i")).agg(sum(col("xq")).as("sx"))
+        .crossJoin(broadcast(n))
+        .select(col("i"), (col("sx").cast("double") / col("n")).as("mu"))
+      val b = e.select(col("vec_id"), col("i").as("j"), col("xq").as("xj"))
+      val s2 = e.join(b, "vec_id").filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(sum(col("xq") * col("xj")).as("sxx"))
+      val cu = s2.crossJoin(broadcast(n))
+        .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
+        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
+        .select(col("i"), col("j"),
+          round(col("sxx").cast("double") / col("n") - col("mu_i") * col("mu_j"), 12)
+            .cast("decimal(18,12)").as("cq"))
+      val cf = cu.unionByName(
+          cu.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("cq")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // v₀ = 1/8 per dim (unit norm for d = 64); 12-dp decimal carrier
+      var v = mu.select(col("i"), lit(0.125).cast("decimal(18,12)").as("vq"))
+        .localCheckpoint()
+      var nrm: org.apache.spark.sql.DataFrame = null
+      (1 to rounds).foreach { _ =>
+        val u = cf.join(v.select(col("i").as("j"), col("vq").as("vj")), "j")
+          .groupBy(col("i")).agg(sum(col("cq") * col("vj")).as("u"))
+          .select(col("i"),
+            round(col("u").cast("double"), 12).cast("decimal(18,12)").as("uq"))
+          .localCheckpoint()
+        nrm = u.agg(sqrt(sum(col("uq") * col("uq")).cast("double")).as("nrm"))
+          .localCheckpoint()
+        v = u.crossJoin(broadcast(nrm))
+          .select(col("i"),
+            round(col("uq").cast("double") / col("nrm"), 12)
+              .cast("decimal(18,12)").as("vq"))
+          .localCheckpoint()
+      }
+      v.crossJoin(broadcast(nrm))
+        .select(col("i").cast("long").as("dim_idx"),
+          round(col("vq").cast("double"), 6).as("loading_r"),
+          round(col("nrm"), 6).as("eigval_r"))
+  }
 
   // ---- hybrid-retrieval building blocks ----
 
@@ -950,6 +1031,14 @@ object SimilarityQueries {
     * a fixpoint.
     */
   private val TrainRounds = 3
+
+  /** Power-iteration steps for `emb_pca_power`; the DuckDB twin
+    * unrolls the same count. The operator contract is the
+    * deterministic k-step trajectory — convergence depends on the
+    * data's spectral gap (the fixture is isotropic by construction;
+    * PcaPowerSpec proves recovery on a planted spike in ≤8 steps).
+    */
+  private val PcaRounds = 8
 
   /** [[TrainRounds]] Lloyd iterations from the label-mean init — the
     * IVF index BUILD (vs `kmeans_step`'s single index primitive).
@@ -2385,6 +2474,63 @@ object SimilarityQueries {
          |)
          |SELECT e.vec_id, e.label,
          |  round(${duckCos("e.embedding", "c.centroid")}, 6) AS cos_centroid
-         |FROM embeddings e JOIN cent c ON e.label = c.label""".stripMargin
+         |FROM embeddings e JOIN cent c ON e.label = c.label""".stripMargin,
+
+    // same 9-dp x quantization, same 12-dp covariance off fixed-order
+    // doubles, same unrolled 12-dp-requantized power steps
+    "emb_pca_power" -> {
+      val steps = (1 to PcaRounds).map { k =>
+        val pv = if (k == 1) "v0" else s"v${k - 1}"
+        s"""u$k AS (
+           |  SELECT cf.i, sum(cf.cq * $pv.vq) AS u
+           |  FROM cf JOIN $pv ON $pv.i = cf.j GROUP BY 1
+           |), uq$k AS MATERIALIZED (
+           |  SELECT i, CAST(round(CAST(u AS DOUBLE), 12) AS DECIMAL(18,12)) AS uq
+           |  FROM u$k
+           |), n$k AS (
+           |  SELECT sqrt(CAST(sum(uq * uq) AS DOUBLE)) AS nrm FROM uq$k
+           |), v$k AS MATERIALIZED (
+           |  SELECT i, CAST(round(CAST(uq AS DOUBLE) / n$k.nrm, 12)
+           |    AS DECIMAL(18,12)) AS vq
+           |  FROM uq$k, n$k
+           |)""".stripMargin
+      }.mkString(", ")
+      // MATERIALIZED hints: DuckDB inlines CTEs by default, and the
+      // 8-level chain references cf/uqₖ/vₖ multiply — inlined, the
+      // chain re-evaluates the covariance exponentially (measured:
+      // >5 min; materialized: <1 s)
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(18,9)) AS xq
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+         |), mu AS (
+         |  SELECT i, CAST(sum(xq) AS DOUBLE) / nn.n AS mu
+         |  FROM e, nn GROUP BY i, nn.n
+         |), s2 AS (
+         |  SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxx
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.i >= a.i
+         |  GROUP BY 1, 2
+         |), cu AS (
+         |  SELECT s2.i, s2.j,
+         |    CAST(round(CAST(s2.sxx AS DOUBLE) / nn.n - ma.mu * mb.mu, 12)
+         |      AS DECIMAL(18,12)) AS cq
+         |  FROM s2
+         |  CROSS JOIN nn
+         |  JOIN mu ma ON ma.i = s2.i
+         |  JOIN mu mb ON mb.i = s2.j
+         |), cf AS MATERIALIZED (
+         |  SELECT i, j, cq FROM cu
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, cq FROM cu WHERE i <> j
+         |), v0 AS (
+         |  SELECT DISTINCT i, CAST(0.125 AS DECIMAL(18,12)) AS vq FROM cf
+         |), $steps
+         |SELECT v$PcaRounds.i AS dim_idx,
+         |  round(CAST(v$PcaRounds.vq AS DOUBLE), 6) AS loading_r,
+         |  round(n$PcaRounds.nrm, 6) AS eigval_r
+         |FROM v$PcaRounds, n$PcaRounds""".stripMargin
+    }
   )
 }
