@@ -785,24 +785,48 @@ object SimilarityQueries {
     "emb_pca_power" -> ((s, dir) => pcaPowerOf(Tables.embeddings(s, dir)))
   )
 
-  /** The PCA power-iteration chain over a (vec_id, embedding) frame —
-    * exposed so PcaPowerSpec can run it on planted-spike synthetic
-    * data where the spectral gap makes k steps actually converge.
+  /** The MERGEABLE half of the PCA chain: one (i, j, s) partial table
+    * holding the second-moment upper triangle (j ≥ i ≥ 0), the
+    * per-dim sums (j = −1), and the row count (i = j = −1) — all
+    * exact decimal(38,18) sums, so per-micro-batch partials sum-merge
+    * to the one-pass result (`stream_pca`'s hash proof).
     */
-  private[graft] def pcaPowerOf(embRaw: org.apache.spark.sql.DataFrame,
-                                rounds: Int = PcaRounds): org.apache.spark.sql.DataFrame = {
-      val e = embRaw
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          round(col("x").cast("double"), 9).cast("decimal(18,9)").as("xq"))
+  private[graft] def pcaMoments(embRaw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = embRaw
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        round(col("x").cast("double"), 9).cast("decimal(18,9)").as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = e.select(col("vec_id"), col("i").as("j"), col("xq").as("xj"))
+    val s2 = e.join(b, "vec_id").filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xq") * col("xj")).cast("decimal(38,18)").as("s"))
+    val sx = e.groupBy(col("i"))
+      .agg(sum(col("xq")).cast("decimal(38,18)").as("s"))
+      .select(col("i"), lit(-1L).as("j"), col("s"))
+    val cnt = embRaw.agg(count(lit(1)).cast("decimal(38,18)").as("s"))
+      .select(lit(-1L).as("i"), lit(-1L).as("j"), col("s"))
+    s2.select(col("i"), col("j"), col("s"))
+      .unionByName(sx).unionByName(cnt)
+  }
+
+  /** The dashboard-sized half: covariance + unrolled power steps over
+    * a merged (i, j, s) moment table. Exact-value-preserving wrt the
+    * pre-refactor inline chain (scale-18 re-casts of scale-9/18 sums
+    * carry identical values, hence identical doubles).
+    */
+  private[graft] def pcaFinish(moments: org.apache.spark.sql.DataFrame,
+                               rounds: Int = PcaRounds): org.apache.spark.sql.DataFrame = {
+      val mm = moments.groupBy(col("i"), col("j"))
+        .agg(sum(col("s")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = embRaw.agg(count(lit(1)).as("n"))
-      val mu = e.groupBy(col("i")).agg(sum(col("xq")).as("sx"))
+      val n = mm.filter(col("i") === -1L && col("j") === -1L)
+        .select(col("s").cast("long").as("n"))
+      val mu = mm.filter(col("i") >= 0L && col("j") === -1L)
         .crossJoin(broadcast(n))
-        .select(col("i"), (col("sx").cast("double") / col("n")).as("mu"))
-      val b = e.select(col("vec_id"), col("i").as("j"), col("xq").as("xj"))
-      val s2 = e.join(b, "vec_id").filter(col("j") >= col("i"))
-        .groupBy(col("i"), col("j")).agg(sum(col("xq") * col("xj")).as("sxx"))
+        .select(col("i"), (col("s").cast("double") / col("n")).as("mu"))
+      val s2 = mm.filter(col("j") >= 0L)
+        .select(col("i"), col("j"), col("s").as("sxx"))
       val cu = s2.crossJoin(broadcast(n))
         .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
         .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
@@ -836,6 +860,14 @@ object SimilarityQueries {
           round(col("vq").cast("double"), 6).as("loading_r"),
           round(col("nrm"), 6).as("eigval_r"))
   }
+
+  /** The PCA power-iteration chain over a (vec_id, embedding) frame —
+    * exposed so PcaPowerSpec can run it on planted-spike synthetic
+    * data where the spectral gap makes k steps actually converge.
+    */
+  private[graft] def pcaPowerOf(embRaw: org.apache.spark.sql.DataFrame,
+                                rounds: Int = PcaRounds): org.apache.spark.sql.DataFrame =
+    pcaFinish(pcaMoments(embRaw), rounds)
 
   // ---- hybrid-retrieval building blocks ----
 

@@ -163,13 +163,14 @@ object StreamingQueries {
     * for streaming index ingest. Range cuts on vec_id: a vector never
     * straddles a micro-batch.
     */
-  private val embSplitCache = scala.collection.mutable.HashMap[String, Path]()
+  private val embSplitCache = scala.collection.mutable.HashMap[(String, Boolean), Path]()
 
-  private def embSplitDir(s: SparkSession, dir: String): Path =
+  private def embSplitDir(s: SparkSession, dir: String,
+                          appendOnly: Boolean = true): Path =
     embSplitCache.synchronized {
-      embSplitCache.getOrElseUpdate(dir, {
+      embSplitCache.getOrElseUpdate((dir, appendOnly), {
         val raw = s.read.parquet(s"$dir/embeddings.parquet")
-          .filter(col("vec_id") % 10 >= 8)
+          .filter(if (appendOnly) col("vec_id") % 10 >= 8 else lit(true))
         val bounds = raw.stat
           .approxQuantile("vec_id", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
           .map(_.toLong)
@@ -196,17 +197,20 @@ object StreamingQueries {
       })
     }
 
-  /** The append batch's vectors as a streaming DataFrame, one
-    * id-ordered file per trigger.
+  /** Vectors as a streaming DataFrame, one id-ordered file per
+    * trigger: the append batch only (default — the index-ingest
+    * fixture) or the full corpus (`appendOnly = false`, the
+    * streaming-statistics fixture).
     */
-  private[graft] def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embeddingsStream(s: SparkSession, dir: String,
+                                      appendOnly: Boolean = true): DataFrame = {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(embSplitDir(s, dir).toString)
+      .parquet(embSplitDir(s, dir, appendOnly).toString)
   }
 
   /** documents as a streaming DataFrame, replayed one id-ordered file
@@ -1111,6 +1115,36 @@ object StreamingQueries {
     // ingest-incremental ≡ batch append ≡ full rebuild row-for-row —
     // the query shares ann_index_append's oracle, and the hash match
     // IS the proof.
+    // STREAMING PCA — the covariance is the sketch: each micro-batch
+    // of arriving vectors contributes one exact-decimal (i, j, s)
+    // moment-partial table (second-moment upper triangle + per-dim
+    // sums + count — all additive), the merge is SUM per cell, and
+    // the dashboard-sized finish (covariance + 8 power steps) runs
+    // over the merged 2146-row table at serving time. Extends the
+    // mergeability suite from scalar moments (stream_regression) to
+    // the full second-moment MATRIX. Shares emb_pca_power's oracle:
+    // merge(per-batch Gramian partials) ≡ one-pass covariance, so the
+    // online index-side statistics reproduce the batch principal
+    // axis bit-for-bit.
+    "stream_pca" -> ((s, dir) => {
+      val momDir = Files.createTempDirectory("graft-pca-partials-")
+      sys.addShutdownHook(deleteRecursively(momDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = embeddingsStream(s, dir, appendOnly = false)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          SimilarityQueries.pcaMoments(batch)
+            .write.mode("append").parquet(momDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      SimilarityQueries.pcaFinish(s.read.parquet(momDir.toString))
+    }),
+
     "stream_ann_index_append" -> ((s, dir) => {
       val centArr = SimilarityQueries.appendCentArr(s, dir)
       val out = Files.createTempDirectory("graft-annstream-out-")
@@ -1250,6 +1284,7 @@ object StreamingQueries {
     // centroids ⇒ assignment is a pure per-row function) — shares the
     // batch append oracle.
     "stream_ann_index_append" -> SimilarityQueries.oracleSql("ann_index_append"),
+    "stream_pca" -> SimilarityQueries.oracleSql("emb_pca_power"),
 
     // Sum-merge of full per-key partials + read-time k-cut ≡ the batch
     // leaderboard — shares events_top_users' oracle.

@@ -84,6 +84,22 @@ class PcaPowerSpec extends SparkSpec {
     assert(eig > 5.0 && eig < 14.0, s"eigval $eig outside the planted band")
   }
 
+  test("moment partials merge: split-corpus Gramians equal one-pass") {
+    // the stream_pca law, engine-side on the fixture: moments built
+    // from two disjoint halves, unioned, must finish identically to
+    // the one-pass chain
+    val emb = Tables.embeddings(spark, sf)
+    val onePass = SimilarityQueries.pcaPowerOf(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val merged = SimilarityQueries.pcaFinish(
+      SimilarityQueries.pcaMoments(emb.filter(col("vec_id") % 2 === 0))
+        .unionByName(
+          SimilarityQueries.pcaMoments(emb.filter(col("vec_id") % 2 === 1))))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(merged === onePass)
+  }
+
   test("eigenvalue dominates every coordinate variance") {
     // lambda >= v^T C v for unit v; in particular >= each diagonal
     val maxDiag = (0 until 64).map(i => cov(i)(i).toDouble).max
