@@ -274,6 +274,47 @@ object EventQueries {
                 / sqrt(col("den_a") * col("den_b")), 6).as("ccf"))
     }),
 
+    // MAD ROBUST ANOMALY — the median/MAD rung of the robustness
+    // ladder (mean/σ → median/MAD, exactly as OLS → Theil-Sen): the
+    // modified z-score rz = 0.6745·(x − med)/MAD with the
+    // Iglewicz-Hoaglin |rz| > 3.5 cut. Where events_anomaly's μ/σ are
+    // dragged by the outliers they're hunting, med and MAD have 50%
+    // breakdown. Both medians use the shared rank-selection
+    // convention (lo/hi ranks, fixed (lo+hi)/2 midpoint over
+    // engine-identical doubles). Scale shape: two windowed rank
+    // passes per series (exact medians = a sort per pass — the exact
+    // convention; a production monitor swaps in approx_percentile,
+    // the events_profile_approx path) + two broadcast joins of the
+    // ~5-row stat tables + one projection.
+    "events_anomaly_mad" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def rankMedian(df: org.apache.spark.sql.DataFrame, c: String) = {
+        val byType = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        df.withColumn("rn", row_number().over(
+            byType.orderBy(col(c), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(n + 1) DIV 2") ||
+                  col("rn") === expr("n DIV 2 + 1"))
+          .groupBy(col("event_type"))
+          .agg(((min(col(c)) + max(col(c))) / 2.0).as("med"))
+      }
+      val med = rankMedian(e, "value")
+      val withMed = e.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = rankMedian(
+        withMed.select(col("event_id"), col("event_type"), col("ad")), "ad")
+        .withColumnRenamed("med", "mad")
+      withMed.join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6)
+            .as("rz"),
+          (lit(0.6745) * abs(col("value") - col("med")) / col("mad") > 3.5)
+            .as("is_outlier"))
+    }),
+
     // THEIL-SEN robust slope — the median of all pairwise slopes of
     // the hourly mean series, per event_type: the robust complement to
     // `events_regression`'s OLS fit (breakdown point 29% — a burst of
@@ -2443,6 +2484,38 @@ object EventQueries {
          |  round((sab - st.ybar * sa - st.ybar * sb
          |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
          |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
+
+    // same rank-selected medians over engine-identical doubles, same
+    // fixed-order 0.6745·(x−med)/MAD finish
+    "events_anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL
+        |), r1 AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), med AS (
+        |  SELECT event_type, (min(value) + max(value)) / 2 AS med
+        |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1
+        |), ad AS (
+        |  SELECT e.event_id, e.event_type, e.value, med.med,
+        |    abs(e.value - med.med) AS ad
+        |  FROM e JOIN med USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ad
+        |), mad AS (
+        |  SELECT event_type, (min(ad) + max(ad)) / 2 AS mad
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1
+        |)
+        |SELECT ad.event_id, ad.event_type,
+        |  round(0.6745 * (ad.value - ad.med) / mad.mad, 6) AS rz,
+        |  (0.6745 * abs(ad.value - ad.med) / mad.mad > 3.5) AS is_outlier
+        |FROM ad JOIN mad USING (event_type)""".stripMargin,
 
     // same 9-dp hourly decimals, same exact-decimal Δy over integer
     // Δhours slopes, same rank-selected median (lo/hi ranks, fixed
