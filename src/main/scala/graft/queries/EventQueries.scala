@@ -274,6 +274,74 @@ object EventQueries {
                 / sqrt(col("den_a") * col("den_b")), 6).as("ccf"))
     }),
 
+    // POPULATION STABILITY INDEX — the ML-ops drift metric between a
+    // reference window and the current one: PSI = Σ_bins
+    // (p_b − q_b)·ln(p_b/q_b), with the standard >0.2 "significant
+    // shift" flag. The production discipline is reproduced exactly:
+    // bin EDGES ARE FROZEN FROM THE REFERENCE HALF (decile ranks of
+    // the first time-half per series — a drifted current distribution
+    // must not move its own yardstick), the current half is assigned
+    // against those frozen edges (broadcast 9-edge array, one
+    // filter-HOF projection — no per-row join explosion), and empty
+    // current bins are handled by add-0.5 smoothing over all 10 bins.
+    // Scale shape: one windowed rank pass over the reference half for
+    // the edges, one partial-aggregable (type, half, bin) count agg,
+    // then the PSI finish on the ~types·10-row table. Exactness: the
+    // per-bin (p−q)·ln(p/q) terms are 12-dp-quantized decimals (the
+    // entropy convention) summed order-free.
+    "events_psi" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val split = e.agg(expr("CAST((min(ts_ms) + max(ts_ms)) DIV 2 AS BIGINT)")
+        .as("t_split"))
+      val eS = e.crossJoin(broadcast(split))
+        .withColumn("half",
+          when(col("ts_ms") <= col("t_split"), lit("ref")).otherwise(lit("cur")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val ranked = eS.filter(col("half") === "ref")
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("value"), col("event_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byType))
+      val edges = ranked
+        .join(broadcast(s.range(1, 10).select(col("id").as("b"))),
+          col("rn") === expr("b * n DIV 10"))
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(col("value"))).as("edge_arr"))
+      val counts = eS.join(broadcast(edges), "event_type")
+        .withColumn("bin",
+          (size(filter(col("edge_arr"), ed => col("value") > ed)) + 1)
+            .cast("long"))
+        .groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val binFrame = edges.select(col("event_type"))
+        .crossJoin(s.range(1, 11).select(col("id").as("bin")))
+      val mat = binFrame
+        .join(counts.filter(col("half") === "ref")
+          .select(col("event_type"), col("bin"), col("cnt").as("n_ref_b")),
+          Seq("event_type", "bin"), "left")
+        .join(counts.filter(col("half") === "cur")
+          .select(col("event_type"), col("bin"), col("cnt").as("n_cur_b")),
+          Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("n_ref_b", "n_cur_b"))
+      val totals = eS.groupBy(col("event_type"))
+        .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+             sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      mat.join(broadcast(totals), "event_type")
+        .withColumn("p", (col("n_ref_b") + lit(0.5)) / (col("n_ref") + lit(5.0)))
+        .withColumn("q", (col("n_cur_b") + lit(0.5)) / (col("n_cur") + lit(5.0)))
+        .withColumn("term",
+          round((col("p") - col("q")) * log(col("p") / col("q")), 12)
+            .cast("decimal(28,12)"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+             sum(col("term")).as("psi_d"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("psi_d").cast("double"), 6).as("psi_r"),
+          (col("psi_d").cast("double") > lit(0.2)).as("is_drift"))
+    }),
+
     // MAD ROBUST ANOMALY — the median/MAD rung of the robustness
     // ladder (mean/σ → median/MAD, exactly as OLS → Theil-Sen): the
     // modified z-score rz = 0.6745·(x − med)/MAD with the
@@ -2484,6 +2552,65 @@ object EventQueries {
          |  round((sab - st.ybar * sa - st.ybar * sb
          |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
          |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
+
+    // same frozen-reference decile edges (rank-selected), same
+    // filter-HOF bin assignment, same add-0.5 smoothing and
+    // 12-dp-quantized (p−q)·ln(p/q) terms — double arithmetic forced
+    // on both sides (DuckDB's int+0.5 would otherwise run decimal)
+    "events_psi" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), es AS (
+        |  SELECT e.*, CASE WHEN e.ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half
+        |  FROM e, sp
+        |), rk AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM es WHERE half = 'ref'
+        |), ed AS (
+        |  SELECT rk.event_type, list_sort(list(rk.value)) AS edge_arr
+        |  FROM rk JOIN generate_series(1, 9) g(b) ON rk.rn = g.b * rk.n // 10
+        |  GROUP BY 1
+        |), bn AS (
+        |  SELECT es.event_type, es.half,
+        |    CAST(len(list_filter(ed.edge_arr, x -> es.value > x)) + 1 AS BIGINT) AS bin
+        |  FROM es JOIN ed ON ed.event_type = es.event_type
+        |), cnts AS (
+        |  SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bn GROUP BY 1, 2, 3
+        |), bf AS (
+        |  SELECT ed.event_type, CAST(g.b AS BIGINT) AS bin
+        |  FROM ed, generate_series(1, 10) g(b)
+        |), tot AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM es GROUP BY 1
+        |), mat AS (
+        |  SELECT bf.event_type, bf.bin,
+        |    coalesce(r.cnt, 0) AS n_ref_b, coalesce(c.cnt, 0) AS n_cur_b
+        |  FROM bf
+        |  LEFT JOIN cnts r ON r.event_type = bf.event_type AND r.bin = bf.bin AND r.half = 'ref'
+        |  LEFT JOIN cnts c ON c.event_type = bf.event_type AND c.bin = bf.bin AND c.half = 'cur'
+        |), terms AS (
+        |  SELECT mat.event_type, tot.n_ref, tot.n_cur,
+        |    CAST(round(
+        |      ((CAST(mat.n_ref_b AS DOUBLE) + 0.5) / (CAST(tot.n_ref AS DOUBLE) + 5.0)
+        |       - (CAST(mat.n_cur_b AS DOUBLE) + 0.5) / (CAST(tot.n_cur AS DOUBLE) + 5.0))
+        |      * ln(((CAST(mat.n_ref_b AS DOUBLE) + 0.5) / (CAST(tot.n_ref AS DOUBLE) + 5.0))
+        |           / ((CAST(mat.n_cur_b AS DOUBLE) + 0.5) / (CAST(tot.n_cur AS DOUBLE) + 5.0))), 12)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM mat JOIN tot ON tot.event_type = mat.event_type
+        |)
+        |SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi_r,
+        |  (CAST(sum(term) AS DOUBLE) > 0.2) AS is_drift
+        |FROM terms GROUP BY 1""".stripMargin,
 
     // same rank-selected medians over engine-identical doubles, same
     // fixed-order 0.6745·(x−med)/MAD finish
