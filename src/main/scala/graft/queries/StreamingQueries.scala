@@ -1115,6 +1115,52 @@ object StreamingQueries {
     // ingest-incremental ≡ batch append ≡ full rebuild row-for-row —
     // the query shares ann_index_append's oracle, and the hash match
     // IS the proof.
+    // STREAMING LM TRAINING — the held-out perplexity model is itself
+    // mergeable state: as document batches arrive, each contributes
+    // per-batch bigram-count partials (SUM merge) and distinct-token
+    // partials (idempotent set-union merge) from its train-half docs;
+    // c1 is RE-DERIVED from the merged c12 (Σ_w2 c12(w1,·) ≡ the
+    // direct head count — one count table is the whole model), V is
+    // the distinct count over the merged token union, and the
+    // LEFT-join backoff scoring runs at serving time over the
+    // accumulated held-out bigrams. Shares text_perplexity_heldout's
+    // oracle: merge(batch LM partials) ≡ one-pass training — the
+    // "language model as a sketch" member of the merge-law suite.
+    "stream_perplexity" -> ((s, dir) => {
+      val c12Dir = Files.createTempDirectory("graft-lm-c12-")
+      val vocDir = Files.createTempDirectory("graft-lm-voc-")
+      val testDir = Files.createTempDirectory("graft-lm-test-")
+      Seq(c12Dir, vocDir, testDir).foreach(d =>
+        sys.addShutdownHook(deleteRecursively(d)))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = documentsStream(s, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val toks = batch.select(col("doc_id"),
+            graft.text.TextOps.tokens(col("text")).as("t"))
+          val train = toks.filter(col("doc_id") % 2 === 0)
+          TextQueries.bigramsOf(train)
+            .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+            .write.mode("append").parquet(c12Dir.toString)
+          train.select(explode(col("t")).as("w")).distinct()
+            .write.mode("append").parquet(vocDir.toString)
+          TextQueries.bigramsOf(toks.filter(col("doc_id") % 2 === 1))
+            .write.mode("append").parquet(testDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val c12 = s.read.parquet(c12Dir.toString)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+      val vocab = s.read.parquet(vocDir.toString).distinct()
+        .agg(count(lit(1)).as("v"))
+      TextQueries.perplexityFinish(c12, vocab,
+        s.read.parquet(testDir.toString))
+    }),
+
     // STREAMING PCA — the covariance is the sketch: each micro-batch
     // of arriving vectors contributes one exact-decimal (i, j, s)
     // moment-partial table (second-moment upper triangle + per-dim
@@ -1285,6 +1331,7 @@ object StreamingQueries {
     // batch append oracle.
     "stream_ann_index_append" -> SimilarityQueries.oracleSql("ann_index_append"),
     "stream_pca" -> SimilarityQueries.oracleSql("emb_pca_power"),
+    "stream_perplexity" -> TextQueries.oracleSql("text_perplexity_heldout"),
 
     // Sum-merge of full per-key partials + read-time k-cut ≡ the batch
     // leaderboard — shares events_top_users' oracle.

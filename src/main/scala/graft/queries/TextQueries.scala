@@ -703,34 +703,13 @@ object TextQueries {
     "text_perplexity_heldout" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      def bigrams(df: org.apache.spark.sql.DataFrame) = df
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t) - 2), " +
-          "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val train = toks.filter(col("doc_id") % 2 === 0)
-      val trainBi = bigrams(train)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c12 = trainBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val c1 = trainBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val c12 = bigramsOf(train)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val vocab = train.select(explode(col("t")).as("w")).distinct()
         .agg(count(lit(1)).as("v"))
-      bigrams(toks.filter(col("doc_id") % 2 === 1))
-        .join(c12, Seq("w1", "w2"), "left")
-        .join(c1, Seq("w1"), "left")
-        .crossJoin(broadcast(vocab))
-        .withColumn("lp", round(log(
-          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 9)
-          .cast("decimal(28,9)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("slp").cast("double") / col("n_bigrams"), 6)
-            .as("avg_logprob_r"),
-          round(exp(-col("slp").cast("double") / col("n_bigrams")), 4)
-            .as("ppl_r"))
+      perplexityFinish(c12, vocab,
+        bigramsOf(toks.filter(col("doc_id") % 2 === 1)))
     }),
 
     // Order-sensitive rolling-hash fingerprint per document (exact-dup
@@ -817,6 +796,43 @@ object TextQueries {
 
   /** BM25 query terms: one rare (df ≈ 5% of docs) + two common. */
   private val Bm25Terms = Seq("dup", "spark", "vector")
+
+  /** Adjacent-token bigrams of a (doc_id, t: tokens) frame — shared
+    * by the held-out perplexity pair.
+    */
+  private[graft] def bigramsOf(df: org.apache.spark.sql.DataFrame) = df
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(t) - 2), " +
+      "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The held-out scoring half over a merged model: c1 is re-derived
+    * FROM c12 (Σ_w2 c12(w1, w2) ≡ the direct head count — this is
+    * what makes the model state mergeable with ONE count table), then
+    * the LEFT-join backoff scoring. Shared verbatim by
+    * `text_perplexity_heldout` and its streaming twin.
+    */
+  private[graft] def perplexityFinish(c12: org.apache.spark.sql.DataFrame,
+                                      vocab: org.apache.spark.sql.DataFrame,
+                                      testBi: org.apache.spark.sql.DataFrame) = {
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    testBi
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log(
+        (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 9)
+        .cast("decimal(28,9)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logprob_r"),
+        round(exp(-col("slp").cast("double") / col("n_bigrams")), 4)
+          .as("ppl_r"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_chunk" ->
