@@ -61,7 +61,9 @@ object ScaleBench {
     "graph_adamic_adar", "dedup_lsh_eval", "ann_recall_ivf",
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
     "q_sql_merge",
-    "text_bigram_lm", "text_quality_auc")
+    "text_bigram_lm", "text_quality_auc",
+    "text_perplexity_heldout", "search_tfidf_cosine", "events_theilsen",
+    "events_theilsen_win", "events_anomaly_mad", "events_psi", "emb_pca_power")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -84,7 +86,7 @@ object ScaleBench {
     "stream_gapfill", "stream_gapfill_tws", "stream_ann_index_append",
     "stream_topk", "stream_ewma",
     "stream_regression", "stream_entropy_mi", "stream_retention",
-    "stream_rfm", "stream_acf")
+    "stream_rfm", "stream_acf", "stream_funnel")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

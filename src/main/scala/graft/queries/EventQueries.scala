@@ -399,29 +399,21 @@ object EventQueries {
     // median is selected by rank, not averaged across engines: lo/hi
     // ranks (n+1)÷2 and n÷2+1 picked under a total order, midpoint in
     // one fixed double op ((lo+hi)/2 ≡ lo when n is odd).
-    "events_theilsen" -> ((s, dir) => {
-      val hourly = hourlySeries(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val b = hourly.select(col("event_type"),
-        col("hour_ms").as("h2"), col("y").as("y2"))
-      val slopes = hourly.join(b, Seq("event_type"))
-        .filter(col("h2") > col("hour_ms"))
-        .select(col("event_type"),
-          ((col("y2") - col("y")).cast("double") /
-           ((col("h2") - col("hour_ms")) / lit(3600000.0))).as("slope"))
-      val byType = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-      slopes
-        .withColumn("rn", row_number().over(byType.orderBy(col("slope"))))
-        .withColumn("n", count(lit(1)).over(byType))
-        .filter(col("rn") === expr("(n + 1) DIV 2") ||
-                col("rn") === expr("n DIV 2 + 1"))
-        .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n_pairs"),
-             min(col("slope")).as("lo"), max(col("slope")).as("hi"))
-        .select(col("event_type"), col("n_pairs"),
-          round((col("lo") + col("hi")) / 2.0, 6).as("slope_per_hour_r"))
-    }),
+    "events_theilsen" -> ((s, dir) => theilsenOver(hourlySeries(s, dir))),
+
+    // WINDOWED Theil-Sen — the production scale path for the operator
+    // above, the dedup_semantic→_scaled pattern applied to time: the
+    // full pairwise median is quadratic IN THE TIME SPAN (measured
+    // 60.6× wall at a 10× span — the corpus adversary extends time,
+    // and hours² follows), so the deployed variant bounds each slope
+    // pair to Δhours ≤ [[TheilsenWindowHours]] (a week). Pairs become
+    // hours·W — LINEAR in the span — while keeping the estimator
+    // local-trend-robust (long-range pairs mostly measure level
+    // shifts, not slope). Same rank-median machinery; the exact
+    // full-span operator stays as the anchor the windowed row is
+    // diffed against.
+    "events_theilsen_win" -> ((s, dir) =>
+      theilsenOver(hourlySeries(s, dir), Some(TheilsenWindowHours))),
 
     // INFORMATION-THEORETIC dependence profile — H(type), H(hour) and
     // their mutual information, the "is this column informative about
@@ -1198,6 +1190,55 @@ object EventQueries {
         .unionByName(stage("3_purchase", p))
     })
   )
+
+  /** Pair-window bound for `events_theilsen_win` (Δhours ≤ one week). */
+  private val TheilsenWindowHours = 168L
+
+  /** The Theil-Sen rank-median chain over an hourly series frame —
+    * all pairs when `windowHours` is None (exact, quadratic in span),
+    * Δhours-bounded pairs otherwise. The bounded path is NOT a
+    * post-join filter (that still iterates hours² inside the join):
+    * it EXPLODES each hour into its ≤W candidate partner stamps and
+    * equi-joins on (event_type, h2) — generated rows = hours·W,
+    * linear in the span, and missing hours drop out of the inner
+    * join exactly as they do from the pair set.
+    */
+  private def theilsenOver(hourlyIn: org.apache.spark.sql.DataFrame,
+                           windowHours: Option[Long] = None) = {
+    val hourly = hourlyIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = hourly.select(col("event_type"),
+      col("hour_ms").as("h2"), col("y").as("y2"))
+    val slopes = windowHours match {
+      case Some(w) =>
+        hourly
+          .select(col("event_type"), col("hour_ms"), col("y"),
+            explode(sequence(lit(1L), lit(w))).as("k"))
+          .withColumn("h2", col("hour_ms") + col("k") * 3600000L)
+          .join(b, Seq("event_type", "h2"))
+          .select(col("event_type"),
+            ((col("y2") - col("y")).cast("double") /
+             col("k").cast("double")).as("slope"))
+      case None =>
+        hourly.join(b, Seq("event_type"))
+          .filter(col("h2") > col("hour_ms"))
+          .select(col("event_type"),
+            ((col("y2") - col("y")).cast("double") /
+             ((col("h2") - col("hour_ms")) / lit(3600000.0))).as("slope"))
+    }
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    slopes
+      .withColumn("rn", row_number().over(byType.orderBy(col("slope"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+              col("rn") === expr("n DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_pairs"),
+           min(col("slope")).as("lo"), max(col("slope")).as("hi"))
+      .select(col("event_type"), col("n_pairs"),
+        round((col("lo") + col("hi")) / 2.0, 6).as("slope_per_hour_r"))
+  }
 
   /** The five exact moment sums behind `events_regression` — exposed
     * so RegressionSpec can re-derive the unrounded outputs and measure
@@ -2661,6 +2702,34 @@ object EventQueries {
          |      ((b.hour_ms - a.hour_ms) // 3600000) AS slope
          |  FROM h a
          |  JOIN h b ON b.event_type = a.event_type AND b.hour_ms > a.hour_ms
+         |), rk AS (
+         |  SELECT event_type, slope,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM sl
+         |)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+         |  round((min(slope) + max(slope)) / 2, 6) AS slope_per_hour_r
+         |FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+         |GROUP BY 1""".stripMargin,
+
+    // same chain with the Δhours ≤ 168 pair bound (explode+equi-join
+    // ≡ the bounded pair set)
+    "events_theilsen_win" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), sl AS (
+         |  SELECT a.event_type,
+         |    CAST(b.y - a.y AS DOUBLE) / CAST(g.k AS DOUBLE) AS slope
+         |  FROM h a
+         |  CROSS JOIN generate_series(1, 168) g(k)
+         |  JOIN h b ON b.event_type = a.event_type
+         |          AND b.hour_ms = a.hour_ms + g.k * 3600000
          |), rk AS (
          |  SELECT event_type, slope,
          |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,

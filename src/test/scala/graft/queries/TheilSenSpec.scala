@@ -52,6 +52,26 @@ class TheilSenSpec extends SparkSpec {
     }
   }
 
+  test("windowed variant equals the scalar bounded-pair recomputation") {
+    // fixture span is ~720 h > 168 h, so the bound genuinely prunes
+    val got = EventQueries.queries("events_theilsen_win")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("slope_per_hour_r"))).toMap
+    hourly.foreach { case (t, series0) =>
+      val series = series0.map { case (h, y) => (h, y.toDouble) }
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.size
+        dh = (series(j)._1 - series(i)._1) / 3600000L
+        if dh <= 168L
+      } yield (series(j)._2 - series(i)._2) / dh.toDouble).toSeq
+      val expected = BigDecimal(rankMedian(slopes))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(t)._1 === slopes.size.toLong, s"type $t n_pairs")
+      assert(got(t)._1 < pairSlopes(series).size, s"type $t bound must prune")
+      assert(got(t)._2 === expected, s"type $t slope")
+    }
+  }
+
   test("breakdown property: an outlier hour moves OLS far more than Theil-Sen") {
     val (t, series0) = hourly.head
     val series = series0.map { case (h, y) => (h, y.toDouble) }
