@@ -361,6 +361,36 @@ object RelationalQueries {
         .select(col("t"), col("c_custkey"), col("acctbal"), col("version"))
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE — the lakehouse question behind
+    // every materialized aggregate: when a CDC batch lands, does the
+    // engine re-aggregate 100 TB or fold the DELTA? This operator IS
+    // the delta fold, and the oracle recomputes the aggregate from
+    // the patched table from scratch — the hash match proves
+    // maintained ≡ recomputed (the algebraic identity delta-view
+    // maintenance rests on). The synthetic CDC batch is deterministic:
+    // orderkey % 97 = 0 rows get quantity += 5 (an UPDATE = −old
+    // +new, which for SUM collapses to +5 per row and +0 rows);
+    // orderkey % 101 = 0 (and not updated) rows are DELETED (−qty,
+    // −1 row). Maintenance cost is |delta| + a ~5-row full-outer
+    // merge of the group aggregates — never a base-table rescan; all
+    // sums ride the exact-decimal money convention so the fold is
+    // order-free. Groups whose maintained count reaches 0 drop out
+    // (the full-outer + filter handles groups appearing/disappearing).
+    "cdc_agg_maintain" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val upd = li.filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_returnflag"),
+          lit(5).cast("decimal(18,4)").as("dq"), lit(0L).as("dn"))
+      val del = li.filter(col("l_orderkey") % 101 === 0 &&
+                          col("l_orderkey") % 97 =!= 0)
+        .select(col("l_returnflag"),
+          (-dec(col("l_quantity"))).as("dq"), lit(-1L).as("dn"))
+      maintainedView(aggState(li), upd.unionByName(del))
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("sq").cast("double"), 6).as("sum_qty"))
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the third join-topology rewrite next
     // to salting (skew) and broadcasting (small dims): both sides are
     // WRITTEN bucketed+sorted on the join key, so the SortMergeJoin
@@ -457,6 +487,33 @@ object RelationalQueries {
     * replicated customer) keep their "not matched" rows disjoint from
     * the base population at any factor.
     */
+  /** The materialized-aggregate STATE of `cdc_agg_maintain`: per-group
+    * (count, exact decimal sum) — the view the delta fold maintains.
+    */
+  private[graft] def aggState(li: org.apache.spark.sql.DataFrame) =
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(dec(col("l_quantity"))).as("sq"))
+
+  /** One delta-fold step: merge a (l_returnflag, dq, dn) CDC delta
+    * into the view state. Full-outer + coalesce handles groups
+    * appearing/disappearing; a maintained count of 0 drops the group.
+    * Folding two deltas sequentially ≡ folding their union ≡
+    * re-aggregating the twice-patched base (MaintenanceSpec).
+    */
+  private[graft] def maintainedView(state: org.apache.spark.sql.DataFrame,
+                                    deltaRows: org.apache.spark.sql.DataFrame) = {
+    val delta = deltaRows.groupBy(col("l_returnflag"))
+      .agg(sum(col("dq")).as("dq"), sum(col("dn")).as("dn"))
+    state.join(delta, Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sq"), lit(0).cast("decimal(18,4)")) +
+         coalesce(col("dq"), lit(0).cast("decimal(18,4)")))
+          .cast("decimal(18,4)").as("sq"))
+      .filter(col("n_rows") > 0L)
+  }
+
   private def insertKeyOffset(s: org.apache.spark.sql.SparkSession,
                               dir: String): Long =
     Artifacts.scalar(s, dir, "cdc_insert_key_offset") {
@@ -606,6 +663,22 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     // same matched/unmatched split spelled as WHERE branches
     "cdc_scd2" -> scd2Oracle,
+
+    // the oracle RECOMPUTES from the patched table — deliberately a
+    // different plan from the engine's delta fold; the hash match is
+    // the maintained ≡ recomputed identity
+    "cdc_agg_maintain" ->
+      """WITH patched AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_orderkey % 97 = 0
+        |         THEN CAST(l_quantity AS DECIMAL(18,4)) + 5
+        |         ELSE CAST(l_quantity AS DECIMAL(18,4)) END AS q
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 101 = 0 AND l_orderkey % 97 <> 0)
+        |)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(q) AS DOUBLE), 6) AS sum_qty
+        |FROM patched GROUP BY 1""".stripMargin,
 
     // the real MERGE statement must land on the identical table
     "q_sql_merge" -> scd2Oracle,
