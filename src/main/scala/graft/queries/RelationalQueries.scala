@@ -379,14 +379,7 @@ object RelationalQueries {
     "cdc_agg_maintain" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-      val upd = li.filter(col("l_orderkey") % 97 === 0)
-        .select(col("l_returnflag"),
-          lit(5).cast("decimal(18,4)").as("dq"), lit(0L).as("dn"))
-      val del = li.filter(col("l_orderkey") % 101 === 0 &&
-                          col("l_orderkey") % 97 =!= 0)
-        .select(col("l_returnflag"),
-          (-dec(col("l_quantity"))).as("dq"), lit(-1L).as("dn"))
-      maintainedView(aggState(li), upd.unionByName(del))
+      maintainedView(aggState(li), cdcDeltaRows(li).drop("l_orderkey"))
         .select(col("l_returnflag"), col("n_rows"),
           round(col("sq").cast("double"), 6).as("sum_qty"))
     }),
@@ -487,6 +480,23 @@ object RelationalQueries {
     * replicated customer) keep their "not matched" rows disjoint from
     * the base population at any factor.
     */
+  /** The deterministic synthetic CDC batch shared by
+    * `cdc_agg_maintain` and its streaming twin: orderkey % 97 rows
+    * updated (+5 qty ⇒ dq = +5, dn = 0), orderkey % 101 (and not
+    * updated) rows deleted (dq = −qty, dn = −1). Keeps `l_orderkey`
+    * so the replay can range-cut the delta into time-ordered files.
+    */
+  private[graft] def cdcDeltaRows(li: org.apache.spark.sql.DataFrame) = {
+    val upd = li.filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        lit(5).cast("decimal(18,4)").as("dq"), lit(0L).as("dn"))
+    val del = li.filter(col("l_orderkey") % 101 === 0 &&
+                        col("l_orderkey") % 97 =!= 0)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (-dec(col("l_quantity"))).as("dq"), lit(-1L).as("dn"))
+    upd.unionByName(del)
+  }
+
   /** The materialized-aggregate STATE of `cdc_agg_maintain`: per-group
     * (count, exact decimal sum) — the view the delta fold maintains.
     */

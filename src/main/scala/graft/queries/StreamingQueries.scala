@@ -213,6 +213,53 @@ object StreamingQueries {
       .parquet(embSplitDir(s, dir, appendOnly).toString)
   }
 
+  /** CDC delta rows (the `cdc_agg_maintain` synthetic batch) as a
+    * streaming DataFrame, range-cut on `l_orderkey` into 3 id-ordered
+    * files — the arriving-CDC fixture for the view-maintenance twin.
+    */
+  private val cdcSplitCache = scala.collection.mutable.HashMap[String, Path]()
+
+  private def cdcDeltaStream(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = cdcSplitCache.synchronized {
+      cdcSplitCache.getOrElseUpdate(dir, {
+        val delta = RelationalQueries.cdcDeltaRows(
+          graft.tables.Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")))
+        val bounds = delta.stat
+          .approxQuantile("l_orderkey",
+            (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
+          .map(_.toLong)
+        val out = Files.createTempDirectory("graft-cdc-splits-")
+        val work = Files.createTempDirectory("graft-cdc-splitwork-")
+        val base = System.currentTimeMillis() - 3600000L
+        (0 until NumSplits).foreach { i =>
+          val lo = if (i == 0) None else Some(bounds(i - 1))
+          val hi = if (i == NumSplits - 1) None else Some(bounds(i))
+          val slice = delta
+            .filter(lo.map(col("l_orderkey") >= _).getOrElse(lit(true)) &&
+                    hi.map(col("l_orderkey") < _).getOrElse(lit(true)))
+          val o = work.resolve(s"out$i")
+          slice.coalesce(1).write.parquet(o.toString)
+          val part = Files.list(o).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          val dest = out.resolve(f"$i%03d.parquet")
+          Files.move(part, dest)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(base + i * 1000L))
+        }
+        deleteRecursively(work)
+        sys.addShutdownHook(deleteRecursively(out))
+        out
+      })
+    }
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("dq", DecimalType(18, 4)), StructField("dn", LongType)))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+  }
+
   /** documents as a streaming DataFrame, replayed one id-ordered file
     * per trigger — the "daily ingest" fixture.
     */
@@ -1115,6 +1162,47 @@ object StreamingQueries {
     // ingest-incremental ≡ batch append ≡ full rebuild row-for-row —
     // the query shares ann_index_append's oracle, and the hash match
     // IS the proof.
+    // STREAMING VIEW MAINTENANCE — cdc_agg_maintain's deployed shape:
+    // CDC deltas arrive as micro-batches and each batch SEQUENTIALLY
+    // folds into a VERSIONED materialized view (read view vₖ, fold
+    // the batch delta, write vₖ₊₁ — the Delta-style copy-on-write
+    // cadence; unlike the merge-at-end twins, the fold here runs
+    // per batch, exercising the composition law MaintenanceSpec
+    // proves: sequential folds ≡ union fold ≡ recompute). Per-batch
+    // cost is |batch delta| + the ~5-row view merge, never a base
+    // rescan. Shares cdc_agg_maintain's oracle — and that oracle
+    // recomputes from the patched base, so the hash match chains
+    // streaming-sequential ≡ batch-fold ≡ recomputed.
+    "stream_cdc_maintain" -> ((s, dir) => {
+      val li = graft.tables.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val viewRoot = Files.createTempDirectory("graft-ivm-view-")
+      sys.addShutdownHook(deleteRecursively(viewRoot))
+      RelationalQueries.aggState(li)
+        .withColumn("sq", col("sq").cast("decimal(18,4)"))
+        .write.parquet(viewRoot.resolve("v0").toString)
+      val version = new AtomicInteger(0)
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = cdcDeltaStream(s, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = version.get()
+          val cur = s.read.parquet(viewRoot.resolve(s"v$v").toString)
+          RelationalQueries.maintainedView(cur, batch.drop("l_orderkey"))
+            .write.parquet(viewRoot.resolve(s"v${v + 1}").toString)
+          version.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      s.read.parquet(viewRoot.resolve(s"v${version.get()}").toString)
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("sq").cast("double"), 6).as("sum_qty"))
+    }),
+
     // STREAMING LM TRAINING — the held-out perplexity model is itself
     // mergeable state: as document batches arrive, each contributes
     // per-batch bigram-count partials (SUM merge) and distinct-token
@@ -1332,6 +1420,7 @@ object StreamingQueries {
     "stream_ann_index_append" -> SimilarityQueries.oracleSql("ann_index_append"),
     "stream_pca" -> SimilarityQueries.oracleSql("emb_pca_power"),
     "stream_perplexity" -> TextQueries.oracleSql("text_perplexity_heldout"),
+    "stream_cdc_maintain" -> RelationalQueries.oracleSql("cdc_agg_maintain"),
 
     // Sum-merge of full per-key partials + read-time k-cut ≡ the batch
     // leaderboard — shares events_top_users' oracle.
