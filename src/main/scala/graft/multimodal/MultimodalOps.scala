@@ -193,6 +193,63 @@ object MultimodalOps {
     (n.toLong, rate, sum, sumSq, mn, mx)
   }
 
+  /** Integer MEAN-REMOVED autocorrelation (autocovariance) of one
+    * decoded WAV at the given lags, kept division-free and exact:
+    *
+    *   cov(L) = (n−L)·Σ s_t·s_{t+L} − (Σ_{t<n−L} s_t)·(Σ_{t≥L} s_t)
+    *
+    * The DC offset cancels algebraically — critical: RAW
+    * autocorrelation is dominated by (n−L)·c² for a loud DC-offset
+    * signal, which grows with SHORTER lags and mispicks the period
+    * (the classic pitch-detection pitfall; the first spec draft
+    * caught exactly this on high-|c| fixtures). Magnitudes:
+    * (n−L)·ΣR ≤ 2.3e17, (Σ)(Σ) ≤ 2.2e17 — Long-safe.
+    */
+  def wavAutocov(bytes: Array[Byte], lags: Array[Int]): Array[Long] = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    val s = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      s(t) = ((pcm(2 * t) & 0xFF) | (pcm(2 * t + 1) << 8)).toShort.toLong
+      t += 1
+    }
+    lags.map { l =>
+      var r = 0L; var s1 = 0L; var s2 = 0L
+      var i = 0
+      val end = n - l
+      while (i < end) {
+        r += s(i) * s(i + l)
+        s1 += s(i)
+        s2 += s(i + l)
+        i += 1
+      }
+      (end.toLong * r) - s1 * s2
+    }
+  }
+
+  /** [[decodeWavs]]-shaped batched pass appending the per-lag
+    * autocovariance array (index i ↔ lags(i)).
+    */
+  def wavAutocovs(media: DataFrame, lags: Seq[Int],
+                  batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("acf_arr", ArrayType(LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val lagArr = lags.toArray
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val acf = wavAutocov(r.getAs[Array[Byte]](bytesIdx), lagArr)
+          Row.fromSeq(r.toSeq :+ acf.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   private val encodeWavUdf =
     udf((nBlocks: Int, base: Int) => synthWav(nBlocks, base))
 

@@ -36,7 +36,42 @@ object MultimodalQueries {
       MultimodalOps.decodeWavs(MultimodalOps.audioTable(s, dir))
     }
 
+  /** Candidate periods (in samples) for `mm_audio_pitch` — 256 is the
+    * synth waveform's true period; the others are the decoys the
+    * detector must reject.
+    */
+  private val PitchLags = Seq(100, 200, 256, 300)
+
   val queries: Map[String, Q] = Map(
+
+    // PITCH / PERIODICITY DETECTION — real DSP over the real codec's
+    // output: integer MEAN-REMOVED autocorrelation of the decoded PCM
+    // at four candidate lags (division-free autocovariance cov(L) =
+    // (n−L)·Σs·s' − Σw1·Σw2 — raw autocorrelation is dominated by the
+    // DC term (n−L)·c², which grows with SHORTER lags and mispicks
+    // the period on loud-offset signals; the spec caught exactly
+    // this), best period = argmax cov (tiebreak smallest lag). The
+    // synth waveform's true period is 256 samples, so the detector
+    // must rank it above the 100/200/300 decoys from decoded bytes
+    // alone. Everything is EXACT integer arithmetic end to end
+    // (16-bit samples, Long sums — no floats anywhere), so the DuckDB
+    // twin regenerates the sample stream from the synthesis params
+    // and matches bit-for-bit. Executor-side decode+fold in the same
+    // mapPartitions batch shape as the other mm ops; no shuffle
+    // before the per-row projection.
+    "mm_audio_pitch" -> ((s, dir) => {
+      val acf = MultimodalOps.wavAutocovs(
+        MultimodalOps.audioTable(s, dir), PitchLags)
+      val lagArr = array(PitchLags.map(l => lit(l.toLong)): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id"))
+        .orderBy(col("r").desc, col("lag"))
+      acf
+        .select(col("media_id"),
+          explode(arrays_zip(lagArr.as("lag"), col("acf_arr").as("r"))).as("z"))
+        .select(col("media_id"), col("z.lag").as("lag"), col("z.r").as("r"))
+        .withColumn("best_lag", first(col("lag")).over(w))
+    }),
 
     // REAL decode: dims from the decoded raster (ImageIO), container
     // metadata carried through — a narrow projection over blobs.
@@ -203,6 +238,35 @@ object MultimodalQueries {
     // s(t) = c + (t mod 256) over nb 256-sample blocks:
     //   n = 256·nb, Σs = n·c + nb·32640, Σs² = n·c² + 2c·nb·32640
     //   + nb·5559680 (Σr = 32640, Σr² = 5559680 over r = 0..255)
+    // exact integer regeneration of the sample stream from the synth
+    // params; R(L) sums and the argmax rank identically
+    "mm_audio_pitch" ->
+      s"""WITH p AS (
+         |  SELECT doc_id AS media_id,
+         |    ${hp("an")} % 97 + 16 AS nb,
+         |    ${hp("ac")} % 32001 - 16000 AS c
+         |  FROM documents
+         |), lag_list(l) AS (VALUES (100), (200), (256), (300)
+         |), r AS (
+         |  SELECT p.media_id, CAST(l.l AS BIGINT) AS lag,
+         |    CAST(
+         |      (p.nb * 256 - l.l) * list_sum(list_transform(
+         |        generate_series(0, p.nb * 256 - 1 - l.l),
+         |        t -> (p.c + (t % 256)) * (p.c + ((t + l.l) % 256))))
+         |      - list_sum(list_transform(
+         |          generate_series(0, p.nb * 256 - 1 - l.l),
+         |          t -> p.c + (t % 256)))
+         |        * list_sum(list_transform(
+         |            generate_series(l.l, p.nb * 256 - 1),
+         |            t -> p.c + (t % 256)))
+         |      AS BIGINT) AS r
+         |  FROM p, lag_list l
+         |)
+         |SELECT media_id, lag, r,
+         |  first_value(lag) OVER (PARTITION BY media_id ORDER BY r DESC, lag)
+         |    AS best_lag
+         |FROM r""".stripMargin,
+
     "mm_audio_decode" ->
       s"""WITH p AS (
          |  SELECT doc_id AS media_id,

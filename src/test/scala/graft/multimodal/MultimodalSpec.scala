@@ -87,6 +87,43 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.nonEmpty && decoded == expected)
   }
 
+  test("autocorrelation pitch detector finds the true 256-sample period") {
+    // scalar replay from the synthesis law s_t = c + (t % 256) for a
+    // few docs, against the REAL decode path; and the detector must
+    // rank the true period above every decoy for every doc
+    val rows = graft.queries.MultimodalQueries.queries("mm_audio_pitch")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 == 256L), "every best_lag must be the true period")
+    val byDoc = rows.groupBy(_._1)
+    // R(256) strictly dominates the decoys (tiebreak never decides)
+    byDoc.values.foreach { rs =>
+      val r256 = rs.find(_._2 == 256L).get._3
+      assert(rs.filter(_._2 != 256L).forall(_._3 < r256))
+    }
+    // scalar recompute for 3 deterministic docs
+    def ph(salt: String) =
+      conv(substring(md5(concat(md5(col("text")), lit("_" + salt))), 1, 14), 16, 10)
+        .cast("long") % 2147483647L
+    val params = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), (ph("an") % 97L + 16L).as("nb"),
+              (ph("ac") % 32001L - 16000L).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    params.keys.toSeq.sorted.take(3).foreach { id =>
+      val (nb, c) = params(id)
+      val n = (nb * 256).toInt
+      val s = Array.tabulate(n)(t => c + (t % 256))
+      Seq(100, 200, 256, 300).foreach { l =>
+        val raw = (0 until n - l).map(t => s(t) * s(t + l)).sum
+        val s1 = (0 until n - l).map(s).sum
+        val s2 = (l until n).map(s).sum
+        val want = (n - l).toLong * raw - s1 * s2
+        val got = rows.find(r => r._1 == id && r._2 == l.toLong).get._3
+        assert(got === want, s"doc $id lag $l")
+      }
+    }
+  }
+
   test("decoded pixel statistics feed the similarity ops (cosine self-sim = 1)") {
     import graft.functions.VectorOps
     val withFeat = MultimodalOps.decodePngs(
