@@ -292,54 +292,11 @@ object EventQueries {
     "events_psi" -> ((s, dir) => {
       val e = Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
-      val split = e.agg(expr("CAST((min(ts_ms) + max(ts_ms)) DIV 2 AS BIGINT)")
-        .as("t_split"))
-      val eS = e.crossJoin(broadcast(split))
-        .withColumn("half",
-          when(col("ts_ms") <= col("t_split"), lit("ref")).otherwise(lit("cur")))
+      val split = psiSplit(e)
+      val eS = psiHalved(e, split)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val byType = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-      val ranked = eS.filter(col("half") === "ref")
-        .withColumn("rn", row_number().over(
-          byType.orderBy(col("value"), col("event_id"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(byType))
-      val edges = ranked
-        .join(broadcast(s.range(1, 10).select(col("id").as("b"))),
-          col("rn") === expr("b * n DIV 10"))
-        .groupBy(col("event_type"))
-        .agg(array_sort(collect_list(col("value"))).as("edge_arr"))
-      val counts = eS.join(broadcast(edges), "event_type")
-        .withColumn("bin",
-          (size(filter(col("edge_arr"), ed => col("value") > ed)) + 1)
-            .cast("long"))
-        .groupBy(col("event_type"), col("half"), col("bin"))
-        .agg(count(lit(1)).as("cnt"))
-      val binFrame = edges.select(col("event_type"))
-        .crossJoin(s.range(1, 11).select(col("id").as("bin")))
-      val mat = binFrame
-        .join(counts.filter(col("half") === "ref")
-          .select(col("event_type"), col("bin"), col("cnt").as("n_ref_b")),
-          Seq("event_type", "bin"), "left")
-        .join(counts.filter(col("half") === "cur")
-          .select(col("event_type"), col("bin"), col("cnt").as("n_cur_b")),
-          Seq("event_type", "bin"), "left")
-        .na.fill(0L, Seq("n_ref_b", "n_cur_b"))
-      val totals = eS.groupBy(col("event_type"))
-        .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
-             sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
-      mat.join(broadcast(totals), "event_type")
-        .withColumn("p", (col("n_ref_b") + lit(0.5)) / (col("n_ref") + lit(5.0)))
-        .withColumn("q", (col("n_cur_b") + lit(0.5)) / (col("n_cur") + lit(5.0)))
-        .withColumn("term",
-          round((col("p") - col("q")) * log(col("p") / col("q")), 12)
-            .cast("decimal(28,12)"))
-        .groupBy(col("event_type"))
-        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
-             sum(col("term")).as("psi_d"))
-        .select(col("event_type"), col("n_ref"), col("n_cur"),
-          round(col("psi_d").cast("double"), 6).as("psi_r"),
-          (col("psi_d").cast("double") > lit(0.2)).as("is_drift"))
+      val edges = psiEdges(s, eS.filter(col("half") === "ref"))
+      psiFinish(s, psiBinCounts(eS, edges))
     }),
 
     // MAD ROBUST ANOMALY — the median/MAD rung of the robustness
@@ -1191,8 +1148,90 @@ object EventQueries {
     })
   )
 
+  /** The PSI reference/current time split — a 1-row frame (the
+    * OFFLINE artifact a deployed monitor freezes, like the CUSUM
+    * control limits).
+    */
+  private[graft] def psiSplit(e: org.apache.spark.sql.DataFrame) =
+    e.agg(expr("CAST((min(ts_ms) + max(ts_ms)) DIV 2 AS BIGINT)").as("t_split"))
+
+  /** Events tagged with their PSI half against a frozen split. */
+  private[graft] def psiHalved(e: org.apache.spark.sql.DataFrame,
+                               split: org.apache.spark.sql.DataFrame) =
+    e.crossJoin(broadcast(split))
+      .withColumn("half",
+        when(col("ts_ms") <= col("t_split"), lit("ref")).otherwise(lit("cur")))
+
+  /** Frozen decile edges from the REFERENCE half (per type, ≤9
+    * rank-selected values as a sorted array) — the other offline
+    * artifact: a drifted current distribution must not move its own
+    * yardstick.
+    */
+  private[graft] def psiEdges(s: org.apache.spark.sql.SparkSession,
+                              ref: org.apache.spark.sql.DataFrame) = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    ref
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("value"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .join(broadcast(s.range(1, 10).select(col("id").as("b"))),
+        col("rn") === expr("b * n DIV 10"))
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(col("value"))).as("edge_arr"))
+  }
+
+  /** The MERGEABLE half of PSI: per (type, half, bin) counts off the
+    * frozen edges — additive, so per-micro-batch partials sum-merge
+    * to the batch table (`stream_psi`'s hash proof).
+    */
+  private[graft] def psiBinCounts(eHalved: org.apache.spark.sql.DataFrame,
+                                  edges: org.apache.spark.sql.DataFrame) =
+    eHalved.join(broadcast(edges), "event_type")
+      .withColumn("bin",
+        (size(filter(col("edge_arr"), ed => col("value") > ed)) + 1)
+          .cast("long"))
+      .groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The PSI finish over a merged (type, half, bin, cnt) table:
+    * totals re-derived FROM the counts (every row falls in exactly
+    * one bin), add-0.5 smoothing over all 10 bins, 12-dp quantized
+    * (p−q)·ln(p/q) decimal sums.
+    */
+  private[graft] def psiFinish(s: org.apache.spark.sql.SparkSession,
+                               counts: org.apache.spark.sql.DataFrame) = {
+    val cc = counts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val binFrame = cc.select(col("event_type")).distinct()
+      .crossJoin(s.range(1, 11).select(col("id").as("bin")))
+    val mat = binFrame
+      .join(cc.filter(col("half") === "ref")
+        .select(col("event_type"), col("bin"), col("cnt").as("n_ref_b")),
+        Seq("event_type", "bin"), "left")
+      .join(cc.filter(col("half") === "cur")
+        .select(col("event_type"), col("bin"), col("cnt").as("n_cur_b")),
+        Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n_ref_b", "n_cur_b"))
+    val totals = cc.groupBy(col("event_type"))
+      .agg(sum(when(col("half") === "ref", col("cnt")).otherwise(0L)).as("n_ref"),
+           sum(when(col("half") === "cur", col("cnt")).otherwise(0L)).as("n_cur"))
+    mat.join(broadcast(totals), "event_type")
+      .withColumn("p", (col("n_ref_b") + lit(0.5)) / (col("n_ref") + lit(5.0)))
+      .withColumn("q", (col("n_cur_b") + lit(0.5)) / (col("n_cur") + lit(5.0)))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 12)
+          .cast("decimal(28,12)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+           sum(col("term")).as("psi_d"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("psi_d").cast("double"), 6).as("psi_r"),
+        (col("psi_d").cast("double") > lit(0.2)).as("is_drift"))
+  }
+
   /** Pair-window bound for `events_theilsen_win` (Δhours ≤ one week). */
-  private val TheilsenWindowHours = 168L
+  private[graft] val TheilsenWindowHours = 168L
 
   /** The Theil-Sen rank-median chain over an hourly series frame —
     * all pairs when `windowHours` is None (exact, quadratic in span),
@@ -1203,8 +1242,8 @@ object EventQueries {
     * linear in the span, and missing hours drop out of the inner
     * join exactly as they do from the pair set.
     */
-  private def theilsenOver(hourlyIn: org.apache.spark.sql.DataFrame,
-                           windowHours: Option[Long] = None) = {
+  private[graft] def theilsenOver(hourlyIn: org.apache.spark.sql.DataFrame,
+                                  windowHours: Option[Long] = None) = {
     val hourly = hourlyIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = hourly.select(col("event_type"),

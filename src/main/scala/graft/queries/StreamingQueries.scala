@@ -1162,6 +1162,79 @@ object StreamingQueries {
     // ingest-incremental ≡ batch append ≡ full rebuild row-for-row —
     // the query shares ann_index_append's oracle, and the hash match
     // IS the proof.
+    // STREAMING PSI — drift monitoring IS a streaming concern: the
+    // split point and the reference-decile edges are FROZEN OFFLINE
+    // (the CUSUM-limits deployment pattern — a drifted stream must
+    // not move its own yardstick), each micro-batch of arriving
+    // events is assigned against the broadcast edges into per-(type,
+    // half, bin) count partials (additive merge), and the smoothing +
+    // 12-dp term finish runs over the merged ~types·10·2-row table at
+    // serving time. Shares events_psi's oracle: merge(batch bin
+    // partials) ≡ one-pass binning, hash-proven.
+    "stream_psi" -> ((s, dir) => {
+      val e = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(e)
+      val edges = EventQueries.psiEdges(s,
+        EventQueries.psiHalved(e, split).filter(col("half") === "ref"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count() // freeze the artifact before the stream starts
+      val cntDir = Files.createTempDirectory("graft-psi-partials-")
+      sys.addShutdownHook(deleteRecursively(cntDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.psiBinCounts(
+              EventQueries.psiHalved(batch, split), edges)
+            .write.mode("append").parquet(cntDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(cntDir.toString)
+        .groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(sum(col("cnt")).as("cnt"))
+      EventQueries.psiFinish(s, merged)
+    }),
+
+    // STREAMING WINDOWED THEIL-SEN — the robust trend monitor online:
+    // the hourly (count, decimal sum) cells are the mergeable state
+    // (the stream_acf law), and the Δh ≤ 168 pairwise-median finish
+    // runs over the merged dashboard-sized series at serving time.
+    // Shares events_theilsen_win's oracle: merge(batch hourly cells)
+    // ≡ batch hourly agg, so the online fold reproduces the robust
+    // slope bit-for-bit.
+    "stream_theilsen" -> ((s, dir) => {
+      val cellsDir = Files.createTempDirectory("graft-ts-partials-")
+      sys.addShutdownHook(deleteRecursively(cellsDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.hourlyCells(batch)
+            .write.mode("append").parquet(cellsDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      val merged = s.read.parquet(cellsDir.toString)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
+      EventQueries.theilsenOver(EventQueries.hourlyFromCells(merged),
+        Some(EventQueries.TheilsenWindowHours))
+    }),
+
     // STREAMING VIEW MAINTENANCE — cdc_agg_maintain's deployed shape:
     // CDC deltas arrive as micro-batches and each batch SEQUENTIALLY
     // folds into a VERSIONED materialized view (read view vₖ, fold
@@ -1421,6 +1494,8 @@ object StreamingQueries {
     "stream_pca" -> SimilarityQueries.oracleSql("emb_pca_power"),
     "stream_perplexity" -> TextQueries.oracleSql("text_perplexity_heldout"),
     "stream_cdc_maintain" -> RelationalQueries.oracleSql("cdc_agg_maintain"),
+    "stream_psi" -> EventQueries.oracleSql("events_psi"),
+    "stream_theilsen" -> EventQueries.oracleSql("events_theilsen_win"),
 
     // Sum-merge of full per-key partials + read-time k-cut ≡ the batch
     // leaderboard — shares events_top_users' oracle.
