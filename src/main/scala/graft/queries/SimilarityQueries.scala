@@ -842,18 +842,22 @@ object SimilarityQueries {
         .localCheckpoint()
       var nrm: org.apache.spark.sql.DataFrame = null
       (1 to rounds).foreach { _ =>
+        // one EAGER cut per round, placed on u (the matvec output):
+        // nrm and v are cheap projections OVER the checkpoint, so the
+        // join+agg runs exactly once per round and the lineage stays
+        // one level deep (3 checkpoints/round is pure job overhead;
+        // checkpointing v instead re-evaluates u twice — both legs of
+        // v's plan reference it)
         val u = cf.join(v.select(col("i").as("j"), col("vq").as("vj")), "j")
           .groupBy(col("i")).agg(sum(col("cq") * col("vj")).as("u"))
           .select(col("i"),
             round(col("u").cast("double"), 12).cast("decimal(18,12)").as("uq"))
           .localCheckpoint()
         nrm = u.agg(sqrt(sum(col("uq") * col("uq")).cast("double")).as("nrm"))
-          .localCheckpoint()
         v = u.crossJoin(broadcast(nrm))
           .select(col("i"),
             round(col("uq").cast("double") / col("nrm"), 12)
               .cast("decimal(18,12)").as("vq"))
-          .localCheckpoint()
       }
       v.crossJoin(broadcast(nrm))
         .select(col("i").cast("long").as("dim_idx"),
