@@ -1129,24 +1129,49 @@ object EventQueries {
     // shuffle join on user_id — no per-user event collection, no
     // window sort, so a stage costs one hash agg even for users with
     // millions of events (the scale shape for funnel analytics).
-    "events_funnel" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts_ms"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts_ms") > col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts_ms") > col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
-      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
-      stage("1_view", v)
-        .unionByName(stage("2_click", c))
-        .unionByName(stage("3_purchase", p))
-    })
+    "events_funnel" -> ((s, dir) =>
+      funnelStages(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms")))),
+
+    // CONVERSION-WINDOW funnel — the production semantics: each stage
+    // must convert within [[FunnelWindowMs]] of the previous one
+    // (click in (t_view, t_view+W], purchase in (t_click, t_click+W])
+    // — an unbounded funnel overcounts by crediting conversions weeks
+    // later (fixture: 150/150/150 unbounded vs 150/60/25 at W = 1
+    // day). Same plan shape: the bound is an extra predicate on the
+    // stage join, still one partial-aggregable min per user per stage.
+    "events_funnel_window" -> ((s, dir) =>
+      funnelStages(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms")),
+        Some(FunnelWindowMs)))
   )
+
+  /** Conversion window for `events_funnel_window` (1 day). */
+  private[graft] val FunnelWindowMs = 86400000L
+
+  /** The chained min-per-stage funnel plan, optionally
+    * window-bounded; shared by both funnel queries (and mirrored
+    * online by `streaming.FunnelStream`).
+    */
+  private def funnelStages(ev: org.apache.spark.sql.DataFrame,
+                           windowMs: Option[Long] = None) = {
+    def bound(prev: String) = windowMs
+      .map(w => col("ts_ms") <= col(prev) + lit(w)).getOrElse(lit(true))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_ms") > col("t_view") && bound("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_ms") > col("t_click") && bound("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    stage("1_view", v)
+      .unionByName(stage("2_click", c))
+      .unionByName(stage("3_purchase", p))
+  }
 
   /** The PSI reference/current time split — a 1-row frame (the
     * OFFLINE artifact a deployed monitor freezes, like the CUSUM
@@ -2993,6 +3018,30 @@ object EventQueries {
         |  SELECT e.user_id, min(e.ts_ms) AS t_purchase
         |  FROM e JOIN c ON e.user_id = c.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+
+    // same chain with the 1-day conversion bound on each stage join
+    "events_funnel_window" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts_ms) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
+        |    AND e.ts_ms <= v.t_view + $FunnelWindowMs
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t_purchase
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+        |    AND e.ts_ms <= c.t_click + $FunnelWindowMs
         |  GROUP BY e.user_id
         |)
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v

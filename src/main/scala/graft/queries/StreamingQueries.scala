@@ -213,6 +213,33 @@ object StreamingQueries {
       .parquet(embSplitDir(s, dir, appendOnly).toString)
   }
 
+  /** The shared online-funnel runner: FunnelStream fold over the
+    * replay (optionally window-bounded), then the write-once
+    * min-over-non-null reconstruction and stage counts.
+    */
+  private def funnelStreamed(s: SparkSession, dir: String,
+                             windowMs: Option[Long]): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[FunnelStream.In]
+    val in = eventsStream(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+              col("ts_ms").as("tsMs"), col("event_type").as("eventType"))
+      .as[FunnelStream.In]
+    val emitted = runToMemory(s, FunnelStream.track(in, windowMs).toDF())
+    val fin = emitted.groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view"),
+           min(col("t_click")).as("t_click"),
+           min(col("t_purchase")).as("t_purchase"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def stage(name: String, reached: org.apache.spark.sql.Column) =
+      fin.filter(reached.isNotNull)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    stage("1_view", col("t_view"))
+      .unionByName(stage("2_click", col("t_click")))
+      .unionByName(stage("3_purchase", col("t_purchase")))
+  }
+
   /** CDC delta rows (the `cdc_agg_maintain` synthetic batch) as a
     * streaming DataFrame, range-cut on `l_orderkey` into 3 id-ordered
     * files — the arriving-CDC fixture for the view-maintenance twin.
@@ -1068,27 +1095,15 @@ object StreamingQueries {
     // reconstruction (min over non-null emissions per user) exact.
     // Shares events_funnel's oracle: online stage-gating ≡ the batch
     // min-chain, hash-proven.
-    "stream_funnel" -> ((s, dir) => {
-      implicit val enc = org.apache.spark.sql.Encoders.product[FunnelStream.In]
-      val in = eventsStream(s, dir)
-        .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
-                col("ts_ms").as("tsMs"), col("event_type").as("eventType"))
-        .as[FunnelStream.In]
-      val emitted = runToMemory(s, FunnelStream.track(in).toDF())
-      val fin = emitted.groupBy(col("user_id"))
-        .agg(min(col("t_view")).as("t_view"),
-             min(col("t_click")).as("t_click"),
-             min(col("t_purchase")).as("t_purchase"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def stage(name: String, reached: org.apache.spark.sql.Column) =
-        fin.filter(reached.isNotNull)
-          .agg(count(lit(1)).as("n_users"))
-          .select(lit(name).as("stage"), col("n_users"))
-      stage("1_view", col("t_view"))
-        .unionByName(stage("2_click", col("t_click")))
-        .unionByName(stage("3_purchase", col("t_purchase")))
-    }),
+    "stream_funnel" -> ((s, dir) => funnelStreamed(s, dir, None)),
+
+    // The conversion-window variant of the online funnel — same fold,
+    // each stage additionally gated to (t_prev, t_prev + 1 day]; ts
+    // only grows under the ordered replay, so once a window passes no
+    // later event can qualify and the first in-range event IS the
+    // min-in-range. Shares events_funnel_window's oracle.
+    "stream_funnel_window" -> ((s, dir) =>
+      funnelStreamed(s, dir, Some(EventQueries.FunnelWindowMs))),
 
     // STREAMING EWMA — events_ewma's online twin: the batch window
     // pass becomes a per-key trailing buffer (31 doubles of state)
@@ -1521,6 +1536,7 @@ object StreamingQueries {
     // shares the batch CUSUM oracle (bit-identical chart).
     "stream_drift" -> EventQueries.oracleSql("events_drift"),
     "stream_funnel" -> EventQueries.oracleSql("events_funnel"),
+    "stream_funnel_window" -> EventQueries.oracleSql("events_funnel_window"),
 
     // Stateful online fold ≡ the batch 32-lag window kernel — shares
     // events_ewma's oracle.

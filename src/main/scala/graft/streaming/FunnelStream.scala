@@ -44,10 +44,19 @@ object FunnelStream {
   case class Out(user_id: Long, t_view: Option[Long],
                  t_click: Option[Long], t_purchase: Option[Long])
 
-  def track(in: Dataset[In]): Dataset[Out] = {
+  /** `windowMs = Some(W)` bounds each stage to a CONVERSION WINDOW
+    * (click in (t_view, t_view+W], purchase in (t_click, t_click+W])
+    * — the production funnel semantics. Online equivalence to the
+    * batch min-in-range still holds under time-ordered replay: ts
+    * only grows, so once a stage's window has passed no later event
+    * can qualify, and the first in-range event IS the min.
+    */
+  def track(in: Dataset[In], windowMs: Option[Long] = None): Dataset[Out] = {
     implicit val stateEnc =
       Encoders.product[(Option[Long], Option[Long], Option[Long])]
     implicit val outEnc = Encoders.product[Out]
+    def inWin(prev: Option[Long], ts: Long): Boolean =
+      prev.exists(t0 => ts > t0 && windowMs.forall(w => ts <= t0 + w))
     in.groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long]), Out](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
@@ -58,9 +67,9 @@ object FunnelStream {
           rows.toSeq.sortBy(r => (r.tsMs, r.eventId)).foreach { r =>
             r.eventType match {
               case "view" if v.isEmpty => v = Some(r.tsMs)
-              case "click" if c.isEmpty && v.exists(r.tsMs > _) =>
+              case "click" if c.isEmpty && inWin(v, r.tsMs) =>
                 c = Some(r.tsMs)
-              case "purchase" if p.isEmpty && c.exists(r.tsMs > _) =>
+              case "purchase" if p.isEmpty && inWin(c, r.tsMs) =>
                 p = Some(r.tsMs)
               case _ =>
             }

@@ -12,13 +12,14 @@ import graft.SparkSpec
 class FunnelStreamSpec extends SparkSpec {
   import FunnelStream._
 
-  private def run(batches: Seq[Seq[In]]): Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+  private def run(batches: Seq[Seq[In]],
+                  windowMs: Option[Long] = None): Map[Long, (Option[Long], Option[Long], Option[Long])] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[In]
     val ckpt = Files.createTempDirectory("funnel-").toString
     val name = s"funnel_out_${System.nanoTime()}"
-    val q = FunnelStream.track(input.toDS())
+    val q = FunnelStream.track(input.toDS(), windowMs)
       .writeStream.outputMode("append")
       .queryName(name).option("checkpointLocation", ckpt)
       .format("memory").start()
@@ -55,6 +56,22 @@ class FunnelStreamSpec extends SparkSpec {
       In(3L, 31L, 200L, "view"))))
     assert(got(2L) === ((Some(1000L), Some(1500L), None)))
     assert(got(3L) === ((Some(200L), None, None)))
+  }
+
+  test("conversion window gates at the boundary, across batches") {
+    val got = run(Seq(
+      // user 5: click exactly at t_view + W → counts (inclusive bound)
+      Seq(In(5L, 50L, 1000L, "view")),
+      Seq(In(5L, 51L, 1000L + 500L, "click"),
+          In(5L, 52L, 1900L, "purchase")), // in (t_click, t_click+W] ✓
+      // user 6: first click past the window → rejected forever, even
+      // though a later purchase would have followed it
+      Seq(In(6L, 60L, 1000L, "view")),
+      Seq(In(6L, 61L, 1000L + 501L, "click"),
+          In(6L, 62L, 1700L, "purchase"))),
+      windowMs = Some(500L))
+    assert(got(5L) === ((Some(1000L), Some(1500L), Some(1900L))))
+    assert(got(6L) === ((Some(1000L), None, None)))
   }
 
   test("write-once: later cheaper events never regress a set stage") {
