@@ -58,11 +58,20 @@ object Dedup {
     * the result and shuffle on (band, band_hash) to find candidates.
     */
   def bandHashes(signature: Column): Column =
-    transform(sequence(lit(0), lit(NumBands - 1)), b =>
+    bandHashesCfg(signature, NumBands, RowsPerBand)
+
+  /** Parameterized banding over the same signature — the (b, r) knob
+    * of the LSH S-curve (match probability 1 − (1 − j^r)^b): more,
+    * narrower bands → recall; fewer, wider bands → precision.
+    * `dedup_lsh_sweep` measures the tradeoff; the production config
+    * above is one point on the curve.
+    */
+  def bandHashesCfg(signature: Column, bands: Int, rowsPer: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(
         b.cast("long").as("band"),
         md5(concat_ws(",",
-          transform(slice(signature, b * RowsPerBand + lit(1), lit(RowsPerBand)),
+          transform(slice(signature, b * rowsPer + lit(1), lit(rowsPer)),
             x => x.cast("string")))).as("band_hash")))
 
   /** Exact Jaccard over two distinct-element arrays:

@@ -905,6 +905,68 @@ object DedupQueries {
         round(lit(2.0) * prec * rec / (prec + rec), 6).as("f1"))
     }),
 
+    // LSH BANDING SWEEP — the index-tuning curve behind the eval
+    // above: precision/recall/F1 for three (bands, rows-per-band)
+    // splits of the SAME 16-hash signature — (8,2) recall-leaning,
+    // (4,4) the production point, (2,8) precision-leaning — each
+    // predicting candidate pairs by shared band buckets within the
+    // fixed 128-doc sample, against the same exact-Jaccard truth.
+    // This is how an operator team picks the banding before a 100 TB
+    // run: the sweep costs O(sample²) per config regardless of corpus
+    // size (truth and candidates both live on the sample), and the
+    // S-curve 1 − (1 − j^r)^b it traces decides the config. Note the
+    // measured monotonicity: recall falls and precision rises from
+    // (8,2) → (2,8) (LshSweepSpec pins it).
+    "dedup_lsh_sweep" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes(TextOps.tokens(col("text")), 1)
+            .as("tokset"),
+          Dedup.minhashSignature(array_distinct(TextOps.tokens(col("text"))))
+            .as("sig"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 14),
+            16, 10).cast("long").as("skey"))
+        .orderBy(col("skey"), col("doc_id"))
+        .limit(EvalSampleN)
+        .select(col("doc_id"), col("tokset"), col("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sample.select(col("doc_id").as("doc_a"), col("tokset").as("set_a"))
+      val b = sample.select(col("doc_id").as("doc_b"), col("tokset").as("set_b"))
+      val truth = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .filter(Dedup.jaccard(col("set_a"), col("set_b")) >= 0.2)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      LshSweepConfigs.map { case (nb, rp) =>
+        val bands = sample.select(col("doc_id"),
+            explode(Dedup.bandHashesCfg(col("sig"), nb, rp)).as("bh"))
+          .select(col("doc_id"), col("bh.band").as("band"),
+                  col("bh.band_hash").as("band_hash"))
+        val pred = bands
+          .select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+            col("band_hash")), Seq("band", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .withColumn("p", lit(1))
+        val prec = col("tp").cast("double") / (col("tp") + col("fp"))
+        val rec  = col("tp").cast("double") / (col("tp") + col("fn"))
+        truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("t").isNotNull && col("p").isNull, 1L).otherwise(0L))
+              .as("fn"),
+            sum(when(col("t").isNull && col("p").isNotNull, 1L).otherwise(0L))
+              .as("fp"))
+          .select(lit(nb.toLong).as("bands"), lit(rp.toLong).as("rows_per_band"),
+            col("tp"), col("fp"), col("fn"),
+            round(when(col("tp") + col("fp") > 0, prec), 6).as("precision"),
+            round(rec, 6).as("recall"),
+            round(when(col("tp") > 0,
+              lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // ADAMIC-ADAR link prediction — score NON-adjacent doc pairs by
     // Σ_z 1/ln(deg(z)) over their common neighbors z (the canonical
     // similarity-completion operator: "these two docs share rare
@@ -1038,6 +1100,11 @@ object DedupQueries {
     * O(EvalSampleN²) regardless of corpus size.
     */
   private val EvalSampleN = 128
+
+  /** (bands, rows-per-band) splits of the 16-hash signature for
+    * `dedup_lsh_sweep` — recall-leaning, production, precision-leaning.
+    */
+  private val LshSweepConfigs = Seq((8, 2), (4, 4), (2, 8))
 
   /** Peel-round budget per k for `graph_kcore` (bounded like the
     * Lloyd/CC/PageRank loops; fixpoint-on-fixture proven by
@@ -1665,6 +1732,71 @@ object DedupQueries {
          |        / ((CAST(tp AS DOUBLE) / (tp + fp))
          |           + (CAST(tp AS DOUBLE) / (tp + fn))), 6) AS f1
          |FROM conf CROSS JOIN ns""".stripMargin,
+
+    // same fixed sample, same exact truth, same per-config banding of
+    // the shared signature; f1 guarded to tp > 0 on both sides
+    "dedup_lsh_sweep" -> {
+      val cfgVals = LshSweepConfigs.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+      s"""WITH toksets AS (
+         |  SELECT doc_id, text,
+         |    list_distinct(list_transform(string_split(text, ' '), s ->
+         |      ${h31.format("s")})) AS tokset
+         |  FROM documents
+         |), sample AS (
+         |  SELECT doc_id, text, tokset FROM toksets
+         |  ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+         |           AS BIGINT), doc_id
+         |  LIMIT $EvalSampleN
+         |), ssig AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM sample
+         |), truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS t
+         |  FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.tokset, b.tokset)) /
+         |    CAST(len(list_distinct(list_concat(a.tokset, b.tokset)))
+         |         AS DOUBLE) >= 0.2
+         |), cfg(nb, rp) AS (VALUES $cfgVals
+         |), bands AS (
+         |  SELECT c.nb, c.rp, s.doc_id, t.k AS band,
+         |    md5(array_to_string(list_transform(
+         |      s.sig[t.k * c.rp + 1 : t.k * c.rp + c.rp],
+         |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+         |  FROM ssig s, cfg c, generate_series(0, 7) t(k)
+         |  WHERE t.k < c.nb
+         |), cand AS (
+         |  SELECT DISTINCT a.nb, a.rp, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    1 AS p
+         |  FROM bands a JOIN bands b
+         |    ON a.nb = b.nb AND a.rp = b.rp AND a.band = b.band
+         |   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |), truthc AS (
+         |  SELECT c.nb, c.rp, t.doc_a, t.doc_b, t.t FROM truth t, cfg c
+         |), conf AS (
+         |  SELECT coalesce(t.nb, p.nb) AS nb, coalesce(t.rp, p.rp) AS rp,
+         |    CAST(sum(CASE WHEN t.t = 1 AND p.p = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN t.t = 1 AND p.p IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN t.t IS NULL AND p.p = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fp
+         |  FROM truthc t FULL OUTER JOIN cand p
+         |    ON p.nb = t.nb AND p.rp = t.rp
+         |   AND p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(nb AS BIGINT) AS bands, CAST(rp AS BIGINT) AS rows_per_band,
+         |  tp, fp, fn,
+         |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+         |    AS precision,
+         |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+         |  round(CASE WHEN tp > 0 THEN
+         |    CAST(2.0 AS DOUBLE) * (CAST(tp AS DOUBLE) / (tp + fp))
+         |      * (CAST(tp AS DOUBLE) / (tp + fn))
+         |      / ((CAST(tp AS DOUBLE) / (tp + fp))
+         |         + (CAST(tp AS DOUBLE) / (tp + fn))) END, 6) AS f1
+         |FROM conf""".stripMargin
+    },
 
     // same star edges, same hub cap, same 12-dp quantized 1/ln terms,
     // same anti-join + (score desc, pair) top-k — term-for-term
