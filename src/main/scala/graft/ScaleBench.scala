@@ -63,7 +63,9 @@ object ScaleBench {
     "q_sql_merge",
     "text_bigram_lm", "text_quality_auc",
     "text_perplexity_heldout", "search_tfidf_cosine", "events_theilsen",
-    "events_theilsen_win", "events_anomaly_mad", "events_psi", "emb_pca_power")
+    "events_theilsen_win", "events_anomaly_mad", "events_psi", "emb_pca_power",
+    "events_funnel_window", "dedup_lsh_sweep", "cdc_agg_maintain",
+    "mm_audio_pitch")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -86,7 +88,9 @@ object ScaleBench {
     "stream_gapfill", "stream_gapfill_tws", "stream_ann_index_append",
     "stream_topk", "stream_ewma",
     "stream_regression", "stream_entropy_mi", "stream_retention",
-    "stream_rfm", "stream_acf", "stream_funnel")
+    "stream_rfm", "stream_acf", "stream_funnel", "stream_funnel_window",
+    "stream_psi", "stream_theilsen", "stream_cdc_maintain",
+    "stream_pca", "stream_perplexity")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,
