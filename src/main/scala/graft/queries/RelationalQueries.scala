@@ -345,6 +345,32 @@ object RelationalQueries {
         col("valid_from"), col("valid_to"), col("is_current"))
     }),
 
+    // REAL `UPDATE` — the second row-level DML statement, compiled by
+    // Spark's RewriteUpdateTable rule into the same group-based
+    // copy-on-write ReplaceData plan as MERGE (the connector is
+    // command-generic). One statement against the DSv2 row-level
+    // catalog; the oracle recomputes the post-update state with a
+    // CASE projection, so the hash match proves the rewrite applies
+    // the predicate + assignment exactly once per row.
+    "q_sql_update" -> ((s, dir) => {
+      val tbl = dmlTable(s, dir, "upd") { t =>
+        s.sql(s"UPDATE $t SET acctbal = acctbal + 100.5 WHERE c_custkey % 7 = 3")
+        ()
+      }
+      s.table(tbl).select(col("c_custkey"), col("acctbal"))
+    }),
+
+    // REAL `DELETE` — the third statement of the DML trio, rewritten
+    // by RewriteDeleteFromTable into the copy-on-write plan; the
+    // oracle is the complement filter over the base table.
+    "q_sql_delete" -> ((s, dir) => {
+      val tbl = dmlTable(s, dir, "del") { t =>
+        s.sql(s"DELETE FROM $t WHERE c_custkey % 11 = 5")
+        ()
+      }
+      s.table(tbl).select(col("c_custkey"), col("acctbal"))
+    }),
+
     // TIME TRAVEL over the SCD2 dimension — the query the history
     // columns exist FOR: reconstruct the table state AS OF each
     // version boundary (t = 0: pre-merge; t = 1: post-merge) by the
@@ -585,6 +611,32 @@ object RelationalQueries {
       })
     }
 
+  private val dmlTables =
+    scala.collection.mutable.HashMap[(org.apache.spark.sql.SparkSession, String, String), String]()
+
+  /** A customer-balance table in the DSv2 row-level catalog with one
+    * DML statement applied — built once per (session, dir, op); the
+    * memo IS the "statement ran once" semantics the oracle assumes.
+    */
+  private def dmlTable(s: org.apache.spark.sql.SparkSession, dir: String,
+                       op: String)(dml: String => Unit): String =
+    dmlTables.synchronized {
+      dmlTables.getOrElseUpdate((s, dir, op), {
+        s.conf.set("spark.sql.catalog.graft_mem",
+          classOf[graft.sources.MemRowLevelCatalog].getName)
+        val id = dmlTables.size
+        val tbl = s"graft_mem.dml.${op}_$id"
+        graft.sources.MemTableStore.create(s"dml.${op}_$id",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_custkey BIGINT, acctbal DOUBLE"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), asDouble(dec(col("c_acctbal"))).as("acctbal"))
+          .writeTo(tbl).append()
+        dml(tbl)
+        tbl
+      })
+    }
+
   /** Monotonic db-name registry for [[bucketedTables]] — keyed on the
     * FULL (session, dir) pair, not dir.hashCode (ADVICE r7: a 32-bit
     * hash collision between two data dirs in one session would
@@ -692,6 +744,21 @@ object RelationalQueries {
 
     // the real MERGE statement must land on the identical table
     "q_sql_merge" -> scd2Oracle,
+
+    // post-update state recomputed with a CASE projection
+    "q_sql_update" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 3
+        |       THEN CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) + 100.5
+        |       ELSE CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) END
+        |    AS acctbal
+        |FROM customer""".stripMargin,
+
+    // post-delete state = the complement filter
+    "q_sql_delete" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal
+        |FROM customer WHERE c_custkey % 11 <> 5""".stripMargin,
 
     // the scd2 CTE chain + the same interval predicate over both
     // version boundaries
