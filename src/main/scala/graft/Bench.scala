@@ -72,10 +72,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$fj}"""
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    println(line)
+    Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
+    // The driver captures only the last ~2000 chars of stdout; a
+    // 222-query map is ~7000 chars, so the full line gets truncated
+    // mid-JSON and the driver records `parsed: null` (observed in
+    // BENCH_r09.json). Print a compact line that always fits: total +
+    // query count + the slowest 35 queries at 3 dp; the full-precision
+    // per-query map lives in bench_out.json (committed every round).
+    def f3(v: Double): String = f"$v%.3f"
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(35)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$slow,"sf":"$sfDir","failed":$fj,"full_results":"bench_out.json"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -1762,7 +1762,8 @@ object DedupQueries {
          |    md5(array_to_string(list_transform(
          |      s.sig[t.k * c.rp + 1 : t.k * c.rp + c.rp],
          |      x -> CAST(x AS VARCHAR)), ',')) AS band_hash
-         |  FROM ssig s, cfg c, generate_series(0, 7) t(k)
+         |  FROM ssig s, cfg c,
+         |    generate_series(0, ${LshSweepConfigs.map(_._1).max - 1}) t(k)
          |  WHERE t.k < c.nb
          |), cand AS (
          |  SELECT DISTINCT a.nb, a.rp, a.doc_id AS doc_a, b.doc_id AS doc_b,

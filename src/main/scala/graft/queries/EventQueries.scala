@@ -33,6 +33,23 @@ object EventQueries {
   /** `events_cross_corr` lags: contemporaneous, 1 h lead, daily lead. */
   private val CcfLags = Seq(0, 1, 24)
 
+  /** `events_bootstrap_ci` replicate count (4 md5s × 8 16-bit chunks
+    * per event) and the integer-quantized Poisson(1) CDF over a
+    * 16-bit uniform: thresholds ⌊CDF(k)·65536⌉ for k = 0..6; u ≥ the
+    * last threshold draws weight 7 (P ≈ 8e-5). Integer comparisons
+    * only — both engines draw bit-identical weights.
+    */
+  private val BootstrapReps = 32
+  private[graft] val PoissonThresholds =
+    Seq(24109L, 48219L, 60273L, 64292L, 65296L, 65497L, 65531L)
+
+  /** Inverse-CDF lookup: the first k with u < threshold(k), else 7. */
+  private[graft] def poissonW(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(7L): org.apache.spark.sql.Column) {
+        case (acc, (t, k)) => when(u < t, lit(k.toLong)).otherwise(acc)
+      }
+
   val queries: Map[String, Q] = Map(
 
     // Tumbling 1 h window per event_type (≙ PseudoWindow over a real
@@ -332,12 +349,116 @@ object EventQueries {
       val mad = rankMedian(
         withMed.select(col("event_id"), col("event_type"), col("ad")), "ad")
         .withColumnRenamed("med", "mad")
+      // MAD = 0 guard (any series where ≥50% of values equal the
+      // median): rz is undefined — emit NULL rz / false is_outlier
+      // instead of a divide-by-zero whose result differs by engine
+      // (Spark non-ANSI NULL vs DuckDB inf/NaN).
       withMed.join(broadcast(mad), "event_type")
         .select(col("event_id"), col("event_type"),
-          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6)
+          when(col("mad") > 0,
+            round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
             .as("rz"),
-          (lit(0.6745) * abs(col("value") - col("med")) / col("mad") > 3.5)
+          when(col("mad") > 0,
+            lit(0.6745) * abs(col("value") - col("med")) / col("mad") > 3.5)
+            .otherwise(lit(false))
             .as("is_outlier"))
+    }),
+
+    // SEASONAL-RESIDUAL anomaly — the third rung of the anomaly
+    // ladder (μ/σ → median/MAD → deseasonalized μ/σ): a metric with a
+    // strong diurnal cycle makes every quiet-hour reading look like a
+    // low outlier to a global z-score, so the detector first removes
+    // the per-(type, hour-of-day) baseline and scores the RESIDUAL.
+    // Exactness: the baseline is the 9-dp-quantized hourly-mean
+    // convention; residual = DECIMAL(18,4) value − DECIMAL(18,9)
+    // baseline is exact decimal subtraction, and the residual moment
+    // sums (Σr, Σr² at DECIMAL(15,9)/(31,18)) stay exact — zero
+    // quantization between the baseline and the final rounding, so
+    // the z chain is engine-identical IEEE off exact sums. Scale
+    // shape: one hash agg to the 24·|types| baseline table
+    // (broadcast back), one hash agg for the per-type residual
+    // moments (broadcast back), one projection — all
+    // partial-aggregable, linear at any corpus size.
+    "events_anomaly_seasonal" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          expr("(ts_ms % 86400000) div 3600000").as("hod"),
+          dec(col("value")).as("v"))
+      val base = e.groupBy(col("event_type"), col("hod"))
+        .agg(round(asDouble(sum(col("v"))) / count(lit(1)), 9)
+          .cast("decimal(18,9)").as("baseline"))
+      val withR = e.join(broadcast(base), Seq("event_type", "hod"))
+        .withColumn("resid", (col("v") - col("baseline")).cast("decimal(15,9)"))
+      val stats = withR.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("resid")).as("sr"),
+             sum(col("resid") * col("resid")).as("sr2"))
+        .select(col("event_type"),
+          sqrt((col("sr2").cast("double")
+                - col("sr").cast("double") * col("sr").cast("double") / col("n"))
+               / col("n")).as("sd"))
+      withR.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("hod"),
+          round(col("resid").cast("double"), 6).as("resid_r"),
+          when(col("sd") > 0,
+            round(col("resid").cast("double") / col("sd"), 6)).as("z_r"),
+          when(col("sd") > 0,
+            abs(col("resid").cast("double") / col("sd")) > 3.0)
+            .otherwise(lit(false)).as("is_anomaly"))
+    }),
+
+    // POISSON-BOOTSTRAP confidence interval — uncertainty for the
+    // per-type mean without distributional assumptions, in the form
+    // that actually runs at 100 TB: the classic resample-n-rows
+    // bootstrap needs n draws WITH replacement per replicate (a
+    // global operation), but Poisson(1) weights per (row, replicate)
+    // are an excellent approximation (n large ⇒ multinomial ≈
+    // independent Poissons) and make every replicate a WEIGHTED SUM —
+    // so all 32 replicates ride ONE map-side-combined hash agg of 64
+    // sum columns, no resampled copies of the data ever exist. The
+    // weights are integer-exact: a 16-bit md5-uniform per (event,
+    // replicate) looked up against the integer-quantized Poisson(1)
+    // CDF (⌊CDF·65536⌉ thresholds) — no floating point anywhere in
+    // the draw, so both engines draw identical weights. Replicate
+    // means are 6-dp rounded and the 80% CI is rank-selected
+    // (⌈0.1·R⌉ / ⌈0.9·R⌉ order statistics with replicate-id
+    // tiebreak) — the events_anomaly_mad selection convention.
+    "events_bootstrap_ci" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+      val withW = (0 until BootstrapReps).foldLeft(e) { (df, r) =>
+        val u = conv(substring(
+            md5(concat(col("event_id").cast("string"), lit(s"_bs${r / 8}"))),
+            1 + 4 * (r % 8), 4), 16, 10).cast("long")
+        df.withColumn(s"w_$r", poissonW(u))
+      }
+      val aggCols =
+        (0 until BootstrapReps).flatMap { r =>
+          Seq(sum(col("v") * col(s"w_$r")).as(s"wv_$r"),
+              sum(col(s"w_$r")).as(s"wn_$r"))
+        } ++ Seq(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      val agg = withW.groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val repArr = array((0 until BootstrapReps).map(r =>
+        struct(lit(r).as("r"), col(s"wv_$r").as("wv"), col(s"wn_$r").as("wn"))): _*)
+      val reps = agg
+        .select(col("event_type"), col("sv"), col("n"), explode(repArr).as("rep"))
+        .select(col("event_type"), col("sv"), col("n"), col("rep.r").as("r"),
+          when(col("rep.wn") > 0,
+            round(col("rep.wv").cast("double") / col("rep.wn"), 6)).as("m"))
+        .filter(col("m").isNotNull)
+      val byType = Window.partitionBy(col("event_type"))
+      reps
+        .withColumn("rn", row_number().over(byType.orderBy(col("m"), col("r"))))
+        .withColumn("nr", count(lit(1)).over(byType))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          round(max(col("sv")).cast("double") / max(col("n")), 6).as("mean_r"),
+          max(when(col("rn") === ceil(col("nr") * lit(0.1)).cast("long"),
+            col("m"))).as("ci80_lo_r"),
+          max(when(col("rn") === ceil(col("nr") * lit(0.9)).cast("long"),
+            col("m"))).as("ci80_hi_r"))
     }),
 
     // THEIL-SEN robust slope — the median of all pairwise slopes of
@@ -1292,7 +1413,12 @@ object EventQueries {
     }
     val byType = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
+    // NULL slopes (an hour whose values are all NULL yields y = NULL)
+    // must not enter the rank selection: Spark's ORDER BY puts NULLs
+    // first, DuckDB's puts them last, so a NULL would silently shift
+    // the selected lo/hi median rows between engines.
     slopes
+      .filter(col("slope").isNotNull)
       .withColumn("rn", row_number().over(byType.orderBy(col("slope"))))
       .withColumn("n", count(lit(1)).over(byType))
       .filter(col("rn") === expr("(n + 1) DIV 2") ||
@@ -2745,9 +2871,89 @@ object EventQueries {
         |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1
         |)
         |SELECT ad.event_id, ad.event_type,
-        |  round(0.6745 * (ad.value - ad.med) / mad.mad, 6) AS rz,
-        |  (0.6745 * abs(ad.value - ad.med) / mad.mad > 3.5) AS is_outlier
+        |  CASE WHEN mad.mad > 0
+        |    THEN round(0.6745 * (ad.value - ad.med) / mad.mad, 6) END AS rz,
+        |  CASE WHEN mad.mad > 0
+        |    THEN 0.6745 * abs(ad.value - ad.med) / mad.mad > 3.5
+        |    ELSE false END AS is_outlier
         |FROM ad JOIN mad USING (event_type)""".stripMargin,
+
+    // same 9-dp baseline quantization, exact decimal residual moments,
+    // same fixed-order sqrt/z finish
+    "events_anomaly_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    ((epoch_ns(ts) // 1000000) % 86400000) // 3600000 AS hod,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), base AS (
+        |  SELECT event_type, hod,
+        |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS DECIMAL(18,9))
+        |      AS baseline
+        |  FROM e GROUP BY 1, 2
+        |), r AS (
+        |  SELECT e.event_id, e.event_type, e.hod,
+        |    CAST(e.v - base.baseline AS DECIMAL(15,9)) AS resid
+        |  FROM e JOIN base USING (event_type, hod)
+        |), st AS (
+        |  SELECT event_type,
+        |    sqrt((CAST(sum(resid * resid) AS DOUBLE)
+        |          - CAST(sum(resid) AS DOUBLE) * CAST(sum(resid) AS DOUBLE)
+        |            / count(*))
+        |         / count(*)) AS sd
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.event_id, r.event_type, CAST(r.hod AS BIGINT) AS hod,
+        |  round(CAST(r.resid AS DOUBLE), 6) AS resid_r,
+        |  CASE WHEN st.sd > 0
+        |    THEN round(CAST(r.resid AS DOUBLE) / st.sd, 6) END AS z_r,
+        |  CASE WHEN st.sd > 0
+        |    THEN abs(CAST(r.resid AS DOUBLE) / st.sd) > 3.0
+        |    ELSE false END AS is_anomaly
+        |FROM r JOIN st USING (event_type)""".stripMargin,
+
+    // same 16-bit md5-uniform chunks, same integer Poisson CDF
+    // thresholds, same 6-dp replicate means and rank-selected CI
+    "events_bootstrap_ci" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), rep AS (
+        |  SELECT e.event_type, g.r, e.v,
+        |    CAST(concat('0x', substr(md5(concat(CAST(e.event_id AS VARCHAR),
+        |      '_bs', CAST(g.r // 8 AS VARCHAR))), 1 + 4 * (g.r % 8), 4))
+        |      AS BIGINT) AS u
+        |  FROM e CROSS JOIN generate_series(0, 31) g(r)
+        |), w AS (
+        |  SELECT event_type, r, v,
+        |    CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1
+        |         WHEN u < 60273 THEN 2 WHEN u < 64292 THEN 3
+        |         WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5
+        |         WHEN u < 65531 THEN 6 ELSE 7 END AS wgt
+        |  FROM rep
+        |), agg AS (
+        |  SELECT event_type, r, sum(v * wgt) AS wv, sum(wgt) AS wn
+        |  FROM w GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, sum(v) AS sv, count(*) AS n FROM e GROUP BY 1
+        |), means AS (
+        |  SELECT event_type, r,
+        |    CASE WHEN wn > 0 THEN round(CAST(wv AS DOUBLE) / wn, 6) END AS m
+        |  FROM agg
+        |), rk AS (
+        |  SELECT event_type, m, r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY m, r) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nr
+        |  FROM means WHERE m IS NOT NULL
+        |)
+        |SELECT rk.event_type, CAST(max(tot.n) AS BIGINT) AS n,
+        |  round(CAST(max(tot.sv) AS DOUBLE) / max(tot.n), 6) AS mean_r,
+        |  max(CASE WHEN rn = CAST(ceil(0.1 * nr) AS BIGINT) THEN m END)
+        |    AS ci80_lo_r,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * nr) AS BIGINT) THEN m END)
+        |    AS ci80_hi_r
+        |FROM rk JOIN tot ON tot.event_type = rk.event_type
+        |GROUP BY 1""".stripMargin,
 
     // same 9-dp hourly decimals, same exact-decimal Δy over integer
     // Δhours slopes, same rank-selected median (lo/hi ranks, fixed
@@ -2770,7 +2976,7 @@ object EventQueries {
          |  SELECT event_type, slope,
          |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM sl
+         |  FROM sl WHERE slope IS NOT NULL
          |)
          |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
          |  round((min(slope) + max(slope)) / 2, 6) AS slope_per_hour_r
@@ -2798,7 +3004,7 @@ object EventQueries {
          |  SELECT event_type, slope,
          |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM sl
+         |  FROM sl WHERE slope IS NOT NULL
          |)
          |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
          |  round((min(slope) + max(slope)) / 2, 6) AS slope_per_hour_r

@@ -817,6 +817,9 @@ object SimilarityQueries {
     */
   private[graft] def pcaFinish(moments: org.apache.spark.sql.DataFrame,
                                rounds: Int = PcaRounds): org.apache.spark.sql.DataFrame = {
+      // nrm is only assigned inside the power loop; rounds <= 0 would
+      // NPE at the final crossJoin instead of failing with a message.
+      require(rounds >= 1, s"pcaFinish needs rounds >= 1, got $rounds")
       val mm = moments.groupBy(col("i"), col("j"))
         .agg(sum(col("s")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
