@@ -407,24 +407,8 @@ object DedupQueries {
     // IEEE double; the key is 12-dp rounded with doc_id tiebreak
     // (SampleWorSpec pins the boundary margins ≫ the 1-ulp libm/JDK
     // ln divergence).
-    "pipeline_sample_wor" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit("#wor"))), 1, 12), 16, 10).cast("long")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-          h.as("h"))
-        .withColumn("key_r",
-          round(log((col("h") + lit(1L)).cast("double")
-                    / lit(281474976710656.0)) / col("n_tokens"), 12))
-      docs
-        .withColumn("rn", row_number().over(
-          W.orderBy(col("key_r").desc, col("doc_id"))))
-        .filter(col("rn") <= WorSampleK)
-        .select(col("doc_id"), col("n_tokens"), col("key_r"),
-                col("rn").cast("long").as("rn"))
-    }),
+    "pipeline_sample_wor" -> ((s, dir) =>
+      worTopK(worKeys(Tables.documents(s, dir)))),
 
     // Token-budget sequence packing — the pretraining batch-prep
     // stage: concatenate documents in deterministic (doc_id) order and
@@ -1149,6 +1133,39 @@ object DedupQueries {
     * against this constant.
     */
   private[graft] val WorSampleK = 50
+
+  /** A-ES reservoir keys per doc: key = 12-dp-rounded ln(u)/w with u
+    * a dyadic-rational md5-uniform (12 hex → (h+1)/2⁴⁸ is exactly
+    * representable) and w the token count.
+    */
+  private[graft] def worKeys(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#wor"))), 1, 12), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("key_r",
+        round(log((col("h") + lit(1L)).cast("double")
+                  / lit(281474976710656.0)) / col("n_tokens"), 12))
+      .select(col("doc_id"), col("n_tokens"), col("key_r"))
+  }
+
+  /** Top-K by (key desc, doc_id): sound under per-shard truncation —
+    * the key is a pure per-row function, so re-selecting over merged
+    * partial top-Ks equals the global top-K (`stream_sample_wor`'s
+    * hash proof; contrast stream_topk, where count-based top-k is NOT
+    * mergeable and must keep full partials).
+    */
+  private[graft] def worTopK(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    keys
+      .withColumn("rn", row_number().over(
+        W.orderBy(col("key_r").desc, col("doc_id"))))
+      .filter(col("rn") <= WorSampleK)
+      .select(col("doc_id"), col("n_tokens"), col("key_r"),
+              col("rn").cast("long").as("rn"))
+  }
 
   /** PageRank iteration budget (bounded like the Lloyd/CC loops). */
   private val PrRounds = 3

@@ -50,6 +50,63 @@ object EventQueries {
         case (acc, (t, k)) => when(u < t, lit(k.toLong)).otherwise(acc)
       }
 
+  /** The mergeable half of `events_bootstrap_ci`: per-type 32×(Σw·v,
+    * Σw) + (Σv, n) — 66 additive columns, so per-micro-batch partial
+    * rows sum-merged per type equal the one-pass aggregation exactly
+    * (`stream_bootstrap`'s hash proof).
+    */
+  private[graft] def bootstrapPartials(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+    val withW = (0 until BootstrapReps).foldLeft(e) { (df, r) =>
+      val u = conv(substring(
+          md5(concat(col("event_id").cast("string"), lit(s"_bs${r / 8}"))),
+          1 + 4 * (r % 8), 4), 16, 10).cast("long")
+      df.withColumn(s"w_$r", poissonW(u))
+    }
+    val aggCols =
+      (0 until BootstrapReps).flatMap { r =>
+        Seq(sum(col("v") * col(s"w_$r")).as(s"wv_$r"),
+            sum(col(s"w_$r")).as(s"wn_$r"))
+      } ++ Seq(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    withW.groupBy(col("event_type")).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Sum-merge of bootstrap partial rows (the streaming twin's merge
+    * law: every column is additive).
+    */
+  private[graft] def bootstrapMerge(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aggCols =
+      ((0 until BootstrapReps).flatMap { r =>
+        Seq(sum(col(s"wv_$r")).as(s"wv_$r"), sum(col(s"wn_$r")).as(s"wn_$r"))
+      } :+ sum(col("sv")).as("sv")) :+ sum(col("n")).as("n")
+    parts.groupBy(col("event_type")).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Replicate means + rank-selected 80% CI off the aggregated frame. */
+  private[graft] def bootstrapFinish(agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val repArr = array((0 until BootstrapReps).map(r =>
+      struct(lit(r).as("r"), col(s"wv_$r").as("wv"), col(s"wn_$r").as("wn"))): _*)
+    val reps = agg
+      .select(col("event_type"), col("sv"), col("n"), explode(repArr).as("rep"))
+      .select(col("event_type"), col("sv"), col("n"), col("rep.r").as("r"),
+        when(col("rep.wn") > 0,
+          round(col("rep.wv").cast("double") / col("rep.wn"), 6)).as("m"))
+      .filter(col("m").isNotNull)
+    val byType = Window.partitionBy(col("event_type"))
+    reps
+      .withColumn("rn", row_number().over(byType.orderBy(col("m"), col("r"))))
+      .withColumn("nr", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(max(col("sv")).cast("double") / max(col("n")), 6).as("mean_r"),
+        max(when(col("rn") === ceil(col("nr") * lit(0.1)).cast("long"),
+          col("m"))).as("ci80_lo_r"),
+        max(when(col("rn") === ceil(col("nr") * lit(0.9)).cast("long"),
+          col("m"))).as("ci80_hi_r"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Tumbling 1 h window per event_type (≙ PseudoWindow over a real
@@ -154,6 +211,24 @@ object EventQueries {
     "events_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+             count(col("k")).as("cnt_k"),
+             max(col("k")).as("max_k"))),
+
+    // VARIANT semi-structured extraction (the Spark 4 open-format
+    // answer to string-JSON columns): props ingests once through
+    // parse_json into the binary VARIANT encoding, typed access is
+    // variant_get with a target type — at scale this is the
+    // parse-once/read-many layout (shredding-friendly) where
+    // get_json_object re-parses the string per access. Same aggregate
+    // surface as events_json_props, per type — the two queries
+    // bracket the old and new semi-structured paths.
+    "events_variant_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("parse_json(props)").as("pv"))
+        .select(col("event_type"),
+          expr("variant_get(pv, '$.k', 'bigint')").as("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"),
              count(col("k")).as("cnt_k"),
@@ -423,43 +498,8 @@ object EventQueries {
     // means are 6-dp rounded and the 80% CI is rank-selected
     // (⌈0.1·R⌉ / ⌈0.9·R⌉ order statistics with replicate-id
     // tiebreak) — the events_anomaly_mad selection convention.
-    "events_bootstrap_ci" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
-      val withW = (0 until BootstrapReps).foldLeft(e) { (df, r) =>
-        val u = conv(substring(
-            md5(concat(col("event_id").cast("string"), lit(s"_bs${r / 8}"))),
-            1 + 4 * (r % 8), 4), 16, 10).cast("long")
-        df.withColumn(s"w_$r", poissonW(u))
-      }
-      val aggCols =
-        (0 until BootstrapReps).flatMap { r =>
-          Seq(sum(col("v") * col(s"w_$r")).as(s"wv_$r"),
-              sum(col(s"w_$r")).as(s"wn_$r"))
-        } ++ Seq(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-      val agg = withW.groupBy(col("event_type"))
-        .agg(aggCols.head, aggCols.tail: _*)
-      val repArr = array((0 until BootstrapReps).map(r =>
-        struct(lit(r).as("r"), col(s"wv_$r").as("wv"), col(s"wn_$r").as("wn"))): _*)
-      val reps = agg
-        .select(col("event_type"), col("sv"), col("n"), explode(repArr).as("rep"))
-        .select(col("event_type"), col("sv"), col("n"), col("rep.r").as("r"),
-          when(col("rep.wn") > 0,
-            round(col("rep.wv").cast("double") / col("rep.wn"), 6)).as("m"))
-        .filter(col("m").isNotNull)
-      val byType = Window.partitionBy(col("event_type"))
-      reps
-        .withColumn("rn", row_number().over(byType.orderBy(col("m"), col("r"))))
-        .withColumn("nr", count(lit(1)).over(byType))
-        .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"),
-          round(max(col("sv")).cast("double") / max(col("n")), 6).as("mean_r"),
-          max(when(col("rn") === ceil(col("nr") * lit(0.1)).cast("long"),
-            col("m"))).as("ci80_lo_r"),
-          max(when(col("rn") === ceil(col("nr") * lit(0.9)).cast("long"),
-            col("m"))).as("ci80_hi_r"))
-    }),
+    "events_bootstrap_ci" -> ((s, dir) =>
+      bootstrapFinish(bootstrapPartials(Tables.events(s, dir)))),
 
     // THEIL-SEN robust slope — the median of all pairwise slopes of
     // the hourly mean series, per event_type: the robust complement to
@@ -478,6 +518,22 @@ object EventQueries {
     // ranks (n+1)÷2 and n÷2+1 picked under a total order, midpoint in
     // one fixed double op ((lo+hi)/2 ≡ lo when n is odd).
     "events_theilsen" -> ((s, dir) => theilsenOver(hourlySeries(s, dir))),
+
+    // OFFLINE CHANGEPOINT (one binary-segmentation split) — WHERE did
+    // the series shift, the complement to CUSUM's online WHEN: per
+    // event_type, the hour boundary whose two-segment split maximally
+    // reduces the sum of squared errors of the hourly mean series.
+    // The textbook form evaluates O(hours) candidate splits × O(hours)
+    // SSE each; with exact-decimal prefix sums (cum n/Σy/Σy² via one
+    // ordered window) every candidate's gain is O(1) off the prefixes
+    // — one window pass + one argmax, O(hours log hours) on the
+    // dashboard-sized hourly table (the |events|-bound work is the
+    // same hash agg every hourly operator shares; at 100 TB the cost
+    // is the scan). Exactness: prefix/total sums are exact decimals,
+    // the gain chain is fixed-order IEEE on identical doubles, and
+    // the argmax is rank-selected with an hour tiebreak.
+    "events_changepoint" -> ((s, dir) =>
+      changepointOver(hourlySeries(s, dir))),
 
     // WINDOWED Theil-Sen — the production scale path for the operator
     // above, the dedup_semantic→_scaled pattern applied to time: the
@@ -1388,6 +1444,47 @@ object EventQueries {
     * linear in the span, and missing hours drop out of the inner
     * join exactly as they do from the pair set.
     */
+  /** `events_changepoint` over an arbitrary hourly frame (event_type,
+    * hour_ms, y) — exposed so ChangepointSpec can plant a known mean
+    * shift and assert the argmax lands on it.
+    */
+  private[graft] def changepointOver(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+    val cum = byType.rowsBetween(W.unboundedPreceding, 0)
+    val tot = h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("ts"),
+           sum(col("y") * col("y")).as("ts2"))
+    val cand = h
+      .withColumn("i", row_number().over(byType))
+      .withColumn("cs", sum(col("y")).over(cum))
+      .withColumn("cs2", sum(col("y") * col("y")).over(cum))
+      .join(broadcast(tot), "event_type")
+      .filter(col("i") < col("n"))
+      .withColumn("nl", col("i").cast("double"))
+      .withColumn("nr", (col("n") - col("i")).cast("double"))
+      .withColumn("sl", col("cs").cast("double"))
+      .withColumn("sr", (col("ts") - col("cs")).cast("double"))
+      .withColumn("s2l", col("cs2").cast("double"))
+      .withColumn("s2r", (col("ts2") - col("cs2")).cast("double"))
+      .withColumn("gain",
+        (col("ts2").cast("double")
+          - col("ts").cast("double") * col("ts").cast("double") / col("n"))
+        - ((col("s2l") - col("sl") * col("sl") / col("nl"))
+           + (col("s2r") - col("sr") * col("sr") / col("nr"))))
+    cand
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("event_type"))
+          .orderBy(col("gain").desc, col("hour_ms"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hour_ms").as("split_hour_ms"),
+        col("i").cast("long").as("n_left"),
+        (col("n") - col("i")).cast("long").as("n_right"),
+        round(col("sl") / col("nl"), 6).as("mean_left_r"),
+        round(col("sr") / col("nr"), 6).as("mean_right_r"),
+        round(col("gain"), 6).as("gain_r"))
+  }
+
   private[graft] def theilsenOver(hourlyIn: org.apache.spark.sql.DataFrame,
                                   windowHours: Option[Long] = None) = {
     val hourly = hourlyIn
@@ -2658,6 +2755,16 @@ object EventQueries {
         |FROM events
         |GROUP BY event_type""".stripMargin,
 
+    // the VARIANT path must extract exactly what the JSON-string path
+    // extracts — DuckDB checks it with its JSON operators
+    "events_variant_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(props->>'$.k' AS BIGINT)) AS cnt_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
+
     // Same union + carry-forward algorithm (side 0 = right sorts
     // before side 1 = left at equal ts ⇒ ts ≤ semantics).
     "events_asof_join" ->
@@ -2954,6 +3061,55 @@ object EventQueries {
         |    AS ci80_hi_r
         |FROM rk JOIN tot ON tot.event_type = rk.event_type
         |GROUP BY 1""".stripMargin,
+
+    // same hourly decimals, same exact prefix/total sums, same
+    // fixed-order gain chain and rank-selected argmax
+    "events_changepoint" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), t AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    sum(y) AS ts, sum(y * y) AS ts2
+         |  FROM h GROUP BY 1
+         |), c AS (
+         |  SELECT event_type, hour_ms,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour_ms) AS i,
+         |    sum(y) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         |    sum(y * y) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs2
+         |  FROM h
+         |), g AS (
+         |  SELECT c.event_type, c.hour_ms, c.i, t.n,
+         |    CAST(c.i AS DOUBLE) AS nl, CAST(t.n - c.i AS DOUBLE) AS nr,
+         |    CAST(c.cs AS DOUBLE) AS sl, CAST(t.ts - c.cs AS DOUBLE) AS sr,
+         |    CAST(c.cs2 AS DOUBLE) AS s2l, CAST(t.ts2 - c.cs2 AS DOUBLE) AS s2r,
+         |    (CAST(t.ts2 AS DOUBLE)
+         |      - CAST(t.ts AS DOUBLE) * CAST(t.ts AS DOUBLE) / t.n)
+         |    - ((CAST(c.cs2 AS DOUBLE)
+         |          - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
+         |            / CAST(c.i AS DOUBLE))
+         |       + (CAST(t.ts2 - c.cs2 AS DOUBLE)
+         |          - CAST(t.ts - c.cs AS DOUBLE) * CAST(t.ts - c.cs AS DOUBLE)
+         |            / CAST(t.n - c.i AS DOUBLE))) AS gain
+         |  FROM c JOIN t USING (event_type)
+         |  WHERE c.i < t.n
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY gain DESC, hour_ms) AS rk
+         |  FROM g
+         |)
+         |SELECT event_type, hour_ms AS split_hour_ms,
+         |  CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+         |  round(sl / nl, 6) AS mean_left_r,
+         |  round(sr / nr, 6) AS mean_right_r,
+         |  round(gain, 6) AS gain_r
+         |FROM rk WHERE rk = 1""".stripMargin,
 
     // same 9-dp hourly decimals, same exact-decimal Δy over integer
     // Δhours slopes, same rank-selected median (lo/hi ranks, fixed

@@ -228,7 +228,20 @@ object SqlQueries {
         |      PARTITION BY o_custkey
         |      ORDER BY unix_millis(CAST(o_orderdate AS TIMESTAMP)), o_orderkey)
         |    AS prev_big_order
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin),
+
+    // SQL PIPE SYNTAX (Spark 4): the scan→filter→aggregate→having
+    // chain in its linear |> form — parser surface only, the plan is
+    // identical to the nested SELECT, which is what the oracle (in
+    // classic form) proves.
+    "q_sql_pipe" -> sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        ||> AGGREGATE count(*) AS cnt,
+        |     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE cnt > 10
+        ||> SELECT l_returnflag, l_linestatus, cnt, sum_qty""".stripMargin)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -370,6 +383,16 @@ object SqlQueries {
         |  coalesce(s.n_supp, 0) AS n_supp
         |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
         |FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
-        |ON c.k = s.k""".stripMargin
+        |ON c.k = s.k""".stripMargin,
+
+    // classic nested form of the pipe chain
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, l_linestatus, cnt, sum_qty FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2
+        |) WHERE cnt > 10""".stripMargin
   )
 }

@@ -768,6 +768,117 @@ object StreamingQueries {
       EventQueries.regressionFinish(EventQueries.momentsAsDoubles(merged))
     }),
 
+    // STREAMING BOOTSTRAP — resampling-based uncertainty as a sketch:
+    // every (event, replicate) Poisson weight is a pure row function,
+    // so each micro-batch contributes 66 additive partial sums per
+    // type (32×(Σw·v, Σw) + Σv + n) and the merge is per-column SUM;
+    // the replicate-mean + rank-selected-CI finish runs over the
+    // merged ~|types|-row state at serving. The bootstrap that
+    // re-materializes n resampled copies cannot stream; the
+    // Poisson-weighted one is JUST an aggregation, which is the whole
+    // argument for it at scale. Shares `events_bootstrap_ci`'s oracle
+    // — merge(partials) ≡ batch, hash-proven.
+    "stream_bootstrap" -> ((s, dir) => {
+      val partsDir = Files.createTempDirectory("graft-bs-partials-")
+      sys.addShutdownHook(deleteRecursively(partsDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.bootstrapPartials(batch)
+            .write.mode("append").parquet(partsDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      EventQueries.bootstrapFinish(
+        EventQueries.bootstrapMerge(s.read.parquet(partsDir.toString)))
+    }),
+
+    // STREAMING WEIGHTED RESERVOIR — the A-ES sample maintained under
+    // ingest: each arriving batch keeps only its own top-K by the
+    // per-doc reservoir key, and the serving-time sample re-selects
+    // top-K over the ≤ K·batches stored candidates. Sound because the
+    // key is a pure per-row function — truncated partial top-Ks merge
+    // to the exact global top-K (the inverse of stream_topk's
+    // non-mergeability argument, proven here by sharing
+    // `pipeline_sample_wor`'s oracle). State is K rows per batch, not
+    // |docs|.
+    "stream_sample_wor" -> ((s, dir) => {
+      val topDir = Files.createTempDirectory("graft-wor-partials-")
+      sys.addShutdownHook(deleteRecursively(topDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = documentsStream(s, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          DedupQueries.worTopK(DedupQueries.worKeys(batch))
+            .drop("rn")
+            .write.mode("append").parquet(topDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      DedupQueries.worTopK(s.read.parquet(topDir.toString))
+    }),
+
+    // STREAMING CLASSIFIER TRAINING — the data-parallel /
+    // parameter-server shape made literal: each Newton round replays
+    // the ingest log, every micro-batch computes its OWN 9-sum
+    // gradient/Hessian partial against the frozen β (these rows ARE
+    // the worker gradients), the merge is per-column decimal SUM, and
+    // the 3×3 solve advances β between epochs. The scoring pass is a
+    // third replay of additive partials (n, n_pos, log-loss decimal
+    // sum, correct-count) at the final β. Shares `text_quality_lr`'s
+    // oracle — federated-sum training ≡ one-pass batch training,
+    // hash-proven; the sequential part (β between rounds) is exactly
+    // the part that cannot merge, which is why it is the epoch
+    // boundary.
+    "stream_quality_lr" -> ((s, dir) => {
+      def pass(make: DataFrame => DataFrame): DataFrame = {
+        val partsDir = Files.createTempDirectory("graft-lr-partials-")
+        sys.addShutdownHook(deleteRecursively(partsDir))
+        val ckpt = Files.createTempDirectory("graft-ckpt-")
+        val q = documentsStream(s, dir)
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            make(batch).write.mode("append").parquet(partsDir.toString)
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        deleteRecursively(ckpt)
+        s.read.parquet(partsDir.toString)
+      }
+      val beta0 = s.range(1).select(
+        lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
+      val betaF = (1 to 2).foldLeft(beta0) { (b, _) =>
+        val merged = pass(batch =>
+            TextQueries.lrPartials(TextQueries.lrFeaturesOf(batch), b))
+          .groupBy(col("b0"), col("b1"), col("b2"))
+          .agg(sum(col("g0")).as("g0"), sum(col("g1")).as("g1"),
+               sum(col("g2")).as("g2"), sum(col("h00")).as("h00"),
+               sum(col("h01")).as("h01"), sum(col("h02")).as("h02"),
+               sum(col("h11")).as("h11"), sum(col("h12")).as("h12"),
+               sum(col("h22")).as("h22"))
+        TextQueries.lrSolve(merged)
+      }
+      val sc = pass(batch =>
+          TextQueries.lrScorePartials(TextQueries.lrFeaturesOf(batch), betaF))
+        .groupBy(col("b0"), col("b1"), col("b2"))
+        .agg(sum(col("n_c")).as("n_c"), sum(col("np")).as("np"),
+             sum(col("lls")).as("lls"), sum(col("accs")).as("accs"))
+      TextQueries.lrScoreFinish(sc)
+    }),
+
     // Streaming entropy/MI — the contingency table is the sketch: each
     // micro-batch contributes its partial (type, hour) cell counts,
     // the merge is SUM per cell (additive law), and the H/MI/NMI
@@ -1516,6 +1627,15 @@ object StreamingQueries {
     // leaderboard — shares events_top_users' oracle.
     "stream_topk" -> EventQueries.oracleSql("events_top_users"),
     "stream_regression" -> EventQueries.oracleSql("events_regression"),
+    // Sum-merge of per-batch 66-column bootstrap partials ≡ the batch
+    // resample — shares the batch bootstrap-CI oracle.
+    "stream_bootstrap" -> EventQueries.oracleSql("events_bootstrap_ci"),
+    // Truncated per-batch top-K re-selected ≡ global top-K (pure
+    // per-row key) — shares the batch A-ES sample oracle.
+    "stream_sample_wor" -> DedupQueries.oracleSql("pipeline_sample_wor"),
+    // Per-epoch federated gradient/Hessian sums ≡ one-pass training —
+    // shares the batch Newton-chain oracle.
+    "stream_quality_lr" -> TextQueries.oracleSql("text_quality_lr"),
     "stream_entropy_mi" -> EventQueries.oracleSql("events_entropy_mi"),
     "stream_retention" -> EventQueries.oracleSql("events_retention"),
     "stream_rfm" -> EventQueries.oracleSql("events_rfm"),

@@ -45,10 +45,37 @@ object TextQueries {
     * separable. Both features are exact integer-count IEEE
     * divisions. private[graft]: LrSpec re-derives margins from it.
     */
-  private[graft] def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val label = queries("text_quality")(s, dir)
+  /** The text_quality projection, parameterized by the docs frame so
+    * the streaming twin can score each arriving micro-batch.
+    */
+  private[graft] def qualityOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"),
+        let1(TextOps.tokens(col("text"))) { t =>
+          let1(struct(
+              size(t).cast("long").as("n_tokens"),
+              size(array_distinct(t)).cast("long").as("n_distinct"),
+              (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a")).as("n_stop"),
+              length(col("text")).cast("long").as("n_chars"))) { st =>
+            val nTok = st.getField("n_tokens")
+            val ttr = st.getField("n_distinct") / nTok
+            val stopRatio = st.getField("n_stop") / nTok
+            val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
+            struct(
+              round(ttr, 6).as("ttr"),
+              round(stopRatio, 6).as("stop_ratio"),
+              round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+                    least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"))
+          }
+        }.as("q"))
+      .select(col("doc_id"), col("q.ttr").as("ttr"),
+              col("q.stop_ratio").as("stop_ratio"),
+              col("q.quality").as("quality"))
+
+  private[graft] def lrFeaturesOf(docs: org.apache.spark.sql.DataFrame) = {
+    val label = qualityOf(docs)
       .select(col("doc_id"), (col("quality") >= 0.6).as("pos"))
-    Tables.documents(s, dir)
+    docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(
         col("doc_id"),
@@ -62,6 +89,9 @@ object TextQueries {
         (col("ntok").cast("decimal(6,0)")
           * lit(new java.math.BigDecimal("0.01")).cast("decimal(3,2)")).as("x2q"))
   }
+
+  private[graft] def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String) =
+    lrFeaturesOf(Tables.documents(s, dir))
 
   /** One Newton/IRLS step: β → β + (XᵀWX)⁻¹ Xᵀ(y − p). The corpus
     * pass is ONE hash agg of 9 mergeable decimal sums (3 gradient +
@@ -78,9 +108,11 @@ object TextQueries {
     * 9-dp-requantized (the kmeans_train round-boundary convention) so
     * the chained trajectory is engine-identical.
     */
-  private[graft] def lrStep(feats: org.apache.spark.sql.DataFrame,
-                            beta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val j = feats.crossJoin(broadcast(beta))
+  /** Per-row sigmoid chain at a frozen β: x as doubles, z, p, the
+    * 9-dp p quantization, and the exact-decimal ymp/w9 derived cols.
+    */
+  private def lrRowChain(featsXbeta: org.apache.spark.sql.DataFrame) =
+    featsXbeta
       .withColumn("x1", col("x1q").cast("double"))
       .withColumn("x2", col("x2q").cast("double"))
       .withColumn("z", (col("b0") + col("b1") * col("x1")) + col("b2") * col("x2"))
@@ -90,16 +122,27 @@ object TextQueries {
       .withColumn("w9",
         (col("pq") * (lit(1).cast("decimal(10,9)") - col("pq")))
           .cast("decimal(11,9)"))
-    val a = j.groupBy(col("b0"), col("b1"), col("b2")).agg(
-      sum(col("ymp")).as("g0"),
-      sum(col("x1q") * col("ymp")).as("g1"),
-      sum(col("x2q") * col("ymp")).as("g2"),
-      sum(col("w9")).as("h00"),
-      sum(col("x1q") * col("w9")).as("h01"),
-      sum(col("x2q") * col("w9")).as("h02"),
-      sum((col("x1q") * col("x1q")) * col("w9")).as("h11"),
-      sum((col("x1q") * col("x2q")) * col("w9")).as("h12"),
-      sum((col("x2q") * col("x2q")) * col("w9")).as("h22"))
+
+  /** The mergeable half of a Newton round: 9 exact decimal sums per
+    * frozen β — per-micro-batch partial rows sum-merged per β equal
+    * the one-pass aggregation exactly (`stream_quality_lr`'s claim).
+    */
+  private[graft] def lrPartials(feats: org.apache.spark.sql.DataFrame,
+                                beta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lrRowChain(feats.crossJoin(broadcast(beta)))
+      .groupBy(col("b0"), col("b1"), col("b2")).agg(
+        sum(col("ymp")).as("g0"),
+        sum(col("x1q") * col("ymp")).as("g1"),
+        sum(col("x2q") * col("ymp")).as("g2"),
+        sum(col("w9")).as("h00"),
+        sum(col("x1q") * col("w9")).as("h01"),
+        sum(col("x2q") * col("w9")).as("h02"),
+        sum((col("x1q") * col("x1q")) * col("w9")).as("h11"),
+        sum((col("x1q") * col("x2q")) * col("w9")).as("h12"),
+        sum((col("x2q") * col("x2q")) * col("w9")).as("h22"))
+
+  /** The 3×3 cofactor solve on the 1-row aggregated frame → new β. */
+  private[graft] def lrSolve(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val d = Seq("g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22")
       .foldLeft(a)((df, c) => df.withColumn(c, col(c).cast("double")))
       .withColumn("c00", col("h11") * col("h22") - col("h12") * col("h12"))
@@ -119,6 +162,52 @@ object TextQueries {
         + col("c22") * col("g2")) / col("det"), 9).as("b2"))
       .localCheckpoint()
   }
+
+  private[graft] def lrStep(feats: org.apache.spark.sql.DataFrame,
+                            beta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lrSolve(lrPartials(feats, beta))
+
+  /** The mergeable half of the scoring pass at a frozen β: counts,
+    * the 12-dp-quantized log-loss decimal sum, and the correct-
+    * prediction count — all additive, so per-micro-batch partials
+    * merged per β equal the one-pass scoring aggregation.
+    */
+  private[graft] def lrScorePartials(feats: org.apache.spark.sql.DataFrame,
+                                     beta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lrRowChain(feats.crossJoin(broadcast(beta)))
+      .groupBy(col("b0"), col("b1"), col("b2")).agg(
+        count(lit(1)).as("n_c"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+        sum(q12(when(col("y") === 1, log(col("p")))
+          .otherwise(log(lit(1.0) - col("p"))))).as("lls"),
+        sum(when((col("z") > 0) === (col("y") === 1), 1L).otherwise(0L))
+          .as("accs"))
+
+  private[graft] def lrScoreFinish(sc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sc.select(
+      col("n_c").as("n"),
+      col("np").as("n_pos"),
+      round(col("b0"), 6).as("b0_r"),
+      round(col("b1"), 6).as("b1_r"),
+      round(col("b2"), 6).as("b2_r"),
+      round(-col("lls").cast("double") / col("n_c"), 6).as("ll_r"),
+      round(col("accs").cast("double") / col("n_c"), 6).as("acc_r"))
+
+  /** Reliability diagram at a frozen β: p-decile buckets → (count,
+    * 12-dp-quantized mean predicted p, observed positive rate).
+    */
+  private[graft] def lrCalibration(feats: org.apache.spark.sql.DataFrame,
+                                   beta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lrRowChain(feats.crossJoin(broadcast(beta)))
+      .withColumn("bucket",
+        least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"),
+           sum(q12(col("p"))).as("ps"),
+           sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"))
+      .select(col("bucket"), col("n_b"),
+        round(col("ps").cast("double") / col("n_b"), 6).as("avg_p_r"),
+        round(col("pos").cast("double") / col("n_b"), 6).as("pos_rate_r"))
 
   val queries: Map[String, Q] = Map(
 
@@ -149,22 +238,26 @@ object TextQueries {
       val beta0 = s.range(1).select(
         lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
       val betaF = (1 to LrRounds).foldLeft(beta0)((b, _) => lrStep(feats, b))
-      val sc = feats.crossJoin(broadcast(betaF))
-        .withColumn("x1", col("x1q").cast("double"))
-        .withColumn("x2", col("x2q").cast("double"))
-        .withColumn("z", (col("b0") + col("b1") * col("x1")) + col("b2") * col("x2"))
-        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
-      sc.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
-        round(max(col("b0")), 6).as("b0_r"),
-        round(max(col("b1")), 6).as("b1_r"),
-        round(max(col("b2")), 6).as("b2_r"),
-        round(-sum(q12(when(col("y") === 1, log(col("p")))
-            .otherwise(log(lit(1.0) - col("p"))))).cast("double")
-          / count(lit(1)), 6).as("ll_r"),
-        round(sum(when((col("z") > 0) === (col("y") === 1), 1L).otherwise(0L))
-            .cast("double") / count(lit(1)), 6).as("acc_r"))
+      lrScoreFinish(lrScorePartials(feats, betaF))
+    }),
+
+    // MODEL CALIBRATION — the reliability diagram for the distilled
+    // quality classifier: p-decile buckets × (mean predicted p vs
+    // observed positive rate). Deployment gates on calibration, not
+    // just accuracy (a threshold chosen on p is only meaningful if p
+    // means what it says); a well-calibrated model has avg_p ≈
+    // pos_rate per bucket. One extra scoring-shaped pass at the final
+    // β — a projection + one tiny hash agg, all partial-aggregable.
+    // The decile cut uses floor(p·10), so LrSpec pins every p·10
+    // clear of an integer boundary (the bucket must not flip on a
+    // 1-ulp exp divergence).
+    "text_quality_lr_calibration" -> ((s, dir) => {
+      val feats = lrFeatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val beta0 = s.range(1).select(
+        lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
+      val betaF = (1 to LrRounds).foldLeft(beta0)((b, _) => lrStep(feats, b))
+      lrCalibration(feats, betaF)
     }),
 
     // Document CHUNKING — the context-window prep step every RAG /
@@ -204,29 +297,7 @@ object TextQueries {
     // Two-level let: tokenize once, then compute the count bundle once
     // — ratios and the composite score all derive from the same struct
     // instead of re-running filters per output column.
-    "text_quality" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          let1(TextOps.tokens(col("text"))) { t =>
-            let1(struct(
-                size(t).cast("long").as("n_tokens"),
-                size(array_distinct(t)).cast("long").as("n_distinct"),
-                (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a")).as("n_stop"),
-                length(col("text")).cast("long").as("n_chars"))) { st =>
-              val nTok = st.getField("n_tokens")
-              val ttr = st.getField("n_distinct") / nTok
-              val stopRatio = st.getField("n_stop") / nTok
-              val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
-              struct(
-                round(ttr, 6).as("ttr"),
-                round(stopRatio, 6).as("stop_ratio"),
-                round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
-                      least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"))
-            }
-          }.as("q"))
-        .select(col("doc_id"), col("q.ttr").as("ttr"),
-                col("q.stop_ratio").as("stop_ratio"),
-                col("q.quality").as("quality"))),
+    "text_quality" -> ((s, dir) => qualityOf(Tables.documents(s, dir))),
 
     // FILTER CALIBRATION — the eval step a curation pipeline owes its
     // quality score: does `quality` actually separate the class it
@@ -1037,31 +1108,38 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  /** Shared oracle prefix: the feature CTE + β₀ + the unrolled Newton
+    * rounds — reused by the training and calibration oracles.
+    */
+  private lazy val lrChainPrefixSql: String =
+    s"""WITH tq AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN round(
+       |        (len(list_distinct(toks)) / len(toks)) * 0.4
+       |        + (1.0 - (len(list_filter(toks, t -> t = 'the'))
+       |                  + len(list_filter(toks, t -> t = 'a'))) / len(toks))
+       |          * 0.3
+       |        + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0,
+       |                1.0) * 0.3, 6) >= 0.6
+       |      THEN 1 ELSE 0 END AS DECIMAL(1,0)) AS y,
+       |    CAST(round(CAST(len(list_filter(toks, t -> t = 'the')) * 10
+       |      AS DOUBLE) / len(toks), 6) AS DECIMAL(8,6)) AS x1q,
+       |    CAST(len(toks) AS DECIMAL(6,0)) * CAST(0.01 AS DECIMAL(3,2)) AS x2q
+       |  FROM tq
+       |), bt0 AS (
+       |  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+       |         CAST(0.0 AS DOUBLE) AS b2
+       |), ${(1 to LrRounds).map(lrRoundSql).mkString(", ")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
-    // same design matrix, same 12-dp quantized Newton partials, same
-    // cofactor solve and 9-dp β trajectory, same scoring pass
-    "text_quality_lr" ->
-      s"""WITH tq AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
-         |), f AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST(CASE WHEN round(
-         |        (len(list_distinct(toks)) / len(toks)) * 0.4
-         |        + (1.0 - (len(list_filter(toks, t -> t = 'the'))
-         |                  + len(list_filter(toks, t -> t = 'a'))) / len(toks))
-         |          * 0.3
-         |        + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0,
-         |                1.0) * 0.3, 6) >= 0.6
-         |      THEN 1 ELSE 0 END AS DECIMAL(1,0)) AS y,
-         |    CAST(round(CAST(len(list_filter(toks, t -> t = 'the')) * 10
-         |      AS DOUBLE) / len(toks), 6) AS DECIMAL(8,6)) AS x1q,
-         |    CAST(len(toks) AS DECIMAL(6,0)) * CAST(0.01 AS DECIMAL(3,2)) AS x2q
-         |  FROM tq
-         |), bt0 AS (
-         |  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
-         |         CAST(0.0 AS DOUBLE) AS b2
-         |), ${(1 to LrRounds).map(lrRoundSql).mkString(", ")},
+    // same design matrix, same 9-dp sigmoid quantization + exact
+    // decimal Newton partials, same cofactor solve and 9-dp β
+    // trajectory, same scoring pass
+    "text_quality_lr" -> (lrChainPrefixSql +
+      s""",
          |sc AS (
          |  SELECT *, ((b0 + b1 * x1) + b2 * x2) AS z,
          |    1.0 / (1.0 + exp(-((b0 + b1 * x1) + b2 * x2))) AS p
@@ -1079,7 +1157,28 @@ object TextQueries {
          |    / count(*), 6) AS ll_r,
          |  round(CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*), 6) AS acc_r
-         |FROM sc""".stripMargin,
+         |FROM sc""".stripMargin),
+
+    // same chain to the final β, same decile cut and 12-dp quantized
+    // mean-p sums
+    "text_quality_lr_calibration" -> (lrChainPrefixSql +
+      s""",
+         |cal AS (
+         |  SELECT *, 1.0 / (1.0 + exp(-((b0 + b1 * x1) + b2 * x2))) AS p
+         |  FROM (
+         |    SELECT f.y, CAST(f.x1q AS DOUBLE) AS x1,
+         |      CAST(f.x2q AS DOUBLE) AS x2, b.b0, b.b1, b.b2
+         |    FROM f CROSS JOIN bt$LrRounds b)
+         |), buck AS (
+         |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bucket, p, y
+         |  FROM cal
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+         |  round(CAST(sum(CAST(round(p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         |    / count(*), 6) AS avg_p_r,
+         |  round(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS pos_rate_r
+         |FROM buck GROUP BY 1""".stripMargin),
 
     "text_chunk" ->
       s"""SELECT d.doc_id,

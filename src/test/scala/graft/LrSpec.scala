@@ -121,6 +121,22 @@ class LrSpec extends SparkSpec {
     assert(ml > 1e-4, "a log-loss term sits too close to its 12-dp boundary")
   }
 
+  test("calibration decile cuts and mean-p quantization sit clear") {
+    val rows = featRows
+    val b = engineBeta(2)
+    val ps = rows.map { case (_, x1, x2) =>
+      1.0 / (1.0 + math.exp(-((b._1 + b._2 * x1) + b._3 * x2))) }
+    val mCut = ps.map { p =>
+      val v = p * 10; math.abs(v - math.rint(v)) }.min
+    info(f"min |p·10 − nearest int| = $mCut%.3e")
+    assert(mCut > 1e-9,
+      "a p sits on a decile boundary — the calibration bucket could " +
+        "flip on 1-ulp exp divergence")
+    val mQ = ps.map(boundaryMargin(_, 12)).min
+    info(f"min p margin = $mQ%.3e (12-dp cells)")
+    assert(mQ > 1e-4, "a mean-p term sits too close to its 12-dp boundary")
+  }
+
   test("fit is a real distillation: accuracy ≫ base rate, z clear of 0") {
     val r = TextQueries.queries("text_quality_lr")(spark, sf).collect().head
     val n = r.getAs[Long]("n"); val nPos = r.getAs[Long]("n_pos")
