@@ -65,7 +65,11 @@ object ScaleBench {
     "text_perplexity_heldout", "search_tfidf_cosine", "events_theilsen",
     "events_theilsen_win", "events_anomaly_mad", "events_psi", "emb_pca_power",
     "events_funnel_window", "dedup_lsh_sweep", "cdc_agg_maintain",
-    "mm_audio_pitch")
+    "mm_audio_pitch",
+    "events_anomaly_seasonal", "events_bootstrap_ci", "events_changepoint",
+    "events_variant_props", "pipeline_pareto", "pipeline_sample_wor",
+    "text_quality_lr", "text_quality_lr_calibration",
+    "events_stl", "events_ab_cuped")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -90,7 +94,8 @@ object ScaleBench {
     "stream_regression", "stream_entropy_mi", "stream_retention",
     "stream_rfm", "stream_acf", "stream_funnel", "stream_funnel_window",
     "stream_psi", "stream_theilsen", "stream_cdc_maintain",
-    "stream_pca", "stream_perplexity")
+    "stream_pca", "stream_perplexity",
+    "stream_bootstrap", "stream_sample_wor", "stream_quality_lr")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -43,6 +43,12 @@ object EventQueries {
   private[graft] val PoissonThresholds =
     Seq(24109L, 48219L, 60273L, 64292L, 65296L, 65497L, 65531L)
 
+  /** `events_ab_cuped` pre/post period boundary: day 15 after the
+    * regression time origin (fixture spans ~30 days, so both periods
+    * are populated for nearly every active user).
+    */
+  private val CupedSplitMs = RegT0Ms + 15L * 86400000L
+
   /** Inverse-CDF lookup: the first k with u < threshold(k), else 7. */
   private[graft] def poissonW(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     PoissonThresholds.zipWithIndex.reverse
@@ -534,6 +540,129 @@ object EventQueries {
     // the argmax is rank-selected with an hour tiebreak.
     "events_changepoint" -> ((s, dir) =>
       changepointOver(hourlySeries(s, dir))),
+
+    // STL-STYLE DECOMPOSITION (additive, period 24 h) — the hourly
+    // series split into trend + seasonal + residual, the
+    // pre-processing every forecast/anomaly stack runs: trend = ±12 h
+    // centered moving average (full windows only), seasonal =
+    // hour-of-day mean of the detrended series re-centered to sum
+    // zero, residual = the rest. Scale shape: the |events|-bound work
+    // is the shared hourly hash agg; then ONE ordered window per
+    // series (rows ±12) on the dashboard-sized hourly table, one
+    // 24·|types| hash agg, two broadcast joins. Exactness: trend and
+    // seasonal are 9-dp-quantized (the hourly-mean convention), every
+    // subtraction between them is exact decimal — zero unquantized
+    // float anywhere.
+    "events_stl" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+        .rowsBetween(-12, 12)
+      val h = hourlySeries(s, dir)
+      val withTrend = h
+        .withColumn("wn", count(lit(1)).over(byType))
+        .withColumn("trend",
+          when(col("wn") === 25,
+            round(sum(col("y")).over(byType).cast("double") / 25.0, 9)
+              .cast("decimal(18,9)")))
+        .withColumn("hod", expr("(hour_ms % 86400000) div 3600000"))
+      val det = withTrend.filter(col("trend").isNotNull)
+        .withColumn("d", col("y") - col("trend"))
+      val seas = det.groupBy(col("event_type"), col("hod"))
+        .agg(round(sum(col("d")).cast("double") / count(lit(1)), 9)
+          .cast("decimal(18,9)").as("s_raw"))
+      val seasC = seas
+        .join(broadcast(seas.groupBy(col("event_type"))
+          .agg(round(sum(col("s_raw")).cast("double") / count(lit(1)), 9)
+            .cast("decimal(18,9)").as("s_mean"))), "event_type")
+        .select(col("event_type"), col("hod"),
+          (col("s_raw") - col("s_mean")).as("seasonal"))
+      withTrend
+        .join(broadcast(seasC), Seq("event_type", "hod"))
+        .select(col("event_type"), col("hour_ms"),
+          round(col("y").cast("double"), 6).as("y_r"),
+          round(col("trend").cast("double"), 6).as("trend_r"),
+          round(col("seasonal").cast("double"), 6).as("seasonal_r"),
+          when(col("trend").isNotNull,
+            round((col("y") - col("trend") - col("seasonal")).cast("double"), 6))
+            .as("resid_r"))
+    }),
+
+    // CUPED A/B-TEST ANALYSIS — the variance-reduction technique
+    // production experimentation platforms run on every metric:
+    // adjust the experiment-period metric by the pre-period covariate
+    // (Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X) frozen from pooled
+    // data), cutting metric variance by the covariate's explained
+    // share and shrinking required sample sizes. EVERYTHING here is
+    // moment algebra: per-user pre/post means (one hash agg), then
+    // per-variant exact decimal moment sums (n, Σx, Σy, Σxy, Σx²,
+    // Σy²) — var(Y−θX) = var(Y) − 2θcov + θ²var(X) needs NO per-row
+    // adjusted values, so there is zero per-row float anywhere: the
+    // whole analysis is two partial-aggregable aggs + a 2-row
+    // fixed-order double finish. The fixture's variant split is a
+    // deterministic user-hash — a true A/A test, so the output also
+    // certifies the no-effect case (|z| small, var_reduction > 0).
+    "events_ab_cuped" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts_ms"), dec(col("value")).as("v"))
+      val perUser = e
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts_ms") < CupedSplitMs, col("v"))).as("pre_s"),
+          count(when(col("ts_ms") < CupedSplitMs, lit(1))).as("pre_n"),
+          sum(when(col("ts_ms") >= CupedSplitMs, col("v"))).as("post_s"),
+          count(when(col("ts_ms") >= CupedSplitMs, lit(1))).as("post_n"))
+        .filter(col("pre_n") > 0 && col("post_n") > 0)
+        .select(col("user_id"),
+          (conv(substring(md5(concat(col("user_id").cast("string"),
+            lit("#ab"))), 1, 14), 16, 10).cast("long") % 2).as("variant"),
+          round(col("pre_s").cast("double") / col("pre_n"), 9)
+            .cast("decimal(18,9)").as("x"),
+          round(col("post_s").cast("double") / col("post_n"), 9)
+            .cast("decimal(18,9)").as("y"))
+      val mom = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val d = Seq("sx", "sy", "sxy", "sxx", "syy")
+        .foldLeft(mom)((df, c) => df.withColumn(c, col(c).cast("double")))
+      // pooled θ from the summed variant moments (fixed order)
+      val pooled = d.agg(sum(col("n")).as("n"),
+          sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+          sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
+        .select(((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"),
+          (col("sx") / col("n")).as("xbar"))
+      val per = d.crossJoin(broadcast(pooled))
+        .withColumn("my", col("sy") / col("n"))
+        .withColumn("mx", col("sx") / col("n"))
+        .withColumn("vy", col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))
+        .withColumn("vx", col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+        .withColumn("cxy", col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+        .withColumn("vc", col("vy") - lit(2.0) * col("theta") * col("cxy")
+          + col("theta") * col("theta") * col("vx"))
+        .withColumn("madj", col("my") - col("theta") * (col("mx") - col("xbar")))
+      val a = per.filter(col("variant") === 0)
+        .select(col("n").as("n0"), col("madj").as("m0"), col("vc").as("vc0"),
+                col("vy").as("vy0"), col("theta"), col("my").as("my0"))
+      val b = per.filter(col("variant") === 1)
+        .select(col("n").as("n1"), col("madj").as("m1"), col("vc").as("vc1"),
+                col("vy").as("vy1"), col("my").as("my1"))
+      a.crossJoin(b).select(
+        col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+        round(col("theta"), 6).as("theta_r"),
+        round(col("my1") - col("my0"), 6).as("diff_r"),
+        round(col("m1") - col("m0"), 6).as("diff_cuped_r"),
+        round(lit(1.0) - (col("vc0") + col("vc1")) / (col("vy0") + col("vy1")), 6)
+          .as("var_reduction_r"),
+        round((col("m1") - col("m0"))
+          / sqrt(col("vc0") / col("n0") + col("vc1") / col("n1")), 6).as("z_r"),
+        (abs((col("m1") - col("m0"))
+          / sqrt(col("vc0") / col("n0") + col("vc1") / col("n1"))) > 1.96)
+          .as("significant"))
+    }),
 
     // WINDOWED Theil-Sen — the production scale path for the operator
     // above, the dedup_semantic→_scaled pattern applied to time: the
@@ -3110,6 +3239,115 @@ object EventQueries {
          |  round(sr / nr, 6) AS mean_right_r,
          |  round(gain, 6) AS gain_r
          |FROM rk WHERE rk = 1""".stripMargin,
+
+    // same hourly decimals, same ±12 h full-window trend, same
+    // re-centered seasonal, all inter-component subtractions exact
+    // decimal
+    "events_stl" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+        |      AS hour_ms,
+        |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |               / count(*), 9) AS DECIMAL(18,9)) AS y
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT event_type, hour_ms, y,
+        |    (hour_ms % 86400000) // 3600000 AS hod,
+        |    count(*) OVER w AS wn, sum(y) OVER w AS ws
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), t2 AS (
+        |  SELECT event_type, hour_ms, y, hod,
+        |    CASE WHEN wn = 25 THEN CAST(round(CAST(ws AS DOUBLE) / 25.0, 9)
+        |      AS DECIMAL(18,9)) END AS trend
+        |  FROM tr
+        |), det AS (
+        |  SELECT event_type, hod, y - trend AS d FROM t2
+        |  WHERE trend IS NOT NULL
+        |), sr AS (
+        |  SELECT event_type, hod,
+        |    CAST(round(CAST(sum(d) AS DOUBLE) / count(*), 9)
+        |      AS DECIMAL(18,9)) AS s_raw
+        |  FROM det GROUP BY 1, 2
+        |), sm AS (
+        |  SELECT event_type,
+        |    CAST(round(CAST(sum(s_raw) AS DOUBLE) / count(*), 9)
+        |      AS DECIMAL(18,9)) AS s_mean
+        |  FROM sr GROUP BY 1
+        |), sc AS (
+        |  SELECT sr.event_type, sr.hod, sr.s_raw - sm.s_mean AS seasonal
+        |  FROM sr JOIN sm USING (event_type)
+        |)
+        |SELECT t2.event_type, t2.hour_ms,
+        |  round(CAST(t2.y AS DOUBLE), 6) AS y_r,
+        |  round(CAST(t2.trend AS DOUBLE), 6) AS trend_r,
+        |  round(CAST(sc.seasonal AS DOUBLE), 6) AS seasonal_r,
+        |  CASE WHEN t2.trend IS NOT NULL
+        |    THEN round(CAST(t2.y - t2.trend - sc.seasonal AS DOUBLE), 6)
+        |  END AS resid_r
+        |FROM t2 JOIN sc ON sc.event_type = t2.event_type
+        |  AND sc.hod = t2.hod""".stripMargin,
+
+    // same per-user period means, same exact decimal (x, y) moments,
+    // same pooled θ and moment-algebra variance finish
+    "events_ab_cuped" ->
+      s"""WITH e AS (
+         |  SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+         |    CAST(value AS DECIMAL(18,4)) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |), pu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN ts_ms < $CupedSplitMs THEN v END) AS pre_s,
+         |    count(CASE WHEN ts_ms < $CupedSplitMs THEN 1 END) AS pre_n,
+         |    sum(CASE WHEN ts_ms >= $CupedSplitMs THEN v END) AS post_s,
+         |    count(CASE WHEN ts_ms >= $CupedSplitMs THEN 1 END) AS post_n
+         |  FROM e GROUP BY 1
+         |), xy AS (
+         |  SELECT user_id,
+         |    CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+         |      '#ab')), 1, 14)) AS BIGINT) % 2 AS variant,
+         |    CAST(round(CAST(pre_s AS DOUBLE) / pre_n, 9)
+         |      AS DECIMAL(18,9)) AS x,
+         |    CAST(round(CAST(post_s AS DOUBLE) / post_n, 9)
+         |      AS DECIMAL(18,9)) AS y
+         |  FROM pu WHERE pre_n > 0 AND post_n > 0
+         |), mom AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |    CAST(sum(y * y) AS DOUBLE) AS syy
+         |  FROM xy GROUP BY 1
+         |), pool AS (
+         |  SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+         |    sx / n AS xbar
+         |  FROM (
+         |    SELECT CAST(sum(n) AS BIGINT) AS n, sum(sx) AS sx,
+         |      sum(sy) AS sy, sum(sxy) AS sxy, sum(sxx) AS sxx
+         |    FROM mom)
+         |), per AS (
+         |  SELECT mom.variant, mom.n, pool.theta, pool.xbar,
+         |    sy / n AS my, sx / n AS mx,
+         |    syy / n - (sy / n) * (sy / n) AS vy,
+         |    sxx / n - (sx / n) * (sx / n) AS vx,
+         |    sxy / n - (sx / n) * (sy / n) AS cxy
+         |  FROM mom CROSS JOIN pool
+         |), per2 AS (
+         |  SELECT *, vy - 2.0 * theta * cxy + theta * theta * vx AS vc,
+         |    my - theta * (mx - xbar) AS madj
+         |  FROM per
+         |)
+         |SELECT CAST(a.n AS BIGINT) AS n0, CAST(b.n AS BIGINT) AS n1,
+         |  round(a.theta, 6) AS theta_r,
+         |  round(b.my - a.my, 6) AS diff_r,
+         |  round(b.madj - a.madj, 6) AS diff_cuped_r,
+         |  round(1.0 - (a.vc + b.vc) / (a.vy + b.vy), 6) AS var_reduction_r,
+         |  round((b.madj - a.madj) / sqrt(a.vc / a.n + b.vc / b.n), 6) AS z_r,
+         |  (abs((b.madj - a.madj) / sqrt(a.vc / a.n + b.vc / b.n)) > 1.96)
+         |    AS significant
+         |FROM per2 a JOIN per2 b ON a.variant = 0 AND b.variant = 1""".stripMargin,
 
     // same 9-dp hourly decimals, same exact-decimal Δy over integer
     // Δhours slopes, same rank-selected median (lo/hi ranks, fixed
