@@ -137,6 +137,20 @@ class LrSpec extends SparkSpec {
     assert(mQ > 1e-4, "a mean-p term sits too close to its 12-dp boundary")
   }
 
+  test("cross-validation: held-out accuracy confirms the in-sample fit") {
+    val rows = TextQueries.queries("text_quality_lr_cv")(spark, sf).collect()
+    assert(rows.length == 3, "one row per fold")
+    assert(rows.map(_.getAs[Long]("n_test")).sum == 500L,
+      "folds must partition the corpus")
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("acc_r")
+      info(f"fold ${r.getAs[Long]("fold")}: n=${r.getAs[Long]("n_test")} " +
+        f"acc=$acc%.3f ll=${r.getAs[Double]("ll_r")}%.3f")
+      assert(acc > 0.85,
+        s"held-out accuracy $acc collapsed — in-sample fit was memorization")
+    }
+  }
+
   test("fit is a real distillation: accuracy ≫ base rate, z clear of 0") {
     val r = TextQueries.queries("text_quality_lr")(spark, sf).collect().head
     val n = r.getAs[Long]("n"); val nPos = r.getAs[Long]("n_pos")
