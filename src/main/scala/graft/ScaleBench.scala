@@ -69,7 +69,8 @@ object ScaleBench {
     "events_anomaly_seasonal", "events_bootstrap_ci", "events_changepoint",
     "events_variant_props", "pipeline_pareto", "pipeline_sample_wor",
     "text_quality_lr", "text_quality_lr_calibration",
-    "events_stl", "events_ab_cuped", "text_quality_lr_cv")
+    "events_stl", "events_ab_cuped", "text_quality_lr_cv",
+    "events_forecast_eval")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

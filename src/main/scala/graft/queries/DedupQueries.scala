@@ -378,10 +378,13 @@ object DedupQueries {
     // gmax / > strictmax comparisons encode exactly that).
     "pipeline_pareto" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
+      // the group staircase and the final join both read the scored
+      // frame — persist so documents is scanned once
       val d = Tables.documents(s, dir).select(
         col("doc_id"), col("n_chars"),
         round(size(array_distinct(TextOps.tokens(col("text")))).cast("double")
               / size(TextOps.tokens(col("text"))), 9).as("ttr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val g = d.groupBy(col("n_chars")).agg(max(col("ttr")).as("gmax"))
       val stair = g.withColumn("strictmax",
         max(col("gmax")).over(W.orderBy(col("n_chars").desc)

@@ -469,8 +469,11 @@ object EventQueries {
       val base = e.groupBy(col("event_type"), col("hod"))
         .agg(round(asDouble(sum(col("v"))) / count(lit(1)), 9)
           .cast("decimal(18,9)").as("baseline"))
+      // the residual-σ branch and the final projection both read the
+      // residual frame — persist so events is scanned once
       val withR = e.join(broadcast(base), Seq("event_type", "hod"))
         .withColumn("resid", (col("v") - col("baseline")).cast("decimal(15,9)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = withR.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("resid")).as("sr"),
              sum(col("resid") * col("resid")).as("sr2"))
@@ -557,7 +560,10 @@ object EventQueries {
       val W = org.apache.spark.sql.expressions.Window
       val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
         .rowsBetween(-12, 12)
+      // the trend window, the seasonal agg, and the final join all
+      // read the hourly frame — persist so events is scanned once
       val h = hourlySeries(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val withTrend = h
         .withColumn("wn", count(lit(1)).over(byType))
         .withColumn("trend",
@@ -620,12 +626,16 @@ object EventQueries {
             .cast("decimal(18,9)").as("x"),
           round(col("post_s").cast("double") / col("post_n"), 9)
             .cast("decimal(18,9)").as("y"))
+      // the pooled-θ branch and the per-variant branch both read the
+      // 2-row moment frame — persist so the per-user agg (the
+      // |events|-sized scan) runs once
       val mom = perUser.groupBy(col("variant"))
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val d = Seq("sx", "sy", "sxy", "sxx", "syy")
         .foldLeft(mom)((df, c) => df.withColumn(c, col(c).cast("double")))
       // pooled θ from the summed variant moments (fixed order)
@@ -662,6 +672,44 @@ object EventQueries {
         (abs((col("m1") - col("m0"))
           / sqrt(col("vc0") / col("n0") + col("vc1") / col("n1"))) > 1.96)
           .as("significant"))
+    }),
+
+    // FORECAST EVALUATION — the seasonal-naive baseline (ŷ(t) =
+    // y(t − 24 h)) scored with the metrics forecast pipelines gate
+    // on: MAE, MASE (error relative to the one-step naive walk — the
+    // scale-free "did you beat persistence" number; < 1 means the
+    // daily cycle is real signal), and sMAPE. Evaluating a CANDIDATE
+    // model is this exact query with ŷ swapped in, which is the
+    // point: the evaluation harness is an engine query, not offline
+    // tooling. Exactness: both forecasts are lag() of the 9-dp hourly
+    // decimals, |y − ŷ| is exact decimal, MAE/MASE are single IEEE
+    // divisions of exact sums; only the sMAPE ratio is a per-row
+    // double — 12-dp-quantized and decimal-summed (margins generic).
+    // Scale shape: the shared hourly hash agg + ONE ordered window
+    // per series + one partial-aggregable agg.
+    "events_forecast_eval" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+      val h = hourlySeries(s, dir)
+        .withColumn("f24", lag(col("y"), 24).over(byType))
+        .withColumn("f1", lag(col("y"), 1).over(byType))
+        .filter(col("f24").isNotNull && col("f1").isNotNull)
+        .withColumn("e24", abs(col("y") - col("f24")))
+        .withColumn("e1", abs(col("y") - col("f1")))
+        .withColumn("sm", round(
+          (lit(2.0) * col("e24").cast("double"))
+            / (abs(col("y")).cast("double") + abs(col("f24")).cast("double")),
+          12).cast("decimal(38,12)"))
+      h.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(col("e24")).as("se24"), sum(col("e1")).as("se1"),
+          sum(col("sm")).as("ssm"))
+        .select(col("event_type"), col("n_eval"),
+          round(col("se24").cast("double") / col("n_eval"), 6).as("mae_r"),
+          when(col("se1") > 0,
+            round(col("se24").cast("double") / col("se1").cast("double"), 6))
+            .as("mase_r"),
+          round(col("ssm").cast("double") / col("n_eval"), 6).as("smape_r"))
     }),
 
     // WINDOWED Theil-Sen — the production scale path for the operator
@@ -1577,10 +1625,13 @@ object EventQueries {
     * hour_ms, y) — exposed so ChangepointSpec can plant a known mean
     * shift and assert the argmax lands on it.
     */
-  private[graft] def changepointOver(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def changepointOver(hIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
     val cum = byType.rowsBetween(W.unboundedPreceding, 0)
+    // both the totals branch and the prefix branch read the hourly
+    // frame — persist it so the |events|-sized scan happens once
+    val h = hIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = h.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("ts"),
            sum(col("y") * col("y")).as("ts2"))
@@ -3190,6 +3241,40 @@ object EventQueries {
         |    AS ci80_hi_r
         |FROM rk JOIN tot ON tot.event_type = rk.event_type
         |GROUP BY 1""".stripMargin,
+
+    // same hourly decimals, same lag-24/lag-1 forecasts, exact
+    // absolute-error decimals, same 12-dp sMAPE quantization
+    "events_forecast_eval" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+        |      AS hour_ms,
+        |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |               / count(*), 9) AS DECIMAL(18,9)) AS y
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, hour_ms, y,
+        |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY hour_ms) AS f24,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY hour_ms) AS f1
+        |  FROM h
+        |), e AS (
+        |  SELECT event_type, abs(y - f24) AS e24, abs(y - f1) AS e1,
+        |    CAST(round((2.0 * CAST(abs(y - f24) AS DOUBLE))
+        |      / (CAST(abs(y) AS DOUBLE) + CAST(abs(f24) AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12)) AS sm
+        |  FROM l WHERE f24 IS NOT NULL AND f1 IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |    sum(e24) AS se24, sum(e1) AS se1, sum(sm) AS ssm
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, n_eval,
+        |  round(CAST(se24 AS DOUBLE) / n_eval, 6) AS mae_r,
+        |  CASE WHEN se1 > 0
+        |    THEN round(CAST(se24 AS DOUBLE) / CAST(se1 AS DOUBLE), 6)
+        |  END AS mase_r,
+        |  round(CAST(ssm AS DOUBLE) / n_eval, 6) AS smape_r
+        |FROM a""".stripMargin,
 
     // same hourly decimals, same exact prefix/total sums, same
     // fixed-order gain chain and rank-selected argmax
