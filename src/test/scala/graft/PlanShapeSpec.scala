@@ -150,6 +150,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("pipeline_sample_wor: the reservoir top-K plans as a map-side take") {
+    // the merge-law claim made physical: rn ≤ K over the global key
+    // order must compile to TakeOrderedAndProject (each map task keeps
+    // its own top-K, the merge re-selects — exactly the A-ES
+    // truncation law) or WindowGroupLimit — without either, the
+    // 'sample' ships the whole corpus through one reducer's sort
+    val plan = executedPlan("pipeline_sample_wor")
+    assert(plan.contains("TakeOrderedAndProject") ||
+           plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
+  test("events_bootstrap_ci: all 32 replicates ride ONE corpus exchange") {
+    // the Poisson-bootstrap pitch is 64 partial-aggregated sums in a
+    // single pass: exactly one exchange may touch row-sized data (the
+    // per-type hash agg); the replicate explode + rank run on the
+    // ~|types|-row frame after it
+    val plan = executedPlan("events_bootstrap_ci")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"$exchanges exchanges:\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty)
+  }
+
   test("events_binning: one shuffle feeds the per-type ntile, one the re-agg") {
     // window on (type) + partial-aggregable summary: two exchanges
     // max; more means the bin table re-shuffles row-sized data
