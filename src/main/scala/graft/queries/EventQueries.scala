@@ -397,6 +397,60 @@ object EventQueries {
       psiFinish(s, psiBinCounts(eS, edges))
     }),
 
+    // KOLMOGOROV-SMIRNOV two-sample test — the exact-distribution
+    // rung of the drift ladder (PSI bins lose everything between
+    // edges; KS compares the FULL empirical CDFs): per type, the
+    // first and second time halves (the PSI split, frozen the same
+    // way) are tested via D = max |F_ref(v) − F_cur(v)| over the
+    // pooled values, with the large-sample 5% critical value
+    // 1.358·√((n+m)/nm). Exactness: both ECDFs are cumulative INTEGER
+    // counts over a shared per-(type, value) grid (ties collapse into
+    // one grid row, handled exactly); the only float ops are two
+    // divisions of exact integers and the final comparison —
+    // engine-identical. Scale shape: one (type, value) hash agg, one
+    // ordered window per type, one max agg — the same
+    // sort-per-series class as the exact medians.
+    "events_ks_test" -> ((s, dir) =>
+      ksOver(Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"),
+                col("value")))),
+
+    // TRIMMED / WINSORIZED MEANS — the bounded-influence location
+    // estimators between the mean (0% breakdown) and the median (50%):
+    // drop the top/bottom 5% by rank (trimmed), or clamp them to the
+    // 5th/95th order statistics (winsorized). Everything is
+    // rank-exact: k = ⌊0.05·n⌋ rows cut per tail under a (value,
+    // event_id) total order, interior sums are exact decimals, and
+    // the winsorized tails contribute k·v_lo + k·v_hi exactly — the
+    // only float op is the final division. One rank window per type +
+    // one agg.
+    "events_trimmed_mean" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val byType = W.partitionBy(col("event_type"))
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), dec(col("value")).as("v"))
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("v"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("k", expr("CAST(floor(0.05 * n) AS BIGINT)"))
+      e.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          sum(col("v")).as("sv"),
+          sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+            col("v"))).as("sv_mid"),
+          count(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+            lit(1))).as("n_mid"),
+          max(when(col("rn") === col("k") + 1, col("v"))).as("v_lo"),
+          max(when(col("rn") === col("n") - col("k"), col("v"))).as("v_hi"))
+        .select(col("event_type"), col("n"), col("k").cast("long").as("k"),
+          round(col("sv").cast("double") / col("n"), 6).as("mean_r"),
+          round(col("sv_mid").cast("double") / col("n_mid"), 6)
+            .as("trimmed_mean_r"),
+          round((col("sv_mid") + col("k") * col("v_lo")
+                 + col("k") * col("v_hi")).cast("double") / col("n"), 6)
+            .as("winsor_mean_r"))
+    }),
+
     // MAD ROBUST ANOMALY — the median/MAD rung of the robustness
     // ladder (mean/σ → median/MAD, exactly as OLS → Theil-Sen): the
     // modified z-score rz = 0.6745·(x − med)/MAD with the
@@ -1531,6 +1585,40 @@ object EventQueries {
     * OFFLINE artifact a deployed monitor freezes, like the CUSUM
     * control limits).
     */
+  /** `events_ks_test` over an arbitrary (event_type, event_id, ts_ms,
+    * value) frame — exposed so KsTrimSpec can plant a distribution
+    * shift in the second half and assert detection.
+    */
+  private[graft] def ksOver(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val eS = psiHalved(e, psiSplit(e))
+    val grid = eS.groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("cr"),
+           sum(when(col("half") === "cur", 1L).otherwise(0L)).as("cc"))
+    val byType = W.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val tot = W.partitionBy(col("event_type"))
+    val cum = grid
+      .withColumn("cum_r", sum(col("cr")).over(byType))
+      .withColumn("cum_c", sum(col("cc")).over(byType))
+      .withColumn("nr", sum(col("cr")).over(tot))
+      .withColumn("nc", sum(col("cc")).over(tot))
+      .withColumn("diff",
+        abs(col("cum_r").cast("double") / col("nr")
+          - col("cum_c").cast("double") / col("nc")))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        max(col("diff")).as("d"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("d"), 6).as("d_r"),
+        round(lit(1.358) * sqrt(
+          (col("n_ref") + col("n_cur")).cast("double")
+            / (col("n_ref") * col("n_cur")).cast("double")), 6).as("crit_r"),
+        (col("d") > lit(1.358) * sqrt(
+          (col("n_ref") + col("n_cur")).cast("double")
+            / (col("n_ref") * col("n_cur")).cast("double"))).as("is_drift"))
+  }
+
   private[graft] def psiSplit(e: org.apache.spark.sql.DataFrame) =
     e.agg(expr("CAST((min(ts_ms) + max(ts_ms)) DIV 2 AS BIGINT)").as("t_split"))
 
@@ -3129,6 +3217,77 @@ object EventQueries {
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi_r,
         |  (CAST(sum(term) AS DOUBLE) > 0.2) AS is_drift
         |FROM terms GROUP BY 1""".stripMargin,
+
+    // same frozen midpoint split, same shared (type, value) grid of
+    // integer cumulative counts, same two exact divisions per row
+    "events_ks_test" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), h AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half
+        |  FROM e CROSS JOIN sp
+        |), grid AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS cc
+        |  FROM h GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type,
+        |    sum(cr) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+        |    sum(cc) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM grid
+        |), d AS (
+        |  SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+        |    CAST(max(nc) AS BIGINT) AS n_cur,
+        |    max(abs(CAST(cum_r AS DOUBLE) / nr - CAST(cum_c AS DOUBLE) / nc))
+        |      AS d
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT event_type, n_ref, n_cur, round(d, 6) AS d_r,
+        |  round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |    / CAST(n_ref * n_cur AS DOUBLE)), 6) AS crit_r,
+        |  (d > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |    / CAST(n_ref * n_cur AS DOUBLE))) AS is_drift
+        |FROM d""".stripMargin,
+
+    // same (value, event_id) total order, same ⌊0.05·n⌋ tail cut,
+    // same exact decimal interior/clamped sums
+    "events_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), k AS (
+        |  SELECT *, CAST(floor(0.05 * n) AS BIGINT) AS k FROM r
+        |), a AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(k) AS BIGINT) AS k,
+        |    sum(v) AS sv,
+        |    sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS sv_mid,
+        |    count(CASE WHEN rn > k AND rn <= n - k THEN 1 END) AS n_mid,
+        |    max(CASE WHEN rn = k + 1 THEN v END) AS v_lo,
+        |    max(CASE WHEN rn = n - k THEN v END) AS v_hi
+        |  FROM k GROUP BY 1
+        |)
+        |SELECT event_type, n, k,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_r,
+        |  round(CAST(sv_mid AS DOUBLE) / n_mid, 6) AS trimmed_mean_r,
+        |  round(CAST(sv_mid + k * v_lo + k * v_hi AS DOUBLE) / n, 6)
+        |    AS winsor_mean_r
+        |FROM a""".stripMargin,
 
     // same rank-selected medians over engine-identical doubles, same
     // fixed-order 0.6745·(x−med)/MAD finish
