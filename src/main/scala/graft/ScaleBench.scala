@@ -96,7 +96,8 @@ object ScaleBench {
     "stream_rfm", "stream_acf", "stream_funnel", "stream_funnel_window",
     "stream_psi", "stream_theilsen", "stream_cdc_maintain",
     "stream_pca", "stream_perplexity",
-    "stream_bootstrap", "stream_sample_wor", "stream_quality_lr")
+    "stream_bootstrap", "stream_sample_wor", "stream_quality_lr",
+    "stream_ks_test", "stream_trimmed_mean")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

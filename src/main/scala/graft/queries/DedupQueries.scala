@@ -380,10 +380,12 @@ object DedupQueries {
       val W = org.apache.spark.sql.expressions.Window
       // the group staircase and the final join both read the scored
       // frame — persist so documents is scanned once
-      val d = Tables.documents(s, dir).select(
-        col("doc_id"), col("n_chars"),
-        round(size(array_distinct(TextOps.tokens(col("text")))).cast("double")
-              / size(TextOps.tokens(col("text"))), 9).as("ttr"))
+      val d = Tables.documents(s, dir)
+        .filter(size(TextOps.tokens(col("text"))) > 0)
+        .select(
+          col("doc_id"), col("n_chars"),
+          round(size(array_distinct(TextOps.tokens(col("text")))).cast("double")
+                / size(TextOps.tokens(col("text"))), 9).as("ttr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val g = d.groupBy(col("n_chars")).agg(max(col("ttr")).as("gmax"))
       val stair = g.withColumn("strictmax",
@@ -1948,7 +1950,7 @@ object DedupQueries {
         |  SELECT doc_id, n_chars,
         |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |          / len(string_split(text, ' ')), 9) AS ttr
-        |  FROM documents
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0
         |)
         |SELECT a.doc_id, a.n_chars, a.ttr
         |FROM d a

@@ -750,10 +750,15 @@ object EventQueries {
         .filter(col("f24").isNotNull && col("f1").isNotNull)
         .withColumn("e24", abs(col("y") - col("f24")))
         .withColumn("e1", abs(col("y") - col("f1")))
-        .withColumn("sm", round(
-          (lit(2.0) * col("e24").cast("double"))
+        // sMAPE 0/0 guard (an hour pair where actual AND forecast are
+        // exactly 0): the conventional term is 0, not an
+        // engine-divergent NaN/NULL
+        .withColumn("sm", when(
+          abs(col("y")).cast("double") + abs(col("f24")).cast("double") > 0,
+          round((lit(2.0) * col("e24").cast("double"))
             / (abs(col("y")).cast("double") + abs(col("f24")).cast("double")),
-          12).cast("decimal(38,12)"))
+            12))
+          .otherwise(lit(0.0)).cast("decimal(38,12)"))
       h.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_eval"),
           sum(col("e24")).as("se24"), sum(col("e1")).as("se1"),
@@ -1589,12 +1594,21 @@ object EventQueries {
     * value) frame — exposed so KsTrimSpec can plant a distribution
     * shift in the second half and assert detection.
     */
-  private[graft] def ksOver(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val eS = psiHalved(e, psiSplit(e))
-    val grid = eS.groupBy(col("event_type"), col("value"))
+  private[graft] def ksOver(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ksFinish(ksGrid(psiHalved(e, psiSplit(e))))
+
+  /** The mergeable half of the KS test: per-(type, value) integer
+    * half-counts — additive, so per-micro-batch partial grids
+    * sum-merged equal the one-pass grid (`stream_ks_test`'s proof).
+    */
+  private[graft] def ksGrid(eS: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    eS.groupBy(col("event_type"), col("value"))
       .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("cr"),
            sum(when(col("half") === "cur", 1L).otherwise(0L)).as("cc"))
+
+  /** ECDF comparison + critical-value gate off the merged grid. */
+  private[graft] def ksFinish(grid: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val byType = W.partitionBy(col("event_type")).orderBy(col("value"))
       .rowsBetween(W.unboundedPreceding, 0)
     val tot = W.partitionBy(col("event_type"))
@@ -1603,9 +1617,12 @@ object EventQueries {
       .withColumn("cum_c", sum(col("cc")).over(byType))
       .withColumn("nr", sum(col("cr")).over(tot))
       .withColumn("nc", sum(col("cc")).over(tot))
+      // a series entirely inside one half has no test: NULL diff (and
+      // a NULL D downstream) instead of an engine-divergent 0-division
       .withColumn("diff",
-        abs(col("cum_r").cast("double") / col("nr")
-          - col("cum_c").cast("double") / col("nc")))
+        when(col("nr") > 0 && col("nc") > 0,
+          abs(col("cum_r").cast("double") / col("nr")
+            - col("cum_c").cast("double") / col("nc"))))
     cum.groupBy(col("event_type"))
       .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
         max(col("diff")).as("d"))
@@ -1614,9 +1631,47 @@ object EventQueries {
         round(lit(1.358) * sqrt(
           (col("n_ref") + col("n_cur")).cast("double")
             / (col("n_ref") * col("n_cur")).cast("double")), 6).as("crit_r"),
-        (col("d") > lit(1.358) * sqrt(
+        coalesce(col("d") > lit(1.358) * sqrt(
           (col("n_ref") + col("n_cur")).cast("double")
-            / (col("n_ref") * col("n_cur")).cast("double"))).as("is_drift"))
+            / (col("n_ref") * col("n_cur")).cast("double")),
+          lit(false)).as("is_drift"))
+  }
+
+  /** Trimmed/winsorized means from a (event_type, v, cnt) value-grid:
+    * count arithmetic places the rank cuts inside tie groups exactly
+    * where the row-rank chain does (tied values are interchangeable,
+    * so dropping "the first k by event_id" and "k of the group" sum
+    * identically) — `stream_trimmed_mean` shares the batch oracle on
+    * that argument, and the hash match proves it.
+    */
+  private[graft] def trimmedFromGrid(grid: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type")).orderBy(col("v"))
+    val t = grid
+      .withColumn("cum", sum(col("cnt")).over(
+        byType.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("event_type"))))
+      .withColumn("k", expr("CAST(floor(0.05 * n) AS BIGINT)"))
+      .withColumn("cnt_mid", greatest(lit(0L),
+        least(col("cum"), col("n") - col("k"))
+          - greatest(col("cum_before"), col("k"))))
+    t.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("v") * col("cnt")).as("sv"),
+        sum(col("v") * col("cnt_mid")).as("sv_mid"),
+        sum(col("cnt_mid")).as("n_mid"),
+        max(when(col("k") + 1 > col("cum_before") &&
+                 col("k") + 1 <= col("cum"), col("v"))).as("v_lo"),
+        max(when(col("n") - col("k") > col("cum_before") &&
+                 col("n") - col("k") <= col("cum"), col("v"))).as("v_hi"))
+      .select(col("event_type"), col("n"), col("k").cast("long").as("k"),
+        round(col("sv").cast("double") / col("n"), 6).as("mean_r"),
+        round(col("sv_mid").cast("double") / col("n_mid"), 6)
+          .as("trimmed_mean_r"),
+        round((col("sv_mid") + col("k") * col("v_lo")
+               + col("k") * col("v_hi")).cast("double") / col("n"), 6)
+          .as("winsor_mean_r"))
   }
 
   private[graft] def psiSplit(e: org.apache.spark.sql.DataFrame) =
@@ -3247,15 +3302,16 @@ object EventQueries {
         |), d AS (
         |  SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
         |    CAST(max(nc) AS BIGINT) AS n_cur,
-        |    max(abs(CAST(cum_r AS DOUBLE) / nr - CAST(cum_c AS DOUBLE) / nc))
-        |      AS d
+        |    max(CASE WHEN nr > 0 AND nc > 0
+        |      THEN abs(CAST(cum_r AS DOUBLE) / nr - CAST(cum_c AS DOUBLE) / nc)
+        |    END) AS d
         |  FROM cum GROUP BY 1
         |)
         |SELECT event_type, n_ref, n_cur, round(d, 6) AS d_r,
         |  round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
         |    / CAST(n_ref * n_cur AS DOUBLE)), 6) AS crit_r,
-        |  (d > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
-        |    / CAST(n_ref * n_cur AS DOUBLE))) AS is_drift
+        |  coalesce(d > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+        |    / CAST(n_ref * n_cur AS DOUBLE)), false) AS is_drift
         |FROM d""".stripMargin,
 
     // same (value, event_id) total order, same ⌊0.05·n⌋ tail cut,
@@ -3418,9 +3474,10 @@ object EventQueries {
         |  FROM h
         |), e AS (
         |  SELECT event_type, abs(y - f24) AS e24, abs(y - f1) AS e1,
-        |    CAST(round((2.0 * CAST(abs(y - f24) AS DOUBLE))
-        |      / (CAST(abs(y) AS DOUBLE) + CAST(abs(f24) AS DOUBLE)), 12)
-        |      AS DECIMAL(38,12)) AS sm
+        |    CAST(CASE WHEN CAST(abs(y) AS DOUBLE) + CAST(abs(f24) AS DOUBLE) > 0
+        |      THEN round((2.0 * CAST(abs(y - f24) AS DOUBLE))
+        |        / (CAST(abs(y) AS DOUBLE) + CAST(abs(f24) AS DOUBLE)), 12)
+        |      ELSE 0.0 END AS DECIMAL(38,12)) AS sm
         |  FROM l WHERE f24 IS NOT NULL AND f1 IS NOT NULL
         |), a AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,

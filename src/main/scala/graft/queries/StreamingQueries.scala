@@ -828,6 +828,81 @@ object StreamingQueries {
       DedupQueries.worTopK(s.read.parquet(topDir.toString))
     }),
 
+    // STREAMING KS TEST — the exact-distribution drift monitor under
+    // ingest: the split is FROZEN offline (the stream_psi /
+    // CUSUM-limits pattern — a drifting stream must not move its own
+    // yardstick), each micro-batch contributes its per-(type, value)
+    // integer half-counts, the merge is per-cell SUM, and the
+    // ECDF-gap finish runs over the merged grid at serving. State =
+    // |distinct values| cells per type, never |events|. Shares
+    // `events_ks_test`'s oracle — merge(grids) ≡ batch grid,
+    // hash-proven; this extends the grid-count merge law from binned
+    // (PSI) to exact distributions.
+    "stream_ks_test" -> ((s, dir) => {
+      val base = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count() // freeze the yardstick before the stream starts
+      val gridDir = Files.createTempDirectory("graft-ks-partials-")
+      sys.addShutdownHook(deleteRecursively(gridDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
+            .write.mode("append").parquet(gridDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      EventQueries.ksFinish(
+        s.read.parquet(gridDir.toString)
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
+    }),
+
+    // STREAMING TRIMMED/WINSORIZED MEANS — rank statistics under
+    // ingest without keeping rows: per-batch (type, value) counts
+    // sum-merge into a value grid (the 4-dp money values make the
+    // grid bounded), and the serving-time finish places the 5% rank
+    // cuts by COUNT ARITHMETIC — tied values are interchangeable, so
+    // cutting "k of the tie group" equals the batch chain's cutting
+    // "the first k by event_id", and sharing `events_trimmed_mean`'s
+    // oracle hash-proves that grid-count trimming ≡ row-rank
+    // trimming. The stream_topk lesson applied to order statistics:
+    // the rank CUT is not mergeable, but the grid it cuts is.
+    "stream_trimmed_mean" -> ((s, dir) => {
+      val cntDir = Files.createTempDirectory("graft-trim-partials-")
+      sys.addShutdownHook(deleteRecursively(cntDir))
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val q = eventsStream(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), dec(col("value")).as("v"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("event_type"), col("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(cntDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      EventQueries.trimmedFromGrid(
+        s.read.parquet(cntDir.toString)
+          .groupBy(col("event_type"), col("v"))
+          .agg(sum(col("cnt")).as("cnt")))
+    }),
+
     // STREAMING CLASSIFIER TRAINING — the data-parallel /
     // parameter-server shape made literal: each Newton round replays
     // the ingest log, every micro-batch computes its OWN 9-sum
@@ -1636,6 +1711,12 @@ object StreamingQueries {
     // Per-epoch federated gradient/Hessian sums ≡ one-pass training —
     // shares the batch Newton-chain oracle.
     "stream_quality_lr" -> TextQueries.oracleSql("text_quality_lr"),
+    // Sum-merge of per-batch (type, value) half-count grids ≡ the
+    // batch ECDF grid — shares the batch KS oracle.
+    "stream_ks_test" -> EventQueries.oracleSql("events_ks_test"),
+    // Grid-count trimming ≡ row-rank trimming (tie groups are
+    // interchangeable) — shares the batch trimmed-mean oracle.
+    "stream_trimmed_mean" -> EventQueries.oracleSql("events_trimmed_mean"),
     "stream_entropy_mi" -> EventQueries.oracleSql("events_entropy_mi"),
     "stream_retention" -> EventQueries.oracleSql("events_retention"),
     "stream_rfm" -> EventQueries.oracleSql("events_rfm"),
