@@ -70,7 +70,8 @@ object ScaleBench {
     "events_variant_props", "pipeline_pareto", "pipeline_sample_wor",
     "text_quality_lr", "text_quality_lr_calibration",
     "events_stl", "events_ab_cuped", "text_quality_lr_cv",
-    "events_forecast_eval", "events_ks_test", "events_trimmed_mean")
+    "events_forecast_eval", "events_ks_test", "events_trimmed_mean",
+    "text_quality_nb")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -96,6 +96,19 @@ object TextQueries {
   private[graft] def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String) =
     lrFeaturesOf(Tables.documents(s, dir))
 
+  /** Per-occurrence (doc, label, token) rows — the multinomial NB
+    * training/scoring input (same quality-gate label as the LR).
+    */
+  private[graft] def lrLabeledTokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val label = qualityOf(Tables.documents(s, dir))
+      .select(col("doc_id"), (col("quality") >= 0.6).as("pos"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .join(label, "doc_id")
+      .select(col("doc_id"),
+        when(col("pos"), 1L).otherwise(0L).as("y"), col("tok"))
+  }
+
   /** One Newton/IRLS step: β → β + (XᵀWX)⁻¹ Xᵀ(y − p). The corpus
     * pass is ONE hash agg of 9 mergeable decimal sums (3 gradient +
     * 6 Hessian cells). The ONLY float quantization per row is the
@@ -247,6 +260,67 @@ object TextQueries {
         lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
       val betaF = (1 to LrRounds).foldLeft(beta0)((b, _) => lrStep(feats, b))
       lrScoreFinish(lrScorePartials(feats, betaF))
+    }),
+
+    // NAIVE BAYES — the GENERATIVE counterpart to text_quality_lr's
+    // discriminative fit, and the other classical "training is an
+    // aggregation" shape: the multinomial model IS one hash agg of
+    // per-(token, class) occurrence counts (trivially mergeable — a
+    // second corpus folds in by addition, the LM/sketch law), priors
+    // are two numbers, and scoring is a posting join + per-doc decimal
+    // sum of Laplace-smoothed log-likelihoods. Exactness: each
+    // per-token log-prob ln((c+1)/(T+V)) is quantized ONCE at 9 dp
+    // into the model table — the per-doc score is then an EXACT
+    // decimal sum, so the argmax decision s₁ > s₀ is an exact decimal
+    // comparison: unlike almost every scored operator here, the
+    // decision boundary itself has NO float in it (NbSpec pins the
+    // model-entry margins and the decision gaps). Trained and scored
+    // in-sample on the quality gate like the LR, so the two
+    // classifiers' accuracies are directly comparable.
+    "text_quality_nb" -> ((s, dir) => {
+      val toks = lrLabeledTokens(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = toks.select(col("doc_id"), col("y")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = toks.groupBy(col("tok"))
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+             sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val consts = model.agg(
+          sum(col("c1")).as("t1"), sum(col("c0")).as("t0"),
+          count(lit(1)).as("v"))
+        .crossJoin(docs.agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0")))
+        .select(col("t1"), col("t0"), col("v"), col("n1"), col("n0"),
+          round(log(col("n1").cast("double")
+            / (col("n1") + col("n0")).cast("double")), 9)
+            .cast("decimal(18,9)").as("prior1"),
+          round(log(col("n0").cast("double")
+            / (col("n1") + col("n0")).cast("double")), 9)
+            .cast("decimal(18,9)").as("prior0"))
+      val lp = model.crossJoin(broadcast(consts))
+        .select(col("tok"),
+          round(log((col("c1") + 1).cast("double")
+            / (col("t1") + col("v")).cast("double")), 9)
+            .cast("decimal(18,9)").as("lp1"),
+          round(log((col("c0") + 1).cast("double")
+            / (col("t0") + col("v")).cast("double")), 9)
+            .cast("decimal(18,9)").as("lp0"))
+      val scored = toks.join(lp, "tok")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("lp1")).as("s1"), sum(col("lp0")).as("s0"))
+        .crossJoin(broadcast(consts.select(col("prior1"), col("prior0"))))
+        .withColumn("pred",
+          when(col("s1") + col("prior1") > col("s0") + col("prior0"), 1L)
+            .otherwise(0L))
+      scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        round(sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("acc_r"))
+        .crossJoin(broadcast(consts.select(col("v").as("v_size"))))
+        .select(col("n"), col("n_pos"), col("v_size"), col("acc_r"))
     }),
 
     // K-FOLD CROSS-VALIDATION — the held-out evaluation the training
@@ -1197,6 +1271,68 @@ object TextQueries {
          |  round(CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*), 6) AS acc_r
          |FROM sc""".stripMargin),
+
+    // same per-(token, class) counts, same 9-dp-quantized Laplace
+    // log-probs, same exact decimal score sums and decision compare
+    "text_quality_nb" ->
+      """WITH tq AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN round(
+        |        (len(list_distinct(toks)) / len(toks)) * 0.4
+        |        + (1.0 - (len(list_filter(toks, t -> t = 'the'))
+        |                  + len(list_filter(toks, t -> t = 'a'))) / len(toks))
+        |          * 0.3
+        |        + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0,
+        |                1.0) * 0.3, 6) >= 0.6
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM tq
+        |), lt AS (
+        |  SELECT tq.doc_id, lab.y, unnest(tq.toks) AS tok
+        |  FROM tq JOIN lab USING (doc_id)
+        |), docs AS (
+        |  SELECT DISTINCT doc_id, y FROM lt
+        |), model AS (
+        |  SELECT tok, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0
+        |  FROM lt GROUP BY 1
+        |), consts AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c0) AS BIGINT) AS t0,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM model
+        |), pri AS (
+        |  SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM docs
+        |), pr AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS prior1,
+        |    CAST(round(ln(CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS prior0
+        |  FROM pri
+        |), lp AS (
+        |  SELECT tok,
+        |    CAST(round(ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS lp1,
+        |    CAST(round(ln(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS lp0
+        |  FROM model CROSS JOIN consts
+        |), sc AS (
+        |  SELECT lt.doc_id, lt.y, sum(lp.lp1) AS s1, sum(lp.lp0) AS s0
+        |  FROM lt JOIN lp USING (tok) GROUP BY 1, 2
+        |), p2 AS (
+        |  SELECT y, CASE WHEN s1 + pr.prior1 > s0 + pr.prior0
+        |    THEN 1 ELSE 0 END AS pred
+        |  FROM sc CROSS JOIN pr
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  (SELECT v FROM consts) AS v_size,
+        |  round(CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS acc_r
+        |FROM p2""".stripMargin,
 
     // per fold: the same round chains over the md5-fold-filtered
     // train CTE, the same scoring pass over the held-out CTE
