@@ -81,7 +81,10 @@ object Bench {
     // BENCH_r09.json). Print a compact line that always fits: total +
     // query count + the slowest 35 queries at 3 dp; the full-precision
     // per-query map lives in bench_out.json (committed every round).
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" interpolation uses the JVM default locale — a
+    // comma-decimal locale (de_DE) would emit invalid JSON (ADVICE r10)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(35)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val compact =

@@ -230,11 +230,16 @@ object EventQueries {
     // get_json_object re-parses the string per access. Same aggregate
     // surface as events_json_props, per type — the two queries
     // bracket the old and new semi-structured paths.
+    // try_parse_json / try_variant_get: a malformed props row must
+    // degrade to NULL exactly like the string-path sibling
+    // events_json_props (get_json_object nulls bad rows) — with the
+    // strict forms one dirty row failed the whole query while the
+    // bracketed path shrugged (ADVICE r10)
     "events_variant_props" -> ((s, dir) =>
       Tables.events(s, dir)
-        .select(col("event_type"), expr("parse_json(props)").as("pv"))
+        .select(col("event_type"), expr("try_parse_json(props)").as("pv"))
         .select(col("event_type"),
-          expr("variant_get(pv, '$.k', 'bigint')").as("k"))
+          expr("try_variant_get(pv, '$.k', 'bigint')").as("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"),
              count(col("k")).as("cnt_k"),
@@ -524,13 +529,21 @@ object EventQueries {
         .agg(round(asDouble(sum(col("v"))) / count(lit(1)), 9)
           .cast("decimal(18,9)").as("baseline"))
       // the residual-σ branch and the final projection both read the
-      // residual frame — persist so events is scanned once
+      // residual frame — persist so events is scanned once.
+      // resid keeps the SUBTRACTION's natural DECIMAL(24,9) — the
+      // old (15,9) narrowing overflowed for |v − baseline| ≥ 1e6
+      // with engine-divergent failure modes (ADVICE r10). The σ
+      // stats square a 4-dp-quantized copy instead: (24,9)² needs 49
+      // digits (DuckDB errors, Spark loses precision), while (18,4)²
+      // = (37,8) is exact on both engines; round-then-cast is exact
+      // (the value already has 4 dp, so the cast never rounds).
       val withR = e.join(broadcast(base), Seq("event_type", "hod"))
-        .withColumn("resid", (col("v") - col("baseline")).cast("decimal(15,9)"))
+        .withColumn("resid", (col("v") - col("baseline")).cast("decimal(24,9)"))
+        .withColumn("rstat", round(col("resid"), 4).cast("decimal(18,4)"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = withR.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("resid")).as("sr"),
-             sum(col("resid") * col("resid")).as("sr2"))
+        .agg(count(lit(1)).as("n"), sum(col("rstat")).as("sr"),
+             sum(col("rstat") * col("rstat")).as("sr2"))
         .select(col("event_type"),
           sqrt((col("sr2").cast("double")
                 - col("sr").cast("double") * col("sr").cast("double") / col("n"))
@@ -3444,12 +3457,14 @@ object EventQueries {
         |  FROM e GROUP BY 1, 2
         |), r AS (
         |  SELECT e.event_id, e.event_type, e.hod,
-        |    CAST(e.v - base.baseline AS DECIMAL(15,9)) AS resid
+        |    CAST(e.v - base.baseline AS DECIMAL(24,9)) AS resid,
+        |    CAST(round(CAST(e.v - base.baseline AS DECIMAL(24,9)), 4)
+        |         AS DECIMAL(18,4)) AS rstat
         |  FROM e JOIN base USING (event_type, hod)
         |), st AS (
         |  SELECT event_type,
-        |    sqrt((CAST(sum(resid * resid) AS DOUBLE)
-        |          - CAST(sum(resid) AS DOUBLE) * CAST(sum(resid) AS DOUBLE)
+        |    sqrt((CAST(sum(rstat * rstat) AS DOUBLE)
+        |          - CAST(sum(rstat) AS DOUBLE) * CAST(sum(rstat) AS DOUBLE)
         |            / count(*))
         |         / count(*)) AS sd
         |  FROM r GROUP BY 1

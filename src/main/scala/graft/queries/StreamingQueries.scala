@@ -381,6 +381,40 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Drive `src` through one bounded foreachBatch replay that appends
+    * `build(batch)` to a fresh partials directory, then read the
+    * partials back. The directory is SEEDED with a zero-row parquet
+    * file carrying the builder's schema (the builder applied to an
+    * empty static frame with the stream's schema) BEFORE the stream
+    * starts: a source producing zero micro-batches writes no files,
+    * and a bare read of the empty dir would die on schema inference
+    * instead of degrading to an empty result (ADVICE r10). Callers
+    * apply their merge law (SUM / max / distinct) to the returned
+    * frame — the foreachBatch + parquet log is the observable model
+    * of per-key streaming-agg state.
+    */
+  private def partialsOf(src: DataFrame, prefix: String)
+                        (build: DataFrame => DataFrame): DataFrame = {
+    val s = src.sparkSession
+    val dir = Files.createTempDirectory(prefix)
+    sys.addShutdownHook(deleteRecursively(dir))
+    build(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema))
+      .write.mode("append").parquet(dir.toString)
+    val ckpt = Files.createTempDirectory("graft-ckpt-")
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        build(batch).write.mode("append").parquet(dir.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    deleteRecursively(ckpt)
+    s.read.parquet(dir.toString)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Idiomatic streaming path (SURVEY.md §2 #8, event-time variant):
@@ -595,13 +629,8 @@ object StreamingQueries {
         .groupBy(DedupQueries.bandKeys.map(col): _*)
         .agg(min(col("doc_id")).as("base_rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = Files.createTempDirectory("graft-incr-out-")
-      sys.addShutdownHook(deleteRecursively(out))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = documentsStream(s, dir).filter(isNew)
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+      val checked = partialsOf(
+          documentsStream(s, dir).filter(isNew), "graft-incr-out-") { batch =>
           val fp = batch.select(col("doc_id"),
             Dedup.exactFingerprint(col("text")).as("fp"))
           val nearMin = DedupQueries.bandsOf(batch)
@@ -612,16 +641,10 @@ object StreamingQueries {
             .join(nearMin, Seq("doc_id"), "left")
             .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
               (col("exact_dup_of").isNull && col("near_dup_of").isNull).as("is_novel"))
-            .write.mode("append").parquet(out.toString)
-          ()
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
       baseFp.unpersist()
       baseBucketMin.unpersist()
-      s.read.parquet(out.toString)
+      checked
     }),
 
     // Streaming HLL: the distinct-count sketch accumulated ACROSS
@@ -635,24 +658,11 @@ object StreamingQueries {
     // the register log is the sketch state a streaming agg holds
     // per-key; foreachBatch + parquet models it observably.
     "stream_hll_users" -> ((s, dir) => {
-      val regDir = Files.createTempDirectory("graft-hll-regs-")
-      sys.addShutdownHook(deleteRecursively(regDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("user_id"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.hllRegisters(batch)
+      val merged = partialsOf(
+          eventsStream(s, dir).select(col("user_id")), "graft-hll-regs-") {
+          batch => EventQueries.hllRegisters(batch)
             .groupBy(col("reg")).agg(max(col("rho")).as("mj"))
-            .write.mode("append").parquet(regDir.toString)
-          ()
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(regDir.toString)
         .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
       EventQueries.hllFinish(merged,
         graft.tables.Tables.events(s, dir)
@@ -668,25 +678,14 @@ object StreamingQueries {
     // audit against the exact top-10 shares sketch_cms_tokens' oracle
     // — merge(partials) ≡ batch sketch, hash-proven.
     "stream_cms_tokens" -> ((s, dir) => {
-      val cmsDir = Files.createTempDirectory("graft-cms-regs-")
-      sys.addShutdownHook(deleteRecursively(cmsDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = documentsStream(s, dir)
-        .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          TextQueries.cmsBuckets(batch)
+      val merged = partialsOf(
+          documentsStream(s, dir)
+            .select(explode(graft.text.TextOps.tokens(col("text"))).as("token")),
+          "graft-cms-regs-") {
+          batch => TextQueries.cmsBuckets(batch)
             .groupBy(col("r"), col("bucket"))
             .agg(count(lit(1)).as("counter"))
-            .write.mode("append").parquet(cmsDir.toString)
-          ()
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(cmsDir.toString)
         .groupBy(col("r"), col("bucket"))
         .agg(sum(col("counter")).as("counter"))
       TextQueries.cmsAudit(merged,
@@ -706,25 +705,13 @@ object StreamingQueries {
     // aggregation exactly: hash-proven by sharing events_top_users'
     // oracle.
     "stream_topk" -> ((s, dir) => {
-      val aggDir = Files.createTempDirectory("graft-topk-partials-")
-      sys.addShutdownHook(deleteRecursively(aggDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("user_id"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy(col("user_id"))
+      partialsOf(
+          eventsStream(s, dir).select(col("user_id"), col("value")),
+          "graft-topk-partials-") {
+          batch => batch.groupBy(col("user_id"))
             .agg(count(lit(1)).as("n_events"),
                  sum(dec(col("value"))).as("sum_dec"))
-            .write.mode("append").parquet(aggDir.toString)
-          ()
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      s.read.parquet(aggDir.toString)
         .groupBy(col("user_id"))
         .agg(sum(col("n_events")).as("n_events"),
              asDouble(sum(col("sum_dec"))).as("sum_value"))
@@ -743,23 +730,10 @@ object StreamingQueries {
     // merge. Shares `events_regression`'s oracle: the hash match
     // proves online moment accumulation ≡ one-pass batch training.
     "stream_regression" -> ((s, dir) => {
-      val momDir = Files.createTempDirectory("graft-ols-partials-")
-      sys.addShutdownHook(deleteRecursively(momDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("event_type"), col("ts_ms"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.regressionMoments(batch)
-            .write.mode("append").parquet(momDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(momDir.toString)
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-ols-partials-")(EventQueries.regressionMoments)
         .groupBy(col("event_type"))
         .agg(sum(col("n")).as("n"),
              sum(col("sx_d")).as("sx_d"), sum(col("sy_d")).as("sy_d"),
@@ -779,24 +753,11 @@ object StreamingQueries {
     // argument for it at scale. Shares `events_bootstrap_ci`'s oracle
     // — merge(partials) ≡ batch, hash-proven.
     "stream_bootstrap" -> ((s, dir) => {
-      val partsDir = Files.createTempDirectory("graft-bs-partials-")
-      sys.addShutdownHook(deleteRecursively(partsDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.bootstrapPartials(batch)
-            .write.mode("append").parquet(partsDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
       EventQueries.bootstrapFinish(
-        EventQueries.bootstrapMerge(s.read.parquet(partsDir.toString)))
+        EventQueries.bootstrapMerge(partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_id"), col("event_type"), col("value")),
+          "graft-bs-partials-")(EventQueries.bootstrapPartials)))
     }),
 
     // STREAMING WEIGHTED RESERVOIR — the A-ES sample maintained under
@@ -809,23 +770,10 @@ object StreamingQueries {
     // `pipeline_sample_wor`'s oracle). State is K rows per batch, not
     // |docs|.
     "stream_sample_wor" -> ((s, dir) => {
-      val topDir = Files.createTempDirectory("graft-wor-partials-")
-      sys.addShutdownHook(deleteRecursively(topDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = documentsStream(s, dir)
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          DedupQueries.worTopK(DedupQueries.worKeys(batch))
-            .drop("rn")
-            .write.mode("append").parquet(topDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      DedupQueries.worTopK(s.read.parquet(topDir.toString))
+      DedupQueries.worTopK(partialsOf(
+        documentsStream(s, dir), "graft-wor-partials-") {
+        batch => DedupQueries.worTopK(DedupQueries.worKeys(batch)).drop("rn")
+      })
     }),
 
     // STREAMING KS TEST — the exact-distribution drift monitor under
@@ -845,25 +793,14 @@ object StreamingQueries {
       val split = EventQueries.psiSplit(base)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       split.count() // freeze the yardstick before the stream starts
-      val gridDir = Files.createTempDirectory("graft-ks-partials-")
-      sys.addShutdownHook(deleteRecursively(gridDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
-            .write.mode("append").parquet(gridDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
       EventQueries.ksFinish(
-        s.read.parquet(gridDir.toString)
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
+          "graft-ks-partials-") {
+          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
+        }
           .groupBy(col("event_type"), col("value"))
           .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
     }),
@@ -879,26 +816,15 @@ object StreamingQueries {
     // trimming. The stream_topk lesson applied to order statistics:
     // the rank CUT is not mergeable, but the grid it cuts is.
     "stream_trimmed_mean" -> ((s, dir) => {
-      val cntDir = Files.createTempDirectory("graft-trim-partials-")
-      sys.addShutdownHook(deleteRecursively(cntDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), dec(col("value")).as("v"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy(col("event_type"), col("v"))
-            .agg(count(lit(1)).as("cnt"))
-            .write.mode("append").parquet(cntDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
       EventQueries.trimmedFromGrid(
-        s.read.parquet(cntDir.toString)
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), dec(col("value")).as("v")),
+          "graft-trim-partials-") {
+          batch => batch.groupBy(col("event_type"), col("v"))
+            .agg(count(lit(1)).as("cnt"))
+        }
           .groupBy(col("event_type"), col("v"))
           .agg(sum(col("cnt")).as("cnt")))
     }),
@@ -916,23 +842,8 @@ object StreamingQueries {
     // the part that cannot merge, which is why it is the epoch
     // boundary.
     "stream_quality_lr" -> ((s, dir) => {
-      def pass(make: DataFrame => DataFrame): DataFrame = {
-        val partsDir = Files.createTempDirectory("graft-lr-partials-")
-        sys.addShutdownHook(deleteRecursively(partsDir))
-        val ckpt = Files.createTempDirectory("graft-ckpt-")
-        val q = documentsStream(s, dir)
-          .writeStream
-          .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            make(batch).write.mode("append").parquet(partsDir.toString)
-            ()
-          }
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-        deleteRecursively(ckpt)
-        s.read.parquet(partsDir.toString)
-      }
+      def pass(make: DataFrame => DataFrame): DataFrame =
+        partialsOf(documentsStream(s, dir), "graft-lr-partials-")(make)
       val beta0 = s.range(1).select(
         lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
       val betaF = (1 to 2).foldLeft(beta0) { (b, _) =>
@@ -962,23 +873,9 @@ object StreamingQueries {
     // agg, hash-proven, extending the mergeability suite from
     // frequency (CMS) and cardinality (HLL) to information measures.
     "stream_entropy_mi" -> ((s, dir) => {
-      val cellsDir = Files.createTempDirectory("graft-ent-partials-")
-      sys.addShutdownHook(deleteRecursively(cellsDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("event_type"), col("ts_ms"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.entropyCells(batch)
-            .write.mode("append").parquet(cellsDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(cellsDir.toString)
+      val merged = partialsOf(
+          eventsStream(s, dir).select(col("event_type"), col("ts_ms")),
+          "graft-ent-partials-")(EventQueries.entropyCells)
         .groupBy(col("event_type"), col("hour"))
         .agg(sum(col("nij")).as("nij"))
       EventQueries.entropyFinish(merged)
@@ -995,24 +892,12 @@ object StreamingQueries {
     // state IS the batch plan; shares events_retention's oracle,
     // hash-proven.
     "stream_retention" -> ((s, dir) => {
-      val pairsDir = Files.createTempDirectory("graft-ret-partials-")
-      sys.addShutdownHook(deleteRecursively(pairsDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("user_id"),
-                (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.distinct()
-            .write.mode("append").parquet(pairsDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val pairs = s.read.parquet(pairsDir.toString).distinct()
+      val pairs = partialsOf(
+          eventsStream(s, dir)
+            .select(col("user_id"),
+                    (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms")),
+          "graft-ret-partials-")(_.distinct())
+        .distinct()
       val cohort = pairs.groupBy(col("user_id"))
         .agg(min(col("day_ms")).as("cohort_day_ms"))
       pairs.join(cohort, "user_id")
@@ -1031,23 +916,10 @@ object StreamingQueries {
     // argument as stream_topk). State is one row per user per batch,
     // compacted by the merge. Shares events_rfm's oracle, hash-proven.
     "stream_rfm" -> ((s, dir) => {
-      val perDir = Files.createTempDirectory("graft-rfm-partials-")
-      sys.addShutdownHook(deleteRecursively(perDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("user_id"), col("ts_ms"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.rfmPerUser(batch)
-            .write.mode("append").parquet(perDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(perDir.toString)
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("user_id"), col("ts_ms"), col("value")),
+          "graft-rfm-partials-")(EventQueries.rfmPerUser)
         .groupBy(col("user_id"))
         .agg(max(col("last_ms")).as("last_ms"),
              sum(col("freq")).as("freq"),
@@ -1063,23 +935,10 @@ object StreamingQueries {
     // so online accumulation reproduces the full autocorrelation
     // diagnostics bit-for-bit.
     "stream_acf" -> ((s, dir) => {
-      val cellsDir = Files.createTempDirectory("graft-acf-partials-")
-      sys.addShutdownHook(deleteRecursively(cellsDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("event_type"), col("ts_ms"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.hourlyCells(batch)
-            .write.mode("append").parquet(cellsDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(cellsDir.toString)
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-acf-partials-")(EventQueries.hourlyCells)
         .groupBy(col("event_type"), col("hour_ms"))
         .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
       EventQueries.acfFromHourly(EventQueries.hourlyFromCells(merged))
@@ -1091,23 +950,11 @@ object StreamingQueries {
     // positions: the third mergeability law (max/sum/OR) the sketch
     // suite relies on, hash-proven against sketch_bloom's oracle.
     "stream_bloom" -> ((s, dir) => {
-      val bitsDir = Files.createTempDirectory("graft-bloom-bits-")
-      sys.addShutdownHook(deleteRecursively(bitsDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("user_id").cast("string").as("key"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.bloomBits(batch.distinct())
-            .write.mode("append").parquet(bitsDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(bitsDir.toString).distinct()
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("user_id").cast("string").as("key")),
+          "graft-bloom-bits-")(b => EventQueries.bloomBits(b.distinct()))
+        .distinct()
       val base = graft.tables.Tables.events(s, dir)
         .select(col("user_id").cast("string").as("key")).distinct()
       EventQueries.bloomCheck(merged, base, EventQueries.bloomProbes(s))
@@ -1122,24 +969,13 @@ object StreamingQueries {
     // oracle exactly. The audit's exact order statistic reads the
     // batch table (the stream replays the same totality).
     "stream_quantiles" -> ((s, dir) => {
-      val histDir = Files.createTempDirectory("graft-qsk-regs-")
-      sys.addShutdownHook(deleteRecursively(histDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .filter(col("value").isNotNull).select(col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.quantileBuckets(batch)
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull).select(col("value")),
+          "graft-qsk-regs-") {
+          batch => EventQueries.quantileBuckets(batch)
             .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-            .write.mode("append").parquet(histDir.toString)
-          ()
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(histDir.toString)
         .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
       EventQueries.quantileFinish(merged,
         graft.tables.Tables.events(s, dir)
@@ -1156,24 +992,12 @@ object StreamingQueries {
     // against sketch_kmv's oracle. State per type is ≤ k hashes,
     // bounded regardless of history.
     "stream_kmv" -> ((s, dir) => {
-      val skDir = Files.createTempDirectory("graft-kmv-parts-")
-      sys.addShutdownHook(deleteRecursively(skDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("event_type"), col("user_id"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.kmvKMin(EventQueries.kmvHashes(batch), "event_type")
-            .write.mode("append").parquet(skDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
       val merged = EventQueries.kmvKMin(
-        s.read.parquet(skDir.toString).distinct(), "event_type")
+        partialsOf(
+          eventsStream(s, dir).select(col("event_type"), col("user_id")),
+          "graft-kmv-parts-") {
+          batch => EventQueries.kmvKMin(EventQueries.kmvHashes(batch), "event_type")
+        }.distinct(), "event_type")
       EventQueries.kmvEstimate(merged,
         graft.tables.Tables.events(s, dir).groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("true_distinct")))
@@ -1204,25 +1028,14 @@ object StreamingQueries {
     // regardless of history. Shares the batch oracle — sum-merge ≡
     // batch, hash-proven.
     "stream_seasonality" -> ((s, dir) => {
-      val hrDir = Files.createTempDirectory("graft-season-parts-")
-      sys.addShutdownHook(deleteRecursively(hrDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("event_type"),
-                (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy(col("event_type"), col("hour_ms"))
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"),
+                    (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms")),
+          "graft-season-parts-") {
+          batch => batch.groupBy(col("event_type"), col("hour_ms"))
             .agg(count(lit(1)).as("cnt"))
-            .write.mode("append").parquet(hrDir.toString)
-          ()
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(hrDir.toString)
         .groupBy(col("event_type"), col("hour_ms"))
         .agg(sum(col("cnt")).as("cnt"))
       val withHod = merged
@@ -1381,25 +1194,14 @@ object StreamingQueries {
         EventQueries.psiHalved(e, split).filter(col("half") === "ref"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       edges.count() // freeze the artifact before the stream starts
-      val cntDir = Files.createTempDirectory("graft-psi-partials-")
-      sys.addShutdownHook(deleteRecursively(cntDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.psiBinCounts(
-              EventQueries.psiHalved(batch, split), edges)
-            .write.mode("append").parquet(cntDir.toString)
-          ()
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
+          "graft-psi-partials-") {
+          batch => EventQueries.psiBinCounts(
+            EventQueries.psiHalved(batch, split), edges)
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(cntDir.toString)
         .groupBy(col("event_type"), col("half"), col("bin"))
         .agg(sum(col("cnt")).as("cnt"))
       EventQueries.psiFinish(s, merged)
@@ -1413,23 +1215,10 @@ object StreamingQueries {
     // ≡ batch hourly agg, so the online fold reproduces the robust
     // slope bit-for-bit.
     "stream_theilsen" -> ((s, dir) => {
-      val cellsDir = Files.createTempDirectory("graft-ts-partials-")
-      sys.addShutdownHook(deleteRecursively(cellsDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = eventsStream(s, dir)
-        .select(col("event_type"), col("ts_ms"), col("value"))
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          EventQueries.hourlyCells(batch)
-            .write.mode("append").parquet(cellsDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      val merged = s.read.parquet(cellsDir.toString)
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-ts-partials-")(EventQueries.hourlyCells)
         .groupBy(col("event_type"), col("hour_ms"))
         .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
       EventQueries.theilsenOver(EventQueries.hourlyFromCells(merged),
@@ -1494,21 +1283,34 @@ object StreamingQueries {
       val testDir = Files.createTempDirectory("graft-lm-test-")
       Seq(c12Dir, vocDir, testDir).foreach(d =>
         sys.addShutdownHook(deleteRecursively(d)))
+      // the three per-batch partial builders, hoisted so the dirs can
+      // be schema-SEEDED with zero-row files before the stream starts
+      // (a zero-batch source would otherwise leave them uninferable —
+      // the partialsOf edge, three-dirs variant; ADVICE r10)
+      def toksOf(batch: DataFrame) = batch.select(col("doc_id"),
+        graft.text.TextOps.tokens(col("text")).as("t"))
+      def c12Of(batch: DataFrame) =
+        TextQueries.bigramsOf(toksOf(batch).filter(col("doc_id") % 2 === 0))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      def vocOf(batch: DataFrame) =
+        toksOf(batch).filter(col("doc_id") % 2 === 0)
+          .select(explode(col("t")).as("w")).distinct()
+      def testOf(batch: DataFrame) =
+        TextQueries.bigramsOf(toksOf(batch).filter(col("doc_id") % 2 === 1))
+      val src = documentsStream(s, dir)
+      val emptyBatch = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema)
+      c12Of(emptyBatch).write.mode("append").parquet(c12Dir.toString)
+      vocOf(emptyBatch).write.mode("append").parquet(vocDir.toString)
+      testOf(emptyBatch).write.mode("append").parquet(testDir.toString)
       val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = documentsStream(s, dir)
+      val q = src
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val toks = batch.select(col("doc_id"),
-            graft.text.TextOps.tokens(col("text")).as("t"))
-          val train = toks.filter(col("doc_id") % 2 === 0)
-          TextQueries.bigramsOf(train)
-            .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-            .write.mode("append").parquet(c12Dir.toString)
-          train.select(explode(col("t")).as("w")).distinct()
-            .write.mode("append").parquet(vocDir.toString)
-          TextQueries.bigramsOf(toks.filter(col("doc_id") % 2 === 1))
-            .write.mode("append").parquet(testDir.toString)
+          c12Of(batch).write.mode("append").parquet(c12Dir.toString)
+          vocOf(batch).write.mode("append").parquet(vocDir.toString)
+          testOf(batch).write.mode("append").parquet(testDir.toString)
           ()
         }
         .start()
@@ -1535,45 +1337,21 @@ object StreamingQueries {
     // online index-side statistics reproduce the batch principal
     // axis bit-for-bit.
     "stream_pca" -> ((s, dir) => {
-      val momDir = Files.createTempDirectory("graft-pca-partials-")
-      sys.addShutdownHook(deleteRecursively(momDir))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = embeddingsStream(s, dir, appendOnly = false)
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          SimilarityQueries.pcaMoments(batch)
-            .write.mode("append").parquet(momDir.toString)
-          ()
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
-      SimilarityQueries.pcaFinish(s.read.parquet(momDir.toString))
+      SimilarityQueries.pcaFinish(partialsOf(
+        embeddingsStream(s, dir, appendOnly = false),
+        "graft-pca-partials-")(SimilarityQueries.pcaMoments))
     }),
 
     "stream_ann_index_append" -> ((s, dir) => {
       val centArr = SimilarityQueries.appendCentArr(s, dir)
-      val out = Files.createTempDirectory("graft-annstream-out-")
-      sys.addShutdownHook(deleteRecursively(out))
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
-      val q = embeddingsStream(s, dir)
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+      val streamed = partialsOf(
+          embeddingsStream(s, dir), "graft-annstream-out-") { batch =>
           val withNrm = batch.withColumn("nrm",
             sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double")))
           SimilarityQueries.assignTo(withNrm, centArr)
-            .write.mode("append").parquet(out.toString)
-          ()
         }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      deleteRecursively(ckpt)
       val appended = SimilarityQueries.appendBaseAssigned(s, dir)
-        .unionByName(s.read.parquet(out.toString))
+        .unionByName(streamed)
       SimilarityQueries.ivfSearchOver(s, dir)(centArr, appended)
     })
   )
