@@ -34,7 +34,7 @@ object ScaleBench {
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
     "dedup_jaro_winkler", "dedup_containment",
     "dedup_semantic",
-    "dedup_semantic_fast", "dedup_semantic_hier", "dedup_semantic_scaled",
+    "dedup_semantic_fast", "dedup_semantic_scaled",
     "dedup_semantic_hier_scaled",
     "pipeline_source_report",
     "ann_topk_bruteforce", "ann_topk_fast", "ann_topk_lsh",

@@ -378,18 +378,6 @@ object SimilarityQueries {
       semanticDedup(s, dir)((ea, eb, _, _) =>
         graft.functions.FloatVectorCosine.cosineFast(ea, eb))),
 
-    // Semantic dedup under HIERARCHICAL (two-level) cluster
-    // assignment — the assignment structure that keeps the operator
-    // linear when nlist scales with the corpus (the measured
-    // 141×/221×/22× contrast in BENCH_NOTES): rank ncoarse coarse
-    // cells per vector, then only the winning cell's children. Both
-    // levels are the decimal-exact compiled ranking, so the whole
-    // two-level argmin chain is hash-checked end to end; the same
-    // keep rule runs over the resulting lists.
-    "dedup_semantic_hier" -> ((s, dir) =>
-      semanticDedupOver(hierAssigned(s, dir))((ea, eb, na, nb) =>
-        VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb))),
-
     // Semantic dedup at the PRODUCTION operating point: nlist ∝ corpus.
     // A vector seeds a cluster iff h31("seed_" ‖ vec_id) mod SeedMod
     // = 0 — a per-row Bernoulli gate (p = 1/SeedMod), so the seed count
@@ -1360,13 +1348,35 @@ object SimilarityQueries {
     * queries: 40 seed lists under 6 coarse cells (≈12 vectors per
     * list on the 500-vector fixture).
     */
-  private val HierNlist = 40
-  private val HierNcoarse = 6
+  private[graft] val HierNlist = 40
+  private[graft] val HierNcoarse = 6
 
   private def hierAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
     Artifacts.materialized(s, dir, "hier_assigned") {
       hierarchicalAssignment(s, dir, HierNlist, HierNcoarse)
     }
+
+  /** The r11-RETIRED `dedup_semantic_hier` chain — spec-only EXACT
+    * ANCHOR (VERDICT r10 item 3): its FIXED 40/6 operating point
+    * makes the within-cluster pair term quadratic in the corpus
+    * (measured 11.0× at 10× in r10's scale_bench), so it left
+    * `SparkEntry.queries`; the oracle-checked production postures
+    * are `dedup_semantic_scaled` / `dedup_semantic_hier_scaled`
+    * (stateless Bernoulli-gated seeds, nlist ∝ n).
+    * SemanticHierAnchorSpec re-derives the whole two-level argmin
+    * chain through the interpreted higher-order-function route and
+    * pins equality with this compiled CentroidRanks chain, plus the
+    * keep-rule invariants the old DuckDB twin hashed.
+    */
+  private[graft] def semanticHierAnchor(s: org.apache.spark.sql.SparkSession,
+                                        dir: String) =
+    semanticDedupOver(hierAssigned(s, dir))((ea, eb, na, nb) =>
+      VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb))
+
+  /** The anchor's two-level assignment, exposed for the spec. */
+  private[graft] def hierAssignedAnchor(s: org.apache.spark.sql.SparkSession,
+                                        dir: String) =
+    hierAssigned(s, dir)
 
   /** Coarse-level gate for `dedup_semantic_hier_scaled`: a child seed
     * is ALSO a coarse cell iff h31("coarse_" ‖ vec_id) mod this = 0 —
@@ -2296,53 +2306,6 @@ object SimilarityQueries {
          |  coalesce(n.min_nbr, q.vec_id) AS rep_id,
          |  (n.min_nbr IS NOT NULL) AS is_dup
          |FROM assignedq q LEFT JOIN min_nbr n USING (vec_id)""".stripMargin,
-
-    // Two-level argmin chain: child→coarse, vec→coarse, then vec→child
-    // within the winning cell — each ranking the (cos DESC, id ASC)
-    // twin of the compiled CentroidRanks tiebreak.
-    "dedup_semantic_hier" ->
-      s"""WITH coarse AS (
-         |  SELECT vec_id AS coarse_id, embedding FROM embeddings WHERE vec_id < $HierNcoarse
-         |), child AS (
-         |  SELECT vec_id AS child_id, embedding FROM embeddings WHERE vec_id < $HierNlist
-         |), cscore AS (
-         |  SELECT c.child_id, k.coarse_id,
-         |    row_number() OVER (PARTITION BY c.child_id
-         |      ORDER BY ${duckCos("c.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
-         |  FROM child c, coarse k
-         |), cassign AS (
-         |  SELECT child_id, coarse_id FROM cscore WHERE rk = 1
-         |), vscore AS (
-         |  SELECT e.vec_id, k.coarse_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${duckCos("e.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
-         |  FROM embeddings e, coarse k
-         |), vassign AS (
-         |  SELECT vec_id, coarse_id FROM vscore WHERE rk = 1
-         |), fscore AS (
-         |  SELECT e.vec_id, ch.child_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${duckCos("e.embedding", "che.embedding")} DESC, ch.child_id) AS rk
-         |  FROM embeddings e
-         |  JOIN vassign va ON va.vec_id = e.vec_id
-         |  JOIN cassign ch ON ch.coarse_id = va.coarse_id
-         |  JOIN embeddings che ON che.vec_id = ch.child_id
-         |), assigned AS (
-         |  SELECT vec_id, child_id AS list_id FROM fscore WHERE rk = 1
-         |), close_pairs AS (
-         |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM assigned a
-         |  JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |  WHERE ${duckCos("ea.embedding", "eb.embedding")} >= $SemDedupCos
-         |), min_nbr AS (
-         |  SELECT vb AS vec_id, min(va) AS min_nbr FROM close_pairs GROUP BY 1
-         |)
-         |SELECT a.vec_id, a.list_id,
-         |  coalesce(n.min_nbr, a.vec_id) AS rep_id,
-         |  (n.min_nbr IS NOT NULL) AS is_dup
-         |FROM assigned a LEFT JOIN min_nbr n USING (vec_id)""".stripMargin,
 
     // Both levels Bernoulli-gated: child seeds by the seed_ gate,
     // coarse cells = the subset passing the coarse_ gate; then the

@@ -66,8 +66,8 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(rIvf >= 0.30, f"IVF recall@5 $rIvf%.3f regressed")
   }
 
-  test("dedup_semantic_hier: lists are seed ids, every exemplar shares its member's list") {
-    val rows = SimilarityQueries.queries("dedup_semantic_hier")(spark, sf).collect()
+  test("semanticHierAnchor: lists are seed ids, every exemplar shares its member's list") {
+    val rows = SimilarityQueries.semanticHierAnchor(spark, sf).collect()
     assert(rows.nonEmpty)
     val list = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
