@@ -623,42 +623,7 @@ object EventQueries {
     // seasonal are 9-dp-quantized (the hourly-mean convention), every
     // subtraction between them is exact decimal — zero unquantized
     // float anywhere.
-    "events_stl" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
-        .rowsBetween(-12, 12)
-      // the trend window, the seasonal agg, and the final join all
-      // read the hourly frame — persist so events is scanned once
-      val h = hourlySeries(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val withTrend = h
-        .withColumn("wn", count(lit(1)).over(byType))
-        .withColumn("trend",
-          when(col("wn") === 25,
-            round(sum(col("y")).over(byType).cast("double") / 25.0, 9)
-              .cast("decimal(18,9)")))
-        .withColumn("hod", expr("(hour_ms % 86400000) div 3600000"))
-      val det = withTrend.filter(col("trend").isNotNull)
-        .withColumn("d", col("y") - col("trend"))
-      val seas = det.groupBy(col("event_type"), col("hod"))
-        .agg(round(sum(col("d")).cast("double") / count(lit(1)), 9)
-          .cast("decimal(18,9)").as("s_raw"))
-      val seasC = seas
-        .join(broadcast(seas.groupBy(col("event_type"))
-          .agg(round(sum(col("s_raw")).cast("double") / count(lit(1)), 9)
-            .cast("decimal(18,9)").as("s_mean"))), "event_type")
-        .select(col("event_type"), col("hod"),
-          (col("s_raw") - col("s_mean")).as("seasonal"))
-      withTrend
-        .join(broadcast(seasC), Seq("event_type", "hod"))
-        .select(col("event_type"), col("hour_ms"),
-          round(col("y").cast("double"), 6).as("y_r"),
-          round(col("trend").cast("double"), 6).as("trend_r"),
-          round(col("seasonal").cast("double"), 6).as("seasonal_r"),
-          when(col("trend").isNotNull,
-            round((col("y") - col("trend") - col("seasonal")).cast("double"), 6))
-            .as("resid_r"))
-    }),
+    "events_stl" -> ((s, dir) => stlOver(hourlySeries(s, dir))),
 
     // CUPED A/B-TEST ANALYSIS — the variance-reduction technique
     // production experimentation platforms run on every metric:
@@ -1775,6 +1740,49 @@ object EventQueries {
     * hour_ms, y) — exposed so ChangepointSpec can plant a known mean
     * shift and assert the argmax lands on it.
     */
+  /** The STL finish over an hourly series frame — see `events_stl`'s
+    * scaladoc; shared verbatim by the `stream_stl` twin (per-batch
+    * hourly cells sum-merge to the batch series, so the decomposition
+    * over the merged state IS the batch decomposition — the
+    * `stream_acf` hash-proof shape applied to STL).
+    */
+  private[graft] def stlOver(hourlyIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window
+      val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+        .rowsBetween(-12, 12)
+      // the trend window, the seasonal agg, and the final join all
+      // read the hourly frame — persist so its build runs once
+      val h = hourlyIn
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val withTrend = h
+        .withColumn("wn", count(lit(1)).over(byType))
+        .withColumn("trend",
+          when(col("wn") === 25,
+            round(sum(col("y")).over(byType).cast("double") / 25.0, 9)
+              .cast("decimal(18,9)")))
+        .withColumn("hod", expr("(hour_ms % 86400000) div 3600000"))
+      val det = withTrend.filter(col("trend").isNotNull)
+        .withColumn("d", col("y") - col("trend"))
+      val seas = det.groupBy(col("event_type"), col("hod"))
+        .agg(round(sum(col("d")).cast("double") / count(lit(1)), 9)
+          .cast("decimal(18,9)").as("s_raw"))
+      val seasC = seas
+        .join(broadcast(seas.groupBy(col("event_type"))
+          .agg(round(sum(col("s_raw")).cast("double") / count(lit(1)), 9)
+            .cast("decimal(18,9)").as("s_mean"))), "event_type")
+        .select(col("event_type"), col("hod"),
+          (col("s_raw") - col("s_mean")).as("seasonal"))
+      withTrend
+        .join(broadcast(seasC), Seq("event_type", "hod"))
+        .select(col("event_type"), col("hour_ms"),
+          round(col("y").cast("double"), 6).as("y_r"),
+          round(col("trend").cast("double"), 6).as("trend_r"),
+          round(col("seasonal").cast("double"), 6).as("seasonal_r"),
+          when(col("trend").isNotNull,
+            round((col("y") - col("trend") - col("seasonal")).cast("double"), 6))
+            .as("resid_r"))
+  }
+
   private[graft] def changepointOver(hIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))

@@ -1225,6 +1225,39 @@ object StreamingQueries {
         Some(EventQueries.TheilsenWindowHours))
     }),
 
+    // STREAMING STL — seasonal-trend decomposition online: the hourly
+    // (count, decimal sum) cells are the mergeable state (the
+    // stream_acf law), and the ±12 h trend window + hour-of-day
+    // seasonal agg + residual finish run over the merged
+    // dashboard-sized series at serving. Shares events_stl's oracle:
+    // merge(per-batch cells) ≡ batch hourly agg, so the online
+    // decomposition is bit-identical. Closes the r10 statistical
+    // wave's window-heavy gap (VERDICT r10 item 8).
+    "stream_stl" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-stl-partials-")(EventQueries.hourlyCells)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
+      EventQueries.stlOver(EventQueries.hourlyFromCells(merged))
+    }),
+
+    // STREAMING CHANGEPOINT — the binary-segmentation variance-gain
+    // scan online, same mergeable-cells state; the per-series prefix
+    // scan at serving runs over the merged hourly table (≤ 24·days
+    // rows per series, never |events|). Shares events_changepoint's
+    // oracle — merge(partials) ≡ batch, hash-proven.
+    "stream_changepoint" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-cpt-partials-")(EventQueries.hourlyCells)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
+      EventQueries.changepointOver(EventQueries.hourlyFromCells(merged))
+    }),
+
     // STREAMING VIEW MAINTENANCE — cdc_agg_maintain's deployed shape:
     // CDC deltas arrive as micro-batches and each batch SEQUENTIALLY
     // folds into a VERSIONED materialized view (read view vₖ, fold
@@ -1475,6 +1508,10 @@ object StreamingQueries {
     "stream_cdc_maintain" -> RelationalQueries.oracleSql("cdc_agg_maintain"),
     "stream_psi" -> EventQueries.oracleSql("events_psi"),
     "stream_theilsen" -> EventQueries.oracleSql("events_theilsen_win"),
+    // Hourly-cell merge law extended to the r10 window-heavy pair:
+    // same batch oracles, online state = the cells.
+    "stream_stl" -> EventQueries.oracleSql("events_stl"),
+    "stream_changepoint" -> EventQueries.oracleSql("events_changepoint"),
 
     // Sum-merge of full per-key partials + read-time k-cut ≡ the batch
     // leaderboard — shares events_top_users' oracle.
