@@ -71,7 +71,39 @@ object ScaleBench {
     "text_quality_lr", "text_quality_lr_calibration",
     "events_stl", "events_ab_cuped", "text_quality_lr_cv",
     "events_forecast_eval", "events_ks_test", "events_trimmed_mean",
-    "text_quality_nb")
+    "text_quality_nb",
+    // r11 coverage fill (VERDICT r10 item 5): every remaining batch
+    // query measures its 1x/10x curve — the q_* relational/SQL-idiom
+    // families ride the scaled fact tables, mm_* the self-unioned
+    // documents, pq/sq/emb_* the self-unioned embeddings. Only the
+    // four sensor_* queries stay out: their virtual-clock source is
+    // input-independent by construction (a ratio row would measure
+    // nothing).
+    "ann_topk_ivf_fast", "ann_topk_ivf_trained", "dedup_embedding_pairs",
+    "dedup_jaccard_pairs", "dedup_ngram_pairs", "dedup_simhash",
+    "dedup_substring_spans", "emb_centroid_sim", "emb_lsh_buckets",
+    "events_anomaly", "events_asof_join", "events_dedup_first",
+    "events_funnel", "events_json_props", "events_markov", "events_pivot",
+    "events_rfm", "events_sessionize", "events_sliding_window",
+    "events_top_users", "events_window_agg",
+    "mm_audio_decode", "mm_audio_features", "mm_decode_dims", "mm_features",
+    "mm_frame_sample", "mm_near_dup", "mm_resize",
+    "pipeline_contamination", "pipeline_select", "pipeline_split",
+    "pipeline_token_stats", "pq_codebook",
+    "q1_agg", "q3_top_orders", "q5_regional_revenue", "q_anti_join",
+    "q_cube", "q_distinct_agg", "q_percentiles", "q_range_join", "q_rollup",
+    "q_salted_join", "q_scalar_funcs", "q_scan_csv", "q_scan_json",
+    "q_scan_orc", "q_semi_join", "q_set_ops", "q_set_ops_all",
+    "q_sql_delete", "q_sql_filter_agg", "q_sql_groupingsets",
+    "q_sql_ignore_nulls", "q_sql_lateral", "q_sql_native_funcs",
+    "q_sql_order_priority", "q_sql_outer_join", "q_sql_pipe", "q_sql_pivot",
+    "q_sql_recursive", "q_sql_small_quantity_revenue", "q_sql_unpivot",
+    "q_sql_update", "q_topk_orders", "q_typed_wavg", "q_window_dist",
+    "q_window_range_frame", "q_window_rank", "q_window_running",
+    "sketch_bloom", "sq_minmax",
+    "text_bpe_merge", "text_bpe_pairs", "text_bpe_tokens",
+    "text_fingerprint", "text_langid", "text_quality", "text_stats",
+    "text_token_freq", "text_zipf")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -98,7 +130,13 @@ object ScaleBench {
     "stream_psi", "stream_theilsen", "stream_cdc_maintain",
     "stream_pca", "stream_perplexity",
     "stream_bootstrap", "stream_sample_wor", "stream_quality_lr",
-    "stream_ks_test", "stream_trimmed_mean")
+    "stream_ks_test", "stream_trimmed_mean",
+    // r11 coverage fill: the remaining streaming twins
+    "stream_bloom", "stream_cms_tokens", "stream_changepoint",
+    "stream_dedup", "stream_hll_users", "stream_incremental_dedup",
+    "stream_kmv", "stream_outer_join", "stream_pseudo_window",
+    "stream_pseudo_window_tws", "stream_quantiles",
+    "stream_session_window", "stream_sliding_window", "stream_stl")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

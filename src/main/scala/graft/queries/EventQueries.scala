@@ -79,6 +79,55 @@ object EventQueries {
     withW.groupBy(col("event_type")).agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** LONG-FORM bootstrap partials for the streaming twin: one
+    * (event_type, r) row per replicate instead of 66 wide columns.
+    * Semantically identical weights (the 4 md5 hex strings are
+    * computed ONCE per event and the replicate picks its 4-hex-digit
+    * slice, exactly the wide chain's u_r), but the per-micro-batch
+    * plan is a narrow explode + 2-sum hash agg — whole-stage codegen
+    * compiles in milliseconds where the 64-column aggregate paid a
+    * fixed multi-second compile EVERY batch (the r10 bench's 4.9×
+    * 10× ratio was mostly that fixed term × batch count). The r = −1
+    * row carries (Σv, n). Merge law unchanged: every measure is
+    * additive, keyed by (event_type, r).
+    */
+  private[graft] def bootstrapPartialsLong(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+      .withColumn("h", array((0 until BootstrapReps / 8).map(g =>
+        md5(concat(col("event_id").cast("string"), lit(s"_bs$g")))): _*))
+    val reps = e
+      .select(col("event_type"), col("v"), col("h"),
+        explode(sequence(lit(0), lit(BootstrapReps - 1))).as("r"))
+      .withColumn("u",
+        conv(get(col("h"), call_function("div", col("r"), lit(8)).cast("int"))
+          .substr(lit(1) + lit(4) * pmod(col("r"), lit(8)).cast("int"), lit(4)),
+          16, 10).cast("long"))
+      .withColumn("w", poissonW(col("u")))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(col("v") * col("w")).cast("decimal(38,4)").as("wv"),
+           sum(col("w")).as("wn"))
+    val totals = e.groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("decimal(38,4)").as("wv"),
+           count(lit(1)).as("wn"))
+      .select(col("event_type"), lit(-1).as("r"), col("wv"), col("wn"))
+    reps.unionByName(totals)
+  }
+
+  /** Long-form merged rows → the wide frame [[bootstrapFinish]]
+    * expects — a |types|·33-row pivot at serving time.
+    */
+  private[graft] def bootstrapWideOf(mergedLong: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aggCols =
+      (0 until BootstrapReps).flatMap { r =>
+        Seq(max(when(col("r") === r, col("wv"))).as(s"wv_$r"),
+            max(when(col("r") === r, col("wn"))).as(s"wn_$r"))
+      } ++ Seq(max(when(col("r") === -1, col("wv"))).as("sv"),
+               max(when(col("r") === -1, col("wn"))).as("n"))
+    mergedLong.groupBy(col("event_type")).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Sum-merge of bootstrap partial rows (the streaming twin's merge
     * law: every column is additive).
     */

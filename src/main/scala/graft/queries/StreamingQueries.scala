@@ -753,11 +753,14 @@ object StreamingQueries {
     // argument for it at scale. Shares `events_bootstrap_ci`'s oracle
     // — merge(partials) ≡ batch, hash-proven.
     "stream_bootstrap" -> ((s, dir) => {
-      EventQueries.bootstrapFinish(
-        EventQueries.bootstrapMerge(partialsOf(
+      EventQueries.bootstrapFinish(EventQueries.bootstrapWideOf(
+        partialsOf(
           eventsStream(s, dir)
             .select(col("event_id"), col("event_type"), col("value")),
-          "graft-bs-partials-")(EventQueries.bootstrapPartials)))
+          "graft-bs-partials-")(EventQueries.bootstrapPartialsLong)
+          .groupBy(col("event_type"), col("r"))
+          .agg(sum(col("wv")).cast("decimal(38,4)").as("wv"),
+               sum(col("wn")).as("wn"))))
     }),
 
     // STREAMING WEIGHTED RESERVOIR — the A-ES sample maintained under
