@@ -103,7 +103,10 @@ object ScaleBench {
     "sketch_bloom", "sq_minmax",
     "text_bpe_merge", "text_bpe_pairs", "text_bpe_tokens",
     "text_fingerprint", "text_langid", "text_quality", "text_stats",
-    "text_token_freq", "text_zipf")
+    "text_token_freq", "text_zipf",
+    // r11 statistical-testing wave
+    "events_mannwhitney", "events_anova", "events_chisq", "events_sprt",
+    "events_bh_fdr", "pipeline_stratified_split")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -136,7 +139,8 @@ object ScaleBench {
     "stream_dedup", "stream_hll_users", "stream_incremental_dedup",
     "stream_kmv", "stream_outer_join", "stream_pseudo_window",
     "stream_pseudo_window_tws", "stream_quantiles",
-    "stream_session_window", "stream_sliding_window", "stream_stl")
+    "stream_session_window", "stream_sliding_window", "stream_stl",
+    "stream_mannwhitney", "stream_chisq")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

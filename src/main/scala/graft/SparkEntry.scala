@@ -42,7 +42,8 @@ object SparkEntry {
     SimilarityQueries.queries ++
     StreamingQueries.queries ++
     MultimodalQueries.queries ++
-    SqlQueries.queries
+    SqlQueries.queries ++
+    StatTestQueries.queries
 
   /** DuckDB-equivalent SQL for every oracle-checkable query. */
   def oracleSql: Map[String, String] =
@@ -54,5 +55,6 @@ object SparkEntry {
     SimilarityQueries.oracleSql ++
     StreamingQueries.oracleSql ++
     MultimodalQueries.oracleSql ++
-    SqlQueries.oracleSql
+    SqlQueries.oracleSql ++
+    StatTestQueries.oracleSql
 }

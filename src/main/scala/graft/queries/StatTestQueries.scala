@@ -1,0 +1,475 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.operators.GlobalOrder
+
+/** Hypothesis-testing / experiment-analysis operators over the events
+  * stream and the curation split over documents — the decision layer a
+  * training-data pipeline runs AFTER drift metrics (PSI, KS) flag a
+  * candidate: is the shift statistically real, which segments carry
+  * it, and does it survive multiple-testing correction.
+  *
+  * Engine-agreement strategy (the house rule, SparkEntry scaladoc):
+  * every statistic is computed in INTEGER or exact-DECIMAL arithmetic
+  * for as long as possible — rank sums in half-units (×2 so midranks
+  * stay integral), SPRT log-likelihood increments as pre-rounded
+  * micro-nat integer constants, sums of per-cell χ² contributions
+  * quantized to DECIMAL before the (order-sensitive) summation —
+  * and only the final scalar (z, F, χ²) is a rounded double.
+  *
+  * Scale posture: everything runs off value-GRID frames (per-(type,
+  * value) counts — the [[EventQueries.ksGrid]] artifact, distinct-
+  * value-sized, partial-aggregable) or per-type aggregates; no
+  * data-sized unpartitioned window anywhere. The per-type grid
+  * windows are the documented series axis (more types/tenants = more
+  * partitions); [[pipeline_stratified_split]]'s within-stratum rank
+  * runs through [[GlobalOrder]] so a 100 TB stratum never funnels
+  * into one task.
+  */
+object StatTestQueries {
+
+  /** 2·U and tie statistics from a (event_type, value, cr, cc) grid —
+    * the mergeable-counts half of the Mann-Whitney U test between the
+    * ref/cur halves (same frozen time split as PSI/KS). Midranks are
+    * carried ×2 (`2·cum_before + cnt + 1`) so ties stay INTEGER: u2 =
+    * 2·U_ref is exact on both engines, and only z divides back down.
+    * Tie variance uses T = Σ(t³ − t) over tie groups (decimal — t³
+    * overflows int64 at ~2M-row tie groups).
+    */
+  private[graft] def mwFinish(grid: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val g = grid
+      .withColumn("cnt", col("cr") + col("cc"))
+      .withColumn("cumb", coalesce(
+        sum(col("cr") + col("cc")).over(
+          byType.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("cumb") + col("cnt") + lit(1L))
+    g.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"),
+        sum(col("cr").cast("decimal(38,0)") * col("midrank2")).as("r2"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+          - col("cnt")).as("tsum"))
+      .withColumn("u2",
+        (col("r2") - (col("n_ref").cast("decimal(38,0)")
+          * (col("n_ref") + 1))).cast("bigint"))
+      .withColumn("nn", col("n_ref") + col("n_cur"))
+      .withColumn("var_u",
+        when(col("n_ref") > 0 && col("n_cur") > 0 && col("nn") > 1,
+          col("n_ref").cast("double") * col("n_cur").cast("double") / 12.0
+            * ((col("nn") + 1).cast("double")
+              - col("tsum").cast("double")
+                / (col("nn").cast("double") * (col("nn") - 1).cast("double")))))
+      .withColumn("z",
+        when(col("var_u") > 0,
+          ((col("u2") - col("n_ref") * col("n_cur")).cast("double") / 2.0)
+            / sqrt(col("var_u"))))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("u2"),
+        round(col("z"), 6).as("z_r"),
+        coalesce(abs(col("z")) > 1.959964, lit(false)).as("is_sig"))
+  }
+
+  /** Per-(type, bucket) observed counts — χ²'s mergeable half
+    * (additive, the streaming twin's partial). Buckets are fixed
+    * 100-wide value bins clamped to [0, 4] — a frozen, data-
+    * independent binning (the PSI lesson: a drifted current
+    * distribution must not move its own yardstick).
+    */
+  private[graft] def chisqCells(e: DataFrame): DataFrame =
+    e.withColumn("bucket",
+        least(greatest(floor(col("value") / 100.0).cast("bigint"), lit(0L)),
+          lit(4L)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+
+  /** χ² of independence from merged cells: margins via windows over
+    * the CELL frame (≤ |types|·|buckets| rows — sketch-sized), each
+    * cell's contribution quantized to DECIMAL(24,6) before the final
+    * sum so the (order-sensitive) double addition never happens.
+    */
+  private[graft] def chisqFinish(cells: DataFrame): DataFrame = {
+    val c = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("bucket"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        round((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"), 6).cast("decimal(24,6)"))
+    c.agg(
+        max(col("n")).as("n"),
+        ((countDistinct(col("event_type")) - 1)
+          * (countDistinct(col("bucket")) - 1)).cast("bigint").as("dof"),
+        sum(col("contrib")).cast("double").as("chi2_r"))
+  }
+
+  /** SPRT log-likelihood-ratio increments in micro-nats, pre-rounded
+    * CONSTANTS (H1: P(value > 50) = 0.6 vs H0: 0.5 → ln(1.2)·1e6 ≈
+    * 182322, ln(0.8)·1e6 ≈ −223144; Wald bounds ±ln(19)·1e6 ≈
+    * ±2944439 for α = β = 0.05) — the whole trajectory is integer
+    * arithmetic, so first-crossing indices are engine-exact.
+    */
+  private val SprtPos = 182322L
+  private val SprtNeg = -223144L
+  private val SprtBound = 2944439L
+
+  private[graft] def sprtTrajectory(e: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    e.withColumn("llr",
+        when(col("value") > 50.0, lit(SprtPos)).otherwise(lit(SprtNeg)))
+      .withColumn("rn", row_number().over(byType).cast("long"))
+      .withColumn("cum", sum(col("llr")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  private[graft] def sprtFinish(t: DataFrame): DataFrame = {
+    val per = t.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("llr")).as("llr_total_micro"),
+        min(when(abs(col("cum")) >= SprtBound, col("rn"))).as("cross_n"))
+    per.join(
+        t.select(col("event_type").as("et"), col("rn"),
+          when(col("cum") >= SprtBound, lit("h1"))
+            .when(col("cum") <= -SprtBound, lit("h0")).as("dec")),
+        col("event_type") === col("et") && col("cross_n") === col("rn"),
+        "left")
+      .select(col("event_type"), col("n"), col("llr_total_micro"),
+        col("cross_n"), coalesce(col("dec"), lit("continue")).as("decision"))
+  }
+
+  /** One-way ANOVA from a (event_type, v DECIMAL(18,4)) frame —
+    * sufficient statistics (n, Σv, Σv²) per group in one partial-
+    * aggregable pass, then a k-row serving computation. Per-group
+    * squared-sum terms are quantized to DECIMAL(24,4) before the
+    * cross-group sum (a k-term double addition is order-sensitive;
+    * decimal addition is not).
+    */
+  private[graft] def anovaOf(e: DataFrame): DataFrame = {
+    val per = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("qv"))
+      .withColumn("term", round(col("sv").cast("double") * col("sv").cast("double")
+        / col("n").cast("double"), 4).cast("decimal(24,4)"))
+    per.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("sv")).as("g"), sum(col("qv")).as("qq"),
+        sum(col("term")).as("t1"))
+      .withColumn("gterm", round(col("g").cast("double") * col("g").cast("double")
+        / col("n_total").cast("double"), 4).cast("decimal(24,4)"))
+      .withColumn("ssb", col("t1") - col("gterm"))
+      .withColumn("ssw", col("qq") - col("t1"))
+      .select(col("k"), col("n_total"),
+        col("ssb").cast("double").as("ssb_r"),
+        round(col("ssw").cast("double"), 4).as("ssw_r"),
+        round((col("ssb").cast("double") / (col("k") - 1).cast("double"))
+          / (col("ssw").cast("double") / (col("n_total") - col("k")).cast("double")),
+          6).as("f_r"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MANN-WHITNEY U — the rank twin of events_ks_test: did the
+    // current half's values shift in LOCATION vs the reference half,
+    // robust to outliers and distribution shape. Same frozen time
+    // split, same mergeable (type, value, cr, cc) grid (ksGrid
+    // reused verbatim — the counts are additive, which is what makes
+    // stream_mannwhitney's merge law hold).
+    "events_mannwhitney" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      mwFinish(EventQueries.ksGrid(
+        EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
+    }),
+
+    // ONE-WAY ANOVA — does mean value differ ACROSS event types at
+    // all (the k-group generalization the pairwise tests follow up
+    // on). Sufficient statistics only: per-type (n, Σv, Σv²) — one
+    // partial-aggregable pass, then a k-row serving computation.
+    // Per-type squared-sum terms are quantized to DECIMAL(24,4)
+    // before the cross-type sum (5-term double addition is order-
+    // sensitive; decimal addition is not).
+    "events_anova" -> ((s, dir) =>
+      anovaOf(Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), dec(col("value")).as("v")))),
+
+    // χ² OF INDEPENDENCE — is value-bucket distribution independent
+    // of event_type (the categorical drift test PSI approximates).
+    // One count pass over data; everything after is cell-frame-sized.
+    "events_chisq" -> ((s, dir) =>
+      chisqFinish(chisqCells(
+        Tables.events(s, dir).filter(col("value").isNotNull)))),
+
+    // SEQUENTIAL PROBABILITY RATIO TEST — Wald's always-valid
+    // sequential A/B decision: walk each type's event sequence in
+    // time order accumulating integer micro-nat LLR increments;
+    // report the FIRST Wald-bound crossing (decision + sample size)
+    // and the final LLR. The per-type cumsum is the documented series
+    // axis (a tenant's own history in arrival order — the streaming
+    // deployment keeps one running sum per key in state); cross-type
+    // it distributes.
+    "events_sprt" -> ((s, dir) =>
+      sprtFinish(sprtTrajectory(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            col("value"))))),
+
+    // BENJAMINI-HOCHBERG FDR — multiple-testing correction over the
+    // per-type KS drift tests: convert each type's (already
+    // 6-dp-quantized) D statistic to its asymptotic p-value, rank,
+    // and keep the largest prefix with p_(i) ≤ i·α/m (α = 0.10).
+    // The p quantization to 9 dp happens IDENTICALLY on both engines
+    // before any comparison (the text_quality_lr sigmoid lesson);
+    // everything past the KS stats is an m-row frame (m = #types).
+    "events_bh_fdr" -> ((s, dir) => {
+      val ks = EventQueries.ksOver(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            col("value")))
+      val p = ks
+        .withColumn("lam2",
+          col("d_r") * col("d_r")
+            * (col("n_ref").cast("double") * col("n_cur").cast("double")
+              / (col("n_ref") + col("n_cur")).cast("double")))
+        .withColumn("p_r",
+          when(col("d_r").isNotNull,
+            round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("lam2"))), 9)))
+      val ranked = p.filter(col("p_r").isNotNull)
+        .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bh_rank", row_number().over(
+          Window.orderBy(col("p_r"), col("event_type"))).cast("bigint"))
+        .withColumn("pass",
+          col("p_r") <= col("bh_rank").cast("double") * 0.10 / col("m").cast("double"))
+      ranked
+        .withColumn("kstar", max(when(col("pass"), col("bh_rank")))
+          .over(Window.partitionBy()))
+        .select(col("event_type"), col("p_r"), col("bh_rank"),
+          coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
+    }),
+
+    // STRATIFIED SPLIT — per-language 80/10/10 train/val/test with
+    // EXACT per-stratum quotas (the mixing-stage complement of
+    // pipeline_split's leakage-safe component split): rank docs
+    // within each stratum by a deterministic md5 order and cut at
+    // ⌊0.8n⌋/⌊0.9n⌋. The within-stratum rank is a GlobalOrder row
+    // number over (lang, md5, doc_id) minus broadcast per-stratum
+    // offsets — no per-stratum single-task sort even when one
+    // language is most of the corpus (en usually is).
+    "pipeline_stratified_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit("_strat"))))
+      val ranked = GlobalOrder.withRowNumber(d, "grn",
+        Seq(col("lang"), col("hk"), col("doc_id")))
+      val offs = ranked.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("lang"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      ranked.join(broadcast(offs), Seq("lang"))
+        .withColumn("srn", col("grn") - col("off"))
+        .select(col("doc_id"), col("lang"),
+          when(col("srn") * 10 <= col("cnt") * 8, lit("train"))
+            .when(col("srn") * 10 <= col("cnt") * 9, lit("val"))
+            .otherwise(lit("test")).as("split"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "events_mannwhitney" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), h AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half
+        |  FROM e CROSS JOIN sp
+        |), grid AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS cc
+        |  FROM h GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, cr, cc, cr + cc AS cnt,
+        |    2 * coalesce(sum(cr + cc) OVER (PARTITION BY event_type
+        |      ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (cr + cc) + 1 AS midrank2
+        |  FROM grid
+        |), agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur,
+        |    sum(CAST(cr AS DECIMAL(38,0)) * midrank2) AS r2,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tsum
+        |  FROM g GROUP BY 1
+        |), st AS (
+        |  SELECT event_type, n_ref, n_cur,
+        |    CAST(r2 - CAST(n_ref AS DECIMAL(38,0)) * (n_ref + 1) AS BIGINT) AS u2,
+        |    n_ref + n_cur AS nn, tsum
+        |  FROM agg
+        |), v AS (
+        |  SELECT event_type, n_ref, n_cur, u2,
+        |    CASE WHEN n_ref > 0 AND n_cur > 0 AND nn > 1 THEN
+        |      CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 12.0
+        |        * (CAST(nn + 1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+        |           / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+        |    END AS var_u
+        |  FROM st
+        |)
+        |SELECT event_type, n_ref, n_cur, u2,
+        |  round(CASE WHEN var_u > 0 THEN
+        |    (CAST(u2 - n_ref * n_cur AS DOUBLE) / 2.0) / sqrt(var_u) END, 6) AS z_r,
+        |  coalesce(abs(CASE WHEN var_u > 0 THEN
+        |    (CAST(u2 - n_ref * n_cur AS DOUBLE) / 2.0) / sqrt(var_u) END)
+        |    > 1.959964, false) AS is_sig
+        |FROM v""".stripMargin,
+
+    "events_anova" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), per AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS qv,
+        |    CAST(round(CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 4) AS DECIMAL(24,4)) AS term
+        |  FROM e GROUP BY 1
+        |), one AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    sum(sv) AS g, sum(qv) AS qq, sum(term) AS t1
+        |  FROM per
+        |), two AS (
+        |  SELECT k, n_total,
+        |    t1 - CAST(round(CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE), 4) AS DECIMAL(24,4)) AS ssb,
+        |    qq - t1 AS ssw
+        |  FROM one
+        |)
+        |SELECT k, n_total, CAST(ssb AS DOUBLE) AS ssb_r,
+        |  round(CAST(ssw AS DOUBLE), 4) AS ssw_r,
+        |  round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |    / (CAST(ssw AS DOUBLE) / CAST(n_total - k AS DOUBLE)), 6) AS f_r
+        |FROM two""".stripMargin,
+
+    "events_chisq" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 4) AS bucket
+        |  FROM events WHERE value IS NOT NULL
+        |), cells AS (
+        |  SELECT event_type, bucket, count(*) AS o FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, bucket, o,
+        |    sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY bucket) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM cells
+        |), c AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(24,6)) AS contrib
+        |  FROM m
+        |)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT bucket) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(sum(contrib) AS DOUBLE) AS chi2_r
+        |FROM c""".stripMargin,
+
+    "events_sprt" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), t AS (
+        |  SELECT event_type,
+        |    CASE WHEN value > 50.0 THEN 182322 ELSE -223144 END AS llr,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    sum(CASE WHEN value > 50.0 THEN 182322 ELSE -223144 END)
+        |      OVER (PARTITION BY event_type ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
+        |), per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(llr) AS BIGINT) AS llr_total_micro,
+        |    min(CASE WHEN abs(cum) >= 2944439 THEN rn END) AS cross_n
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT per.event_type, per.n, per.llr_total_micro, per.cross_n,
+        |  coalesce(CASE WHEN t.cum >= 2944439 THEN 'h1'
+        |                WHEN t.cum <= -2944439 THEN 'h0' END,
+        |           'continue') AS decision
+        |FROM per LEFT JOIN t
+        |  ON per.event_type = t.event_type AND per.cross_n = t.rn""".stripMargin,
+
+    "events_bh_fdr" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), h AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half
+        |  FROM e CROSS JOIN sp
+        |), grid AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS cc
+        |  FROM h GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type,
+        |    sum(cr) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+        |    sum(cc) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM grid
+        |), d AS (
+        |  SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+        |    CAST(max(nc) AS BIGINT) AS n_cur,
+        |    round(max(CASE WHEN nr > 0 AND nc > 0
+        |      THEN abs(CAST(cum_r AS DOUBLE) / nr - CAST(cum_c AS DOUBLE) / nc)
+        |    END), 6) AS d_r
+        |  FROM cum GROUP BY 1
+        |), p AS (
+        |  SELECT event_type,
+        |    CASE WHEN d_r IS NOT NULL THEN
+        |      round(least(1.0, 2.0 * exp(-2.0 * (d_r * d_r
+        |        * (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+        |          / CAST(n_ref + n_cur AS DOUBLE))))), 9)
+        |    END AS p_r
+        |  FROM d
+        |), ranked AS (
+        |  SELECT event_type, p_r,
+        |    count(*) OVER () AS m,
+        |    CAST(row_number() OVER (ORDER BY p_r, event_type) AS BIGINT) AS bh_rank
+        |  FROM p WHERE p_r IS NOT NULL
+        |), sel AS (
+        |  SELECT event_type, p_r, bh_rank,
+        |    max(CASE WHEN p_r <= CAST(bh_rank AS DOUBLE) * 0.10
+        |      / CAST(m AS DOUBLE) THEN bh_rank END) OVER () AS kstar
+        |  FROM ranked
+        |)
+        |SELECT event_type, p_r, bh_rank,
+        |  coalesce(bh_rank <= kstar, false) AS rejected
+        |FROM sel""".stripMargin,
+
+    "pipeline_stratified_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '_strat'), doc_id) AS srn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN srn * 10 <= cnt * 8 THEN 'train'
+        |       WHEN srn * 10 <= cnt * 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM d""".stripMargin)
+}

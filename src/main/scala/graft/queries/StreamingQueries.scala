@@ -808,6 +808,45 @@ object StreamingQueries {
           .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
     }),
 
+    // STREAMING MANN-WHITNEY — the rank test under ingest: the same
+    // frozen-split (type, value, cr, cc) half-count grid as
+    // stream_ks_test (additive counts → sum-merge law), with the
+    // rank-sum/tie-variance finish at serving time. Ranks themselves
+    // are NOT mergeable; the grid they are computed from is — the
+    // stream_topk lesson applied to rank statistics. Shares
+    // `events_mannwhitney`'s oracle, hash-proven.
+    "stream_mannwhitney" -> ((s, dir) => {
+      val base = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count() // freeze the yardstick before the stream starts
+      StatTestQueries.mwFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
+          "graft-mw-partials-") {
+          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
+        }
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
+    }),
+
+    // STREAMING χ² OF INDEPENDENCE — per-batch (type, bucket) counts
+    // against the FROZEN bucket edges sum-merge into the contingency
+    // table; margins + the quantized-contribution sum run at serving
+    // time over the cell frame. Shares `events_chisq`'s oracle.
+    "stream_chisq" -> ((s, dir) => {
+      StatTestQueries.chisqFinish(
+        partialsOf(
+          eventsStream(s, dir).filter(col("value").isNotNull),
+          "graft-chisq-partials-")(StatTestQueries.chisqCells)
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("o")).as("o")))
+    }),
+
     // STREAMING TRIMMED/WINSORIZED MEANS — rank statistics under
     // ingest without keeping rows: per-batch (type, value) counts
     // sum-merge into a value grid (the 4-dp money values make the
@@ -1532,6 +1571,12 @@ object StreamingQueries {
     // Sum-merge of per-batch (type, value) half-count grids ≡ the
     // batch ECDF grid — shares the batch KS oracle.
     "stream_ks_test" -> EventQueries.oracleSql("events_ks_test"),
+    // Same half-count grid as stream_ks_test; rank-sum finish at
+    // serving — shares the batch Mann-Whitney oracle.
+    "stream_mannwhitney" -> StatTestQueries.oracleSql("events_mannwhitney"),
+    // Sum-merge of per-batch contingency cells ≡ the batch table —
+    // shares the batch χ² oracle.
+    "stream_chisq" -> StatTestQueries.oracleSql("events_chisq"),
     // Grid-count trimming ≡ row-rank trimming (tie groups are
     // interchangeable) — shares the batch trimmed-mean oracle.
     "stream_trimmed_mean" -> EventQueries.oracleSql("events_trimmed_mean"),

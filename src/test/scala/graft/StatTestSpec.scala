@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{EventQueries, StatTestQueries}
+
+/** The hypothesis-testing wave: Mann-Whitney detects a planted
+  * location shift (and agrees with a hand-computed U on a tie-heavy
+  * case), ANOVA is shift-invariant and detects separated groups, χ²
+  * is exactly zero on an exactly-independent table, SPRT crosses the
+  * Wald bound at the first index the hand simulation crosses it, BH
+  * rejections form a rank prefix with a non-razor-thin threshold
+  * margin, and the stratified split hits its per-stratum quotas
+  * exactly and deterministically.
+  */
+class StatTestSpec extends SparkSpec {
+
+  private def evFrame(rows: Seq[(String, Long, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_type", "event_id", "ts_ms", "value")
+  }
+
+  private def mwOf(rows: Seq[(String, Long, Long, Double)]) = {
+    val e = evFrame(rows)
+    StatTestQueries.mwFinish(EventQueries.ksGrid(
+      EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
+  }
+
+  test("Mann-Whitney: planted second-half shift detected, identical halves not") {
+    val rows = (0 until 1000).flatMap { i =>
+      val ts = 1000000L + i * 1000L
+      val base = (i * 7 % 100).toDouble
+      Seq(
+        ("shift", i.toLong, ts, if (i < 500) base else base + 30.0),
+        ("same", 10000L + i, ts, base))
+    }
+    val out = mwOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("shift").getAs[Boolean]("is_sig"),
+      s"planted +30 shift not significant: z=${out("shift").getAs[Double]("z_r")}")
+    assert(!out("same").getAs[Boolean]("is_sig"),
+      s"identical halves flagged: z=${out("same").getAs[Double]("z_r")}")
+    // identical halves: U must sit exactly at its mean n1*n2/2 → u2 = n1*n2
+    val s = out("same")
+    assert(s.getAs[Long]("u2") === s.getAs[Long]("n_ref") * s.getAs[Long]("n_cur"))
+  }
+
+  test("Mann-Whitney: hand-computed U on a tie-heavy case") {
+    // ref half (ts<=1500): values 1,2,2 ; cur half: values 2,3
+    // ranks: 1→1; the three 2s → midrank 3; 3→5
+    // R_ref = 1 + 3 + 3 = 7 → U_ref = 7 − 3·4/2 = 1 → u2 = 2
+    val rows = Seq(
+      ("t", 1L, 1000L, 1.0), ("t", 2L, 1100L, 2.0), ("t", 3L, 1200L, 2.0),
+      ("t", 4L, 1900L, 2.0), ("t", 5L, 2000L, 3.0))
+    val r = mwOf(rows).collect().head
+    assert(r.getAs[Long]("n_ref") === 3L)
+    assert(r.getAs[Long]("n_cur") === 2L)
+    assert(r.getAs[Long]("u2") === 2L)
+  }
+
+  test("ANOVA: shift invariance and separated-group detection") {
+    import spark.implicits._
+    def anova(shift: Double, sep: Double) =
+      StatTestQueries.anovaOf(
+        (0 until 300).map { i =>
+          val g = i % 3
+          (s"g$g", BigDecimal(((i * 13) % 50) + shift + g * sep)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        }.toDF("event_type", "v")
+          .select(col("event_type"), col("v").cast("decimal(18,4)").as("v")))
+        .collect().head
+    val base = anova(0.0, 0.0)
+    val shifted = anova(1000.0, 0.0)
+    // adding a constant to every value moves neither SSB nor SSW
+    assert(math.abs(base.getAs[Double]("f_r") - shifted.getAs[Double]("f_r")) < 1e-3,
+      s"shift moved F: ${base.getAs[Double]("f_r")} vs ${shifted.getAs[Double]("f_r")}")
+    val sep = anova(0.0, 100.0)
+    assert(sep.getAs[Double]("f_r") > 100.0 * base.getAs[Double]("f_r") + 100.0,
+      s"100-unit group separation not detected: F=${sep.getAs[Double]("f_r")}")
+    assert(base.getAs[Long]("k") === 3L && base.getAs[Long]("n_total") === 300L)
+  }
+
+  test("chi-square: exactly-independent table scores 0, dependence scores big") {
+    import spark.implicits._
+    // independent: o(type, bucket) = rowShare * colShare * N exactly
+    val indep = (for (t <- 0 until 3; b <- 0 until 4) yield
+      (s"t$t", b.toLong, (10L * (t + 1)) * (b + 1))) // o = 10(t+1)(b+1): rank-1 ⇒ independent
+      .flatMap { case (t, b, o) => Seq.fill(o.toInt)((t, b)) }
+    val cells = indep.toDF("event_type", "bucket")
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("o"))
+    val r0 = StatTestQueries.chisqFinish(cells).collect().head
+    assert(r0.getAs[Double]("chi2_r") === 0.0,
+      s"rank-1 table must score exactly 0: ${r0.getAs[Double]("chi2_r")}")
+    assert(r0.getAs[Long]("dof") === 6L)
+    // dependence: diagonal-heavy table
+    val dep = (for (t <- 0 until 3; b <- 0 until 3) yield
+      (s"t$t", b.toLong, if (t == b) 100 else 5))
+      .flatMap { case (t, b, o) => Seq.fill(o)((t, b)) }
+    val r1 = StatTestQueries.chisqFinish(
+      dep.toDF("event_type", "bucket")
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("o")))
+      .collect().head
+    assert(r1.getAs[Double]("chi2_r") > 100.0)
+  }
+
+  test("SPRT: crossing index and decision match a hand simulation") {
+    // 30 successes then 30 failures: cum = 182322·k rises, crosses
+    // +2944439 at k = ceil(2944439/182322) = 17 → decision h1 at n=17
+    val rows = (0 until 60).map { i =>
+      ("t", i.toLong, 1000L + i, if (i < 30) 60.0 else 40.0)
+    }
+    val r = StatTestQueries.sprtFinish(
+      StatTestQueries.sprtTrajectory(evFrame(rows))).collect().head
+    assert(r.getAs[Long]("cross_n") === 17L)
+    assert(r.getAs[String]("decision") === "h1")
+    assert(r.getAs[Long]("llr_total_micro") === 30L * 182322L - 30L * 223144L)
+    // all-failures series never crosses upward and decides h0 at
+    // ceil(2944439/223144) = 14
+    val lo = StatTestQueries.sprtFinish(StatTestQueries.sprtTrajectory(
+      evFrame((0 until 20).map(i => ("u", i.toLong, 1000L + i, 10.0)))))
+      .collect().head
+    assert(lo.getAs[Long]("cross_n") === 14L)
+    assert(lo.getAs[String]("decision") === "h0")
+  }
+
+  test("BH-FDR on the fixture: rejections are a rank prefix with margin") {
+    val rows = StatTestQueries.queries("events_bh_fdr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = rows.length
+    val byRank = rows.sortBy(_.getAs[Long]("bh_rank"))
+    // p non-decreasing in rank; rejected set is a prefix
+    val ps = byRank.map(_.getAs[Double]("p_r"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    val rej = byRank.map(_.getAs[Boolean]("rejected"))
+    assert(!rej.dropWhile(identity).contains(true), "rejections not a prefix")
+    // threshold margin audit: no p sits razor-thin on its BH cut
+    byRank.foreach { r =>
+      val margin = math.abs(
+        r.getAs[Double]("p_r") - r.getAs[Long]("bh_rank") * 0.10 / m)
+      assert(margin > 1e-6, s"BH threshold margin $margin too thin")
+    }
+  }
+
+  test("stratified split: exact per-stratum quotas, deterministic") {
+    val out = StatTestQueries.queries("pipeline_stratified_split")(spark, sf)
+      .collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, docs) =>
+      val n = docs.length
+      val c = docs.groupBy(_.getAs[String]("split")).view.mapValues(_.length)
+      assert(c.getOrElse("train", 0) === n * 8 / 10,
+        s"$lang train quota: ${c.getOrElse("train", 0)} of $n")
+      assert(c.getOrElse("val", 0) === n * 9 / 10 - n * 8 / 10)
+      assert(c.getOrElse("test", 0) === n - n * 9 / 10)
+    }
+    // every doc exactly once, and a re-run assigns identically
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
+    val again = StatTestQueries.queries("pipeline_stratified_split")(spark, sf)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+      === again.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1))
+  }
+}
