@@ -106,7 +106,7 @@ object ScaleBench {
     "text_token_freq", "text_zipf",
     // r11 statistical-testing wave
     "events_mannwhitney", "events_anova", "events_chisq", "events_sprt",
-    "events_bh_fdr", "pipeline_stratified_split")
+    "events_bh_fdr", "pipeline_stratified_split", "events_survival")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -140,7 +140,7 @@ object ScaleBench {
     "stream_kmv", "stream_outer_join", "stream_pseudo_window",
     "stream_pseudo_window_tws", "stream_quantiles",
     "stream_session_window", "stream_sliding_window", "stream_stl",
-    "stream_mannwhitney", "stream_chisq")
+    "stream_mannwhitney", "stream_chisq", "stream_survival")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -140,6 +140,62 @@ object StatTestQueries {
         col("cross_n"), coalesce(col("dec"), lit("continue")).as("decision"))
   }
 
+  /** Per-(type, duration-hour) death/censor counts — the mergeable
+    * half of Kaplan-Meier (additive, the streaming twin's partial).
+    * A user's duration is last-seen − first-seen within the type;
+    * users still active in the corpus's final 24 h are CENSORED
+    * (their true lifetime is longer than observed — dropping them
+    * instead would bias survival down). The cutoff is frozen from
+    * the corpus max ts, the PSI frozen-yardstick pattern.
+    */
+  private[graft] def userSpans(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("ts_ms")).as("first_ts"), max(col("ts_ms")).as("last_ts"))
+
+  private[graft] def survivalGrid(spans: DataFrame): DataFrame = {
+    // corpus max ts ≡ max over user last-seen, so the cutoff is
+    // derivable from merged spans — the streaming twin needs no
+    // side-channel to freeze the same yardstick
+    val cutoff = spans.agg((max(col("last_ts")) - 86400000L).as("t_cut"))
+    spans.crossJoin(broadcast(cutoff))
+      .withColumn("dur_h",
+        call_function("div", col("last_ts") - col("first_ts"), lit(3600000L)))
+      .withColumn("censored", col("last_ts") > col("t_cut"))
+      .groupBy(col("event_type"), col("dur_h"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("deaths"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("censors"))
+  }
+
+  /** Kaplan-Meier curve from the merged grid: at-risk counts by
+    * count arithmetic (total minus exclusive prefix — deaths at a
+    * duration precede same-duration censoring, the standard KM
+    * convention), per-step ln(1 − d/n) quantized at 9 dp IDENTICALLY
+    * on both engines (libm-vs-JDK ln is 1-ulp; the sigmoid lesson),
+    * then an exact-decimal cumulative sum: the log-survival column is
+    * engine-exact, and only the final exp back to probability is a
+    * rounded double. Grid windows are per-type over distinct
+    * durations — the documented series axis.
+    */
+  private[graft] def survivalFinish(grid: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("dur_h"))
+    grid
+      .withColumn("n_total", sum(col("deaths") + col("censors")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("n_risk", col("n_total") - coalesce(
+        sum(col("deaths") + col("censors")).over(
+          byType.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lf",
+        when(col("deaths") > 0,
+          round(log((col("n_risk") - col("deaths")).cast("double")
+            / col("n_risk").cast("double")), 9))
+          .otherwise(lit(0.0)).cast("decimal(20,9)"))
+      .withColumn("s_log", sum(col("lf")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)).cast("decimal(38,9)"))
+      .select(col("event_type"), col("dur_h"), col("n_risk"),
+        col("deaths"), col("censors"), col("s_log"),
+        round(exp(col("s_log").cast("double")), 6).as("surv_r"))
+  }
+
   /** One-way ANOVA from a (event_type, v DECIMAL(18,4)) frame —
     * sufficient statistics (n, Σv, Σv²) per group in one partial-
     * aggregable pass, then a k-row serving computation. Per-group
@@ -247,6 +303,18 @@ object StatTestQueries {
         .select(col("event_type"), col("p_r"), col("bh_rank"),
           coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
     }),
+
+    // KAPLAN-MEIER SURVIVAL — per-type user-lifetime curve with
+    // right-censoring (the churn/retention question events_retention
+    // answers at fixed horizons, here as the full distribution): one
+    // per-user min/max pass, one additive (type, duration) grid, a
+    // count-arithmetic at-risk ladder and an exact-decimal
+    // log-survival cumsum. The grid is what merges — the streaming
+    // twin's proof.
+    "events_survival" -> ((s, dir) =>
+      survivalFinish(survivalGrid(userSpans(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"),
+          col("ts_ms")))))),
 
     // STRATIFIED SPLIT — per-language 80/10/10 train/val/test with
     // EXACT per-stratum quotas (the mixing-stage complement of
@@ -458,6 +526,47 @@ object StatTestQueries {
         |SELECT event_type, p_r, bh_rank,
         |  coalesce(bh_rank <= kstar, false) AS rejected
         |FROM sel""".stripMargin,
+
+    "events_survival" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+        |  FROM events
+        |), spans AS (
+        |  SELECT event_type, user_id, min(ts_ms) AS first_ts,
+        |    max(ts_ms) AS last_ts
+        |  FROM e GROUP BY 1, 2
+        |), cut AS (
+        |  SELECT max(last_ts) - 86400000 AS t_cut FROM spans
+        |), grid AS (
+        |  SELECT event_type, (last_ts - first_ts) // 3600000 AS dur_h,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 0 ELSE 1 END) AS deaths,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 1 ELSE 0 END) AS censors
+        |  FROM spans CROSS JOIN cut GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, dur_h, deaths, censors,
+        |    sum(deaths + censors) OVER (PARTITION BY event_type)
+        |      - coalesce(sum(deaths + censors) OVER (PARTITION BY event_type
+        |          ORDER BY dur_h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grid
+        |), lf AS (
+        |  SELECT event_type, dur_h, n_risk, deaths, censors,
+        |    CAST(CASE WHEN deaths > 0 THEN
+        |      round(ln(CAST(n_risk - deaths AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 9)
+        |      ELSE 0.0 END AS DECIMAL(20,9)) AS lf
+        |  FROM r
+        |)
+        |SELECT event_type, dur_h, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(deaths AS BIGINT) AS deaths, CAST(censors AS BIGINT) AS censors,
+        |  s_log, round(exp(CAST(s_log AS DOUBLE)), 6) AS surv_r
+        |FROM (
+        |  SELECT event_type, dur_h, n_risk, deaths, censors,
+        |    CAST(sum(lf) OVER (PARTITION BY event_type ORDER BY dur_h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(38,9)) AS s_log
+        |  FROM lf
+        |)""".stripMargin,
 
     "pipeline_stratified_split" ->
       """WITH d AS (

@@ -847,6 +847,26 @@ object StreamingQueries {
           .agg(sum(col("o")).as("o")))
     }),
 
+    // STREAMING KAPLAN-MEIER — survival under ingest: per-batch
+    // per-(type, user) first/last-seen spans merge by min/max (the
+    // span lattice is associative — a user's lifetime only extends),
+    // and the duration grid, at-risk ladder and log-survival cumsum
+    // all run at serving time off the merged spans. The censoring
+    // cutoff derives from merged spans (corpus max ts ≡ max user
+    // last-seen), so the frozen yardstick needs no side-channel.
+    // State = one row per (type, user) — the stream_rfm shape.
+    // Shares `events_survival`'s oracle, hash-proven.
+    "stream_survival" -> ((s, dir) => {
+      StatTestQueries.survivalFinish(StatTestQueries.survivalGrid(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("user_id"), col("ts_ms")),
+          "graft-surv-partials-")(StatTestQueries.userSpans)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("first_ts")).as("first_ts"),
+            max(col("last_ts")).as("last_ts"))))
+    }),
+
     // STREAMING TRIMMED/WINSORIZED MEANS — rank statistics under
     // ingest without keeping rows: per-batch (type, value) counts
     // sum-merge into a value grid (the 4-dp money values make the
@@ -1577,6 +1597,9 @@ object StreamingQueries {
     // Sum-merge of per-batch contingency cells ≡ the batch table —
     // shares the batch χ² oracle.
     "stream_chisq" -> StatTestQueries.oracleSql("events_chisq"),
+    // Min/max-merge of per-batch user spans ≡ whole-history spans —
+    // shares the batch Kaplan-Meier oracle.
+    "stream_survival" -> StatTestQueries.oracleSql("events_survival"),
     // Grid-count trimming ≡ row-rank trimming (tie groups are
     // interchangeable) — shares the batch trimmed-mean oracle.
     "stream_trimmed_mean" -> EventQueries.oracleSql("events_trimmed_mean"),

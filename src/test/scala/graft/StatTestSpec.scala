@@ -140,6 +140,52 @@ class StatTestSpec extends SparkSpec {
     }
   }
 
+  test("Kaplan-Meier: hand case, censoring semantics, monotonicity, ln margin") {
+    import spark.implicits._
+    // 4 users die at hours 1,2,3,4; 1 user censored (active in the
+    // final 24h). S(1)=4/5, S(2)=3/5, S(3)=2/5, S(4)=1/5 — the
+    // censored user stays at risk throughout (dur 100 > all deaths).
+    val H = 3600000L
+    val spans = Seq(
+      ("t", 1L, 0L, 1 * H), ("t", 2L, 0L, 2 * H),
+      ("t", 3L, 0L, 3 * H), ("t", 4L, 0L, 4 * H),
+      ("t", 5L, 0L, 100 * H)) // censored: last_ts > max−24h
+      .toDF("event_type", "user_id", "first_ts", "last_ts")
+    val km = StatTestQueries.survivalFinish(
+      StatTestQueries.survivalGrid(spans))
+      .collect().sortBy(_.getAs[Long]("dur_h"))
+    val surv = km.map(r => r.getAs[Long]("dur_h") -> r.getAs[Double]("surv_r")).toMap
+    Seq(1L -> 0.8, 2L -> 0.6, 3L -> 0.4, 4L -> 0.2).foreach { case (d, s) =>
+      assert(math.abs(surv(d) - s) < 1e-5, s"S($d) = ${surv(d)}, want $s")
+    }
+    // censored row: no survival drop, zero deaths
+    val cRow = km.find(_.getAs[Long]("dur_h") == 100L).get
+    assert(cRow.getAs[Long]("deaths") === 0L && cRow.getAs[Long]("censors") === 1L)
+    assert(math.abs(cRow.getAs[Double]("surv_r") - 0.2) < 1e-5)
+
+    // fixture: survival non-increasing per type; at-risk ladder decreasing
+    val fix = StatTestQueries.queries("events_survival")(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    fix.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("dur_h"))
+      val ss = sorted.map(_.getAs[Double]("surv_r"))
+      assert(ss.zip(ss.tail).forall { case (a, b) => b <= a + 1e-9 })
+      val nr = sorted.map(_.getAs[Long]("n_risk"))
+      assert(nr.zip(nr.tail).forall { case (a, b) => b < a })
+    }
+    // ln-quantization margin audit: no per-step ln sits within 1e-13
+    // of a 9-dp rounding boundary (libm-vs-JDK ulp is orders below)
+    fix.values.flatten.foreach { r =>
+      val (nRisk, deaths) = (r.getAs[Long]("n_risk"), r.getAs[Long]("deaths"))
+      if (deaths > 0 && nRisk > deaths) {
+        val lf = math.log((nRisk - deaths).toDouble / nRisk.toDouble)
+        val frac = math.abs(lf * 1e9 - math.rint(lf * 1e9))
+        assert(math.abs(frac - 0.5) > 1e-4,
+          s"ln margin razor-thin at n=$nRisk d=$deaths: frac=$frac")
+      }
+    }
+  }
+
   test("stratified split: exact per-stratum quotas, deterministic") {
     val out = StatTestQueries.queries("pipeline_stratified_split")(spark, sf)
       .collect()
