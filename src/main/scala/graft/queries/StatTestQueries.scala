@@ -185,15 +185,24 @@ object StatTestQueries {
         sum(col("deaths") + col("censors")).over(
           byType.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("lf",
-        when(col("deaths") > 0,
+        when(col("deaths") > 0 && col("deaths") < col("n_risk"),
           round(log((col("n_risk") - col("deaths")).cast("double")
             / col("n_risk").cast("double")), 9))
           .otherwise(lit(0.0)).cast("decimal(20,9)"))
-      .withColumn("s_log", sum(col("lf")).over(
-        byType.rowsBetween(Window.unboundedPreceding, 0)).cast("decimal(38,9)"))
+      // a terminal row where EVERYONE at risk dies sends survival to
+      // exactly 0 (ln(0) = −∞ is unrepresentable and engine-divergent:
+      // Spark rounds −Inf to −Inf, DuckDB errors on the decimal cast)
+      // — flag it and every later row, and emit s_log NULL / surv 0
+      .withColumn("dead", max(when(col("deaths") === col("n_risk"), 1)
+        .otherwise(0)).over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("s_log",
+        when(col("dead") === 0, sum(col("lf")).over(
+          byType.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("decimal(38,9)")))
       .select(col("event_type"), col("dur_h"), col("n_risk"),
         col("deaths"), col("censors"), col("s_log"),
-        round(exp(col("s_log").cast("double")), 6).as("surv_r"))
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("s_log").cast("double")), 6)).as("surv_r"))
   }
 
   /** One-way ANOVA from a (event_type, v DECIMAL(18,4)) frame —
@@ -219,9 +228,13 @@ object StatTestQueries {
       .select(col("k"), col("n_total"),
         col("ssb").cast("double").as("ssb_r"),
         round(col("ssw").cast("double"), 4).as("ssw_r"),
-        round((col("ssb").cast("double") / (col("k") - 1).cast("double"))
-          / (col("ssw").cast("double") / (col("n_total") - col("k")).cast("double")),
-          6).as("f_r"))
+        // k = 1 (no between-group df) or SSW = 0 (all values equal
+        // within every group) have no F — NULL, not an engine-
+        // divergent 0-division (Spark yields NULL/Inf, DuckDB errors)
+        when(col("k") > 1 && col("ssw") > 0 && col("n_total") > col("k"),
+          round((col("ssb").cast("double") / (col("k") - 1).cast("double"))
+            / (col("ssw").cast("double")
+              / (col("n_total") - col("k")).cast("double")), 6)).as("f_r"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,8 +428,10 @@ object StatTestQueries {
         |)
         |SELECT k, n_total, CAST(ssb AS DOUBLE) AS ssb_r,
         |  round(CAST(ssw AS DOUBLE), 4) AS ssw_r,
-        |  round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
-        |    / (CAST(ssw AS DOUBLE) / CAST(n_total - k AS DOUBLE)), 6) AS f_r
+        |  CASE WHEN k > 1 AND ssw > 0 AND n_total > k THEN
+        |    round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) / CAST(n_total - k AS DOUBLE)), 6)
+        |  END AS f_r
         |FROM two""".stripMargin,
 
     "events_chisq" ->
@@ -551,20 +566,25 @@ object StatTestQueries {
         |  FROM grid
         |), lf AS (
         |  SELECT event_type, dur_h, n_risk, deaths, censors,
-        |    CAST(CASE WHEN deaths > 0 THEN
+        |    CAST(CASE WHEN deaths > 0 AND deaths < n_risk THEN
         |      round(ln(CAST(n_risk - deaths AS DOUBLE)
         |        / CAST(n_risk AS DOUBLE)), 9)
-        |      ELSE 0.0 END AS DECIMAL(20,9)) AS lf
+        |      ELSE 0.0 END AS DECIMAL(20,9)) AS lf,
+        |    max(CASE WHEN deaths = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY dur_h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
         |  FROM r
         |)
         |SELECT event_type, dur_h, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(deaths AS BIGINT) AS deaths, CAST(censors AS BIGINT) AS censors,
-        |  s_log, round(exp(CAST(s_log AS DOUBLE)), 6) AS surv_r
+        |  s_log, CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(CAST(s_log AS DOUBLE)), 6) END AS surv_r
         |FROM (
-        |  SELECT event_type, dur_h, n_risk, deaths, censors,
-        |    CAST(sum(lf) OVER (PARTITION BY event_type ORDER BY dur_h
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS DECIMAL(38,9)) AS s_log
+        |  SELECT event_type, dur_h, n_risk, deaths, censors, dead,
+        |    CASE WHEN dead = 0 THEN
+        |      CAST(sum(lf) OVER (PARTITION BY event_type ORDER BY dur_h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS DECIMAL(38,9)) END AS s_log
         |  FROM lf
         |)""".stripMargin,
 

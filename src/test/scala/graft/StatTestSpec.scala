@@ -186,6 +186,41 @@ class StatTestSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs: ANOVA without df and all-deaths survival stay defined") {
+    import spark.implicits._
+    def dfOf(rows: Seq[(String, Double)]) =
+      rows.toDF("event_type", "raw")
+        .select(col("event_type"), col("raw").cast("decimal(18,4)").as("v"))
+    // one group: no between-group df → F is NULL, not a 0-division
+    val oneGroup = StatTestQueries.anovaOf(
+      dfOf((0 until 10).map(i => ("only", i.toDouble)))).collect().head
+    assert(oneGroup.isNullAt(oneGroup.fieldIndex("f_r")))
+    // all values identical: SSW = 0 → F is NULL
+    val allEq = StatTestQueries.anovaOf(
+      dfOf((0 until 10).map(i => (s"g${i % 2}", 7.0)))).collect().head
+    assert(allEq.isNullAt(allEq.fieldIndex("f_r")))
+
+    // every user dies (no censoring): the terminal KM row would be
+    // ln(0) — must come out as surv 0.0 / s_log NULL instead
+    val H = 3600000L
+    val spans = Seq(
+      ("t", 1L, 0L, 1 * H), ("t", 2L, 0L, 2 * H), ("t", 3L, 0L, 2 * H))
+      .toDF("event_type", "user_id", "first_ts", "last_ts")
+      // push the cutoff below every last_ts by adding a second type
+      // whose user survives far past everyone (so t_cut > all of t's)
+      .union(Seq(("u", 9L, 0L, 1000 * H))
+        .toDF("event_type", "user_id", "first_ts", "last_ts"))
+    val km = StatTestQueries.survivalFinish(
+      StatTestQueries.survivalGrid(spans)).collect()
+      .filter(_.getAs[String]("event_type") == "t")
+      .sortBy(_.getAs[Long]("dur_h"))
+    assert(km.map(_.getAs[Long]("dur_h")).toSeq === Seq(1L, 2L))
+    assert(math.abs(km.head.getAs[Double]("surv_r") - 2.0 / 3.0) < 1e-5)
+    val terminal = km.last
+    assert(terminal.getAs[Double]("surv_r") === 0.0)
+    assert(terminal.isNullAt(terminal.fieldIndex("s_log")))
+  }
+
   test("stratified split: exact per-stratum quotas, deterministic") {
     val out = StatTestQueries.queries("pipeline_stratified_split")(spark, sf)
       .collect()
