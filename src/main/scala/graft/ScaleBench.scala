@@ -140,7 +140,8 @@ object ScaleBench {
     "stream_kmv", "stream_outer_join", "stream_pseudo_window",
     "stream_pseudo_window_tws", "stream_quantiles",
     "stream_session_window", "stream_sliding_window", "stream_stl",
-    "stream_mannwhitney", "stream_chisq", "stream_survival")
+    "stream_mannwhitney", "stream_chisq", "stream_survival",
+    "stream_anova", "stream_bh_fdr", "stream_sprt")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

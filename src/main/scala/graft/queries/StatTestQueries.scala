@@ -112,9 +112,9 @@ object StatTestQueries {
     * ±2944439 for α = β = 0.05) — the whole trajectory is integer
     * arithmetic, so first-crossing indices are engine-exact.
     */
-  private val SprtPos = 182322L
-  private val SprtNeg = -223144L
-  private val SprtBound = 2944439L
+  private[graft] val SprtPos = 182322L
+  private[graft] val SprtNeg = -223144L
+  private[graft] val SprtBound = 2944439L
 
   private[graft] def sprtTrajectory(e: DataFrame): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
@@ -212,10 +212,20 @@ object StatTestQueries {
     * cross-group sum (a k-term double addition is order-sensitive;
     * decimal addition is not).
     */
-  private[graft] def anovaOf(e: DataFrame): DataFrame = {
-    val per = e.groupBy(col("event_type"))
+  private[graft] def anovaOf(e: DataFrame): DataFrame =
+    anovaFinish(anovaStats(e))
+
+  /** Per-type sufficient statistics (n, Σv, Σv²) — every column
+    * additive, so per-micro-batch partials sum-merged per type equal
+    * the one-pass statistics (`stream_anova`'s merge law).
+    */
+  private[graft] def anovaStats(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
         sum(col("v") * col("v")).as("qv"))
+
+  private[graft] def anovaFinish(stats: DataFrame): DataFrame = {
+    val per = stats
       .withColumn("term", round(col("sv").cast("double") * col("sv").cast("double")
         / col("n").cast("double"), 4).cast("decimal(24,4)"))
     per.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
@@ -235,6 +245,33 @@ object StatTestQueries {
           round((col("ssb").cast("double") / (col("k") - 1).cast("double"))
             / (col("ssw").cast("double")
               / (col("n_total") - col("k")).cast("double")), 6)).as("f_r"))
+  }
+
+  /** BH selection over the per-type KS results (n_ref, n_cur, d_r):
+    * asymptotic p quantized at 9 dp identically on both engines
+    * BEFORE any threshold comparison, then the largest-prefix rule
+    * over the m-row frame (m = #types — the windows are sketch-sized).
+    */
+  private[graft] def bhFinish(ks: DataFrame): DataFrame = {
+    val p = ks
+      .withColumn("lam2",
+        col("d_r") * col("d_r")
+          * (col("n_ref").cast("double") * col("n_cur").cast("double")
+            / (col("n_ref") + col("n_cur")).cast("double")))
+      .withColumn("p_r",
+        when(col("d_r").isNotNull,
+          round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("lam2"))), 9)))
+    val ranked = p.filter(col("p_r").isNotNull)
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bh_rank", row_number().over(
+        Window.orderBy(col("p_r"), col("event_type"))).cast("bigint"))
+      .withColumn("pass",
+        col("p_r") <= col("bh_rank").cast("double") * 0.10 / col("m").cast("double"))
+    ranked
+      .withColumn("kstar", max(when(col("pass"), col("bh_rank")))
+        .over(Window.partitionBy()))
+      .select(col("event_type"), col("p_r"), col("bh_rank"),
+        coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,31 +328,11 @@ object StatTestQueries {
     // The p quantization to 9 dp happens IDENTICALLY on both engines
     // before any comparison (the text_quality_lr sigmoid lesson);
     // everything past the KS stats is an m-row frame (m = #types).
-    "events_bh_fdr" -> ((s, dir) => {
-      val ks = EventQueries.ksOver(
+    "events_bh_fdr" -> ((s, dir) =>
+      bhFinish(EventQueries.ksOver(
         Tables.events(s, dir).filter(col("value").isNotNull)
           .select(col("event_type"), col("event_id"), col("ts_ms"),
-            col("value")))
-      val p = ks
-        .withColumn("lam2",
-          col("d_r") * col("d_r")
-            * (col("n_ref").cast("double") * col("n_cur").cast("double")
-              / (col("n_ref") + col("n_cur")).cast("double")))
-        .withColumn("p_r",
-          when(col("d_r").isNotNull,
-            round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("lam2"))), 9)))
-      val ranked = p.filter(col("p_r").isNotNull)
-        .withColumn("m", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("bh_rank", row_number().over(
-          Window.orderBy(col("p_r"), col("event_type"))).cast("bigint"))
-        .withColumn("pass",
-          col("p_r") <= col("bh_rank").cast("double") * 0.10 / col("m").cast("double"))
-      ranked
-        .withColumn("kstar", max(when(col("pass"), col("bh_rank")))
-          .over(Window.partitionBy()))
-        .select(col("event_type"), col("p_r"), col("bh_rank"),
-          coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
-    }),
+            col("value"))))),
 
     // KAPLAN-MEIER SURVIVAL — per-type user-lifetime curve with
     // right-censoring (the churn/retention question events_retention

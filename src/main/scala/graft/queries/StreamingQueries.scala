@@ -847,6 +847,112 @@ object StreamingQueries {
           .agg(sum(col("o")).as("o")))
     }),
 
+    // STREAMING SPRT — the sequential test run the way Wald designed
+    // it: a per-type DECISION STATE (count, running LLR, first
+    // crossing, verdict) folded forward batch by batch over the
+    // time-ordered replay. A crossing is NOT mergeable from unordered
+    // partials — it needs the carry — so this is the versioned
+    // sequential fold (the cdc_maintain shape), not a sum-merge:
+    // each batch ranks its rows per type, adds the carried
+    // (n, cum) offsets, detects the first in-batch Wald crossing,
+    // and full-outer-merges into state (an earlier decision is never
+    // overturned — coalesce keeps the first). Equal-ms cohorts never
+    // straddle batches (splitSourceDir cuts on ms), so the fold's
+    // (ts_ms, event_id) order is exactly the batch oracle's. State =
+    // one row per type. Shares `events_sprt`'s oracle, hash-proven.
+    "stream_sprt" -> ((s, dir) => {
+      val stateRoot = Files.createTempDirectory("graft-sprt-state-")
+      sys.addShutdownHook(deleteRecursively(stateRoot))
+      s.range(0).select(
+          lit("").as("event_type"), lit(0L).as("n"), lit(0L).as("cum"),
+          lit(null).cast("bigint").as("cross_n"),
+          lit(null).cast("string").as("decision"))
+        .write.parquet(stateRoot.resolve("v0").toString)
+      val version = new AtomicInteger(0)
+      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val B = StatTestQueries.SprtBound
+      val q = eventsStream(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = version.get()
+          val cur = s.read.parquet(stateRoot.resolve(s"v$v").toString)
+            .select(col("event_type"), col("n").as("pn"), col("cum").as("pcum"),
+              col("cross_n").as("pcross"), col("decision").as("pdec"))
+          val traj = StatTestQueries.sprtTrajectory(batch)
+          val carried = traj
+            .join(cur, Seq("event_type"), "left")
+            .withColumn("grn", coalesce(col("pn"), lit(0L)) + col("rn"))
+            .withColumn("gcum", coalesce(col("pcum"), lit(0L)) + col("cum"))
+          val batchPer = carried.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("bn"), sum(col("llr")).as("bsum"),
+              min(when(abs(col("gcum")) >= B,
+                struct(col("grn").as("g"),
+                  when(col("gcum") >= B, lit("h1")).otherwise(lit("h0"))
+                    .as("d")))).as("bc"))
+            .select(col("event_type"), col("bn"), col("bsum"),
+              col("bc.g").as("bcross"), col("bc.d").as("bdec"))
+          cur.join(batchPer, Seq("event_type"), "full_outer")
+            .select(col("event_type"),
+              (coalesce(col("pn"), lit(0L)) + coalesce(col("bn"), lit(0L))).as("n"),
+              (coalesce(col("pcum"), lit(0L)) + coalesce(col("bsum"), lit(0L))).as("cum"),
+              coalesce(col("pcross"), col("bcross")).as("cross_n"),
+              coalesce(col("pdec"), col("bdec")).as("decision"))
+            .write.parquet(stateRoot.resolve(s"v${v + 1}").toString)
+          version.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      deleteRecursively(ckpt)
+      s.read.parquet(stateRoot.resolve(s"v${version.get()}").toString)
+        .filter(col("event_type") =!= "")
+        .select(col("event_type"), col("n"), col("cum").as("llr_total_micro"),
+          col("cross_n"), coalesce(col("decision"), lit("continue")).as("decision"))
+    }),
+
+    // STREAMING ANOVA — the F test under ingest: per-batch per-type
+    // sufficient statistics (n, Σv, Σv²) are all additive, so the
+    // sum-merge is the textbook parallel-moments law; the k-row
+    // finish runs at serving. Shares `events_anova`'s oracle.
+    "stream_anova" -> ((s, dir) => {
+      StatTestQueries.anovaFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), dec(col("value")).as("v")),
+          "graft-anova-partials-")(StatTestQueries.anovaStats)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+            sum(col("qv")).as("qv")))
+    }),
+
+    // STREAMING BH-FDR — multiple-testing correction maintained under
+    // ingest: the per-type KS grids sum-merge (stream_ks_test's law),
+    // and the p-conversion + prefix selection run at serving over the
+    // m-row frame. Shares `events_bh_fdr`'s oracle.
+    "stream_bh_fdr" -> ((s, dir) => {
+      val base = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count() // freeze the yardstick before the stream starts
+      StatTestQueries.bhFinish(EventQueries.ksFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
+          "graft-bh-partials-") {
+          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
+        }
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))))
+    }),
+
     // STREAMING KAPLAN-MEIER — survival under ingest: per-batch
     // per-(type, user) first/last-seen spans merge by min/max (the
     // span lattice is associative — a user's lifetime only extends),
@@ -1600,6 +1706,16 @@ object StreamingQueries {
     // Min/max-merge of per-batch user spans ≡ whole-history spans —
     // shares the batch Kaplan-Meier oracle.
     "stream_survival" -> StatTestQueries.oracleSql("events_survival"),
+    // Sum-merge of per-batch per-type moment partials ≡ one-pass
+    // sufficient statistics — shares the batch ANOVA oracle.
+    "stream_anova" -> StatTestQueries.oracleSql("events_anova"),
+    // Sequential fold ≡ whole-history trajectory under the ordered
+    // replay (first crossing never overturned) — shares the batch
+    // SPRT oracle.
+    "stream_sprt" -> StatTestQueries.oracleSql("events_sprt"),
+    // Same grid merge as stream_ks_test, BH selection at serving —
+    // shares the batch BH-FDR oracle.
+    "stream_bh_fdr" -> StatTestQueries.oracleSql("events_bh_fdr"),
     // Grid-count trimming ≡ row-rank trimming (tie groups are
     // interchangeable) — shares the batch trimmed-mean oracle.
     "stream_trimmed_mean" -> EventQueries.oracleSql("events_trimmed_mean"),
