@@ -33,7 +33,14 @@ object MultimodalQueries {
     */
   private def decodedAudio(s: org.apache.spark.sql.SparkSession, dir: String) =
     Artifacts.materialized(s, dir, "audio_decoded") {
+      // project the payload AWAY before the checkpoint: decodeWavs
+      // carries the input columns through, and checkpointing the WAV
+      // bytes alongside the six stat longs made the artifact
+      // data-sized in the worst way (measured 19-20× at 10× payloads;
+      // dropping bytes makes it |docs|×7 scalars)
       MultimodalOps.decodeWavs(MultimodalOps.audioTable(s, dir))
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("sum_amp"), col("sum_sq"), col("min_amp"), col("max_amp"))
     }
 
   /** Candidate periods (in samples) for `mm_audio_pitch` — 256 is the
