@@ -106,7 +106,8 @@ object ScaleBench {
     "text_token_freq", "text_zipf",
     // r11 statistical-testing wave
     "events_mannwhitney", "events_anova", "events_chisq", "events_sprt",
-    "events_bh_fdr", "pipeline_stratified_split", "events_survival")
+    "events_bh_fdr", "pipeline_stratified_split", "events_survival",
+    "emb_silhouette", "search_ndcg")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

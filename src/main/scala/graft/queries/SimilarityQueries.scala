@@ -319,6 +319,31 @@ object SimilarityQueries {
         .select(col("list_id"), col("i").cast("long").as("i"),
                 col("c").as("c_new"))),
 
+    // CLUSTERING QUALITY — simplified silhouette over the trained
+    // k-means index: per vector, a = cosine distance to its OWN
+    // centroid, b = distance to the nearest OTHER centroid, s =
+    // (b − a)/max(a, b); reported as the per-cluster mean. The
+    // simplified (centroid-based) form is the one that scales — the
+    // classic silhouette's per-point mean pairwise distance is O(n²)
+    // by definition, while this is one broadcast-centroid projection
+    // (|corpus| × nlist cosines, the assignment pass's own cost).
+    // Per-vector s is quantized to DECIMAL(12,9) before the
+    // (order-sensitive) per-cluster mean — the χ²-contribution
+    // pattern. Closes the train → serve → EVALUATE loop next to
+    // kmeans_train and ann_recall_ivf.
+    "emb_silhouette" -> ((s, dir) => {
+      val cents = trainedCentLong(s, dir)
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+        .select(col("list_id"),
+          transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        .withColumn("cnorm",
+          sqrt(VectorOps.normSqDecimal(col("centroid")).cast("double")))
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      silhouetteOf(emb, cents)
+    }),
+
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
     // centroids and the corpus assignment they induce. The unrolled-N
@@ -1037,6 +1062,33 @@ object SimilarityQueries {
           sqrt(VectorOps.normSqDecimal(col("centroid")).cast("double")).as("cnorm"))
         .as("cent"))
       .agg(array_sort(collect_list(col("cent"))).as("cents"))
+
+  /** Simplified-silhouette core over (vec_id, embedding, nrm) ×
+    * (list_id, centroid, cnorm) — exposed so the spec can plant
+    * separated/overlapping clusters and assert the score orders them.
+    */
+  private[graft] def silhouetteOf(emb: org.apache.spark.sql.DataFrame,
+                                  cents: org.apache.spark.sql.DataFrame) = {
+    val ranked = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.dotDecimal(col("embedding"), col("centroid")).cast("double")
+          / (col("nrm") * col("cnorm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("list_id"))))
+      .filter(col("rk") <= 2)
+    val sil = ranked.groupBy(col("vec_id"))
+      .agg(max(when(col("rk") === 1, col("list_id"))).as("list_id"),
+        (lit(1.0) - max(when(col("rk") === 1, col("ccos")))).as("a"),
+        (lit(1.0) - max(when(col("rk") === 2, col("ccos")))).as("b"))
+      .withColumn("sq",
+        round(when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)), 9).cast("decimal(12,9)"))
+    sil.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sq")).cast("double") / count(lit(1)), 6).as("sil_r"))
+  }
 
   /** Force-build the ANN index artifacts — the LSH bucket column and
     * the IVF centroid/assignment tables — without running a search.
@@ -2212,6 +2264,33 @@ object SimilarityQueries {
       s"""WITH ${lloydCtes(TrainRounds)}
          |SELECT list_id, CAST(i - 1 AS BIGINT) AS i, c AS c_new
          |FROM dims$TrainRounds""".stripMargin,
+
+    "emb_silhouette" ->
+      s"""WITH ${lloydCtes(TrainRounds)}, scored AS (
+         |  SELECT e.vec_id, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent$TrainRounds c
+         |), ranked AS (
+         |  SELECT vec_id, list_id, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), sil AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rk = 1 THEN list_id END) AS list_id,
+         |    1.0 - max(CASE WHEN rk = 1 THEN ccos END) AS a,
+         |    1.0 - max(CASE WHEN rk = 2 THEN ccos END) AS b
+         |  FROM ranked WHERE rk <= 2 GROUP BY vec_id
+         |), q AS (
+         |  SELECT vec_id, list_id,
+         |    CAST(round(CASE WHEN greatest(a, b) > 0
+         |      THEN (b - a) / greatest(a, b) ELSE 0.0 END, 9)
+         |      AS DECIMAL(12,9)) AS sq
+         |  FROM sil
+         |)
+         |SELECT list_id, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(sq) AS DOUBLE) / count(*), 6) AS sil_r
+         |FROM q GROUP BY 1""".stripMargin,
 
     "ann_topk_ivf_trained" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (

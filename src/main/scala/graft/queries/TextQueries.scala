@@ -841,40 +841,15 @@ object TextQueries {
     // score with doc_id tiebreak, and the one libm call (ln) has a
     // 3-value argument domain per sf — cross-checked by the 3-sf
     // oracle verify, the HLL enumeration discipline.
-    "text_bm25" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val hits = toks.filter(col("token").isin(Bm25Terms: _*))
-      val tf = hits.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = hits.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(dl, "doc_id")
-        .join(broadcast(df), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-        .withColumn("idf", log(lit(1.0) +
-          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))))
-        .withColumn("tfn",
-          col("tf").cast("double") * lit(2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(1.0) - lit(0.75) +
-               lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-        .withColumn("contrib_q",
-          round(col("idf") * col("tfn"), 9).cast("decimal(28,9)"))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("score_d"))
+    "text_bm25" -> ((s, dir) =>
+      bm25Agg(s, dir)
         .orderBy(col("score_d").desc, col("doc_id"))
         .limit(20)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("score_d").desc, col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("n_terms_hit"),
-                round(col("score_d").cast("double"), 6).as("score_r"))
-    }),
+                round(col("score_d").cast("double"), 6).as("score_r"))),
 
     // INVERTED INDEX build — the posting-list table behind BM25 at
     // interactive latency (score only the union of the query terms'
@@ -928,43 +903,41 @@ object TextQueries {
     // decimals, sums decimal-exact, and the final
     // dot/(√nq²·√nd²) runs in fixed-order IEEE double both engines
     // share (sqrt is correctly-rounded — no transcendental gap).
-    "search_tfidf_cosine" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
-        .withColumn("idf_q", round(
-          log((col("n_docs") + 1).cast("double") /
-              (col("df") + 1).cast("double")) + lit(1.0), 9)
-          .cast("decimal(18,9)"))
-        .select(col("token"), col("idf_q"))
-      val w = tf.join(idf, "token")
-        .withColumn("w",
-          (col("tf").cast("decimal(9,0)") * col("idf_q")).cast("decimal(18,9)"))
-      val norms = w.groupBy(col("doc_id"))
-        .agg(sum(col("w") * col("w")).as("nd2"))
-      val qTerms = idf.filter(col("token").isin(Bm25Terms: _*))
-        .select(col("token"), col("idf_q").as("qw"))
-      val qNorm = qTerms.agg(sum(col("qw") * col("qw")).as("nq2"))
-      val scored = w.join(broadcast(qTerms), "token")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms_hit"), sum(col("qw") * col("w")).as("dot_d"))
-        .join(norms, "doc_id")
-        .crossJoin(broadcast(qNorm))
-        .withColumn("score", col("dot_d").cast("double") /
-          (sqrt(col("nq2").cast("double")) * sqrt(col("nd2").cast("double"))))
-      scored
+    "search_tfidf_cosine" -> ((s, dir) =>
+      tfidfScored(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("score").desc, col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("n_terms_hit"),
-                round(col("score"), 6).as("score_r"))
+                round(col("score"), 6).as("score_r"))),
+
+    // RANKING QUALITY — NDCG@10 of the BM25 ranking against graded
+    // relevance derived from the tf-idf cosine scorer (the two
+    // retrieval legs judging each other — the offline eval harness a
+    // search pipeline runs on every ranker change; swap a real
+    // judgment table in for `rel` and the query IS the evaluator).
+    // Engine-exact core: rank discounts 1/log2(r+1) are PRE-ROUNDED
+    // 9-dp constants (the SPRT-constants pattern — no runtime log2),
+    // grades are integer cuts of the already-quantized cosine, so
+    // DCG and ideal-DCG are exact decimal sums and only the final
+    // ratio is a rounded double. Everything is top-10-sized after the
+    // two scoring chains, which are shared with text_bm25 /
+    // search_tfidf_cosine.
+    "search_ndcg" -> ((s, dir) => {
+      val top = bm25Agg(s, dir)
+        .orderBy(col("score_d").desc, col("doc_id"))
+        .limit(NdcgK)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_d").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"))
+      val rel = tfidfScored(s, dir)
+        .select(col("doc_id"),
+          least(lit(4L), greatest(lit(0L),
+            floor(round(col("score"), 6) * 10).cast("long"))).as("grade"))
+      ndcgOf(s, top, rel)
     }),
 
     // BIGRAM LANGUAGE-MODEL SCORING — the "LM perplexity filter" stage
@@ -1122,6 +1095,121 @@ object TextQueries {
 
   /** BM25 query terms: one rare (df ≈ 5% of docs) + two common. */
   private val Bm25Terms = Seq("dup", "spark", "vector")
+
+  /** NDCG cutoff and the 1/log2(r+1) rank discounts for r = 1..10,
+    * pre-rounded at 9 dp (computed once offline — no runtime log2, so
+    * DCG sums are exact decimal on both engines; the SPRT-constants
+    * pattern).
+    */
+  private[graft] val NdcgK = 10
+  private[graft] val DcgDiscounts = Seq(
+    "1.000000000", "0.630929754", "0.500000000", "0.430676558",
+    "0.386852807", "0.356207187", "0.333333333", "0.315464877",
+    "0.301029996", "0.289064826")
+
+  private def discountFrame(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    DcgDiscounts.zipWithIndex
+      .map { case (d, i) => ((i + 1).toLong, BigDecimal(d)) }
+      .toDF("r", "disc")
+      .select(col("r"), col("disc").cast("decimal(12,9)").as("disc"))
+  }
+
+  /** NDCG core over a (rank, doc_id) ranking and a (doc_id, grade)
+    * relevance table — exposed so the spec can assert the identity
+    * (self-consistent ranking → 1.0) and order sensitivity.
+    */
+  private[graft] def ndcgOf(s: org.apache.spark.sql.SparkSession,
+                            top: org.apache.spark.sql.DataFrame,
+                            rel: org.apache.spark.sql.DataFrame) = {
+    val disc = discountFrame(s)
+    val graded = top
+      .join(rel, Seq("doc_id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+      .withColumn("irank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("grade").desc, col("doc_id"))).cast("long"))
+    graded
+      .join(broadcast(disc.select(col("r").as("rank"), col("disc"))), "rank")
+      .join(broadcast(disc.select(col("r").as("irank"),
+        col("disc").as("idisc"))), "irank")
+      .agg(count(lit(1)).as("n"),
+        sum(col("grade").cast("decimal(10,0)") * col("disc")).as("dcg"),
+        sum(col("grade").cast("decimal(10,0)") * col("idisc")).as("idcg"))
+      .select(col("n"),
+        round(col("dcg").cast("double"), 6).as("dcg_r"),
+        round(col("idcg").cast("double"), 6).as("idcg_r"),
+        when(col("idcg") > 0,
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
+          .as("ndcg_r"))
+  }
+
+  /** BM25-scored per-doc aggregate (doc_id, n_terms_hit, score_d) for
+    * the fixed query terms — the chain text_bm25 ranks and search_ndcg
+    * evaluates.
+    */
+  private def bm25Agg(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val hits = toks.filter(col("token").isin(Bm25Terms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = hits.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf
+      .join(dl, "doc_id")
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(1.0) - lit(0.75) +
+             lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("contrib_q",
+        round(col("idf") * col("tfn"), 9).cast("decimal(28,9)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("score_d"))
+  }
+
+  /** Tf-idf cosine scores (doc_id, n_terms_hit, score) for the same
+    * query terms — shared by search_tfidf_cosine and search_ndcg's
+    * relevance grades.
+    */
+  private def tfidfScored(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_q", round(
+        log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")) + lit(1.0), 9)
+        .cast("decimal(18,9)"))
+      .select(col("token"), col("idf_q"))
+    val w = tf.join(idf, "token")
+      .withColumn("w",
+        (col("tf").cast("decimal(9,0)") * col("idf_q")).cast("decimal(18,9)"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("nd2"))
+    val qTerms = idf.filter(col("token").isin(Bm25Terms: _*))
+      .select(col("token"), col("idf_q").as("qw"))
+    val qNorm = qTerms.agg(sum(col("qw") * col("qw")).as("nq2"))
+    w.join(broadcast(qTerms), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("qw") * col("w")).as("dot_d"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qNorm))
+      .withColumn("score", col("dot_d").cast("double") /
+        (sqrt(col("nq2").cast("double")) * sqrt(col("nd2").cast("double"))))
+  }
 
   /** Adjacent-token bigrams of a (doc_id, t: tokens) frame — shared
     * by the held-out perplexity pair.
@@ -1529,6 +1617,105 @@ object TextQueries {
     // bare decimals would route through DuckDB DECIMAL arithmetic),
     // 9-dp-quantized decimal-summed contributions, ranking on the
     // exact decimal score
+    "search_ndcg" ->
+      s"""$toksCte, tok AS (
+         |  SELECT doc_id, token FROM d, unnest(toks) AS u(token)
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+         |), hits AS (
+         |  SELECT doc_id, token FROM tok
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |), btf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM hits GROUP BY 1, 2
+         |), bdf AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM hits) GROUP BY 1
+         |), bscored AS (
+         |  SELECT btf.doc_id,
+         |    CAST(round(
+         |      ln(CAST(1.0 AS DOUBLE) +
+         |         (CAST(st.n_docs - bdf.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+         |         (CAST(bdf.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      *
+         |      (CAST(btf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+         |       (CAST(btf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+         |         CAST(0.75 AS DOUBLE) *
+         |          (CAST(dl.dl AS DOUBLE) /
+         |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))))
+         |    , 9) AS DECIMAL(28,9)) AS contrib_q
+         |  FROM btf
+         |  JOIN dl ON dl.doc_id = btf.doc_id
+         |  JOIN bdf ON bdf.token = btf.token
+         |  CROSS JOIN st
+         |), bagg AS (
+         |  SELECT doc_id, sum(contrib_q) AS score_d FROM bscored GROUP BY 1
+         |), topd AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY score_d DESC, doc_id)
+         |    AS BIGINT) AS rank, doc_id
+         |  FROM bagg ORDER BY score_d DESC, doc_id LIMIT $NdcgK
+         |), ttf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d
+         |), tidf AS (
+         |  SELECT token,
+         |    CAST(round(ln(CAST(nd.n_docs + 1 AS DOUBLE) /
+         |                  CAST(count(*) + 1 AS DOUBLE)) + 1.0, 9)
+         |         AS DECIMAL(18,9)) AS idf_q
+         |  FROM ttf, nd GROUP BY token, nd.n_docs
+         |), tw AS (
+         |  SELECT ttf.doc_id, ttf.token,
+         |    CAST(CAST(ttf.tf AS DECIMAL(9,0)) * tidf.idf_q AS DECIMAL(18,9)) AS w
+         |  FROM ttf JOIN tidf USING (token)
+         |), tnorms AS (
+         |  SELECT doc_id, sum(w * w) AS nd2 FROM tw GROUP BY 1
+         |), tq AS (
+         |  SELECT token, idf_q AS qw FROM tidf
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |), tqn AS (
+         |  SELECT sum(qw * qw) AS nq2 FROM tq
+         |), tdot AS (
+         |  SELECT tw.doc_id, sum(tq.qw * tw.w) AS dot_d
+         |  FROM tw JOIN tq ON tq.token = tw.token GROUP BY 1
+         |), rel AS (
+         |  SELECT tdot.doc_id,
+         |    least(4, greatest(0, CAST(floor(round(
+         |      CAST(tdot.dot_d AS DOUBLE) /
+         |        (sqrt(CAST(tqn.nq2 AS DOUBLE)) * sqrt(CAST(tnorms.nd2 AS DOUBLE)))
+         |      , 6) * 10) AS BIGINT))) AS grade
+         |  FROM tdot JOIN tnorms ON tnorms.doc_id = tdot.doc_id CROSS JOIN tqn
+         |), g AS (
+         |  SELECT topd.rank, topd.doc_id, coalesce(rel.grade, 0) AS grade
+         |  FROM topd LEFT JOIN rel USING (doc_id)
+         |), gi AS (
+         |  SELECT rank, grade,
+         |    CAST(row_number() OVER (ORDER BY grade DESC, doc_id) AS BIGINT)
+         |      AS irank
+         |  FROM g
+         |), disc(r, dv) AS (
+         |  VALUES ${DcgDiscounts.zipWithIndex.map { case (d, i) =>
+                      s"(${i + 1}, CAST('$d' AS DECIMAL(12,9)))" }.mkString(", ")}
+         |), j AS (
+         |  SELECT gi.grade, d1.dv AS disc, d2.dv AS idisc
+         |  FROM gi JOIN disc d1 ON d1.r = gi.rank JOIN disc d2 ON d2.r = gi.irank
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(grade AS DECIMAL(10,0)) * disc) AS DOUBLE), 6)
+         |    AS dcg_r,
+         |  round(CAST(sum(CAST(grade AS DECIMAL(10,0)) * idisc) AS DOUBLE), 6)
+         |    AS idcg_r,
+         |  CASE WHEN sum(CAST(grade AS DECIMAL(10,0)) * idisc) > 0 THEN
+         |    round(CAST(sum(CAST(grade AS DECIMAL(10,0)) * disc) AS DOUBLE)
+         |      / CAST(sum(CAST(grade AS DECIMAL(10,0)) * idisc) AS DOUBLE), 6)
+         |  END AS ndcg_r
+         |FROM j""".stripMargin,
+
     "text_bm25" ->
       s"""$toksCte, tok AS (
          |  SELECT doc_id, token FROM d, unnest(toks) AS u(token)
