@@ -142,7 +142,7 @@ object ScaleBench {
     "stream_pseudo_window_tws", "stream_quantiles",
     "stream_session_window", "stream_sliding_window", "stream_stl",
     "stream_mannwhitney", "stream_chisq", "stream_survival",
-    "stream_anova", "stream_bh_fdr", "stream_sprt")
+    "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

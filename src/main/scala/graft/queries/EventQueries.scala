@@ -768,36 +768,8 @@ object EventQueries {
     // double — 12-dp-quantized and decimal-summed (margins generic).
     // Scale shape: the shared hourly hash agg + ONE ordered window
     // per series + one partial-aggregable agg.
-    "events_forecast_eval" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
-      val h = hourlySeries(s, dir)
-        .withColumn("f24", lag(col("y"), 24).over(byType))
-        .withColumn("f1", lag(col("y"), 1).over(byType))
-        .filter(col("f24").isNotNull && col("f1").isNotNull)
-        .withColumn("e24", abs(col("y") - col("f24")))
-        .withColumn("e1", abs(col("y") - col("f1")))
-        // sMAPE 0/0 guard (an hour pair where actual AND forecast are
-        // exactly 0): the conventional term is 0, not an
-        // engine-divergent NaN/NULL
-        .withColumn("sm", when(
-          abs(col("y")).cast("double") + abs(col("f24")).cast("double") > 0,
-          round((lit(2.0) * col("e24").cast("double"))
-            / (abs(col("y")).cast("double") + abs(col("f24")).cast("double")),
-            12))
-          .otherwise(lit(0.0)).cast("decimal(38,12)"))
-      h.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_eval"),
-          sum(col("e24")).as("se24"), sum(col("e1")).as("se1"),
-          sum(col("sm")).as("ssm"))
-        .select(col("event_type"), col("n_eval"),
-          round(col("se24").cast("double") / col("n_eval"), 6).as("mae_r"),
-          when(col("se1") > 0,
-            round(col("se24").cast("double") / col("se1").cast("double"), 6))
-            .as("mase_r"),
-          round(col("ssm").cast("double") / col("n_eval"), 6).as("smape_r"))
-    }),
-
+    "events_forecast_eval" -> ((s, dir) =>
+      forecastEvalOver(hourlySeries(s, dir))),
     // WINDOWED Theil-Sen — the production scale path for the operator
     // above, the dedup_semantic→_scaled pattern applied to time: the
     // full pairwise median is quadratic IN THE TIME SPAN (measured
@@ -1978,6 +1950,41 @@ object EventQueries {
     */
   private def hourlySeries(s: org.apache.spark.sql.SparkSession, dir: String) =
     hourlyFromCells(hourlyCells(Tables.events(s, dir)))
+
+  /** Forecast-eval finish off any hourly (event_type, hour_ms, y)
+    * series — the serving half `stream_forecast_eval` shares with the
+    * batch query (its mergeable half is [[hourlyCells]], the same
+    * additive hourly state as the STL/changepoint twins).
+    */
+  private[graft] def forecastEvalOver(hourlyIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+    val h = hourlyIn
+      .withColumn("f24", lag(col("y"), 24).over(byType))
+      .withColumn("f1", lag(col("y"), 1).over(byType))
+      .filter(col("f24").isNotNull && col("f1").isNotNull)
+      .withColumn("e24", abs(col("y") - col("f24")))
+      .withColumn("e1", abs(col("y") - col("f1")))
+      // sMAPE 0/0 guard (an hour pair where actual AND forecast are
+      // exactly 0): the conventional term is 0, not an
+      // engine-divergent NaN/NULL
+      .withColumn("sm", when(
+        abs(col("y")).cast("double") + abs(col("f24")).cast("double") > 0,
+        round((lit(2.0) * col("e24").cast("double"))
+          / (abs(col("y")).cast("double") + abs(col("f24")).cast("double")),
+          12))
+        .otherwise(lit(0.0)).cast("decimal(38,12)"))
+    h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("e24")).as("se24"), sum(col("e1")).as("se1"),
+        sum(col("sm")).as("ssm"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("se24").cast("double") / col("n_eval"), 6).as("mae_r"),
+        when(col("se1") > 0,
+          round(col("se24").cast("double") / col("se1").cast("double"), 6))
+          .as("mase_r"),
+        round(col("ssm").cast("double") / col("n_eval"), 6).as("smape_r"))
+  }
 
   /** The mergeable half of the hourly series: per-(type, hour) count +
     * exact decimal sum — both additive, so per-micro-batch partial

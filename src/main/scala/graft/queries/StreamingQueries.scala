@@ -1411,6 +1411,21 @@ object StreamingQueries {
       EventQueries.stlOver(EventQueries.hourlyFromCells(merged))
     }),
 
+    // STREAMING FORECAST EVALUATION — MAE/MASE/sMAPE maintained under
+    // ingest off the same additive hourly-cell state as the
+    // STL/changepoint twins; the lag-24/lag-1 error scan at serving
+    // runs over the merged hourly table (≤ 24·days rows per series).
+    // Shares events_forecast_eval's oracle — merge(partials) ≡ batch.
+    "stream_forecast_eval" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-fce-partials-")(EventQueries.hourlyCells)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
+      EventQueries.forecastEvalOver(EventQueries.hourlyFromCells(merged))
+    }),
+
     // STREAMING CHANGEPOINT — the binary-segmentation variance-gain
     // scan online, same mergeable-cells state; the per-series prefix
     // scan at serving runs over the merged hourly table (≤ 24·days
@@ -1713,6 +1728,9 @@ object StreamingQueries {
     // replay (first crossing never overturned) — shares the batch
     // SPRT oracle.
     "stream_sprt" -> StatTestQueries.oracleSql("events_sprt"),
+    // Hourly-cell merge (the STL/changepoint law) with the error scan
+    // at serving — shares the batch forecast-eval oracle.
+    "stream_forecast_eval" -> EventQueries.oracleSql("events_forecast_eval"),
     // Same grid merge as stream_ks_test, BH selection at serving —
     // shares the batch BH-FDR oracle.
     "stream_bh_fdr" -> StatTestQueries.oracleSql("events_bh_fdr"),

@@ -186,6 +186,34 @@ class StatTestSpec extends SparkSpec {
     }
   }
 
+  test("invariances: U under monotone transforms, F under affine maps") {
+    // Mann-Whitney is a RANK test: any strictly monotone value
+    // transform leaves every (n_ref, n_cur, u2) untouched
+    val rows = (0 until 400).map { i =>
+      ("t", i.toLong, 1000000L + i * 1000L, ((i * 13) % 97).toDouble)
+    }
+    val base = mwOf(rows).collect().head
+    val cubed = mwOf(rows.map { case (t, id, ts, v) => (t, id, ts, v * v * v + 5.0) })
+      .collect().head
+    assert(base.getAs[Long]("u2") === cubed.getAs[Long]("u2"))
+    assert(base.getAs[Long]("n_ref") === cubed.getAs[Long]("n_ref"))
+
+    // ANOVA's F is invariant under y → a·y + b (both sums of squares
+    // scale by a²); the 4-dp value grid bounds the comparison at 1e-3
+    import spark.implicits._
+    def anovaF(f: Double => Double) =
+      StatTestQueries.anovaOf(
+        (0 until 300).map { i =>
+          (s"g${i % 3}", BigDecimal(f(((i * 13) % 50).toDouble + (i % 3) * 8.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        }.toDF("event_type", "v")
+          .select(col("event_type"), col("v").cast("decimal(18,4)").as("v")))
+        .collect().head.getAs[Double]("f_r")
+    val f0 = anovaF(identity)
+    val f1 = anovaF(v => 3.0 * v - 40.0)
+    assert(math.abs(f0 - f1) < 1e-3, s"affine map moved F: $f0 vs $f1")
+  }
+
   test("degenerate inputs: ANOVA without df and all-deaths survival stay defined") {
     import spark.implicits._
     def dfOf(rows: Seq[(String, Double)]) =
