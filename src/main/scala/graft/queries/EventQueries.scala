@@ -822,6 +822,41 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // COHORT LTV CURVES — cumulative value per acquisition cohort over
+    // account age (the revenue companion to the retention matrix):
+    // cohort = the user's first-seen day, age = event day − cohort
+    // day, per-(cohort, age) exact decimal value sums, then the
+    // cumulative LTV prefix over each cohort's age axis. The cumsum
+    // window is partitioned by cohort over the (cohorts × ages) grid —
+    // calendar-sized, never |events|; per-cohort user counts ride the
+    // same grid so the output is both total and per-user LTV.
+    "events_cohort_ltv" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), dec(col("value")).as("v"),
+          (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("day_ms")).as("cohort_day_ms"))
+      val sized = cohort.groupBy(col("cohort_day_ms"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val grid = e.join(cohort, "user_id")
+        .groupBy(col("cohort_day_ms"),
+          ((col("day_ms") - col("cohort_day_ms")) / 86400000L)
+            .cast("long").as("age_days"))
+        .agg(sum(col("v")).as("rev"))
+      grid
+        .withColumn("ltv", sum(col("rev")).over(
+          W.partitionBy(col("cohort_day_ms")).orderBy(col("age_days"))
+            .rowsBetween(W.unboundedPreceding, 0)).cast("decimal(38,4)"))
+        .join(broadcast(sized), "cohort_day_ms")
+        .select(col("cohort_day_ms"), col("age_days"), col("cohort_users"),
+          round(col("rev").cast("double"), 4).as("rev_r"),
+          round(col("ltv").cast("double"), 4).as("ltv_r"),
+          round(col("ltv").cast("double") / col("cohort_users"), 6)
+            .as("ltv_per_user_r"))
+    }),
+
     // RFM SEGMENTATION — the classic customer-value matrix: per user,
     // recency (last event time), frequency (event count), monetary
     // (exact decimal value sum), each scored into quintiles by
@@ -3953,6 +3988,35 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "events_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+        |    (epoch_ns(ts) // 1000000)
+        |      - ((epoch_ns(ts) // 1000000) % 86400000) AS day_ms
+        |  FROM events WHERE value IS NOT NULL
+        |), cohort AS (
+        |  SELECT user_id, min(day_ms) AS cohort_day_ms FROM e GROUP BY 1
+        |), sized AS (
+        |  SELECT cohort_day_ms, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM cohort GROUP BY 1
+        |), grid AS (
+        |  SELECT c.cohort_day_ms,
+        |    (e.day_ms - c.cohort_day_ms) // 86400000 AS age_days,
+        |    sum(e.v) AS rev
+        |  FROM e JOIN cohort c USING (user_id) GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cohort_day_ms, age_days, rev,
+        |    CAST(sum(rev) OVER (PARTITION BY cohort_day_ms ORDER BY age_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(38,4)) AS ltv
+        |  FROM grid
+        |)
+        |SELECT cohort_day_ms, age_days, cohort_users,
+        |  round(CAST(rev AS DOUBLE), 4) AS rev_r,
+        |  round(CAST(ltv AS DOUBLE), 4) AS ltv_r,
+        |  round(CAST(ltv AS DOUBLE) / cohort_users, 6) AS ltv_per_user_r
+        |FROM cum JOIN sized USING (cohort_day_ms)""".stripMargin,
 
     "events_rfm" ->
       """WITH per AS (

@@ -332,16 +332,9 @@ object SimilarityQueries {
     // pattern. Closes the train → serve → EVALUATE loop next to
     // kmeans_train and ann_recall_ivf.
     "emb_silhouette" -> ((s, dir) => {
-      val cents = trainedCentLong(s, dir)
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
-        .select(col("list_id"),
-          transform(col("pairs"), p => p.getField("c")).as("centroid"))
-        .withColumn("cnorm",
-          sqrt(VectorOps.normSqDecimal(col("centroid")).cast("double")))
       val emb = Tables.embeddings(s, dir)
         .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
-      silhouetteOf(emb, cents)
+      silhouetteOf(emb, trainedCentsFrame(s, dir))
     }),
 
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
@@ -1068,7 +1061,30 @@ object SimilarityQueries {
     * separated/overlapping clusters and assert the score orders them.
     */
   private[graft] def silhouetteOf(emb: org.apache.spark.sql.DataFrame,
-                                  cents: org.apache.spark.sql.DataFrame) = {
+                                  cents: org.apache.spark.sql.DataFrame) =
+    silFinishOf(silPartials(emb, cents))
+
+  /** The trained-k-means centroid frame (list_id, centroid, cnorm) —
+    * the frozen yardstick `emb_silhouette` scores against and
+    * `stream_silhouette` broadcasts into each micro-batch.
+    */
+  private[graft] def trainedCentsFrame(s: org.apache.spark.sql.SparkSession,
+                                       dir: String) =
+    trainedCentLong(s, dir)
+      .groupBy(col("list_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+      .select(col("list_id"),
+        transform(col("pairs"), p => p.getField("c")).as("centroid"))
+      .withColumn("cnorm",
+        sqrt(VectorOps.normSqDecimal(col("centroid")).cast("double")))
+
+  /** Mergeable half of the silhouette: per-cluster (n, Σ quantized
+    * per-vector score) against FROZEN centroids — both columns
+    * additive, so per-micro-batch partials sum-merge
+    * (`stream_silhouette`'s law).
+    */
+  private[graft] def silPartials(emb: org.apache.spark.sql.DataFrame,
+                                 cents: org.apache.spark.sql.DataFrame) = {
     val ranked = emb.crossJoin(broadcast(cents))
       .withColumn("ccos",
         VectorOps.dotDecimal(col("embedding"), col("centroid")).cast("double")
@@ -1077,7 +1093,7 @@ object SimilarityQueries {
         Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("list_id"))))
       .filter(col("rk") <= 2)
-    val sil = ranked.groupBy(col("vec_id"))
+    ranked.groupBy(col("vec_id"))
       .agg(max(when(col("rk") === 1, col("list_id"))).as("list_id"),
         (lit(1.0) - max(when(col("rk") === 1, col("ccos")))).as("a"),
         (lit(1.0) - max(when(col("rk") === 2, col("ccos")))).as("b"))
@@ -1085,10 +1101,13 @@ object SimilarityQueries {
         round(when(greatest(col("a"), col("b")) > 0,
           (col("b") - col("a")) / greatest(col("a"), col("b")))
           .otherwise(lit(0.0)), 9).cast("decimal(12,9)"))
-    sil.groupBy(col("list_id"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("sq")).cast("double") / count(lit(1)), 6).as("sil_r"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("ssq"))
   }
+
+  private[graft] def silFinishOf(merged: org.apache.spark.sql.DataFrame) =
+    merged.select(col("list_id"), col("n"),
+      round(col("ssq").cast("double") / col("n"), 6).as("sil_r"))
 
   /** Force-build the ANN index artifacts — the LSH bucket column and
     * the IVF centroid/assignment tables — without running a search.

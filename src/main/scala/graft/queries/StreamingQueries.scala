@@ -1558,6 +1558,29 @@ object StreamingQueries {
         "graft-pca-partials-")(SimilarityQueries.pcaMoments))
     }),
 
+    // STREAMING SILHOUETTE — clustering quality maintained as vectors
+    // arrive: the trained centroids are the frozen yardstick (built
+    // and checkpointed before the stream starts), each micro-batch
+    // contributes per-cluster (n, Σ quantized score) partials, and
+    // the merge is a SUM per cluster. State = nlist rows. Shares
+    // `emb_silhouette`'s oracle — merge(partials) ≡ batch.
+    "stream_silhouette" -> ((s, dir) => {
+      val cents = SimilarityQueries.trainedCentsFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents.count() // freeze the yardstick before the stream starts
+      SimilarityQueries.silFinishOf(
+        partialsOf(
+          embeddingsStream(s, dir, appendOnly = false),
+          "graft-sil-partials-") { batch =>
+          SimilarityQueries.silPartials(
+            batch.withColumn("nrm",
+              sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double"))),
+            cents)
+        }
+          .groupBy(col("list_id"))
+          .agg(sum(col("n")).as("n"), sum(col("ssq")).as("ssq")))
+    }),
+
     "stream_ann_index_append" -> ((s, dir) => {
       val centArr = SimilarityQueries.appendCentArr(s, dir)
       val streamed = partialsOf(
@@ -1731,6 +1754,9 @@ object StreamingQueries {
     // Hourly-cell merge (the STL/changepoint law) with the error scan
     // at serving — shares the batch forecast-eval oracle.
     "stream_forecast_eval" -> EventQueries.oracleSql("events_forecast_eval"),
+    // Sum-merge of per-batch per-cluster score partials against the
+    // frozen trained centroids — shares the batch silhouette oracle.
+    "stream_silhouette" -> SimilarityQueries.oracleSql("emb_silhouette"),
     // Same grid merge as stream_ks_test, BH selection at serving —
     // shares the batch BH-FDR oracle.
     "stream_bh_fdr" -> StatTestQueries.oracleSql("events_bh_fdr"),

@@ -249,6 +249,25 @@ class StatTestSpec extends SparkSpec {
     assert(terminal.isNullAt(terminal.fieldIndex("s_log")))
   }
 
+  test("cohort LTV: cumulative curve is non-decreasing and starts at day-0 revenue") {
+    val rows = graft.queries.EventQueries.queries("events_cohort_ltv")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("cohort_day_ms"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cohort) =>
+      val sorted = cohort.sortBy(_.getAs[Long]("age_days"))
+      assert(sorted.head.getAs[Long]("age_days") === 0L)
+      assert(sorted.head.getAs[Double]("ltv_r") === sorted.head.getAs[Double]("rev_r"))
+      val ltvs = sorted.map(_.getAs[Double]("ltv_r"))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a - 1e-9 },
+        "LTV curve decreased")
+      // per-user LTV is total LTV / cohort size
+      sorted.foreach { r =>
+        val expect = r.getAs[Double]("ltv_r") / r.getAs[Long]("cohort_users")
+        assert(math.abs(r.getAs[Double]("ltv_per_user_r") - expect) < 1e-4)
+      }
+    }
+  }
+
   test("stratified split: exact per-stratum quotas, deterministic") {
     val out = StatTestQueries.queries("pipeline_stratified_split")(spark, sf)
       .collect()
