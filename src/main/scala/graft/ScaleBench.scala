@@ -107,7 +107,7 @@ object ScaleBench {
     // r11 statistical-testing wave
     "events_mannwhitney", "events_anova", "events_chisq", "events_sprt",
     "events_bh_fdr", "pipeline_stratified_split", "events_survival",
-    "emb_silhouette", "search_ndcg", "events_cohort_ltv")
+    "emb_silhouette", "search_ndcg", "events_cohort_ltv", "events_attribution")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -143,7 +143,7 @@ object ScaleBench {
     "stream_session_window", "stream_sliding_window", "stream_stl",
     "stream_mannwhitney", "stream_chisq", "stream_survival",
     "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval",
-    "stream_silhouette")
+    "stream_silhouette", "stream_cohort_ltv")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -822,6 +822,20 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // MARKETING ATTRIBUTION — first- and last-touch revenue credit:
+    // every purchase credits the latest (and earliest) click/view by
+    // the same user within a 7-day lookback; no qualifying touch →
+    // 'organic'. The attach is the AsOfJoin union-scan generalized to
+    // a RANGE frame (7 d preceding) carrying a (ts, id, channel)
+    // struct whose lexicographic max/min IS the deterministic
+    // last/first touch — one shuffle on user_id, no candidate-pair
+    // explosion (the oracle deliberately uses the O(pairs) join
+    // formulation as the independent recomputation).
+    "events_attribution" -> ((s, dir) =>
+      attributionOf(Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("value"), col("event_type")))),
+
     // COHORT LTV CURVES — cumulative value per acquisition cohort over
     // account age (the revenue companion to the retention matrix):
     // cohort = the user's first-seen day, age = event day − cohort
@@ -830,32 +844,8 @@ object EventQueries {
     // window is partitioned by cohort over the (cohorts × ages) grid —
     // calendar-sized, never |events|; per-cohort user counts ride the
     // same grid so the output is both total and per-user LTV.
-    "events_cohort_ltv" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val e = Tables.events(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("user_id"), dec(col("value")).as("v"),
-          (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
-      val cohort = e.groupBy(col("user_id"))
-        .agg(min(col("day_ms")).as("cohort_day_ms"))
-      val sized = cohort.groupBy(col("cohort_day_ms"))
-        .agg(count(lit(1)).as("cohort_users"))
-      val grid = e.join(cohort, "user_id")
-        .groupBy(col("cohort_day_ms"),
-          ((col("day_ms") - col("cohort_day_ms")) / 86400000L)
-            .cast("long").as("age_days"))
-        .agg(sum(col("v")).as("rev"))
-      grid
-        .withColumn("ltv", sum(col("rev")).over(
-          W.partitionBy(col("cohort_day_ms")).orderBy(col("age_days"))
-            .rowsBetween(W.unboundedPreceding, 0)).cast("decimal(38,4)"))
-        .join(broadcast(sized), "cohort_day_ms")
-        .select(col("cohort_day_ms"), col("age_days"), col("cohort_users"),
-          round(col("rev").cast("double"), 4).as("rev_r"),
-          round(col("ltv").cast("double"), 4).as("ltv_r"),
-          round(col("ltv").cast("double") / col("cohort_users"), 6)
-            .as("ltv_per_user_r"))
-    }),
+    "events_cohort_ltv" -> ((s, dir) =>
+      ltvFinish(ltvUserDays(Tables.events(s, dir)))),
 
     // RFM SEGMENTATION — the classic customer-value matrix: per user,
     // recency (last event time), frequency (event count), monetary
@@ -1985,6 +1975,80 @@ object EventQueries {
     */
   private def hourlySeries(s: org.apache.spark.sql.SparkSession, dir: String) =
     hourlyFromCells(hourlyCells(Tables.events(s, dir)))
+
+  /** First/last-touch attribution over an (user_id, event_id, ts_ms,
+    * value, event_type) frame — exposed so the spec can plant
+    * in-window, out-of-window, tied and organic cases.
+    */
+  private[graft] def attributionOf(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_ms"),
+        struct(col("ts_ms").as("ts"), col("event_id").as("id"),
+          col("event_type").as("ch")).as("__tv"),
+        lit(null).cast("decimal(18,4)").as("v"), lit(0).as("__side"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"),
+        lit(null).cast("struct<ts:bigint,id:bigint,ch:string>").as("__tv"),
+        dec(col("value")).as("v"), lit(1).as("__side"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-604800000L, 0)
+    val attributed = touch.unionByName(conv)
+      .withColumn("lastT", max(col("__tv")).over(wr))
+      .withColumn("firstT", min(col("__tv")).over(wr))
+      .filter(col("__side") === 1)
+      .select(coalesce(col("lastT.ch"), lit("organic")).as("lt_ch"),
+        coalesce(col("firstT.ch"), lit("organic")).as("ft_ch"), col("v"))
+    val lt = attributed.groupBy(col("lt_ch").as("channel"))
+      .agg(count(lit(1)).as("lt_n"), sum(col("v")).as("lt_rev"))
+    val ft = attributed.groupBy(col("ft_ch").as("channel"))
+      .agg(count(lit(1)).as("ft_n"), sum(col("v")).as("ft_rev"))
+    lt.join(ft, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("lt_n"), lit(0L)).as("lt_n"),
+        round(coalesce(col("lt_rev"), lit(0)).cast("double"), 4).as("lt_rev_r"),
+        coalesce(col("ft_n"), lit(0L)).as("ft_n"),
+        round(coalesce(col("ft_rev"), lit(0)).cast("double"), 4).as("ft_rev_r"))
+  }
+
+  /** Mergeable half of the cohort-LTV curve: per-(user, day) exact
+    * decimal revenue — additive, and the user's cohort day is the MIN
+    * over their merged days, so per-micro-batch partials sum-merge
+    * (`stream_cohort_ltv`'s law).
+    */
+  private[graft] def ltvUserDays(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), dec(col("value")).as("v"),
+        (col("ts_ms") - col("ts_ms") % 86400000L).as("day_ms"))
+      .groupBy(col("user_id"), col("day_ms"))
+      .agg(sum(col("v")).as("rev"))
+
+  /** Cohort/age grid + cumulative-LTV prefix off merged (user, day,
+    * rev) rows — the calendar-sized serving half.
+    */
+  private[graft] def ltvFinish(userDays: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cohort = userDays.groupBy(col("user_id"))
+      .agg(min(col("day_ms")).as("cohort_day_ms"))
+    val sized = cohort.groupBy(col("cohort_day_ms"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val grid = userDays.join(cohort, "user_id")
+      .groupBy(col("cohort_day_ms"),
+        ((col("day_ms") - col("cohort_day_ms")) / 86400000L)
+          .cast("long").as("age_days"))
+      .agg(sum(col("rev")).as("rev"))
+    grid
+      .withColumn("ltv", sum(col("rev")).over(
+        W.partitionBy(col("cohort_day_ms")).orderBy(col("age_days"))
+          .rowsBetween(W.unboundedPreceding, 0)).cast("decimal(38,4)"))
+      .join(broadcast(sized), "cohort_day_ms")
+      .select(col("cohort_day_ms"), col("age_days"), col("cohort_users"),
+        round(col("rev").cast("double"), 4).as("rev_r"),
+        round(col("ltv").cast("double"), 4).as("ltv_r"),
+        round(col("ltv").cast("double") / col("cohort_users"), 6)
+          .as("ltv_per_user_r"))
+  }
 
   /** Forecast-eval finish off any hourly (event_type, hour_ms, y)
     * series — the serving half `stream_forecast_eval` shares with the
@@ -3988,6 +4052,47 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+        |    value, event_type
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, event_id, ts_ms, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM ev WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, event_id, ts_ms, event_type
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pairs AS (
+        |  SELECT c.event_id AS cid, t.event_type AS ch,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY t.ts_ms DESC, t.event_id DESC) AS rl,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY t.ts_ms ASC, t.event_id ASC) AS rf
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |    AND t.ts_ms <= c.ts_ms AND t.ts_ms >= c.ts_ms - 604800000
+        |), attr AS (
+        |  SELECT c.event_id, any_value(c.v) AS v,
+        |    coalesce(max(CASE WHEN p.rl = 1 THEN p.ch END), 'organic') AS lt_ch,
+        |    coalesce(max(CASE WHEN p.rf = 1 THEN p.ch END), 'organic') AS ft_ch
+        |  FROM conv c LEFT JOIN pairs p ON p.cid = c.event_id
+        |  GROUP BY c.event_id
+        |), lt AS (
+        |  SELECT lt_ch AS channel, CAST(count(*) AS BIGINT) AS lt_n,
+        |    sum(v) AS lt_rev
+        |  FROM attr GROUP BY 1
+        |), ft AS (
+        |  SELECT ft_ch AS channel, CAST(count(*) AS BIGINT) AS ft_n,
+        |    sum(v) AS ft_rev
+        |  FROM attr GROUP BY 1
+        |)
+        |SELECT channel,
+        |  coalesce(lt_n, 0) AS lt_n,
+        |  round(CAST(coalesce(lt_rev, 0) AS DOUBLE), 4) AS lt_rev_r,
+        |  coalesce(ft_n, 0) AS ft_n,
+        |  round(CAST(coalesce(ft_rev, 0) AS DOUBLE), 4) AS ft_rev_r
+        |FROM lt FULL JOIN ft USING (channel)""".stripMargin,
 
     "events_cohort_ltv" ->
       """WITH e AS (

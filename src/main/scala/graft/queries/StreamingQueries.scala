@@ -953,6 +953,22 @@ object StreamingQueries {
           .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))))
     }),
 
+    // STREAMING COHORT LTV — the revenue curve maintained under
+    // ingest: per-batch per-(user, day) exact decimal revenue
+    // partials sum-merge, the user's cohort day is the MIN over
+    // merged days (it can only move earlier as history arrives — the
+    // span-lattice argument), and the calendar-sized cohort/age
+    // finish runs at serving. Shares `events_cohort_ltv`'s oracle.
+    "stream_cohort_ltv" -> ((s, dir) => {
+      EventQueries.ltvFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("user_id"), col("ts_ms"), col("value")),
+          "graft-ltv-partials-")(EventQueries.ltvUserDays)
+          .groupBy(col("user_id"), col("day_ms"))
+          .agg(sum(col("rev")).as("rev")))
+    }),
+
     // STREAMING KAPLAN-MEIER — survival under ingest: per-batch
     // per-(type, user) first/last-seen spans merge by min/max (the
     // span lattice is associative — a user's lifetime only extends),
@@ -1757,6 +1773,9 @@ object StreamingQueries {
     // Sum-merge of per-batch per-cluster score partials against the
     // frozen trained centroids — shares the batch silhouette oracle.
     "stream_silhouette" -> SimilarityQueries.oracleSql("emb_silhouette"),
+    // Sum-merge of per-(user, day) revenue partials + min-merge cohort
+    // day — shares the batch cohort-LTV oracle.
+    "stream_cohort_ltv" -> EventQueries.oracleSql("events_cohort_ltv"),
     // Same grid merge as stream_ks_test, BH selection at serving —
     // shares the batch BH-FDR oracle.
     "stream_bh_fdr" -> StatTestQueries.oracleSql("events_bh_fdr"),

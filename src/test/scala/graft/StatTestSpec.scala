@@ -249,6 +249,35 @@ class StatTestSpec extends SparkSpec {
     assert(terminal.isNullAt(terminal.fieldIndex("s_log")))
   }
 
+  test("attribution: window cutoff, tie resolution, organic fallback") {
+    import spark.implicits._
+    val D = 86400000L
+    val rows = Seq(
+      // u1: click d1, view d3, purchase d5 → last=view, first=click
+      (1L, 10L, 1 * D, null.asInstanceOf[java.lang.Double], "click"),
+      (1L, 11L, 3 * D, null.asInstanceOf[java.lang.Double], "view"),
+      (1L, 12L, 5 * D, java.lang.Double.valueOf(100.0), "purchase"),
+      // u2: click 8 days before purchase → OUTSIDE the 7d window → organic
+      (2L, 20L, 1 * D, null.asInstanceOf[java.lang.Double], "click"),
+      (2L, 21L, 9 * D + 1, java.lang.Double.valueOf(50.0), "purchase"),
+      // u3: two touches at the SAME ms as the purchase → larger
+      // event_id wins last-touch deterministically
+      (3L, 30L, 2 * D, null.asInstanceOf[java.lang.Double], "click"),
+      (3L, 31L, 2 * D, null.asInstanceOf[java.lang.Double], "view"),
+      (3L, 32L, 2 * D, java.lang.Double.valueOf(25.0), "purchase"))
+      .toDF("user_id", "event_id", "ts_ms", "value", "event_type")
+    val out = graft.queries.EventQueries.attributionOf(rows).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    assert(out("view").getAs[Long]("lt_n") === 2L)   // u1 (view last) + u3 (id 31 wins)
+    assert(out("view").getAs[Double]("lt_rev_r") === 125.0)
+    assert(out("click").getAs[Long]("ft_n") === 2L)  // u1 + u3 first-touch
+    assert(out("organic").getAs[Long]("lt_n") === 1L) // u2 outside window
+    assert(out("organic").getAs[Double]("lt_rev_r") === 50.0)
+    // every purchase attributed exactly once under each model
+    assert(out.values.map(_.getAs[Long]("lt_n")).sum === 3L)
+    assert(out.values.map(_.getAs[Long]("ft_n")).sum === 3L)
+  }
+
   test("cohort LTV: cumulative curve is non-decreasing and starts at day-0 revenue") {
     val rows = graft.queries.EventQueries.queries("events_cohort_ltv")(spark, sf)
       .collect().groupBy(_.getAs[Long]("cohort_day_ms"))
