@@ -270,6 +270,26 @@ object DedupQueries {
         .select(col("v").as("doc_id"), col("lbl").as("component_id"),
                 splitOf(col("lbl")).as("split"))),
 
+    // ENTITY RESOLUTION CANONICALIZATION — the end of the ER chain the
+    // blocking (LSH bands) + linkage (star edges) + clustering (CC)
+    // stages build toward: one CANONICAL RECORD per entity cluster —
+    // smallest member id as the survivor, its lang as the surviving
+    // attribute (min_by, deterministic on the unique doc_id), member
+    // count and aggregate size. Pure composition off the shared CC
+    // label artifact: one join + one hash agg on top of labels the
+    // pipeline already owns — the "golden record" table a warehouse
+    // dedup pipeline publishes.
+    "er_canonical" -> ((s, dir) =>
+      ccLabels(s, dir)
+        .select(col("v").as("doc_id"), col("lbl").as("entity_id"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("canonical_doc_id"),
+          expr("min_by(lang, doc_id)").as("canonical_lang"),
+          sum(col("n_chars")).as("sum_chars"))),
+
     // Deterministic stratified sampling — the data-MIXING stage: keep
     // languages at different rates (en 100%, es 50%, de 10% here; a
     // real pipeline reads rates from its mixture config). The sampling
@@ -1663,6 +1683,42 @@ object DedupQueries {
          |SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id,
          |  (min(lbl) < v) AS is_dup
          |FROM lp GROUP BY v""".stripMargin,
+
+    "er_canonical" ->
+      s"""WITH RECURSIVE sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), edges AS (
+         |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  WHERE m.rep < bd.doc_id
+         |), edges2 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM edges
+         |), lp(v, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, lp.lbl
+         |  FROM lp JOIN edges2 e ON e.src = lp.v
+         |  WHERE lp.lbl < e.dst
+         |), lab AS (
+         |  SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS entity_id
+         |  FROM lp GROUP BY v
+         |)
+         |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(min(d.doc_id) AS BIGINT) AS canonical_doc_id,
+         |  min_by(d.lang, d.doc_id) AS canonical_lang,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM lab JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // Component-keyed md5-mod sharding on top of the dedup_cc labels.
     "pipeline_split" ->

@@ -660,6 +660,12 @@ object EventQueries {
     "events_changepoint" -> ((s, dir) =>
       changepointOver(hourlySeries(s, dir))),
 
+    // MULTIPLE CHANGEPOINTS — depth-2 binary segmentation: the best
+    // split per series, then the best split within EACH resulting
+    // half (recursion as key refinement — see changepointMulti).
+    "events_changepoint_multi" -> ((s, dir) =>
+      changepointMulti(hourlySeries(s, dir))),
+
     // STL-STYLE DECOMPOSITION (additive, period 24 h) — the hourly
     // series split into trend + seasonal + residual, the
     // pre-processing every forecast/anomaly stack runs: trend = ±12 h
@@ -1867,6 +1873,30 @@ object EventQueries {
         round(col("sl") / col("nl"), 6).as("mean_left_r"),
         round(col("sr") / col("nr"), 6).as("mean_right_r"),
         round(col("gain"), 6).as("gain_r"))
+  }
+
+  /** Depth-2 binary segmentation: the level-1 split re-keys each
+    * series into `type/L` and `type/R` halves and the SAME
+    * variance-gain scan runs again — recursion expressed as key
+    * refinement, so level 2 is one more hash-partitioned pass, not a
+    * driver loop. (PELT-style deeper trees continue the same way:
+    * segment keys get longer, the scan stays identical.)
+    */
+  private[graft] def changepointMulti(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hp = h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l1 = changepointOver(hp)
+    val seg = hp.join(
+        broadcast(l1.select(col("event_type"), col("split_hour_ms"))),
+        "event_type")
+      .select(concat(col("event_type"), lit("/"),
+          when(col("hour_ms") <= col("split_hour_ms"), lit("L"))
+            .otherwise(lit("R"))).as("event_type"),
+        col("hour_ms"), col("y"))
+    val l2 = changepointOver(seg)
+    l1.withColumn("level", lit(1L)).unionByName(l2.withColumn("level", lit(2L)))
+      .select(col("event_type").as("series"), col("level"),
+        col("split_hour_ms"), col("n_left"), col("n_right"),
+        col("mean_left_r"), col("mean_right_r"), col("gain_r"))
   }
 
   private[graft] def theilsenOver(hourlyIn: org.apache.spark.sql.DataFrame,
@@ -3767,6 +3797,98 @@ object EventQueries {
          |  round(sr / nr, 6) AS mean_right_r,
          |  round(gain, 6) AS gain_r
          |FROM rk WHERE rk = 1""".stripMargin,
+
+    "events_changepoint_multi" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), t AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    sum(y) AS ts, sum(y * y) AS ts2
+         |  FROM h GROUP BY 1
+         |), c AS (
+         |  SELECT event_type, hour_ms,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour_ms) AS i,
+         |    sum(y) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         |    sum(y * y) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs2
+         |  FROM h
+         |), g AS (
+         |  SELECT c.event_type, c.hour_ms, c.i, t.n,
+         |    CAST(c.i AS DOUBLE) AS nl, CAST(t.n - c.i AS DOUBLE) AS nr,
+         |    CAST(c.cs AS DOUBLE) AS sl, CAST(t.ts - c.cs AS DOUBLE) AS sr,
+         |    (CAST(t.ts2 AS DOUBLE)
+         |      - CAST(t.ts AS DOUBLE) * CAST(t.ts AS DOUBLE) / t.n)
+         |    - ((CAST(c.cs2 AS DOUBLE)
+         |          - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
+         |            / CAST(c.i AS DOUBLE))
+         |       + (CAST(t.ts2 - c.cs2 AS DOUBLE)
+         |          - CAST(t.ts - c.cs AS DOUBLE) * CAST(t.ts - c.cs AS DOUBLE)
+         |            / CAST(t.n - c.i AS DOUBLE))) AS gain
+         |  FROM c JOIN t USING (event_type)
+         |  WHERE c.i < t.n
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY gain DESC, hour_ms) AS rk
+         |  FROM g
+         |), l1 AS (
+         |  SELECT event_type, hour_ms AS split_hour_ms, i, n, sl, nl, sr, nr, gain
+         |  FROM rk WHERE rk = 1
+         |), h2 AS (
+         |  SELECT h.event_type || '/' ||
+         |      CASE WHEN h.hour_ms <= l1.split_hour_ms THEN 'L' ELSE 'R' END
+         |      AS event_type,
+         |    h.hour_ms, h.y
+         |  FROM h JOIN l1 USING (event_type)
+         |), t2 AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    sum(y) AS ts, sum(y * y) AS ts2
+         |  FROM h2 GROUP BY 1
+         |), c2 AS (
+         |  SELECT event_type, hour_ms,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour_ms) AS i,
+         |    sum(y) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         |    sum(y * y) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs2
+         |  FROM h2
+         |), g2 AS (
+         |  SELECT c2.event_type, c2.hour_ms, c2.i, t2.n,
+         |    CAST(c2.i AS DOUBLE) AS nl, CAST(t2.n - c2.i AS DOUBLE) AS nr,
+         |    CAST(c2.cs AS DOUBLE) AS sl, CAST(t2.ts - c2.cs AS DOUBLE) AS sr,
+         |    (CAST(t2.ts2 AS DOUBLE)
+         |      - CAST(t2.ts AS DOUBLE) * CAST(t2.ts AS DOUBLE) / t2.n)
+         |    - ((CAST(c2.cs2 AS DOUBLE)
+         |          - CAST(c2.cs AS DOUBLE) * CAST(c2.cs AS DOUBLE)
+         |            / CAST(c2.i AS DOUBLE))
+         |       + (CAST(t2.ts2 - c2.cs2 AS DOUBLE)
+         |          - CAST(t2.ts - c2.cs AS DOUBLE) * CAST(t2.ts - c2.cs AS DOUBLE)
+         |            / CAST(t2.n - c2.i AS DOUBLE))) AS gain
+         |  FROM c2 JOIN t2 USING (event_type)
+         |  WHERE c2.i < t2.n
+         |), rk2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY gain DESC, hour_ms) AS rk
+         |  FROM g2
+         |)
+         |SELECT event_type AS series, CAST(1 AS BIGINT) AS level,
+         |  split_hour_ms, CAST(i AS BIGINT) AS n_left,
+         |  CAST(n - i AS BIGINT) AS n_right,
+         |  round(sl / nl, 6) AS mean_left_r, round(sr / nr, 6) AS mean_right_r,
+         |  round(gain, 6) AS gain_r
+         |FROM l1
+         |UNION ALL
+         |SELECT event_type AS series, CAST(2 AS BIGINT) AS level,
+         |  hour_ms AS split_hour_ms, CAST(i AS BIGINT) AS n_left,
+         |  CAST(n - i AS BIGINT) AS n_right,
+         |  round(sl / nl, 6) AS mean_left_r, round(sr / nr, 6) AS mean_right_r,
+         |  round(gain, 6) AS gain_r
+         |FROM rk2 WHERE rk = 1""".stripMargin,
 
     // same hourly decimals, same ±12 h full-window trend, same
     // re-centered seasonal, all inter-component subtractions exact

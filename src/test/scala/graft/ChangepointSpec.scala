@@ -65,4 +65,26 @@ class ChangepointSpec extends SparkSpec {
         "SSE reduction is nonnegative by construction")
     }
   }
+
+  test("depth-2 segmentation finds the secondary step inside a half") {
+    // three levels: 10 (hours 0-15), 12 (16-31), 20 (32-47). Level 1
+    // must split at the BIG jump (hour 31); level 2's left half must
+    // then find the 10→12 step at hour 15.
+    val rows = (0 until 48).map { i =>
+      val base = if (i < 16) BigDecimal(10)
+                 else if (i < 32) BigDecimal(12) else BigDecimal(20)
+      val ripple = BigDecimal(i % 3) * BigDecimal("0.01")
+      ("m", i.toLong * 3600000L, (base + ripple).toString)
+    }
+    val out = EventQueries.changepointMulti(hourly(rows)).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("level")) -> r).toMap
+    assert(out(("m", 1L)).getAs[Long]("split_hour_ms") === 31L * 3600000L)
+    assert(out(("m/L", 2L)).getAs[Long]("split_hour_ms") === 15L * 3600000L)
+    assert(math.abs(out(("m/L", 2L)).getAs[Double]("mean_left_r") - 10.01) < 0.02)
+    assert(math.abs(out(("m/L", 2L)).getAs[Double]("mean_right_r") - 12.01) < 0.02)
+    // the right half is flat: its best gain is ripple-sized
+    assert(out(("m/R", 2L)).getAs[Double]("gain_r") < 0.1)
+    assert(out(("m", 1L)).getAs[Double]("gain_r")
+      > out(("m/L", 2L)).getAs[Double]("gain_r"))
+  }
 }
