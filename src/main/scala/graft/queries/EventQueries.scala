@@ -1580,7 +1580,53 @@ object EventQueries {
     "events_funnel_window" -> ((s, dir) =>
       funnelStages(Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts_ms")),
-        Some(FunnelWindowMs)))
+        Some(FunnelWindowMs))),
+
+    // TIME-TO-CONVERT — the latency distribution behind the funnel
+    // counts: per converting user, the stage-to-stage delay (same
+    // chained-min semantics and 1-day bound as events_funnel_window),
+    // minute-bucketed into a grid, with p50/p90 placed by COUNT
+    // ARITHMETIC over grid prefix sums (the trimmed-mean rank-cut
+    // pattern — no per-user sort survives to serving) and the mean
+    // from exact integer delay·count sums.
+    "events_funnel_latency" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_ms") > col("t_view")
+          && col("ts_ms") <= col("t_view") + lit(FunnelWindowMs))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"),
+          min(col("t_view")).as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c.select(col("user_id"), col("t_click")), "user_id")
+        .filter(col("ts_ms") > col("t_click")
+          && col("ts_ms") <= col("t_click") + lit(FunnelWindowMs))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"),
+          min(col("t_click")).as("t_click"))
+      val d = c.select(lit("view_to_click").as("stage"),
+          call_function("div", col("t_click") - col("t_view"), lit(60000L))
+            .as("delay_min"))
+        .unionByName(p.select(lit("click_to_purchase").as("stage"),
+          call_function("div", col("t_purchase") - col("t_click"), lit(60000L))
+            .as("delay_min")))
+      val grid = d.groupBy(col("stage"), col("delay_min"))
+        .agg(count(lit(1)).as("cnt"))
+      val byStage = W.partitionBy(col("stage")).orderBy(col("delay_min"))
+      val cum = grid
+        .withColumn("cum", sum(col("cnt")).over(
+          byStage.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("stage"))))
+        .withColumn("sd", sum(col("delay_min") * col("cnt")).over(
+          W.partitionBy(col("stage"))))
+      cum.groupBy(col("stage"))
+        .agg(max(col("n")).as("n_converted"),
+          min(when(col("cum") * 2 >= col("n"), col("delay_min"))).as("p50_min"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("delay_min"))).as("p90_min"),
+          round(max(col("sd")).cast("double") / max(col("n")), 4).as("mean_min_r"))
+    })
   )
 
   /** Conversion window for `events_funnel_window` (1 day). */
@@ -4366,6 +4412,49 @@ object EventQueries {
         |)
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM c
-        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+
+    "events_funnel_latency" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts_ms) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t_click, min(v.t_view) AS t_view
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
+        |    AND e.ts_ms <= v.t_view + $FunnelWindowMs
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t_purchase, min(c.t_click) AS t_click
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+        |    AND e.ts_ms <= c.t_click + $FunnelWindowMs
+        |  GROUP BY e.user_id
+        |), d AS (
+        |  SELECT 'view_to_click' AS stage,
+        |    (t_click - t_view) // 60000 AS delay_min FROM c
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS stage,
+        |    (t_purchase - t_click) // 60000 AS delay_min FROM p
+        |), grid AS (
+        |  SELECT stage, delay_min, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT stage, delay_min, cnt,
+        |    sum(cnt) OVER (PARTITION BY stage ORDER BY delay_min
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY stage) AS n,
+        |    sum(delay_min * cnt) OVER (PARTITION BY stage) AS sd
+        |  FROM grid
+        |)
+        |SELECT stage, CAST(max(n) AS BIGINT) AS n_converted,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN delay_min END) AS BIGINT)
+        |    AS p50_min,
+        |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN delay_min END) AS BIGINT)
+        |    AS p90_min,
+        |  round(CAST(max(sd) AS DOUBLE) / max(n), 4) AS mean_min_r
+        |FROM cum GROUP BY 1""".stripMargin
   )
 }
