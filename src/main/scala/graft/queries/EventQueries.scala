@@ -660,6 +660,28 @@ object EventQueries {
     "events_changepoint" -> ((s, dir) =>
       changepointOver(hourlySeries(s, dir))),
 
+    // LAG / ROLLING FEATURE TABLE — the feature-engineering step a
+    // forecasting or anomaly model trains on: per hourly series, the
+    // lag-1 and lag-24 values, the exact-decimal first difference,
+    // and the 24 h rolling mean (full windows only, the STL trend
+    // convention). Windows are per-type over the hourly grid — the
+    // documented series axis; the output IS the training table, so
+    // this is the feature-store materialization pattern.
+    "events_lag_features" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+      val roll = byType.rowsBetween(-23, 0)
+      hourlySeries(s, dir)
+        .withColumn("lag1", lag(col("y"), 1).over(byType))
+        .withColumn("lag24", lag(col("y"), 24).over(byType))
+        .withColumn("delta1", col("y") - col("lag1"))
+        .withColumn("roll24_r",
+          when(count(col("y")).over(roll) === 24,
+            round(sum(col("y")).over(roll).cast("double") / 24.0, 6)))
+        .select(col("event_type"), col("hour_ms"), col("y"),
+          col("lag1"), col("lag24"), col("delta1"), col("roll24_r"))
+    }),
+
     // MULTIPLE CHANGEPOINTS — depth-2 binary segmentation: the best
     // split per series, then the best split within EACH resulting
     // half (recursion as key refinement — see changepointMulti).
@@ -3843,6 +3865,27 @@ object EventQueries {
          |  round(sr / nr, 6) AS mean_right_r,
          |  round(gain, 6) AS gain_r
          |FROM rk WHERE rk = 1""".stripMargin,
+
+    "events_lag_features" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+        |      AS hour_ms,
+        |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |               / count(*), 9) AS DECIMAL(18,9)) AS y
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, hour_ms, y,
+        |  lag(y, 1) OVER w AS lag1,
+        |  lag(y, 24) OVER w AS lag24,
+        |  y - lag(y, 1) OVER w AS delta1,
+        |  CASE WHEN count(y) OVER r = 24 THEN
+        |    round(CAST(sum(y) OVER r AS DOUBLE) / 24.0, 6)
+        |  END AS roll24_r
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms),
+        |  r AS (PARTITION BY event_type ORDER BY hour_ms
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "events_changepoint_multi" ->
       s"""WITH h AS (

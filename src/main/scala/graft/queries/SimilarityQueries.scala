@@ -319,6 +319,37 @@ object SimilarityQueries {
         .select(col("list_id"), col("i").cast("long").as("i"),
                 col("c").as("c_new"))),
 
+    // K-NN GRAPH — every vector's top-5 neighbors via the IVF probe
+    // join (the backbone table for graph-based ANN, LPA/label
+    // propagation over embeddings, and graph-clustered dedup):
+    // corpus-to-corpus, so unlike the 8-query searches the probe side
+    // CANNOT broadcast — both sides hash-join on list_id, and the
+    // candidate-pair count is Σ_list |list|·|probes| ≈ NProbe·n·
+    // avg-list-size. The production control is the same as
+    // dedup_semantic_scaled: nlist ∝ corpus keeps list size constant,
+    // so pair work stays linear. Top-5 per vector is a map-side
+    // WindowGroupLimit shape on q_id.
+    "emb_knn_graph" -> ((s, dir) => {
+      val assigned = ivfAssigned(s, dir)
+      val probes = embWithNorm(s, dir)
+        .crossJoin(broadcast(ivfCentArr(s, dir)))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+          explode(slice(rankedListIds(col("embedding"), col("nrm")),
+            1, NProbe)).as("list_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(probes, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id").as("src"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("dst"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // CLUSTERING QUALITY — simplified silhouette over the trained
     // k-means index: per vector, a = cosine distance to its OWN
     // centroid, b = distance to the nearest OTHER centroid, s =
@@ -2283,6 +2314,41 @@ object SimilarityQueries {
       s"""WITH ${lloydCtes(TrainRounds)}
          |SELECT list_id, CAST(i - 1 AS BIGINT) AS i, c AS c_new
          |FROM dims$TrainRounds""".stripMargin,
+
+    "emb_knn_graph" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
+         |  FROM dims GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assigned AS (
+         |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+         |  FROM ranked WHERE rk <= $NProbe
+         |), pairs AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+         |  FROM qprobe q JOIN assigned a ON a.list_id = q.list_id
+         |  WHERE a.vec_id <> q.q_id
+         |), rankedp AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id AS src, rank, vec_id AS dst, round(cos, 6) AS cos_r
+         |FROM rankedp WHERE rank <= $TopK""".stripMargin,
 
     "emb_silhouette" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scored AS (
