@@ -350,6 +350,37 @@ object SimilarityQueries {
           col("vec_id").as("dst"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // K-NN CLASSIFICATION ACCURACY — the embedding-quality eval the
+    // k-NN graph enables: each vector's label predicted by the
+    // MAJORITY label of its 5 graph neighbors (deterministic vote:
+    // most neighbors, then smallest label), scored against its own
+    // label per class. The standard "are these embeddings any good"
+    // probe — at fixture the labels are the synthesis clusters, so
+    // accuracy reads out cluster separability; swap a task label in
+    // and the same query evaluates transfer. Everything past the
+    // graph is neighbor-edge-sized.
+    "emb_knn_accuracy" -> ((s, dir) => {
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("bigint").as("label"))
+      val votes = queries("emb_knn_graph")(s, dir)
+        .join(labels.select(col("vec_id").as("dst"),
+          col("label").as("n_label")), "dst")
+        .groupBy(col("src"), col("n_label"))
+        .agg(count(lit(1)).as("nv"))
+      val pred = votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("nv").desc, col("n_label"))))
+        .filter(col("rk") === 1)
+        .select(col("src").as("vec_id"), col("n_label").as("pred"))
+      pred.join(labels, "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_r",
+          round(col("n_correct").cast("double") / col("n"), 6))
+    }),
+
     // CLUSTERING QUALITY — simplified silhouette over the trained
     // k-means index: per vector, a = cosine distance to its OWN
     // centroid, b = distance to the nearest OTHER centroid, s =
@@ -2349,6 +2380,61 @@ object SimilarityQueries {
          |)
          |SELECT q_id AS src, rank, vec_id AS dst, round(cos, 6) AS cos_r
          |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    "emb_knn_accuracy" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
+         |  FROM dims GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assigned AS (
+         |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+         |  FROM ranked WHERE rk <= $NProbe
+         |), pairs AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+         |  FROM qprobe q JOIN assigned a ON a.list_id = q.list_id
+         |  WHERE a.vec_id <> q.q_id
+         |), rankedp AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |), knn AS (
+         |  SELECT q_id AS src, vec_id AS dst FROM rankedp WHERE rank <= $TopK
+         |), votes AS (
+         |  SELECT knn.src, CAST(e.label AS BIGINT) AS n_label,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM knn JOIN embeddings e ON e.vec_id = knn.dst
+         |  GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT src AS vec_id, n_label AS pred
+         |  FROM (SELECT src, n_label,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY nv DESC, n_label) AS rk
+         |        FROM votes)
+         |  WHERE rk = 1
+         |)
+         |SELECT CAST(e.label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS acc_r
+         |FROM pred p JOIN embeddings e USING (vec_id)
+         |GROUP BY 1""".stripMargin,
 
     "emb_silhouette" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scored AS (
