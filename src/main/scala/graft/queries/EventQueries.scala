@@ -1628,28 +1628,43 @@ object EventQueries {
           && col("ts_ms") <= col("t_click") + lit(FunnelWindowMs))
         .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"),
           min(col("t_click")).as("t_click"))
-      val d = c.select(lit("view_to_click").as("stage"),
-          call_function("div", col("t_click") - col("t_view"), lit(60000L))
-            .as("delay_min"))
-        .unionByName(p.select(lit("click_to_purchase").as("stage"),
-          call_function("div", col("t_purchase") - col("t_click"), lit(60000L))
-            .as("delay_min")))
-      val grid = d.groupBy(col("stage"), col("delay_min"))
-        .agg(count(lit(1)).as("cnt"))
-      val byStage = W.partitionBy(col("stage")).orderBy(col("delay_min"))
-      val cum = grid
-        .withColumn("cum", sum(col("cnt")).over(
-          byStage.rowsBetween(W.unboundedPreceding, 0)))
-        .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("stage"))))
-        .withColumn("sd", sum(col("delay_min") * col("cnt")).over(
-          W.partitionBy(col("stage"))))
-      cum.groupBy(col("stage"))
-        .agg(max(col("n")).as("n_converted"),
-          min(when(col("cum") * 2 >= col("n"), col("delay_min"))).as("p50_min"),
-          min(when(col("cum") * 10 >= col("n") * 9, col("delay_min"))).as("p90_min"),
-          round(max(col("sd")).cast("double") / max(col("n")), 4).as("mean_min_r"))
+      funnelLatencyFinish(
+        v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left"))
     })
   )
+
+  /** Latency-grid finish off a per-user (t_view, t_click, t_purchase)
+    * frame (nullable past stage 1) — shared with
+    * `stream_funnel_latency`, whose per-user stage times come from
+    * the FunnelStream stateful fold instead of the batch chained
+    * mins.
+    */
+  private[graft] def funnelLatencyFinish(perUser: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = perUser.filter(col("t_click").isNotNull)
+      .select(lit("view_to_click").as("stage"),
+        call_function("div", col("t_click") - col("t_view"), lit(60000L))
+          .as("delay_min"))
+      .unionByName(perUser.filter(col("t_purchase").isNotNull)
+        .select(lit("click_to_purchase").as("stage"),
+          call_function("div", col("t_purchase") - col("t_click"), lit(60000L))
+            .as("delay_min")))
+    val grid = d.groupBy(col("stage"), col("delay_min"))
+      .agg(count(lit(1)).as("cnt"))
+    val byStage = W.partitionBy(col("stage")).orderBy(col("delay_min"))
+    val cum = grid
+      .withColumn("cum", sum(col("cnt")).over(
+        byStage.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("stage"))))
+      .withColumn("sd", sum(col("delay_min") * col("cnt")).over(
+        W.partitionBy(col("stage"))))
+    cum.groupBy(col("stage"))
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 2 >= col("n"), col("delay_min"))).as("p50_min"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("delay_min"))).as("p90_min"),
+        round(max(col("sd")).cast("double") / max(col("n")), 4).as("mean_min_r"))
+  }
 
   /** Conversion window for `events_funnel_window` (1 day). */
   private[graft] val FunnelWindowMs = 86400000L

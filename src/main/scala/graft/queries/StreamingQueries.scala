@@ -217,8 +217,12 @@ object StreamingQueries {
     * replay (optionally window-bounded), then the write-once
     * min-over-non-null reconstruction and stage counts.
     */
-  private def funnelStreamed(s: SparkSession, dir: String,
-                             windowMs: Option[Long]): DataFrame = {
+  /** Per-user (t_view, t_click, t_purchase) from the FunnelStream
+    * stateful fold — the frame both streaming funnel queries and the
+    * latency twin finish from.
+    */
+  private def funnelStreamedPerUser(s: SparkSession, dir: String,
+                                    windowMs: Option[Long]): DataFrame = {
     implicit val enc = org.apache.spark.sql.Encoders.product[FunnelStream.In]
     val in = eventsStream(s, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -226,11 +230,16 @@ object StreamingQueries {
               col("ts_ms").as("tsMs"), col("event_type").as("eventType"))
       .as[FunnelStream.In]
     val emitted = runToMemory(s, FunnelStream.track(in, windowMs).toDF())
-    val fin = emitted.groupBy(col("user_id"))
+    emitted.groupBy(col("user_id"))
       .agg(min(col("t_view")).as("t_view"),
            min(col("t_click")).as("t_click"),
            min(col("t_purchase")).as("t_purchase"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def funnelStreamed(s: SparkSession, dir: String,
+                             windowMs: Option[Long]): DataFrame = {
+    val fin = funnelStreamedPerUser(s, dir, windowMs)
     def stage(name: String, reached: org.apache.spark.sql.Column) =
       fin.filter(reached.isNotNull)
         .agg(count(lit(1)).as("n_users"))
@@ -1288,6 +1297,18 @@ object StreamingQueries {
     "stream_funnel_window" -> ((s, dir) =>
       funnelStreamed(s, dir, Some(EventQueries.FunnelWindowMs))),
 
+    // STREAMING TIME-TO-CONVERT — the latency distribution maintained
+    // under ingest: the same FunnelStream per-user stage times as
+    // stream_funnel_window (stable under ordered replay — a stage's
+    // first qualifying timestamp never changes once set), with the
+    // minute-grid rank-cut finish at serving. The hash match against
+    // the batch oracle proves the per-user TIMES (not just the stage
+    // counts) are fold ≡ chained-min identical. Shares
+    // `events_funnel_latency`'s oracle.
+    "stream_funnel_latency" -> ((s, dir) =>
+      EventQueries.funnelLatencyFinish(
+        funnelStreamedPerUser(s, dir, Some(EventQueries.FunnelWindowMs)))),
+
     // STREAMING EWMA — events_ewma's online twin: the batch window
     // pass becomes a per-key trailing buffer (31 doubles of state)
     // folded event-by-event, the constant-memory form the batch
@@ -1776,6 +1797,9 @@ object StreamingQueries {
     // Sum-merge of per-(user, day) revenue partials + min-merge cohort
     // day — shares the batch cohort-LTV oracle.
     "stream_cohort_ltv" -> EventQueries.oracleSql("events_cohort_ltv"),
+    // FunnelStream per-user stage times ≡ batch chained mins under
+    // the ordered replay — shares the batch funnel-latency oracle.
+    "stream_funnel_latency" -> EventQueries.oracleSql("events_funnel_latency"),
     // Same grid merge as stream_ks_test, BH selection at serving —
     // shares the batch BH-FDR oracle.
     "stream_bh_fdr" -> StatTestQueries.oracleSql("events_bh_fdr"),

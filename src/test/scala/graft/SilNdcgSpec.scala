@@ -63,6 +63,31 @@ class SilNdcgSpec extends SparkSpec {
     }
   }
 
+  test("kNN vote: perfect on same-label edges, truthful 1/k on the isotropic fixture") {
+    import spark.implicits._
+    // planted: every vector's neighbors share its label → accuracy 1
+    val labels = (0 until 60).map(i => (i.toLong, (i % 3).toLong))
+      .toDF("vec_id", "label")
+    val goodEdges = (0 until 60).flatMap { i =>
+      (1 to 3).map(k => (i.toLong, ((i + 3 * k) % 60).toLong)) // same residue class
+    }.toDF("src", "dst")
+    val good = SimilarityQueries.knnAccuracyOf(goodEdges, labels).collect()
+    good.foreach(r => assert(r.getAs[Double]("acc_r") === 1.0))
+    // adversarial: neighbors are the OTHER classes → accuracy 0
+    val badEdges = (0 until 60).map(i => (i.toLong, ((i + 1) % 60).toLong))
+      .toDF("src", "dst")
+    val bad = SimilarityQueries.knnAccuracyOf(badEdges, labels).collect()
+    bad.foreach(r => assert(r.getAs[Double]("acc_r") === 0.0))
+    // the fixture's embeddings are near-isotropic (PcaPowerSpec), so
+    // the eval must give the truthful low answer — near the 1/10
+    // random baseline, nowhere near separable
+    val fix = SimilarityQueries.queries("emb_knn_accuracy")(spark, sf).collect()
+    val acc = fix.map(_.getAs[Long]("n_correct")).sum.toDouble /
+      fix.map(_.getAs[Long]("n")).sum
+    assert(acc > 0.02 && acc < 0.4,
+      s"isotropic fixture should read near the random baseline, got $acc")
+  }
+
   test("NDCG identity and order sensitivity") {
     import spark.implicits._
     val top = (1 to 10).map(r => (r.toLong, (100 + r).toLong))
