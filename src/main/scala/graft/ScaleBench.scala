@@ -109,7 +109,8 @@ object ScaleBench {
     "events_bh_fdr", "pipeline_stratified_split", "events_survival",
     "emb_silhouette", "search_ndcg", "events_cohort_ltv", "events_attribution",
     "er_canonical", "events_changepoint_multi", "events_funnel_latency",
-    "emb_knn_graph", "events_lag_features", "emb_knn_accuracy")
+    "emb_knn_graph", "events_lag_features", "emb_knn_accuracy",
+    "events_anomaly_iqr")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

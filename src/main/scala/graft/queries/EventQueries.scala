@@ -517,6 +517,46 @@ object EventQueries {
     // convention; a production monitor swaps in approx_percentile,
     // the events_profile_approx path) + two broadcast joins of the
     // ~5-row stat tables + one projection.
+    // IQR / TUKEY-FENCE ANOMALY — the fourth rung of the anomaly
+    // ladder (z → MAD → seasonal-residual → quartile fences): Q1/Q3
+    // rank-selected exactly (ceil(n/4), ceil(3n/4) with event_id
+    // tiebreaks — the MAD median idiom), fences at 1.5·IQR in
+    // identical double arithmetic on both engines, outliers counted
+    // per type. Same per-type rank windows as events_anomaly_mad —
+    // the documented series axis.
+    "events_anomaly_iqr" -> ((s, dir) => {
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+      val ranked = e
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("v"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+      val qs = ranked
+        .filter(col("rn") === expr("(n + 3) DIV 4")
+          || col("rn") === expr("(3 * n + 3) DIV 4"))
+        .groupBy(col("event_type"))
+        .agg(min(col("v")).as("q1"), max(col("v")).as("q3"))
+        .withColumn("lo",
+          col("q1").cast("double")
+            - lit(1.5) * (col("q3") - col("q1")).cast("double"))
+        .withColumn("hi",
+          col("q3").cast("double")
+            + lit(1.5) * (col("q3") - col("q1")).cast("double"))
+      e.join(broadcast(qs), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("q1")).cast("double"), 4).as("q1_r"),
+          round(max(col("q3")).cast("double"), 4).as("q3_r"),
+          sum(when(col("v").cast("double") < col("lo")
+            || col("v").cast("double") > col("hi"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("outlier_pct_r",
+          round(col("n_outliers").cast("double") * 100.0 / col("n"), 4))
+    }),
+
     "events_anomaly_mad" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .filter(col("value").isNotNull)
@@ -3685,6 +3725,38 @@ object EventQueries {
 
     // same rank-selected medians over engine-identical doubles, same
     // fixed-order 0.6745·(x−med)/MAD finish
+    "events_anomaly_iqr" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), qs AS (
+        |  SELECT event_type, min(v) AS q1, max(v) AS q3
+        |  FROM r WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, q1, q3,
+        |    CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE) AS lo,
+        |    CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE) AS hi
+        |  FROM qs
+        |)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(max(f.q1) AS DOUBLE), 4) AS q1_r,
+        |  round(CAST(max(f.q3) AS DOUBLE), 4) AS q3_r,
+        |  CAST(sum(CASE WHEN CAST(e.v AS DOUBLE) < f.lo
+        |    OR CAST(e.v AS DOUBLE) > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(CAST(sum(CASE WHEN CAST(e.v AS DOUBLE) < f.lo
+        |    OR CAST(e.v AS DOUBLE) > f.hi THEN 1 ELSE 0 END) AS DOUBLE)
+        |    * 100.0 / count(*), 4) AS outlier_pct_r
+        |FROM e JOIN f USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
     "events_anomaly_mad" ->
       """WITH e AS (
         |  SELECT event_id, event_type, value FROM events
