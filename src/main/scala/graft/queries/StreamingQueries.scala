@@ -401,6 +401,16 @@ object StreamingQueries {
     * apply their merge law (SUM / max / distinct) to the returned
     * frame — the foreachBatch + parquet log is the observable model
     * of per-key streaming-agg state.
+    *
+    * CONTRACT (ADVICE r11): `build` must yield ZERO rows on an empty
+    * input frame — true of every key-grouped aggregation, but a
+    * GLOBAL (no-groupBy) aggregate emits one real seed row that the
+    * downstream merge would then see alongside the micro-batch
+    * partials. The one existing global builder (`pcaMoments`, a
+    * (-1,-1,0) count row) is harmless ONLY because its merge is an
+    * additive sum of zeros; a future global-agg builder whose merge
+    * is max/avg/first would silently absorb the seed — give it a
+    * WHERE-false guard on the empty frame, or filter the seed write.
     */
   private def partialsOf(src: DataFrame, prefix: String)
                         (build: DataFrame => DataFrame): DataFrame = {

@@ -90,7 +90,10 @@ class StatTestSpec extends SparkSpec {
     val r0 = StatTestQueries.chisqFinish(cells).collect().head
     assert(r0.getAs[Double]("chi2_r") === 0.0,
       s"rank-1 table must score exactly 0: ${r0.getAs[Double]("chi2_r")}")
-    assert(r0.getAs[Long]("dof") === 6L)
+    // the finish densifies to the frozen 0..4 bucket design, so dof is
+    // (3−1)·(5−1) even though only buckets 0..3 are observed — the
+    // structural-zero bucket 4 has e = 0 and contributes nothing
+    assert(r0.getAs[Long]("dof") === 8L)
     // dependence: diagonal-heavy table
     val dep = (for (t <- 0 until 3; b <- 0 until 3) yield
       (s"t$t", b.toLong, if (t == b) 100 else 5))

@@ -78,4 +78,34 @@ class GlobalOrderSpec extends SparkSpec {
     assert(GlobalOrder.withPrefixSum(empty, col("v"), "c",
       Seq(col("id")), inclusive = false).count() == 0L)
   }
+
+  test("a NULL sort key raises instead of silently landing in slice 0") {
+    val withNull = frame.select(col("id"),
+      when(col("id") === 5000L, lit(null)).otherwise(col("v")).as("v"))
+    val e = intercept[Exception] {
+      GlobalOrder.withRowNumber(withNull, "rn",
+        Seq(col("v"), col("id"))).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-null total order")), e.getMessage)
+  }
+
+  test("a .desc sort column is rejected with an actionable message") {
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.withRowNumber(frame, "rn", Seq(col("v").desc, col("id")))
+    }
+    assert(e.getMessage.contains("negate"), e.getMessage)
+  }
+
+  test("tiny hash sample (fewer keys than numParts-1) still ranks exactly") {
+    // 10007 rows / sampleMod 1024 ≈ 10 sampled keys < numParts−1 = 31:
+    // the fallback promotes every distinct sampled key to a boundary
+    val want = frame.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    val got = GlobalOrder.withRowNumber(frame, "rn",
+      Seq(col("v"), col("id")), numParts = 32, sampleMod = 1024)
+    assert(got.select("id", "rn").except(want.select("id", "rn")).isEmpty &&
+           want.select("id", "rn").except(got.select("id", "rn")).isEmpty)
+  }
 }
