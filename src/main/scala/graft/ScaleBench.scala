@@ -110,7 +110,10 @@ object ScaleBench {
     "emb_silhouette", "search_ndcg", "events_cohort_ltv", "events_attribution",
     "er_canonical", "events_changepoint_multi", "events_funnel_latency",
     "emb_knn_graph", "events_lag_features", "emb_knn_accuracy",
-    "events_anomaly_iqr")
+    "events_anomaly_iqr",
+    // r12 wave
+    "pipeline_hard_negatives", "dedup_dbscan", "text_kneser_ney",
+    "pipeline_curriculum", "pipeline_skew_probe")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -146,7 +149,8 @@ object ScaleBench {
     "stream_session_window", "stream_sliding_window", "stream_stl",
     "stream_mannwhitney", "stream_chisq", "stream_survival",
     "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval",
-    "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency")
+    "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency",
+    "stream_skew_probe")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

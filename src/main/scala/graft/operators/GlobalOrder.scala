@@ -141,16 +141,14 @@ object GlobalOrder {
   }
 
   /** Exclusive per-slice offsets from a per-slice total frame
-    * (`__go_pid`, `__go_tot`): a cumsum over ≤ numParts rows.
+    * (`__go_pid`, `__go_tot`): a cumsum over ≤ numParts rows — as a
+    * [[TinyOrder]] triangular join (≤ numParts² pairs), so the
+    * operator that exists to eliminate unpartitioned windows contains
+    * none itself.
     */
   private def offsets(totals: DataFrame) =
-    totals
-      .withColumn("__go_off",
-        coalesce(
-          sum(col("__go_tot")).over(
-            Window.orderBy(col("__go_pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+    TinyOrder.exclusivePrefixSum(totals, col("__go_tot"), "__go_off",
+        Seq(col("__go_pid")))
       .select(col("__go_pid"), col("__go_off"))
 
   /** df + a 1-based global row number `out` under the total order

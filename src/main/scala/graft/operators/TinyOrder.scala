@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order statistics for frames PROVEN tiny (≲ 10⁴ rows: top-k results
+  * after a distributed `orderBy().limit(k)`, per-slice offset tables,
+  * per-stratum count frames, contingency cells) — computed as a
+  * triangular SELF-JOIN instead of an unpartitioned window.
+  *
+  * Why not `Window.orderBy(...)`: an empty partition spec funnels the
+  * frame through one task AND logs a per-execution WindowExec warning
+  * that drowns the signal the warning exists to give (a data-sized
+  * frame accidentally hitting a global window). A constant partition
+  * key does not help — the optimizer strips foldable keys and the
+  * exec sees an empty spec again. For a frame of n rows the
+  * triangular join is n² pairs — at the documented sizes that is at
+  * most ~10⁸ comparisons spread across the cluster, no
+  * single-partition sort, no warning, and every plan stays
+  * whole-stage-codegen joins + hash aggregates.
+  *
+  * Requirements: `sortCols` must form a TOTAL order (include a unique
+  * tiebreak) with non-null keys, every column ascending — express
+  * descending order as `negate(col)`, the [[GlobalOrder]] convention.
+  * Data-sized frames must use [[GlobalOrder]] instead.
+  */
+object TinyOrder {
+
+  private def key(sortCols: Seq[Column]): Column =
+    struct(sortCols.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+
+  /** df + 1-based rank `out` under the total order `sortCols`:
+    * rank(r) = 1 + |{r′ : key(r′) < key(r)}|.
+    */
+  def rank(df: DataFrame, out: String, sortCols: Seq[Column]): DataFrame =
+    prefixAgg(df, lit(1L), out, sortCols, "sum", lit(0L),
+      post = _ + lit(1L))
+
+  /** df + the EXCLUSIVE running sum of `value` under `sortCols`
+    * (0 for the first row) — the tiny-frame
+    * `sum(value).over(orderBy(...).rowsBetween(unboundedPreceding, -1))`.
+    */
+  def exclusivePrefixSum(df: DataFrame, value: Column, out: String,
+                         sortCols: Seq[Column]): DataFrame =
+    prefixAgg(df, value, out, sortCols, "sum", lit(0L))
+
+  /** df + the EXCLUSIVE running max of `value` under `sortCols`
+    * (NULL for the first row) — the tiny-frame
+    * `max(value).over(orderBy(...).rowsBetween(unboundedPreceding, -1))`.
+    */
+  def exclusivePrefixMax(df: DataFrame, value: Column, out: String,
+                         sortCols: Seq[Column]): DataFrame =
+    prefixAgg(df, value, out, sortCols, "max",
+      lit(null).cast("double"))
+
+  private def prefixAgg(df: DataFrame, value: Column, out: String,
+                        sortCols: Seq[Column], agg: String, zero: Column,
+                        post: Column => Column = identity): DataFrame = {
+    val k = key(sortCols)
+    val left = df.withColumn("__to_k", k)
+    val right = df.select(k.as("__to_kb"), value.as("__to_v"))
+    // broadcast the value side: the frame is tiny by contract, and the
+    // non-equi join must plan as BroadcastNestedLoopJoin, never a
+    // CartesianProduct
+    val offs = left.select(col("__to_k")).distinct()
+      .join(broadcast(right), col("__to_kb") < col("__to_k"))
+      .groupBy(col("__to_k"))
+      .agg(call_function(agg, col("__to_v")).as("__to_agg"))
+    left.join(broadcast(offs), Seq("__to_k"), "left")
+      .withColumn(out, post(coalesce(col("__to_agg"), zero)))
+      .drop("__to_k", "__to_agg")
+  }
+}

@@ -412,9 +412,11 @@ object DedupQueries {
                 / size(TextOps.tokens(col("text"))), 9).as("ttr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val g = d.groupBy(col("n_chars")).agg(max(col("ttr")).as("gmax"))
-      val stair = g.withColumn("strictmax",
-        max(col("gmax")).over(W.orderBy(col("n_chars").desc)
-          .rowsBetween(W.unboundedPreceding, -1)))
+      // running strict-max over the value-domain-sized length grid
+      // (#distinct n_chars, never corpus-sized) — TinyOrder triangular
+      // join, length DESC expressed as negate
+      val stair = graft.operators.TinyOrder.exclusivePrefixMax(
+        g, col("gmax"), "strictmax", Seq(negate(col("n_chars"))))
       d.join(broadcast(stair), "n_chars")
         .filter(col("ttr") === col("gmax") &&
                 (col("strictmax").isNull || col("ttr") > col("strictmax")))
@@ -1187,11 +1189,14 @@ object DedupQueries {
     * mergeable and must keep full partials).
     */
   private[graft] def worTopK(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     keys
-      .withColumn("rn", row_number().over(
-        W.orderBy(col("key_r").desc, col("doc_id"))))
-      .filter(col("rn") <= WorSampleK)
+      // distributed top-K (TakeOrderedAndProject — per-partition
+      // top-K, no global shuffle), then a TinyOrder rank over the
+      // K-row result; no unpartitioned window
+      .orderBy(col("key_r").desc, col("doc_id"))
+      .limit(WorSampleK)
+      .transform(df => graft.operators.TinyOrder.rank(df, "rn",
+        Seq(negate(col("key_r")), col("doc_id"))))
       .select(col("doc_id"), col("n_tokens"), col("key_r"),
               col("rn").cast("long").as("rn"))
   }

@@ -936,6 +936,21 @@ object EventQueries {
     "events_rfm" -> ((s, dir) =>
       rfmFinish(rfmPerUser(Tables.events(s, dir)))),
 
+    // KEY-SKEW PROBE — the shuffle-planning diagnostic a 100 TB
+    // deployment runs BEFORE keying a join or agg on a column: per-key
+    // counts (one mergeable hash agg — the only data-sized pass), then
+    // top-share / order-statistic / Gini diagnostics off ONE
+    // distributed descending rank ([[graft.operators.GlobalOrder]];
+    // Gini needs Σ rank·count, which the descending rank yields via
+    // G = ((n+1)·Σx − 2·Σ rkdesc·x)/(n·Σx) — exact-decimal integer
+    // arithmetic, one IEEE division at the end), plus the actionable
+    // output: the salt factor that levels the hottest key to the mean
+    // partition load at 32-way parallelism. The streaming twin merges
+    // per-batch additive count partials into the identical finish.
+    "pipeline_skew_probe" -> ((s, dir) =>
+      skewFinish(skewKeyCounts(
+        Tables.events(s, dir).select(col("user_id"))))),
+
     // Event-type TRANSITION MATRIX (first-order Markov estimate) — the
     // sequence-analytics companion to funnel/sessionize: per user's
     // time-ordered stream, count (prev → next) type transitions and
@@ -1143,10 +1158,13 @@ object EventQueries {
       tri.groupBy(col("path"))
         .agg(count(lit(1)).as("n_occurrences"),
              countDistinct(col("sess_key")).as("n_sessions"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_occurrences").desc, col("path"))))
-        .filter(col("rank") <= 20)
-        .select(col("rank").cast("long").as("rank"), col("path"),
+        // distributed top-20 (TakeOrderedAndProject), then a TinyOrder
+        // rank over the 20-row result — no unpartitioned window
+        .orderBy(col("n_occurrences").desc, col("path"))
+        .limit(20)
+        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+          Seq(negate(col("n_occurrences")), col("path"))))
+        .select(col("rank"), col("path"),
                 col("n_occurrences"), col("n_sessions"))
     }),
 
@@ -2093,6 +2111,57 @@ object EventQueries {
            count(lit(1)).as("freq"),
            sum(dec(col("value"))).as("mon_dec"))
 
+  /** The mergeable half of `pipeline_skew_probe`: per-key event
+    * counts — additive, so per-micro-batch partials re-summed per key
+    * equal the one-pass batch aggregation exactly
+    * (`stream_skew_probe`'s hash proof).
+    */
+  private[graft] def skewKeyCounts(e: org.apache.spark.sql.DataFrame) =
+    e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+
+  /** Skew diagnostics over a merged (user_id, cnt) frame — see
+    * `pipeline_skew_probe`. All integer/decimal-exact until the three
+    * rounded share/Gini divisions; order statistics are rank-selected
+    * (count at the ⌈n/2⌉-th and ⌈n/100⌉-th largest key), never an
+    * interpolated percentile.
+    */
+  private[graft] def skewFinish(counts: org.apache.spark.sql.DataFrame) = {
+    import graft.operators.GlobalOrder
+    val c = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = c.agg(count(lit(1)).as("n_keys"))
+    val ranked = GlobalOrder.withRowNumber(c, "rkd",
+        Seq(negate(col("cnt")), col("user_id")))
+      .crossJoin(broadcast(n1))
+    ranked
+      .agg(
+        max(col("n_keys")).as("n_keys"),
+        sum(col("cnt")).as("total"),
+        max(when(col("rkd") === 1, col("cnt"))).as("top1_cnt"),
+        sum(when(col("rkd") <= 10, col("cnt"))).as("top10_cnt"),
+        max(when(col("rkd") ===
+          call_function("div", col("n_keys") + lit(1L), lit(2L)),
+          col("cnt"))).as("p50_cnt"),
+        max(when(col("rkd") === greatest(
+          call_function("div", col("n_keys") + lit(99L), lit(100L)), lit(1L)),
+          col("cnt"))).as("p99_cnt"),
+        sum(col("rkd").cast("decimal(38,0)") * col("cnt")).as("s_rd"))
+      .select(col("n_keys"), col("total"), col("top1_cnt"),
+        col("top10_cnt"), col("p50_cnt"), col("p99_cnt"),
+        round(col("top1_cnt").cast("double") / col("total").cast("double"), 6)
+          .as("top1_share_r"),
+        round(col("top10_cnt").cast("double") / col("total").cast("double"), 6)
+          .as("top10_share_r"),
+        round(
+          ((col("n_keys").cast("decimal(38,0)") + lit(1)) * col("total")
+            - lit(2) * col("s_rd")).cast("double")
+          / (col("n_keys").cast("decimal(38,0)") * col("total")).cast("double"),
+          6).as("gini_r"),
+        least(greatest(
+          call_function("div",
+            col("top1_cnt") * lit(32L) + col("total") - lit(1L), col("total")),
+          lit(1L)), lit(32L)).as("salt_32"))
+  }
+
   /** The RFM quintile scoring over a merged per-user table — the
     * serving-time half. ntile(5) semantics exactly (the DuckDB twin
     * is unchanged), but computed WITHOUT a global window: each metric
@@ -2592,8 +2661,12 @@ object EventQueries {
     */
   private[graft] def quantileFinish(hist: org.apache.spark.sql.DataFrame,
                                     vals: org.apache.spark.sql.DataFrame) = {
-    val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+    // inclusive running count over the ~2.3k-row bucket grid —
+    // TinyOrder triangular join (exclusive prefix + own count), no
+    // unpartitioned window
+    val cum = graft.operators.TinyOrder.exclusivePrefixSum(
+        hist, col("cnt"), "cum_ex", Seq(col("bucket")))
+      .withColumn("cum", col("cum_ex") + col("cnt")).drop("cum_ex")
     val ranks = hist.agg(sum(col("cnt")).as("n"))
       .select(col("n"),
         explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("q_pct"))
@@ -4459,6 +4532,46 @@ object EventQueries {
         |  r_score, f_score, m_score,
         |  concat(r_score, f_score, m_score) AS segment
         |FROM scored""".stripMargin,
+
+    // the oracle's global rank window is the single-partition form the
+    // engine's GlobalOrder replaces; identical integer/decimal math
+    "pipeline_skew_probe" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), n1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys FROM c
+        |), r AS (
+        |  SELECT user_id, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT)
+        |      AS rkd
+        |  FROM c
+        |), a AS (
+        |  SELECT max(n1.n_keys) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS total,
+        |    max(CASE WHEN rkd = 1 THEN cnt END) AS top1_cnt,
+        |    CAST(sum(CASE WHEN rkd <= 10 THEN cnt END) AS BIGINT)
+        |      AS top10_cnt,
+        |    max(CASE WHEN rkd = (n1.n_keys + 1) // 2 THEN cnt END)
+        |      AS p50_cnt,
+        |    max(CASE WHEN rkd = greatest((n1.n_keys + 99) // 100, 1)
+        |      THEN cnt END) AS p99_cnt,
+        |    sum(CAST(rkd AS DECIMAL(38,0)) * cnt) AS s_rd
+        |  FROM r CROSS JOIN n1
+        |)
+        |SELECT n_keys, total, top1_cnt, top10_cnt, p50_cnt, p99_cnt,
+        |  round(CAST(top1_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS top1_share_r,
+        |  round(CAST(top10_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS top10_share_r,
+        |  round(
+        |    CAST((CAST(n_keys AS DECIMAL(38,0)) + 1) * total - 2 * s_rd
+        |      AS DOUBLE)
+        |    / CAST(CAST(n_keys AS DECIMAL(38,0)) * total AS DOUBLE), 6)
+        |    AS gini_r,
+        |  CAST(least(greatest((top1_cnt * 32 + total - 1) // total, 1), 32)
+        |    AS BIGINT) AS salt_32
+        |FROM a""".stripMargin,
 
     "events_markov" ->
       """WITH e AS (

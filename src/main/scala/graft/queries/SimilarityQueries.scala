@@ -26,6 +26,27 @@ object SimilarityQueries {
   private val NProbe = 2
   private val NearDupCos = 0.2
 
+  /** Semi-hard mining margin for `pipeline_hard_negatives`: a negative
+    * qualifies when pmax − margin < cos < pmax (FaceNet's semi-hard
+    * band, in cosine terms). 0.2 matches the fixture's near-
+    * unstructured cosine spread (top-neighbor ≈ 0.3–0.5); a production
+    * run on real embeddings narrows it.
+    */
+  private[graft] val HardNegMargin = 0.2
+
+  /** Core threshold for `dedup_dbscan`: ≥ this many ε-neighbors makes
+    * a point core.
+    */
+  private[graft] val DbscanMinPts = 2
+
+  /** ε for `dedup_dbscan` in cosine terms — deliberately TIGHTER than
+    * [[NearDupCos]]: at 0.2 the fixture's neighbor graph is dense
+    * enough that every point is core (no taxonomy to test); at 0.35
+    * the fixture splits ~29% core / ~33% degree-1 / ~38% isolated, so
+    * all three DBSCAN roles are live.
+    */
+  private[graft] val DbscanCos = 0.35
+
   /** Shortlist depth `search_mmr` re-ranks (the pq_rerank operating
     * point: a 20-candidate exact shortlist feeding a TopK selection).
     */
@@ -45,6 +66,110 @@ object SimilarityQueries {
   private[graft] val SemDedupCos = 0.2
 
   val queries: Map[String, Q] = Map(
+
+    // SEMI-HARD NEGATIVE MINING — the contrastive-training data step
+    // every retrieval/embedding trainer runs (FaceNet/DPR): for each
+    // anchor query, find candidates of a DIFFERENT label that score
+    // below the hardest positive but within a margin of it — close
+    // enough to be informative, not so close they are label noise.
+    // Shape: one cosine pass over (anchor × corpus) pairs (persisted —
+    // the per-anchor positive max and the negative filter both read
+    // it), an 8-row positive-stat agg broadcast back, then a
+    // per-anchor rank whose `rank ≤ k` filter becomes a
+    // WindowGroupLimit. At 100 TB the pair generator swaps for the
+    // trained-IVF probe shortlist (`ann_topk_ivf_trained`) — mining
+    // only needs candidates already near the anchor; the margin logic
+    // is unchanged. Exactness: cosines are decimal-exact reductions;
+    // the margin comparisons are single IEEE ops on identical doubles.
+    "pipeline_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"), col("label").as("q_label"))
+      val pairs = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+                col("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pmax = pairs
+        .groupBy(col("q_id"))
+        .agg(max(when(col("label") === col("q_label"), col("cos"))).as("pmax"))
+        .filter(col("pmax").isNotNull)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      pairs.join(broadcast(pmax), "q_id")
+        .filter(col("label") =!= col("q_label") &&
+                col("cos") < col("pmax") &&
+                col("cos") > col("pmax") - lit(HardNegMargin))
+        .withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= TopK)
+        .select(col("q_id"), col("neg_rank").cast("long").as("neg_rank"),
+                col("vec_id"), round(col("cos"), 6).as("cos_r"),
+                round(col("pmax"), 6).as("pmax_r"))
+    }),
+
+    // DBSCAN OVER EMBEDDINGS — density clustering with the standard
+    // core/border/noise taxonomy (the semantic-dedup complement: find
+    // DENSE regions, not just pairwise dups). ε-neighborhood = cosine
+    // ≥ NearDupCos; core = ≥ DbscanMinPts neighbors; clusters =
+    // connected components over core–core edges (the exact DBSCAN
+    // equivalence); border points attach to their min-labeled core
+    // neighbor; the rest is noise (cluster −1). Shape: the pair pass
+    // is the `dedup_embedding_pairs` brute baseline at test scale —
+    // at 100 TB the candidate generator swaps for the LSH bucket join
+    // (same swap the near-dup family already proves) — then degree
+    // counting (hash agg), [[graft.operators.ConnectedComponents]]
+    // pointer-jumping over the core subgraph (rounds ≈ log diameter),
+    // and one broadcast-scale min-agg for borders.
+    "dedup_dbscan" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+                         col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                         col("nrm").as("nb"))
+      val nbr = a.join(b, col("va") < col("vb"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
+            (col("na") * col("nb")))
+        .filter(col("cos") >= DbscanCos)
+        .select(col("va"), col("vb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = nbr.select(col("va").as("v")).unionAll(nbr.select(col("vb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val core = deg.filter(col("deg") >= DbscanMinPts).select(col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val coreEdges = nbr
+        .join(core.select(col("v").as("va")), "va")
+        .join(core.select(col("v").as("vb")), "vb")
+        .select(col("va").as("a"), col("vb").as("b"))
+      val cc = graft.operators.ConnectedComponents.labels(
+        core.select(col("v")), coreEdges)
+      val coreOut = cc.select(col("v").as("vec_id"), lit("core").as("role"),
+        col("lbl").as("cluster_id"))
+      val borderCand = nbr
+        .join(core.select(col("v").as("va"), lit(1).as("ca")), Seq("va"), "left")
+        .join(core.select(col("v").as("vb"), lit(1).as("cb")), Seq("vb"), "left")
+      // non-core endpoint adjacent to a core endpoint → border
+      val border = borderCand.filter(col("ca").isNull && col("cb").isNotNull)
+          .select(col("va").as("vec_id"), col("vb").as("cv"))
+        .unionAll(borderCand.filter(col("cb").isNull && col("ca").isNotNull)
+          .select(col("vb").as("vec_id"), col("va").as("cv")))
+        .join(cc.select(col("v").as("cv"), col("lbl")), "cv")
+        .groupBy(col("vec_id"))
+        .agg(min(col("lbl")).as("cluster_id"))
+        .select(col("vec_id"), lit("border").as("role"), col("cluster_id"))
+      val labeled = coreOut.unionByName(border)
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .join(labeled, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("role"), lit("noise")).as("role"),
+          coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+    }),
 
     // Brute-force cosine top-k: first NQueries vectors against the
     // whole corpus (self excluded), deterministic rank.
@@ -1991,6 +2116,75 @@ object SimilarityQueries {
     })
 
   private lazy val oracleBase: Map[String, String] = Map(
+
+    "pipeline_hard_negatives" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label,
+         |    c.vec_id AS vec_id, c.label AS label,
+         |    ${duckCos("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |), pm AS (
+         |  SELECT q_id, max(CASE WHEN label = q_label THEN cos END) AS pmax
+         |  FROM pairs GROUP BY 1
+         |), neg AS (
+         |  SELECT p.q_id, p.vec_id, p.cos, pm.pmax,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY p.cos DESC, p.vec_id) AS neg_rank
+         |  FROM pairs p JOIN pm ON p.q_id = pm.q_id
+         |  WHERE pm.pmax IS NOT NULL AND p.label <> p.q_label
+         |    AND p.cos < pm.pmax AND p.cos > pm.pmax - $HardNegMargin
+         |)
+         |SELECT q_id, CAST(neg_rank AS BIGINT) AS neg_rank, vec_id,
+         |  round(cos, 6) AS cos_r, round(pmax, 6) AS pmax_r
+         |FROM neg WHERE neg_rank <= $TopK""".stripMargin,
+
+    "dedup_dbscan" ->
+      s"""WITH RECURSIVE nbr AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${duckCos("a.embedding", "b.embedding")} >= $DbscanCos
+         |), deg AS (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT va AS v FROM nbr UNION ALL SELECT vb AS v FROM nbr
+         |  ) GROUP BY 1
+         |), core AS (
+         |  SELECT v FROM deg WHERE deg >= $DbscanMinPts
+         |), ce AS (
+         |  SELECT n.va AS src, n.vb AS dst FROM nbr n
+         |  JOIN core x ON x.v = n.va JOIN core y ON y.v = n.vb
+         |  UNION ALL
+         |  SELECT n.vb AS src, n.va AS dst FROM nbr n
+         |  JOIN core x ON x.v = n.va JOIN core y ON y.v = n.vb
+         |), lp(v, lbl) AS (
+         |  SELECT v, v FROM core
+         |  UNION
+         |  SELECT e.dst, lp.lbl FROM lp JOIN ce e ON e.src = lp.v
+         |  WHERE lp.lbl < e.dst
+         |), cc AS (
+         |  SELECT v, min(lbl) AS lbl FROM lp GROUP BY v
+         |), border AS (
+         |  SELECT t.vec_id, min(cc.lbl) AS cluster_id FROM (
+         |    SELECT n.va AS vec_id, n.vb AS cv FROM nbr n
+         |    WHERE n.va NOT IN (SELECT v FROM core)
+         |      AND n.vb IN (SELECT v FROM core)
+         |    UNION ALL
+         |    SELECT n.vb AS vec_id, n.va AS cv FROM nbr n
+         |    WHERE n.vb NOT IN (SELECT v FROM core)
+         |      AND n.va IN (SELECT v FROM core)
+         |  ) t JOIN cc ON cc.v = t.cv
+         |  GROUP BY 1
+         |)
+         |SELECT e.vec_id,
+         |  CASE WHEN cc.v IS NOT NULL THEN 'core'
+         |       WHEN border.vec_id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(cc.lbl, border.cluster_id, -1) AS BIGINT)
+         |    AS cluster_id
+         |FROM embeddings e
+         |LEFT JOIN cc ON cc.v = e.vec_id
+         |LEFT JOIN border ON border.vec_id = e.vec_id""".stripMargin,
     "sq_minmax" ->
       s"""WITH $sqCtes
          |SELECT CAST(i AS BIGINT) AS d, mn, mx FROM sqdims""".stripMargin,

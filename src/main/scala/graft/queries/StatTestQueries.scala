@@ -108,7 +108,10 @@ object StatTestQueries {
     val c = dense
       .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
       .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("bucket"))))
-      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      // grand total as a broadcast scalar join — no unpartitioned
+      // window anywhere in the engine (the margins above ARE
+      // partitioned)
+      .crossJoin(broadcast(dense.agg(sum(col("o")).as("n"))))
       .withColumn("e",
         col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
       .withColumn("contrib",
@@ -284,15 +287,17 @@ object StatTestQueries {
       .withColumn("p_r",
         when(col("d_r").isNotNull,
           round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("lam2"))), 9)))
-    val ranked = p.filter(col("p_r").isNotNull)
-      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bh_rank", row_number().over(
-        Window.orderBy(col("p_r"), col("event_type"))).cast("bigint"))
+    val base = p.filter(col("p_r").isNotNull)
+    // m-row frame (m = #types): rank via the TinyOrder triangular
+    // join, scalars via broadcast joins — zero unpartitioned windows
+    val ranked = graft.operators.TinyOrder.rank(base, "bh_rank",
+        Seq(col("p_r"), col("event_type")))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("m"))))
       .withColumn("pass",
         col("p_r") <= col("bh_rank").cast("double") * 0.10 / col("m").cast("double"))
     ranked
-      .withColumn("kstar", max(when(col("pass"), col("bh_rank")))
-        .over(Window.partitionBy()))
+      .crossJoin(broadcast(ranked
+        .agg(max(when(col("pass"), col("bh_rank"))).as("kstar"))))
       .select(col("event_type"), col("p_r"), col("bh_rank"),
         coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
   }
@@ -383,10 +388,9 @@ object StatTestQueries {
         .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit("_strat"))))
       val ranked = GlobalOrder.withRowNumber(d, "grn",
         Seq(col("lang"), col("hk"), col("doc_id")))
-      val offs = ranked.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(
-          sum(col("cnt")).over(Window.orderBy(col("lang"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val offs = graft.operators.TinyOrder.exclusivePrefixSum(
+        ranked.groupBy(col("lang")).agg(count(lit(1)).as("cnt")),
+        col("cnt"), "off", Seq(col("lang")))
       ranked.join(broadcast(offs), Seq("lang"))
         .withColumn("srn", col("grn") - col("off"))
         .select(col("doc_id"), col("lang"),

@@ -1130,6 +1130,20 @@ object StreamingQueries {
       EventQueries.rfmFinish(merged)
     }),
 
+    // Streaming skew probe — per-key counts are the canonical additive
+    // state (one long per key); per-batch partials re-summed per key ≡
+    // the batch count, so the Gini/top-share/salt diagnostics off the
+    // merged frame hash-match events' batch probe exactly. This is the
+    // deployment that watches a key's skew drift WHILE it ingests.
+    "stream_skew_probe" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir).select(col("user_id")),
+          "graft-skew-partials-")(EventQueries.skewKeyCounts)
+        .groupBy(col("user_id"))
+        .agg(sum(col("cnt")).as("cnt"))
+      EventQueries.skewFinish(merged)
+    }),
+
     // Streaming ACF — the hourly contingency cells are the mergeable
     // state (count + exact decimal sum per (series, hour), both
     // additive); the 9-dp mean projection, lag joins and fixed-order
@@ -1819,6 +1833,9 @@ object StreamingQueries {
     "stream_entropy_mi" -> EventQueries.oracleSql("events_entropy_mi"),
     "stream_retention" -> EventQueries.oracleSql("events_retention"),
     "stream_rfm" -> EventQueries.oracleSql("events_rfm"),
+    // Additive per-key count partials ≡ the batch count — shares the
+    // batch probe's oracle, hash-proven.
+    "stream_skew_probe" -> EventQueries.oracleSql("pipeline_skew_probe"),
     "stream_acf" -> EventQueries.oracleSql("events_acf"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares

@@ -230,6 +230,9 @@ object TextQueries {
         round(col("ps").cast("double") / col("n_b"), 6).as("avg_p_r"),
         round(col("pos").cast("double") / col("n_b"), 6).as("pos_rate_r"))
 
+  /** Absolute discount for `text_kneser_ney` (the standard 0.75). */
+  private val KnDiscount = 0.75
+
   val queries: Map[String, Q] = Map(
 
     // QUALITY-CLASSIFIER TRAINING — logistic regression distilling
@@ -431,10 +434,11 @@ object TextQueries {
       val sg = scored.groupBy(col("quality"))
         .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("np"),
              sum(when(!col("is_pos"), 1L).otherwise(0L)).as("nn"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val auc = sg
-        .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      // exclusive negative-count prefix over the distinct-score grid
+      // (bounded by the 6-dp quality domain, but ~corpus-sized in the
+      // worst case → GlobalOrder, not a global window / TinyOrder)
+      val auc = graft.operators.GlobalOrder.withPrefixSum(
+          sg, col("nn"), "cum_nn", Seq(col("quality")), inclusive = false)
         .agg(sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"),
              sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
       val conf = scored.agg(
@@ -820,9 +824,8 @@ object TextQueries {
       val top1 = freq.agg(max(col("cnt")).as("cmax"))
       freq.orderBy(col("cnt").desc, col("token")).limit(20)
         .crossJoin(broadcast(top1))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+          Seq(negate(col("cnt")), col("token"))))
         .select(col("rank"), col("token"), col("cnt"),
                 round(col("cnt") / col("cmax").cast("double"), 6).as("ratio_to_top"))
     }),
@@ -845,9 +848,8 @@ object TextQueries {
       bm25Agg(s, dir)
         .orderBy(col("score_d").desc, col("doc_id"))
         .limit(20)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_d").desc, col("doc_id"))).cast("long"))
+        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+          Seq(negate(col("score_d")), col("doc_id"))))
         .select(col("rank"), col("doc_id"), col("n_terms_hit"),
                 round(col("score_d").cast("double"), 6).as("score_r"))),
 
@@ -880,9 +882,8 @@ object TextQueries {
       stats.join(heads, "token")
         .orderBy(col("df").desc, col("token"))
         .limit(20)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("df").desc, col("token"))).cast("long"))
+        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+          Seq(negate(col("df")), col("token"))))
         .select(col("rank"), col("token"), col("df"), col("cf"),
                 col("postings_head"))
     }),
@@ -907,9 +908,8 @@ object TextQueries {
       tfidfScored(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+          Seq(negate(col("score")), col("doc_id"))))
         .select(col("rank"), col("doc_id"), col("n_terms_hit"),
                 round(col("score"), 6).as("score_r"))),
 
@@ -929,9 +929,8 @@ object TextQueries {
       val top = bm25Agg(s, dir)
         .orderBy(col("score_d").desc, col("doc_id"))
         .limit(NdcgK)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_d").desc, col("doc_id"))).cast("long"))
+        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+          Seq(negate(col("score_d")), col("doc_id"))))
         .select(col("rank"), col("doc_id"))
       val rel = tfidfScored(s, dir)
         .select(col("doc_id"),
@@ -952,6 +951,96 @@ object TextQueries {
     // bigram table is itself big data — this is a join, deliberately
     // not a broadcast), per-bigram log-probs quantized to 9 dp and
     // decimal-summed so the per-doc mean is order-free.
+    // CURRICULUM ORDERING — the data-ordering step curriculum-learning
+    // training runs consume: every document gets a GLOBAL training
+    // position such that (a) within each language, easier documents
+    // (higher quality composite) come first, and (b) the languages
+    // stay proportionally interleaved at every prefix — epoch 1 of a
+    // curriculum must not be all-English. Mechanics: within-stratum
+    // rank srn via one distributed global order
+    // ([[graft.operators.GlobalOrder]] over (lang, −quality, doc_id)
+    // minus broadcast per-lang offsets — the stratified_split shape),
+    // the canonical interleave key frac = (2·srn−1)/(2·cnt) (each
+    // stratum's k-th doc sits at its proportional position), then a
+    // second GlobalOrder pass over (frac, lang, doc_id) for the final
+    // position and its 4-stage ntile. No single-task sort anywhere at
+    // any corpus size; frac is one IEEE division over integers,
+    // identical on both engines.
+    "pipeline_curriculum" -> ((s, dir) => {
+      import graft.operators.GlobalOrder
+      import org.apache.spark.sql.expressions.Window
+      val q = qualityOf(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+              "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality"))
+      val ranked = GlobalOrder.withRowNumber(q, "grn",
+        Seq(col("lang"), negate(col("quality")), col("doc_id")))
+      val offs = graft.operators.TinyOrder.exclusivePrefixSum(
+        ranked.groupBy(col("lang")).agg(count(lit(1)).as("cnt")),
+        col("cnt"), "off", Seq(col("lang")))
+      val tot = q.agg(count(lit(1)).as("n_total"))
+      val fr = ranked.join(broadcast(offs), "lang")
+        .withColumn("srn", col("grn") - col("off"))
+        .withColumn("frac",
+          (lit(2.0) * col("srn").cast("double") - lit(1.0)) /
+            (lit(2.0) * col("cnt").cast("double")))
+        .select(col("doc_id"), col("lang"), col("frac"))
+      GlobalOrder.withRowNumber(fr, "curriculum_rank",
+          Seq(col("frac"), col("lang"), col("doc_id")))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), col("curriculum_rank"),
+          GlobalOrder.ntileOf(col("curriculum_rank"), col("n_total"), 4)
+            .cast("long").as("stage"))
+    }),
+
+    // KNESER-NEY BIGRAM LM — the smoothing production n-gram LMs
+    // (KenLM, the CCNet filter's scorer) actually use, upgrading
+    // text_bigram_lm's add-one: interpolated absolute discounting,
+    //   P_KN(w2|w1) = max(c12 − D, 0)/c1
+    //               + (D·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+    // where the continuation counts N1+ ask "how many distinct
+    // contexts" — the insight that makes 'Francisco' (frequent but
+    // only after 'San') score low as a continuation. EVERY input is a
+    // distributed count or count-distinct (mergeable hash aggs over
+    // the bigram frame — the data-sized pass is the one explode);
+    // the finish is fixed-order IEEE per surviving bigram row. Output:
+    // the top-20 bigrams by count with their smoothed probabilities.
+    "text_kneser_ney" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val bi = toks
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val left = bi.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1f"))
+      val right = bi.groupBy(col("w2"))
+        .agg(countDistinct(col("w1")).as("n1b"))
+      val nAll = c12.agg(count(lit(1)).as("n_all"))
+      c12
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(broadcast(nAll))
+        .withColumn("pkn_r", round(
+          greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0))
+            / col("c1").cast("double")
+          + (lit(KnDiscount) * col("n1f").cast("double")
+              / col("c1").cast("double"))
+            * (col("n1b").cast("double") / col("n_all").cast("double")), 9))
+        // distributed top-20 (TakeOrderedAndProject), then a TinyOrder
+        // rank over the 20-row result — no unpartitioned window
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+          Seq(negate(col("c12")), col("w1"), col("w2"))))
+        .select(col("rank"), col("w1"), col("w2"),
+                col("c12"), col("c1"), col("n1f"), col("n1b"), col("pkn_r"))
+    }),
+
     "text_bigram_lm" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
@@ -1126,9 +1215,8 @@ object TextQueries {
     val graded = top
       .join(rel, Seq("doc_id"), "left")
       .withColumn("grade", coalesce(col("grade"), lit(0L)))
-      .withColumn("irank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("grade").desc, col("doc_id"))).cast("long"))
+      .transform(df => graft.operators.TinyOrder.rank(df, "irank",
+        Seq(negate(col("grade")), col("doc_id"))))
     graded
       .join(broadcast(disc.select(col("r").as("rank"), col("disc"))), "rank")
       .join(broadcast(disc.select(col("r").as("irank"),
@@ -1335,6 +1423,74 @@ object TextQueries {
        |), ${(1 to LrRounds).map(t => lrRoundSql(t)).mkString(", ")}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // the quality chain is text_quality's oracle verbatim; the
+    // interleave key and both ranks are plain window SQL (the oracle
+    // may use the single-partition windows the engine avoids)
+    "pipeline_curriculum" ->
+      s"""$toksCte, q AS (
+         |  SELECT doc_id, lang,
+         |    len(list_distinct(toks)) / len(toks) AS ttr,
+         |    (len(list_filter(toks, t -> t = 'the')) + len(list_filter(toks, t -> t = 'a'))) / len(toks) AS stop_ratio,
+         |    (length(text) - (len(toks) - 1)) / len(toks) AS mean_len
+         |  FROM d
+         |), ql AS (
+         |  SELECT doc_id, lang,
+         |    round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3
+         |          + least(mean_len / 10.0, 1.0) * 0.3, 6) AS quality
+         |  FROM q
+         |), st AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id) AS srn,
+         |    count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM ql
+         |), fr AS (
+         |  SELECT doc_id, lang,
+         |    (2.0 * CAST(srn AS DOUBLE) - 1.0)
+         |      / (2.0 * CAST(cnt AS DOUBLE)) AS frac
+         |  FROM st
+         |)
+         |SELECT doc_id, lang,
+         |  CAST(row_number() OVER w AS BIGINT) AS curriculum_rank,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS stage
+         |FROM fr WINDOW w AS (ORDER BY frac, lang, doc_id)""".stripMargin,
+
+    // the P_KN finish is the same fixed-order IEEE chain over the
+    // same integer counts; round(…, 9) quantizes identically
+    "text_kneser_ney" ->
+      s"""$toksCte, bi AS (
+         |  SELECT b.w1 AS w1, b.w2 AS w2
+         |  FROM d, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS t(b)
+         |  WHERE len(toks) >= 2
+         |), c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+         |), lft AS (
+         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+         |    CAST(count(DISTINCT w2) AS BIGINT) AS n1f
+         |  FROM bi GROUP BY 1
+         |), rgt AS (
+         |  SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1b
+         |  FROM bi GROUP BY 1
+         |), na AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_all FROM c12
+         |), scored AS (
+         |  SELECT c12.w1, c12.w2, c12.c12, lft.c1, lft.n1f, rgt.n1b,
+         |    round(
+         |      greatest(CAST(c12.c12 AS DOUBLE) - $KnDiscount, 0.0)
+         |        / CAST(lft.c1 AS DOUBLE)
+         |      + ($KnDiscount * CAST(lft.n1f AS DOUBLE)
+         |          / CAST(lft.c1 AS DOUBLE))
+         |        * (CAST(rgt.n1b AS DOUBLE) / CAST(na.n_all AS DOUBLE)),
+         |      9) AS pkn_r,
+         |    row_number() OVER (ORDER BY c12.c12 DESC, c12.w1, c12.w2)
+         |      AS rank
+         |  FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN na
+         |)
+         |SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c12, c1, n1f, n1b,
+         |  pkn_r
+         |FROM scored WHERE rank <= 20""".stripMargin,
 
     // same design matrix, same 9-dp sigmoid quantization + exact
     // decimal Newton partials, same cofactor solve and 9-dp β

@@ -1,0 +1,182 @@
+package graft
+
+import graft.queries.{EventQueries, SimilarityQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the round-12 operators, each checked against an
+  * INDEPENDENT recomputation (brute-force neighbor counts, the KN
+  * normalization identity, a hand-computed Gini) rather than the
+  * operator's own code path.
+  */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("hard negatives: semi-hard band, label mismatch, contiguous ranks") {
+    val out = q("pipeline_hard_negatives").cache()
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+    // every negative's label differs from its anchor's
+    val joined = out
+      .join(emb.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(emb.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+    assert(joined.filter(col("n_label") === col("q_label")).count() == 0L)
+    // the semi-hard band: pmax - margin < cos < pmax (on the rounded
+    // reported values, with rounding slack)
+    assert(out.filter(col("cos_r") >= col("pmax_r") + 1e-6).count() == 0L)
+    assert(out.filter(col("cos_r") <= col("pmax_r") - 0.2 - 1e-6).count() == 0L)
+    // ranks are 1..k contiguous per anchor
+    val badRanks = out.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), max(col("neg_rank")).as("mx"),
+           min(col("neg_rank")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(badRanks.count() == 0L)
+    out.unpersist()
+  }
+
+  test("dbscan: roles match brute-force degree/adjacency recomputation") {
+    val out = q("dedup_dbscan").cache()
+    import graft.functions.VectorOps
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+      .withColumn("nrm", sqrt(VectorOps.normSqDecimal(col("embedding")).cast("double")))
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val nbr = a.join(b, col("va") =!= col("vb"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
+          (col("na") * col("nb")))
+      .filter(col("cos") >= SimilarityQueries.DbscanCos)
+      .select(col("va"), col("vb")).cache()
+    val deg = nbr.groupBy(col("va").as("vec_id")).agg(count(lit(1)).as("deg"))
+    val withDeg = out.join(deg, Seq("vec_id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L))).cache()
+    // cores have >= 2 neighbors; noise/border have < 2
+    assert(withDeg.filter(col("role") === "core" && col("deg") < 2).count() == 0L)
+    assert(withDeg.filter(col("role") =!= "core" && col("deg") >= 2).count() == 0L)
+    // border points are adjacent to >= 1 core; noise to none
+    val coreSet = out.filter(col("role") === "core")
+      .select(col("vec_id").as("vb"), lit(1).as("is_core"))
+    val coreAdj = nbr.join(coreSet, Seq("vb"))
+      .select(col("va").as("vec_id")).distinct()
+      .withColumn("has_core_nbr", lit(true))
+    val roles = out.join(coreAdj, Seq("vec_id"), "left")
+    assert(roles.filter(col("role") === "border" &&
+      col("has_core_nbr").isNull).count() == 0L)
+    assert(roles.filter(col("role") === "noise" &&
+      col("has_core_nbr").isNotNull).count() == 0L)
+    // adjacent cores share a cluster; noise is cluster -1
+    val lbl = out.select(col("vec_id"), col("role"), col("cluster_id"))
+    val edgesBothCore = nbr
+      .join(lbl.select(col("vec_id").as("va"), col("role").as("ra"),
+        col("cluster_id").as("ca")), "va")
+      .join(lbl.select(col("vec_id").as("vb"), col("role").as("rb"),
+        col("cluster_id").as("cb")), "vb")
+      .filter(col("ra") === "core" && col("rb") === "core")
+    assert(edgesBothCore.filter(col("ca") =!= col("cb")).count() == 0L)
+    assert(out.filter(col("role") === "noise" &&
+      col("cluster_id") =!= -1L).count() == 0L)
+    // the fixture actually exercises all three roles
+    assert(out.select(col("role")).distinct().count() == 3L)
+    nbr.unpersist(); withDeg.unpersist(); out.unpersist()
+  }
+
+  test("kneser-ney: discounted mass + continuation mass is exactly normalized") {
+    // Σ_{w2 observed after w1} max(c12−D,0)/c1 = (c1 − D·N1f)/c1 when
+    // every c12 ≥ 1 (D < 1 so max never clips), and Σ_w2 Pcont(w2) = 1
+    // ⇒ Σ_w2∈V P_KN(w2|w1) = 1: the identity that makes KN a proper
+    // distribution. Checked from raw bigram counts, independent of the
+    // query's own join chain.
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .select(graft.text.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+        "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2")).cache()
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val disc = c12
+      .groupBy(col("w1"))
+      .agg(sum(greatest(col("c12").cast("double") - 0.75, lit(0.0))).as("dmass"),
+           sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      .withColumn("lhs", col("dmass") / col("c1").cast("double"))
+      .withColumn("rhs",
+        (col("c1").cast("double") - lit(0.75) * col("n1f").cast("double"))
+          / col("c1").cast("double"))
+    assert(disc.filter(abs(col("lhs") - col("rhs")) > 1e-9).count() == 0L)
+    // continuation distribution sums to 1 over the vocabulary
+    val nAll = c12.count().toDouble
+    val contSum = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      .agg(sum(col("n1b"))).head.getLong(0).toDouble / nAll
+    assert(math.abs(contSum - 1.0) < 1e-12)
+    // and the shipped query agrees with a directly recomputed P_KN on
+    // its own top row
+    val top = q("text_kneser_ney").filter(col("rank") === 1).collect().head
+    val pkn = {
+      val c = top.getAs[Long]("c12").toDouble
+      val c1 = top.getAs[Long]("c1").toDouble
+      val n1f = top.getAs[Long]("n1f").toDouble
+      val n1b = top.getAs[Long]("n1b").toDouble
+      math.max(c - 0.75, 0.0) / c1 + (0.75 * n1f / c1) * (n1b / nAll)
+    }
+    assert(math.abs(top.getAs[Double]("pkn_r") - pkn) < 1e-8)
+    bi.unpersist()
+  }
+
+  test("skew probe: hand-computed Gini, shares and salt on planted counts") {
+    // counts 1,2,3,4 (users a..d): total 10, gini = 0.25 exactly,
+    // top1 4/10, top10 = all, median-from-top (rank ⌈4/2⌉=2) = 3,
+    // p99 rank ⌈4/100⌉=1 → 4, salt = ceil(4·32/10) = 13
+    val counts = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
+      .toDF("user_id", "cnt")
+    val r = EventQueries.skewFinish(counts).collect().head
+    assert(r.getAs[Long]("n_keys") == 4L && r.getAs[Long]("total") == 10L)
+    assert(r.getAs[Long]("top1_cnt") == 4L && r.getAs[Long]("top10_cnt") == 10L)
+    assert(r.getAs[Long]("p50_cnt") == 3L && r.getAs[Long]("p99_cnt") == 4L)
+    assert(r.getAs[Double]("top1_share_r") == 0.4)
+    assert(r.getAs[Double]("top10_share_r") == 1.0)
+    assert(r.getAs[Double]("gini_r") == 0.25)
+    assert(r.getAs[Long]("salt_32") == 13L)
+    // degenerate: a single key is maximal skew → salt caps at 32
+    val one = Seq(("a", 100L)).toDF("user_id", "cnt")
+    val r1 = EventQueries.skewFinish(one).collect().head
+    assert(r1.getAs[Double]("gini_r") == 0.0) // (n−1)/n with n=1
+    assert(r1.getAs[Long]("salt_32") == 32L)
+  }
+
+  test("curriculum: permutation, per-lang monotone difficulty, proportional interleave") {
+    val out = q("pipeline_curriculum").cache()
+    val n = out.count()
+    // global ranks are a permutation of 1..n
+    assert(out.select(col("curriculum_rank")).distinct().count() == n)
+    assert(out.agg(min(col("curriculum_rank")), max(col("curriculum_rank")))
+      .collect().head match { case r => r.getLong(0) == 1L && r.getLong(1) == n })
+    // within each lang, quality never increases along the curriculum
+    val qual = TextQueries.qualityOf(graft.tables.Tables.documents(spark, sf))
+      .select(col("doc_id"), col("quality"))
+    val seq0 = out.join(qual, "doc_id")
+      .select(col("lang"), col("curriculum_rank"), col("quality"))
+      .collect().groupBy(_.getString(0))
+    seq0.foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a >= b },
+        s"quality increases along curriculum for lang=$lang")
+    }
+    // proportional interleave: at every quarter prefix, each lang's
+    // share tracks its corpus share within ±2 docs
+    val byLang = out.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(n / 4, n / 2, 3 * n / 4).foreach { p =>
+      val pref = out.filter(col("curriculum_rank") <= p)
+        .groupBy(col("lang")).agg(count(lit(1)).as("k"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      byLang.foreach { case (lang, cnt) =>
+        val expect = p.toDouble * cnt / n
+        val got = pref.getOrElse(lang, 0L).toDouble
+        assert(math.abs(got - expect) <= 2.0,
+          s"prefix $p lang $lang: got $got expect $expect")
+      }
+    }
+    out.unpersist()
+  }
+}
