@@ -150,7 +150,7 @@ object ScaleBench {
     "stream_mannwhitney", "stream_chisq", "stream_survival",
     "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval",
     "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency",
-    "stream_skew_probe")
+    "stream_skew_probe", "stream_kneser_ney")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

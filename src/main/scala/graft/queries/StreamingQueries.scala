@@ -1130,6 +1130,20 @@ object StreamingQueries {
       EventQueries.rfmFinish(merged)
     }),
 
+    // Streaming Kneser-Ney — the bigram count table is the ONLY state
+    // (additive per (w1,w2)); c1 and all three continuation counts
+    // derive from the merged table, so the countDistinct-shaped
+    // inputs never stream. Merge(partials) ≡ batch counts → the full
+    // smoothed-probability report hash-matches the batch oracle.
+    "stream_kneser_ney" -> ((s, dir) => {
+      val merged = partialsOf(
+          documentsStream(s, dir).select(col("text")),
+          "graft-kn-partials-")(TextQueries.knBigramCounts)
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c12")).as("c12"))
+      TextQueries.knFinish(merged)
+    }),
+
     // Streaming skew probe — per-key counts are the canonical additive
     // state (one long per key); per-batch partials re-summed per key ≡
     // the batch count, so the Gini/top-share/salt diagnostics off the
@@ -1836,6 +1850,9 @@ object StreamingQueries {
     // Additive per-key count partials ≡ the batch count — shares the
     // batch probe's oracle, hash-proven.
     "stream_skew_probe" -> EventQueries.oracleSql("pipeline_skew_probe"),
+    // Additive bigram-count partials ≡ the batch counts; every other
+    // KN input derives from the merged table — shares the batch oracle.
+    "stream_kneser_ney" -> TextQueries.oracleSql("text_kneser_ney"),
     "stream_acf" -> EventQueries.oracleSql("events_acf"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares

@@ -233,6 +233,55 @@ object TextQueries {
   /** Absolute discount for `text_kneser_ney` (the standard 0.75). */
   private val KnDiscount = 0.75
 
+  /** The mergeable half of `text_kneser_ney`: per-(w1,w2) bigram
+    * counts — additive, so per-micro-batch partials re-summed per
+    * bigram equal the one-pass batch counts (`stream_kneser_ney`'s
+    * hash proof). Crucially, EVERY other Kneser-Ney input (c1, the
+    * continuation counts N1+(w1·), N1+(·w2), N1+(··)) is derivable
+    * from the merged c12 table — c1 = Σ_w2 c12, N1+ = row counts —
+    * so the non-additive-looking countDistinct state never needs to
+    * be streamed at all.
+    */
+  private[graft] def knBigramCounts(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+        "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+  /** Kneser-Ney finish over a merged (w1, w2, c12) table — see
+    * `text_kneser_ney`'s scaladoc for the formula.
+    */
+  private[graft] def knFinish(c12In: org.apache.spark.sql.DataFrame) = {
+    val c12 = c12In
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val nAll = c12.agg(count(lit(1)).as("n_all"))
+    c12
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(nAll))
+      .withColumn("pkn_r", round(
+        greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0))
+          / col("c1").cast("double")
+        + (lit(KnDiscount) * col("n1f").cast("double")
+            / col("c1").cast("double"))
+          * (col("n1b").cast("double") / col("n_all").cast("double")), 9))
+      // distributed top-20 (TakeOrderedAndProject), then a TinyOrder
+      // rank over the 20-row result — no unpartitioned window
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+      .transform(df => graft.operators.TinyOrder.rank(df, "rank",
+        Seq(negate(col("c12")), col("w1"), col("w2"))))
+      .select(col("rank"), col("w1"), col("w2"),
+              col("c12"), col("c1").cast("long").as("c1"),
+              col("n1f"), col("n1b"), col("pkn_r"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // QUALITY-CLASSIFIER TRAINING — logistic regression distilling
@@ -1005,41 +1054,8 @@ object TextQueries {
     // the bigram frame — the data-sized pass is the one explode);
     // the finish is fixed-order IEEE per surviving bigram row. Output:
     // the top-20 bigrams by count with their smoothed probabilities.
-    "text_kneser_ney" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      val bi = toks
-        .filter(size(col("t")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(t) - 2), " +
-          "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val left = bi.groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1f"))
-      val right = bi.groupBy(col("w2"))
-        .agg(countDistinct(col("w1")).as("n1b"))
-      val nAll = c12.agg(count(lit(1)).as("n_all"))
-      c12
-        .join(left, "w1")
-        .join(right, "w2")
-        .crossJoin(broadcast(nAll))
-        .withColumn("pkn_r", round(
-          greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0))
-            / col("c1").cast("double")
-          + (lit(KnDiscount) * col("n1f").cast("double")
-              / col("c1").cast("double"))
-            * (col("n1b").cast("double") / col("n_all").cast("double")), 9))
-        // distributed top-20 (TakeOrderedAndProject), then a TinyOrder
-        // rank over the 20-row result — no unpartitioned window
-        .orderBy(col("c12").desc, col("w1"), col("w2"))
-        .limit(20)
-        .transform(df => graft.operators.TinyOrder.rank(df, "rank",
-          Seq(negate(col("c12")), col("w1"), col("w2"))))
-        .select(col("rank"), col("w1"), col("w2"),
-                col("c12"), col("c1"), col("n1f"), col("n1b"), col("pkn_r"))
-    }),
+    "text_kneser_ney" -> ((s, dir) =>
+      knFinish(knBigramCounts(Tables.documents(s, dir)))),
 
     "text_bigram_lm" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
