@@ -70,7 +70,7 @@ def main(sf_dir, out_dir):
             print("  want :", want[bad].head(3).to_dict("records"))
             ok = False
         elif strict_hash(pq.read_table(spark_files).to_pandas()) != \
-                strict_hash(con.execute(sql).df()):
+                strict_hash(want):
             print(f"[STRCT] {name}: values equal but driver-style hash "
                   "differs (decimal/repr divergence between pyarrow and "
                   "duckdb-pandas reads — emit doubles, not decimals)")

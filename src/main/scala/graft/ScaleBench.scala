@@ -113,7 +113,9 @@ object ScaleBench {
     "events_anomaly_iqr",
     // r12 wave
     "pipeline_hard_negatives", "dedup_dbscan", "text_kneser_ney",
-    "pipeline_curriculum", "pipeline_skew_probe")
+    "pipeline_curriculum", "pipeline_skew_probe",
+    "events_power_analysis", "events_attribution_position",
+    "dedup_dbscan_scaled")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -150,7 +152,7 @@ object ScaleBench {
     "stream_mannwhitney", "stream_chisq", "stream_survival",
     "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval",
     "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency",
-    "stream_skew_probe", "stream_kneser_ney")
+    "stream_skew_probe", "stream_kneser_ney", "stream_power_analysis")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -951,6 +951,63 @@ object EventQueries {
       skewFinish(skewKeyCounts(
         Tables.events(s, dir).select(col("user_id"))))),
 
+    // A/B POWER ANALYSIS — see powerFinish. One mergeable moment agg
+    // (the data-sized pass) + a per-type-row IEEE finish; the
+    // streaming twin sum-merges the decimal moment partials.
+    "events_power_analysis" -> ((s, dir) =>
+      powerFinish(powerMoments(Tables.events(s, dir)
+        .select(col("event_type"), col("value"))))),
+
+    // POSITION-BASED (U-SHAPED) MULTI-TOUCH ATTRIBUTION — the 40/20/40
+    // credit model marketing analytics runs alongside first/last-touch
+    // (events_attribution): every touchpoint in the conversion's 7-day
+    // window gets credit — 40% first, 40% last, the middle 20% split
+    // evenly (k=1 → 100%, k=2 → 50/50). Shape: an interval join
+    // (conversions × touches bounded by the window — the q_range_join
+    // shape, per-user keys), two ranks + a count over the
+    // conversion-id partition (conversion-sized partitions, never
+    // data-sized), per-pair weights as 9-dp-rounded IEEE on integer
+    // ranks, revenue contributions quantized to DECIMAL(24,6) BEFORE
+    // the per-channel sum (order-insensitive), organic fallback for
+    // untouched conversions.
+    "events_attribution_position" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+                col("value"), col("event_type"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("cid"),
+                col("ts_ms").as("cts"), dec(col("value")).as("v"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("tid"),
+                col("ts_ms").as("tts"), col("event_type").as("ch"))
+      val byConv = W.partitionBy(col("cid"))
+      val pairs = conv.join(touch, Seq("user_id"))
+        .filter(col("tts") <= col("cts") &&
+                col("tts") >= col("cts") - lit(604800000L))
+        .withColumn("rf", row_number().over(
+          byConv.orderBy(col("tts"), col("tid"))))
+        .withColumn("k", count(lit(1)).over(byConv))
+        .withColumn("w_r",
+          when(col("k") === 1, lit(1.0))
+            .when(col("k") === 2, lit(0.5))
+            .when(col("rf") === 1 || col("rf") === col("k"), lit(0.4))
+            .otherwise(round(lit(0.2) / (col("k") - lit(2)).cast("double"), 9)))
+      val touched = pairs
+        .select(col("cid"), col("v"), col("ch"), col("w_r"))
+      val organic = conv.join(pairs.select(col("cid")).distinct(),
+          Seq("cid"), "left_anti")
+        .select(col("cid"), col("v"), lit("organic").as("ch"),
+                lit(1.0).as("w_r"))
+      touched.unionByName(organic)
+        .withColumn("contrib",
+          round(col("w_r") * asDouble(col("v")), 6).cast("decimal(24,6)"))
+        .groupBy(col("ch").as("channel"))
+        .agg(count(lit(1)).as("n_touchpoints"),
+             countDistinct(col("cid")).as("n_conversions"),
+             round(sum(col("contrib")).cast("double"), 6).as("wrev_r"))
+    }),
+
     // Event-type TRANSITION MATRIX (first-order Markov estimate) — the
     // sequence-analytics companion to funnel/sessionize: per user's
     // time-ordered stream, count (prev → next) type transitions and
@@ -2110,6 +2167,52 @@ object EventQueries {
       .agg(max(col("ts_ms")).as("last_ms"),
            count(lit(1)).as("freq"),
            sum(dec(col("value"))).as("mon_dec"))
+
+  /** The exact z-constant for `events_power_analysis`: (z_{α/2} +
+    * z_β)² at α = 0.05 two-sided, power 0.80 — the textbook pair
+    * (1.959964, 0.841621), squared ONCE here so both engines consume
+    * the identical double literal.
+    */
+  private[graft] val PowerZ2: Double = {
+    val z = 1.959964 + 0.841621
+    z * z
+  }
+
+  /** The mergeable half of `events_power_analysis`: per-type exact
+    * decimal moments (n, Σv, Σv²) — all additive, so per-micro-batch
+    * partials re-summed per type equal the batch aggregation exactly
+    * (`stream_power_analysis`'s hash proof).
+    */
+  private[graft] def powerMoments(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("value").isNotNull)
+      .select(col("event_type"), dec(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+           sum(col("v") * col("v")).as("s2"))
+
+  /** A/B sample-size planning from merged per-type moments — the
+    * experiment-design step every product analytics stack runs before
+    * launching a test: given the metric's observed variance, how many
+    * users per arm detect a 5% lift at α = 0.05 / power 0.80?
+    * n_req = ⌈2σ²(z_{α/2}+z_β)² / Δ²⌉ with Δ = 5% of the mean. The
+    * finish is a fixed-order IEEE chain per type row; σ² uses the
+    * exact-decimal sums (sample variance, n−1).
+    */
+  private[graft] def powerFinish(m: org.apache.spark.sql.DataFrame) =
+    m.filter(col("n") >= 2)
+      .withColumn("mean_d", asDouble(col("s")) / col("n").cast("double"))
+      .withColumn("var_d",
+        (asDouble(col("s2")) - asDouble(col("s")) * asDouble(col("s"))
+          / col("n").cast("double")) / (col("n") - lit(1)).cast("double"))
+      .withColumn("mde_d", lit(0.05) * col("mean_d"))
+      .select(col("event_type"), col("n"),
+        round(col("mean_d"), 6).as("mean_r"),
+        round(col("var_d"), 6).as("var_r"),
+        round(col("mde_d"), 6).as("mde_r"),
+        when(col("mde_d") =!= 0.0,
+          ceil(lit(2.0) * col("var_d") * lit(PowerZ2)
+            / (col("mde_d") * col("mde_d"))).cast("long"))
+          .as("n_required"))
 
   /** The mergeable half of `pipeline_skew_probe`: per-key event
     * counts — additive, so per-micro-batch partials re-summed per key
@@ -4532,6 +4635,72 @@ object EventQueries {
         |  r_score, f_score, m_score,
         |  concat(r_score, f_score, m_score) AS segment
         |FROM scored""".stripMargin,
+
+    // same exact-decimal moments, same fixed-order IEEE finish; the
+    // z² constant is interpolated from ONE Scala value on both sides
+    "events_power_analysis" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |), m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    sum(v) AS s, sum(v * v) AS s2
+         |  FROM e GROUP BY 1
+         |), f AS (
+         |  SELECT event_type, n,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+         |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_d
+         |  FROM m WHERE n >= 2
+         |)
+         |SELECT event_type, n,
+         |  round(mean_d, 6) AS mean_r,
+         |  round(var_d, 6) AS var_r,
+         |  round(0.05 * mean_d, 6) AS mde_r,
+         |  CASE WHEN 0.05 * mean_d <> 0.0 THEN
+         |    CAST(ceil(2.0 * var_d * $PowerZ2
+         |      / ((0.05 * mean_d) * (0.05 * mean_d))) AS BIGINT)
+         |  END AS n_required
+         |FROM f""".stripMargin,
+
+    // same interval join, same rank/count windows, same 9-dp weights
+    // and DECIMAL(24,6)-quantized contributions
+    "events_attribution_position" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, (epoch_ns(ts) // 1000000) AS ts_ms,
+        |    value, event_type
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, event_id AS cid, ts_ms AS cts,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM ev WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, event_id AS tid, ts_ms AS tts, event_type AS ch
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pairs AS (
+        |  SELECT c.cid, c.v, t.ch,
+        |    row_number() OVER (PARTITION BY c.cid
+        |      ORDER BY t.tts, t.tid) AS rf,
+        |    count(*) OVER (PARTITION BY c.cid) AS k
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |    AND t.tts <= c.cts AND t.tts >= c.cts - 604800000
+        |), weighted AS (
+        |  SELECT cid, v, ch,
+        |    CASE WHEN k = 1 THEN 1.0
+        |         WHEN k = 2 THEN 0.5
+        |         WHEN rf = 1 OR rf = k THEN 0.4
+        |         ELSE round(0.2 / CAST(k - 2 AS DOUBLE), 9) END AS w_r
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT c.cid, c.v, 'organic' AS ch, 1.0 AS w_r
+        |  FROM conv c WHERE c.cid NOT IN (SELECT cid FROM pairs)
+        |)
+        |SELECT ch AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_touchpoints,
+        |  CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+        |  round(CAST(sum(CAST(round(w_r * CAST(v AS DOUBLE), 6)
+        |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS wrev_r
+        |FROM weighted GROUP BY 1""".stripMargin,
 
     // the oracle's global rank window is the single-partition form the
     // engine's GlobalOrder replaces; identical integer/decimal math

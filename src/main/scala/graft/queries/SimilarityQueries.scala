@@ -39,6 +39,49 @@ object SimilarityQueries {
     */
   private[graft] val DbscanMinPts = 2
 
+  /** The DBSCAN taxonomy from an undirected ε-neighbor pair frame
+    * (`va < vb`) — shared by the exact (brute pairs) and scaled
+    * (LSH-bucketed pairs) variants: degree count → core (≥
+    * [[DbscanMinPts]]) → [[graft.operators.ConnectedComponents]] over
+    * the core–core subgraph → border = non-core adjacent to a core,
+    * attached to its min-labeled core neighbor → the rest is noise.
+    */
+  private def dbscanFrom(nbrIn: org.apache.spark.sql.DataFrame,
+                         verts: org.apache.spark.sql.DataFrame) = {
+    val nbr = nbrIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = nbr.select(col("va").as("v")).unionAll(nbr.select(col("vb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= DbscanMinPts).select(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coreEdges = nbr
+      .join(core.select(col("v").as("va")), "va")
+      .join(core.select(col("v").as("vb")), "vb")
+      .select(col("va").as("a"), col("vb").as("b"))
+    val cc = graft.operators.ConnectedComponents.labels(
+      core.select(col("v")), coreEdges)
+    val coreOut = cc.select(col("v").as("vec_id"), lit("core").as("role"),
+      col("lbl").as("cluster_id"))
+    val borderCand = nbr
+      .join(core.select(col("v").as("va"), lit(1).as("ca")), Seq("va"), "left")
+      .join(core.select(col("v").as("vb"), lit(1).as("cb")), Seq("vb"), "left")
+    // non-core endpoint adjacent to a core endpoint → border
+    val border = borderCand.filter(col("ca").isNull && col("cb").isNotNull)
+        .select(col("va").as("vec_id"), col("vb").as("cv"))
+      .unionAll(borderCand.filter(col("cb").isNull && col("ca").isNotNull)
+        .select(col("vb").as("vec_id"), col("va").as("cv")))
+      .join(cc.select(col("v").as("cv"), col("lbl")), "cv")
+      .groupBy(col("vec_id"))
+      .agg(min(col("lbl")).as("cluster_id"))
+      .select(col("vec_id"), lit("border").as("role"), col("cluster_id"))
+    val labeled = coreOut.unionByName(border)
+    verts
+      .join(labeled, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+  }
+
   /** ε for `dedup_dbscan` in cosine terms — deliberately TIGHTER than
     * [[NearDupCos]]: at 0.2 the fixture's neighbor graph is dense
     * enough that every point is core (no taxonomy to test); at 0.35
@@ -138,37 +181,30 @@ object SimilarityQueries {
             (col("na") * col("nb")))
         .filter(col("cos") >= DbscanCos)
         .select(col("va"), col("vb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = nbr.select(col("va").as("v")).unionAll(nbr.select(col("vb").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val core = deg.filter(col("deg") >= DbscanMinPts).select(col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val coreEdges = nbr
-        .join(core.select(col("v").as("va")), "va")
-        .join(core.select(col("v").as("vb")), "vb")
-        .select(col("va").as("a"), col("vb").as("b"))
-      val cc = graft.operators.ConnectedComponents.labels(
-        core.select(col("v")), coreEdges)
-      val coreOut = cc.select(col("v").as("vec_id"), lit("core").as("role"),
-        col("lbl").as("cluster_id"))
-      val borderCand = nbr
-        .join(core.select(col("v").as("va"), lit(1).as("ca")), Seq("va"), "left")
-        .join(core.select(col("v").as("vb"), lit(1).as("cb")), Seq("vb"), "left")
-      // non-core endpoint adjacent to a core endpoint → border
-      val border = borderCand.filter(col("ca").isNull && col("cb").isNotNull)
-          .select(col("va").as("vec_id"), col("vb").as("cv"))
-        .unionAll(borderCand.filter(col("cb").isNull && col("ca").isNotNull)
-          .select(col("vb").as("vec_id"), col("va").as("cv")))
-        .join(cc.select(col("v").as("cv"), col("lbl")), "cv")
-        .groupBy(col("vec_id"))
-        .agg(min(col("lbl")).as("cluster_id"))
-        .select(col("vec_id"), lit("border").as("role"), col("cluster_id"))
-      val labeled = coreOut.unionByName(border)
-      Tables.embeddings(s, dir).select(col("vec_id"))
-        .join(labeled, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("role"), lit("noise")).as("role"),
-          coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+      dbscanFrom(nbr, Tables.embeddings(s, dir).select(col("vec_id")))
+    }),
+
+    // The production variant: the ε-graph comes from the LSH bucket
+    // join (shared `emb_lsh_index` artifact — within-bucket pairs
+    // only, the near-dup family's O(n) swap for the brute O(n²)
+    // pairing above, which stays as the exact anchor). Approximate in
+    // the standard LSH sense: cross-bucket neighbor edges are missed,
+    // so sparse points lose a neighbor occasionally — the
+    // recall/efficiency trade every web-scale density clusterer makes.
+    "dedup_dbscan_scaled" -> ((s, dir) => {
+      val emb = lshIndexed(s, dir)
+      val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+                         col("nrm").as("na"), col("bucket"))
+      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                         col("nrm").as("nb"), col("bucket"))
+      val nbr = a.join(b, Seq("bucket"))
+        .filter(col("va") < col("vb"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
+            (col("na") * col("nb")))
+        .filter(col("cos") >= DbscanCos)
+        .select(col("va"), col("vb"))
+      dbscanFrom(nbr, Tables.embeddings(s, dir).select(col("vec_id")))
     }),
 
     // Brute-force cosine top-k: first NQueries vectors against the
@@ -2022,6 +2058,53 @@ object SimilarityQueries {
 
   // DuckDB twin of VectorOps.cosine: per-element double products
   // rounded to DECIMAL(28,14), exact decimal sum, double finish.
+  /** The DBSCAN oracle chain downstream of a `nbr(va, vb)` CTE —
+    * shared verbatim by the exact and LSH-bucketed variants (only the
+    * pair generator differs, exactly like the Scala side's
+    * `dbscanFrom`).
+    */
+  private lazy val dbscanTailSql: String =
+    s""", deg AS (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT va AS v FROM nbr UNION ALL SELECT vb AS v FROM nbr
+       |  ) GROUP BY 1
+       |), core AS (
+       |  SELECT v FROM deg WHERE deg >= $DbscanMinPts
+       |), ce AS (
+       |  SELECT n.va AS src, n.vb AS dst FROM nbr n
+       |  JOIN core x ON x.v = n.va JOIN core y ON y.v = n.vb
+       |  UNION ALL
+       |  SELECT n.vb AS src, n.va AS dst FROM nbr n
+       |  JOIN core x ON x.v = n.va JOIN core y ON y.v = n.vb
+       |), lp(v, lbl) AS (
+       |  SELECT v, v FROM core
+       |  UNION
+       |  SELECT e.dst, lp.lbl FROM lp JOIN ce e ON e.src = lp.v
+       |  WHERE lp.lbl < e.dst
+       |), cc AS (
+       |  SELECT v, min(lbl) AS lbl FROM lp GROUP BY v
+       |), border AS (
+       |  SELECT t.vec_id, min(cc.lbl) AS cluster_id FROM (
+       |    SELECT n.va AS vec_id, n.vb AS cv FROM nbr n
+       |    WHERE n.va NOT IN (SELECT v FROM core)
+       |      AND n.vb IN (SELECT v FROM core)
+       |    UNION ALL
+       |    SELECT n.vb AS vec_id, n.va AS cv FROM nbr n
+       |    WHERE n.vb NOT IN (SELECT v FROM core)
+       |      AND n.va IN (SELECT v FROM core)
+       |  ) t JOIN cc ON cc.v = t.cv
+       |  GROUP BY 1
+       |)
+       |SELECT e.vec_id,
+       |  CASE WHEN cc.v IS NOT NULL THEN 'core'
+       |       WHEN border.vec_id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  CAST(coalesce(cc.lbl, border.cluster_id, -1) AS BIGINT)
+       |    AS cluster_id
+       |FROM embeddings e
+       |LEFT JOIN cc ON cc.v = e.vec_id
+       |LEFT JOIN border ON border.vec_id = e.vec_id""".stripMargin
+
   private def duckCos(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(generate_series(1, 64), i ->
        |    CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
@@ -2139,52 +2222,33 @@ object SimilarityQueries {
          |  round(cos, 6) AS cos_r, round(pmax, 6) AS pmax_r
          |FROM neg WHERE neg_rank <= $TopK""".stripMargin,
 
+    "dedup_dbscan_scaled" ->
+      s"""WITH RECURSIVE planes AS (
+         |  SELECT j, list_transform(generate_series(1, 64), i ->
+         |    (CAST(concat('0x', substr(md5(concat(j, '_', i)), 1, 14)) AS BIGINT) % 2147483647)
+         |      / 1073741823.5 - 1.0) AS plane
+         |  FROM generate_series(0, ${NPlanes - 1}) t(j)
+         |), sig AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(CAST(e.embedding[i] AS DOUBLE) * p.plane[i] AS DECIMAL(28,14)))) > 0
+         |      THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, planes p
+         |  GROUP BY e.vec_id, e.embedding
+         |), nbr AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${duckCos("a.embedding", "b.embedding")} >= $DbscanCos
+         |)${dbscanTailSql}""".stripMargin,
+
     "dedup_dbscan" ->
       s"""WITH RECURSIVE nbr AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id < b.vec_id
          |    AND ${duckCos("a.embedding", "b.embedding")} >= $DbscanCos
-         |), deg AS (
-         |  SELECT v, count(*) AS deg FROM (
-         |    SELECT va AS v FROM nbr UNION ALL SELECT vb AS v FROM nbr
-         |  ) GROUP BY 1
-         |), core AS (
-         |  SELECT v FROM deg WHERE deg >= $DbscanMinPts
-         |), ce AS (
-         |  SELECT n.va AS src, n.vb AS dst FROM nbr n
-         |  JOIN core x ON x.v = n.va JOIN core y ON y.v = n.vb
-         |  UNION ALL
-         |  SELECT n.vb AS src, n.va AS dst FROM nbr n
-         |  JOIN core x ON x.v = n.va JOIN core y ON y.v = n.vb
-         |), lp(v, lbl) AS (
-         |  SELECT v, v FROM core
-         |  UNION
-         |  SELECT e.dst, lp.lbl FROM lp JOIN ce e ON e.src = lp.v
-         |  WHERE lp.lbl < e.dst
-         |), cc AS (
-         |  SELECT v, min(lbl) AS lbl FROM lp GROUP BY v
-         |), border AS (
-         |  SELECT t.vec_id, min(cc.lbl) AS cluster_id FROM (
-         |    SELECT n.va AS vec_id, n.vb AS cv FROM nbr n
-         |    WHERE n.va NOT IN (SELECT v FROM core)
-         |      AND n.vb IN (SELECT v FROM core)
-         |    UNION ALL
-         |    SELECT n.vb AS vec_id, n.va AS cv FROM nbr n
-         |    WHERE n.vb NOT IN (SELECT v FROM core)
-         |      AND n.va IN (SELECT v FROM core)
-         |  ) t JOIN cc ON cc.v = t.cv
-         |  GROUP BY 1
-         |)
-         |SELECT e.vec_id,
-         |  CASE WHEN cc.v IS NOT NULL THEN 'core'
-         |       WHEN border.vec_id IS NOT NULL THEN 'border'
-         |       ELSE 'noise' END AS role,
-         |  CAST(coalesce(cc.lbl, border.cluster_id, -1) AS BIGINT)
-         |    AS cluster_id
-         |FROM embeddings e
-         |LEFT JOIN cc ON cc.v = e.vec_id
-         |LEFT JOIN border ON border.vec_id = e.vec_id""".stripMargin,
+         |)${dbscanTailSql}""".stripMargin,
     "sq_minmax" ->
       s"""WITH $sqCtes
          |SELECT CAST(i AS BIGINT) AS d, mn, mx FROM sqdims""".stripMargin,

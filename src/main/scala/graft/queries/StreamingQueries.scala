@@ -1130,6 +1130,21 @@ object StreamingQueries {
       EventQueries.rfmFinish(merged)
     }),
 
+    // Streaming power analysis — per-type exact decimal moments
+    // (n, Σv, Σv²) are the canonical additive state; merge(partials) ≡
+    // the batch moments, so the sample-size plan hash-matches the
+    // batch oracle. This is the deployment that keeps the experiment
+    // design current while metrics ingest.
+    "stream_power_analysis" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir).select(col("event_type"), col("value")),
+          "graft-power-partials-")(EventQueries.powerMoments)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+             sum(col("s2")).as("s2"))
+      EventQueries.powerFinish(merged)
+    }),
+
     // Streaming Kneser-Ney — the bigram count table is the ONLY state
     // (additive per (w1,w2)); c1 and all three continuation counts
     // derive from the merged table, so the countDistinct-shaped
@@ -1853,6 +1868,9 @@ object StreamingQueries {
     // Additive bigram-count partials ≡ the batch counts; every other
     // KN input derives from the merged table — shares the batch oracle.
     "stream_kneser_ney" -> TextQueries.oracleSql("text_kneser_ney"),
+    // Additive decimal moment partials ≡ the batch moments — shares
+    // the batch power-analysis oracle, hash-proven.
+    "stream_power_analysis" -> EventQueries.oracleSql("events_power_analysis"),
     "stream_acf" -> EventQueries.oracleSql("events_acf"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares

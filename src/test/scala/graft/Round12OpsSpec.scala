@@ -144,6 +144,60 @@ class Round12OpsSpec extends SparkSpec {
     assert(r1.getAs[Long]("salt_32") == 32L)
   }
 
+  test("power analysis: hand-computed sample size on planted moments") {
+    // planted type "t": values 10, 12, 14 → n=3, mean=12, var=4,
+    // mde=0.6, n_req = ceil(2·4·z²/0.36) = ceil(22.222·z²)
+    val m = EventQueries.powerMoments(
+      Seq(("t", 10.0), ("t", 12.0), ("t", 14.0), ("u", 5.0))
+        .toDF("event_type", "value"))
+    val r = EventQueries.powerFinish(m).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(!r.contains("u"), "n=1 type must be filtered (no variance)")
+    val t = r("t")
+    assert(t.getAs[Double]("mean_r") == 12.0 && t.getAs[Double]("var_r") == 4.0)
+    assert(t.getAs[Double]("mde_r") == 0.6)
+    val expect = math.ceil(2.0 * 4.0 * EventQueries.PowerZ2 / 0.36).toLong
+    assert(t.getAs[Long]("n_required") == expect, s"got ${t.getAs[Long]("n_required")} want $expect")
+  }
+
+  test("attribution position: weights sum to 1 per touched conversion") {
+    val out = q("events_attribution_position")
+    // total weighted revenue across channels == total conversion value
+    // (each conversion distributes exactly weight 1, organic included)
+    val totalAttr = out.agg(sum(col("wrev_r"))).head.getDouble(0)
+    val totalConv = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double"))
+      .head.getDouble(0)
+    // per-pair weights are 9-dp-rounded and contributions 6-dp-rounded,
+    // so allow rounding slack proportional to touch count
+    assert(math.abs(totalAttr - totalConv) < 0.01,
+      s"attributed $totalAttr vs conversions $totalConv")
+  }
+
+  test("dbscan scaled: LSH-bucketed variant only loses cross-bucket edges") {
+    val exact = q("dedup_dbscan")
+      .select(col("vec_id"), col("role").as("role_e"))
+    val scaled = q("dedup_dbscan_scaled")
+      .select(col("vec_id"), col("role").as("role_s"))
+    val j = exact.join(scaled, "vec_id").cache()
+    // bucketing can only REMOVE neighbor edges, so scaled roles are
+    // monotonically weaker: scaled-core ⇒ exact-core (its ≥MinPts
+    // bucketed neighbors are a subset of its exact neighbors), and
+    // exact-noise stays noise (no edges can appear)
+    assert(j.filter(col("role_s") === "core" && col("role_e") =!= "core")
+      .count() == 0L)
+    assert(j.filter(col("role_e") === "noise" && col("role_s") =!= "noise")
+      .count() == 0L)
+    // sanity floor on structure kept (8 planes fragment the
+    // near-unstructured fixture graph hard; production tunes planes
+    // per recall target — dedup_lsh_eval measures that curve)
+    val agree = j.filter(col("role_e") === col("role_s")).count().toDouble
+    val total = j.count().toDouble
+    assert(agree / total > 0.3, s"role agreement ${agree / total}")
+    j.unpersist()
+  }
+
   test("curriculum: permutation, per-lang monotone difficulty, proportional interleave") {
     val out = q("pipeline_curriculum").cache()
     val n = out.count()
