@@ -115,7 +115,8 @@ object ScaleBench {
     "pipeline_hard_negatives", "dedup_dbscan", "text_kneser_ney",
     "pipeline_curriculum", "pipeline_skew_probe",
     "events_power_analysis", "events_attribution_position",
-    "dedup_dbscan_scaled")
+    "dedup_dbscan_scaled", "events_did", "events_retention_triangle",
+    "emb_ood_zscore")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -152,7 +153,8 @@ object ScaleBench {
     "stream_mannwhitney", "stream_chisq", "stream_survival",
     "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval",
     "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency",
-    "stream_skew_probe", "stream_kneser_ney", "stream_power_analysis")
+    "stream_skew_probe", "stream_kneser_ney", "stream_power_analysis",
+    "stream_did")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

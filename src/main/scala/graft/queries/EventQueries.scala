@@ -951,6 +951,42 @@ object EventQueries {
       skewFinish(skewKeyCounts(
         Tables.events(s, dir).select(col("user_id"))))),
 
+    // DIFFERENCE-IN-DIFFERENCES — see didFinish. One mergeable 2×2
+    // cell-moment agg (the data-sized pass) + a 4-row IEEE finish;
+    // the streaming twin sum-merges the cell partials.
+    "events_did" -> ((s, dir) =>
+      didFinish(didCells(Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("value"))))),
+
+    // RETENTION TRIANGLE — the cohort-week retention matrix every
+    // growth dashboard renders (the rate-form complement of
+    // events_cohort_ltv's revenue curve): users cohorted by first-seen
+    // day, a (cohort_day, age_week) cell counts users active in that
+    // week, rate = active/cohort size. Shape: one per-user min pass,
+    // one distinct (user, cohort, week) projection, two hash aggs and
+    // a broadcast join — all partial-aggregable, no windows at all.
+    "events_retention_triangle" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts_ms"))
+      val firstDay = e.groupBy(col("user_id"))
+        .agg(call_function("div", min(col("ts_ms")), lit(86400000L))
+          .as("cohort_day"))
+      val active = e.join(firstDay, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          call_function("div",
+            call_function("div", col("ts_ms"), lit(86400000L))
+              - col("cohort_day"), lit(7L)).as("age_week"))
+        .distinct()
+      val sizes = firstDay.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_users"))
+      active.groupBy(col("cohort_day"), col("age_week"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("age_week"), col("cohort_users"),
+          col("active_users"),
+          round(col("active_users").cast("double")
+            / col("cohort_users").cast("double"), 6).as("retention_r"))
+    }),
+
     // A/B POWER ANALYSIS — see powerFinish. One mergeable moment agg
     // (the data-sized pass) + a per-type-row IEEE finish; the
     // streaming twin sum-merges the decimal moment partials.
@@ -2213,6 +2249,66 @@ object EventQueries {
           ceil(lit(2.0) * col("var_d") * lit(PowerZ2)
             / (col("mde_d") * col("mde_d"))).cast("long"))
           .as("n_required"))
+
+  /** The mergeable half of `events_did`: per-(variant, period) exact
+    * decimal moments over the same deterministic user-hash variant
+    * split and time split as `events_ab_cuped` — all additive
+    * (`stream_did`'s hash proof).
+    */
+  private[graft] def didCells(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("value").isNotNull)
+      .select(
+        (conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("#ab"))), 1, 14), 16, 10).cast("long") % 2).as("variant"),
+        when(col("ts_ms") < CupedSplitMs, lit("pre")).otherwise(lit("post"))
+          .as("period"),
+        dec(col("value")).as("v"))
+      .groupBy(col("variant"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+           sum(col("v") * col("v")).as("s2"))
+
+  /** Difference-in-differences from the merged 2×2 cell moments — the
+    * quasi-experimental estimator teams run when a change launched to
+    * one group at a known time and there is no randomized holdout:
+    * DiD = (ȳ₁,post − ȳ₁,pre) − (ȳ₀,post − ȳ₀,pre), with the normal
+    * SE √(Σ s²_c/n_c) over the four cells. The fixture's variant is a
+    * true A/A hash split, so the output also certifies the null case.
+    * Everything after the mergeable agg is a 4-row fixed-order IEEE
+    * finish (cell means pivoted by max-of-case, never a float sum).
+    */
+  private[graft] def didFinish(cells: org.apache.spark.sql.DataFrame) = {
+    val m = cells
+      .withColumn("mean_d", asDouble(col("s")) / col("n").cast("double"))
+      .withColumn("var_d",
+        (asDouble(col("s2")) - asDouble(col("s")) * asDouble(col("s"))
+          / col("n").cast("double")) / (col("n") - lit(1)).cast("double"))
+    m.agg(
+        max(when(col("variant") === 0 && col("period") === "pre",
+          col("mean_d"))).as("m0_pre"),
+        max(when(col("variant") === 0 && col("period") === "post",
+          col("mean_d"))).as("m0_post"),
+        max(when(col("variant") === 1 && col("period") === "pre",
+          col("mean_d"))).as("m1_pre"),
+        max(when(col("variant") === 1 && col("period") === "post",
+          col("mean_d"))).as("m1_post"),
+        // each cell's s²/n term is 12-dp-quantized to decimal BEFORE
+        // the cross-cell sum (a 4-term double addition is
+        // order-sensitive; decimal addition is not)
+        sum(round(col("var_d") / col("n").cast("double"), 12)
+          .cast("decimal(24,12)")).cast("double").as("se2"),
+        sum(col("n")).as("n_total"))
+      .withColumn("did_d",
+        (col("m1_post") - col("m1_pre")) - (col("m0_post") - col("m0_pre")))
+      .select(col("n_total"),
+        round(col("m0_pre"), 6).as("m0_pre_r"),
+        round(col("m0_post"), 6).as("m0_post_r"),
+        round(col("m1_pre"), 6).as("m1_pre_r"),
+        round(col("m1_post"), 6).as("m1_post_r"),
+        round(col("did_d"), 6).as("did_r"),
+        round(sqrt(col("se2")), 6).as("se_r"),
+        when(col("se2") > 0.0, round(col("did_d") / sqrt(col("se2")), 6))
+          .as("z_r"))
+  }
 
   /** The mergeable half of `pipeline_skew_probe`: per-key event
     * counts — additive, so per-micro-batch partials re-summed per key
@@ -4635,6 +4731,79 @@ object EventQueries {
         |  r_score, f_score, m_score,
         |  concat(r_score, f_score, m_score) AS segment
         |FROM scored""".stripMargin,
+
+    // same user-hash variant split and time split as events_ab_cuped,
+    // same decimal cell moments, same 12-dp-quantized SE² sum
+    "events_did" ->
+      s"""WITH e AS (
+         |  SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms, value
+         |  FROM events WHERE value IS NOT NULL
+         |), cells AS (
+         |  SELECT
+         |    (CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+         |      '#ab')), 1, 14)) AS BIGINT)) % 2 AS variant,
+         |    CASE WHEN ts_ms < $CupedSplitMs THEN 'pre' ELSE 'post' END
+         |      AS period,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(value AS DECIMAL(18,4))) AS s,
+         |    sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+         |      AS s2
+         |  FROM e GROUP BY 1, 2
+         |), m AS (
+         |  SELECT variant, period, n,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+         |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_d
+         |  FROM cells
+         |), a AS (
+         |  SELECT
+         |    max(CASE WHEN variant = 0 AND period = 'pre' THEN mean_d END)
+         |      AS m0_pre,
+         |    max(CASE WHEN variant = 0 AND period = 'post' THEN mean_d END)
+         |      AS m0_post,
+         |    max(CASE WHEN variant = 1 AND period = 'pre' THEN mean_d END)
+         |      AS m1_pre,
+         |    max(CASE WHEN variant = 1 AND period = 'post' THEN mean_d END)
+         |      AS m1_post,
+         |    CAST(sum(CAST(round(var_d / CAST(n AS DOUBLE), 12)
+         |      AS DECIMAL(24,12))) AS DOUBLE) AS se2,
+         |    CAST(sum(n) AS BIGINT) AS n_total
+         |  FROM m
+         |)
+         |SELECT n_total,
+         |  round(m0_pre, 6) AS m0_pre_r,
+         |  round(m0_post, 6) AS m0_post_r,
+         |  round(m1_pre, 6) AS m1_pre_r,
+         |  round(m1_post, 6) AS m1_post_r,
+         |  round((m1_post - m1_pre) - (m0_post - m0_pre), 6) AS did_r,
+         |  round(sqrt(se2), 6) AS se_r,
+         |  CASE WHEN se2 > 0.0 THEN
+         |    round(((m1_post - m1_pre) - (m0_post - m0_pre)) / sqrt(se2), 6)
+         |  END AS z_r
+         |FROM a""".stripMargin,
+
+    // same min-day cohorting, integer day/week arithmetic, one IEEE
+    // division per cell
+    "events_retention_triangle" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms FROM events
+        |), fd AS (
+        |  SELECT user_id, min(ts_ms) // 86400000 AS cohort_day
+        |  FROM e GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT e.user_id, fd.cohort_day,
+        |    ((e.ts_ms // 86400000) - fd.cohort_day) // 7 AS age_week
+        |  FROM e JOIN fd ON fd.user_id = e.user_id
+        |), sizes AS (
+        |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM fd GROUP BY 1
+        |)
+        |SELECT a.cohort_day, a.age_week, s.cohort_users,
+        |  CAST(count(*) AS BIGINT) AS active_users,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+        |    AS retention_r
+        |FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // same exact-decimal moments, same fixed-order IEEE finish; the
     // z² constant is interpolated from ONE Scala value on both sides

@@ -954,6 +954,52 @@ object SimilarityQueries {
 
     // Exact-decimal label centroids + each vector's cosine to its own
     // label centroid (embedding-cluster quality / near-dup scoring).
+    // OUT-OF-DISTRIBUTION SCORING — the embedding-space data-quality
+    // gate curation pipelines run before training: score each vector's
+    // cosine to ITS OWN label centroid, standardize within the label
+    // (z = (cos − μ_label)/σ_label), and flag z < −2 as OOD (mislabeled
+    // or outlier content). Shape: the emb_centroid_sim centroid pass,
+    // one per-label moment agg over the 9-dp-QUANTIZED cosines (exact
+    // decimal sums — a per-label double sum would be order-sensitive),
+    // one broadcast join back; the z finish is fixed-order IEEE per
+    // row. The OOD decision compares the 6-dp ROUNDED z on both
+    // engines, so the boundary is engine-exact.
+    "emb_ood_zscore" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val byDim = emb.select(
+          col("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+              count(lit(1))).as("c"))
+      val centroids = byDim
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+        .select(col("label").as("c_label"),
+                transform(col("pairs"), p => p.getField("c")).as("centroid"))
+      val scored = emb.join(broadcast(centroids), col("label") === col("c_label"))
+        .select(col("vec_id"), col("label"),
+          round(VectorOps.cosine(col("embedding"), col("centroid")), 9)
+            .cast("decimal(18,9)").as("cos_q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("cos_q")).as("cs"),
+             sum(col("cos_q") * col("cos_q")).as("cs2"))
+        .filter(col("n") >= 2)
+        .withColumn("mu", asDouble(col("cs")) / col("n").cast("double"))
+        .withColumn("sd", sqrt(
+          (asDouble(col("cs2")) - asDouble(col("cs")) * asDouble(col("cs"))
+            / col("n").cast("double")) / (col("n") - lit(1)).cast("double")))
+        .select(col("label"), col("mu"), col("sd"))
+      scored.join(broadcast(stats), "label")
+        .withColumn("z_r",
+          when(col("sd") > 0.0,
+            round((asDouble(col("cos_q")) - col("mu")) / col("sd"), 6)))
+        .select(col("vec_id"), col("label"),
+          round(asDouble(col("cos_q")), 6).as("cos_r"), col("z_r"),
+          (col("z_r").isNotNull && col("z_r") < -2.0).as("is_ood"))
+    }),
+
     "emb_centroid_sim" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val byDim = emb.select(
@@ -2983,6 +3029,43 @@ object SimilarityQueries {
          |SELECT s.bucket, count(*) AS n_vectors, min(s.vec_id) AS min_vec_id
          |FROM sig s
          |GROUP BY s.bucket""".stripMargin,
+
+    // same centroid chain as emb_centroid_sim, same 9-dp cosine
+    // quantization before the exact-decimal label moments
+    "emb_ood_zscore" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY i) AS centroid
+         |  FROM dims
+         |  GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    CAST(round(${duckCos("e.embedding", "c.centroid")}, 9)
+         |      AS DECIMAL(18,9)) AS cos_q
+         |  FROM embeddings e JOIN cent c ON e.label = c.label
+         |), stats AS (
+         |  SELECT label,
+         |    CAST(sum(cos_q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+         |    sqrt((CAST(sum(cos_q * cos_q) AS DOUBLE)
+         |      - CAST(sum(cos_q) AS DOUBLE) * CAST(sum(cos_q) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE))
+         |      / CAST(count(*) - 1 AS DOUBLE)) AS sd
+         |  FROM scored GROUP BY 1 HAVING count(*) >= 2
+         |)
+         |SELECT s.vec_id, s.label,
+         |  round(CAST(s.cos_q AS DOUBLE), 6) AS cos_r,
+         |  CASE WHEN st.sd > 0.0 THEN
+         |    round((CAST(s.cos_q AS DOUBLE) - st.mu) / st.sd, 6) END AS z_r,
+         |  (CASE WHEN st.sd > 0.0 THEN
+         |    round((CAST(s.cos_q AS DOUBLE) - st.mu) / st.sd, 6) END IS NOT NULL
+         |   AND CASE WHEN st.sd > 0.0 THEN
+         |    round((CAST(s.cos_q AS DOUBLE) - st.mu) / st.sd, 6) END < -2.0)
+         |    AS is_ood
+         |FROM scored s JOIN stats st ON st.label = s.label""".stripMargin,
 
     "emb_centroid_sim" ->
       s"""WITH dims AS (

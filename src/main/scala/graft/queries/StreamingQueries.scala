@@ -1130,6 +1130,20 @@ object StreamingQueries {
       EventQueries.rfmFinish(merged)
     }),
 
+    // Streaming DiD — the 2×2 cell moments are additive state;
+    // merge(partials) ≡ batch cells, so the quasi-experimental
+    // estimate hash-matches the batch oracle while metrics ingest.
+    "stream_did" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("user_id"), col("ts_ms"), col("value")),
+          "graft-did-partials-")(EventQueries.didCells)
+        .groupBy(col("variant"), col("period"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+             sum(col("s2")).as("s2"))
+      EventQueries.didFinish(merged)
+    }),
+
     // Streaming power analysis — per-type exact decimal moments
     // (n, Σv, Σv²) are the canonical additive state; merge(partials) ≡
     // the batch moments, so the sample-size plan hash-matches the
@@ -1871,6 +1885,9 @@ object StreamingQueries {
     // Additive decimal moment partials ≡ the batch moments — shares
     // the batch power-analysis oracle, hash-proven.
     "stream_power_analysis" -> EventQueries.oracleSql("events_power_analysis"),
+    // Additive 2×2 cell-moment partials ≡ the batch cells — shares
+    // the batch DiD oracle, hash-proven.
+    "stream_did" -> EventQueries.oracleSql("events_did"),
     "stream_acf" -> EventQueries.oracleSql("events_acf"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares

@@ -198,6 +198,56 @@ class Round12OpsSpec extends SparkSpec {
     j.unpersist()
   }
 
+  test("DiD: planted cell means produce the exact textbook estimate") {
+    // variant hash is md5-based — find two users landing in different
+    // variants, then plant: v0 pre=10 post=11 (+1), v1 pre=20 post=23
+    // (+3) → DiD = +2. Two samples per cell (variance 0 → SE 0, z null)
+    def variantOf(u: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${u}#ab".getBytes).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 14), 16) % 2
+    }
+    val u0 = (1L to 100L).find(variantOf(_) == 0).get
+    val u1 = (1L to 100L).find(variantOf(_) == 1).get
+    val pre = 0L; val post = 4102444800000L // far past the split
+    val rows = Seq(
+      (u0, pre, 10.0), (u0, pre, 10.0), (u0, post, 11.0), (u0, post, 11.0),
+      (u1, pre, 20.0), (u1, pre, 20.0), (u1, post, 23.0), (u1, post, 23.0))
+      .toDF("user_id", "ts_ms", "value")
+    val r = EventQueries.didFinish(EventQueries.didCells(rows)).collect().head
+    assert(r.getAs[Double]("did_r") == 2.0, r.toString)
+    assert(r.getAs[Double]("se_r") == 0.0 && r.isNullAt(r.fieldIndex("z_r")))
+    // and the fixture's A/A hash split stays near the null
+    val aa = q("events_did").collect().head
+    assert(math.abs(aa.getAs[Double]("z_r")) < 4.0,
+      s"A/A split rejected the null: z=${aa.getAs[Double]("z_r")}")
+  }
+
+  test("retention triangle: week 0 is always 1.0 and rates are bounded") {
+    val out = q("events_retention_triangle").cache()
+    val w0 = out.filter(col("age_week") === 0)
+    assert(w0.filter(col("retention_r") =!= 1.0).count() == 0L,
+      "every user is active in their own first week by construction")
+    assert(out.filter(col("retention_r") > 1.0 ||
+      col("retention_r") <= 0.0).count() == 0L)
+    assert(out.filter(col("active_users") > col("cohort_users")).count() == 0L)
+    out.unpersist()
+  }
+
+  test("ood z-scores: standardization moments and flag consistency") {
+    val out = q("emb_ood_zscore").cache()
+    // flags agree with the reported rounded z
+    assert(out.filter(col("is_ood") =!=
+      (col("z_r").isNotNull && col("z_r") < -2.0)).count() == 0L)
+    // per-label standardized scores have ~zero mean (9-dp quantization
+    // and 6-dp z rounding leave only tiny residue)
+    val worst = out.filter(col("z_r").isNotNull)
+      .groupBy(col("label")).agg(avg(col("z_r")).as("mz"))
+      .agg(max(abs(col("mz")))).head.getDouble(0)
+    assert(worst < 1e-3, s"label mean z drifted: $worst")
+    out.unpersist()
+  }
+
   test("curriculum: permutation, per-lang monotone difficulty, proportional interleave") {
     val out = q("pipeline_curriculum").cache()
     val n = out.count()
