@@ -116,7 +116,10 @@ object ScaleBench {
     "pipeline_curriculum", "pipeline_skew_probe",
     "events_power_analysis", "events_attribution_position",
     "dedup_dbscan_scaled", "events_did", "events_retention_triangle",
-    "emb_ood_zscore")
+    "emb_ood_zscore",
+    // r12 wave 4
+    "events_srm", "pipeline_mix_epochs", "text_ngram_novelty",
+    "text_bleu_pairs", "events_item_cf", "emb_ood_mahalanobis")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

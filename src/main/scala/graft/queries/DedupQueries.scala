@@ -343,6 +343,10 @@ object DedupQueries {
                 (col("cum_tokens") <= col("target_tokens")).as("selected"))
     }),
 
+    // TEMPERATURE-WEIGHTED EPOCH PLANNING — see mixEpochsFinish.
+    "pipeline_mix_epochs" -> ((s, dir) =>
+      mixEpochsFinish(sourceTokens(Tables.documents(s, dir)))),
+
     // EXACT probability-proportional-to-size (PPS) SYSTEMATIC sampling
     // — the weighted sampler data mixing actually wants (inclusion
     // probability ∝ token count) with zero floating point: docs line
@@ -1151,6 +1155,57 @@ object DedupQueries {
     */
   private val MixCoef = 3.0
 
+  /** Epoch (repetition) cap for `pipeline_mix_epochs` — the
+    * data-constrained-scaling guard: no source is repeated more than
+    * this many times however much the temperature weighting wants it
+    * (the 4-epoch knee where repetition stops helping).
+    */
+  private[graft] val MaxEpochs = 4.0
+
+  /** The mergeable half of `pipeline_mix_epochs`: per-source total
+    * token counts — one partial-aggregable hash agg, and ADDITIVE, so
+    * per-micro-batch partials re-summed per source equal the batch
+    * aggregation exactly (`stream_mix_epochs`'s hash proof).
+    */
+  private[graft] def sourceTokens(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("t_source"))
+
+  /** Temperature-weighted epoch planning from merged per-source token
+    * counts — the mixture step after `pipeline_mix`'s selection: given
+    * a global token budget B = 2·T (two corpus passes), allocate
+    * target_s = B·w_s under τ = 2 temperature weights
+    * w_s = √T_s / Σ√T_s, and convert to a per-source REPETITION factor
+    * epochs_s = target_s / T_s capped at [[MaxEpochs]] (repeating a
+    * tiny source 40× buys memorization, not loss). Cross-engine
+    * determinism: each √T_s is quantized to 6 dp BEFORE the
+    * (order-sensitive) normalizer sum — the sum runs in exact
+    * DECIMAL(18,6); every step after is a fixed-order IEEE chain per
+    * source row, and the cap flag compares the ROUNDED epochs value.
+    * The finish is a #sources-row frame on top of one hash agg.
+    */
+  private[graft] def mixEpochsFinish(ts: org.apache.spark.sql.DataFrame) = {
+    val tot = ts.agg(
+      sum(col("t_source")).as("t_total"),
+      sum(round(sqrt(col("t_source").cast("double")), 6)
+        .cast("decimal(18,6)")).as("s_total"))
+    ts.crossJoin(broadcast(tot))
+      .withColumn("w_d", round(sqrt(col("t_source").cast("double")), 6)
+        / asDouble(col("s_total")))
+      .withColumn("epochs_d",
+        lit(2.0) * asDouble(col("t_total")) * col("w_d")
+          / asDouble(col("t_source")))
+      .withColumn("epochs_r", round(col("epochs_d"), 6))
+      .select(col("source"), col("t_source"),
+        round(col("w_d"), 9).as("weight_r"),
+        col("epochs_r"),
+        floor(least(col("epochs_d"), lit(MaxEpochs))
+          * asDouble(col("t_source"))).cast("long").as("planned_tokens"),
+        (col("epochs_r") > lit(MaxEpochs)).as("capped"))
+  }
+
   /** Sample-position count for `pipeline_sample_weighted` — small
     * enough that selection is genuinely sparse on the fixture.
     * private[graft]: PipelineOpsSpec asserts the exactly-n invariant
@@ -1469,6 +1524,28 @@ object DedupQueries {
        |  list_min(list_transform($tokExpr, s ->
        |    ((2*j + 1) * (${h31.format("s")}) + j*12345 + 7) % 2147483647)))""".stripMargin
 
+  /** Shared oracle CTE chain `sigs → bands → mins → edges` — the SQL
+    * twin of the [[lshEdges]] artifact (LSH star-edge candidate
+    * pairs). Consumed by text_bleu_pairs's oracle (TextQueries); the
+    * older dedup_* oracles predate it and inline the same chain.
+    */
+  private[graft] lazy val lshEdgeCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+       |  FROM documents
+       |), bands AS (
+       |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+       |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+       |  FROM sigs, generate_series(0, 3) t(b)
+       |), mins AS (
+       |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+       |  FROM bands GROUP BY 1, 2, 3, 4, 5
+       |), edges AS (
+       |  SELECT DISTINCT m.rep AS doc_a, bd.doc_id AS doc_b
+       |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+       |  WHERE m.rep < bd.doc_id
+       |)""".stripMargin
+
   /** Shared CTE chain: LSH star edges → recursive min-label flooding
     * (the dedup_cc twin) → `cc(doc_id, component_id)` →
     * `splits(doc_id, component_id, split)` — prefixed by the caller's
@@ -1783,6 +1860,37 @@ object DedupQueries {
          |  cum_tokens,
          |  (cum_tokens <= CAST(floor($MixCoef * sqrt(CAST(source_tokens AS DOUBLE))) AS BIGINT)) AS selected
          |FROM t""".stripMargin,
+
+    // same 6-dp-quantized sqrt into an exact DECIMAL normalizer sum,
+    // same fixed-order IEEE finish; doubles CAST explicitly (DuckDB
+    // parses bare 2.0/4.0 as DECIMAL — the pagerank lesson)
+    "pipeline_mix_epochs" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_source
+         |  FROM documents GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(t_source) AS BIGINT) AS t_total,
+         |    sum(CAST(round(sqrt(CAST(t_source AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6))) AS s_total
+         |  FROM t
+         |), f AS (
+         |  SELECT source, t_source,
+         |    round(sqrt(CAST(t_source AS DOUBLE)), 6)
+         |      / CAST(s_total AS DOUBLE) AS w_d,
+         |    CAST(2.0 AS DOUBLE) * CAST(t_total AS DOUBLE)
+         |      * (round(sqrt(CAST(t_source AS DOUBLE)), 6)
+         |         / CAST(s_total AS DOUBLE))
+         |      / CAST(t_source AS DOUBLE) AS epochs_d
+         |  FROM t CROSS JOIN tot
+         |)
+         |SELECT source, t_source,
+         |  round(w_d, 9) AS weight_r,
+         |  round(epochs_d, 6) AS epochs_r,
+         |  CAST(floor(least(epochs_d, CAST($MaxEpochs AS DOUBLE))
+         |    * CAST(t_source AS DOUBLE)) AS BIGINT) AS planned_tokens,
+         |  round(epochs_d, 6) > CAST($MaxEpochs AS DOUBLE) AS capped
+         |FROM f""".stripMargin,
 
     // Unrolled 3-round PageRank twin over the symmetrized star edges
     // (edges2 of the CC chain; the unreferenced recursive CTEs prune

@@ -994,6 +994,61 @@ object EventQueries {
       powerFinish(powerMoments(Tables.events(s, dir)
         .select(col("event_type"), col("value"))))),
 
+    // ITEM-ITEM COLLABORATIVE FILTERING — top-5 similar items by
+    // co-occurrence cosine over implicit feedback (item = the props.k
+    // catalog id, exposure = any event touching it): sim(a,b) =
+    // |U_a ∩ U_b| / √(|U_a|·|U_b|) — the classic itemset CF the
+    // recommendations layer runs over the events table. Scale shape:
+    // the ratings distinct is a two-stage hash agg; the DEGREE CAP
+    // (≤ CfUserCap items per user, deterministically md5-ranked in a
+    // per-USER window — never global) bounds pair generation at
+    // cap²·users (linear in users — the guard that keeps a
+    // power-user's 10⁵-item history from exploding the self-join);
+    // the pair count is partial-aggregable; the per-item top-5 rank
+    // partitions by item over the catalog-sized cosine frame (Spark
+    // rewrites rank≤k to map-side WindowGroupLimit). |U_a|·|U_b| runs
+    // in DECIMAL(38,0) (the product overflows int64 at ~3B-user
+    // items); the rank orders on the ROUNDED cosine with the unique
+    // item_b tiebreak, so top-5 is bit-stable cross-engine.
+    "events_item_cf" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ratings = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      val capped = ratings
+        .withColumn("hk", md5(concat(col("user_id").cast("string"),
+          lit("#cf"), col("item").cast("string"))))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("user_id")).orderBy(col("hk"), col("item"))))
+        .filter(col("rn") <= CfUserCap)
+        .select(col("user_id"), col("item"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+      val co = capped.as("a").join(capped.as("b"), Seq("user_id"))
+        .filter(col("a.item") < col("b.item"))
+        .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("cooc"))
+      val sym = co.select(col("item_a"), col("item_b"), col("cooc"))
+        .union(co.select(col("item_b").as("item_a"),
+          col("item_a").as("item_b"), col("cooc")))
+      sym
+        .join(ni.select(col("item").as("item_a"), col("n_users").as("na")),
+          "item_a")
+        .join(ni.select(col("item").as("item_b"), col("n_users").as("nb")),
+          "item_b")
+        .withColumn("cos_r", round(col("cooc").cast("double")
+          / sqrt(asDouble(col("na").cast("decimal(38,0)") * col("nb"))), 6))
+        .withColumn("rnk", row_number().over(
+          W.partitionBy(col("item_a"))
+            .orderBy(col("cos_r").desc, col("item_b"))))
+        .filter(col("rnk") <= 5)
+        .select(col("item_a"), col("item_b"), col("cooc"), col("cos_r"),
+          col("rnk").cast("long").as("rnk"))
+    }),
+
     // POSITION-BASED (U-SHAPED) MULTI-TOUCH ATTRIBUTION — the 40/20/40
     // credit model marketing analytics runs alongside first/last-touch
     // (events_attribution): every touchpoint in the conversion's 7-day
@@ -2203,6 +2258,13 @@ object EventQueries {
       .agg(max(col("ts_ms")).as("last_ms"),
            count(lit(1)).as("freq"),
            sum(dec(col("value"))).as("mon_dec"))
+
+  /** Per-user item-degree cap for `events_item_cf` — bounds pair
+    * generation at cap²·users. 40 genuinely BINDS on the fixture
+    * (users reach ~50 distinct items), so the capped path is what the
+    * oracle certifies, not dead code.
+    */
+  private[graft] val CfUserCap = 40
 
   /** The exact z-constant for `events_power_analysis`: (z_{α/2} +
     * z_β)² at α = 0.05 two-sided, power 0.80 — the textbook pair
@@ -4804,6 +4866,49 @@ object EventQueries {
         |    AS retention_r
         |FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // same '#cf' md5 degree cap, same DECIMAL(38,0) user-count
+    // product, same rounded-cosine rank with the item_b tiebreak
+    "events_item_cf" ->
+      s"""WITH r AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(json_extract_string(props, 'k') AS BIGINT) AS item
+         |  FROM events WHERE json_extract_string(props, 'k') IS NOT NULL
+         |), capped AS (
+         |  SELECT user_id, item FROM (
+         |    SELECT user_id, item,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY md5(CAST(user_id AS VARCHAR) || '#cf'
+         |          || CAST(item AS VARCHAR)), item) AS rn
+         |    FROM r
+         |  ) WHERE rn <= $CfUserCap
+         |), ni AS (
+         |  SELECT item, CAST(count(*) AS BIGINT) AS n_users
+         |  FROM capped GROUP BY 1
+         |), co AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |    CAST(count(*) AS BIGINT) AS cooc
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2
+         |), sym AS (
+         |  SELECT item_a, item_b, cooc FROM co
+         |  UNION ALL
+         |  SELECT item_b AS item_a, item_a AS item_b, cooc FROM co
+         |), scored AS (
+         |  SELECT s.item_a, s.item_b, s.cooc,
+         |    round(CAST(s.cooc AS DOUBLE)
+         |      / sqrt(CAST(CAST(na.n_users AS DECIMAL(38,0)) * nb.n_users
+         |          AS DOUBLE)), 6) AS cos_r
+         |  FROM sym s
+         |  JOIN ni na ON na.item = s.item_a
+         |  JOIN ni nb ON nb.item = s.item_b
+         |)
+         |SELECT item_a, item_b, cooc, cos_r, CAST(rn AS BIGINT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY item_a
+         |    ORDER BY cos_r DESC, item_b) AS rn
+         |  FROM scored
+         |) WHERE rn <= 5""".stripMargin,
 
     // same exact-decimal moments, same fixed-order IEEE finish; the
     // z² constant is interpolated from ONE Scala value on both sides

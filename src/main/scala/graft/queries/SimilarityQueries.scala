@@ -95,6 +95,12 @@ object SimilarityQueries {
     */
   private val MmrShortlist = 20
 
+  /** χ²_{0.99, dof = Dim = 64} — `emb_ood_mahalanobis`'s alarm
+    * threshold (md² under in-distribution Gaussianity is χ²(Dim)).
+    * One shared literal so both engines compare identically.
+    */
+  private[graft] val MahalCrit: Double = 93.216622
+
   /** Per-modality shortlist depth for `search_hybrid_rrf` — the
     * standard RRF operating point (fuse two top-20s to a top-5).
     * private[graft]: HybridRrfSpec asserts the fusion law against it.
@@ -998,6 +1004,53 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"),
           round(asDouble(col("cos_q")), 6).as("cos_r"), col("z_r"),
           (col("z_r").isNotNull && col("z_r") < -2.0).as("is_ood"))
+    }),
+
+    // DIAGONAL-MAHALANOBIS OOD SCORING — the multi-axis sibling of
+    // emb_ood_zscore: instead of collapsing a vector to one
+    // centroid-cosine, score EVERY dimension against its per-label
+    // (μ_d, σ²_d) and sum the standardized squares — md² =
+    // Σ_d (x_d − μ_d)²/σ²_d, the diagonal-covariance Mahalanobis
+    // distance that catches a vector wrong in a few dimensions even
+    // when its overall direction looks typical (the failure mode a
+    // cosine screen misses). Under in-distribution Gaussianity md² ~
+    // χ²(dim); the flag compares the 6-dp-ROUNDED distance against
+    // χ²_{0.99, 64} so the boundary decision is bit-identical.
+    // Engine-agreement: inputs quantized to 9-dp DECIMAL(18,9) before
+    // the (label, dim) moment aggs (exact, mergeable — (18,9)² stays
+    // inside DECIMAL(38)), per-cell μ/σ² is a fixed-order IEEE finish,
+    // and each dimension's contribution is re-quantized to 9 dp before
+    // the per-vector sum (64-term double addition is order-sensitive;
+    // decimal addition is not). Scale: one posexplode (the data-sized
+    // pass), one labels×dims-cell hash agg, one broadcast join back —
+    // no windows, no driver math; the cell frame is 640 rows at any
+    // corpus size.
+    "emb_ood_mahalanobis" -> ((s, dir) => {
+      val xd = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("xq",
+          round(col("x").cast("double"), 9).cast("decimal(18,9)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = xd.groupBy(col("label"), col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+             sum(col("xq") * col("xq")).as("sx2"))
+        .filter(col("n") >= 2)
+        .withColumn("mu", asDouble(col("sx")) / col("n").cast("double"))
+        .withColumn("var_d",
+          (asDouble(col("sx2")) - asDouble(col("sx")) * asDouble(col("sx"))
+            / col("n").cast("double")) / (col("n") - lit(1)).cast("double"))
+        .select(col("label"), col("i"), col("mu"), col("var_d"))
+      xd.join(broadcast(cells), Seq("label", "i"))
+        .withColumn("c", when(col("var_d") > 0.0,
+          round((asDouble(col("xq")) - col("mu"))
+            * (asDouble(col("xq")) - col("mu")) / col("var_d"), 9))
+          .otherwise(lit(0.0)).cast("decimal(28,9)"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("c")).as("md2"))
+        .select(col("vec_id"), col("label"),
+          round(asDouble(col("md2")), 6).as("md2_r"),
+          (round(asDouble(col("md2")), 6) > lit(MahalCrit)).as("ood_flag"))
     }),
 
     "emb_centroid_sim" -> ((s, dir) => {
@@ -3029,6 +3082,41 @@ object SimilarityQueries {
          |SELECT s.bucket, count(*) AS n_vectors, min(s.vec_id) AS min_vec_id
          |FROM sig s
          |GROUP BY s.bucket""".stripMargin,
+
+    // same 9-dp input quantization, same exact-decimal cell moments,
+    // same 9-dp-requantized per-dim contributions, same rounded-value
+    // threshold compare (1-based list index vs posexplode's 0-based is
+    // invisible — the (label, i) join aligns within each engine)
+    "emb_ood_mahalanobis" ->
+      s"""WITH xs AS (
+         |  SELECT vec_id, label, i,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE), 9)
+         |      AS DECIMAL(18,9)) AS xq
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |), cells AS (
+         |  SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+         |    sum(xq) AS sx, sum(xq * xq) AS sx2
+         |  FROM xs GROUP BY 1, 2
+         |), mv AS (
+         |  SELECT label, i,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_d
+         |  FROM cells WHERE n >= 2
+         |), contrib AS (
+         |  SELECT xs.vec_id, xs.label,
+         |    CAST(CASE WHEN mv.var_d > 0.0 THEN
+         |      round((CAST(xs.xq AS DOUBLE) - mv.mu)
+         |        * (CAST(xs.xq AS DOUBLE) - mv.mu) / mv.var_d, 9)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(28,9)) AS c
+         |  FROM xs JOIN mv ON mv.label = xs.label AND mv.i = xs.i
+         |), md AS (
+         |  SELECT vec_id, label, sum(c) AS md2 FROM contrib GROUP BY 1, 2
+         |)
+         |SELECT vec_id, label,
+         |  round(CAST(md2 AS DOUBLE), 6) AS md2_r,
+         |  round(CAST(md2 AS DOUBLE), 6) > $MahalCrit AS ood_flag
+         |FROM md""".stripMargin,
 
     // same centroid chain as emb_centroid_sim, same 9-dp cosine
     // quantization before the exact-decimal label moments

@@ -302,7 +302,45 @@ object StatTestQueries {
         coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
   }
 
+  /** χ²_{0.95, 1 dof} — the SRM alarm threshold. One shared literal so
+    * both engines compare against the identical double.
+    */
+  private[graft] val SrmCrit: Double = 3.841459
+
+  /** Sample-ratio-mismatch guardrail over the deterministic `#ab`
+    * assignment hash (the SAME split `events_ab_cuped`/`events_did`
+    * analyze): per event_type, did the 50/50 user split actually land
+    * 50/50? χ² = (n₀−n₁)²/n against 1 dof — the first sanity gate any
+    * experiment readout runs, because a mismatched ratio invalidates
+    * every downstream estimate. Arithmetic is INTEGER until the single
+    * final division ((n₀−n₁)² in DECIMAL(38,0) — the square overflows
+    * int64 once an arm exceeds ~3B users); the alarm compares the
+    * 6-dp-ROUNDED statistic so the boundary decision is bit-identical
+    * cross-engine.
+    *
+    * Scale: one distinct (two-stage hash agg) + one per-type count agg
+    * — both partial-aggregable; the finish is a #types-row frame.
+    */
+  private[graft] def srmFinish(e: DataFrame): DataFrame =
+    e.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"),
+        (conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("#ab"))), 1, 14), 16, 10).cast("long") % 2).as("variant"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+           sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+      .withColumn("chi2_r", round(
+        asDouble((col("n0") - col("n1")).cast("decimal(38,0)")
+          * (col("n0") - col("n1")))
+          / asDouble(col("n0") + col("n1")), 6))
+      .select(col("event_type"), col("n0"), col("n1"), col("chi2_r"),
+        (col("chi2_r") > lit(SrmCrit)).as("srm_flag"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SAMPLE-RATIO MISMATCH — see srmFinish.
+    "events_srm" -> ((s, dir) =>
+      srmFinish(Tables.events(s, dir))),
 
     // MANN-WHITNEY U — the rank twin of events_ks_test: did the
     // current half's values shift in LOCATION vs the reference half,
@@ -400,6 +438,31 @@ object StatTestQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // same distinct-exposure counts, same DECIMAL(38,0) square, same
+    // rounded-statistic comparison against the shared critical value
+    "events_srm" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |), v AS (
+         |  SELECT event_type,
+         |    CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+         |      '#ab')), 1, 14)) AS BIGINT) % 2 AS variant
+         |  FROM u
+         |), a AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM v GROUP BY 1
+         |), f AS (
+         |  SELECT event_type, n0, n1,
+         |    round(CAST(CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) AS DOUBLE)
+         |      / CAST(n0 + n1 AS DOUBLE), 6) AS chi2_r
+         |  FROM a
+         |)
+         |SELECT event_type, n0, n1, chi2_r,
+         |  chi2_r > $SrmCrit AS srm_flag
+         |FROM f""".stripMargin,
 
     "events_mannwhitney" ->
       """WITH e AS (

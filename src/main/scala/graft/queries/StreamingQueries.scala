@@ -1187,6 +1187,22 @@ object StreamingQueries {
       EventQueries.skewFinish(merged)
     }),
 
+    // Streaming epoch planner — per-source token-count partials are
+    // ADDITIVE (one sum per source per micro-batch), so the merged
+    // table equals the batch sourceTokens agg exactly and the
+    // temperature/epoch finish reproduces pipeline_mix_epochs
+    // bit-for-bit (shared oracle = the hash proof). Deployment shape:
+    // a mixture dashboard keeps per-source running token totals in
+    // state and re-plans epochs on every trigger.
+    "stream_mix_epochs" -> ((s, dir) => {
+      val merged = partialsOf(
+          documentsStream(s, dir).select(col("source"), col("text")),
+          "graft-mixep-partials-")(DedupQueries.sourceTokens)
+        .groupBy(col("source"))
+        .agg(sum(col("t_source")).as("t_source"))
+      DedupQueries.mixEpochsFinish(merged)
+    }),
+
     // Streaming ACF — the hourly contingency cells are the mergeable
     // state (count + exact decimal sum per (series, hour), both
     // additive); the 9-dp mean projection, lag joins and fixed-order
@@ -1879,6 +1895,9 @@ object StreamingQueries {
     // Additive per-key count partials ≡ the batch count — shares the
     // batch probe's oracle, hash-proven.
     "stream_skew_probe" -> EventQueries.oracleSql("pipeline_skew_probe"),
+    // Additive per-source token-count partials ≡ the batch agg —
+    // shares the batch epoch-planner oracle, hash-proven.
+    "stream_mix_epochs" -> DedupQueries.oracleSql("pipeline_mix_epochs"),
     // Additive bigram-count partials ≡ the batch counts; every other
     // KN input derives from the merged table — shares the batch oracle.
     "stream_kneser_ney" -> TextQueries.oracleSql("text_kneser_ney"),

@@ -284,6 +284,103 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // N-GRAM NOVELTY / MEMORIZATION PROBE — what fraction of each
+    // held-out doc's distinct bigrams NEVER appear in the train split
+    // (the memorization-vs-generalization eval an LLM-data pipeline
+    // runs on its own corpus before trusting held-out perplexity:
+    // low novelty = the "held-out" set rehashes training text). The
+    // 80/20 split is the domain-separated '#novel' md5 hash — a doc's
+    // side is rerun-stable and partition-independent. Shape: one
+    // bigram explode (the data-sized pass), a distinct hash agg for
+    // the train gram set, one shuffle hash join on the gram key + a
+    // per-doc count agg — all partial-aggregable, no windows. At
+    // 100 TB the join key becomes a ShingleHashes 31-bit gram hash
+    // (compact longs, same topology); strings are kept here for
+    // oracle-parity clarity.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("g"))
+        .withColumn("is_test",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#novel"))), 1, 14), 16, 10).cast("long") % 5 === 4)
+      val train = bi.filter(col("is_test") === false)
+        .select(col("g")).distinct().withColumn("seen", lit(true))
+      bi.filter(col("is_test"))
+        .select(col("doc_id"), col("g")).distinct()
+        .join(train, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_bigrams"),
+             sum(when(col("seen").isNull, 1L).otherwise(0L))
+               .as("novel_bigrams"))
+        .select(col("doc_id"), col("n_distinct_bigrams"),
+          col("novel_bigrams"),
+          round(col("novel_bigrams").cast("double")
+            / col("n_distinct_bigrams").cast("double"), 6).as("novelty_r"))
+    }),
+
+    // BLEU-2 OVER CANDIDATE PAIRS — clipped n-gram precision scoring
+    // on the LSH blocking pairs (the dedup chain's candidates): for
+    // each (candidate = doc_a, reference = doc_b) edge, modified
+    // unigram/bigram precision p_n = Σ_g min(c_a(g), c_b(g)) / Σ_g
+    // c_a(g), brevity penalty min(1, e^(1−len_b/len_a)), BLEU-2 =
+    // BP·√(p1·p2) — the surface-overlap score that separates
+    // paraphrase-level near-dups from topical neighbors Jaccard
+    // lumps together. Work is bounded by |edges|·doc-length (the
+    // banding guarantee — never all-pairs); per-gram clipping is two
+    // shuffle hash joins keyed (doc, gram) + one partial-aggregable
+    // pair agg. Transcendental BP and the √ geometric mean are each
+    // 9-dp-quantized BEFORE their product (1-ulp libm/JDK guard).
+    "text_bleu_pairs" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+      val edges = DedupQueries.lshEdges(s, dir)
+      def clipped(grams: org.apache.spark.sql.DataFrame,
+                  mCol: String, tCol: String) =
+        edges
+          .join(grams.select(col("doc_id").as("doc_a"), col("g"),
+            col("c").as("ca")), "doc_a")
+          .join(grams.select(col("doc_id").as("doc_b"), col("g"),
+            col("c").as("cb")), Seq("doc_b", "g"), "left")
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(least(col("ca"), coalesce(col("cb"), lit(0L)))).as(mCol),
+               sum(col("ca")).as(tCol))
+      clipped(uni, "m1", "t1")
+        .join(clipped(big, "m2", "t2"), Seq("doc_a", "doc_b"), "left")
+        .join(lens.select(col("doc_id").as("doc_a"), col("n").as("len_a")),
+          "doc_a")
+        .join(lens.select(col("doc_id").as("doc_b"), col("n").as("len_b")),
+          "doc_b")
+        .withColumn("p1_d",
+          col("m1").cast("double") / col("t1").cast("double"))
+        .withColumn("p2_d", when(col("t2").isNotNull && col("t2") > 0,
+          col("m2").cast("double") / col("t2").cast("double"))
+          .otherwise(lit(0.0)))
+        .withColumn("bp_q", round(
+          when(col("len_a") >= col("len_b"), lit(1.0))
+            .otherwise(exp(lit(1.0)
+              - col("len_b").cast("double") / col("len_a").cast("double"))),
+          9))
+        .withColumn("g_q", round(sqrt(col("p1_d") * col("p2_d")), 9))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("p1_d"), 6).as("p1_r"),
+          round(col("p2_d"), 6).as("p2_r"),
+          round(col("bp_q") * col("g_q"), 6).as("bleu2_r"))
+    }),
+
     // QUALITY-CLASSIFIER TRAINING — logistic regression distilling
     // the rule-based quality gate (y = text_quality ≥ 0.6) into a
     // 2-feature model, trained IN THE ENGINE by two unrolled
@@ -1439,6 +1536,84 @@ object TextQueries {
        |), ${(1 to LrRounds).map(t => lrRoundSql(t)).mkString(", ")}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // same '#novel' hash split, same distinct-bigram sets, same
+    // anti-membership left join
+    "text_ngram_novelty" ->
+      s"""$toksCte, bi AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |      '#novel')), 1, 14)) AS BIGINT) % 5 = 4 AS is_test,
+         |    g
+         |  FROM d, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS u(g)
+         |  WHERE len(toks) >= 2
+         |), train AS (
+         |  SELECT DISTINCT g FROM bi WHERE NOT is_test
+         |), test AS (
+         |  SELECT DISTINCT doc_id, g FROM bi WHERE is_test
+         |)
+         |SELECT te.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         |  CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS novel_bigrams,
+         |  round(CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS novelty_r
+         |FROM test te LEFT JOIN train tr ON te.g = tr.g
+         |GROUP BY 1""".stripMargin,
+
+    // same LSH edge chain (DedupQueries.lshEdgeCtes — the artifact's
+    // SQL twin), same clipped-count joins, same 9-dp BP/√ quantization
+    // before the product; doubles CAST explicitly (DuckDB parses bare
+    // literals as DECIMAL)
+    "text_bleu_pairs" ->
+      s"""WITH ${DedupQueries.lshEdgeCtes}, tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), uni AS (
+         |  SELECT doc_id, token AS g, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk, unnest(t) AS u(token) GROUP BY 1, 2
+         |), big AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1])) AS u(g)
+         |  WHERE len(t) >= 2 GROUP BY 1, 2
+         |), lens AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk
+         |), p1 AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS m1,
+         |    CAST(sum(a.c) AS BIGINT) AS t1
+         |  FROM edges e
+         |  JOIN uni a ON a.doc_id = e.doc_a
+         |  LEFT JOIN uni b ON b.doc_id = e.doc_b AND b.g = a.g
+         |  GROUP BY 1, 2
+         |), p2 AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS m2,
+         |    CAST(sum(a.c) AS BIGINT) AS t2
+         |  FROM edges e
+         |  JOIN big a ON a.doc_id = e.doc_a
+         |  LEFT JOIN big b ON b.doc_id = e.doc_b AND b.g = a.g
+         |  GROUP BY 1, 2
+         |), f AS (
+         |  SELECT p1.doc_a, p1.doc_b,
+         |    CAST(p1.m1 AS DOUBLE) / CAST(p1.t1 AS DOUBLE) AS p1_d,
+         |    CASE WHEN p2.t2 IS NOT NULL AND p2.t2 > 0
+         |      THEN CAST(p2.m2 AS DOUBLE) / CAST(p2.t2 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS p2_d,
+         |    la.n AS len_a, lb.n AS len_b
+         |  FROM p1
+         |  LEFT JOIN p2 ON p2.doc_a = p1.doc_a AND p2.doc_b = p1.doc_b
+         |  JOIN lens la ON la.doc_id = p1.doc_a
+         |  JOIN lens lb ON lb.doc_id = p1.doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(p1_d, 6) AS p1_r, round(p2_d, 6) AS p2_r,
+         |  round(round(CASE WHEN len_a >= len_b THEN CAST(1.0 AS DOUBLE)
+         |      ELSE exp(CAST(1.0 AS DOUBLE)
+         |        - CAST(len_b AS DOUBLE) / CAST(len_a AS DOUBLE)) END, 9)
+         |    * round(sqrt(p1_d * p2_d), 9), 6) AS bleu2_r
+         |FROM f""".stripMargin,
 
     // the quality chain is text_quality's oracle verbatim; the
     // interleave key and both ranks are plain window SQL (the oracle
