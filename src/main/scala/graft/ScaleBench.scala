@@ -119,7 +119,11 @@ object ScaleBench {
     "emb_ood_zscore",
     // r12 wave 4
     "events_srm", "pipeline_mix_epochs", "text_ngram_novelty",
-    "text_bleu_pairs", "events_item_cf", "emb_ood_mahalanobis")
+    "text_bleu_pairs", "events_item_cf", "emb_ood_mahalanobis",
+    // r12 wave 5
+    "events_item_pmi", "events_uplift_segments",
+    "events_markov_stationary", "pipeline_dedup_impact",
+    "emb_triplet_eval")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

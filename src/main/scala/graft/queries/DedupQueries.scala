@@ -347,6 +347,31 @@ object DedupQueries {
     "pipeline_mix_epochs" -> ((s, dir) =>
       mixEpochsFinish(sourceTokens(Tables.documents(s, dir)))),
 
+    // DEDUP IMPACT ACCOUNTING — what the near-dup stage actually BUYS,
+    // in tokens, per source: joins the shared lshKeep labels (kept =
+    // doc is its own representative) against per-doc token counts and
+    // reports tokens before/after with the savings rate — the number a
+    // curation pipeline puts next to its dedup compute bill, and the
+    // per-source complement of pipeline_source_report's doc-level
+    // near-dup rate. One narrow projection + one join on the
+    // materialized artifact + one hash agg; no windows.
+    "pipeline_dedup_impact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(lshKeep(s, dir), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("rep_id") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_kept"),
+             sum(col("n_tokens")).as("tokens_total"),
+             sum(when(col("rep_id") === col("doc_id"), col("n_tokens"))
+               .otherwise(lit(0L))).as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tokens_total"), col("tokens_kept"),
+          round(lit(1.0) - col("tokens_kept").cast("double")
+            / col("tokens_total").cast("double"), 6).as("savings_r"))),
+
     // EXACT probability-proportional-to-size (PPS) SYSTEMATIC sampling
     // — the weighted sampler data mixing actually wants (inclusion
     // probability ∝ token count) with zero floating point: docs line
@@ -1860,6 +1885,32 @@ object DedupQueries {
          |  cum_tokens,
          |  (cum_tokens <= CAST(floor($MixCoef * sqrt(CAST(source_tokens AS DOUBLE))) AS BIGINT)) AS selected
          |FROM t""".stripMargin,
+
+    // same lsh_keep chain as pipeline_source_report, same kept rule
+    "pipeline_dedup_impact" ->
+      s"""WITH $lshEdgeCtes, lsh_keep AS (
+         |  SELECT bd.doc_id, min(m.rep) AS rep_id
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  GROUP BY bd.doc_id
+         |), d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), agg AS (
+         |  SELECT d.source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN k.rep_id = d.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_kept,
+         |    CAST(sum(d.n_tokens) AS BIGINT) AS tokens_total,
+         |    CAST(sum(CASE WHEN k.rep_id = d.doc_id THEN d.n_tokens
+         |      ELSE 0 END) AS BIGINT) AS tokens_kept
+         |  FROM d JOIN lsh_keep k USING (doc_id)
+         |  GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+         |  round(CAST(1.0 AS DOUBLE) - CAST(tokens_kept AS DOUBLE)
+         |    / CAST(tokens_total AS DOUBLE), 6) AS savings_r
+         |FROM agg""".stripMargin,
 
     // same 6-dp-quantized sqrt into an exact DECIMAL normalizer sum,
     // same fixed-order IEEE finish; doubles CAST explicitly (DuckDB

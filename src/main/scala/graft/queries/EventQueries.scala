@@ -1012,25 +1012,9 @@ object EventQueries {
     // item_b tiebreak, so top-5 is bit-stable cross-engine.
     "events_item_cf" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val ratings = Tables.events(s, dir)
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .filter(col("item").isNotNull)
-        .distinct()
-      val capped = ratings
-        .withColumn("hk", md5(concat(col("user_id").cast("string"),
-          lit("#cf"), col("item").cast("string"))))
-        .withColumn("rn", row_number().over(
-          W.partitionBy(col("user_id")).orderBy(col("hk"), col("item"))))
-        .filter(col("rn") <= CfUserCap)
-        .select(col("user_id"), col("item"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = cfCapped(s, dir)
       val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
-      val co = capped.as("a").join(capped.as("b"), Seq("user_id"))
-        .filter(col("a.item") < col("b.item"))
-        .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
-        .groupBy(col("item_a"), col("item_b"))
-        .agg(count(lit(1)).as("cooc"))
+      val co = cfCooc(capped)
       val sym = co.select(col("item_a"), col("item_b"), col("cooc"))
         .union(co.select(col("item_b").as("item_a"),
           col("item_a").as("item_b"), col("cooc")))
@@ -1047,6 +1031,95 @@ object EventQueries {
         .filter(col("rnk") <= 5)
         .select(col("item_a"), col("item_b"), col("cooc"), col("cos_r"),
           col("rnk").cast("long").as("rnk"))
+    }),
+
+    // SHIFTED PMI CO-OCCURRENCE — the embedding-training view of the
+    // same capped ratings: PMI(a,b) = ln(c_ab·U / (n_a·n_b)), and the
+    // SPPMI column max(PMI − ln k, 0) is exactly the matrix SGNS
+    // word2vec implicitly factorizes (Levy & Goldberg 2014) — the
+    // item-embedding training signal, where events_item_cf is the
+    // serving-side ranking. Same artifact, same bounded pair agg; the
+    // support floor (cooc ≥ 2) prunes the noise tail BEFORE the
+    // transcendental finish. ln is output-rounded to 6 dp; the U and
+    // n_a·n_b factors stay integer until the one division.
+    "events_item_pmi" -> ((s, dir) => {
+      val capped = cfCapped(s, dir)
+      val u = capped.agg(countDistinct(col("user_id")).as("nu"))
+      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+      cfCooc(capped)
+        .filter(col("cooc") >= 2)
+        .join(ni.select(col("item").as("item_a"), col("n_users").as("na")),
+          "item_a")
+        .join(ni.select(col("item").as("item_b"), col("n_users").as("nb")),
+          "item_b")
+        .crossJoin(broadcast(u))
+        .withColumn("pmi_d", log(col("cooc").cast("double")
+          * col("nu").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double"))))
+        .select(col("item_a"), col("item_b"), col("cooc"),
+          round(col("pmi_d"), 6).as("pmi_r"),
+          round(greatest(col("pmi_d") - log(lit(PmiShift)), lit(0.0)), 6)
+            .as("sppmi_r"))
+    }),
+
+    // SEGMENT-LEVEL UPLIFT (heterogeneous treatment effects) — the
+    // per-segment readout between events_ab_cuped's single pooled
+    // estimate and events_did's time decomposition: for every
+    // event_type segment, treatment − control mean under the shared
+    // `#ab` hash, Welch SE, z, and an uplift ranking — "which segments
+    // actually moved". One mergeable (type, variant) decimal-moment
+    // agg (additive — stream_uplift's hash proof); the finish is a
+    // #types-row frame and the rank is a TinyOrder triangular join
+    // (no unpartitioned window even at a million segments — that
+    // regime swaps TinyOrder for GlobalOrder).
+    "events_uplift_segments" -> ((s, dir) =>
+      upliftFinish(upliftCells(Tables.events(s, dir)))),
+
+    // MARKOV STATIONARY DISTRIBUTION — where events_markov's
+    // transition matrix SETTLES: π ← πP unrolled MarkovRounds times
+    // from the uniform start (the pagerank pattern on the behavioral
+    // chain — long-run occupancy of each event state). States = types
+    // with outgoing transitions; the 9-dp-quantized DECIMAL(18,9) P
+    // rows make each step's π·P products EXACT decimal sums with one
+    // 9-dp requantization per round — bit-identical cross-engine with
+    // no order sensitivity. Per-round work: one broadcast-able join of
+    // the k²-cell matrix against the k-row π, then a k-row agg; the
+    // data-sized pass is only the ONE lag-window transition count
+    // (per-user partitions).
+    "events_markov_stationary" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val counts = Tables.events(s, dir)
+        .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("tot"))
+      val p = counts.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"),
+          round(col("cnt").cast("double") / col("tot").cast("double"), 9)
+            .cast("decimal(18,9)").as("pq"))
+      val states = tot.select(col("from_type").as("t"))
+      val k = states.agg(count(lit(1)).as("k"))
+      var pi = states.crossJoin(broadcast(k))
+        .select(col("t"), round(lit(1.0) / col("k").cast("double"), 9)
+          .cast("decimal(18,9)").as("piq"))
+      for (_ <- 1 to MarkovRounds) {
+        val step = p.join(pi, col("from_type") === col("t"))
+          .groupBy(col("to_type"))
+          .agg(sum(col("piq") * col("pq")).as("sp"))
+        pi = states.join(step, col("t") === col("to_type"), "left")
+          .select(col("t"),
+            round(coalesce(asDouble(col("sp")), lit(0.0)), 9)
+              .cast("decimal(18,9)").as("piq"))
+      }
+      graft.operators.TinyOrder.rank(
+          pi.select(col("t").as("event_type"),
+            asDouble(col("piq")).as("pi_d")),
+          "rnk", Seq(negate(round(col("pi_d"), 6)), col("event_type")))
+        .select(col("event_type"), round(col("pi_d"), 6).as("pi_r"),
+          col("rnk"))
     }),
 
     // POSITION-BASED (U-SHAPED) MULTI-TOUCH ATTRIBUTION — the 40/20/40
@@ -2266,6 +2339,50 @@ object EventQueries {
     */
   private[graft] val CfUserCap = 40
 
+  /** Negative-sampling shift k for `events_item_pmi`'s SPPMI column
+    * (SGNS factorizes PMI − ln k — Levy & Goldberg 2014, NeurIPS).
+    */
+  private[graft] val PmiShift = 5.0
+
+  /** Power-iteration rounds for `events_markov_stationary` — the
+    * pagerank convention (3 unrolled rounds, both engines identical).
+    */
+  private[graft] val MarkovRounds = 3
+
+  /** The capped implicit-feedback ratings table shared by
+    * `events_item_cf` and `events_item_pmi`: distinct (user, item =
+    * props.k) exposures, at most [[CfUserCap]] items per user under a
+    * deterministic domain-separated md5 rank (a per-USER partitioned
+    * window — never global). Materialized once per (session, dir).
+    */
+  private[graft] def cfCapped(s: org.apache.spark.sql.SparkSession,
+                              dir: String) =
+    Artifacts.materialized(s, dir, "cf_capped") {
+      val W = org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+        .withColumn("hk", md5(concat(col("user_id").cast("string"),
+          lit("#cf"), col("item").cast("string"))))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("user_id")).orderBy(col("hk"), col("item"))))
+        .filter(col("rn") <= CfUserCap)
+        .select(col("user_id"), col("item"))
+    }
+
+  /** Item-pair co-occurrence counts over the capped ratings — the
+    * mergeable pair agg both CF queries rank from; pair generation is
+    * bounded at cap²·users by [[cfCapped]].
+    */
+  private[graft] def cfCooc(capped: org.apache.spark.sql.DataFrame) =
+    capped.as("a").join(capped.as("b"), Seq("user_id"))
+      .filter(col("a.item") < col("b.item"))
+      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+
   /** The exact z-constant for `events_power_analysis`: (z_{α/2} +
     * z_β)² at α = 0.05 two-sided, power 0.80 — the textbook pair
     * (1.959964, 0.841621), squared ONCE here so both engines consume
@@ -2370,6 +2487,54 @@ object EventQueries {
         round(sqrt(col("se2")), 6).as("se_r"),
         when(col("se2") > 0.0, round(col("did_d") / sqrt(col("se2")), 6))
           .as("z_r"))
+  }
+
+  /** The mergeable half of `events_uplift_segments`: per-(type,
+    * variant) exact decimal moments over the shared `#ab` hash split —
+    * all additive (`stream_uplift`'s hash proof).
+    */
+  private[graft] def upliftCells(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("#ab"))), 1, 14), 16, 10).cast("long") % 2).as("variant"),
+        dec(col("value")).as("v"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+           sum(col("v") * col("v")).as("s2"))
+
+  /** Per-segment uplift from merged (type, variant) moments: Welch SE
+    * with each cell's s²/n term 12-dp-quantized before the 2-term sum
+    * (the didFinish convention), z on the unrounded chain, and a
+    * TinyOrder rank on the ROUNDED uplift with the unique type
+    * tiebreak. Segments missing either arm are dropped (no
+    * counterfactual).
+    */
+  private[graft] def upliftFinish(cells: org.apache.spark.sql.DataFrame) = {
+    val m = cells.filter(col("n") >= 2)
+      .withColumn("mean_d", asDouble(col("s")) / col("n").cast("double"))
+      .withColumn("var_d",
+        (asDouble(col("s2")) - asDouble(col("s")) * asDouble(col("s"))
+          / col("n").cast("double")) / (col("n") - lit(1)).cast("double"))
+    val per = m.groupBy(col("event_type"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("mean_d"))).as("m0"),
+        max(when(col("variant") === 1, col("mean_d"))).as("m1"),
+        sum(round(col("var_d") / col("n").cast("double"), 12)
+          .cast("decimal(24,12)")).cast("double").as("se2"))
+      .filter(col("n0").isNotNull && col("n1").isNotNull)
+      .withColumn("uplift_d", col("m1") - col("m0"))
+    graft.operators.TinyOrder.rank(per, "rnk",
+        Seq(negate(round(col("uplift_d"), 6)), col("event_type")))
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("m0"), 6).as("m0_r"), round(col("m1"), 6).as("m1_r"),
+        round(col("uplift_d"), 6).as("uplift_r"),
+        round(sqrt(col("se2")), 6).as("se_r"),
+        when(col("se2") > 0.0,
+          round(col("uplift_d") / sqrt(col("se2")), 6)).as("z_r"),
+        col("rnk"))
   }
 
   /** The mergeable half of `pipeline_skew_probe`: per-key event
@@ -4909,6 +5074,148 @@ object EventQueries {
          |    ORDER BY cos_r DESC, item_b) AS rn
          |  FROM scored
          |) WHERE rn <= 5""".stripMargin,
+
+    // same capped ratings chain as events_item_cf, same support floor,
+    // same single ln at the end (doubles CAST explicitly)
+    "events_item_pmi" ->
+      s"""WITH r AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(json_extract_string(props, 'k') AS BIGINT) AS item
+         |  FROM events WHERE json_extract_string(props, 'k') IS NOT NULL
+         |), capped AS (
+         |  SELECT user_id, item FROM (
+         |    SELECT user_id, item,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY md5(CAST(user_id AS VARCHAR) || '#cf'
+         |          || CAST(item AS VARCHAR)), item) AS rn
+         |    FROM r
+         |  ) WHERE rn <= $CfUserCap
+         |), u AS (
+         |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM capped
+         |), ni AS (
+         |  SELECT item, CAST(count(*) AS BIGINT) AS n_users
+         |  FROM capped GROUP BY 1
+         |), co AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |    CAST(count(*) AS BIGINT) AS cooc
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2
+         |), f AS (
+         |  SELECT co.item_a, co.item_b, co.cooc,
+         |    ln(CAST(co.cooc AS DOUBLE) * CAST(u.nu AS DOUBLE)
+         |      / (CAST(na.n_users AS DOUBLE) * CAST(nb.n_users AS DOUBLE)))
+         |      AS pmi_d
+         |  FROM co
+         |  JOIN ni na ON na.item = co.item_a
+         |  JOIN ni nb ON nb.item = co.item_b
+         |  CROSS JOIN u
+         |  WHERE co.cooc >= 2
+         |)
+         |SELECT item_a, item_b, cooc,
+         |  round(pmi_d, 6) AS pmi_r,
+         |  round(greatest(pmi_d - ln(CAST($PmiShift AS DOUBLE)),
+         |    CAST(0.0 AS DOUBLE)), 6) AS sppmi_r
+         |FROM f""".stripMargin,
+
+    // same #ab hash cells, same 12-dp-quantized Welch SE² sum, rank on
+    // the rounded uplift with the type tiebreak
+    "events_uplift_segments" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+        |      '#ab')), 1, 14)) AS BIGINT) % 2 AS variant,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s, sum(v * v) AS s2
+        |  FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, variant, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+        |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_d
+        |  FROM c WHERE n >= 2
+        |), per AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    max(CASE WHEN variant = 0 THEN mean_d END) AS m0,
+        |    max(CASE WHEN variant = 1 THEN mean_d END) AS m1,
+        |    CAST(sum(CAST(round(var_d / CAST(n AS DOUBLE), 12)
+        |      AS DECIMAL(24,12))) AS DOUBLE) AS se2
+        |  FROM m GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n0, n1, m0, m1, m1 - m0 AS uplift_d, se2
+        |  FROM per WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+        |)
+        |SELECT event_type, n0, n1,
+        |  round(m0, 6) AS m0_r, round(m1, 6) AS m1_r,
+        |  round(uplift_d, 6) AS uplift_r,
+        |  round(sqrt(se2), 6) AS se_r,
+        |  CASE WHEN se2 > 0.0 THEN round(uplift_d / sqrt(se2), 6) END AS z_r,
+        |  CAST(row_number() OVER (ORDER BY round(uplift_d, 6) DESC,
+        |    event_type) AS BIGINT) AS rnk
+        |FROM f""".stripMargin,
+
+    // same 9-dp DECIMAL(18,9) transition rows, same exact-decimal
+    // π·P sums with one 9-dp requantization per unrolled round
+    "events_markov_stationary" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events
+        |), t2 AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ms, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t2 WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+        |), p AS (
+        |  SELECT c.from_type, c.to_type,
+        |    CAST(round(CAST(c.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE), 9)
+        |      AS DECIMAL(18,9)) AS pq
+        |  FROM c JOIN tot ON tot.from_type = c.from_type
+        |), st AS (
+        |  SELECT from_type AS t FROM tot
+        |), k AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k FROM st
+        |), pi0 AS (
+        |  SELECT st.t, CAST(round(CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE),
+        |    9) AS DECIMAL(18,9)) AS piq
+        |  FROM st CROSS JOIN k
+        |), s1 AS (
+        |  SELECT p.to_type, sum(pi0.piq * p.pq) AS sp
+        |  FROM p JOIN pi0 ON pi0.t = p.from_type GROUP BY 1
+        |), pi1 AS (
+        |  SELECT st.t, CAST(round(coalesce(CAST(s1.sp AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS piq
+        |  FROM st LEFT JOIN s1 ON s1.to_type = st.t
+        |), s2 AS (
+        |  SELECT p.to_type, sum(pi1.piq * p.pq) AS sp
+        |  FROM p JOIN pi1 ON pi1.t = p.from_type GROUP BY 1
+        |), pi2 AS (
+        |  SELECT st.t, CAST(round(coalesce(CAST(s2.sp AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS piq
+        |  FROM st LEFT JOIN s2 ON s2.to_type = st.t
+        |), s3 AS (
+        |  SELECT p.to_type, sum(pi2.piq * p.pq) AS sp
+        |  FROM p JOIN pi2 ON pi2.t = p.from_type GROUP BY 1
+        |), pi3 AS (
+        |  SELECT st.t, CAST(round(coalesce(CAST(s3.sp AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS piq
+        |  FROM st LEFT JOIN s3 ON s3.to_type = st.t
+        |)
+        |SELECT t AS event_type,
+        |  round(CAST(piq AS DOUBLE), 6) AS pi_r,
+        |  CAST(row_number() OVER (ORDER BY round(CAST(piq AS DOUBLE), 6)
+        |    DESC, t) AS BIGINT) AS rnk
+        |FROM pi3""".stripMargin,
 
     // same exact-decimal moments, same fixed-order IEEE finish; the
     // z² constant is interpolated from ONE Scala value on both sides

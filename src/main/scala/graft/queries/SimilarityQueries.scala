@@ -101,6 +101,12 @@ object SimilarityQueries {
     */
   private[graft] val MahalCrit: Double = 93.216622
 
+  /** Margin for `emb_triplet_eval`'s violation test — the standard
+    * contrastive-loss margin; violations compare on the shared
+    * 9-dp-quantized cosines so the boundary is bit-identical.
+    */
+  private[graft] val TripletMargin: Double = 0.1
+
   /** Per-modality shortlist depth for `search_hybrid_rrf` — the
     * standard RRF operating point (fuse two top-20s to a top-5).
     * private[graft]: HybridRrfSpec asserts the fusion law against it.
@@ -1004,6 +1010,52 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"),
           round(asDouble(col("cos_q")), 6).as("cos_r"), col("z_r"),
           (col("z_r").isNotNull && col("z_r") < -2.0).as("is_ood"))
+    }),
+
+    // TRIPLET-MARGIN EVAL — the contrastive-quality readout over label
+    // centroids: for every vector, cos to its OWN label centroid
+    // (positive) vs the BEST other-label centroid (hardest negative;
+    // deterministic argmax = struct max on (cosine, −label)), violated
+    // when cos_neg + margin > cos_pos — the metric-learning health
+    // check (violation rate ↓ as embeddings separate classes) that
+    // pipeline_hard_negatives' mined pairs feed. Centroid-based like
+    // emb_silhouette because that is the form that scales: ONE
+    // broadcast-centroid projection (|corpus| × #labels cosines), no
+    // pairwise pass; everything downstream is corpus-row-sized with
+    // two hash-agg/join steps and zero windows. Cosines quantized to
+    // 9 dp before the argmax and the margin compare.
+    "emb_triplet_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val byDim = emb.select(
+          col("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
+              count(lit(1))).as("c"))
+      val centroids = byDim
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+        .select(col("label").as("c_label"),
+                transform(col("pairs"), p => p.getField("c")).as("centroid"))
+      val scored = emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          round(VectorOps.cosine(col("embedding"), col("centroid")), 9)
+            .as("cos_q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pos = scored.filter(col("label") === col("c_label"))
+        .select(col("vec_id"), col("label"), col("cos_q").as("cos_pos_q"))
+      val neg = scored.filter(col("label") =!= col("c_label"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_q").as("cq"),
+          (-col("c_label")).as("nl"))).as("best"))
+        .select(col("vec_id"), col("best.cq").as("cos_neg_q"),
+          (-col("best.nl")).cast("int").as("neg_label"))
+      pos.join(neg, "vec_id")
+        .select(col("vec_id"), col("label"), col("neg_label"),
+          round(col("cos_pos_q"), 6).as("cos_pos_r"),
+          round(col("cos_neg_q"), 6).as("cos_neg_r"),
+          (col("cos_neg_q") + lit(TripletMargin) > col("cos_pos_q"))
+            .as("violated"))
     }),
 
     // DIAGONAL-MAHALANOBIS OOD SCORING — the multi-axis sibling of
@@ -3082,6 +3134,38 @@ object SimilarityQueries {
          |SELECT s.bucket, count(*) AS n_vectors, min(s.vec_id) AS min_vec_id
          |FROM sig s
          |GROUP BY s.bucket""".stripMargin,
+
+    // same centroid chain, same 9-dp cosine quantization, same
+    // struct-max argmax on (cosine, −label), same margin compare
+    "emb_triplet_eval" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY i) AS centroid
+         |  FROM dims
+         |  GROUP BY label
+         |), sc AS (
+         |  SELECT e.vec_id, e.label, c.label AS c_label,
+         |    round(${duckCos("e.embedding", "c.centroid")}, 9) AS cos_q
+         |  FROM embeddings e CROSS JOIN cent c
+         |), pos AS (
+         |  SELECT vec_id, label, cos_q AS cos_pos_q
+         |  FROM sc WHERE label = c_label
+         |), neg AS (
+         |  SELECT vec_id, max(struct_pack(cq := cos_q, nl := -c_label))
+         |    AS best
+         |  FROM sc WHERE label <> c_label GROUP BY 1
+         |)
+         |SELECT p.vec_id, p.label,
+         |  CAST(-struct_extract(n.best, 'nl') AS INTEGER) AS neg_label,
+         |  round(p.cos_pos_q, 6) AS cos_pos_r,
+         |  round(struct_extract(n.best, 'cq'), 6) AS cos_neg_r,
+         |  struct_extract(n.best, 'cq') + CAST($TripletMargin AS DOUBLE)
+         |    > p.cos_pos_q AS violated
+         |FROM pos p JOIN neg n ON n.vec_id = p.vec_id""".stripMargin,
 
     // same 9-dp input quantization, same exact-decimal cell moments,
     // same 9-dp-requantized per-dim contributions, same rounded-value

@@ -1187,6 +1187,24 @@ object StreamingQueries {
       EventQueries.skewFinish(merged)
     }),
 
+    // Streaming segment uplift — the (type, variant) decimal moment
+    // partials are ADDITIVE, so the merged cells equal the batch
+    // upliftCells agg exactly and the Welch/rank finish reproduces
+    // events_uplift_segments bit-for-bit (shared oracle = the hash
+    // proof). Deployment shape: the experiment dashboard keeps 2×k
+    // moment rows in state and re-reads uplift per segment on every
+    // trigger.
+    "stream_uplift" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir).select(col("event_type"), col("user_id"),
+            col("value")),
+          "graft-uplift-partials-")(EventQueries.upliftCells)
+        .groupBy(col("event_type"), col("variant"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+             sum(col("s2")).as("s2"))
+      EventQueries.upliftFinish(merged)
+    }),
+
     // Streaming epoch planner — per-source token-count partials are
     // ADDITIVE (one sum per source per micro-batch), so the merged
     // table equals the batch sourceTokens agg exactly and the
@@ -1898,6 +1916,9 @@ object StreamingQueries {
     // Additive per-source token-count partials ≡ the batch agg —
     // shares the batch epoch-planner oracle, hash-proven.
     "stream_mix_epochs" -> DedupQueries.oracleSql("pipeline_mix_epochs"),
+    // Additive (type, variant) moment partials ≡ the batch cells —
+    // shares the batch uplift oracle, hash-proven.
+    "stream_uplift" -> EventQueries.oracleSql("events_uplift_segments"),
     // Additive bigram-count partials ≡ the batch counts; every other
     // KN input derives from the merged table — shares the batch oracle.
     "stream_kneser_ney" -> TextQueries.oracleSql("text_kneser_ney"),
