@@ -123,7 +123,9 @@ object ScaleBench {
     // r12 wave 5
     "events_item_pmi", "events_uplift_segments",
     "events_markov_stationary", "pipeline_dedup_impact",
-    "emb_triplet_eval")
+    "emb_triplet_eval",
+    // r12 wave 6
+    "graph_ppr", "pipeline_ccnet_buckets", "emb_pq_distortion")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

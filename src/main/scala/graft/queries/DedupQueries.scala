@@ -195,6 +195,54 @@ object DedupQueries {
       rank.select(col("v").as("doc_id"), col("pr"))
     }),
 
+    // PERSONALIZED PAGERANK — graph_pagerank's teleport vector swapped
+    // from uniform to e_seed (seed = the smallest doc participating in
+    // the graph, deterministic): pr ← 0.15·e_seed + 0.85·A pr, the
+    // random-walk-with-restart proximity that turns the dedup graph
+    // into a RELATED-DOCUMENTS retrieval index (rank neighbors-of-
+    // neighbors a plain edge list can't see). Same per-round shape as
+    // pagerank — one edges join + one DECIMAL(28,14)-quantized
+    // contribution agg per round, 9-dp requantized π between rounds —
+    // and the top-20 serve path is a distributed
+    // TakeOrderedAndProject + TinyOrder rank, never a global window.
+    "graph_ppr" -> ((s, dir) => {
+      val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      val edges = lshEdges(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(lshEdges(s, dir)
+          .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = broadcast(lshEdges(s, dir).agg(min(col("doc_a")).as("seed")))
+      var rank = verts.crossJoin(seed)
+        .select(col("v"),
+          when(col("v") === col("seed"), lit(1.0)).otherwise(lit(0.0))
+            .as("pr"))
+        .localCheckpoint()
+      (1 to PrRounds).foreach { _ =>
+        val contrib = rank.join(edges, col("v") === col("src"))
+          .join(deg, "src")
+          .select(col("dst"),
+            (col("pr") / col("deg")).cast("decimal(28,14)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("in_sum"))
+        rank = verts.crossJoin(seed)
+          .join(contrib, col("v") === col("dst"), "left")
+          .select(col("v"),
+            round(when(col("v") === col("seed"), lit(0.15))
+                .otherwise(lit(0.0)) +
+              lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 9).as("pr"))
+          .localCheckpoint()
+      }
+      edges.unpersist(); deg.unpersist()
+      val top = rank.filter(col("pr") > 0.0)
+        .orderBy(col("pr").desc, col("v")).limit(PprTopK)
+      graft.operators.TinyOrder.rank(top, "rnk",
+          Seq(negate(col("pr")), col("v")))
+        .select(col("v").as("doc_id"), round(col("pr"), 6).as("ppr_r"),
+          col("rnk"))
+    }),
+
     // TRIANGLE COUNT over the dedup graph — the third graph primitive
     // next to CC and PageRank (cohesion: how clique-like are the
     // near-dup neighborhoods?). Degree-ordered "compact-forward"
@@ -1284,6 +1332,9 @@ object DedupQueries {
   /** PageRank iteration budget (bounded like the Lloyd/CC loops). */
   private val PrRounds = 3
 
+  /** Serve size for `graph_ppr`'s related-documents list. */
+  private[graft] val PprTopK = 20
+
   /** `graph_lpa` synchronous vote rounds (star-edge graphs settle in
     * 2; 4 exercises the stability fixpoint in the unrolled oracle).
     */
@@ -1972,6 +2023,49 @@ object DedupQueries {
          |  FROM documents, nn
          |), ${(1 to PrRounds).map(roundCte).mkString(", ")}
          |SELECT v AS doc_id, pr FROM r$PrRounds""".stripMargin
+    },
+
+    // same unrolled rounds as graph_pagerank with the teleport mass on
+    // the deterministic seed; rank over the 9-dp π with the doc_id
+    // tiebreak, top-20
+    "graph_ppr" -> {
+      def roundCte(r: Int) =
+        s"""c$r AS (
+           |  SELECT e.dst,
+           |    sum(CAST(r${r - 1}.pr / d.deg AS DECIMAL(28,14))) AS s
+           |  FROM r${r - 1}
+           |  JOIN edges2 e ON e.src = r${r - 1}.v
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY 1
+           |), r$r AS (
+           |  SELECT dv.doc_id AS v,
+           |    round(CASE WHEN dv.doc_id = sd.seed THEN CAST(0.15 AS DOUBLE)
+           |        ELSE CAST(0.0 AS DOUBLE) END +
+           |      CAST(0.85 AS DOUBLE) * coalesce(CAST(c$r.s AS DOUBLE), 0.0),
+           |      9) AS pr
+           |  FROM documents dv CROSS JOIN sd
+           |  LEFT JOIN c$r ON c$r.dst = dv.doc_id
+           |)""".stripMargin
+      s"""WITH $lshEdgeCtes, edges2 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM edges
+         |), deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges2 GROUP BY 1
+         |), sd AS (
+         |  SELECT min(doc_a) AS seed FROM edges
+         |), r0 AS (
+         |  SELECT dv.doc_id AS v,
+         |    CASE WHEN dv.doc_id = sd.seed THEN CAST(1.0 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS pr
+         |  FROM documents dv CROSS JOIN sd
+         |), ${(1 to PrRounds).map(roundCte).mkString(", ")}
+         |SELECT v AS doc_id, round(pr, 6) AS ppr_r,
+         |  CAST(rn AS BIGINT) AS rnk
+         |FROM (
+         |  SELECT v, pr, row_number() OVER (ORDER BY pr DESC, v) AS rn
+         |  FROM r$PrRounds WHERE pr > 0.0
+         |) WHERE rn <= $PprTopK""".stripMargin
     },
 
     // Unrolled synchronous LPA rounds over the same symmetrized star

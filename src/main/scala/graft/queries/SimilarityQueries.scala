@@ -1012,6 +1012,42 @@ object SimilarityQueries {
           (col("z_r").isNotNull && col("z_r") < -2.0).as("is_ood"))
     }),
 
+    // PQ DISTORTION AUDIT — the quantization-error health metric for
+    // the 8-byte PQ index: per subspace m, the mean ‖sub − c_code‖²
+    // the encoder's argmin actually achieves, via the exact identity
+    // ‖sub‖² + (‖c‖² − 2·sub·c)|_argmin — both terms the SAME exact
+    // decimal dots the encoder itself uses, so the audit certifies the
+    // deployed assignment, not a re-derivation. A rising per-subspace
+    // distortion is the first sign a codebook has drifted off the
+    // corpus (retrain trigger), and Σ_m distortion bounds the ADC
+    // ranking error. Shape: ONE broadcast-codebook projection per row
+    // (the encode pass's own cost), per-(vec, m) values 9-dp-quantized
+    // into an exact decimal mean per subspace — an M-row output, no
+    // windows, no corpus rescan.
+    "emb_pq_distortion" -> ((s, dir) => {
+      val per = Tables.embeddings(s, dir)
+        .crossJoin(broadcast(pqCentArr(s, dir)))
+        .select(col("vec_id"), posexplode(
+          transform(sequence(lit(0), lit(PqM - 1)), m => {
+            val sub = slice(col("embedding"), m * PqDsub + 1, lit(PqDsub))
+            VectorOps.normSqDecimal(sub).cast("double") +
+              array_min(transform(
+                element_at(col("cents"), (m + 1).cast("int")), c =>
+                  struct(
+                    (c.getField("ccsq") - lit(2.0) *
+                      VectorOps.dotDecimal(sub, c.getField("centroid"))
+                        .cast("double")).as("dist"),
+                    c.getField("j").as("j")))).getField("dist")
+          })).as(Seq("m", "d2")))
+        .select(col("m").cast("long").as("m"),
+          round(col("d2"), 9).cast("decimal(28,9)").as("d2q"))
+      per.groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("d2q")).as("sd"))
+        .select(col("m"), col("n"),
+          round(asDouble(col("sd")) / col("n").cast("double"), 6)
+            .as("mean_dist_r"))
+    }),
+
     // TRIPLET-MARGIN EVAL — the contrastive-quality readout over label
     // centroids: for every vector, cos to its OWN label centroid
     // (positive) vs the BEST other-label centroid (hardest negative;
@@ -3134,6 +3170,28 @@ object SimilarityQueries {
          |SELECT s.bucket, count(*) AS n_vectors, min(s.vec_id) AS min_vec_id
          |FROM sig s
          |GROUP BY s.bucket""".stripMargin,
+
+    // same pqCtes encode chain (enc_scored's surrogate IS the deployed
+    // assignment's distance term), same decimal ‖sub‖², same 9-dp
+    // per-(vec, m) quantization into the exact decimal mean
+    "emb_pq_distortion" ->
+      s"""WITH $pqCtes, ssq AS (
+         |  SELECT vec_id, (i - 1) // $PqDsub AS m,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+         |      * CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14)))
+         |      AS DOUBLE) AS s2
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2
+         |), best AS (
+         |  SELECT vec_id, m, min(dist) AS sur FROM enc_scored GROUP BY 1, 2
+         |), per AS (
+         |  SELECT b.vec_id, b.m,
+         |    CAST(round(s.s2 + b.sur, 9) AS DECIMAL(28,9)) AS d2q
+         |  FROM best b JOIN ssq s ON s.vec_id = b.vec_id AND s.m = b.m
+         |)
+         |SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(d2q) AS DOUBLE) / count(*), 6) AS mean_dist_r
+         |FROM per GROUP BY 1""".stripMargin,
 
     // same centroid chain, same 9-dp cosine quantization, same
     // struct-max argmax on (cosine, −label), same margin compare

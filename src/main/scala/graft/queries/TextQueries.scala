@@ -284,6 +284,30 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // CCNET-STYLE PERPLEXITY BUCKETS — the curation split the CCNet
+    // pipeline (Wenzek et al. 2020, public) made standard: score every
+    // doc with the in-engine bigram LM (text_bigram_lm's avg log-prob
+    // — higher = more fluent), rank, and cut the corpus into
+    // head/middle/tail THIRDS; training recipes then mix buckets
+    // deliberately (head-heavy pretraining, tail for diversity
+    // ablations). The rank is a GlobalOrder row number over
+    // (−score, doc_id) — no single-task sort at any corpus size — and
+    // the thirds are integer boundary arithmetic (grn·3 vs n), exact
+    // on both engines. Docs with < 2 tokens have no bigram score and
+    // are out of scope (both engines drop them identically).
+    "pipeline_ccnet_buckets" -> ((s, dir) => {
+      val lm = queries("text_bigram_lm")(s, dir)
+        .select(col("doc_id"), col("avg_logprob_r"))
+      val ranked = graft.operators.GlobalOrder.withRowNumber(lm, "grn",
+        Seq(negate(col("avg_logprob_r")), col("doc_id")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("avg_logprob_r"),
+          when(col("grn") * 3 <= col("n"), lit("head"))
+            .when(col("grn") * 3 <= col("n") * 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }),
+
     // N-GRAM NOVELTY / MEMORIZATION PROBE — what fraction of each
     // held-out doc's distinct bigrams NEVER appear in the train split
     // (the memorization-vs-generalization eval an LLM-data pipeline
@@ -1295,6 +1319,37 @@ object TextQueries {
       |  FROM documents
       |)""".stripMargin
 
+  /** text_bigram_lm's oracle — a named val so pipeline_ccnet_buckets
+    * can embed the identical LM chain as a subquery (referencing
+    * oracleSql during its own Map construction would NPE).
+    */
+  private lazy val bigramLmSql: String =
+    s"""$toksCte, bi AS (
+       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+       |  FROM d, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS t(b)
+       |  WHERE len(toks) >= 2
+       |), c12 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1
+       |), vocab AS (
+       |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+       |  FROM d, unnest(toks) AS u(token)
+       |), lp AS (
+       |  SELECT bi.doc_id,
+       |    CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) /
+       |                  CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
+       |         AS DECIMAL(28,9)) AS lp
+       |  FROM bi
+       |  JOIN c12 ON c12.w1 = bi.w1 AND c12.w2 = bi.w2
+       |  JOIN c1 ON c1.w1 = bi.w1
+       |  CROSS JOIN vocab
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob_r
+       |FROM lp GROUP BY 1""".stripMargin
+
   /** BM25 query terms: one rare (df ≈ 5% of docs) + two common. */
   private val Bm25Terms = Seq("dup", "spark", "vector")
 
@@ -1536,6 +1591,26 @@ object TextQueries {
        |), ${(1 to LrRounds).map(t => lrRoundSql(t)).mkString(", ")}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // the LM chain is text_bigram_lm's oracle verbatim (as a
+    // subquery); the rank may use the single-partition window the
+    // engine avoids, the thirds are the same integer arithmetic
+    "pipeline_ccnet_buckets" ->
+      s"""WITH lm AS (
+         |  SELECT doc_id, avg_logprob_r
+         |  FROM ($bigramLmSql) t0
+         |), n AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM lm
+         |), r AS (
+         |  SELECT doc_id, avg_logprob_r,
+         |    row_number() OVER (ORDER BY avg_logprob_r DESC, doc_id) AS grn
+         |  FROM lm
+         |)
+         |SELECT r.doc_id, r.avg_logprob_r,
+         |  CASE WHEN r.grn * 3 <= n.n THEN 'head'
+         |       WHEN r.grn * 3 <= n.n * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r CROSS JOIN n""".stripMargin,
 
     // same '#novel' hash split, same distinct-bigram sets, same
     // anti-membership left join
@@ -2112,32 +2187,7 @@ object TextQueries {
     // same add-1 bigram model, same 9-dp-quantized decimal-summed
     // log-probs (ln args are corpus-count rationals — finite domain,
     // 3-sf-verified like the BM25 idf)
-    "text_bigram_lm" ->
-      s"""$toksCte, bi AS (
-         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
-         |  FROM d, unnest(list_transform(generate_series(1, len(toks) - 1),
-         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS t(b)
-         |  WHERE len(toks) >= 2
-         |), c12 AS (
-         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
-         |), c1 AS (
-         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1
-         |), vocab AS (
-         |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
-         |  FROM d, unnest(toks) AS u(token)
-         |), lp AS (
-         |  SELECT bi.doc_id,
-         |    CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) /
-         |                  CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
-         |         AS DECIMAL(28,9)) AS lp
-         |  FROM bi
-         |  JOIN c12 ON c12.w1 = bi.w1 AND c12.w2 = bi.w2
-         |  JOIN c1 ON c1.w1 = bi.w1
-         |  CROSS JOIN vocab
-         |)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob_r
-         |FROM lp GROUP BY 1""".stripMargin,
+    "text_bigram_lm" -> bigramLmSql,
 
     // same 9-dp idf quantization, same exact scale-9 weights and
     // scale-18 squares/products, same fixed-order double finish
