@@ -163,7 +163,7 @@ object ScaleBench {
     "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval",
     "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency",
     "stream_skew_probe", "stream_kneser_ney", "stream_power_analysis",
-    "stream_did")
+    "stream_did", "stream_mix_epochs", "stream_uplift")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,
