@@ -125,7 +125,9 @@ object ScaleBench {
     "events_markov_stationary", "pipeline_dedup_impact",
     "emb_triplet_eval",
     // r12 wave 6
-    "graph_ppr", "pipeline_ccnet_buckets", "emb_pq_distortion")
+    "graph_ppr", "pipeline_ccnet_buckets", "emb_pq_distortion",
+    // r12 wave 7
+    "graph_hits")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -243,6 +243,53 @@ object DedupQueries {
           col("rnk"))
     }),
 
+    // HITS (hubs & authorities, Kleinberg 1999) over the DIRECTED
+    // star edges — the link-analysis complement to graph_pagerank.
+    // The LSH star edge is oriented canonical→duplicate (rep = bucket
+    // min → member), so the two scores mean something operational in
+    // a dedup pipeline: a high HUB is a canonical doc anchoring many
+    // duplicates across buckets; a high AUTHORITY is a doc that many
+    // canonicals point at (the strongest "remove me" signal). Mutual
+    // reinforcement h ← Σ_out a, a ← Σ_in h iterated PrRounds times
+    // from a=1, each half-step one shuffle join + one decimal-routed
+    // partial-aggregable sum (the pagerank round shape), normalized
+    // by the round's max (one broadcast scalar — no global window)
+    // and QUANTIZED to 9 dp at the half-round boundary so N chained
+    // rounds stay engine-identical. Per-round localCheckpoint
+    // truncates lineage. At 100 TB: O(rounds · |E|), |E| ≤ NumBands·n
+    // (star topology) — same posture as CC/pagerank.
+    "graph_hits" -> ((s, dir) => {
+      val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
+      val edges = lshEdges(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def half(scores: org.apache.spark.sql.DataFrame, joinOn: String,
+               groupOn: String, out: String) = {
+        val sums = scores.join(edges, col("v") === col(joinOn))
+          .select(col(groupOn).as("g"),
+            col(scores.columns.last).cast("decimal(28,14)").as("c"))
+          .groupBy(col("g")).agg(sum(col("c")).cast("double").as("s"))
+        val mx = sums.agg(max(col("s")).as("mx"))
+        verts.join(sums, col("v") === col("g"), "left")
+          .crossJoin(broadcast(mx))
+          .select(col("v"),
+            round(coalesce(col("s"), lit(0.0)) /
+              when(col("mx").isNull || col("mx") === 0.0, lit(1.0))
+                .otherwise(col("mx")), 9).as(out))
+          .localCheckpoint()
+      }
+      var auth = verts.select(col("v"), lit(1.0).as("auth"))
+        .localCheckpoint()
+      var hub: org.apache.spark.sql.DataFrame = null
+      (1 to PrRounds).foreach { _ =>
+        hub = half(auth, "dst", "src", "hub")   // h(v) ← Σ_{v→w} a(w)
+        auth = half(hub, "src", "dst", "auth")  // a(w) ← Σ_{v→w} h(v)
+      }
+      edges.unpersist()
+      hub.join(auth, "v").select(col("v").as("doc_id"),
+        col("hub"), col("auth"))
+    }),
+
     // TRIANGLE COUNT over the dedup graph — the third graph primitive
     // next to CC and PageRank (cohesion: how clique-like are the
     // near-dup neighborhoods?). Degree-ordered "compact-forward"
@@ -2066,6 +2113,45 @@ object DedupQueries {
          |  SELECT v, pr, row_number() OVER (ORDER BY pr DESC, v) AS rn
          |  FROM r$PrRounds WHERE pr > 0.0
          |) WHERE rn <= $PprTopK""".stripMargin
+    },
+
+    // same unrolled mutual-reinforcement rounds over the DIRECTED
+    // star edges; decimal-routed sums, max-normalized + 9-dp
+    // quantized at each half-round boundary — term-for-term
+    "graph_hits" -> {
+      def roundCte(r: Int) =
+        s"""hs$r AS (
+           |  SELECT e.doc_a AS v,
+           |    CAST(sum(CAST(a${r - 1}.a AS DECIMAL(28,14))) AS DOUBLE) AS s
+           |  FROM a${r - 1} JOIN edges e ON e.doc_b = a${r - 1}.v
+           |  GROUP BY 1
+           |), hmx$r AS (SELECT max(s) AS mx FROM hs$r
+           |), h$r AS (
+           |  SELECT d.doc_id AS v,
+           |    round(coalesce(hs$r.s, 0.0) /
+           |      (CASE WHEN hmx$r.mx IS NULL OR hmx$r.mx = 0.0
+           |            THEN 1.0 ELSE hmx$r.mx END), 9) AS h
+           |  FROM documents d CROSS JOIN hmx$r
+           |  LEFT JOIN hs$r ON hs$r.v = d.doc_id
+           |), aus$r AS (
+           |  SELECT e.doc_b AS v,
+           |    CAST(sum(CAST(h$r.h AS DECIMAL(28,14))) AS DOUBLE) AS s
+           |  FROM h$r JOIN edges e ON e.doc_a = h$r.v
+           |  GROUP BY 1
+           |), amx$r AS (SELECT max(s) AS mx FROM aus$r
+           |), a$r AS (
+           |  SELECT d.doc_id AS v,
+           |    round(coalesce(aus$r.s, 0.0) /
+           |      (CASE WHEN amx$r.mx IS NULL OR amx$r.mx = 0.0
+           |            THEN 1.0 ELSE amx$r.mx END), 9) AS a
+           |  FROM documents d CROSS JOIN amx$r
+           |  LEFT JOIN aus$r ON aus$r.v = d.doc_id
+           |)""".stripMargin
+      s"""WITH $lshEdgeCtes, a0 AS (
+         |  SELECT doc_id AS v, CAST(1.0 AS DOUBLE) AS a FROM documents
+         |), ${(1 to PrRounds).map(roundCte).mkString(", ")}
+         |SELECT h.v AS doc_id, h.h AS hub, a.a AS auth
+         |FROM h$PrRounds h JOIN a$PrRounds a ON a.v = h.v""".stripMargin
     },
 
     // Unrolled synchronous LPA rounds over the same symmetrized star

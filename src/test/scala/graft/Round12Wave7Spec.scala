@@ -1,0 +1,73 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.functions._
+
+/** Property pins for the round-12 wave-7 operator: a BigDecimal
+  * replica of the HITS mutual-reinforcement iteration plus its
+  * structural invariants (max-normalization, zero scores off the
+  * edge support).
+  */
+class Round12Wave7Spec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def round9(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  test("hits: matches a BigDecimal replica of the h/a iteration") {
+    import java.math.{BigDecimal => BD, RoundingMode => RM}
+    val edges = DedupQueries.lshEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+
+    // one half-step: decimal(14)-quantized contributions summed per
+    // key, max-normalized, 9-dp requantized — the engine's contract
+    def half(scores: Map[Long, Double], proj: ((Long, Long)) => (Long, Long))
+        : Map[Long, Double] = {
+      val sums = scala.collection.mutable.HashMap[Long, BD]()
+      edges.foreach { e =>
+        val (from, to) = proj(e)
+        val c = BD.valueOf(scores(from)).setScale(14, RM.HALF_UP)
+        sums(to) = sums.getOrElse(to, BD.ZERO).add(c)
+      }
+      val s = sums.view.mapValues(_.doubleValue).toMap
+      val mx = if (s.isEmpty || s.values.max == 0.0) 1.0 else s.values.max
+      verts.map(v => v -> round9(s.getOrElse(v, 0.0) / mx)).toMap
+    }
+
+    var auth: Map[Long, Double] = verts.map(_ -> 1.0).toMap
+    var hub: Map[Long, Double] = Map.empty
+    (1 to 3).foreach { _ =>
+      hub = half(auth, { case (a, b) => (b, a) })  // h(a) ← Σ a(b)
+      auth = half(hub, { case (a, b) => (a, b) })  // a(b) ← Σ h(a)
+    }
+
+    val out = q("graph_hits").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("hub"), r.getAs[Double]("auth")))).toMap
+    assert(out.size == verts.length)
+    assert(out == verts.map(v => v -> ((hub(v), auth(v)))).toMap)
+  }
+
+  test("hits: max-normalized scores, zero off the edge support") {
+    val out = q("graph_hits").cache()
+    val stats = out.agg(max(col("hub")).as("mh"), max(col("auth")).as("ma"),
+      min(col("hub")).as("nh"), min(col("auth")).as("na")).head
+    assert(stats.getDouble(0) == 1.0 && stats.getDouble(1) == 1.0,
+      "some hub and some authority must sit at the normalization cap")
+    assert(stats.getDouble(2) >= 0.0 && stats.getDouble(3) >= 0.0)
+    // a doc that never appears as a star-edge source has hub 0;
+    // never as a destination → auth 0
+    val e = DedupQueries.lshEdges(spark, sf).cache()
+    val noHub = out.join(e.select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(noHub.filter(col("hub") =!= 0.0).count() == 0)
+    val noAuth = out.join(e.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(noAuth.filter(col("auth") =!= 0.0).count() == 0)
+    e.unpersist(); out.unpersist()
+  }
+}
