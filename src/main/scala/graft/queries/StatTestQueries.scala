@@ -336,11 +336,81 @@ object StatTestQueries {
       .select(col("event_type"), col("n0"), col("n1"), col("chi2_r"),
         (col("chi2_r") > lit(SrmCrit)).as("srm_flag"))
 
+  /** Frozen Benford first-digit expectations log10(1 + 1/d), rounded
+    * to 9 dp and shared with the oracle as literals — libm log10 is
+    * not bit-contracted, so neither engine computes the logarithm.
+    */
+  private[graft] val BenfordExp: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029996, 2 -> 0.176091259, 3 -> 0.124938737,
+    4 -> 0.096910013, 5 -> 0.079181246, 6 -> 0.066946790,
+    7 -> 0.057991947, 8 -> 0.051152522, 9 -> 0.045757491)
+
+  /** χ²_{0.95, 8 dof} — the Benford goodness-of-fit alarm threshold. */
+  private[graft] val BenfordCrit: Double = 15.507313
+
+  /** Benford's-law first-digit audit per event_type — the forensic
+    * data-quality gate (fabricated, truncated, or unit-mangled
+    * numeric feeds bend the leading-digit curve long before any
+    * distribution test fires). The first significant digit is
+    * extracted in INTEGER math: |value| is 6-dp-quantized (the
+    * rounding both engines share), and the digit is the leading
+    * character of the BIGINT's decimal string — no log10/pow
+    * floor-boundary risk anywhere. The (type, digit) count grid is
+    * additive (a streaming twin's merge is a plain sum); the grid is
+    * DENSIFIED to all 9 digits per observed type (the chisqFinish
+    * frozen-grid convention) so dof is stable across scale factors,
+    * and each χ² contribution is 6-dp-quantized to DECIMAL(24,6)
+    * before the per-type sum. Scale: one count agg over data;
+    * everything after runs on the ≤ 9·|types| cell frame (partitioned
+    * 9-row windows — never unpartitioned).
+    */
+  private[graft] def benfordCells(e: DataFrame): DataFrame =
+    e.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(abs(col("value")) * 1e6, 0).cast("long").as("m"))
+      .filter(col("m") > 0L)
+      .select(col("event_type"),
+        substring(col("m").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private[graft] def benfordFinish(cnts: DataFrame): DataFrame = {
+    val s = cnts.sparkSession
+    val expCol = BenfordExp.tail.foldLeft(
+      when(col("digit") === BenfordExp.head._1, lit(BenfordExp.head._2))) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+      }
+    val byType = Window.partitionBy(col("event_type"))
+    cnts.select(col("event_type")).distinct()
+      .crossJoin(broadcast(
+        s.range(1L, 10L).select(col("id").cast("int").as("digit"))))
+      .join(cnts, Seq("event_type", "digit"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("exp_p", expCol)
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("e", col("n").cast("double") * col("exp_p"))
+      .withColumn("contrib",
+        round((col("cnt").cast("double") - col("e"))
+          * (col("cnt").cast("double") - col("e")) / col("e"), 6)
+          .cast("decimal(24,6)"))
+      .withColumn("chi2_r",
+        sum(col("contrib")).over(byType).cast("double"))
+      .select(col("event_type"), col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("n").cast("double"), 6)
+          .as("obs_p_r"),
+        col("exp_p"), col("chi2_r"),
+        (col("chi2_r") > lit(BenfordCrit)).as("benford_flag"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SAMPLE-RATIO MISMATCH — see srmFinish.
     "events_srm" -> ((s, dir) =>
       srmFinish(Tables.events(s, dir))),
+
+    // BENFORD FIRST-DIGIT AUDIT — see benfordFinish.
+    "events_benford" -> ((s, dir) =>
+      benfordFinish(benfordCells(Tables.events(s, dir)))),
 
     // MANN-WHITNEY U — the rank twin of events_ks_test: did the
     // current half's values shift in LOCATION vs the reference half,
@@ -463,6 +533,52 @@ object StatTestQueries {
          |SELECT event_type, n0, n1, chi2_r,
          |  chi2_r > $SrmCrit AS srm_flag
          |FROM f""".stripMargin,
+
+    // same integer-math digit extraction, same frozen 9-dp
+    // expectations, same densified grid and DECIMAL(24,6)-quantized
+    // contributions — term-for-term
+    "events_benford" -> {
+      val expValues = BenfordExp
+        .map { case (d, p) => s"($d, CAST($p AS DOUBLE))" }.mkString(", ")
+      s"""WITH dg AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM (
+         |    SELECT event_type,
+         |      CAST(round(abs(value) * 1e6, 0) AS BIGINT) AS m
+         |    FROM events WHERE value IS NOT NULL
+         |  ) WHERE m > 0
+         |), c AS (
+         |  SELECT event_type, digit, count(*) AS cnt FROM dg GROUP BY 1, 2
+         |), ex(digit, exp_p) AS (VALUES $expValues
+         |), grid AS (
+         |  SELECT t.event_type, ex.digit, ex.exp_p,
+         |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+         |  FROM (SELECT DISTINCT event_type FROM c) t
+         |  CROSS JOIN ex
+         |  LEFT JOIN c ON c.event_type = t.event_type AND c.digit = ex.digit
+         |), g AS (
+         |  SELECT event_type, digit, cnt, exp_p,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM grid
+         |), k AS (
+         |  SELECT event_type, digit, cnt, exp_p, n,
+         |    CAST(round(
+         |      (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * exp_p)
+         |        * (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * exp_p)
+         |        / (CAST(n AS DOUBLE) * exp_p), 6) AS DECIMAL(24,6))
+         |      AS contrib
+         |  FROM g
+         |)
+         |SELECT event_type, digit, cnt,
+         |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_p_r,
+         |  exp_p,
+         |  CAST(sum(contrib) OVER (PARTITION BY event_type) AS DOUBLE)
+         |    AS chi2_r,
+         |  CAST(sum(contrib) OVER (PARTITION BY event_type) AS DOUBLE)
+         |    > $BenfordCrit AS benford_flag
+         |FROM k""".stripMargin
+    },
 
     "events_mannwhitney" ->
       """WITH e AS (

@@ -866,6 +866,20 @@ object StreamingQueries {
           .agg(sum(col("o")).as("o")))
     }),
 
+    // STREAMING BENFORD — per-batch (type, first-digit) integer-math
+    // counts sum-merge into the digit grid (additive — the same merge
+    // law as stream_chisq); densification, frozen expectations and the
+    // quantized χ² finish run at serving time over the ≤ 9·|types|
+    // cell frame. Shares `events_benford`'s oracle, hash-proven.
+    "stream_benford" -> ((s, dir) => {
+      StatTestQueries.benfordFinish(
+        partialsOf(
+          eventsStream(s, dir).filter(col("value").isNotNull),
+          "graft-benford-partials-")(StatTestQueries.benfordCells)
+          .groupBy(col("event_type"), col("digit"))
+          .agg(sum(col("cnt")).as("cnt")))
+    }),
+
     // STREAMING SPRT — the sequential test run the way Wald designed
     // it: a per-type DECISION STATE (count, running LLR, first
     // crossing, verdict) folded forward batch by batch over the
@@ -1879,6 +1893,7 @@ object StreamingQueries {
     // Sum-merge of per-batch contingency cells ≡ the batch table —
     // shares the batch χ² oracle.
     "stream_chisq" -> StatTestQueries.oracleSql("events_chisq"),
+    "stream_benford" -> StatTestQueries.oracleSql("events_benford"),
     // Min/max-merge of per-batch user spans ≡ whole-history spans —
     // shares the batch Kaplan-Meier oracle.
     "stream_survival" -> StatTestQueries.oracleSql("events_survival"),

@@ -70,4 +70,46 @@ class Round12Wave7Spec extends SparkSpec {
     assert(noAuth.filter(col("auth") =!= 0.0).count() == 0)
     e.unpersist(); out.unpersist()
   }
+
+  test("benford: frozen expectations are log10(1+1/d) at 9 dp and sum to 1") {
+    graft.queries.StatTestQueries.BenfordExp.foreach { case (d, p) =>
+      assert(math.abs(p - math.log10(1.0 + 1.0 / d)) < 5e-10,
+        s"digit $d literal $p")
+    }
+    val s = graft.queries.StatTestQueries.BenfordExp.map(_._2).sum
+    assert(math.abs(s - 1.0) < 1e-8)
+  }
+
+  test("benford: matches a local integer-math replica of counts and chi2") {
+    val rows = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val counts = scala.collection.mutable.HashMap[(String, Int), Long]()
+    rows.foreach { case (t, v) =>
+      val m = java.math.BigDecimal.valueOf(math.abs(v) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      if (m > 0) {
+        val d = m.toString.head.asDigit
+        counts((t, d)) = counts.getOrElse((t, d), 0L) + 1L
+      }
+    }
+    val types = counts.keys.map(_._1).toSet
+    val exp = graft.queries.StatTestQueries.BenfordExp.toMap
+    val expect = types.flatMap { t =>
+      val n = (1 to 9).map(d => counts.getOrElse((t, d), 0L)).sum
+      val chi2 = (1 to 9).map { d =>
+        val e = n.toDouble * exp(d)
+        val c = counts.getOrElse((t, d), 0L).toDouble
+        java.math.BigDecimal.valueOf((c - e) * (c - e) / e)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }.reduce(_.add(_)).doubleValue
+      (1 to 9).map(d => (t, d) ->
+        ((counts.getOrElse((t, d), 0L), chi2)))
+    }.toMap
+    val out = q("events_benford").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getAs[Double]("chi2_r")))).toMap
+    assert(out == expect, s"engine=${out.size} local=${expect.size}")
+  }
 }
