@@ -127,7 +127,7 @@ object ScaleBench {
     // r12 wave 6
     "graph_ppr", "pipeline_ccnet_buckets", "emb_pq_distortion",
     // r12 wave 7
-    "graph_hits", "events_benford")
+    "graph_hits", "events_benford", "pipeline_importance_weights")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -165,7 +165,8 @@ object ScaleBench {
     "stream_anova", "stream_bh_fdr", "stream_sprt", "stream_forecast_eval",
     "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency",
     "stream_skew_probe", "stream_kneser_ney", "stream_power_analysis",
-    "stream_did", "stream_mix_epochs", "stream_uplift", "stream_benford")
+    "stream_did", "stream_mix_epochs", "stream_uplift", "stream_benford",
+    "stream_importance")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

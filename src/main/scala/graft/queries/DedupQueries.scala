@@ -442,6 +442,10 @@ object DedupQueries {
     "pipeline_mix_epochs" -> ((s, dir) =>
       mixEpochsFinish(sourceTokens(Tables.documents(s, dir)))),
 
+    // DISTRIBUTION-MATCHING IMPORTANCE WEIGHTS — see importanceFinish.
+    "pipeline_importance_weights" -> ((s, dir) =>
+      importanceFinish(langCells(Tables.documents(s, dir)))),
+
     // DEDUP IMPACT ACCOUNTING — what the near-dup stage actually BUYS,
     // in tokens, per source: joins the shared lshKeep labels (kept =
     // doc is its own representative) against per-doc token counts and
@@ -1580,6 +1584,50 @@ object DedupQueries {
         .distinct()
     }
 
+  /** Per-lang doc counts — the additive half of the importance-weight
+    * audit (the streaming twin sum-merges these cells, the benford/
+    * chisq merge law). Zero rows on empty input (key-grouped), per
+    * the partialsOf contract.
+    */
+  private[graft] def langCells(d: org.apache.spark.sql.DataFrame) =
+    d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+
+  /** DISTRIBUTION-MATCHING IMPORTANCE WEIGHTS — reweight the observed
+    * language mix toward a frozen UNIFORM target over the observed
+    * languages (the domain-adaptation primitive under DoReMi-style
+    * mixture tuning: w = p_target/p_source, clipped at 10 so a rare
+    * stratum can't explode the variance) plus the effective-sample-
+    * size diagnostic ESS = (Σnw)²/(Σnw²) that says how much data the
+    * reweighted corpus is actually worth. Weights and shares are
+    * 9-dp-quantized doubles; the two ESS sums are DECIMAL(28,9)-
+    * quantized per-lang terms (order-independent); the global scalar
+    * attaches via a broadcast join — no unpartitioned window. Scale:
+    * one count agg over data; everything after is a ≤ |langs|-row
+    * frame.
+    */
+  private[graft] def importanceFinish(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tot = cells.agg(sum(col("n_docs")).as("n"),
+      count(lit(1)).as("l"))
+    val w = cells.crossJoin(broadcast(tot))
+      .withColumn("share_r",
+        round(col("n_docs").cast("double") / col("n").cast("double"), 9))
+      .withColumn("w_r", least(
+        round(col("n").cast("double")
+          / (col("l") * col("n_docs")).cast("double"), 9), lit(10.0)))
+    val ess = w.select(
+        (col("n_docs").cast("double") * col("w_r"))
+          .cast("decimal(28,9)").as("a"),
+        (col("n_docs").cast("double") * col("w_r") * col("w_r"))
+          .cast("decimal(28,9)").as("b"))
+      .agg(sum(col("a")).as("s1"), sum(col("b")).as("s2"))
+      .select(round(asDouble(col("s1")) * asDouble(col("s1"))
+        / asDouble(col("s2")), 6).as("ess_r"))
+    w.crossJoin(broadcast(ess))
+      .select(col("lang"), col("n_docs"), col("share_r"), col("w_r"),
+        col("ess_r"))
+  }
+
   /** One-pass label propagation: each doc's representative = the min
     * doc_id over every bucket it sits in (itself when alone).
     * Materialized once per (session, dir) — consumed by
@@ -2013,6 +2061,34 @@ object DedupQueries {
     // same 6-dp-quantized sqrt into an exact DECIMAL normalizer sum,
     // same fixed-order IEEE finish; doubles CAST explicitly (DuckDB
     // parses bare 2.0/4.0 as DECIMAL — the pagerank lesson)
+    // same per-lang cells, same 9-dp clipped uniform-target weights,
+    // same DECIMAL(28,9)-quantized ESS sums — term-for-term
+    "pipeline_importance_weights" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS l FROM c
+        |), w AS (
+        |  SELECT lang, n_docs,
+        |    round(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 9) AS share_r,
+        |    least(round(CAST(n AS DOUBLE)
+        |      / CAST(l * n_docs AS DOUBLE), 9), 10.0) AS w_r
+        |  FROM c CROSS JOIN t
+        |), s AS (
+        |  SELECT
+        |    sum(CAST(CAST(n_docs AS DOUBLE) * w_r AS DECIMAL(28,9))) AS s1,
+        |    sum(CAST((CAST(n_docs AS DOUBLE) * w_r) * w_r
+        |      AS DECIMAL(28,9))) AS s2
+        |  FROM w
+        |), e AS (
+        |  SELECT round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |    / CAST(s2 AS DOUBLE), 6) AS ess_r FROM s
+        |)
+        |SELECT lang, n_docs, share_r, w_r, ess_r
+        |FROM w CROSS JOIN e""".stripMargin,
+
     "pipeline_mix_epochs" ->
       s"""WITH t AS (
          |  SELECT source,

@@ -866,6 +866,19 @@ object StreamingQueries {
           .agg(sum(col("o")).as("o")))
     }),
 
+    // STREAMING IMPORTANCE WEIGHTS — per-batch per-lang doc counts
+    // sum-merge into the language cells (additive); the clipped
+    // uniform-target weights and the DECIMAL-quantized ESS run at
+    // serving time over the ≤ |langs|-row frame. Shares
+    // `pipeline_importance_weights`' oracle, hash-proven.
+    "stream_importance" -> ((s, dir) => {
+      DedupQueries.importanceFinish(
+        partialsOf(documentsStream(s, dir).select(col("lang")),
+          "graft-imp-partials-")(DedupQueries.langCells)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs")))
+    }),
+
     // STREAMING BENFORD — per-batch (type, first-digit) integer-math
     // counts sum-merge into the digit grid (additive — the same merge
     // law as stream_chisq); densification, frozen expectations and the
@@ -1894,6 +1907,7 @@ object StreamingQueries {
     // shares the batch χ² oracle.
     "stream_chisq" -> StatTestQueries.oracleSql("events_chisq"),
     "stream_benford" -> StatTestQueries.oracleSql("events_benford"),
+    "stream_importance" -> DedupQueries.oracleSql("pipeline_importance_weights"),
     // Min/max-merge of per-batch user spans ≡ whole-history spans —
     // shares the batch Kaplan-Meier oracle.
     "stream_survival" -> StatTestQueries.oracleSql("events_survival"),

@@ -112,4 +112,36 @@ class Round12Wave7Spec extends SparkSpec {
         ((r.getLong(2), r.getAs[Double]("chi2_r")))).toMap
     assert(out == expect, s"engine=${out.size} local=${expect.size}")
   }
+
+  test("importance weights: local replica, clip bound, ESS ≤ N") {
+    def r9(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val cnt = graft.tables.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = cnt.values.sum; val l = cnt.size
+    val w = cnt.map { case (lang, nl) =>
+      lang -> math.min(r9(n.toDouble / (l * nl).toDouble), 10.0) }
+    val s1 = cnt.map { case (lang, nl) =>
+      java.math.BigDecimal.valueOf(nl.toDouble * w(lang))
+        .setScale(9, java.math.RoundingMode.HALF_UP) }
+      .reduce(_.add(_)).doubleValue
+    val s2 = cnt.map { case (lang, nl) =>
+      java.math.BigDecimal.valueOf(nl.toDouble * w(lang) * w(lang))
+        .setScale(9, java.math.RoundingMode.HALF_UP) }
+      .reduce(_.add(_)).doubleValue
+    val essLocal = java.math.BigDecimal.valueOf(s1 * s1 / s2)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val out = q("pipeline_importance_weights").collect()
+    assert(out.length == l)
+    out.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(1) == cnt(lang))
+      assert(r.getAs[Double]("w_r") == w(lang))
+      assert(r.getAs[Double]("w_r") <= 10.0)
+      assert(r.getAs[Double]("ess_r") == essLocal)
+    }
+    // reweighting can only lose effective data, never gain it
+    assert(out.head.getAs[Double]("ess_r") <= n.toDouble + 1e-6)
+  }
 }
