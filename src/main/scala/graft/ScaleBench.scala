@@ -127,7 +127,8 @@ object ScaleBench {
     // r12 wave 6
     "graph_ppr", "pipeline_ccnet_buckets", "emb_pq_distortion",
     // r12 wave 7
-    "graph_hits", "events_benford", "pipeline_importance_weights")
+    "graph_hits", "events_benford", "pipeline_importance_weights",
+    "events_ljungbox")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

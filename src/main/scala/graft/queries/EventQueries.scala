@@ -381,6 +381,39 @@ object EventQueries {
     // standard estimator).
     "events_acf" -> ((s, dir) => acfFromHourly(hourlySeries(s, dir))),
 
+    // LJUNG-BOX PORTMANTEAU — are the events_acf autocorrelations
+    // JOINTLY significant, per type: Q = n(n+2)·Σ_k ρ_k²/(n−k) over
+    // the frozen AcfLags panel, vs χ²_{0.95, m} where m = #included
+    // lags (a lag is included iff it produced an ACF row AND
+    // n_hours > lag — sparse hourly series can have lag-24 pairs with
+    // n_hours < 24, where the LB denominator loses meaning). Each
+    // ρ²/(n−k) term is 12-dp-quantized to DECIMAL(24,12) before the
+    // (order-sensitive) sum; the χ² critical value per m is a frozen
+    // literal CASE both engines share. Scale: rides the acf plan (one
+    // hourly agg + |lags| self-joins); the finish is a #types frame.
+    "events_ljungbox" -> ((s, dir) => {
+      val hourly = hourlySeries(s, dir)
+      val nh = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"))
+      val crit = when(col("m") === 1, lit(3.841459))
+        .when(col("m") === 2, lit(5.991465))
+        .when(col("m") === 3, lit(7.814728))
+        .otherwise(lit(9.487729))
+      acfFromHourly(hourly).join(broadcast(nh), "event_type")
+        .filter(col("n_hours") > col("lag_hours"))
+        .withColumn("term",
+          round((col("acf") * col("acf"))
+            / (col("n_hours") - col("lag_hours")).cast("double"), 12)
+            .cast("decimal(24,12)"))
+        .groupBy(col("event_type"), col("n_hours"))
+        .agg(count(lit(1)).as("m"), sum(col("term")).as("tsum"))
+        .select(col("event_type"), col("n_hours"), col("m"),
+          round(col("n_hours").cast("double")
+            * (col("n_hours") + 2).cast("double")
+            * asDouble(col("tsum")), 6).as("q_r"))
+        .withColumn("lb_flag", col("q_r") > crit)
+    }),
+
     // CROSS-correlation between series — "does series A lead series
     // B?": for each ordered type pair (a ≠ b) and lag k ∈ 0, 1, 24 h,
     // the normalized covariance of a's hourly mean at t with b's at
@@ -4109,6 +4142,62 @@ object EventQueries {
          |  round((sab - st.ybar * sa - st.ybar * sb
          |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
          |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
+
+    // the acf chain inlined verbatim, then the same 12-dp-quantized
+    // ρ²/(n−k) terms, the same n(n+2)·Σ order, the same frozen
+    // per-m χ² CASE — term-for-term
+    "events_ljungbox" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |    CAST(sum(y) AS DOUBLE) / count(*) AS ybar,
+         |    CAST(sum(y * y) AS DOUBLE)
+         |      - CAST(2.0 AS DOUBLE) * (CAST(sum(y) AS DOUBLE) / count(*))
+         |        * CAST(sum(y) AS DOUBLE)
+         |      + count(*) * (CAST(sum(y) AS DOUBLE) / count(*))
+         |        * (CAST(sum(y) AS DOUBLE) / count(*)) AS den
+         |  FROM h GROUP BY 1
+         |), lags(k) AS (VALUES (1), (2), (3), (24)
+         |), pr AS (
+         |  SELECT a.event_type, l.k, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(a.y * b.y) AS DOUBLE) AS sab,
+         |    CAST(sum(a.y) AS DOUBLE) AS sa,
+         |    CAST(sum(b.y) AS DOUBLE) AS sb
+         |  FROM h a
+         |  CROSS JOIN lags l
+         |  JOIN h b ON b.event_type = a.event_type
+         |          AND b.hour_ms = a.hour_ms + l.k * 3600000
+         |  GROUP BY 1, 2
+         |), acf AS (
+         |  SELECT pr.event_type, CAST(pr.k AS BIGINT) AS lag_hours,
+         |    st.n_hours,
+         |    round((sab - st.ybar * sa - st.ybar * sb
+         |           + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
+         |  FROM pr JOIN st ON st.event_type = pr.event_type
+         |), tm AS (
+         |  SELECT event_type, n_hours,
+         |    CAST(round((acf * acf)
+         |      / CAST(n_hours - lag_hours AS DOUBLE), 12)
+         |      AS DECIMAL(24,12)) AS term
+         |  FROM acf WHERE n_hours > lag_hours
+         |), qq AS (
+         |  SELECT event_type, n_hours, CAST(count(*) AS BIGINT) AS m,
+         |    round(CAST(n_hours AS DOUBLE) * CAST(n_hours + 2 AS DOUBLE)
+         |      * CAST(sum(term) AS DOUBLE), 6) AS q_r
+         |  FROM tm GROUP BY 1, 2
+         |)
+         |SELECT event_type, n_hours, m, q_r,
+         |  q_r > (CASE WHEN m = 1 THEN 3.841459
+         |              WHEN m = 2 THEN 5.991465
+         |              WHEN m = 3 THEN 7.814728
+         |              ELSE 9.487729 END) AS lb_flag
+         |FROM qq""".stripMargin,
 
     // same frozen-reference decile edges (rank-selected), same
     // filter-HOF bin assignment, same add-0.5 smoothing and

@@ -144,4 +144,32 @@ class Round12Wave7Spec extends SparkSpec {
     // reweighting can only lose effective data, never gain it
     assert(out.head.getAs[Double]("ess_r") <= n.toDouble + 1e-6)
   }
+
+  test("ljungbox: recomposes from the engine's own acf panel") {
+    import java.math.{BigDecimal => BD, RoundingMode => RM}
+    val acf = q("events_acf").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("acf"))
+      .toMap
+    val lb = q("events_ljungbox").collect()
+    assert(lb.nonEmpty)
+    lb.foreach { r =>
+      val (t, n, m) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val lags = acf.keys.filter(_._1 == t).map(_._2)
+        .filter(_ < n).toSeq.sorted
+      assert(m == lags.length)
+      val tsum = lags.map { k =>
+        BD.valueOf(acf((t, k)) * acf((t, k)) / (n - k).toDouble)
+          .setScale(12, RM.HALF_UP)
+      }.reduce(_.add(_)).doubleValue
+      val qLocal = BD.valueOf(n.toDouble * (n + 2).toDouble * tsum)
+        .setScale(6, RM.HALF_UP).doubleValue
+      assert(r.getAs[Double]("q_r") == qLocal, s"type $t")
+      val crit = m match {
+        case 1 => 3.841459; case 2 => 5.991465
+        case 3 => 7.814728; case _ => 9.487729
+      }
+      assert(r.getAs[Boolean]("lb_flag") == (qLocal > crit))
+      assert(qLocal >= 0.0)
+    }
+  }
 }
