@@ -381,6 +381,50 @@ object EventQueries {
     // standard estimator).
     "events_acf" -> ((s, dir) => acfFromHourly(hourlySeries(s, dir))),
 
+    // WALD-WOLFOWITZ RUNS TEST — is the hourly series RANDOM around
+    // its mean, per type (trend/clustering shows up as too few runs,
+    // oscillation as too many — the nonparametric complement of
+    // events_acf/events_ljungbox, sensitive to structure ACF's linear
+    // correlations miss). Each hour is signed +/− vs ȳ (exact-equal
+    // hours excluded, the standard convention; both engines compute
+    // the identical ȳ double so the classification is engine-exact),
+    // runs are counted with one lag over the per-type hourly order
+    // (the documented series axis — partitioned, never global), and
+    // z = (R − μ_R)/σ_R with the textbook moments in one fixed double
+    // order, rounded at 6 dp. Scale: rides the hourly agg; the runs
+    // window is per-type series-length; the finish is a #types frame.
+    "events_runs_test" -> ((s, dir) => {
+      val hourly = hourlySeries(s, dir)
+      val yb = hourly.groupBy(col("event_type"))
+        .agg((asDouble(sum(col("y"))) / count(lit(1))).as("ybar"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+      val counts = hourly.join(broadcast(yb), "event_type")
+        .filter(asDouble(col("y")) =!= col("ybar"))
+        .select(col("event_type"), col("hour_ms"),
+          when(asDouble(col("y")) > col("ybar"), lit(1)).otherwise(lit(0))
+            .as("sgn"))
+        .withColumn("chg",
+          when(lag(col("sgn"), 1).over(w).isNull
+            || lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L)
+            .otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(sum(col("chg")).as("runs"),
+             sum(col("sgn").cast("long")).as("n_plus"),
+             sum(lit(1L) - col("sgn").cast("long")).as("n_minus"))
+      val n1 = col("n_plus").cast("double")
+      val n2 = col("n_minus").cast("double")
+      val nn = (col("n_plus") + col("n_minus")).cast("double")
+      val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+      val sig2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+        (nn * nn * (nn - lit(1.0)))
+      counts.select(col("event_type"), col("runs"),
+          col("n_plus"), col("n_minus"),
+          round(when(col("n_plus") > 0 && col("n_minus") > 0,
+            (col("runs").cast("double") - mu) / sqrt(sig2)), 6).as("z_r"))
+        .withColumn("nonrandom_flag",
+          coalesce(abs(col("z_r")) > lit(1.959964), lit(false)))
+    }),
+
     // LJUNG-BOX PORTMANTEAU — are the events_acf autocorrelations
     // JOINTLY significant, per type: Q = n(n+2)·Σ_k ρ_k²/(n−k) over
     // the frozen AcfLags panel, vs χ²_{0.95, m} where m = #included
@@ -4142,6 +4186,64 @@ object EventQueries {
          |  round((sab - st.ybar * sa - st.ybar * sb
          |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
          |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
+
+    // same hourly frame, same exact-ȳ sign classification, same
+    // lag-based run counting over the per-type hour order, same
+    // fixed-order textbook moments and rounded-z comparison
+    "events_runs_test" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), yb AS (
+         |  SELECT event_type,
+         |    CAST(sum(y) AS DOUBLE) / count(*) AS ybar
+         |  FROM h GROUP BY 1
+         |), sg AS (
+         |  SELECT h.event_type, h.hour_ms,
+         |    CASE WHEN CAST(h.y AS DOUBLE) > yb.ybar THEN 1 ELSE 0 END AS sgn
+         |  FROM h JOIN yb ON yb.event_type = h.event_type
+         |  WHERE CAST(h.y AS DOUBLE) <> yb.ybar
+         |), ch AS (
+         |  SELECT event_type, sgn,
+         |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+         |                             ORDER BY hour_ms) IS NULL
+         |           OR lag(sgn) OVER (PARTITION BY event_type
+         |                             ORDER BY hour_ms) <> sgn
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM sg
+         |), c AS (
+         |  SELECT event_type,
+         |    CAST(sum(chg) AS BIGINT) AS runs,
+         |    CAST(sum(sgn) AS BIGINT) AS n_plus,
+         |    CAST(sum(1 - sgn) AS BIGINT) AS n_minus
+         |  FROM ch GROUP BY 1
+         |), z AS (
+         |  SELECT event_type, runs, n_plus, n_minus,
+         |    round(CASE WHEN n_plus > 0 AND n_minus > 0 THEN
+         |      (CAST(runs AS DOUBLE)
+         |        - (CAST(2.0 AS DOUBLE) * CAST(n_plus AS DOUBLE)
+         |            * CAST(n_minus AS DOUBLE)
+         |            / CAST(n_plus + n_minus AS DOUBLE)
+         |           + CAST(1.0 AS DOUBLE)))
+         |      / sqrt((CAST(2.0 AS DOUBLE) * CAST(n_plus AS DOUBLE)
+         |          * CAST(n_minus AS DOUBLE)
+         |          * (CAST(2.0 AS DOUBLE) * CAST(n_plus AS DOUBLE)
+         |              * CAST(n_minus AS DOUBLE)
+         |             - CAST(n_plus AS DOUBLE) - CAST(n_minus AS DOUBLE)))
+         |        / (CAST(n_plus + n_minus AS DOUBLE)
+         |           * CAST(n_plus + n_minus AS DOUBLE)
+         |           * (CAST(n_plus + n_minus AS DOUBLE)
+         |              - CAST(1.0 AS DOUBLE))))
+         |    END, 6) AS z_r
+         |  FROM c
+         |)
+         |SELECT event_type, runs, n_plus, n_minus, z_r,
+         |  coalesce(abs(z_r) > 1.959964, false) AS nonrandom_flag
+         |FROM z""".stripMargin,
 
     // the acf chain inlined verbatim, then the same 12-dp-quantized
     // ρ²/(n−k) terms, the same n(n+2)·Σ order, the same frozen

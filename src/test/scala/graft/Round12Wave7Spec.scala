@@ -172,4 +172,44 @@ class Round12Wave7Spec extends SparkSpec {
       assert(qLocal >= 0.0)
     }
   }
+
+  test("runs test: matches a local replica of the hourly sign-run walk") {
+    import java.math.{BigDecimal => BD, RoundingMode => RM}
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("ts_ms") - col("ts_ms") % 3600000L).as("hour_ms"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString.toDouble)))
+    val hourly = ev.groupBy(x => (x._1, x._2)).map { case ((t, h), xs) =>
+      val vs = xs.flatMap(_._3)
+      val y = if (vs.isEmpty) None else Some(
+        BD.valueOf(vs.map(BD.valueOf(_).setScale(4, RM.HALF_UP))
+          .reduce(_.add(_)).doubleValue / xs.length)
+          .setScale(9, RM.HALF_UP))
+      (t, h, y)
+    }.toSeq
+    val expect = hourly.groupBy(_._1).map { case (t, rows) =>
+      val n = rows.length
+      val ybar = rows.flatMap(_._3).reduce(_.add(_)).doubleValue / n
+      val sgns = rows.sortBy(_._2).flatMap(_._3)
+        .map(_.doubleValue).filter(_ != ybar).map(y => if (y > ybar) 1 else 0)
+      val runs = if (sgns.isEmpty) 0L
+        else 1L + sgns.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val n1 = sgns.count(_ == 1).toLong; val n2 = sgns.count(_ == 0).toLong
+      val z: Option[Double] = if (n1 > 0 && n2 > 0) {
+        val (d1, d2, nn) = (n1.toDouble, n2.toDouble, (n1 + n2).toDouble)
+        val mu = 2.0 * d1 * d2 / nn + 1.0
+        val sig2 = (2.0 * d1 * d2 * (2.0 * d1 * d2 - d1 - d2)) /
+          (nn * nn * (nn - 1.0))
+        Some(BD.valueOf((runs.toDouble - mu) / math.sqrt(sig2))
+          .setScale(6, RM.HALF_UP).doubleValue)
+      } else None
+      t -> ((runs, n1, n2, z))
+    }
+    val out = q("events_runs_test").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out == expect, s"engine=${out.size} local=${expect.size}")
+  }
 }
