@@ -435,28 +435,8 @@ object EventQueries {
     // (order-sensitive) sum; the χ² critical value per m is a frozen
     // literal CASE both engines share. Scale: rides the acf plan (one
     // hourly agg + |lags| self-joins); the finish is a #types frame.
-    "events_ljungbox" -> ((s, dir) => {
-      val hourly = hourlySeries(s, dir)
-      val nh = hourly.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_hours"))
-      val crit = when(col("m") === 1, lit(3.841459))
-        .when(col("m") === 2, lit(5.991465))
-        .when(col("m") === 3, lit(7.814728))
-        .otherwise(lit(9.487729))
-      acfFromHourly(hourly).join(broadcast(nh), "event_type")
-        .filter(col("n_hours") > col("lag_hours"))
-        .withColumn("term",
-          round((col("acf") * col("acf"))
-            / (col("n_hours") - col("lag_hours")).cast("double"), 12)
-            .cast("decimal(24,12)"))
-        .groupBy(col("event_type"), col("n_hours"))
-        .agg(count(lit(1)).as("m"), sum(col("term")).as("tsum"))
-        .select(col("event_type"), col("n_hours"), col("m"),
-          round(col("n_hours").cast("double")
-            * (col("n_hours") + 2).cast("double")
-            * asDouble(col("tsum")), 6).as("q_r"))
-        .withColumn("lb_flag", col("q_r") > crit)
-    }),
+    "events_ljungbox" -> ((s, dir) =>
+      ljungboxFromHourly(hourlySeries(s, dir))),
 
     // CROSS-correlation between series — "does series A lead series
     // B?": for each ordered type pair (a ≠ b) and lag k ∈ 0, 1, 24 h,
@@ -2845,6 +2825,34 @@ object EventQueries {
     cells.select(col("event_type"), col("hour_ms"),
       round(asDouble(col("s_dec")) / col("nh"), 9)
         .cast("decimal(18,9)").as("y"))
+
+  /** The Ljung-Box finish over an hourly series frame — see
+    * `events_ljungbox`'s scaladoc; shared verbatim by the streaming
+    * twin (the hourly-cell merge law `stream_acf` proves covers this
+    * finish too).
+    */
+  private[graft] def ljungboxFromHourly(
+      hourly: org.apache.spark.sql.DataFrame) = {
+    val nh = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"))
+    val crit = when(col("m") === 1, lit(3.841459))
+      .when(col("m") === 2, lit(5.991465))
+      .when(col("m") === 3, lit(7.814728))
+      .otherwise(lit(9.487729))
+    acfFromHourly(hourly).join(broadcast(nh), "event_type")
+      .filter(col("n_hours") > col("lag_hours"))
+      .withColumn("term",
+        round((col("acf") * col("acf"))
+          / (col("n_hours") - col("lag_hours")).cast("double"), 12)
+          .cast("decimal(24,12)"))
+      .groupBy(col("event_type"), col("n_hours"))
+      .agg(count(lit(1)).as("m"), sum(col("term")).as("tsum"))
+      .select(col("event_type"), col("n_hours"), col("m"),
+        round(col("n_hours").cast("double")
+          * (col("n_hours") + 2).cast("double")
+          * asDouble(col("tsum")), 6).as("q_r"))
+      .withColumn("lb_flag", col("q_r") > crit)
+  }
 
   /** The ACF computation over an hourly series frame — see
     * `events_acf`'s scaladoc; shared verbatim by the streaming twin.

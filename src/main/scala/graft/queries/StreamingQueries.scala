@@ -1265,6 +1265,20 @@ object StreamingQueries {
       EventQueries.acfFromHourly(EventQueries.hourlyFromCells(merged))
     }),
 
+    // STREAMING LJUNG-BOX — the portmanteau readout over the SAME
+    // sum-merged hourly cells as stream_acf (one merge law, two
+    // serving finishes). Shares `events_ljungbox`'s oracle,
+    // hash-proven.
+    "stream_ljungbox" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-lb-partials-")(EventQueries.hourlyCells)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
+      EventQueries.ljungboxFromHourly(EventQueries.hourlyFromCells(merged))
+    }),
+
     // Streaming BLOOM filter: each micro-batch contributes its partial
     // set-bit table (the identical k-hash projection as the batch
     // sketch) and the merge is OR — distinct over the union of
@@ -1958,6 +1972,7 @@ object StreamingQueries {
     // the batch DiD oracle, hash-proven.
     "stream_did" -> EventQueries.oracleSql("events_did"),
     "stream_acf" -> EventQueries.oracleSql("events_acf"),
+    "stream_ljungbox" -> EventQueries.oracleSql("events_ljungbox"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
