@@ -393,37 +393,8 @@ object EventQueries {
     // z = (R − μ_R)/σ_R with the textbook moments in one fixed double
     // order, rounded at 6 dp. Scale: rides the hourly agg; the runs
     // window is per-type series-length; the finish is a #types frame.
-    "events_runs_test" -> ((s, dir) => {
-      val hourly = hourlySeries(s, dir)
-      val yb = hourly.groupBy(col("event_type"))
-        .agg((asDouble(sum(col("y"))) / count(lit(1))).as("ybar"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
-      val counts = hourly.join(broadcast(yb), "event_type")
-        .filter(asDouble(col("y")) =!= col("ybar"))
-        .select(col("event_type"), col("hour_ms"),
-          when(asDouble(col("y")) > col("ybar"), lit(1)).otherwise(lit(0))
-            .as("sgn"))
-        .withColumn("chg",
-          when(lag(col("sgn"), 1).over(w).isNull
-            || lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L)
-            .otherwise(0L))
-        .groupBy(col("event_type"))
-        .agg(sum(col("chg")).as("runs"),
-             sum(col("sgn").cast("long")).as("n_plus"),
-             sum(lit(1L) - col("sgn").cast("long")).as("n_minus"))
-      val n1 = col("n_plus").cast("double")
-      val n2 = col("n_minus").cast("double")
-      val nn = (col("n_plus") + col("n_minus")).cast("double")
-      val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
-      val sig2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
-        (nn * nn * (nn - lit(1.0)))
-      counts.select(col("event_type"), col("runs"),
-          col("n_plus"), col("n_minus"),
-          round(when(col("n_plus") > 0 && col("n_minus") > 0,
-            (col("runs").cast("double") - mu) / sqrt(sig2)), 6).as("z_r"))
-        .withColumn("nonrandom_flag",
-          coalesce(abs(col("z_r")) > lit(1.959964), lit(false)))
-    }),
+    "events_runs_test" -> ((s, dir) =>
+      runsTestFromHourly(hourlySeries(s, dir))),
 
     // LJUNG-BOX PORTMANTEAU — are the events_acf autocorrelations
     // JOINTLY significant, per type: Q = n(n+2)·Σ_k ρ_k²/(n−k) over
@@ -2825,6 +2796,42 @@ object EventQueries {
     cells.select(col("event_type"), col("hour_ms"),
       round(asDouble(col("s_dec")) / col("nh"), 9)
         .cast("decimal(18,9)").as("y"))
+
+  /** The runs-test finish over an hourly series frame — see
+    * `events_runs_test`'s scaladoc; shared verbatim by the streaming
+    * twin (the hourly-cell merge law covers this finish too).
+    */
+  private[graft] def runsTestFromHourly(
+      hourly: org.apache.spark.sql.DataFrame) = {
+    val yb = hourly.groupBy(col("event_type"))
+      .agg((asDouble(sum(col("y"))) / count(lit(1))).as("ybar"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+    val counts = hourly.join(broadcast(yb), "event_type")
+      .filter(asDouble(col("y")) =!= col("ybar"))
+      .select(col("event_type"), col("hour_ms"),
+        when(asDouble(col("y")) > col("ybar"), lit(1)).otherwise(lit(0))
+          .as("sgn"))
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(w).isNull
+          || lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("chg")).as("runs"),
+           sum(col("sgn").cast("long")).as("n_plus"),
+           sum(lit(1L) - col("sgn").cast("long")).as("n_minus"))
+    val n1 = col("n_plus").cast("double")
+    val n2 = col("n_minus").cast("double")
+    val nn = (col("n_plus") + col("n_minus")).cast("double")
+    val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+    val sig2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+      (nn * nn * (nn - lit(1.0)))
+    counts.select(col("event_type"), col("runs"),
+        col("n_plus"), col("n_minus"),
+        round(when(col("n_plus") > 0 && col("n_minus") > 0,
+          (col("runs").cast("double") - mu) / sqrt(sig2)), 6).as("z_r"))
+      .withColumn("nonrandom_flag",
+        coalesce(abs(col("z_r")) > lit(1.959964), lit(false)))
+  }
 
   /** The Ljung-Box finish over an hourly series frame — see
     * `events_ljungbox`'s scaladoc; shared verbatim by the streaming

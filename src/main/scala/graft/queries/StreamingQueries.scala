@@ -1279,6 +1279,19 @@ object StreamingQueries {
       EventQueries.ljungboxFromHourly(EventQueries.hourlyFromCells(merged))
     }),
 
+    // STREAMING RUNS TEST — third serving finish over the same
+    // sum-merged hourly cells (acf / ljungbox / runs: one merge law,
+    // three readouts). Shares `events_runs_test`'s oracle, hash-proven.
+    "stream_runs_test" -> ((s, dir) => {
+      val merged = partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-runs-partials-")(EventQueries.hourlyCells)
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(sum(col("nh")).as("nh"), sum(col("s_dec")).as("s_dec"))
+      EventQueries.runsTestFromHourly(EventQueries.hourlyFromCells(merged))
+    }),
+
     // Streaming BLOOM filter: each micro-batch contributes its partial
     // set-bit table (the identical k-hash projection as the batch
     // sketch) and the merge is OR — distinct over the union of
@@ -1973,6 +1986,7 @@ object StreamingQueries {
     "stream_did" -> EventQueries.oracleSql("events_did"),
     "stream_acf" -> EventQueries.oracleSql("events_acf"),
     "stream_ljungbox" -> EventQueries.oracleSql("events_ljungbox"),
+    "stream_runs_test" -> EventQueries.oracleSql("events_runs_test"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.
