@@ -560,6 +560,41 @@ object SimilarityQueries {
       silhouetteOf(emb, trainedCentsFrame(s, dir))
     }),
 
+    // CLUSTER PURITY — the external-validity complement of
+    // emb_silhouette's internal score: how well do the TRAINED
+    // k-means clusters recover the ground-truth labels (the eval a
+    // label-propagation / semantic-dedup deployment runs before
+    // trusting cluster-confined pair work). Per cluster: majority
+    // label (count desc, label tiebreak — the LPA vote convention)
+    // and purity = n_majority/n; overall purity attaches as one
+    // broadcast scalar. Rides the SHARED trainedAssigned artifact
+    // (no extra assignment pass); everything past the one count agg
+    // is a ≤ nlist·|labels| cell frame, its vote window partitioned
+    // by cluster.
+    "emb_cluster_purity" -> ((s, dir) => {
+      val cl = trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+          "vec_id")
+        .groupBy(col("list_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cl.groupBy(col("list_id")).agg(sum(col("cnt")).as("n"))
+      val mj = cl.withColumn("rk", row_number().over(
+          Window.partitionBy(col("list_id"))
+            .orderBy(col("cnt").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("list_id"), col("label").as("majority_label"),
+          col("cnt").as("n_majority"))
+      val p = tot.join(mj, "list_id")
+        .select(col("list_id"), col("n"), col("majority_label"),
+          col("n_majority"),
+          round(col("n_majority").cast("double") / col("n").cast("double"), 6)
+            .as("purity_r"))
+      val overall = p.agg(
+        round(sum(col("n_majority")).cast("double")
+          / sum(col("n")).cast("double"), 6).as("overall_purity_r"))
+      p.crossJoin(broadcast(overall))
+    }),
+
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
     // centroids and the corpus assignment they induce. The unrolled-N
@@ -2920,6 +2955,48 @@ object SimilarityQueries {
          |SELECT list_id, CAST(count(*) AS BIGINT) AS n,
          |  round(CAST(sum(sq) AS DOUBLE) / count(*), 6) AS sil_r
          |FROM q GROUP BY 1""".stripMargin,
+
+    // the identical trained-assignment chain (the silhouette prefix),
+    // then the LPA vote convention per cluster and the same rounded
+    // ratios — term-for-term
+    "emb_cluster_purity" ->
+      s"""WITH ${lloydCtes(TrainRounds)}, scored AS (
+         |  SELECT e.vec_id, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent$TrainRounds c
+         |), ranked AS (
+         |  SELECT vec_id, list_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), asg AS (
+         |  SELECT vec_id, list_id FROM ranked WHERE rk = 1
+         |), cl AS (
+         |  SELECT a.list_id, e.label, count(*) AS cnt
+         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT list_id, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM cl GROUP BY 1
+         |), mj AS (
+         |  SELECT list_id, label AS majority_label,
+         |    CAST(cnt AS BIGINT) AS n_majority,
+         |    row_number() OVER (PARTITION BY list_id
+         |      ORDER BY cnt DESC, label) AS rk
+         |  FROM cl
+         |), p AS (
+         |  SELECT t.list_id, t.n, m.majority_label, m.n_majority,
+         |    round(CAST(m.n_majority AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+         |      AS purity_r
+         |  FROM tot t JOIN mj m ON m.list_id = t.list_id AND m.rk = 1
+         |), o AS (
+         |  SELECT round(CAST(sum(n_majority) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE), 6) AS overall_purity_r
+         |  FROM p
+         |)
+         |SELECT list_id, n, majority_label, n_majority, purity_r,
+         |  overall_purity_r
+         |FROM p CROSS JOIN o""".stripMargin,
 
     "ann_topk_ivf_trained" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (

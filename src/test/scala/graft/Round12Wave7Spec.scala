@@ -212,4 +212,32 @@ class Round12Wave7Spec extends SparkSpec {
         if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
     assert(out == expect, s"engine=${out.size} local=${expect.size}")
   }
+
+  test("cluster purity: recounts the vote from the shared assignment") {
+    val asg = graft.queries.SimilarityQueries
+      .trainedAssigned(spark, sf).select(col("vec_id"), col("list_id"))
+      .join(graft.tables.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label")), "vec_id")
+      .collect().map(r => (r.getAs[Number]("list_id").longValue,
+        r.getAs[Number]("label").longValue))
+    val byCluster = asg.groupBy(_._1)
+    val out = q("emb_cluster_purity").collect()
+    assert(out.map(_.getLong(1)).sum == asg.length) // every vector voted
+    val overall = out.map(r =>
+      (r.getAs[Long]("n_majority"), r.getAs[Long]("n"))).toSeq
+    val expOverall = java.math.BigDecimal.valueOf(
+        overall.map(_._1).sum.toDouble / overall.map(_._2).sum.toDouble)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    out.foreach { r =>
+      val c = r.getAs[Number]("list_id").longValue
+      val votes = byCluster(c).groupBy(_._2).view.mapValues(_.size).toMap
+      val (lbl, cnt) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      assert(r.getAs[Long]("n") == byCluster(c).length)
+      assert(r.getAs[Number]("majority_label").longValue == lbl)
+      assert(r.getAs[Long]("n_majority") == cnt.toLong)
+      val pur = r.getAs[Double]("purity_r")
+      assert(pur > 0.0 && pur <= 1.0)
+      assert(r.getAs[Double]("overall_purity_r") == expOverall)
+    }
+  }
 }
