@@ -128,7 +128,8 @@ object ScaleBench {
     "graph_ppr", "pipeline_ccnet_buckets", "emb_pq_distortion",
     // r12 wave 7
     "graph_hits", "events_benford", "pipeline_importance_weights",
-    "events_ljungbox", "events_runs_test", "emb_cluster_purity")
+    "events_ljungbox", "events_runs_test", "emb_cluster_purity",
+    "emb_cluster_nmi")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

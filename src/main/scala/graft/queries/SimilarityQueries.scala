@@ -595,6 +595,26 @@ object SimilarityQueries {
       p.crossJoin(broadcast(overall))
     }),
 
+    // CLUSTER NMI — the bias-corrected twin of emb_cluster_purity
+    // (purity inflates as clusters shrink; normalized mutual
+    // information penalizes over-splitting). The (cluster, label)
+    // contingency cells feed the SAME entropy/MI finish as
+    // events_entropy_mi (12-dp-quantized p·ln terms, decimal-summed —
+    // one definition, so the two NMI computations can never drift);
+    // only the axis names change. Rides the shared trainedAssigned
+    // artifact; everything past one count agg is cell-frame-sized.
+    "emb_cluster_nmi" -> ((s, dir) => {
+      val cells = trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+          "vec_id")
+        .select(col("list_id").as("event_type"), col("label").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("nij"))
+      EventQueries.entropyFinish(cells)
+        .select(col("n_cells"), col("h_type").as("h_cluster"),
+          col("h_hour").as("h_label"), col("mi"), col("nmi"))
+    }),
+
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
     // centroids and the corpus assignment they induce. The unrolled-N
@@ -2997,6 +3017,58 @@ object SimilarityQueries {
          |SELECT list_id, n, majority_label, n_majority, purity_r,
          |  overall_purity_r
          |FROM p CROSS JOIN o""".stripMargin,
+
+    // the identical trained-assignment chain, then events_entropy_mi's
+    // finish verbatim over the (cluster, label) contingency cells
+    "emb_cluster_nmi" ->
+      s"""WITH ${lloydCtes(TrainRounds)}, scored AS (
+         |  SELECT e.vec_id, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent$TrainRounds c
+         |), ranked AS (
+         |  SELECT vec_id, list_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), asg AS (
+         |  SELECT vec_id, list_id FROM ranked WHERE rk = 1
+         |), cells AS (
+         |  SELECT a.list_id AS event_type, e.label AS hour,
+         |    CAST(count(*) AS BIGINT) AS nij
+         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |), nt AS (
+         |  SELECT event_type, CAST(sum(nij) AS BIGINT) AS nt
+         |  FROM cells GROUP BY 1
+         |), nh AS (
+         |  SELECT hour, CAST(sum(nij) AS BIGINT) AS nh
+         |  FROM cells GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells
+         |), mi AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    sum(CAST(round((nij / nn) *
+         |      ln((CAST(nn AS DOUBLE) * nij) / (CAST(nt AS DOUBLE) * nh)), 12)
+         |      AS DECIMAL(28,12))) AS mi_sum
+         |  FROM cells JOIN nt USING (event_type) JOIN nh USING (hour)
+         |  CROSS JOIN tot
+         |), ht AS (
+         |  SELECT sum(CAST(round(-(nt / nn) * ln(nt / nn), 12)
+         |    AS DECIMAL(28,12))) AS h_type
+         |  FROM nt CROSS JOIN tot
+         |), hh AS (
+         |  SELECT sum(CAST(round(-(nh / nn) * ln(nh / nn), 12)
+         |    AS DECIMAL(28,12))) AS h_hour
+         |  FROM nh CROSS JOIN tot
+         |)
+         |SELECT n_cells,
+         |  round(CAST(h_type AS DOUBLE), 6) AS h_cluster,
+         |  round(CAST(h_hour AS DOUBLE), 6) AS h_label,
+         |  round(CAST(mi_sum AS DOUBLE), 6) AS mi,
+         |  round(CAST(mi_sum AS DOUBLE) /
+         |        sqrt(CAST(h_type AS DOUBLE) * CAST(h_hour AS DOUBLE)), 6)
+         |    AS nmi
+         |FROM mi CROSS JOIN ht CROSS JOIN hh""".stripMargin,
 
     "ann_topk_ivf_trained" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (

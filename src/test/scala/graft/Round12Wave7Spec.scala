@@ -240,4 +240,18 @@ class Round12Wave7Spec extends SparkSpec {
       assert(r.getAs[Double]("overall_purity_r") == expOverall)
     }
   }
+
+  test("cluster nmi: information-theoretic bounds hold") {
+    val r = q("emb_cluster_nmi").collect().head
+    val (hc, hl, mi, nmi) = (r.getAs[Double]("h_cluster"),
+      r.getAs[Double]("h_label"), r.getAs[Double]("mi"),
+      r.getAs[Double]("nmi"))
+    assert(hc > 0.0 && hl > 0.0)
+    // I(C;L) ≤ min(H(C), H(L)) up to the 6-dp quantization slack
+    assert(mi >= -1e-6 && mi <= math.min(hc, hl) + 1e-5)
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-5)
+    // same assignment as purity: a perfectly pure clustering would
+    // have nmi near 1; either way both diagnostics must exist together
+    assert(q("emb_cluster_purity").count() > 0)
+  }
 }
