@@ -615,6 +615,43 @@ object SimilarityQueries {
           col("h_hour").as("h_label"), col("mi"), col("nmi"))
     }),
 
+    // ADJUSTED RAND INDEX — the third external-validity reading on
+    // the same trained assignment (purity: majority share; NMI:
+    // information; ARI: chance-corrected PAIR agreement — robust when
+    // cluster and label cardinalities differ). Pure integer
+    // pair-counting: every C(x,2) = x(x−1)/2 runs in DECIMAL(38,0)
+    // (n of 3B vectors squares past int64), and exactly ONE double
+    // division produces the index — no logarithm, no per-term
+    // rounding anywhere. Cell-frame-sized after one count agg.
+    "emb_cluster_ari" -> ((s, dir) => {
+      def c2(c: org.apache.spark.sql.Column) =
+        (c.cast("decimal(38,0)") * (c - lit(1))) / lit(2)
+      val cells = trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+          "vec_id")
+        .groupBy(col("list_id"), col("label"))
+        .agg(count(lit(1)).as("nij"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sij = cells.agg(sum(c2(col("nij"))).as("s_cells"),
+        sum(col("nij")).as("n"))
+      val sa = cells.groupBy(col("list_id")).agg(sum(col("nij")).as("ai"))
+        .agg(sum(c2(col("ai"))).as("s_rows"))
+      val sb = cells.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+        .agg(sum(c2(col("bj"))).as("s_cols"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .select(col("n"),
+          col("s_cells").cast("double").as("s_cells_d"),
+          col("s_rows").cast("double").as("s_rows_d"),
+          col("s_cols").cast("double").as("s_cols_d"),
+          asDouble(c2(col("n"))).as("c2n"))
+        .select(col("n"),
+          round((col("s_cells_d")
+              - col("s_rows_d") * col("s_cols_d") / col("c2n"))
+            / ((col("s_rows_d") + col("s_cols_d")) / lit(2.0)
+              - col("s_rows_d") * col("s_cols_d") / col("c2n")), 6)
+            .as("ari_r"))
+    }),
+
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
     // centroids and the corpus assignment they induce. The unrolled-N
@@ -3069,6 +3106,49 @@ object SimilarityQueries {
          |        sqrt(CAST(h_type AS DOUBLE) * CAST(h_hour AS DOUBLE)), 6)
          |    AS nmi
          |FROM mi CROSS JOIN ht CROSS JOIN hh""".stripMargin,
+
+    // the identical trained-assignment chain, then the same exact
+    // DECIMAL(38,0) pair-counting binomials and the single double
+    // division — term-for-term
+    "emb_cluster_ari" ->
+      s"""WITH ${lloydCtes(TrainRounds)}, scored AS (
+         |  SELECT e.vec_id, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent$TrainRounds c
+         |), ranked AS (
+         |  SELECT vec_id, list_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), asg AS (
+         |  SELECT vec_id, list_id FROM ranked WHERE rk = 1
+         |), cells AS (
+         |  SELECT a.list_id, e.label, CAST(count(*) AS BIGINT) AS nij
+         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |), s1 AS (
+         |  SELECT sum(CAST(nij AS DECIMAL(38,0)) * (nij - 1) / 2) AS s_cells,
+         |    CAST(sum(nij) AS BIGINT) AS n
+         |  FROM cells
+         |), sa AS (
+         |  SELECT sum(CAST(ai AS DECIMAL(38,0)) * (ai - 1) / 2) AS s_rows
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai
+         |        FROM cells GROUP BY list_id)
+         |), sb AS (
+         |  SELECT sum(CAST(bj AS DECIMAL(38,0)) * (bj - 1) / 2) AS s_cols
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj
+         |        FROM cells GROUP BY label)
+         |)
+         |SELECT n,
+         |  round((CAST(s_cells AS DOUBLE)
+         |      - CAST(s_rows AS DOUBLE) * CAST(s_cols AS DOUBLE)
+         |        / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) / 2 AS DOUBLE))
+         |    / ((CAST(s_rows AS DOUBLE) + CAST(s_cols AS DOUBLE))
+         |        / CAST(2.0 AS DOUBLE)
+         |      - CAST(s_rows AS DOUBLE) * CAST(s_cols AS DOUBLE)
+         |        / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) / 2 AS DOUBLE)),
+         |    6) AS ari_r
+         |FROM s1 CROSS JOIN sa CROSS JOIN sb""".stripMargin,
 
     "ann_topk_ivf_trained" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scoredq AS (

@@ -254,4 +254,25 @@ class Round12Wave7Spec extends SparkSpec {
     // have nmi near 1; either way both diagnostics must exist together
     assert(q("emb_cluster_purity").count() > 0)
   }
+
+  test("cluster ari: matches a local pair-count replica") {
+    val asg = graft.queries.SimilarityQueries
+      .trainedAssigned(spark, sf).select(col("vec_id"), col("list_id"))
+      .join(graft.tables.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label")), "vec_id")
+      .collect().map(r => (r.getAs[Number]("list_id").longValue,
+        r.getAs[Number]("label").longValue))
+    def c2(x: Long): Double = x.toDouble * (x - 1).toDouble / 2.0
+    val sCells = asg.groupBy(identity).values.map(v => c2(v.size)).sum
+    val sRows = asg.groupBy(_._1).values.map(v => c2(v.size)).sum
+    val sCols = asg.groupBy(_._2).values.map(v => c2(v.size)).sum
+    val n = asg.length.toLong
+    val exp = (sCells - sRows * sCols / c2(n)) /
+      ((sRows + sCols) / 2.0 - sRows * sCols / c2(n))
+    val r = q("emb_cluster_ari").collect().head
+    assert(r.getLong(0) == n)
+    val ari = r.getAs[Double]("ari_r")
+    assert(math.abs(ari - exp) < 1e-6, s"engine $ari vs local $exp")
+    assert(ari <= 1.0 + 1e-9)
+  }
 }
