@@ -189,6 +189,25 @@ object SqlQueries {
         |  LIMIT 2
         |) t""".stripMargin),
 
+    // Correlated subqueries, all three planner paths in one query:
+    // a correlated SCALAR subquery (Catalyst decorrelates into an
+    // aggregated left outer join), correlated EXISTS (rewritten to a
+    // left-semi join by RewritePredicateSubquery), and NOT IN with a
+    // null-guarded subquery (null-aware left-anti). Identical ANSI
+    // SQL on both engines; at scale every one of these becomes a
+    // plain shuffled/broadcast join — no per-row subquery execution.
+    "q_sql_correlated" -> sql(
+      """SELECT c.c_custkey, c.c_acctbal,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderstatus = 'P'
+        |                            AND o_custkey IS NOT NULL)""".stripMargin),
+
     // Full outer join: per-nation customer vs supplier counts.
     "q_sql_outer_join" -> sql(
       """SELECT coalesce(c.k, s.k) AS nationkey,
@@ -354,6 +373,18 @@ object SqlQueries {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2
         |) t""".stripMargin,
+
+    "q_sql_correlated" ->
+      """SELECT c.c_custkey, c.c_acctbal,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderstatus = 'P'
+        |                            AND o_custkey IS NOT NULL)""".stripMargin,
 
     "q_sql_filter_agg" ->
       """SELECT o_orderpriority,

@@ -321,6 +321,46 @@ object TextQueries {
     // 100 TB the join key becomes a ShingleHashes 31-bit gram hash
     // (compact longs, same topology); strings are kept here for
     // oracle-parity clarity.
+    // JENSEN-SHANNON DRIFT — distributional distance between the
+    // token (unigram) distributions of a deterministic md5 corpus
+    // split: the train-vs-val "did my two corpus slices come from the
+    // same language distribution" gate (PSI/KS watch a VALUE column;
+    // JSD watches the VOCABULARY — the drift axis that matters for
+    // text). JSD = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, over the union
+    // vocabulary; a token absent from one half contributes only its
+    // present side (0·ln 0 = 0, guarded in both engines). Per-token
+    // terms are 12-dp-quantized DECIMAL(28,12) before the
+    // (order-sensitive) sum — the entropy_mi convention; the output
+    // also reports JSD/ln 2 against the [0,1] bound (frozen ln 2
+    // literal, libm-free). Shape: one token explode + one vocab hash
+    // agg; the finish is one decimal sum — no windows, no driver math.
+    "text_jsd_drift" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .select(
+          ((conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#jsd"))), 1, 14), 16, 10).cast("long") % 2) === 0)
+            .as("is_a"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+             sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val p = col("ca").cast("double") / col("na").cast("double")
+      val q = col("cb").cast("double") / col("nb").cast("double")
+      val m = (p + q) / lit(2.0)
+      val term = lit(0.5) * when(col("ca") > 0, p * log(p / m))
+          .otherwise(lit(0.0)) +
+        lit(0.5) * when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+      cells.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("vocab"),
+          max(col("na")).as("n_tokens_a"), max(col("nb")).as("n_tokens_b"),
+          sum(round(term, 12).cast("decimal(28,12)")).as("jsd_sum"))
+        .select(col("vocab"), col("n_tokens_a"), col("n_tokens_b"),
+          round(col("jsd_sum").cast("double"), 6).as("jsd_r"),
+          round(col("jsd_sum").cast("double") / lit(0.693147181), 6)
+            .as("jsd_norm_r"))
+    }),
+
     "text_ngram_novelty" -> ((s, dir) => {
       val bi = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
@@ -1614,6 +1654,48 @@ object TextQueries {
 
     // same '#novel' hash split, same distinct-bigram sets, same
     // anti-membership left join
+    // same md5 split, same union-vocabulary cells, same guarded
+    // ½p·ln(p/m) terms 12-dp-quantized before the decimal sum, same
+    // frozen ln 2 — term-for-term
+    "text_jsd_drift" ->
+      """WITH tk AS (
+        |  SELECT
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      '#jsd')), 1, 14)) AS BIGINT) % 2 = 0 AS is_a,
+        |    tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+        |), cells AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM tk GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cells
+        |), tm AS (
+        |  SELECT
+        |    CAST(round(
+        |      0.5 * (CASE WHEN ca > 0 THEN
+        |        (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) *
+        |        ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) /
+        |           ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |             + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+        |        ELSE 0.0 END)
+        |      + 0.5 * (CASE WHEN cb > 0 THEN
+        |        (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |        ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |           ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |             + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+        |        ELSE 0.0 END), 12) AS DECIMAL(28,12)) AS term,
+        |    na, nb
+        |  FROM cells CROSS JOIN tot
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |  max(na) AS n_tokens_a, max(nb) AS n_tokens_b,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS jsd_r,
+        |  round(CAST(sum(term) AS DOUBLE) / 0.693147181, 6) AS jsd_norm_r
+        |FROM tm""".stripMargin,
+
     "text_ngram_novelty" ->
       s"""$toksCte, bi AS (
          |  SELECT doc_id,

@@ -275,4 +275,41 @@ class Round12Wave7Spec extends SparkSpec {
     assert(math.abs(ari - exp) < 1e-6, s"engine $ari vs local $exp")
     assert(ari <= 1.0 + 1e-9)
   }
+
+  test("jsd drift: matches a local replica and respects the ln2 bound") {
+    import java.math.{BigDecimal => BD, RoundingMode => RM}
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5half(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}#jsd".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val counts = scala.collection.mutable.HashMap[String, (Long, Long)]()
+    docs.foreach { case (id, text) =>
+      val a = md5half(id)
+      text.split(" ", -1).foreach { t =>
+        val (ca, cb) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = if (a) (ca + 1, cb) else (ca, cb + 1)
+      }
+    }
+    val na = counts.values.map(_._1).sum.toDouble
+    val nb = counts.values.map(_._2).sum.toDouble
+    val jsd = counts.values.map { case (ca, cb) =>
+      val p = ca / na; val qq = cb / nb; val m = (p + qq) / 2.0
+      val t = 0.5 * (if (ca > 0) p * math.log(p / m) else 0.0) +
+        0.5 * (if (cb > 0) qq * math.log(qq / m) else 0.0)
+      BD.valueOf(t).setScale(12, RM.HALF_UP)
+    }.reduce(_.add(_)).doubleValue
+    val r = q("text_jsd_drift").collect().head
+    assert(r.getAs[Long]("vocab") == counts.size)
+    assert(r.getAs[Long]("n_tokens_a") == na.toLong)
+    assert(r.getAs[Long]("n_tokens_b") == nb.toLong)
+    val engine = r.getAs[Double]("jsd_r")
+    val local = BD.valueOf(jsd).setScale(6, RM.HALF_UP).doubleValue
+    assert(engine == local, s"engine $engine vs local $local")
+    assert(engine >= 0.0 && engine <= 0.6931472 + 1e-6)
+  }
 }
