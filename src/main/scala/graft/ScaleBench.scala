@@ -169,7 +169,8 @@ object ScaleBench {
     "stream_silhouette", "stream_cohort_ltv", "stream_funnel_latency",
     "stream_skew_probe", "stream_kneser_ney", "stream_power_analysis",
     "stream_did", "stream_mix_epochs", "stream_uplift", "stream_benford",
-    "stream_importance", "stream_ljungbox", "stream_runs_test")
+    "stream_importance", "stream_ljungbox", "stream_runs_test",
+    "stream_jsd_drift")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

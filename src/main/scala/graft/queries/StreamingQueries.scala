@@ -879,6 +879,19 @@ object StreamingQueries {
           .agg(sum(col("n_docs")).as("n_docs")))
     }),
 
+    // STREAMING JSD DRIFT — per-batch per-token half-split counts
+    // sum-merge into the vocabulary cells (additive); the guarded
+    // ½p·ln(p/m) finish runs at serving time over the vocab frame.
+    // Shares `text_jsd_drift`'s oracle, hash-proven.
+    "stream_jsd_drift" -> ((s, dir) => {
+      TextQueries.jsdFinish(
+        partialsOf(documentsStream(s, dir)
+            .select(col("doc_id"), col("text")),
+          "graft-jsd-partials-")(TextQueries.jsdCells)
+          .groupBy(col("tok"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb")))
+    }),
+
     // STREAMING BENFORD — per-batch (type, first-digit) integer-math
     // counts sum-merge into the digit grid (additive — the same merge
     // law as stream_chisq); densification, frozen expectations and the
@@ -1935,6 +1948,7 @@ object StreamingQueries {
     "stream_chisq" -> StatTestQueries.oracleSql("events_chisq"),
     "stream_benford" -> StatTestQueries.oracleSql("events_benford"),
     "stream_importance" -> DedupQueries.oracleSql("pipeline_importance_weights"),
+    "stream_jsd_drift" -> TextQueries.oracleSql("text_jsd_drift"),
     // Min/max-merge of per-batch user spans ≡ whole-history spans —
     // shares the batch Kaplan-Meier oracle.
     "stream_survival" -> StatTestQueries.oracleSql("events_survival"),

@@ -334,32 +334,8 @@ object TextQueries {
     // also reports JSD/ln 2 against the [0,1] bound (frozen ln 2
     // literal, libm-free). Shape: one token explode + one vocab hash
     // agg; the finish is one decimal sum — no windows, no driver math.
-    "text_jsd_drift" -> ((s, dir) => {
-      val cells = Tables.documents(s, dir)
-        .select(
-          ((conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit("#jsd"))), 1, 14), 16, 10).cast("long") % 2) === 0)
-            .as("is_a"),
-          explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok"))
-        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-             sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-      val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-      val p = col("ca").cast("double") / col("na").cast("double")
-      val q = col("cb").cast("double") / col("nb").cast("double")
-      val m = (p + q) / lit(2.0)
-      val term = lit(0.5) * when(col("ca") > 0, p * log(p / m))
-          .otherwise(lit(0.0)) +
-        lit(0.5) * when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
-      cells.crossJoin(broadcast(tot))
-        .agg(count(lit(1)).as("vocab"),
-          max(col("na")).as("n_tokens_a"), max(col("nb")).as("n_tokens_b"),
-          sum(round(term, 12).cast("decimal(28,12)")).as("jsd_sum"))
-        .select(col("vocab"), col("n_tokens_a"), col("n_tokens_b"),
-          round(col("jsd_sum").cast("double"), 6).as("jsd_r"),
-          round(col("jsd_sum").cast("double") / lit(0.693147181), 6)
-            .as("jsd_norm_r"))
-    }),
+    "text_jsd_drift" -> ((s, dir) =>
+      jsdFinish(jsdCells(Tables.documents(s, dir)))),
 
     "text_ngram_novelty" -> ((s, dir) => {
       val bi = Tables.documents(s, dir)
@@ -1629,6 +1605,42 @@ object TextQueries {
        |  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
        |         CAST(0.0 AS DOUBLE) AS b2
        |), ${(1 to LrRounds).map(t => lrRoundSql(t)).mkString(", ")}""".stripMargin
+
+  /** Per-token (half-A count, half-B count) cells over the md5 '#jsd'
+    * corpus split — the additive half of the JSD drift gate (the
+    * streaming twin sum-merges these). Zero rows on empty input
+    * (key-grouped), per the partialsOf contract.
+    */
+  private[graft] def jsdCells(d: org.apache.spark.sql.DataFrame) =
+    d.select(
+        ((conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#jsd"))), 1, 14), 16, 10).cast("long") % 2) === 0)
+          .as("is_a"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+           sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+
+  /** The JSD finish over merged token cells — see `text_jsd_drift`'s
+    * scaladoc; shared verbatim by the streaming twin.
+    */
+  private[graft] def jsdFinish(cells: org.apache.spark.sql.DataFrame) = {
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = lit(0.5) * when(col("ca") > 0, p * log(p / m))
+        .otherwise(lit(0.0)) +
+      lit(0.5) * when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+    cells.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("vocab"),
+        max(col("na")).as("n_tokens_a"), max(col("nb")).as("n_tokens_b"),
+        sum(round(term, 12).cast("decimal(28,12)")).as("jsd_sum"))
+      .select(col("vocab"), col("n_tokens_a"), col("n_tokens_b"),
+        round(col("jsd_sum").cast("double"), 6).as("jsd_r"),
+        round(col("jsd_sum").cast("double") / lit(0.693147181), 6)
+          .as("jsd_norm_r"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 
