@@ -381,6 +381,37 @@ object EventQueries {
     // standard estimator).
     "events_acf" -> ((s, dir) => acfFromHourly(hourlySeries(s, dir))),
 
+    // INTER-ARRIVAL BURSTINESS — CV² and the Goh-Barabási burstiness
+    // index of per-type event gaps (B = (σ−μ)/(σ+μ): −1 periodic,
+    // 0 Poisson, →1 bursty — the traffic-shape diagnostic that tells
+    // a pipeline whether arrival spikes are real hotspots or heavy-
+    // tail noise). Gaps are INTEGER ms from one per-type ordered lag
+    // (the documented series axis); moments are exact integer/decimal
+    // sums (Σd BIGINT, Σd² DECIMAL(38,0) — a 1e9-ms gap squares past
+    // int64); the finish is a fixed-order double derivation per type,
+    // variance guarded identically in both engines. One window + one
+    // hash agg; the finish is a #types frame.
+    "events_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .select(col("event_type"), col("ts_ms"), col("event_id"))
+        .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      val m = gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+             sum(col("gap")).as("s1"),
+             sum(col("gap").cast("decimal(38,0)") * col("gap")).as("s2"))
+      val mean = col("s1").cast("double") / col("n_gaps").cast("double")
+      val varr = asDouble(col("s2")) / col("n_gaps").cast("double") -
+        mean * mean
+      val v = when(varr > 0.0, varr).otherwise(lit(0.0))
+      m.select(col("event_type"), col("n_gaps"),
+        round(mean, 6).as("mean_gap_r"),
+        round(v / (mean * mean), 6).as("cv2_r"),
+        round((sqrt(v) - mean) / (sqrt(v) + mean), 6).as("burstiness_r"))
+    }),
+
     // WALD-WOLFOWITZ RUNS TEST — is the hourly series RANDOM around
     // its mean, per type (trend/clustering shows up as too few runs,
     // oscillation as too many — the nonparametric complement of
@@ -4201,6 +4232,40 @@ object EventQueries {
          |  round((sab - st.ybar * sa - st.ybar * sb
          |         + n_pairs * st.ybar * st.ybar) / st.den, 6) AS acf
          |FROM pr JOIN st ON st.event_type = pr.event_type""".stripMargin,
+
+    // same ordered lag gaps, same exact integer/decimal moments, same
+    // fixed-order double derivation with the identical variance guard
+    "events_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, event_id
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    ts_ms - lag(ts_ms) OVER (PARTITION BY event_type
+        |                             ORDER BY ts_ms, event_id) AS gap
+        |  FROM e
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS s1,
+        |    sum(CAST(gap AS DECIMAL(38,0)) * gap) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, n_gaps,
+        |    CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS varr
+        |  FROM m
+        |), v AS (
+        |  SELECT event_type, n_gaps, mean,
+        |    CASE WHEN varr > 0.0 THEN varr ELSE 0.0 END AS v
+        |  FROM d
+        |)
+        |SELECT event_type, n_gaps,
+        |  round(mean, 6) AS mean_gap_r,
+        |  round(v / (mean * mean), 6) AS cv2_r,
+        |  round((sqrt(v) - mean) / (sqrt(v) + mean), 6) AS burstiness_r
+        |FROM v""".stripMargin,
 
     // same hourly frame, same exact-ȳ sign classification, same
     // lag-based run counting over the per-type hour order, same

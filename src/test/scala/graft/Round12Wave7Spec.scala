@@ -312,4 +312,33 @@ class Round12Wave7Spec extends SparkSpec {
     assert(engine == local, s"engine $engine vs local $local")
     assert(engine >= 0.0 && engine <= 0.6931472 + 1e-6)
   }
+
+  test("interarrival: matches a local gap-moment replica, B in [-1,1]") {
+    import java.math.{BigDecimal => BD, RoundingMode => RM}
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts_ms"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = ts.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      val n = gaps.length.toDouble
+      val s1 = gaps.sum.toDouble
+      val s2 = gaps.map(g => BD.valueOf(g).multiply(BD.valueOf(g)))
+        .reduce(_.add(_)).doubleValue
+      val mean = s1 / n
+      val varr = s2 / n - mean * mean
+      val v = if (varr > 0.0) varr else 0.0
+      def r6(d: Double) = BD.valueOf(d).setScale(6, RM.HALF_UP).doubleValue
+      t -> ((gaps.length.toLong, r6(mean), r6(v / (mean * mean)),
+        r6((math.sqrt(v) - mean) / (math.sqrt(v) + mean))))
+    }
+    val out = q("events_interarrival").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out == expect, s"engine=${out.size} local=${expect.size}")
+    out.values.foreach { case (_, _, cv2, b) =>
+      assert(cv2 >= 0.0)
+      assert(b >= -1.0 - 1e-9 && b <= 1.0 + 1e-9)
+    }
+  }
 }
