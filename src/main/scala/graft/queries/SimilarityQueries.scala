@@ -523,6 +523,51 @@ object SimilarityQueries {
           col("vec_id").as("dst"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // INTRINSIC DIMENSION (two-NN MLE, Facco et al. 2017) — how many
+    // degrees of freedom the embedding manifold actually uses (an
+    // ID ≪ 64 says the space is compressible — the diagnostic that
+    // justifies PQ/SQ codebook sizes and predicts ANN recall decay).
+    // Rides the SAME IVF-probed neighbor chain as emb_knn_graph cut
+    // at rank ≤ 2: per vector, μ = d₂/d₁ over the 6-dp-rounded cosine
+    // distances (already hash-proven engine-identical in the graph
+    // query, so the ratio starts from bit-equal doubles), ID =
+    // N/Σ ln μ with the ln terms 12-dp-quantized before the decimal
+    // sum. Exact-duplicate neighbors (d₁ = 0) are excluded — counted
+    // in n_pts vs n_used. One probe join + one per-vector 2-row agg.
+    "emb_intrinsic_dim" -> ((s, dir) => {
+      val assigned = ivfAssigned(s, dir)
+      val probes = embWithNorm(s, dir)
+        .crossJoin(broadcast(ivfCentArr(s, dir)))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+          explode(slice(rankedListIds(col("embedding"), col("nrm")),
+            1, NProbe)).as("list_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val rr = assigned.join(probes, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("rank") === 1, round(col("cos"), 6))).as("c1"),
+             max(when(col("rank") === 2, round(col("cos"), 6))).as("c2"))
+        .filter(col("c2").isNotNull)
+        .select(col("q_id"), (lit(1.0) - col("c1")).as("d1"),
+          (lit(1.0) - col("c2")).as("d2"))
+      val ag = rr.filter(col("d1") > 0.0)
+        .select(round(log(col("d2") / col("d1")), 12)
+          .cast("decimal(28,12)").as("t"))
+        .agg(count(lit(1)).as("n_used"), sum(col("t")).as("lsum"))
+      ag.crossJoin(broadcast(rr.agg(count(lit(1)).as("n_pts"))))
+        .select(col("n_pts"), col("n_used"),
+          round(when(asDouble(col("lsum")) > 0.0,
+            col("n_used").cast("double") / asDouble(col("lsum"))), 6)
+            .as("id_r"))
+    }),
+
     // K-NN CLASSIFICATION ACCURACY — the embedding-quality eval the
     // k-NN graph enables: each vector's label predicted by the
     // MAJORITY label of its 5 graph neighbors (deterministic vote:
@@ -2930,6 +2975,61 @@ object SimilarityQueries {
          |)
          |SELECT q_id AS src, rank, vec_id AS dst, round(cos, 6) AS cos_r
          |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    // the identical IVF-probed neighbor chain cut at rank ≤ 2, same
+    // 6-dp cosine distances, same 12-dp-quantized ln μ terms, same
+    // guarded division — term-for-term
+    "emb_intrinsic_dim" ->
+      s"""WITH dims AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS c
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS centroid
+         |  FROM dims GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.list_id,
+         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c
+         |), ranked AS (
+         |  SELECT vec_id, embedding, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+         |  FROM scored
+         |), assigned AS (
+         |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+         |  FROM ranked WHERE rk <= $NProbe
+         |), pairs AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+         |  FROM qprobe q JOIN assigned a ON a.list_id = q.list_id
+         |  WHERE a.vec_id <> q.q_id
+         |), rankedp AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |), rr AS (
+         |  SELECT q_id,
+         |    CAST(1.0 AS DOUBLE)
+         |      - max(CASE WHEN rank = 1 THEN round(cos, 6) END) AS d1,
+         |    CAST(1.0 AS DOUBLE)
+         |      - max(CASE WHEN rank = 2 THEN round(cos, 6) END) AS d2
+         |  FROM rankedp WHERE rank <= 2 GROUP BY 1
+         |  HAVING max(CASE WHEN rank = 2 THEN round(cos, 6) END) IS NOT NULL
+         |), ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |    sum(CAST(round(ln(d2 / d1), 12) AS DECIMAL(28,12))) AS lsum
+         |  FROM rr WHERE d1 > 0.0
+         |), tt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pts FROM rr
+         |)
+         |SELECT n_pts, n_used,
+         |  round(CASE WHEN CAST(lsum AS DOUBLE) > 0.0
+         |    THEN CAST(n_used AS DOUBLE) / CAST(lsum AS DOUBLE) END, 6)
+         |    AS id_r
+         |FROM ag CROSS JOIN tt""".stripMargin,
 
     "emb_knn_accuracy" ->
       s"""WITH dims AS (

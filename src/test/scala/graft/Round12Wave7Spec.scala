@@ -341,4 +341,30 @@ class Round12Wave7Spec extends SparkSpec {
       assert(b >= -1.0 - 1e-9 && b <= 1.0 + 1e-9)
     }
   }
+
+  test("intrinsic dim: recomposes from the engine's own knn graph") {
+    import java.math.{BigDecimal => BD, RoundingMode => RM}
+    // independent route: take rank-1/rank-2 cosines from the already
+    // hash-proven emb_knn_graph output and replay the two-NN MLE
+    val g = q("emb_knn_graph").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"),
+        r.getAs[Double]("cos_r")))
+    val byQ = g.groupBy(_._1).view.mapValues(rs =>
+      rs.sortBy(_._2).map(_._3)).toMap
+    val dd = byQ.values.filter(_.length >= 2)
+      .map(cs => (1.0 - cs(0), 1.0 - cs(1))).toSeq
+    val used = dd.filter(_._1 > 0.0)
+    val lsum = used.map { case (d1, d2) =>
+      BD.valueOf(math.log(d2 / d1)).setScale(12, RM.HALF_UP) }
+      .reduce(_.add(_)).doubleValue
+    val expId = BD.valueOf(used.size.toDouble / lsum)
+      .setScale(6, RM.HALF_UP).doubleValue
+    val r = q("emb_intrinsic_dim").collect().head
+    assert(r.getAs[Long]("n_pts") == dd.size)
+    assert(r.getAs[Long]("n_used") == used.size)
+    assert(r.getAs[Double]("id_r") == expId)
+    // a 64-d space can't have a higher estimated dimension than 64
+    // on this synthetic manifold (sanity band, not exact)
+    assert(expId > 0.0 && expId < 200.0)
+  }
 }
