@@ -130,7 +130,8 @@ object ScaleBench {
     "graph_hits", "events_benford", "pipeline_importance_weights",
     "events_ljungbox", "events_runs_test", "emb_cluster_purity",
     "emb_cluster_nmi", "emb_cluster_ari", "q_sql_correlated",
-    "text_jsd_drift", "events_interarrival", "emb_intrinsic_dim")
+    "text_jsd_drift", "events_interarrival", "emb_intrinsic_dim",
+    "text_heaps_law")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

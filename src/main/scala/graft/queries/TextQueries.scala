@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.text.TextOps
+import graft.operators.GlobalOrder
 
 /** Text-analysis extension operators over `documents` (SURVEY.md
   * §2.9): token statistics, quality scoring, language-ID heuristic,
@@ -336,6 +337,63 @@ object TextQueries {
     // agg; the finish is one decimal sum — no windows, no driver math.
     "text_jsd_drift" -> ((s, dir) =>
       jsdFinish(jsdCells(Tables.documents(s, dir)))),
+
+    // HEAPS'-LAW VOCABULARY GROWTH — V(T) ≈ K·T^β fitted over 10
+    // deterministic corpus checkpoints (docs in md5 '#heaps' order):
+    // the companion corpus law to text_zipf, and the planning number
+    // a tokenizer/dedup budget needs (β near 1 ⇒ vocabulary still
+    // exploding ⇒ more dedup headroom; β ≪ 1 ⇒ saturating). Each
+    // token's FIRST-occurrence position is one min-agg; checkpoint
+    // vocab sizes come from the position histogram (doc-count-sized,
+    // 10-way replicated — never token-replicated); the doc order and
+    // cumulative token axis run through GlobalOrder (row number +
+    // two-phase prefix sum — no unpartitioned window); the ln-ln OLS
+    // runs over 10 points with 9-dp-quantized logs and
+    // 12-dp-quantized products (the entropy_mi convention). Output:
+    // the 10 checkpoints with β and ln K attached as broadcast
+    // scalars.
+    "text_heaps_law" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("#heaps"))).as("hk"),
+          TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+      val withRn = GlobalOrder.withRowNumber(base, "rn",
+        Seq(col("hk"), col("doc_id")))
+      val withCum = GlobalOrder.withPrefixSum(
+        withRn.select(col("rn"), col("n_toks")),
+        col("n_toks"), "cumtok", Seq(col("rn")))
+      val cps = withCum.agg(max(col("rn")).as("nd"))
+        .select(explode(sequence(lit(1), lit(10))).as("ki"), col("nd"))
+        .select(col("ki").cast("long").as("k"),
+          expr("CAST((nd * ki + 9) DIV 10 AS BIGINT)").as("dk"))
+      val foh = withRn.select(col("rn"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("rn")).as("frn"))
+        .groupBy(col("frn")).agg(count(lit(1)).as("cnt"))
+      val pts = foh.crossJoin(broadcast(cps))
+        .filter(col("frn") <= col("dk"))
+        .groupBy(col("k"), col("dk")).agg(sum(col("cnt")).as("vocab"))
+        .join(withCum.join(broadcast(cps), col("rn") === col("dk"))
+          .select(col("k"), col("cumtok").as("tokens")), "k")
+        .withColumn("x", round(log(col("tokens").cast("double")), 9))
+        .withColumn("y", round(log(col("vocab").cast("double")), 9))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fit = pts.agg(count(lit(1)).as("np"),
+        sum(col("x").cast("decimal(28,9)")).as("sx"),
+        sum(col("y").cast("decimal(28,9)")).as("sy"),
+        sum(round(col("x") * col("y"), 12).cast("decimal(28,12)")).as("sxy"),
+        sum(round(col("x") * col("x"), 12).cast("decimal(28,12)")).as("sxx"))
+      val beta = (asDouble(col("sxy")) -
+          asDouble(col("sx")) * asDouble(col("sy")) / col("np").cast("double")) /
+        (asDouble(col("sxx")) -
+          asDouble(col("sx")) * asDouble(col("sx")) / col("np").cast("double"))
+      val scalars = fit.select(round(beta, 6).as("beta_r"),
+        round(asDouble(col("sy")) / col("np").cast("double") -
+          beta * (asDouble(col("sx")) / col("np").cast("double")), 6)
+          .as("lnk_r"))
+      pts.select(col("k"), col("dk").as("docs"), col("tokens"), col("vocab"))
+        .crossJoin(broadcast(scalars))
+    }),
 
     "text_ngram_novelty" -> ((s, dir) => {
       val bi = Tables.documents(s, dir)
@@ -1666,6 +1724,63 @@ object TextQueries {
 
     // same '#novel' hash split, same distinct-bigram sets, same
     // anti-membership left join
+    // same md5 doc order (a plain global window here — the oracle may
+    // use what the engine must not), same first-occurrence histogram,
+    // same integer checkpoints, same 9-dp logs / 12-dp products and
+    // fixed-order OLS — term-for-term
+    "text_heaps_law" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(concat(CAST(doc_id AS VARCHAR), '#heaps')) AS hk,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, toks,
+        |    CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS rn,
+        |    CAST(sum(n_toks) OVER (ORDER BY hk, doc_id) AS BIGINT) AS cumtok
+        |  FROM d
+        |), nd AS (SELECT max(rn) AS nd FROM o
+        |), cps AS (
+        |  SELECT CAST(k AS BIGINT) AS k,
+        |    CAST((nd.nd * k + 9) // 10 AS BIGINT) AS dk
+        |  FROM nd, generate_series(1, 10) t(k)
+        |), fo AS (
+        |  SELECT tok, min(rn) AS frn
+        |  FROM o, unnest(toks) AS u(tok) GROUP BY 1
+        |), foh AS (
+        |  SELECT frn, CAST(count(*) AS BIGINT) AS cnt FROM fo GROUP BY 1
+        |), vk AS (
+        |  SELECT c.k, c.dk, CAST(sum(f.cnt) AS BIGINT) AS vocab
+        |  FROM foh f JOIN cps c ON f.frn <= c.dk GROUP BY 1, 2
+        |), pts AS (
+        |  SELECT vk.k, vk.dk AS docs, o.cumtok AS tokens, vk.vocab,
+        |    round(ln(CAST(o.cumtok AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(vk.vocab AS DOUBLE)), 9) AS y
+        |  FROM vk JOIN o ON o.rn = vk.dk
+        |), fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(x AS DECIMAL(28,9))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,9))) AS sy,
+        |    sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS sxy,
+        |    sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx
+        |  FROM pts
+        |), b AS (
+        |  SELECT np, sx, sy,
+        |    (CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(np AS DOUBLE))
+        |    / (CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(np AS DOUBLE))
+        |      AS beta
+        |  FROM fit
+        |)
+        |SELECT pts.k, pts.docs, pts.tokens, pts.vocab,
+        |  round(b.beta, 6) AS beta_r,
+        |  round(CAST(b.sy AS DOUBLE) / CAST(b.np AS DOUBLE)
+        |    - b.beta * (CAST(b.sx AS DOUBLE) / CAST(b.np AS DOUBLE)), 6)
+        |    AS lnk_r
+        |FROM pts CROSS JOIN b""".stripMargin,
+
     // same md5 split, same union-vocabulary cells, same guarded
     // ½p·ln(p/m) terms 12-dp-quantized before the decimal sum, same
     // frozen ln 2 — term-for-term

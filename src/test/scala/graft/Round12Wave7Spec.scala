@@ -367,4 +367,35 @@ class Round12Wave7Spec extends SparkSpec {
     // on this synthetic manifold (sanity band, not exact)
     assert(expId > 0.0 && expId < 200.0)
   }
+
+  test("heaps law: monotone checkpoints and OLS recomposition") {
+    import java.math.{BigDecimal => BD, RoundingMode => RM}
+    val out = q("text_heaps_law").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("beta_r"), r.getAs[Double]("lnk_r")))
+      .sortBy(_._1)
+    assert(out.length == 10)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4)
+    }
+    val totalVocab = graft.tables.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    assert(out.last._4 == totalVocab) // final checkpoint sees the corpus
+    def r9(d: Double) = BD.valueOf(d).setScale(9, RM.HALF_UP).doubleValue
+    val xs = out.map(p => r9(math.log(p._3.toDouble)))
+    val ys = out.map(p => r9(math.log(p._4.toDouble)))
+    def dsum(vs: Seq[Double], sc: Int) = vs.map(BD.valueOf(_)
+      .setScale(sc, RM.HALF_UP)).reduce(_.add(_)).doubleValue
+    val np = 10.0
+    val (sx, sy) = (dsum(xs, 9), dsum(ys, 9))
+    val sxy = dsum(xs.zip(ys).map { case (x, y) => x * y }, 12)
+    val sxx = dsum(xs.map(x => x * x), 12)
+    val beta = (sxy - sx * sy / np) / (sxx - sx * sx / np)
+    val lnk = sy / np - beta * (sx / np)
+    def r6(d: Double) = BD.valueOf(d).setScale(6, RM.HALF_UP).doubleValue
+    assert(out.head._5 == r6(beta), s"beta ${out.head._5} vs ${r6(beta)}")
+    assert(out.head._6 == r6(lnk))
+    assert(beta > 0.0 && beta < 1.2) // Heaps exponent sanity band
+  }
 }
