@@ -49,8 +49,16 @@ object Bench {
       graft.queries.StreamingQueries.eventsStream(spark, sfDir)
       graft.queries.StreamingQueries.documentsStream(spark, sfDir)
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the run for targeted
+    // re-measures under the exact Bench harness (same warm-up, same
+    // alphabetical order, cache cleared between queries). Subset runs
+    // do NOT overwrite bench_out.json — only full runs are keepers.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try {
@@ -74,7 +82,8 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$fj}"""
-    Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
+    if (only.isEmpty)
+      Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
     // The driver captures only the last ~2000 chars of stdout; a
     // 222-query map is ~7000 chars, so the full line gets truncated
     // mid-JSON and the driver records `parsed: null` (observed in

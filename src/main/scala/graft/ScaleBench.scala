@@ -131,7 +131,11 @@ object ScaleBench {
     "events_ljungbox", "events_runs_test", "emb_cluster_purity",
     "emb_cluster_nmi", "emb_cluster_ari", "q_sql_correlated",
     "text_jsd_drift", "events_interarrival", "emb_intrinsic_dim",
-    "text_heaps_law")
+    "text_heaps_law",
+    // r13: production-posture kNN-graph family (corpus-proportional
+    // Bernoulli-gate lists — the dedup_semantic_scaled swap)
+    "emb_knn_graph_scaled", "emb_intrinsic_dim_scaled",
+    "emb_knn_accuracy_scaled")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -26,8 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object TinyOrder {
 
+  /** Keys must be NON-NULL (ADVICE r12, the [[GlobalOrder.normKey]]
+    * convention): a NULL key silently falls out of the `<` comparison
+    * and the struct-equality join — the row would get rank 1 / prefix
+    * 0 instead of an error — so each key raises loudly instead.
+    */
   private def key(sortCols: Seq[Column]): Column =
-    struct(sortCols.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+    struct(sortCols.zipWithIndex.map { case (c, i) =>
+      when(c.isNull, raise_error(lit(
+        s"TinyOrder sort key c$i is NULL — keys must form a " +
+          "non-null total order; coalesce NULLs to a sentinel that " +
+          "encodes the intended NULL placement"))).otherwise(c).as(s"c$i")
+    }: _*)
 
   /** df + 1-based rank `out` under the total order `sortCols`:
     * rank(r) = 1 + |{r′ : key(r′) < key(r)}|.
@@ -56,9 +66,18 @@ object TinyOrder {
   private def prefixAgg(df: DataFrame, value: Column, out: String,
                         sortCols: Seq[Column], agg: String, zero: Column,
                         post: Column => Column = identity): DataFrame = {
+    // The triangular join references the frame three times (left side,
+    // value side, distinct-key side). The frame is tiny by contract,
+    // but the CHAIN THAT PRODUCES IT usually is not (a full-corpus
+    // aggregate), and the three plan subtrees differ by projection so
+    // ReuseExchange cannot deduplicate them — without materialization
+    // the upstream pass runs three times (measured: the r12 rank/search
+    // bench regressions). persist() computes it once; both harnesses
+    // clearCache() between queries.
+    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = key(sortCols)
-    val left = df.withColumn("__to_k", k)
-    val right = df.select(k.as("__to_kb"), value.as("__to_v"))
+    val left = mat.withColumn("__to_k", k)
+    val right = mat.select(k.as("__to_kb"), value.as("__to_v"))
     // broadcast the value side: the frame is tiny by contract, and the
     // non-equi join must plan as BroadcastNestedLoopJoin, never a
     // CartesianProduct

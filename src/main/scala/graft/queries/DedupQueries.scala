@@ -263,11 +263,14 @@ object DedupQueries {
       val edges = lshEdges(s, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def half(scores: org.apache.spark.sql.DataFrame, joinOn: String,
-               groupOn: String, out: String) = {
+      // scoreCol named explicitly (ADVICE r12): locating it positionally
+      // via columns.last would silently aggregate the wrong column if a
+      // caller ever reordered or appended to the scores frame
+      def half(scores: org.apache.spark.sql.DataFrame, scoreCol: String,
+               joinOn: String, groupOn: String, out: String) = {
         val sums = scores.join(edges, col("v") === col(joinOn))
           .select(col(groupOn).as("g"),
-            col(scores.columns.last).cast("decimal(28,14)").as("c"))
+            col(scoreCol).cast("decimal(28,14)").as("c"))
           .groupBy(col("g")).agg(sum(col("c")).cast("double").as("s"))
         val mx = sums.agg(max(col("s")).as("mx"))
         verts.join(sums, col("v") === col("g"), "left")
@@ -282,8 +285,8 @@ object DedupQueries {
         .localCheckpoint()
       var hub: org.apache.spark.sql.DataFrame = null
       (1 to PrRounds).foreach { _ =>
-        hub = half(auth, "dst", "src", "hub")   // h(v) ← Σ_{v→w} a(w)
-        auth = half(hub, "src", "dst", "auth")  // a(w) ← Σ_{v→w} h(v)
+        hub = half(auth, "auth", "dst", "src", "hub") // h(v) ← Σ_{v→w} a(w)
+        auth = half(hub, "hub", "src", "dst", "auth") // a(w) ← Σ_{v→w} h(v)
       }
       edges.unpersist()
       hub.join(auth, "v").select(col("v").as("doc_id"),

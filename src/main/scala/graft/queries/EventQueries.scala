@@ -1138,7 +1138,17 @@ object EventQueries {
     // transition matrix SETTLES: π ← πP unrolled MarkovRounds times
     // from the uniform start (the pagerank pattern on the behavioral
     // chain — long-run occupancy of each event state). States = types
-    // with outgoing transitions; the 9-dp-quantized DECIMAL(18,9) P
+    // with OUTGOING transitions — deliberate scope (ADVICE r12): mass
+    // flowing into a sink-only type (one that only ever appears as
+    // to_type) leaves the tracked state space each round, so on a
+    // corpus with absorbing types π is the occupancy of the
+    // NON-ABSORBING states and need not sum to 1 (the oracle mirrors
+    // this). A deployment needing a true stationary distribution
+    // defines states as from ∪ to and redistributes sink mass — the
+    // PageRank dangling-node convention, one extra union + one
+    // broadcast scalar per round; this fixture has no absorbing types
+    // (every type both emits and receives), so both definitions
+    // coincide here. The 9-dp-quantized DECIMAL(18,9) P
     // rows make each step's π·P products EXACT decimal sums with one
     // 9-dp requantization per round — bit-identical cross-engine with
     // no order sensitivity. Per-round work: one broadcast-able join of
@@ -2515,7 +2525,11 @@ object EventQueries {
     * finish (cell means pivoted by max-of-case, never a float sum).
     */
   private[graft] def didFinish(cells: org.apache.spark.sql.DataFrame) = {
-    val m = cells
+    // n ≥ 2 cell guard (ADVICE r12, the powerFinish/upliftFinish
+    // convention): a single-row cell makes var_d divide by (n−1) = 0
+    // and the Infinity→decimal quantization then throws under ANSI
+    // mode — mirrored in the events_did oracle SQL
+    val m = cells.filter(col("n") >= 2)
       .withColumn("mean_d", asDouble(col("s")) / col("n").cast("double"))
       .withColumn("var_d",
         (asDouble(col("s2")) - asDouble(col("s")) * asDouble(col("s"))
@@ -5252,7 +5266,7 @@ object EventQueries {
          |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
          |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
          |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_d
-         |  FROM cells
+         |  FROM cells WHERE n >= 2
          |), a AS (
          |  SELECT
          |    max(CASE WHEN variant = 0 AND period = 'pre' THEN mean_d END)

@@ -90,6 +90,36 @@ object SimilarityQueries {
     */
   private[graft] val DbscanCos = 0.35
 
+  /** Certainty margin for the float pre-screen in front of a
+    * decimal-exact ≥-threshold cosine decision: the fused
+    * [[graft.functions.FloatVectorCosine]] kernel accumulates in
+    * DOUBLE over the same float inputs as the exact decimal route, so
+    * their divergence is bounded by 64-term double-summation rounding
+    * (≲1e-13; FloatGapSpec measures ≲1e-9 over every fixture pair and
+    * pins it an order below this). A pair with float cosine outside
+    * [τ − margin, τ + margin] is decided by the float value alone;
+    * only the sliver inside the band pays the decimal dot — the
+    * VERDICT r12 cost fix for the all-pairs `dedup_dbscan` anchor,
+    * sound for the same reason SemanticGapSpec justifies
+    * `dedup_semantic_fast`.
+    */
+  private[graft] val FloatCosMargin = 1e-6
+
+  /** The pre-screened exact threshold decision: true iff the
+    * decimal-exact cosine ≥ `tau`, with the decimal dot evaluated
+    * ONLY inside the float band (Spark's `or`/`and` short-circuit in
+    * both codegen and interpreted eval, and the band filter runs
+    * first). Decision-identical to the bare decimal comparison by the
+    * [[FloatCosMargin]] bound.
+    */
+  private def exactCosAtLeast(ea: Column, eb: Column,
+                              na: Column, nb: Column, tau: Double): Column = {
+    val cf = graft.functions.FloatVectorCosine.cosineFast(ea, eb)
+    (cf >= lit(tau - FloatCosMargin)) &&
+      ((cf >= lit(tau + FloatCosMargin)) ||
+        VectorOps.dotDecimal(ea, eb).cast("double") / (na * nb) >= lit(tau))
+  }
+
   /** Shortlist depth `search_mmr` re-ranks (the pq_rerank operating
     * point: a 20-candidate exact shortlist feeding a TopK selection).
     */
@@ -187,11 +217,13 @@ object SimilarityQueries {
                          col("nrm").as("na"))
       val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
                          col("nrm").as("nb"))
+      // exactCosAtLeast: the n²/2 pair stream pays only the fused
+      // float kernel; the decimal dot runs on the ~edge-count sliver
+      // near τ (VERDICT r12 item 3 — the anchor keeps its hash, loses
+      // the decimal-dominated cost)
       val nbr = a.join(b, col("va") < col("vb"))
-        .withColumn("cos",
-          VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
-            (col("na") * col("nb")))
-        .filter(col("cos") >= DbscanCos)
+        .filter(exactCosAtLeast(col("ea"), col("eb"),
+          col("na"), col("nb"), DbscanCos))
         .select(col("va"), col("vb"))
       dbscanFrom(nbr, Tables.embeddings(s, dir).select(col("vec_id")))
     }),
@@ -211,10 +243,8 @@ object SimilarityQueries {
                          col("nrm").as("nb"), col("bucket"))
       val nbr = a.join(b, Seq("bucket"))
         .filter(col("va") < col("vb"))
-        .withColumn("cos",
-          VectorOps.dotDecimal(col("ea"), col("eb")).cast("double") /
-            (col("na") * col("nb")))
-        .filter(col("cos") >= DbscanCos)
+        .filter(exactCosAtLeast(col("ea"), col("eb"),
+          col("na"), col("nb"), DbscanCos))
         .select(col("va"), col("vb"))
       dbscanFrom(nbr, Tables.embeddings(s, dir).select(col("vec_id")))
     }),
@@ -370,8 +400,13 @@ object SimilarityQueries {
                          col("nrm").as("nrm_a"), col("bucket"))
       val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
                          col("nrm").as("nrm_b"), col("bucket"))
+      // float pre-screen (see exactCosAtLeast): the within-bucket pair
+      // stream is pruned by the fused kernel; the decimal cosine the
+      // OUTPUT needs is computed only for the ~edge-count survivors
       a.join(b, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
+        .filter(graft.functions.FloatVectorCosine.cosineFast(
+          col("emb_a"), col("emb_b")) >= lit(NearDupCos - FloatCosMargin))
         .withColumn("cos",
           VectorOps.dotDecimal(col("emb_a"), col("emb_b")).cast("double") /
             (col("nrm_a") * col("nrm_b")))
@@ -584,6 +619,38 @@ object SimilarityQueries {
     "emb_knn_accuracy" -> ((s, dir) =>
       knnAccuracyOf(
         queries("emb_knn_graph")(s, dir).select(col("src"), col("dst")),
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label").cast("bigint").as("label")))),
+
+    // The k-NN graph at the PRODUCTION operating point (VERDICT r12
+    // item 1): same probe-join chain as emb_knn_graph, but the lists
+    // come from the Bernoulli-gated corpus-proportional seeds — the
+    // dedup_semantic_scaled swap. With E[nlist] = n/SeedMod the
+    // expected list size stays ≈ SeedMod at ANY corpus size, so the
+    // Σ_list |list|·|probes| candidate-pair term is linear in n
+    // instead of the fixed-nlist anchor's quadratic growth (13.1× at
+    // 10×, scale_bench r12). The anchor emb_knn_graph stays as the
+    // trained-index oracle chain; this entry is the scale-safe
+    // posture, oracle-checked end to end (gate → assign → probe →
+    // rank), sharing the scaled_assigned artifact with
+    // dedup_semantic_scaled.
+    "emb_knn_graph_scaled" -> ((s, dir) => knnGraphScaled(s, dir)),
+
+    // Two-NN intrinsic dimension over the SCALED graph chain — the
+    // production twin of emb_intrinsic_dim, riding
+    // emb_knn_graph_scaled's rank ≤ 2 prefix (its cos_r is already the
+    // shared 6-dp-rounded cosine, so the μ = d₂/d₁ ratios start from
+    // hash-proven-identical doubles).
+    "emb_intrinsic_dim_scaled" -> ((s, dir) =>
+      intrinsicDimOf(knnGraphScaled(s, dir))),
+
+    // k-NN label-vote accuracy over the SCALED graph — the production
+    // twin of emb_knn_accuracy (same majority-vote finish, same
+    // fixture-truthful ~random readout on the near-isotropic synthetic
+    // embeddings).
+    "emb_knn_accuracy_scaled" -> ((s, dir) =>
+      knnAccuracyOf(
+        knnGraphScaled(s, dir).select(col("src"), col("dst")),
         Tables.embeddings(s, dir)
           .select(col("vec_id"), col("label").cast("bigint").as("label")))),
 
@@ -1897,6 +1964,68 @@ object SimilarityQueries {
       assignTo(emb, centsFrameOf(scaledSeedsLong(emb)))
     }
 
+  /** The Bernoulli-gate seed centroids as the one-row broadcast cents
+    * array — the scale-safe twin of [[ivfCentArr]], shared by the
+    * scaled kNN-graph family's probe ranking.
+    */
+  private def scaledCentArr(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "scaled_cents") {
+      centsFrameOf(scaledSeedsLong(embWithNorm(s, dir)))
+    }
+
+  /** The corpus-proportional kNN graph: every vector's top-[[TopK]]
+    * neighbors via the probe join against the Bernoulli-gated lists
+    * (`emb_knn_graph`'s chain with [[scaledAssigned]] /
+    * [[scaledCentArr]] swapped in for the trained index). Exposed so
+    * the accuracy / intrinsic-dimension finishes ride ONE chain.
+    */
+  private[graft] def knnGraphScaled(s: org.apache.spark.sql.SparkSession,
+                                    dir: String) = {
+    val assigned = scaledAssigned(s, dir)
+    val probes = embWithNorm(s, dir)
+      .crossJoin(broadcast(scaledCentArr(s, dir)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(slice(rankedListIds(col("embedding"), col("nrm")),
+          1, NProbe)).as("list_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+          (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id").as("src"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("dst"), round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** Two-NN MLE intrinsic dimension (Facco et al. 2017) as a FINISH
+    * over a (src, rank, cos_r) kNN-graph frame — `emb_intrinsic_dim`'s
+    * exact formula tree (6-dp cosine distances, 12-dp-quantized ln μ
+    * terms, decimal sum, guarded division) starting from the graph's
+    * rank ≤ 2 prefix.
+    */
+  private def intrinsicDimOf(graph: org.apache.spark.sql.DataFrame) = {
+    val rr = graph.filter(col("rank") <= 2)
+      .groupBy(col("src").as("q_id"))
+      .agg(max(when(col("rank") === 1, col("cos_r"))).as("c1"),
+           max(when(col("rank") === 2, col("cos_r"))).as("c2"))
+      .filter(col("c2").isNotNull)
+      .select(col("q_id"), (lit(1.0) - col("c1")).as("d1"),
+        (lit(1.0) - col("c2")).as("d2"))
+    val ag = rr.filter(col("d1") > 0.0)
+      .select(round(log(col("d2") / col("d1")), 12)
+        .cast("decimal(28,12)").as("t"))
+      .agg(count(lit(1)).as("n_used"), sum(col("t")).as("lsum"))
+    ag.crossJoin(broadcast(rr.agg(count(lit(1)).as("n_pts"))))
+      .select(col("n_pts"), col("n_used"),
+        round(when(asDouble(col("lsum")) > 0.0,
+          col("n_used").cast("double") / asDouble(col("lsum"))), 6)
+          .as("id_r"))
+  }
+
   /** The PRODUCTION scale control for semantic dedup, demonstrated:
     * same float-scored pipeline but with `nlist` seed centroids (the
     * first `nlist` corpus vectors — no Lloyd pass; this is a cost
@@ -2428,6 +2557,43 @@ object SimilarityQueries {
        |FROM embeddings e
        |LEFT JOIN cc ON cc.v = e.vec_id
        |LEFT JOIN border ON border.vec_id = e.vec_id""".stripMargin
+
+  /** The scaled kNN-graph chain up to `rankedp` (q_id, vec_id, cos,
+    * rank): Bernoulli-gate seeds (the `dedup_semantic_scaled` seeds
+    * CTE verbatim — same md5 gate, same [[SeedMod]]) ranked per vector
+    * for assignment (rk = 1) and probes (rk ≤ [[NProbe]]), then the
+    * probe join + neighbor ranking (the `emb_knn_graph` tail
+    * verbatim). Shared by the three scaled-graph oracles.
+    */
+  private lazy val scaledKnnChainCtes: String =
+    s"""seeds AS (
+       |  SELECT vec_id AS list_id, embedding
+       |  FROM embeddings
+       |  WHERE (CAST(concat('0x', substr(md5(concat('seed_', CAST(vec_id AS VARCHAR))), 1, 14)) AS BIGINT)
+       |         % 2147483647) % $SeedMod = 0
+       |), scored AS (
+       |  SELECT e.vec_id, e.embedding, s.list_id,
+       |    ${duckCos("e.embedding", "s.embedding")} AS ccos
+       |  FROM embeddings e, seeds s
+       |), ranked AS (
+       |  SELECT vec_id, embedding, list_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) AS rk
+       |  FROM scored
+       |), assigned AS (
+       |  SELECT vec_id, embedding, list_id FROM ranked WHERE rk = 1
+       |), qprobe AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, list_id
+       |  FROM ranked WHERE rk <= $NProbe
+       |), pairs AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    ${duckCos("q.q_emb", "a.embedding")} AS cos
+       |  FROM qprobe q JOIN assigned a ON a.list_id = q.list_id
+       |  WHERE a.vec_id <> q.q_id
+       |), rankedp AS (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM pairs
+       |)""".stripMargin
 
   private def duckCos(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(generate_series(1, 64), i ->
@@ -3063,6 +3229,64 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
          |  FROM pairs
          |), knn AS (
+         |  SELECT q_id AS src, vec_id AS dst FROM rankedp WHERE rank <= $TopK
+         |), votes AS (
+         |  SELECT knn.src, CAST(e.label AS BIGINT) AS n_label,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM knn JOIN embeddings e ON e.vec_id = knn.dst
+         |  GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT src AS vec_id, n_label AS pred
+         |  FROM (SELECT src, n_label,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY nv DESC, n_label) AS rk
+         |        FROM votes)
+         |  WHERE rk = 1
+         |)
+         |SELECT CAST(e.label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS acc_r
+         |FROM pred p JOIN embeddings e USING (vec_id)
+         |GROUP BY 1""".stripMargin,
+
+    // the Bernoulli-gated probe chain (dedup_semantic_scaled's seeds
+    // CTE + emb_knn_graph's probe/rank tail), shared verbatim by the
+    // three scaled-graph oracles via scaledKnnChainCtes
+    "emb_knn_graph_scaled" ->
+      s"""WITH $scaledKnnChainCtes
+         |SELECT q_id AS src, rank, vec_id AS dst, round(cos, 6) AS cos_r
+         |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    "emb_intrinsic_dim_scaled" ->
+      s"""WITH $scaledKnnChainCtes, graph AS (
+         |  SELECT q_id, vec_id, round(cos, 6) AS cos_r, rank
+         |  FROM rankedp WHERE rank <= $TopK
+         |), rr AS (
+         |  SELECT q_id,
+         |    CAST(1.0 AS DOUBLE)
+         |      - max(CASE WHEN rank = 1 THEN cos_r END) AS d1,
+         |    CAST(1.0 AS DOUBLE)
+         |      - max(CASE WHEN rank = 2 THEN cos_r END) AS d2
+         |  FROM graph WHERE rank <= 2 GROUP BY 1
+         |  HAVING max(CASE WHEN rank = 2 THEN cos_r END) IS NOT NULL
+         |), ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |    sum(CAST(round(ln(d2 / d1), 12) AS DECIMAL(28,12))) AS lsum
+         |  FROM rr WHERE d1 > 0.0
+         |), tt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pts FROM rr
+         |)
+         |SELECT n_pts, n_used,
+         |  round(CASE WHEN CAST(lsum AS DOUBLE) > 0.0
+         |    THEN CAST(n_used AS DOUBLE) / CAST(lsum AS DOUBLE) END, 6)
+         |    AS id_r
+         |FROM ag CROSS JOIN tt""".stripMargin,
+
+    "emb_knn_accuracy_scaled" ->
+      s"""WITH $scaledKnnChainCtes, knn AS (
          |  SELECT q_id AS src, vec_id AS dst FROM rankedp WHERE rank <= $TopK
          |), votes AS (
          |  SELECT knn.src, CAST(e.label AS BIGINT) AS n_label,

@@ -402,23 +402,27 @@ object StreamingQueries {
     * frame — the foreachBatch + parquet log is the observable model
     * of per-key streaming-agg state.
     *
-    * CONTRACT (ADVICE r11): `build` must yield ZERO rows on an empty
-    * input frame — true of every key-grouped aggregation, but a
-    * GLOBAL (no-groupBy) aggregate emits one real seed row that the
-    * downstream merge would then see alongside the micro-batch
-    * partials. The one existing global builder (`pcaMoments`, a
-    * (-1,-1,0) count row) is harmless ONLY because its merge is an
-    * additive sum of zeros; a future global-agg builder whose merge
-    * is max/avg/first would silently absorb the seed — give it a
-    * WHERE-false guard on the empty frame, or filter the seed write.
+    * CONTRACT, ENFORCED (ADVICE r11 / VERDICT r12 item 5): the seed
+    * write exists ONLY to pin the schema, so it is truncated to zero
+    * rows in code — a GLOBAL (no-groupBy) builder emits one real row
+    * on the empty frame (e.g. `pcaMoments`' (-1,-1,0) count cell, or
+    * any `max`/`first` aggregate's identity-less sentinel), and
+    * without the truncation that row would reach the downstream merge
+    * alongside the micro-batch partials, silently corrupting any
+    * non-additive merge law. `PartialsSeedSpec` drives a deliberately
+    * global max-merge builder through this path and fails if the seed
+    * row ever escapes again. (`pcaMoments` loses only a zero cell that
+    * every real micro-batch re-emits — its additive merge is
+    * unchanged.)
     */
-  private def partialsOf(src: DataFrame, prefix: String)
+  private[graft] def partialsOf(src: DataFrame, prefix: String)
                         (build: DataFrame => DataFrame): DataFrame = {
     val s = src.sparkSession
     val dir = Files.createTempDirectory(prefix)
     sys.addShutdownHook(deleteRecursively(dir))
     build(s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema))
+      .limit(0)
       .write.mode("append").parquet(dir.toString)
     val ckpt = Files.createTempDirectory("graft-ckpt-")
     val q = src.writeStream
