@@ -62,7 +62,7 @@ object ScaleBench {
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
     "q_sql_merge",
     "text_bigram_lm", "text_quality_auc",
-    "text_perplexity_heldout", "search_tfidf_cosine", "events_theilsen",
+    "text_perplexity_heldout", "search_tfidf_cosine",
     "events_theilsen_win", "events_anomaly_mad", "events_psi", "emb_pca_power",
     "events_funnel_window", "dedup_lsh_sweep", "cdc_agg_maintain",
     "mm_audio_pitch",
@@ -175,7 +175,10 @@ object ScaleBench {
     "stream_skew_probe", "stream_kneser_ney", "stream_power_analysis",
     "stream_did", "stream_mix_epochs", "stream_uplift", "stream_benford",
     "stream_importance", "stream_ljungbox", "stream_runs_test",
-    "stream_jsd_drift")
+    "stream_jsd_drift",
+    // r13 twins
+    "stream_cluster_nmi", "stream_item_cf", "stream_item_pmi",
+    "stream_ngram_novelty")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -725,23 +725,17 @@ object EventQueries {
     "events_bootstrap_ci" -> ((s, dir) =>
       bootstrapFinish(bootstrapPartials(Tables.events(s, dir)))),
 
-    // THEIL-SEN robust slope — the median of all pairwise slopes of
-    // the hourly mean series, per event_type: the robust complement to
-    // `events_regression`'s OLS fit (breakdown point 29% — a burst of
-    // corrupted hours that would drag the least-squares line barely
-    // moves the pairwise median; running both and diffing them is the
-    // standard "is the trend real or an outlier artifact" check).
-    // Scale shape: the |events|-bound work is the SAME one
-    // partial-aggregable hash agg to the hourly series; the O(hours²)
-    // pair enumeration runs per series on the dashboard-sized table
-    // (bounded by the time span, independent of event volume), so at
-    // 100 TB the cost is still the scan. Exactness: each slope is an
-    // exact-decimal Δy cast to double over an exact integer Δhours —
-    // one IEEE division both engines perform identically — and the
-    // median is selected by rank, not averaged across engines: lo/hi
-    // ranks (n+1)÷2 and n÷2+1 picked under a total order, midpoint in
-    // one fixed double op ((lo+hi)/2 ≡ lo when n is odd).
-    "events_theilsen" -> ((s, dir) => theilsenOver(hourlySeries(s, dir))),
+    // THEIL-SEN robust slope: the UNBOUNDED all-pairs formulation
+    // (`theilsenOver(hourly)` with no Δhours cap) was RETIRED from the
+    // query surface in r13 (VERDICT r12 item 8, the dedup_semantic_hier
+    // precedent): its O(hours²) pair pass is quadratic in the series
+    // span — the one ≥90× row left in scale_bench — while the
+    // Δhours ≤ 168 bound below answers the same "is the trend real"
+    // question over the window a dashboard actually trends on.
+    // TheilSenAnchorSpec pins the exact formulation against the
+    // windowed chain (a bound ≥ the series span IS the exact median),
+    // so the all-pairs formula tree stays verified transitively
+    // through events_theilsen_win's oracle.
 
     // OFFLINE CHANGEPOINT (one binary-segmentation split) — WHERE did
     // the series shift, the complement to CUSUM's online WHEN: per
@@ -1069,28 +1063,7 @@ object EventQueries {
     // in DECIMAL(38,0) (the product overflows int64 at ~3B-user
     // items); the rank orders on the ROUNDED cosine with the unique
     // item_b tiebreak, so top-5 is bit-stable cross-engine.
-    "events_item_cf" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val capped = cfCapped(s, dir)
-      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
-      val co = cfCooc(capped)
-      val sym = co.select(col("item_a"), col("item_b"), col("cooc"))
-        .union(co.select(col("item_b").as("item_a"),
-          col("item_a").as("item_b"), col("cooc")))
-      sym
-        .join(ni.select(col("item").as("item_a"), col("n_users").as("na")),
-          "item_a")
-        .join(ni.select(col("item").as("item_b"), col("n_users").as("nb")),
-          "item_b")
-        .withColumn("cos_r", round(col("cooc").cast("double")
-          / sqrt(asDouble(col("na").cast("decimal(38,0)") * col("nb"))), 6))
-        .withColumn("rnk", row_number().over(
-          W.partitionBy(col("item_a"))
-            .orderBy(col("cos_r").desc, col("item_b"))))
-        .filter(col("rnk") <= 5)
-        .select(col("item_a"), col("item_b"), col("cooc"), col("cos_r"),
-          col("rnk").cast("long").as("rnk"))
-    }),
+    "events_item_cf" -> ((s, dir) => itemCfFinish(cfCapped(s, dir))),
 
     // SHIFTED PMI CO-OCCURRENCE — the embedding-training view of the
     // same capped ratings: PMI(a,b) = ln(c_ab·U / (n_a·n_b)), and the
@@ -1101,25 +1074,7 @@ object EventQueries {
     // support floor (cooc ≥ 2) prunes the noise tail BEFORE the
     // transcendental finish. ln is output-rounded to 6 dp; the U and
     // n_a·n_b factors stay integer until the one division.
-    "events_item_pmi" -> ((s, dir) => {
-      val capped = cfCapped(s, dir)
-      val u = capped.agg(countDistinct(col("user_id")).as("nu"))
-      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
-      cfCooc(capped)
-        .filter(col("cooc") >= 2)
-        .join(ni.select(col("item").as("item_a"), col("n_users").as("na")),
-          "item_a")
-        .join(ni.select(col("item").as("item_b"), col("n_users").as("nb")),
-          "item_b")
-        .crossJoin(broadcast(u))
-        .withColumn("pmi_d", log(col("cooc").cast("double")
-          * col("nu").cast("double")
-          / (col("na").cast("double") * col("nb").cast("double"))))
-        .select(col("item_a"), col("item_b"), col("cooc"),
-          round(col("pmi_d"), 6).as("pmi_r"),
-          round(greatest(col("pmi_d") - log(lit(PmiShift)), lit(0.0)), 6)
-            .as("sppmi_r"))
-    }),
+    "events_item_pmi" -> ((s, dir) => itemPmiFinish(cfCapped(s, dir))),
 
     // SEGMENT-LEVEL UPLIFT (heterogeneous treatment effects) — the
     // per-segment readout between events_ab_cuped's single pooled
@@ -2424,21 +2379,38 @@ object EventQueries {
     * deterministic domain-separated md5 rank (a per-USER partitioned
     * window — never global). Materialized once per (session, dir).
     */
+  /** Distinct (user, item = props.k) exposure pairs from an events
+    * frame — the IDEMPOTENT-UNION mergeable half of the CF chain
+    * (per-micro-batch distincts re-distincted equal the batch
+    * distinct; `stream_item_cf`/`stream_item_pmi`'s state, bounded by
+    * the ratings-matrix support, never |events|).
+    */
+  private[graft] def cfExposures(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+
+  /** The deterministic per-user degree cap over merged exposure pairs
+    * — rank-based, NOT mergeable, so it runs at SERVING time over the
+    * merged distinct set (the `stream_rfm` ntile argument); the window
+    * partitions per USER, never globally.
+    */
+  private[graft] def cfCapOf(pairs: org.apache.spark.sql.DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    pairs
+      .withColumn("hk", md5(concat(col("user_id").cast("string"),
+        lit("#cf"), col("item").cast("string"))))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("user_id")).orderBy(col("hk"), col("item"))))
+      .filter(col("rn") <= CfUserCap)
+      .select(col("user_id"), col("item"))
+  }
+
   private[graft] def cfCapped(s: org.apache.spark.sql.SparkSession,
                               dir: String) =
     Artifacts.materialized(s, dir, "cf_capped") {
-      val W = org.apache.spark.sql.expressions.Window
-      Tables.events(s, dir)
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .filter(col("item").isNotNull)
-        .distinct()
-        .withColumn("hk", md5(concat(col("user_id").cast("string"),
-          lit("#cf"), col("item").cast("string"))))
-        .withColumn("rn", row_number().over(
-          W.partitionBy(col("user_id")).orderBy(col("hk"), col("item"))))
-        .filter(col("rn") <= CfUserCap)
-        .select(col("user_id"), col("item"))
+      cfCapOf(cfExposures(Tables.events(s, dir)))
     }
 
   /** Item-pair co-occurrence counts over the capped ratings — the
@@ -2451,6 +2423,55 @@ object EventQueries {
       .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("cooc"))
+
+  /** Item-item CF serving finish over a capped ratings frame — shared
+    * by `events_item_cf` and its streaming twin (the twin's merge law
+    * is the exposure-set union; cap, cooc and rank run here at
+    * serving time).
+    */
+  private[graft] def itemCfFinish(capped: org.apache.spark.sql.DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+    val co = cfCooc(capped)
+    val sym = co.select(col("item_a"), col("item_b"), col("cooc"))
+      .union(co.select(col("item_b").as("item_a"),
+        col("item_a").as("item_b"), col("cooc")))
+    sym
+      .join(ni.select(col("item").as("item_a"), col("n_users").as("na")),
+        "item_a")
+      .join(ni.select(col("item").as("item_b"), col("n_users").as("nb")),
+        "item_b")
+      .withColumn("cos_r", round(col("cooc").cast("double")
+        / sqrt(asDouble(col("na").cast("decimal(38,0)") * col("nb"))), 6))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy(col("item_a"))
+          .orderBy(col("cos_r").desc, col("item_b"))))
+      .filter(col("rnk") <= 5)
+      .select(col("item_a"), col("item_b"), col("cooc"), col("cos_r"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Shifted-PMI serving finish over a capped ratings frame — shared
+    * by `events_item_pmi` and its streaming twin.
+    */
+  private[graft] def itemPmiFinish(capped: org.apache.spark.sql.DataFrame) = {
+    val u = capped.agg(countDistinct(col("user_id")).as("nu"))
+    val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+    cfCooc(capped)
+      .filter(col("cooc") >= 2)
+      .join(ni.select(col("item").as("item_a"), col("n_users").as("na")),
+        "item_a")
+      .join(ni.select(col("item").as("item_b"), col("n_users").as("nb")),
+        "item_b")
+      .crossJoin(broadcast(u))
+      .withColumn("pmi_d", log(col("cooc").cast("double")
+        * col("nu").cast("double")
+        / (col("na").cast("double") * col("nb").cast("double"))))
+      .select(col("item_a"), col("item_b"), col("cooc"),
+        round(col("pmi_d"), 6).as("pmi_r"),
+        round(greatest(col("pmi_d") - log(lit(PmiShift)), lit(0.0)), 6)
+          .as("sppmi_r"))
+  }
 
   /** The exact z-constant for `events_power_analysis`: (z_{α/2} +
     * z_β)² at α = 0.05 two-sided, power 0.80 — the textbook pair
@@ -2713,7 +2734,7 @@ object EventQueries {
     * |events| to ≤ 24·days rows per series; everything downstream is
     * dashboard-sized.
     */
-  private def hourlySeries(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def hourlySeries(s: org.apache.spark.sql.SparkSession, dir: String) =
     hourlyFromCells(hourlyCells(Tables.events(s, dir)))
 
   /** First/last-touch attribution over an (user_id, event_id, ts_ms,
@@ -4978,34 +4999,6 @@ object EventQueries {
          |  (abs((b.madj - a.madj) / sqrt(a.vc / a.n + b.vc / b.n)) > 1.96)
          |    AS significant
          |FROM per2 a JOIN per2 b ON a.variant = 0 AND b.variant = 1""".stripMargin,
-
-    // same 9-dp hourly decimals, same exact-decimal Δy over integer
-    // Δhours slopes, same rank-selected median (lo/hi ranks, fixed
-    // (lo+hi)/2 midpoint)
-    "events_theilsen" ->
-      s"""WITH h AS (
-         |  SELECT event_type,
-         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
-         |      AS hour_ms,
-         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-         |               / count(*), 9) AS DECIMAL(18,9)) AS y
-         |  FROM events GROUP BY 1, 2
-         |), sl AS (
-         |  SELECT a.event_type,
-         |    CAST(b.y - a.y AS DOUBLE) /
-         |      ((b.hour_ms - a.hour_ms) // 3600000) AS slope
-         |  FROM h a
-         |  JOIN h b ON b.event_type = a.event_type AND b.hour_ms > a.hour_ms
-         |), rk AS (
-         |  SELECT event_type, slope,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
-         |    count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM sl WHERE slope IS NOT NULL
-         |)
-         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
-         |  round((min(slope) + max(slope)) / 2, 6) AS slope_per_hour_r
-         |FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
-         |GROUP BY 1""".stripMargin,
 
     // same chain with the Δhours ≤ 168 pair bound (explode+equi-join
     // ≡ the bounded pair set)

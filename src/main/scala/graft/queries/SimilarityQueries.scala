@@ -715,17 +715,13 @@ object SimilarityQueries {
     // one definition, so the two NMI computations can never drift);
     // only the axis names change. Rides the shared trainedAssigned
     // artifact; everything past one count agg is cell-frame-sized.
-    "emb_cluster_nmi" -> ((s, dir) => {
-      val cells = trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
-        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
-          "vec_id")
-        .select(col("list_id").as("event_type"), col("label").as("hour"))
-        .groupBy(col("event_type"), col("hour"))
-        .agg(count(lit(1)).as("nij"))
-      EventQueries.entropyFinish(cells)
-        .select(col("n_cells"), col("h_type").as("h_cluster"),
-          col("h_hour").as("h_label"), col("mi"), col("nmi"))
-    }),
+    "emb_cluster_nmi" -> ((s, dir) =>
+      clusterNmiFinish(
+        trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
+          .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+            "vec_id")
+          .groupBy(col("list_id"), col("label"))
+          .agg(count(lit(1)).as("nij")))),
 
     // ADJUSTED RAND INDEX — the third external-validity reading on
     // the same trained assignment (purity: majority share; NMI:
@@ -1826,6 +1822,28 @@ object SimilarityQueries {
     Artifacts.materialized(s, dir, "ivf_assigned_trained") {
       assignTo(embWithNorm(s, dir), centsFrameOf(trainedCentLong(s, dir)))
     }
+
+  /** The trained centroids as the one-row broadcast cents array — the
+    * frozen yardstick `stream_cluster_nmi` assigns arriving vectors
+    * against (built and materialized before the stream starts, the
+    * `stream_silhouette` posture).
+    */
+  private[graft] def trainedCentArr(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "ivf_cents_trained") {
+      centsFrameOf(trainedCentLong(s, dir))
+    }
+
+  /** The NMI finish over (list_id, label, nij) contingency cells —
+    * `events_entropy_mi`'s entropy/MI chain with the axes renamed;
+    * shared by `emb_cluster_nmi` and its streaming twin (the cells are
+    * additive, so the twin sum-merges per-batch counts).
+    */
+  private[graft] def clusterNmiFinish(cells: org.apache.spark.sql.DataFrame) =
+    EventQueries.entropyFinish(
+        cells.select(col("list_id").as("event_type"),
+          col("label").as("hour"), col("nij")))
+      .select(col("n_cells"), col("h_type").as("h_cluster"),
+        col("h_hour").as("h_label"), col("mi"), col("nmi"))
 
   /** IVF probe search (the `ann_topk_ivf` plan shape: broadcast probe
     * join keyed on list_id) against an arbitrary (centroids, assigned

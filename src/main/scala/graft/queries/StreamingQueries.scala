@@ -1801,7 +1801,73 @@ object StreamingQueries {
       val appended = SimilarityQueries.appendBaseAssigned(s, dir)
         .unionByName(streamed)
       SimilarityQueries.ivfSearchOver(s, dir)(centArr, appended)
-    })
+    }),
+
+    // STREAMING CLUSTER NMI (VERDICT r12 item 4) — external clustering
+    // validity maintained as vectors arrive: the trained centroids are
+    // the frozen yardstick (the stream_silhouette posture; the
+    // Artifacts memo localCheckpoints them before the stream starts),
+    // each micro-batch assigns its vectors and contributes
+    // (cluster, label) contingency-cell counts — additive state,
+    // ≤ nlist·|labels| rows — and the merge is SUM per cell into
+    // emb_cluster_nmi's exact entropy/MI finish (the stream_entropy_mi
+    // law on renamed axes). Shares emb_cluster_nmi's oracle,
+    // hash-proven: merge(per-batch cells) ≡ batch contingency.
+    "stream_cluster_nmi" -> ((s, dir) => {
+      val cents = SimilarityQueries.trainedCentArr(s, dir)
+      SimilarityQueries.clusterNmiFinish(
+        partialsOf(embeddingsStream(s, dir, appendOnly = false),
+            "graft-nmi-partials-") { batch =>
+          val withNrm = batch.withColumn("nrm",
+            sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double")))
+          SimilarityQueries.assignTo(withNrm, cents)
+            .select(col("vec_id"), col("list_id"))
+            .join(batch.select(col("vec_id"), col("label")), "vec_id")
+            .groupBy(col("list_id"), col("label"))
+            .agg(count(lit(1)).as("nij"))
+        }
+          .groupBy(col("list_id"), col("label"))
+          .agg(sum(col("nij")).as("nij")))
+    }),
+
+    // STREAMING ITEM-CF — the ratings state is the IDEMPOTENT-UNION
+    // merge law (stream_retention's): per batch, the distinct
+    // (user, item) exposures append; the merged set re-distincts, and
+    // the rank-based degree cap + cooc + cosine top-5 run at SERVING
+    // time over it (the stream_rfm ntile argument — the cap is not
+    // mergeable, the exposure set is). State is bounded by the
+    // ratings-matrix support, never |events|. Shares events_item_cf's
+    // oracle, hash-proven.
+    "stream_item_cf" -> ((s, dir) =>
+      EventQueries.itemCfFinish(EventQueries.cfCapOf(
+        partialsOf(
+            eventsStream(s, dir).select(col("user_id"), col("props")),
+            "graft-cf-partials-")(EventQueries.cfExposures)
+          .distinct()))),
+
+    // STREAMING SHIFTED-PMI — same union-merged exposure state as
+    // stream_item_cf, finished with events_item_pmi's PMI/SPPMI chain
+    // (one shared state table would serve both in a deployment; here
+    // each twin drives its own replay so the two merge proofs stay
+    // independent). Shares events_item_pmi's oracle, hash-proven.
+    "stream_item_pmi" -> ((s, dir) =>
+      EventQueries.itemPmiFinish(EventQueries.cfCapOf(
+        partialsOf(
+            eventsStream(s, dir).select(col("user_id"), col("props")),
+            "graft-pmi-partials-")(EventQueries.cfExposures)
+          .distinct()))),
+
+    // STREAMING N-GRAM NOVELTY — the train set is DISTINCT-UNION
+    // state: per batch, the distinct (doc_id, bigram, is_test) rows
+    // append (the md5 '#novel' split is a pure doc_id hash, so every
+    // micro-batch splits identically); the merged set re-distincts and
+    // text_ngram_novelty's anti-membership finish runs at serving
+    // time. Shares its oracle, hash-proven.
+    "stream_ngram_novelty" -> ((s, dir) =>
+      TextQueries.novelFinish(
+        partialsOf(documentsStream(s, dir), "graft-novel-partials-")(b =>
+            TextQueries.novelBigrams(b).distinct())
+          .distinct()))
   )
 
   // Both oracles cut at the final watermark: windows closed by
@@ -2005,6 +2071,17 @@ object StreamingQueries {
     "stream_acf" -> EventQueries.oracleSql("events_acf"),
     "stream_ljungbox" -> EventQueries.oracleSql("events_ljungbox"),
     "stream_runs_test" -> EventQueries.oracleSql("events_runs_test"),
+    // Sum-merge of per-batch (cluster, label) contingency cells
+    // against the frozen trained index ≡ the batch contingency —
+    // shares the batch NMI oracle, hash-proven.
+    "stream_cluster_nmi" -> SimilarityQueries.oracleSql("emb_cluster_nmi"),
+    // Idempotent-union exposure state + serving-time cap/rank ≡ the
+    // batch CF chain — shares both batch oracles, hash-proven.
+    "stream_item_cf" -> EventQueries.oracleSql("events_item_cf"),
+    "stream_item_pmi" -> EventQueries.oracleSql("events_item_pmi"),
+    // Distinct-union bigram state + serving-time anti-membership ≡
+    // the batch novelty scan — shares its oracle, hash-proven.
+    "stream_ngram_novelty" -> TextQueries.oracleSql("text_ngram_novelty"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.

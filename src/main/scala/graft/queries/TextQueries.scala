@@ -395,31 +395,8 @@ object TextQueries {
         .crossJoin(broadcast(scalars))
     }),
 
-    "text_ngram_novelty" -> ((s, dir) => {
-      val bi = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t) - 2), " +
-          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
-          .as("g"))
-        .withColumn("is_test",
-          conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit("#novel"))), 1, 14), 16, 10).cast("long") % 5 === 4)
-      val train = bi.filter(col("is_test") === false)
-        .select(col("g")).distinct().withColumn("seen", lit(true))
-      bi.filter(col("is_test"))
-        .select(col("doc_id"), col("g")).distinct()
-        .join(train, Seq("g"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_distinct_bigrams"),
-             sum(when(col("seen").isNull, 1L).otherwise(0L))
-               .as("novel_bigrams"))
-        .select(col("doc_id"), col("n_distinct_bigrams"),
-          col("novel_bigrams"),
-          round(col("novel_bigrams").cast("double")
-            / col("n_distinct_bigrams").cast("double"), 6).as("novelty_r"))
-    }),
+    "text_ngram_novelty" -> ((s, dir) =>
+      novelFinish(novelBigrams(Tables.documents(s, dir)))),
 
     // BLEU-2 OVER CANDIDATE PAIRS — clipped n-gram precision scoring
     // on the LSH blocking pairs (the dedup chain's candidates): for
@@ -1663,6 +1640,44 @@ object TextQueries {
        |  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
        |         CAST(0.0 AS DOUBLE) AS b2
        |), ${(1 to LrRounds).map(t => lrRoundSql(t)).mkString(", ")}""".stripMargin
+
+  /** Per-doc exploded bigrams with the md5 '#novel' train/test flag —
+    * the UNION-mergeable half of `text_ngram_novelty` (the streaming
+    * twin appends per-batch distinct (doc_id, g, is_test) rows and
+    * re-distincts; the flag is a pure doc_id hash, so every engine and
+    * every micro-batch splits identically).
+    */
+  private[graft] def novelBigrams(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+        "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("g"))
+      .withColumn("is_test",
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#novel"))), 1, 14), 16, 10).cast("long") % 5 === 4)
+
+  /** The novelty finish over (doc_id, g, is_test) bigram rows —
+    * distinct-train-set anti-membership per test doc; shared by the
+    * batch query and the streaming twin (both distinct internally, so
+    * duplicate bigram rows in the input are harmless).
+    */
+  private[graft] def novelFinish(bi: org.apache.spark.sql.DataFrame) = {
+    val train = bi.filter(col("is_test") === false)
+      .select(col("g")).distinct().withColumn("seen", lit(true))
+    bi.filter(col("is_test"))
+      .select(col("doc_id"), col("g")).distinct()
+      .join(train, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+           sum(when(col("seen").isNull, 1L).otherwise(0L))
+             .as("novel_bigrams"))
+      .select(col("doc_id"), col("n_distinct_bigrams"),
+        col("novel_bigrams"),
+        round(col("novel_bigrams").cast("double")
+          / col("n_distinct_bigrams").cast("double"), 6).as("novelty_r"))
+  }
 
   /** Per-token (half-A count, half-B count) cells over the md5 '#jsd'
     * corpus split — the additive half of the JSD drift gate (the

@@ -115,6 +115,26 @@ class Round13OpsSpec extends SparkSpec {
       f"seed sentinel leaked into the merge: merged=$merged%.4f truth=$truth%.4f")
   }
 
+  // ---- Theil-Sen exact anchor (retired query, VERDICT r12 item 8) ---
+
+  test("all-pairs Theil-Sen equals the windowed chain at a span-covering bound") {
+    import graft.queries.EventQueries
+    val hourly = EventQueries.hourlySeries(spark, sf)
+      .persist()
+    try {
+      val spanHours = hourly
+        .agg(((max(col("hour_ms")) - min(col("hour_ms"))) / 3600000L)
+          .cast("long")).head().getLong(0)
+      val exact = EventQueries.theilsenOver(hourly)
+        .collect().map(_.toString).sorted
+      val winAll = EventQueries.theilsenOver(hourly, Some(spanHours + 1))
+        .collect().map(_.toString).sorted
+      assert(exact.nonEmpty && exact.sameElements(winAll),
+        "retired all-pairs formulation diverged from the span-covering " +
+          "windowed chain — the transitively-verified anchor broke")
+    } finally { hourly.unpersist(); () }
+  }
+
   // ---- TinyOrder null-key guard ------------------------------------
 
   test("TinyOrder raises on a NULL sort key instead of mis-ranking") {
