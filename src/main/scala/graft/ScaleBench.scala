@@ -135,7 +135,10 @@ object ScaleBench {
     // r13: production-posture kNN-graph family (corpus-proportional
     // Bernoulli-gate lists — the dedup_semantic_scaled swap)
     "emb_knn_graph_scaled", "emb_intrinsic_dim_scaled",
-    "emb_knn_accuracy_scaled")
+    "emb_knn_accuracy_scaled", "emb_knn_graph_hier_scaled",
+    // r13 wave 2
+    "events_gini", "text_lexical_diversity", "events_page_hinkley",
+    "pipeline_pack_efficiency", "events_cum_hazard")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -178,7 +181,8 @@ object ScaleBench {
     "stream_jsd_drift",
     // r13 twins
     "stream_cluster_nmi", "stream_item_cf", "stream_item_pmi",
-    "stream_ngram_novelty")
+    "stream_ngram_novelty", "stream_gini", "stream_lexical_diversity",
+    "stream_cum_hazard")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -600,6 +600,31 @@ object DedupQueries {
           (col("cum_before") % PackBudget).as("offset_in_pack"))
     }),
 
+    // PACKING-EFFICIENCY REPORT — the QA readout on pipeline_pack a
+    // batch-prep pipeline gates on before burning GPU-hours: per
+    // (split, shard), pack count, token utilization (tokens /
+    // packs·budget — under concat-then-chunk only the final partial
+    // pack wastes), tail waste in tokens, and the count of documents
+    // STRADDLING a pack boundary (the attention-mask/document-leakage
+    // cost of the concat convention — the number a team weighs when
+    // choosing concat-vs-pad). A pure reading over the pack table:
+    // one partial-aggregable hash agg, integer math until the one
+    // division.
+    "pipeline_pack_efficiency" -> ((s, dir) =>
+      queries("pipeline_pack")(s, dir)
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("pack_id")) + 1).as("n_packs"),
+          sum(when(col("offset_in_pack") + col("n_tokens") > PackBudget,
+            1L).otherwise(0L)).as("straddlers"))
+        .select(col("split"), col("shard"), col("n_docs"),
+          col("total_tokens"), col("n_packs"),
+          (col("n_packs") * PackBudget - col("total_tokens")).as("tail_waste"),
+          round(col("total_tokens").cast("double")
+            / (col("n_packs") * PackBudget).cast("double"), 6).as("util_r"),
+          col("straddlers"))),
+
     // Deterministic training-order shuffle — the stage between "curated
     // corpus" and "data loader": every document gets a pseudorandom but
     // rerun-stable shuffle key (md5 of doc_id, domain-separated from
@@ -1267,7 +1292,7 @@ object DedupQueries {
   /** Pack budget (tokens) for sequence packing — small enough that the
     * fixture yields many packs per split.
     */
-  private val PackBudget = 512L
+  private[graft] val PackBudget = 512L
 
   /** Pack-shard fan-out: bounds the per-window sort partition (a real
     * deployment sizes this to executors × a few; 4 keeps fixture packs
@@ -2483,6 +2508,37 @@ object DedupQueries {
          |  cum_before // $PackBudget AS pack_id,
          |  cum_before % $PackBudget AS offset_in_pack
          |FROM packed""".stripMargin,
+
+    // the pack chain verbatim with the per-(split, shard) efficiency
+    // tail
+    "pipeline_pack_efficiency" ->
+      s"""WITH RECURSIVE $ccSplitCtes, nt AS (
+         |  SELECT d.doc_id, s.split,
+         |    (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT)) % $NumPackShards AS shard,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN splits s USING (doc_id)
+         |), packed AS (
+         |  SELECT doc_id, split, shard, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY split, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM nt
+         |), pk AS (
+         |  SELECT doc_id, split, shard, n_tokens,
+         |    cum_before // $PackBudget AS pack_id,
+         |    cum_before % $PackBudget AS offset_in_pack
+         |  FROM packed
+         |)
+         |SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+         |  CAST((max(pack_id) + 1) * $PackBudget - sum(n_tokens) AS BIGINT)
+         |    AS tail_waste,
+         |  round(CAST(sum(n_tokens) AS DOUBLE)
+         |    / CAST((max(pack_id) + 1) * $PackBudget AS DOUBLE), 6) AS util_r,
+         |  CAST(sum(CASE WHEN offset_in_pack + n_tokens > $PackBudget
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
+         |FROM pk GROUP BY 1, 2""".stripMargin,
 
     "pipeline_select" ->
       s"""WITH sigs AS (

@@ -737,6 +737,20 @@ object EventQueries {
     // so the all-pairs formula tree stays verified transitively
     // through events_theilsen_win's oracle.
 
+    // PAGE-HINKLEY DRIFT TEST — the sequential mean-shift detector
+    // between CUSUM's per-event chart (events_drift) and the offline
+    // changepoint: per hourly series, m_t = Σ_{i≤t}(y_i − ȳ_i − δ)
+    // with the RUNNING mean ȳ_i, PH_t = m_t − min_{i≤t} m_i, alarm at
+    // PH > λ. Everything is per-series windows over the hourly grid
+    // (the series axis — partitions distribute): the running mean
+    // comes from one exact-decimal prefix sum, each deviation term is
+    // 12-dp-quantized to decimal BEFORE the m prefix sum (the
+    // order-insensitivity convention), and min/PH stay decimal until
+    // the one output cast. Output: per type, max PH and the first
+    // alarm hour (NULL when the series never drifts).
+    "events_page_hinkley" -> ((s, dir) =>
+      pageHinkleyOver(hourlySeries(s, dir))),
+
     // OFFLINE CHANGEPOINT (one binary-segmentation split) — WHERE did
     // the series shift, the complement to CUSUM's online WHEN: per
     // event_type, the hour boundary whose two-segment split maximally
@@ -1088,6 +1102,20 @@ object EventQueries {
     // regime swaps TinyOrder for GlobalOrder).
     "events_uplift_segments" -> ((s, dir) =>
       upliftFinish(upliftCells(Tables.events(s, dir)))),
+
+    // GINI CONCENTRATION INDEX — how concentrated is event value
+    // across users (the revenue-concentration / data-source-dominance
+    // readout a curation dashboard pairs with pipeline_source_report;
+    // also the standard whale-risk metric for monetization): G =
+    // 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-user totals sorted
+    // ascending. Shape: ONE mergeable per-user decimal-sum agg (the
+    // streaming twin's additive state), the global sort rank runs
+    // through GlobalOrder (two-phase prefix, no single-task window),
+    // and every sum is exact decimal — rank·x per-term in
+    // DECIMAL(31,4) (12+18+1, inside both engines' 38 cap), one IEEE
+    // division chain at the end.
+    "events_gini" -> ((s, dir) =>
+      giniFinish(giniCells(Tables.events(s, dir)))),
 
     // MARKOV STATIONARY DISTRIBUTION — where events_markov's
     // transition matrix SETTLES: π ← πP unrolled MarkovRounds times
@@ -2295,6 +2323,36 @@ object EventQueries {
         col("mean_left_r"), col("mean_right_r"), col("gain_r"))
   }
 
+  /** Page-Hinkley tolerance δ and alarm threshold λ — shared literals
+    * so both engines compare identically.
+    */
+  private[graft] val PhDelta = 0.05
+  private[graft] val PhLambda = 25.0
+
+  /** See `events_page_hinkley`. Exposed for spec planting of known
+    * drifting/flat series.
+    */
+  private[graft] def pageHinkleyOver(hourlyIn: org.apache.spark.sql.DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+    hourlyIn.filter(col("y").isNotNull)
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("cum", sum(col("y")).over(byType))
+      .withColumn("term",
+        round(col("y").cast("double")
+            - asDouble(col("cum")) / col("rn").cast("double")
+            - lit(PhDelta), 12)
+          .cast("decimal(24,12)"))
+      .withColumn("m", sum(col("term")).over(byType))
+      .withColumn("runmin", min(col("m")).over(byType))
+      .withColumn("ph_d", asDouble(col("m") - col("runmin")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(max(col("ph_d")), 6).as("max_ph_r"),
+        min(when(col("ph_d") > PhLambda, col("hour_ms")))
+          .as("first_alarm_hour_ms"))
+  }
+
   private[graft] def theilsenOver(hourlyIn: org.apache.spark.sql.DataFrame,
                                   windowHours: Option[Long] = None) = {
     val hourly = hourlyIn
@@ -2481,6 +2539,36 @@ object EventQueries {
   private[graft] val PowerZ2: Double = {
     val z = 1.959964 + 0.841621
     z * z
+  }
+
+  /** The mergeable half of `events_gini`: per-user exact decimal
+    * value totals — additive (`stream_gini`'s hash proof); state is
+    * one row per user. Zero rows on empty input (key-grouped).
+    */
+  private[graft] def giniCells(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(dec(col("value"))).as("x"))
+
+  /** The Gini finish over merged per-user totals: GlobalOrder rank
+    * under the (x, user_id) total order, exact-decimal Σx and Σ rn·x
+    * (per-term DECIMAL(31,4)), one fixed IEEE chain.
+    */
+  private[graft] def giniFinish(u: org.apache.spark.sql.DataFrame) = {
+    val xq = col("x").cast("decimal(18,4)")
+    val ranked = graft.operators.GlobalOrder.withRowNumber(
+      u.select(col("user_id"), xq.as("x")), "rn",
+      Seq(col("x"), col("user_id")))
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx"),
+        sum(col("rn").cast("decimal(12,0)") * col("x")).as("srx"))
+      .select(col("n_users"),
+        round(asDouble(col("sx")), 6).as("total_r"),
+        round(lit(2.0) * asDouble(col("srx"))
+            / (col("n_users").cast("double") * asDouble(col("sx")))
+          - (col("n_users").cast("double") + lit(1.0))
+            / col("n_users").cast("double"), 6).as("gini_r"))
   }
 
   /** The mergeable half of `events_power_analysis`: per-type exact
@@ -5027,6 +5115,67 @@ object EventQueries {
          |  round((min(slope) + max(slope)) / 2, 6) AS slope_per_hour_r
          |FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
          |GROUP BY 1""".stripMargin,
+
+    // same 9-dp hourly decimals, same running-mean prefix chain with
+    // 12-dp-quantized deviation terms, same decimal running min
+    "events_page_hinkley" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000)
+         |      AS hour_ms,
+         |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |               / count(*), 9) AS DECIMAL(18,9)) AS y
+         |  FROM events GROUP BY 1, 2
+         |), o AS (
+         |  SELECT event_type, hour_ms, y,
+         |    row_number() OVER w AS rn,
+         |    sum(y) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h WHERE y IS NOT NULL
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms)
+         |), t AS (
+         |  SELECT event_type, hour_ms,
+         |    CAST(round(CAST(y AS DOUBLE)
+         |      - CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE)
+         |      - $PhDelta, 12) AS DECIMAL(24,12)) AS term
+         |  FROM o
+         |), m1 AS (
+         |  SELECT event_type, hour_ms,
+         |    sum(term) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+         |  FROM t
+         |), m AS (
+         |  SELECT event_type, hour_ms, m,
+         |    min(m) OVER (PARTITION BY event_type ORDER BY hour_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+         |  FROM m1
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |  round(max(CAST(m - runmin AS DOUBLE)), 6) AS max_ph_r,
+         |  min(CASE WHEN CAST(m - runmin AS DOUBLE) > $PhLambda
+         |    THEN hour_ms END) AS first_alarm_hour_ms
+         |FROM m GROUP BY 1""".stripMargin,
+
+    // same per-user decimal totals, same (x, user_id) ascending rank,
+    // same DECIMAL(31,4) rank·x terms and fixed IEEE finish
+    "events_gini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS rn FROM u
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users, sum(x) AS sx,
+        |    sum(CAST(rn AS DECIMAL(12,0)) * x) AS srx
+        |  FROM r
+        |)
+        |SELECT n_users, round(CAST(sx AS DOUBLE), 6) AS total_r,
+        |  round(2.0 * CAST(srx AS DOUBLE)
+        |      / (CAST(n_users AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 6)
+        |    AS gini_r
+        |FROM a""".stripMargin,
 
     // same hourly decimals and expanded sums as events_acf, cross-type
     // aligned pairs, √(den_a·den_b) normalizer — term-for-term

@@ -654,6 +654,36 @@ object SimilarityQueries {
         Tables.embeddings(s, dir)
           .select(col("vec_id"), col("label").cast("bigint").as("label")))),
 
+    // The kNN graph with BOTH scale controls composed (the
+    // dedup_semantic_hier_scaled pattern): corpus-proportional child
+    // lists bound the candidate-pair term, and the second Bernoulli
+    // gate draws a coarse level from the child seeds so the per-vector
+    // PROBE RANKING is E[ncoarse] + E[nlist/ncoarse] compiled ranks
+    // instead of all nlist — the flat emb_knn_graph_scaled's residual
+    // super-linearity (its 3.2× at 10× is exactly the O(n·nlist)
+    // assignment term; measured in scale_bench). Probes = the top-
+    // NProbe CHILD lists within the winning coarse cell; candidates
+    // confined to those lists. Oracle-checked end to end through the
+    // identical two-level decimal argmin chain.
+    "emb_knn_graph_hier_scaled" -> ((s, dir) => {
+      val assigned = hierScaledAssigned(s, dir)
+      val probes = hierScaledRanked(s, dir)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+          explode(slice(col("ranks"), 1, NProbe)).as("list_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(probes, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorOps.dotDecimal(col("q_emb"), col("embedding")).cast("double") /
+            (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id").as("src"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("dst"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // CLUSTERING QUALITY — simplified silhouette over the trained
     // k-means index: per vector, a = cosine distance to its OWN
     // centroid, b = distance to the nearest OTHER centroid, s =
@@ -2171,31 +2201,61 @@ object SimilarityQueries {
     * Deterministic per fixture (the gates hash vec_id only):
     * 11 children / 1 coarse at the 500-vector sfs, 43 / 15 at sf0.1.
     */
-  private def hierScaledAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Artifacts.materialized(s, dir, "hier_scaled_assigned") {
-      import graft.functions.CentroidRanks
+  /** The Bernoulli-gated COARSE cents array (seeds passing both
+    * gates) — level 1 of the two-level scaled index, shared by the
+    * assignment and the hier kNN probes.
+    */
+  private def hierScaledCoarse(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "hier_scaled_coarse") {
       val emb = embWithNorm(s, dir)
       val childGate =
         VectorOps.hash31(concat(lit("seed_"), col("vec_id").cast("string"))) % SeedMod === 0
       val coarseGate =
         VectorOps.hash31(concat(lit("coarse_"), col("vec_id").cast("string"))) % CoarseGateMod === 0
-      val coarse = centsFrameOf(
+      centsFrameOf(
         emb.filter(childGate && coarseGate)
           .select(col("vec_id").as("list_id"),
                   posexplode(col("embedding")).as(Seq("i", "x")))
           .select(col("list_id"), col("i"), col("x").cast("double").as("c")))
-      val childCents = assignTo(emb.filter(childGate), coarse)
+    }
+
+  /** Child seeds packed into one cents array PER coarse id — level 2
+    * of the two-level scaled index (each row broadcastable, looked up
+    * by the winning coarse id).
+    */
+  private def hierScaledChildCents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "hier_scaled_childcents") {
+      val emb = embWithNorm(s, dir)
+      val childGate =
+        VectorOps.hash31(concat(lit("seed_"), col("vec_id").cast("string"))) % SeedMod === 0
+      assignTo(emb.filter(childGate), hierScaledCoarse(s, dir))
         .select(col("list_id").as("coarse_id"),
           struct(col("vec_id").as("list_id"),
             transform(col("embedding"), x => x.cast("double")).as("centroid"),
             col("nrm").as("cnorm")).as("cent"))
         .groupBy(col("coarse_id"))
         .agg(array_sort(collect_list(col("cent"))).as("cents"))
-      assignTo(emb, coarse)
-        .withColumnRenamed("list_id", "coarse_id")
-        .join(broadcast(childCents), Seq("coarse_id"))
-        .withColumn("list_id",
-          element_at(CentroidRanks(col("embedding"), col("nrm"), col("cents")), 1))
+    }
+
+  /** Every corpus vector with its CHILD-list ranks within the winning
+    * coarse cell — the shared two-level projection behind
+    * [[hierScaledAssigned]] (rank 1) and the hier kNN probes
+    * (ranks ≤ NProbe).
+    */
+  private def hierScaledRanked(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.CentroidRanks
+    assignTo(embWithNorm(s, dir), hierScaledCoarse(s, dir))
+      .withColumnRenamed("list_id", "coarse_id")
+      .join(broadcast(hierScaledChildCents(s, dir)), Seq("coarse_id"))
+      .withColumn("ranks",
+        CentroidRanks(col("embedding"), col("nrm"), col("cents")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ranks"))
+  }
+
+  private def hierScaledAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "hier_scaled_assigned") {
+      hierScaledRanked(s, dir)
+        .withColumn("list_id", element_at(col("ranks"), 1))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
     }
 
@@ -3327,6 +3387,63 @@ object SimilarityQueries {
          |    AS DOUBLE) / count(*), 6) AS acc_r
          |FROM pred p JOIN embeddings e USING (vec_id)
          |GROUP BY 1""".stripMargin,
+
+    // the dedup_semantic_hier_scaled two-level chain (both gates, the
+    // identical decimal argmin at each level) with the fscore ranks
+    // reused as probes (rk ≤ NProbe) next to the assignment (rk = 1)
+    "emb_knn_graph_hier_scaled" ->
+      s"""WITH child AS (
+         |  SELECT vec_id AS child_id, embedding
+         |  FROM embeddings
+         |  WHERE (CAST(concat('0x', substr(md5(concat('seed_', CAST(vec_id AS VARCHAR))), 1, 14)) AS BIGINT)
+         |         % 2147483647) % $SeedMod = 0
+         |), coarse AS (
+         |  SELECT child_id AS coarse_id, embedding
+         |  FROM child
+         |  WHERE (CAST(concat('0x', substr(md5(concat('coarse_', CAST(child_id AS VARCHAR))), 1, 14)) AS BIGINT)
+         |         % 2147483647) % $CoarseGateMod = 0
+         |), cscore AS (
+         |  SELECT c.child_id, k.coarse_id,
+         |    row_number() OVER (PARTITION BY c.child_id
+         |      ORDER BY ${duckCos("c.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
+         |  FROM child c, coarse k
+         |), cassign AS (
+         |  SELECT child_id, coarse_id FROM cscore WHERE rk = 1
+         |), vscore AS (
+         |  SELECT e.vec_id, k.coarse_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCos("e.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
+         |  FROM embeddings e, coarse k
+         |), vassign AS (
+         |  SELECT vec_id, coarse_id FROM vscore WHERE rk = 1
+         |), fscore AS (
+         |  SELECT e.vec_id, ch.child_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCos("e.embedding", "che.embedding")} DESC, ch.child_id) AS rk
+         |  FROM embeddings e
+         |  JOIN vassign va ON va.vec_id = e.vec_id
+         |  JOIN cassign ch ON ch.coarse_id = va.coarse_id
+         |  JOIN embeddings che ON che.vec_id = ch.child_id
+         |), assigned AS (
+         |  SELECT vec_id, child_id AS list_id FROM fscore WHERE rk = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS q_id, child_id AS list_id FROM fscore
+         |  WHERE rk <= $NProbe
+         |), pairs AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    ${duckCos("qe.embedding", "ae.embedding")} AS cos
+         |  FROM qprobe q
+         |  JOIN assigned a ON a.list_id = q.list_id
+         |  JOIN embeddings qe ON qe.vec_id = q.q_id
+         |  JOIN embeddings ae ON ae.vec_id = a.vec_id
+         |  WHERE a.vec_id <> q.q_id
+         |), rankedp AS (
+         |  SELECT q_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id AS src, rank, vec_id AS dst, round(cos, 6) AS cos_r
+         |FROM rankedp WHERE rank <= $TopK""".stripMargin,
 
     "emb_silhouette" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scored AS (

@@ -231,6 +231,37 @@ object StatTestQueries {
           .otherwise(round(exp(col("s_log").cast("double")), 6)).as("surv_r"))
   }
 
+  /** Nelson-Aalen cumulative hazard from the SAME merged grid as
+    * [[survivalFinish]] — the second finish on one merge law (the
+    * acf/ljungbox/runs precedent): H(t) = Σ_{dᵢ ≤ t} dᵢ/nᵢ with
+    * se² = Σ dᵢ/nᵢ² (Klein's form). Identical n_risk count
+    * arithmetic; per-step terms 9/12-dp-quantized to decimal before
+    * the (order-insensitive) cumulative sums; one sqrt at output.
+    */
+  private[graft] def hazardFinish(grid: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("dur_h"))
+    grid
+      .withColumn("n_total", sum(col("deaths") + col("censors")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("n_risk", col("n_total") - coalesce(
+        sum(col("deaths") + col("censors")).over(
+          byType.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("hf",
+        round(col("deaths").cast("double") / col("n_risk").cast("double"), 9)
+          .cast("decimal(20,9)"))
+      .withColumn("vf",
+        round(col("deaths").cast("double")
+          / (col("n_risk").cast("double") * col("n_risk").cast("double")), 12)
+          .cast("decimal(24,12)"))
+      .withColumn("h_cum", sum(col("hf")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("v_cum", sum(col("vf")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_type"), col("dur_h"), col("n_risk"), col("deaths"),
+        round(col("h_cum").cast("double"), 6).as("cum_hazard_r"),
+        round(sqrt(col("v_cum").cast("double")), 6).as("se_r"))
+  }
+
   /** One-way ANOVA from a (event_type, v DECIMAL(18,4)) frame —
     * sufficient statistics (n, Σv, Σv²) per group in one partial-
     * aggregable pass, then a k-row serving computation. Per-group
@@ -479,6 +510,16 @@ object StatTestQueries {
     // twin's proof.
     "events_survival" -> ((s, dir) =>
       survivalFinish(survivalGrid(userSpans(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"),
+          col("ts_ms")))))),
+
+    // NELSON-AALEN CUMULATIVE HAZARD — the instantaneous-risk view of
+    // the SAME (type, duration) death/censor grid Kaplan-Meier reads
+    // (H(t) = Σ d/n with its standard error; preferred over −ln(KM)
+    // for small at-risk sets, and the input to hazard-ratio eyeballs).
+    // A second finish on one merge law — no new data-sized pass.
+    "events_cum_hazard" -> ((s, dir) =>
+      hazardFinish(survivalGrid(userSpans(
         Tables.events(s, dir).select(col("event_type"), col("user_id"),
           col("ts_ms")))))),
 
@@ -831,5 +872,46 @@ object StatTestQueries {
         |  CASE WHEN srn * 10 <= cnt * 8 THEN 'train'
         |       WHEN srn * 10 <= cnt * 9 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    // the events_survival grid CTEs verbatim with the Nelson-Aalen
+    // tail (9/12-dp-quantized d/n and d/n² terms, decimal cumsums)
+    "events_cum_hazard" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+        |  FROM events
+        |), spans AS (
+        |  SELECT event_type, user_id, min(ts_ms) AS first_ts,
+        |    max(ts_ms) AS last_ts
+        |  FROM e GROUP BY 1, 2
+        |), cut AS (
+        |  SELECT max(last_ts) - 86400000 AS t_cut FROM spans
+        |), grid AS (
+        |  SELECT event_type, (last_ts - first_ts) // 3600000 AS dur_h,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 0 ELSE 1 END) AS deaths,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 1 ELSE 0 END) AS censors
+        |  FROM spans CROSS JOIN cut GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, dur_h, deaths,
+        |    sum(deaths + censors) OVER (PARTITION BY event_type)
+        |      - coalesce(sum(deaths + censors) OVER (PARTITION BY event_type
+        |          ORDER BY dur_h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grid
+        |), t AS (
+        |  SELECT event_type, dur_h, deaths, n_risk,
+        |    CAST(round(CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE), 9)
+        |      AS DECIMAL(20,9)) AS hf,
+        |    CAST(round(CAST(deaths AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)) AS vf
+        |  FROM r
+        |)
+        |SELECT event_type, dur_h, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(deaths AS BIGINT) AS deaths,
+        |  round(CAST(sum(hf) OVER w AS DOUBLE), 6) AS cum_hazard_r,
+        |  round(sqrt(CAST(sum(vf) OVER w AS DOUBLE)), 6) AS se_r
+        |FROM t
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dur_h
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
 }

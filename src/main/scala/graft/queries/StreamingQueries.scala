@@ -1052,6 +1052,22 @@ object StreamingQueries {
             max(col("last_ts")).as("last_ts"))))
     }),
 
+    // STREAMING CUMULATIVE HAZARD — the Nelson-Aalen finish over the
+    // SAME merged span state as stream_survival ((min, max) per
+    // (type, user) — both mergeable); one state table serves both
+    // survival readings in a deployment. Shares events_cum_hazard's
+    // oracle, hash-proven.
+    "stream_cum_hazard" -> ((s, dir) => {
+      StatTestQueries.hazardFinish(StatTestQueries.survivalGrid(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("user_id"), col("ts_ms")),
+          "graft-hazard-partials-")(StatTestQueries.userSpans)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("first_ts")).as("first_ts"),
+            max(col("last_ts")).as("last_ts"))))
+    }),
+
     // STREAMING TRIMMED/WINSORIZED MEANS — rank statistics under
     // ingest without keeping rows: per-batch (type, value) counts
     // sum-merge into a value grid (the 4-dp money values make the
@@ -1857,6 +1873,33 @@ object StreamingQueries {
             "graft-pmi-partials-")(EventQueries.cfExposures)
           .distinct()))),
 
+    // STREAMING GINI — concentration maintained as revenue ingests:
+    // per-user decimal totals are the additive state (one row per
+    // user, the stream_rfm shape), the merge is SUM per user, and the
+    // rank-based Lorenz ordering runs at SERVING time over the merged
+    // table through GlobalOrder (ranks are not mergeable — the
+    // stream_rfm ntile argument). Shares events_gini's oracle,
+    // hash-proven.
+    "stream_gini" -> ((s, dir) =>
+      EventQueries.giniFinish(
+        partialsOf(
+            eventsStream(s, dir).select(col("user_id"), col("value")),
+            "graft-gini-partials-")(EventQueries.giniCells)
+          .groupBy(col("user_id"))
+          .agg(sum(col("x")).as("x")))),
+
+    // STREAMING LEXICAL DIVERSITY — vocabulary health maintained as
+    // documents ingest: per-batch (source, token) counts are additive
+    // state (the jsdCells law), the merge is SUM per cell, and the
+    // TTR/hapax finish runs over the merged vocabulary table. Shares
+    // text_lexical_diversity's oracle, hash-proven.
+    "stream_lexical_diversity" -> ((s, dir) =>
+      TextQueries.lexdivFinish(
+        partialsOf(documentsStream(s, dir),
+            "graft-lexdiv-partials-")(TextQueries.lexdivCells)
+          .groupBy(col("source"), col("tok"))
+          .agg(sum(col("cnt")).as("cnt")))),
+
     // STREAMING N-GRAM NOVELTY — the train set is DISTINCT-UNION
     // state: per batch, the distinct (doc_id, bigram, is_test) rows
     // append (the md5 '#novel' split is a pure doc_id hash, so every
@@ -2022,6 +2065,8 @@ object StreamingQueries {
     // Min/max-merge of per-batch user spans ≡ whole-history spans —
     // shares the batch Kaplan-Meier oracle.
     "stream_survival" -> StatTestQueries.oracleSql("events_survival"),
+    // same merged span state as stream_survival, Nelson-Aalen finish
+    "stream_cum_hazard" -> StatTestQueries.oracleSql("events_cum_hazard"),
     // Sum-merge of per-batch per-type moment partials ≡ one-pass
     // sufficient statistics — shares the batch ANOVA oracle.
     "stream_anova" -> StatTestQueries.oracleSql("events_anova"),
@@ -2082,6 +2127,12 @@ object StreamingQueries {
     // Distinct-union bigram state + serving-time anti-membership ≡
     // the batch novelty scan — shares its oracle, hash-proven.
     "stream_ngram_novelty" -> TextQueries.oracleSql("text_ngram_novelty"),
+    // Sum-merge of per-user decimal totals + serving-time GlobalOrder
+    // rank ≡ the batch Lorenz chain — shares events_gini's oracle.
+    "stream_gini" -> EventQueries.oracleSql("events_gini"),
+    // Sum-merge of per-batch (source, token) cells ≡ the batch
+    // vocabulary table — shares text_lexical_diversity's oracle.
+    "stream_lexical_diversity" -> TextQueries.oracleSql("text_lexical_diversity"),
 
     // Merge of per-batch partial sketches ≡ the batch sketch — shares
     // the batch HLL oracle.

@@ -398,6 +398,18 @@ object TextQueries {
     "text_ngram_novelty" -> ((s, dir) =>
       novelFinish(novelBigrams(Tables.documents(s, dir)))),
 
+    // LEXICAL DIVERSITY per source — corpus-level type-token ratio and
+    // hapax-legomenon share, the vocabulary-health readout a curation
+    // dashboard pairs with text_zipf/text_heaps_law (a source whose
+    // TTR collapses is template spam; a hapax share near 1 is OCR
+    // noise or ID soup — both are mixture red flags before training).
+    // ONE additive (source, token) count agg (the twin's sum-merged
+    // state, the jsdCells shape); the finish is a per-source hash agg
+    // over the vocabulary-sized cell table — integer counts, two IEEE
+    // divisions at the end.
+    "text_lexical_diversity" -> ((s, dir) =>
+      lexdivFinish(lexdivCells(Tables.documents(s, dir)))),
+
     // BLEU-2 OVER CANDIDATE PAIRS — clipped n-gram precision scoring
     // on the LSH blocking pairs (the dedup chain's candidates): for
     // each (candidate = doc_a, reference = doc_b) edge, modified
@@ -1641,6 +1653,30 @@ object TextQueries {
        |         CAST(0.0 AS DOUBLE) AS b2
        |), ${(1 to LrRounds).map(t => lrRoundSql(t)).mkString(", ")}""".stripMargin
 
+  /** The additive half of `text_lexical_diversity`: per-(source,
+    * token) counts — sum-mergeable (`stream_lexical_diversity`'s hash
+    * proof); zero rows on empty input (key-grouped).
+    */
+  private[graft] def lexdivCells(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The diversity finish over merged (source, token, cnt) cells —
+    * TTR and hapax share per source; shared by the batch query and
+    * the streaming twin.
+    */
+  private[graft] def lexdivFinish(cells: org.apache.spark.sql.DataFrame) =
+    cells.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           count(lit(1)).as("vocab"),
+           sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("vocab").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr_r"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_ratio_r"))
+
   /** Per-doc exploded bigrams with the md5 '#novel' train/test flag —
     * the UNION-mergeable half of `text_ngram_novelty` (the streaming
     * twin appends per-batch distinct (doc_id, g, is_test) rows and
@@ -2529,6 +2565,24 @@ object TextQueries {
          |GROUP BY token
          |ORDER BY cnt DESC, token
          |LIMIT 20""".stripMargin,
+
+    // same (source, token) count cells, same integer hapax test, two
+    // IEEE divisions
+    "text_lexical_diversity" ->
+      """WITH c AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+        |    AS ttr_r,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio_r
+        |FROM c GROUP BY 1""".stripMargin,
 
     "text_redact" ->
       s"""WITH aug AS (
