@@ -138,7 +138,9 @@ object ScaleBench {
     "emb_knn_accuracy_scaled", "emb_knn_graph_hier_scaled",
     // r13 wave 2
     "events_gini", "text_lexical_diversity", "events_page_hinkley",
-    "pipeline_pack_efficiency", "events_cum_hazard")
+    "pipeline_pack_efficiency", "events_cum_hazard",
+    "graph_assortativity", "events_capture_recapture",
+    "events_odds_ratio")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -182,7 +184,8 @@ object ScaleBench {
     // r13 twins
     "stream_cluster_nmi", "stream_item_cf", "stream_item_pmi",
     "stream_ngram_novelty", "stream_gini", "stream_lexical_diversity",
-    "stream_cum_hazard")
+    "stream_cum_hazard", "stream_capture_recapture",
+    "stream_odds_ratio")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -335,6 +335,37 @@ object DedupQueries {
                   lit(0L)).as("clustering_ppm"))
     }),
 
+    // DEGREE ASSORTATIVITY (Newman 2002) — do high-degree near-dup
+    // hubs link to other hubs (r > 0, a merged template family) or to
+    // leaves (r < 0, the star topology LSH banding produces by
+    // construction)? The one-number mixing summary next to
+    // triangles/k-core on the graph-structure shelf. Shape: one degree
+    // hash agg, two broadcast-able joins stamping endpoint degrees on
+    // the symmetrized edges, exact DECIMAL(38,0) moment sums (Σd_a,
+    // Σd_a·d_b, Σd_a² per side — integer until the finish), then
+    // Pearson r in one fixed double order. O(|E|), no windows.
+    "graph_assortativity" -> ((s, dir) => {
+      val e = lshEdges(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      val m = sym
+        .join(deg.select(col("v").as("a"), col("d").as("dx")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("dy")), "b")
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx").cast("decimal(38,0)")).as("sx"),
+          sum(col("dy").cast("decimal(38,0)")).as("sy"),
+          sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+      val md = col("m").cast("double")
+      val num = md * asDouble(col("sxy")) - asDouble(col("sx")) * asDouble(col("sy"))
+      val den1 = md * asDouble(col("sxx")) - asDouble(col("sx")) * asDouble(col("sx"))
+      val den2 = md * asDouble(col("syy")) - asDouble(col("sy")) * asDouble(col("sy"))
+      m.select(col("m").as("n_dir_edges"),
+        round(when(den1 > 0.0 && den2 > 0.0,
+          num / (sqrt(den1) * sqrt(den2))), 6).as("assortativity_r"))
+    }),
+
     // K-CORE DECOMPOSITION over the dedup graph — the fourth graph
     // primitive (CC: who is connected; PageRank: who is central;
     // triangles: how clique-like; k-core: how DEEPLY embedded). The
@@ -1796,6 +1827,41 @@ object DedupQueries {
     // Bloom pruning is invisible in the result (no false negatives) —
     // the composed query shares the unpruned oracle verbatim.
     "dedup_incremental_bloom" -> IncrementalOracle,
+
+    // same symmetrized star edges, same exact integer moments, same
+    // fixed-order Pearson finish
+    "graph_assortativity" ->
+      s"""WITH $lshEdgeCtes, sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM edges
+         |), deg AS (
+         |  SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    sum(CAST(dx.d AS DECIMAL(38,0))) AS sx,
+         |    sum(CAST(dy.d AS DECIMAL(38,0))) AS sy,
+         |    sum(CAST(dx.d * dy.d AS DECIMAL(38,0))) AS sxy,
+         |    sum(CAST(dx.d * dx.d AS DECIMAL(38,0))) AS sxx,
+         |    sum(CAST(dy.d * dy.d AS DECIMAL(38,0))) AS syy
+         |  FROM sym
+         |  JOIN deg dx ON dx.v = sym.a
+         |  JOIN deg dy ON dy.v = sym.b
+         |)
+         |SELECT m AS n_dir_edges,
+         |  round(CASE WHEN
+         |      CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+         |      AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+         |    THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    END, 6) AS assortativity_r
+         |FROM st""".stripMargin,
 
     // same star edges → same (degree, id) orientation → wedge +
     // closing-edge EXISTS — exact integer outputs throughout

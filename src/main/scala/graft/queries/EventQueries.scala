@@ -1103,6 +1103,30 @@ object EventQueries {
     "events_uplift_segments" -> ((s, dir) =>
       upliftFinish(upliftCells(Tables.events(s, dir)))),
 
+    // CAPTURE-RECAPTURE POPULATION ESTIMATE (Chapman's estimator) —
+    // how many users exist that we have NOT observed: two "capture
+    // occasions" = md5 '#cr' halves of the event stream; N̂ =
+    // (n₁+1)(n₂+1)/(m+1) − 1 from the half memberships and the
+    // overlap. The standard completeness audit for logging pipelines
+    // (an N̂ well above the observed distinct count means events are
+    // being dropped); n_true rides along so the fixture certifies the
+    // estimator (complete logging ⇒ N̂ ≈ n_true). One distinct
+    // (type, user, half) cell pass — union-mergeable, the twin's
+    // state; integer marginals; one fixed double chain.
+    "events_capture_recapture" -> ((s, dir) =>
+      crFinish(crCells(Tables.events(s, dir)))),
+
+    // ODDS RATIO with Woolf CI — THE 2×2 effect-size readout next to
+    // events_chisq's independence test and events_srm's ratio guard:
+    // conversion (user ever purchased) by `#ab` variant, OR =
+    // (a·d)/(b·c), ln-scale SE = √(Σ 1/cell), 95% CI. Per-user
+    // conversion is a MAX-merge (any purchase in any batch converts
+    // the user — the twin's law); the 2×2 marginals are one hash agg
+    // over the user-sized cell table; the transcendental chain runs
+    // on a 1-row frame.
+    "events_odds_ratio" -> ((s, dir) =>
+      orFinish(orCells(Tables.events(s, dir)))),
+
     // GINI CONCENTRATION INDEX — how concentrated is event value
     // across users (the revenue-concentration / data-source-dominance
     // readout a curation dashboard pairs with pipeline_source_report;
@@ -2539,6 +2563,72 @@ object EventQueries {
   private[graft] val PowerZ2: Double = {
     val z = 1.959964 + 0.841621
     z * z
+  }
+
+  /** The union-mergeable half of `events_capture_recapture`: distinct
+    * (type, user, md5-'#cr' half) memberships — per-batch distincts
+    * re-distincted equal the batch distinct (`stream_capture_recapture`'s
+    * law). Zero rows on empty input.
+    */
+  private[graft] def crCells(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("event_type"), col("user_id"),
+        (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit("#cr"))), 1, 14), 16, 10).cast("long") % 2).as("half"))
+      .distinct()
+
+  /** Chapman finish over merged capture cells: per-user half
+    * memberships → integer marginals → N̂ = (n₁+1)(n₂+1)/(m+1) − 1 in
+    * one fixed double chain; n_true (observed distinct users) rides
+    * along as the self-audit.
+    */
+  private[graft] def crFinish(cells: org.apache.spark.sql.DataFrame) =
+    cells
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max(when(col("half") === 0, 1L).otherwise(0L)).as("in_a"),
+           max(when(col("half") === 1, 1L).otherwise(0L)).as("in_b"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("in_a")).as("n1"), sum(col("in_b")).as("n2"),
+           sum(col("in_a") * col("in_b")).as("m"),
+           count(lit(1)).as("n_true"))
+      .select(col("event_type"), col("n1"), col("n2"), col("m"),
+        col("n_true"),
+        round((col("n1") + 1).cast("double") * (col("n2") + 1).cast("double")
+            / (col("m") + 1).cast("double") - lit(1.0), 6)
+          .as("chapman_r"))
+
+  /** The max-mergeable half of `events_odds_ratio`: per-(user,
+    * variant) conversion flag — any purchase in any batch converts
+    * the user (`stream_odds_ratio`'s law). Zero rows on empty input.
+    */
+  private[graft] def orCells(e: org.apache.spark.sql.DataFrame) =
+    e.select(
+        (conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("#ab"))), 1, 14), 16, 10).cast("long") % 2).as("variant"),
+        col("user_id"),
+        (col("event_type") === "purchase").as("p"))
+      .groupBy(col("variant"), col("user_id"))
+      .agg(max(when(col("p"), 1L).otherwise(0L)).as("conv"))
+
+  /** Odds-ratio finish over merged per-user conversion cells: 2×2
+    * marginals (a/b = treatment converted/not, c/d = control), OR with
+    * the Woolf ln-scale 95% CI — transcendentals on a 1-row frame,
+    * guarded for empty cells.
+    */
+  private[graft] def orFinish(cells: org.apache.spark.sql.DataFrame) = {
+    val m = cells.agg(
+      sum(when(col("variant") === 1, col("conv"))).as("a"),
+      sum(when(col("variant") === 1, lit(1L) - col("conv"))).as("b"),
+      sum(when(col("variant") === 0, col("conv"))).as("c"),
+      sum(when(col("variant") === 0, lit(1L) - col("conv"))).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val orD = col("a").cast("double") * col("d").cast("double") /
+      (col("b").cast("double") * col("c").cast("double"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    m.select(col("a"), col("b"), col("c"), col("d"),
+      round(when(ok, orD), 6).as("odds_ratio_r"),
+      round(when(ok, exp(log(orD) - lit(1.96) * se)), 6).as("ci_lo_r"),
+      round(when(ok, exp(log(orD) + lit(1.96) * se)), 6).as("ci_hi_r"))
   }
 
   /** The mergeable half of `events_gini`: per-user exact decimal
@@ -5155,6 +5245,64 @@ object EventQueries {
          |  min(CASE WHEN CAST(m - runmin AS DOUBLE) > $PhLambda
          |    THEN hour_ms END) AS first_alarm_hour_ms
          |FROM m GROUP BY 1""".stripMargin,
+
+    // same '#cr' half split, same per-user membership max, same
+    // integer marginals and fixed double Chapman chain
+    "events_capture_recapture" ->
+      """WITH c AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    (CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
+        |      '#cr')), 1, 14)) AS BIGINT)) % 2 AS half
+        |  FROM events
+        |), pu AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_b
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  CAST(sum(in_a) AS BIGINT) AS n1,
+        |  CAST(sum(in_b) AS BIGINT) AS n2,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_true,
+        |  round(CAST(sum(in_a) + 1 AS DOUBLE) * CAST(sum(in_b) + 1 AS DOUBLE)
+        |    / CAST(sum(in_a * in_b) + 1 AS DOUBLE) - 1.0, 6) AS chapman_r
+        |FROM pu GROUP BY 1""".stripMargin,
+
+    // same '#ab' split and max-merge conversion flag, same 2x2
+    // marginals and Woolf chain
+    "events_odds_ratio" ->
+      """WITH u AS (
+        |  SELECT
+        |    (CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+        |      '#ab')), 1, 14)) AS BIGINT)) % 2 AS variant,
+        |    user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 - conv END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 - conv END) AS BIGINT) AS d
+        |  FROM u
+        |)
+        |SELECT a, b, c, d,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+        |    AS odds_ratio_r,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)) END, 6)
+        |    AS ci_lo_r,
+        |  round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)) END, 6)
+        |    AS ci_hi_r
+        |FROM m""".stripMargin,
 
     // same per-user decimal totals, same (x, user_id) ascending rank,
     // same DECIMAL(31,4) rank·x terms and fixed IEEE finish

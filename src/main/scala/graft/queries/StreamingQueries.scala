@@ -1873,6 +1873,32 @@ object StreamingQueries {
             "graft-pmi-partials-")(EventQueries.cfExposures)
           .distinct()))),
 
+    // STREAMING CAPTURE-RECAPTURE — logging-completeness audit under
+    // ingest: distinct (type, user, half) memberships are
+    // idempotent-union state (the stream_retention law); the Chapman
+    // finish runs over the merged cells. Shares
+    // events_capture_recapture's oracle, hash-proven.
+    "stream_capture_recapture" -> ((s, dir) =>
+      EventQueries.crFinish(
+        partialsOf(
+            eventsStream(s, dir)
+              .select(col("event_type"), col("user_id"), col("event_id")),
+            "graft-cr-partials-")(EventQueries.crCells)
+          .distinct())),
+
+    // STREAMING ODDS RATIO — the 2×2 effect size maintained online:
+    // per-(user, variant) conversion flags are MAX-merge state (any
+    // purchase in any batch converts the user — the stream_rfm max
+    // law); marginals + the Woolf chain run at serving. Shares
+    // events_odds_ratio's oracle, hash-proven.
+    "stream_odds_ratio" -> ((s, dir) =>
+      EventQueries.orFinish(
+        partialsOf(
+            eventsStream(s, dir).select(col("user_id"), col("event_type")),
+            "graft-or-partials-")(EventQueries.orCells)
+          .groupBy(col("variant"), col("user_id"))
+          .agg(max(col("conv")).as("conv")))),
+
     // STREAMING GINI — concentration maintained as revenue ingests:
     // per-user decimal totals are the additive state (one row per
     // user, the stream_rfm shape), the merge is SUM per user, and the
@@ -2130,6 +2156,10 @@ object StreamingQueries {
     // Sum-merge of per-user decimal totals + serving-time GlobalOrder
     // rank ≡ the batch Lorenz chain — shares events_gini's oracle.
     "stream_gini" -> EventQueries.oracleSql("events_gini"),
+    // Union-merged capture cells / max-merged conversion flags ≡ the
+    // batch 2x2 chains — share the batch oracles.
+    "stream_capture_recapture" -> EventQueries.oracleSql("events_capture_recapture"),
+    "stream_odds_ratio" -> EventQueries.oracleSql("events_odds_ratio"),
     // Sum-merge of per-batch (source, token) cells ≡ the batch
     // vocabulary table — shares text_lexical_diversity's oracle.
     "stream_lexical_diversity" -> TextQueries.oracleSql("text_lexical_diversity"),

@@ -83,6 +83,33 @@ class Round13Wave2Spec extends SparkSpec {
     } finally { eff.unpersist(); () }
   }
 
+  test("crFinish: hand-computed Chapman estimate") {
+    // 3 users in A only, 2 in B only, 5 in both (per one type):
+    // n1=8, n2=7, m=5, N̂ = 9*8/6 - 1 = 11; n_true = 10
+    val cells =
+      ((1L to 3L).map(u => ("t", u, 0L)) ++
+       (4L to 5L).map(u => ("t", u, 1L)) ++
+       (6L to 10L).flatMap(u => Seq(("t", u, 0L), ("t", u, 1L))))
+        .toDF("event_type", "user_id", "half")
+    val r = graft.queries.EventQueries.crFinish(cells).head()
+    assert(r.getAs[Long]("n1") == 8L && r.getAs[Long]("n2") == 7L &&
+      r.getAs[Long]("m") == 5L && r.getAs[Long]("n_true") == 10L)
+    assert(math.abs(r.getAs[Double]("chapman_r") - 11.0) < 1e-9)
+  }
+
+  test("orFinish: hand-computed 2x2 odds ratio and CI coverage") {
+    // a=20 b=30 (treatment), c=10 d=40 (control): OR = 20*40/(30*10) = 8/3
+    val cells =
+      ((1L to 20L).map(u => (1L, u, 1L)) ++ (21L to 50L).map(u => (1L, u, 0L)) ++
+       (51L to 60L).map(u => (0L, u, 1L)) ++ (61L to 100L).map(u => (0L, u, 0L)))
+        .toDF("variant", "user_id", "conv")
+    val r = graft.queries.EventQueries.orFinish(cells).head()
+    val or = r.getAs[Double]("odds_ratio_r")
+    assert(math.abs(or - 8.0 / 3.0) < 1e-6)
+    assert(r.getAs[Double]("ci_lo_r") < or && or < r.getAs[Double]("ci_hi_r"))
+    assert(r.getAs[Double]("ci_lo_r") > 0.0)
+  }
+
   test("emb_knn_graph_hier_scaled: contiguous ranks, no self-edges") {
     val g = SimilarityQueries.queries("emb_knn_graph_hier_scaled")(spark, sf)
       .persist()

@@ -4,11 +4,15 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.tables.Tables
 
-/** Theil-Sen robust slope (`events_theilsen`): from-scratch scalar
-  * recomputation of the hourly series → pairwise slopes → rank-median
-  * chain, plus the robustness property that motivates the operator
-  * (an injected outlier hour drags OLS far more than the pairwise
-  * median).
+/** Theil-Sen robust slope: from-scratch scalar recomputation of the
+  * hourly series → pairwise slopes → rank-median chain, plus the
+  * robustness property that motivates the operator (an injected
+  * outlier hour drags OLS far more than the pairwise median). The
+  * unbounded all-pairs formulation RETIRED from the query surface in
+  * r13 (`theilsenOver` with no bound) is exercised directly here —
+  * this spec plus Round13OpsSpec's span-covering-bound identity keep
+  * the exact formula tree verified while `events_theilsen_win`
+  * carries the bench/scale row.
   */
 class TheilSenSpec extends SparkSpec {
 
@@ -39,7 +43,7 @@ class TheilSenSpec extends SparkSpec {
   }
 
   test("per-type slope equals a from-scratch scalar recomputation") {
-    val got = EventQueries.queries("events_theilsen")(spark, sf)
+    val got = EventQueries.theilsenOver(EventQueries.hourlySeries(spark, sf))
       .collect().map(r => r.getString(0) ->
         (r.getAs[Long]("n_pairs"), r.getAs[Double]("slope_per_hour_r"))).toMap
     assert(got.keySet === hourly.keySet)
