@@ -1561,8 +1561,11 @@ object DedupQueries {
             val stopRatio = st.getField("n_stop") / nTok
             val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
             struct(
-              round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
-                    least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"),
+              // the TextQueries.qualityOf tie-safe rounding, verbatim
+              round(round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+                    least(meanLen / 10.0, lit(1.0)) * 0.3, 9)
+                  .cast("decimal(18,9)"), 6)
+                .cast("double").as("quality"),
               TextOps.langPredict(st.getField("cnt_en"), st.getField("cnt_es"),
                 st.getField("cnt_de")).as("lang_pred"))
           }
@@ -2627,11 +2630,11 @@ object DedupQueries {
          |  FROM documents
          |), flags AS (
          |  SELECT doc_id, fp,
-         |    round((len(list_distinct(toks)) / len(toks)) * 0.4 +
+         |    CAST(round(CAST(round((len(list_distinct(toks)) / len(toks)) * 0.4 +
          |      (1.0 - (len(list_filter(toks, t -> t = 'the')) +
          |              len(list_filter(toks, t -> t = 'a'))) / len(toks)) * 0.3 +
          |      least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0, 1.0) * 0.3,
-         |      6) AS quality,
+         |      9) AS DECIMAL(18,9)), 6) AS DOUBLE) AS quality,
          |    CASE WHEN len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'a'))
          |           AND len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'data')) THEN 'en'
          |         WHEN len(list_filter(toks, t -> t = 'a')) >= len(list_filter(toks, t -> t = 'data')) THEN 'es'
@@ -2671,11 +2674,11 @@ object DedupQueries {
          |  FROM documents
          |), flags AS (
          |  SELECT doc_id, source, lang, CAST(len(toks) AS BIGINT) AS n_toks,
-         |    round((len(list_distinct(toks)) / len(toks)) * 0.4 +
+         |    CAST(round(CAST(round((len(list_distinct(toks)) / len(toks)) * 0.4 +
          |      (1.0 - (len(list_filter(toks, t -> t = 'the')) +
          |              len(list_filter(toks, t -> t = 'a'))) / len(toks)) * 0.3 +
          |      least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0, 1.0) * 0.3,
-         |      6) AS quality,
+         |      9) AS DECIMAL(18,9)), 6) AS DOUBLE) AS quality,
          |    CAST(len(regexp_extract_all(text, '${graft.text.TextOps.EmailPat}'))
          |       + len(regexp_extract_all(regexp_replace(text,
          |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
@@ -2721,11 +2724,11 @@ object DedupQueries {
          |  FROM documents
          |), flags AS (
          |  SELECT doc_id, source,
-         |    round((len(list_distinct(toks)) / len(toks)) * 0.4 +
+         |    CAST(round(CAST(round((len(list_distinct(toks)) / len(toks)) * 0.4 +
          |      (1.0 - (len(list_filter(toks, t -> t = 'the')) +
          |              len(list_filter(toks, t -> t = 'a'))) / len(toks)) * 0.3 +
          |      least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0, 1.0) * 0.3,
-         |      6) AS quality,
+         |      9) AS DECIMAL(18,9)), 6) AS DOUBLE) AS quality,
          |    CAST(len(regexp_extract_all(text, '${graft.text.TextOps.EmailPat}'))
          |       + len(regexp_extract_all(regexp_replace(text,
          |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),

@@ -256,9 +256,15 @@ object EventQueries {
         // precision-loss rule then SHRINKS the scale toward 6 digits
         // (measured: 5e-6 drift vs the exact sum). (28,9)+(28,9) is
         // exact at these magnitudes; the re-cast keeps it that way.
-        .withColumn("ewma", round(
-          terms.reduce((a, b) => (a + b).cast("decimal(28,9)"))
-            .cast("double"), 6))
+        // Round the DECIMAL at 6 dp BEFORE the double cast (r13): the
+        // exact 9-dp sum can land exactly on a 6-dp half boundary
+        // (two rows at sf0.1 did), where round-on-DOUBLE tie behavior
+        // diverges between engines; decimal round() agrees half-up on
+        // both, and the decimal→double cast of a 6-dp value is the
+        // same correctly-rounded IEEE nearest everywhere.
+        .withColumn("ewma",
+          round(terms.reduce((a, b) => (a + b).cast("decimal(28,9)")), 6)
+            .cast("double"))
         .select(col("event_id"), col("event_type"), col("ts_ms"), col("ewma"))
     }),
 
@@ -5427,8 +5433,8 @@ object EventQueries {
          |  FROM f
          |)
          |SELECT event_id, event_type, ts_ms,
-         |  round(CAST(sum(CAST(round(x * $EwmaAlpha * pow(${1.0 - EwmaAlpha}, n - i), 9)
-         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS ewma
+         |  CAST(round(sum(CAST(round(x * $EwmaAlpha * pow(${1.0 - EwmaAlpha}, n - i), 9)
+         |    AS DECIMAL(28,9))), 6) AS DOUBLE) AS ewma
          |FROM t GROUP BY 1, 2, 3""".stripMargin,
 
     "events_retention" ->

@@ -68,8 +68,14 @@ object TextQueries {
             struct(
               round(ttr, 6).as("ttr"),
               round(stopRatio, 6).as("stop_ratio"),
-              round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
-                    least(meanLen / 10.0, lit(1.0)) * 0.3, 6).as("quality"))
+              // 9-dp double round (off any 6-dp half boundary), then a
+              // DECIMAL 6-dp round whose half-up tie semantics agree on
+              // both engines — round-on-DOUBLE tie behavior diverged on
+              // one sf0.1 doc sitting exactly on x.xxxxx5 (r13)
+              round(round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+                    least(meanLen / 10.0, lit(1.0)) * 0.3, 9)
+                  .cast("decimal(18,9)"), 6)
+                .cast("double").as("quality"))
           }
         }.as("q"))
       .select(col("doc_id"), col("q.ttr").as("ttr"),
@@ -1636,13 +1642,13 @@ object TextQueries {
        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
        |), f AS MATERIALIZED (
        |  SELECT doc_id,
-       |    CAST(CASE WHEN round(
+       |    CAST(CASE WHEN CAST(round(CAST(round(
        |        (len(list_distinct(toks)) / len(toks)) * 0.4
        |        + (1.0 - (len(list_filter(toks, t -> t = 'the'))
        |                  + len(list_filter(toks, t -> t = 'a'))) / len(toks))
        |          * 0.3
        |        + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0,
-       |                1.0) * 0.3, 6) >= 0.6
+       |                1.0) * 0.3, 9) AS DECIMAL(18,9)), 6) AS DOUBLE) >= 0.6
        |      THEN 1 ELSE 0 END AS DECIMAL(1,0)) AS y,
        |    CAST(round(CAST(len(list_filter(toks, t -> t = 'the')) * 10
        |      AS DOUBLE) / len(toks), 6) AS DECIMAL(8,6)) AS x1q,
@@ -1962,8 +1968,9 @@ object TextQueries {
          |  FROM d
          |), ql AS (
          |  SELECT doc_id, lang,
-         |    round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3
-         |          + least(mean_len / 10.0, 1.0) * 0.3, 6) AS quality
+         |    CAST(round(CAST(round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3
+         |          + least(mean_len / 10.0, 1.0) * 0.3, 9)
+         |        AS DECIMAL(18,9)), 6) AS DOUBLE) AS quality
          |  FROM q
          |), st AS (
          |  SELECT doc_id, lang,
@@ -2049,13 +2056,13 @@ object TextQueries {
         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
         |), lab AS (
         |  SELECT doc_id,
-        |    CASE WHEN round(
+        |    CASE WHEN CAST(round(CAST(round(
         |        (len(list_distinct(toks)) / len(toks)) * 0.4
         |        + (1.0 - (len(list_filter(toks, t -> t = 'the'))
         |                  + len(list_filter(toks, t -> t = 'a'))) / len(toks))
         |          * 0.3
         |        + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0,
-        |                1.0) * 0.3, 6) >= 0.6
+        |                1.0) * 0.3, 9) AS DECIMAL(18,9)), 6) AS DOUBLE) >= 0.6
         |      THEN 1 ELSE 0 END AS y
         |  FROM tq
         |), lt AS (
@@ -2200,7 +2207,7 @@ object TextQueries {
          |  FROM d
          |)
          |SELECT doc_id, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
-         |  round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(mean_len / 10.0, 1.0) * 0.3, 6) AS quality
+         |  CAST(round(CAST(round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(mean_len / 10.0, 1.0) * 0.3, 9) AS DECIMAL(18,9)), 6) AS DOUBLE) AS quality
          |FROM q""".stripMargin,
 
     // the text_quality chain + the rank-sum identity over per-score
@@ -2215,7 +2222,7 @@ object TextQueries {
          |  FROM d
          |), qual AS (
          |  SELECT doc_id,
-         |    round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(mean_len / 10.0, 1.0) * 0.3, 6) AS quality,
+         |    CAST(round(CAST(round(ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(mean_len / 10.0, 1.0) * 0.3, 9) AS DECIMAL(18,9)), 6) AS DOUBLE) AS quality,
          |    (lang = 'en') AS is_pos
          |  FROM q
          |), sg AS (

@@ -46,8 +46,10 @@ object EwmaStream {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP)
       k += 1
     }
-    BigDecimal(sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+    // round the exact decimal sum at 6 dp BEFORE the double conversion
+    // (the r13 batch-side convention — see events_ewma's comment on
+    // 6-dp half-boundary ties)
+    sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   def smooth(in: Dataset[In]): Dataset[Out] = {
