@@ -140,7 +140,7 @@ object ScaleBench {
     "events_gini", "text_lexical_diversity", "events_page_hinkley",
     "pipeline_pack_efficiency", "events_cum_hazard",
     "graph_assortativity", "events_capture_recapture",
-    "events_odds_ratio")
+    "events_odds_ratio", "events_hhi")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -185,7 +185,7 @@ object ScaleBench {
     "stream_cluster_nmi", "stream_item_cf", "stream_item_pmi",
     "stream_ngram_novelty", "stream_gini", "stream_lexical_diversity",
     "stream_cum_hazard", "stream_capture_recapture",
-    "stream_odds_ratio")
+    "stream_odds_ratio", "stream_hhi")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -1133,6 +1133,20 @@ object EventQueries {
     "events_odds_ratio" -> ((s, dir) =>
       orFinish(orCells(Tables.events(s, dir)))),
 
+    // HERFINDAHL-HIRSCHMAN INDEX — the squared-share concentration
+    // reading next to events_gini's rank-based one (HHI is the
+    // antitrust/market-power convention; effective N = 1/HHI is the
+    // "how many users does this revenue really have" number): HHI =
+    // Σx²/(Σx)² over the SAME per-user decimal totals (giniCells —
+    // one state table serves both concentration readings in a
+    // deployment, and the twin sum-merges it). Exact DECIMAL(37,8)
+    // squares, exact sums, one double division; outputs use the r13
+    // tie-safe rounding (12-dp double round → decimal → target-dp
+    // round) since share ratios are rationals that can land on a
+    // rounding half.
+    "events_hhi" -> ((s, dir) =>
+      hhiFinish(giniCells(Tables.events(s, dir)))),
+
     // GINI CONCENTRATION INDEX — how concentrated is event value
     // across users (the revenue-concentration / data-source-dominance
     // readout a curation dashboard pairs with pipeline_source_report;
@@ -2645,6 +2659,24 @@ object EventQueries {
     e.filter(col("value").isNotNull)
       .groupBy(col("user_id"))
       .agg(sum(dec(col("value"))).as("x"))
+
+  /** The HHI finish over merged per-user totals — shared by
+    * `events_hhi` and its streaming twin. All sums exact decimal;
+    * the two quotients go through the tie-safe rounding chain.
+    */
+  private[graft] def hhiFinish(u: org.apache.spark.sql.DataFrame) = {
+    def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+      round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    val xq = col("x").cast("decimal(18,4)")
+    u.agg(count(lit(1)).as("n_users"),
+        sum(xq).as("sx"),
+        sum(xq * xq).as("sxx"))
+      .select(col("n_users"),
+        tieSafe(asDouble(col("sxx"))
+          / (asDouble(col("sx")) * asDouble(col("sx"))), 9).as("hhi_r"),
+        tieSafe(asDouble(col("sx")) * asDouble(col("sx"))
+          / asDouble(col("sxx")), 6).as("eff_n_r"))
+  }
 
   /** The Gini finish over merged per-user totals: GlobalOrder rank
     * under the (x, user_id) total order, exact-decimal Σx and Σ rn·x
@@ -5309,6 +5341,27 @@ object EventQueries {
         |      + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)) END, 6)
         |    AS ci_hi_r
         |FROM m""".stripMargin,
+
+    // same per-user decimal totals, same exact squares, same tie-safe
+    // rounding chain on both quotients
+    "events_hhi" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users, sum(x) AS sx,
+        |    sum(x * x) AS sxx
+        |  FROM u
+        |)
+        |SELECT n_users,
+        |  CAST(round(CAST(round(CAST(sxx AS DOUBLE)
+        |      / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+        |    AS DECIMAL(24,12)), 9) AS DOUBLE) AS hhi_r,
+        |  CAST(round(CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(sxx AS DOUBLE), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS eff_n_r
+        |FROM a""".stripMargin,
 
     // same per-user decimal totals, same (x, user_id) ascending rank,
     // same DECIMAL(31,4) rank·x terms and fixed IEEE finish

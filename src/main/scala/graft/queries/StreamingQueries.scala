@@ -1899,6 +1899,18 @@ object StreamingQueries {
           .groupBy(col("variant"), col("user_id"))
           .agg(max(col("conv")).as("conv")))),
 
+    // STREAMING HHI — the squared-share concentration reading over
+    // the SAME sum-merged per-user totals as stream_gini (one state
+    // table, two serving finishes). Shares events_hhi's oracle,
+    // hash-proven.
+    "stream_hhi" -> ((s, dir) =>
+      EventQueries.hhiFinish(
+        partialsOf(
+            eventsStream(s, dir).select(col("user_id"), col("value")),
+            "graft-hhi-partials-")(EventQueries.giniCells)
+          .groupBy(col("user_id"))
+          .agg(sum(col("x")).as("x")))),
+
     // STREAMING GINI — concentration maintained as revenue ingests:
     // per-user decimal totals are the additive state (one row per
     // user, the stream_rfm shape), the merge is SUM per user, and the
@@ -2156,6 +2168,8 @@ object StreamingQueries {
     // Sum-merge of per-user decimal totals + serving-time GlobalOrder
     // rank ≡ the batch Lorenz chain — shares events_gini's oracle.
     "stream_gini" -> EventQueries.oracleSql("events_gini"),
+    // same merged per-user state, squared-share finish
+    "stream_hhi" -> EventQueries.oracleSql("events_hhi"),
     // Union-merged capture cells / max-merged conversion flags ≡ the
     // batch 2x2 chains — share the batch oracles.
     "stream_capture_recapture" -> EventQueries.oracleSql("events_capture_recapture"),

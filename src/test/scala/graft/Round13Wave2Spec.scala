@@ -83,6 +83,19 @@ class Round13Wave2Spec extends SparkSpec {
     } finally { eff.unpersist(); () }
   }
 
+  test("hhiFinish: uniform shares -> 1/n, monopoly -> 1") {
+    val equal = (1L to 8L).map(u => (u, java.math.BigDecimal.valueOf(25000, 4)))
+      .toDF("user_id", "x")
+    val h0 = EventQueries.hhiFinish(equal).head()
+    assert(math.abs(h0.getAs[Double]("hhi_r") - 0.125) < 1e-9)
+    assert(math.abs(h0.getAs[Double]("eff_n_r") - 8.0) < 1e-6)
+    val mono = Seq((1L, java.math.BigDecimal.valueOf(1000000, 4)))
+      .toDF("user_id", "x")
+    val h1 = EventQueries.hhiFinish(mono).head()
+    assert(h1.getAs[Double]("hhi_r") == 1.0 &&
+           h1.getAs[Double]("eff_n_r") == 1.0)
+  }
+
   test("crFinish: hand-computed Chapman estimate") {
     // 3 users in A only, 2 in B only, 5 in both (per one type):
     // n1=8, n2=7, m=5, N̂ = 9*8/6 - 1 = 11; n_true = 10
