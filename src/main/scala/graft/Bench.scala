@@ -55,6 +55,14 @@ object Bench {
     // do NOT overwrite bench_out.json — only full runs are keepers.
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd (or since-retired) name would silently yield a
+    // zero-query run that still prints a healthy-looking total line
+    // (ADVICE r13) — fail loudly instead.
+    only.foreach { req =>
+      val unknown = req.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, "SPARK_GRAFT_BENCH_QUERIES names match no " +
+        s"query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -140,7 +140,9 @@ object ScaleBench {
     "events_gini", "text_lexical_diversity", "events_page_hinkley",
     "pipeline_pack_efficiency", "events_cum_hazard",
     "graph_assortativity", "events_capture_recapture",
-    "events_odds_ratio", "events_hhi")
+    "events_odds_ratio", "events_hhi",
+    // r14: hier-gated finishes (VERDICT r13 item 1)
+    "emb_intrinsic_dim_hier_scaled", "emb_knn_accuracy_hier_scaled")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -72,8 +72,10 @@ object TinyOrder {
     // aggregate), and the three plan subtrees differ by projection so
     // ReuseExchange cannot deduplicate them — without materialization
     // the upstream pass runs three times (measured: the r12 rank/search
-    // bench regressions). persist() computes it once; both harnesses
-    // clearCache() between queries.
+    // bench regressions). persist() computes it once; the eager
+    // localCheckpoint below then lets us unpersist BEFORE returning
+    // (ADVICE r13: the old persist leaked one cached frame per call for
+    // callers outside the clearCache()-between-queries harnesses).
     val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = key(sortCols)
     val left = mat.withColumn("__to_k", k)
@@ -85,8 +87,16 @@ object TinyOrder {
       .join(broadcast(right), col("__to_kb") < col("__to_k"))
       .groupBy(col("__to_k"))
       .agg(call_function(agg, col("__to_v")).as("__to_agg"))
-    left.join(broadcast(offs), Seq("__to_k"), "left")
+    val joined = left.join(broadcast(offs), Seq("__to_k"), "left")
       .withColumn(out, post(coalesce(col("__to_agg"), zero)))
       .drop("__to_k", "__to_agg")
+    // Eagerly materialize the (tiny) result so the upstream chain runs
+    // exactly once, then release the cache — no leak across composed
+    // calls. Lineage truncation is safe at this size: losing a tiny
+    // localCheckpoint block fails the job rather than recomputing a
+    // data-sized chain, the right trade for a ≲10⁴-row frame.
+    val result = joined.localCheckpoint()
+    mat.unpersist()
+    result
   }
 }

@@ -640,15 +640,19 @@ object DedupQueries {
     // cost of the concat convention — the number a team weighs when
     // choosing concat-vs-pad). A pure reading over the pack table:
     // one partial-aggregable hash agg, integer math until the one
-    // division.
+    // division. n_packs = ⌈total_tokens / budget⌉, NOT max(pack_id)+1:
+    // pack_id is where a doc STARTS, so when the last doc in a group
+    // straddles the final boundary its tail packs would be uncounted
+    // (tail_waste < 0, util_r > 1 — ADVICE r13).
     "pipeline_pack_efficiency" -> ((s, dir) =>
       queries("pipeline_pack")(s, dir)
         .groupBy(col("split"), col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          (max(col("pack_id")) + 1).as("n_packs"),
           sum(when(col("offset_in_pack") + col("n_tokens") > PackBudget,
             1L).otherwise(0L)).as("straddlers"))
+        .withColumn("n_packs",
+          expr(s"(total_tokens + ${PackBudget - 1}) div $PackBudget"))
         .select(col("split"), col("shard"), col("n_docs"),
           col("total_tokens"), col("n_packs"),
           (col("n_packs") * PackBudget - col("total_tokens")).as("tail_waste"),
@@ -2579,7 +2583,8 @@ object DedupQueries {
          |FROM packed""".stripMargin,
 
     // the pack chain verbatim with the per-(split, shard) efficiency
-    // tail
+    // tail; n_packs = ceil(total_tokens / budget) (ADVICE r13 — see
+    // the Spark side)
     "pipeline_pack_efficiency" ->
       s"""WITH RECURSIVE $ccSplitCtes, nt AS (
          |  SELECT d.doc_id, s.split,
@@ -2600,11 +2605,13 @@ object DedupQueries {
          |)
          |SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         |  CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
-         |  CAST((max(pack_id) + 1) * $PackBudget - sum(n_tokens) AS BIGINT)
-         |    AS tail_waste,
+         |  CAST((sum(n_tokens) + ${PackBudget - 1}) // $PackBudget AS BIGINT)
+         |    AS n_packs,
+         |  CAST(((sum(n_tokens) + ${PackBudget - 1}) // $PackBudget)
+         |    * $PackBudget - sum(n_tokens) AS BIGINT) AS tail_waste,
          |  round(CAST(sum(n_tokens) AS DOUBLE)
-         |    / CAST((max(pack_id) + 1) * $PackBudget AS DOUBLE), 6) AS util_r,
+         |    / CAST(((sum(n_tokens) + ${PackBudget - 1}) // $PackBudget)
+         |      * $PackBudget AS DOUBLE), 6) AS util_r,
          |  CAST(sum(CASE WHEN offset_in_pack + n_tokens > $PackBudget
          |    THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
          |FROM pk GROUP BY 1, 2""".stripMargin,

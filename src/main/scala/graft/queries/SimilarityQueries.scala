@@ -684,6 +684,25 @@ object SimilarityQueries {
           col("vec_id").as("dst"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Two-NN intrinsic dimension over the HIER-GATED graph chain
+    // (VERDICT r13 item 1): the flat emb_intrinsic_dim_scaled still
+    // carries the O(n·nlist) probe-ranking residual (3.64× at 10×,
+    // scale_bench r13) that the coarse gate kills (graph hier row
+    // 1.48×) — this entry makes the 1.48× chain the family's
+    // deployment number for the intrinsic-dim finish too. The finish
+    // is edge-sized; only the producing chain changes.
+    "emb_intrinsic_dim_hier_scaled" -> ((s, dir) =>
+      intrinsicDimOf(queries("emb_knn_graph_hier_scaled")(s, dir))),
+
+    // k-NN label-vote accuracy over the HIER-GATED graph — the same
+    // chain swap for the accuracy finish (flat twin 3.46× at 10×).
+    "emb_knn_accuracy_hier_scaled" -> ((s, dir) =>
+      knnAccuracyOf(
+        queries("emb_knn_graph_hier_scaled")(s, dir)
+          .select(col("src"), col("dst")),
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label").cast("bigint").as("label")))),
+
     // CLUSTERING QUALITY — simplified silhouette over the trained
     // k-means index: per vector, a = cosine distance to its OWN
     // centroid, b = distance to the nearest OTHER centroid, s =
@@ -2673,6 +2692,65 @@ object SimilarityQueries {
        |  FROM pairs
        |)""".stripMargin
 
+  /** The TWO-LEVEL (hier-gated) kNN-graph chain up to `rankedp` —
+    * the `dedup_semantic_hier_scaled` two-level decimal argmin (both
+    * Bernoulli gates) with the fscore ranks reused as probes (rk ≤
+    * [[NProbe]]) next to the assignment (rk = 1). Shared by the three
+    * hier-scaled graph oracles (graph / intrinsic-dim / accuracy) so
+    * the finishes provably read the identical chain.
+    */
+  private lazy val hierScaledKnnChainCtes: String =
+    s"""child AS (
+       |  SELECT vec_id AS child_id, embedding
+       |  FROM embeddings
+       |  WHERE (CAST(concat('0x', substr(md5(concat('seed_', CAST(vec_id AS VARCHAR))), 1, 14)) AS BIGINT)
+       |         % 2147483647) % $SeedMod = 0
+       |), coarse AS (
+       |  SELECT child_id AS coarse_id, embedding
+       |  FROM child
+       |  WHERE (CAST(concat('0x', substr(md5(concat('coarse_', CAST(child_id AS VARCHAR))), 1, 14)) AS BIGINT)
+       |         % 2147483647) % $CoarseGateMod = 0
+       |), cscore AS (
+       |  SELECT c.child_id, k.coarse_id,
+       |    row_number() OVER (PARTITION BY c.child_id
+       |      ORDER BY ${duckCos("c.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
+       |  FROM child c, coarse k
+       |), cassign AS (
+       |  SELECT child_id, coarse_id FROM cscore WHERE rk = 1
+       |), vscore AS (
+       |  SELECT e.vec_id, k.coarse_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckCos("e.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
+       |  FROM embeddings e, coarse k
+       |), vassign AS (
+       |  SELECT vec_id, coarse_id FROM vscore WHERE rk = 1
+       |), fscore AS (
+       |  SELECT e.vec_id, ch.child_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckCos("e.embedding", "che.embedding")} DESC, ch.child_id) AS rk
+       |  FROM embeddings e
+       |  JOIN vassign va ON va.vec_id = e.vec_id
+       |  JOIN cassign ch ON ch.coarse_id = va.coarse_id
+       |  JOIN embeddings che ON che.vec_id = ch.child_id
+       |), assigned AS (
+       |  SELECT vec_id, child_id AS list_id FROM fscore WHERE rk = 1
+       |), qprobe AS (
+       |  SELECT vec_id AS q_id, child_id AS list_id FROM fscore
+       |  WHERE rk <= $NProbe
+       |), pairs AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    ${duckCos("qe.embedding", "ae.embedding")} AS cos
+       |  FROM qprobe q
+       |  JOIN assigned a ON a.list_id = q.list_id
+       |  JOIN embeddings qe ON qe.vec_id = q.q_id
+       |  JOIN embeddings ae ON ae.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.q_id
+       |), rankedp AS (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM pairs
+       |)""".stripMargin
+
   private def duckCos(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(generate_series(1, 64), i ->
        |    CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
@@ -3390,60 +3468,63 @@ object SimilarityQueries {
 
     // the dedup_semantic_hier_scaled two-level chain (both gates, the
     // identical decimal argmin at each level) with the fscore ranks
-    // reused as probes (rk ≤ NProbe) next to the assignment (rk = 1)
+    // reused as probes (rk ≤ NProbe) next to the assignment (rk = 1);
+    // chain shared verbatim by the three hier-scaled oracles via
+    // hierScaledKnnChainCtes
     "emb_knn_graph_hier_scaled" ->
-      s"""WITH child AS (
-         |  SELECT vec_id AS child_id, embedding
-         |  FROM embeddings
-         |  WHERE (CAST(concat('0x', substr(md5(concat('seed_', CAST(vec_id AS VARCHAR))), 1, 14)) AS BIGINT)
-         |         % 2147483647) % $SeedMod = 0
-         |), coarse AS (
-         |  SELECT child_id AS coarse_id, embedding
-         |  FROM child
-         |  WHERE (CAST(concat('0x', substr(md5(concat('coarse_', CAST(child_id AS VARCHAR))), 1, 14)) AS BIGINT)
-         |         % 2147483647) % $CoarseGateMod = 0
-         |), cscore AS (
-         |  SELECT c.child_id, k.coarse_id,
-         |    row_number() OVER (PARTITION BY c.child_id
-         |      ORDER BY ${duckCos("c.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
-         |  FROM child c, coarse k
-         |), cassign AS (
-         |  SELECT child_id, coarse_id FROM cscore WHERE rk = 1
-         |), vscore AS (
-         |  SELECT e.vec_id, k.coarse_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${duckCos("e.embedding", "k.embedding")} DESC, k.coarse_id) AS rk
-         |  FROM embeddings e, coarse k
-         |), vassign AS (
-         |  SELECT vec_id, coarse_id FROM vscore WHERE rk = 1
-         |), fscore AS (
-         |  SELECT e.vec_id, ch.child_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${duckCos("e.embedding", "che.embedding")} DESC, ch.child_id) AS rk
-         |  FROM embeddings e
-         |  JOIN vassign va ON va.vec_id = e.vec_id
-         |  JOIN cassign ch ON ch.coarse_id = va.coarse_id
-         |  JOIN embeddings che ON che.vec_id = ch.child_id
-         |), assigned AS (
-         |  SELECT vec_id, child_id AS list_id FROM fscore WHERE rk = 1
-         |), qprobe AS (
-         |  SELECT vec_id AS q_id, child_id AS list_id FROM fscore
-         |  WHERE rk <= $NProbe
-         |), pairs AS (
-         |  SELECT q.q_id, a.vec_id,
-         |    ${duckCos("qe.embedding", "ae.embedding")} AS cos
-         |  FROM qprobe q
-         |  JOIN assigned a ON a.list_id = q.list_id
-         |  JOIN embeddings qe ON qe.vec_id = q.q_id
-         |  JOIN embeddings ae ON ae.vec_id = a.vec_id
-         |  WHERE a.vec_id <> q.q_id
-         |), rankedp AS (
-         |  SELECT q_id, vec_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-         |  FROM pairs
-         |)
+      s"""WITH $hierScaledKnnChainCtes
          |SELECT q_id AS src, rank, vec_id AS dst, round(cos, 6) AS cos_r
          |FROM rankedp WHERE rank <= $TopK""".stripMargin,
+
+    "emb_intrinsic_dim_hier_scaled" ->
+      s"""WITH $hierScaledKnnChainCtes, graph AS (
+         |  SELECT q_id, vec_id, round(cos, 6) AS cos_r, rank
+         |  FROM rankedp WHERE rank <= $TopK
+         |), rr AS (
+         |  SELECT q_id,
+         |    CAST(1.0 AS DOUBLE)
+         |      - max(CASE WHEN rank = 1 THEN cos_r END) AS d1,
+         |    CAST(1.0 AS DOUBLE)
+         |      - max(CASE WHEN rank = 2 THEN cos_r END) AS d2
+         |  FROM graph WHERE rank <= 2 GROUP BY 1
+         |  HAVING max(CASE WHEN rank = 2 THEN cos_r END) IS NOT NULL
+         |), ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |    sum(CAST(round(ln(d2 / d1), 12) AS DECIMAL(28,12))) AS lsum
+         |  FROM rr WHERE d1 > 0.0
+         |), tt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pts FROM rr
+         |)
+         |SELECT n_pts, n_used,
+         |  round(CASE WHEN CAST(lsum AS DOUBLE) > 0.0
+         |    THEN CAST(n_used AS DOUBLE) / CAST(lsum AS DOUBLE) END, 6)
+         |    AS id_r
+         |FROM ag CROSS JOIN tt""".stripMargin,
+
+    "emb_knn_accuracy_hier_scaled" ->
+      s"""WITH $hierScaledKnnChainCtes, knn AS (
+         |  SELECT q_id AS src, vec_id AS dst FROM rankedp WHERE rank <= $TopK
+         |), votes AS (
+         |  SELECT knn.src, CAST(e.label AS BIGINT) AS n_label,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM knn JOIN embeddings e ON e.vec_id = knn.dst
+         |  GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT src AS vec_id, n_label AS pred
+         |  FROM (SELECT src, n_label,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY nv DESC, n_label) AS rk
+         |        FROM votes)
+         |  WHERE rk = 1
+         |)
+         |SELECT CAST(e.label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS acc_r
+         |FROM pred p JOIN embeddings e USING (vec_id)
+         |GROUP BY 1""".stripMargin,
 
     "emb_silhouette" ->
       s"""WITH ${lloydCtes(TrainRounds)}, scored AS (

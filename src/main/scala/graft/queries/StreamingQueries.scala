@@ -409,9 +409,9 @@ object StreamingQueries {
     * any `max`/`first` aggregate's identity-less sentinel), and
     * without the truncation that row would reach the downstream merge
     * alongside the micro-batch partials, silently corrupting any
-    * non-additive merge law. `PartialsSeedSpec` drives a deliberately
-    * global max-merge builder through this path and fails if the seed
-    * row ever escapes again. (`pcaMoments` loses only a zero cell that
+    * non-additive merge law. `Round13OpsSpec` ("partialsOf truncates
+    * the schema seed") drives a deliberately global max-merge builder
+    * through this path and fails if the seed row ever escapes again. (`pcaMoments` loses only a zero cell that
     * every real micro-batch re-emits — its additive merge is
     * unchanged.)
     */

@@ -80,6 +80,13 @@ class Round13Wave2Spec extends SparkSpec {
       assert(eff.filter(col("tail_waste") < 0 ||
         col("tail_waste") >= graft.queries.DedupQueries.PackBudget).count() == 0)
       assert(eff.filter(col("straddlers") > col("n_docs")).count() == 0)
+      // the ceil identity (ADVICE r13): n_packs counts EVERY pack the
+      // token stream occupies, including tail packs a straddling final
+      // doc spills into — (n_packs-1)·B < total ≤ n_packs·B, exactly
+      val b = graft.queries.DedupQueries.PackBudget
+      assert(eff.filter(
+        col("n_packs") * b < col("total_tokens") ||
+        (col("n_packs") - 1) * b >= col("total_tokens")).count() == 0)
     } finally { eff.unpersist(); () }
   }
 
