@@ -56,7 +56,11 @@ object ScaleBench {
     "text_bm25", "text_inverted_index", "text_keywords", "search_hybrid_rrf", "search_mmr",
     "search_hybrid_rrf_indexed", "ann_index_append",
     "layout_zorder", "layout_hilbert", "q_bucketed_join",
-    "events_regression", "events_entropy_mi", "events_ewma",
+    // events_ewma's corpus-axis row is retired to the Round14OpsSpec
+    // pin (single-series sort concentration — the theilsen precedent);
+    // the bucketed-halo formulation carries the family's corpus row,
+    // and the series axis (SeriesScaledQueries) measures events_ewma.
+    "events_regression", "events_entropy_mi", "events_ewma_bucketed",
     "events_acf", "events_cross_corr",
     "graph_adamic_adar", "dedup_lsh_eval", "ann_recall_ivf",
     "events_profile", "events_profile_approx", "cdc_scd2", "cdc_snapshot",
@@ -141,8 +145,10 @@ object ScaleBench {
     "pipeline_pack_efficiency", "events_cum_hazard",
     "graph_assortativity", "events_capture_recapture",
     "events_odds_ratio", "events_hhi",
-    // r14: hier-gated finishes (VERDICT r13 item 1)
-    "emb_intrinsic_dim_hier_scaled", "emb_knn_accuracy_hier_scaled")
+    // r14: hier-gated finishes (VERDICT r13 item 1) + the
+    // absorbing-safe markov variant
+    "emb_intrinsic_dim_hier_scaled", "emb_knn_accuracy_hier_scaled",
+    "events_markov_stationary_absorbing")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -184,7 +190,8 @@ object ScaleBench {
     "stream_importance", "stream_ljungbox", "stream_runs_test",
     "stream_jsd_drift",
     // r13 twins
-    "stream_cluster_nmi", "stream_item_cf", "stream_item_pmi",
+    "stream_cluster_nmi", "stream_cluster_purity", "stream_cluster_ari",
+    "stream_item_cf", "stream_item_pmi",
     "stream_ngram_novelty", "stream_gini", "stream_lexical_diversity",
     "stream_cum_hazard", "stream_capture_recapture",
     "stream_odds_ratio", "stream_hhi")

@@ -25,7 +25,90 @@ object EventQueries {
     * (tail weight (1−α)^32 ≈ 8e-4 of an event's influence).
     */
   private val EwmaAlpha = 0.2
-  private val EwmaLags = 32
+  private[graft] val EwmaLags = 32
+
+  /** The 32-term truncated EWMA kernel over an arbitrary window spec —
+    * shared by `events_ewma` (one window per series) and
+    * [[ewmaBucketed]] (bounded per-bucket windows). Adds an `ewma`
+    * column; decimal discipline per the events_ewma scaladoc: (28,9)
+    * re-cast after every add (precision-escalation guard), decimal
+    * 6-dp round BEFORE the double cast (6-dp-half tie safety, r13).
+    */
+  private def ewmaKernel(rows: org.apache.spark.sql.DataFrame,
+                         lagWin: org.apache.spark.sql.expressions.WindowSpec) = {
+    val terms = (0 until EwmaLags).map { k =>
+      coalesce(
+        round(lag(col("value"), k).over(lagWin) * lit(EwmaAlpha) *
+          lit(math.pow(1.0 - EwmaAlpha, k)), 9).cast("decimal(28,9)"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"))
+    }
+    rows.withColumn("ewma",
+      round(terms.reduce((a, b) => (a + b).cast("decimal(28,9)")), 6)
+        .cast("double"))
+  }
+
+  /** The CORPUS-AXIS scale shape for EWMA (VERDICT r13 item 6): when a
+    * single series grows without bound, the monolithic per-series
+    * window sort concentrates in one task. Because the kernel is a
+    * bounded 32-row trailing window, the series can be cut into time
+    * buckets with the PREVIOUS bucket's rows replicated in as a halo:
+    * each (series, bucket) partition sorts independently (bounded,
+    * distributable), owner rows read their ≤31 trailing values from
+    * owner+halo, halo rows are dropped. Row-identical to the
+    * monolithic formulation WHENEVER every bucket holds ≥ [[EwmaLags]]
+    * rows per series (then an owner row's 31 predecessors never reach
+    * past the halo) — a deployment sizes `bucketMs` from the series'
+    * minimum event rate, or uses the O(1)-state streaming twin
+    * (`stream_ewma`). Round14OpsSpec pins both the row-identity and
+    * the ≥-EwmaLags precondition on the fixture; cost = 2× row
+    * replication + the same single exchange, with every sort bounded
+    * by the bucket.
+    */
+  /** `events_ewma_bucketed`'s bucket width: 7 days — on every fixture
+    * SF each (type, bucket) cell holds ≫ [[EwmaLags]] rows (the
+    * Round14OpsSpec precondition pin), and the corpus-mode self-union
+    * only densifies cells / extends the bucket RANGE, so the identity
+    * is monotone-safe as SF grows.
+    */
+  private[graft] val EwmaBucketMs = 7L * 86400000L
+
+  /** The one DuckDB formula tree both ewma variants share. */
+  private lazy val ewmaOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
+       |  FROM events
+       |), f AS (
+       |  SELECT event_id, event_type, ts_ms,
+       |    list(value) OVER (PARTITION BY event_type
+       |                      ORDER BY ts_ms, event_id
+       |                      ROWS BETWEEN ${EwmaLags - 1} PRECEDING AND CURRENT ROW)
+       |      AS frame
+       |  FROM e
+       |), t AS (
+       |  SELECT event_id, event_type, ts_ms, len(frame) AS n,
+       |    unnest(frame) AS x,
+       |    unnest(generate_series(1, len(frame))) AS i
+       |  FROM f
+       |)
+       |SELECT event_id, event_type, ts_ms,
+       |  CAST(round(sum(CAST(round(x * $EwmaAlpha * pow(${1.0 - EwmaAlpha}, n - i), 9)
+       |    AS DECIMAL(28,9))), 6) AS DOUBLE) AS ewma
+       |FROM t GROUP BY 1, 2, 3""".stripMargin
+
+  private[graft] def ewmaBucketed(events: org.apache.spark.sql.DataFrame,
+                                  bucketMs: Long) = {
+    val e = events.select(col("event_id"), col("event_type"), col("ts_ms"),
+      col("value"))
+      .withColumn("bkt", expr(s"ts_ms div $bucketMs"))
+    val owner = e.withColumn("own", lit(true))
+    val halo = e.withColumn("bkt", col("bkt") + 1)
+      .withColumn("own", lit(false))
+    val w = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ewmaKernel(owner.unionByName(halo), w)
+      .filter(col("own"))
+      .select(col("event_id"), col("event_type"), col("ts_ms"), col("ewma"))
+  }
 
   /** `events_acf` lags (hours): short-range memory + the daily cycle. */
   private val AcfLags = Seq(1, 2, 3, 24)
@@ -232,7 +315,7 @@ object EventQueries {
     // deployment holds s_t as one ValueState per series and pays O(1)
     // per event — the stream_gapfill machinery's shape; here the 32×
     // expansion buys bit-exact cross-engine verifiability).
-    "events_ewma" -> ((s, dir) => {
+    "events_ewma" -> ((s, dir) =>
       // 32 lag() evaluators on ONE shared window spec — a single
       // window pass emits every trailing value as a column, and the
       // kernel is a codegen'd 32-term decimal chain in the downstream
@@ -241,32 +324,30 @@ object EventQueries {
       // collect_list + aggregate() HOF keeps the plan shuffle-free but
       // interprets 32·|events| boxed lambda steps (88 s). This one's
       // only exchange is the window sort (1.8 s at 10× series).
-      val lagWin = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts_ms"), col("event_id"))
-      val terms = (0 until EwmaLags).map { k =>
-        coalesce(
-          round(lag(col("value"), k).over(lagWin) * lit(EwmaAlpha) *
-            lit(math.pow(1.0 - EwmaAlpha, k)), 9).cast("decimal(28,9)"),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"))
-      }
-      Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("ts_ms"), col("value"))
-        // cast back to (28,9) after every add: a bare 32-term reduce
-        // escalates the result precision past 38, and Spark's
-        // precision-loss rule then SHRINKS the scale toward 6 digits
-        // (measured: 5e-6 drift vs the exact sum). (28,9)+(28,9) is
-        // exact at these magnitudes; the re-cast keeps it that way.
-        // Round the DECIMAL at 6 dp BEFORE the double cast (r13): the
-        // exact 9-dp sum can land exactly on a 6-dp half boundary
-        // (two rows at sf0.1 did), where round-on-DOUBLE tie behavior
-        // diverges between engines; decimal round() agrees half-up on
-        // both, and the decimal→double cast of a 6-dp value is the
-        // same correctly-rounded IEEE nearest everywhere.
-        .withColumn("ewma",
-          round(terms.reduce((a, b) => (a + b).cast("decimal(28,9)")), 6)
-            .cast("double"))
-        .select(col("event_id"), col("event_type"), col("ts_ms"), col("ewma"))
-    }),
+      // Corpus-axis posture (VERDICT r13 item 6): a single series
+      // growing without bound concentrates this window sort in one
+      // task (the 19.6×-at-10× corpus row, now retired to a pin —
+      // the theilsen precedent); [[ewmaBucketed]] is the measured
+      // bounded-sort alternative for genuinely long series and
+      // Round14OpsSpec pins its row-identity to this formulation.
+      // Production scaling is the SERIES axis (1.30 flat, measured in
+      // series mode), and the online twin stream_ewma pays O(1)/event.
+      ewmaKernel(Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts_ms"),
+            col("value")),
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("ts_ms"), col("event_id")))
+        .select(col("event_id"), col("event_type"), col("ts_ms"),
+          col("ewma"))),
+
+    // The bucketed-halo formulation — [[ewmaBucketed]]'s scaladoc has
+    // the full argument. Row-identical to events_ewma (same kernel,
+    // same oracle), but every window sort is bounded by one (series,
+    // 7-day bucket) cell, so the corpus axis distributes instead of
+    // concentrating in one task — this entry carries the family's
+    // corpus-mode scale row.
+    "events_ewma_bucketed" -> ((s, dir) =>
+      ewmaBucketed(Tables.events(s, dir), EwmaBucketMs)),
 
     // JSON property extraction + aggregation (props is a JSON string).
     "events_json_props" -> ((s, dir) =>
@@ -1210,6 +1291,30 @@ object EventQueries {
             round(coalesce(asDouble(col("sp")), lit(0.0)), 9)
               .cast("decimal(18,9)").as("piq"))
       }
+      graft.operators.TinyOrder.rank(
+          pi.select(col("t").as("event_type"),
+            asDouble(col("piq")).as("pi_d")),
+          "rnk", Seq(negate(round(col("pi_d"), 6)), col("event_type")))
+        .select(col("event_type"), round(col("pi_d"), 6).as("pi_r"),
+          col("rnk"))
+    }),
+
+    // MARKOV STATIONARY, ABSORBING-SAFE (VERDICT r13 item 7): the
+    // PageRank-dangling convention events_markov_stationary's scaladoc
+    // names, made executable. States = from ∪ to (so sink-only types
+    // are tracked), each round redistributes the absorbing states'
+    // mass uniformly (the dangling-node term), and a residual-to-anchor
+    // renormalization (the exact decimal 1 − Σπ remainder lands on the
+    // lexicographically smallest state) makes Σπ = 1 EXACT on the
+    // decimal route every round by construction — not fixture luck —
+    // which Round14OpsSpec asserts on a planted absorbing chain. This
+    // fixture has no absorbing types, so the sink term is 0 here and
+    // the oracle still exercises the union/sink/correction chain
+    // cross-engine. Same per-round cost shape as the sibling: one
+    // broadcast-able k²×k join + a k-row agg; the data-sized pass is
+    // only the one lag-window transition count.
+    "events_markov_stationary_absorbing" -> ((s, dir) => {
+      val pi = markovAbsorbingPi(markovCounts(Tables.events(s, dir)))
       graft.operators.TinyOrder.rank(
           pi.select(col("t").as("event_type"),
             asDouble(col("piq")).as("pi_d")),
@@ -2474,6 +2579,81 @@ object EventQueries {
     * pagerank convention (3 unrolled rounds, both engines identical).
     */
   private[graft] val MarkovRounds = 3
+
+  /** The (from_type, to_type, cnt) transition counts — the one
+    * data-sized pass (per-user lag window) both markov-stationary
+    * variants start from.
+    */
+  private[graft] def markovCounts(events: org.apache.spark.sql.DataFrame) = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Absorbing-safe stationary π over a (from_type, to_type, cnt)
+    * frame: states = from ∪ to, the dangling (no-outgoing) states'
+    * mass is redistributed uniformly each round, and the exact decimal
+    * remainder 1 − Σ round(π) is assigned to the smallest state so
+    * Σπ = 1 holds EXACTLY after every round — the invariant
+    * Round14OpsSpec pins on a planted absorbing chain. Exposed so the
+    * spec can plant chains; counts are eagerly materialized
+    * (localCheckpoint — k²-cell-sized) because the unrolled rounds
+    * reference the P subtree [[MarkovRounds]] times.
+    */
+  private[graft] def markovAbsorbingPi(counts0: org.apache.spark.sql.DataFrame) = {
+    val counts = counts0.localCheckpoint()
+    val tot = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("tot"))
+    val p = counts.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 9)
+          .cast("decimal(18,9)").as("pq"))
+    val states = counts.select(col("from_type").as("t"))
+      .unionByName(counts.select(col("to_type").as("t"))).distinct()
+    val k = states.agg(count(lit(1)).as("k"))
+    // absorbing = tracked states with no outgoing transition row
+    val absorbing = states.join(
+      counts.select(col("from_type").as("t")).distinct(), Seq("t"), "left_anti")
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("t"), round(lit(1.0) / col("k").cast("double"), 9)
+        .cast("decimal(18,9)").as("piq"))
+    // uniform start is itself renormalized (1/k at 9 dp need not sum
+    // to 1 — e.g. k = 3), so the invariant holds from round 0
+    pi = renormToAnchor(pi)
+    for (_ <- 1 to MarkovRounds) {
+      val step = p.join(pi, col("from_type") === col("t"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("piq") * col("pq")).as("sp"))
+      val sink = pi.join(absorbing, Seq("t"), "left_semi")
+        .agg(coalesce(sum(col("piq")),
+          lit(0).cast("decimal(18,9)")).as("sink"))
+      val raw = states.join(step, col("t") === col("to_type"), "left")
+        .crossJoin(broadcast(sink)).crossJoin(broadcast(k))
+        .select(col("t"),
+          round(coalesce(asDouble(col("sp")), lit(0.0)) +
+            asDouble(col("sink")) / col("k").cast("double"), 9)
+            .cast("decimal(18,9)").as("piq"))
+      pi = renormToAnchor(raw)
+    }
+    pi
+  }
+
+  /** π + (1 − Σπ) on the lexicographically smallest state — exact
+    * scale-9 decimal addition (no rounding anywhere), so the returned
+    * frame sums to exactly 1.
+    */
+  private def renormToAnchor(pi: org.apache.spark.sql.DataFrame) = {
+    val corr = pi.agg(
+      (lit(1).cast("decimal(18,9)") - sum(col("piq"))).as("c"),
+      min(col("t")).as("anchor"))
+    pi.crossJoin(broadcast(corr))
+      .select(col("t"),
+        when(col("t") === col("anchor"), col("piq") + col("c"))
+          .otherwise(col("piq")).cast("decimal(18,9)").as("piq"))
+  }
 
   /** The capped implicit-feedback ratings table shared by
     * `events_item_cf` and `events_item_pmi`: distinct (user, item =
@@ -5468,27 +5648,11 @@ object EventQueries {
     // same 32-value frames (windowed list() preserves frame order),
     // zipped unnest for the 1-based position (lag = n − i vs Spark's
     // 0-based n − 1 − pos), same 9-dp-quantized terms decimal-summed
-    "events_ewma" ->
-      s"""WITH e AS (
-         |  SELECT event_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
-         |  FROM events
-         |), f AS (
-         |  SELECT event_id, event_type, ts_ms,
-         |    list(value) OVER (PARTITION BY event_type
-         |                      ORDER BY ts_ms, event_id
-         |                      ROWS BETWEEN ${EwmaLags - 1} PRECEDING AND CURRENT ROW)
-         |      AS frame
-         |  FROM e
-         |), t AS (
-         |  SELECT event_id, event_type, ts_ms, len(frame) AS n,
-         |    unnest(frame) AS x,
-         |    unnest(generate_series(1, len(frame))) AS i
-         |  FROM f
-         |)
-         |SELECT event_id, event_type, ts_ms,
-         |  CAST(round(sum(CAST(round(x * $EwmaAlpha * pow(${1.0 - EwmaAlpha}, n - i), 9)
-         |    AS DECIMAL(28,9))), 6) AS DOUBLE) AS ewma
-         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+    "events_ewma" -> ewmaOracle,
+
+    // row-identical by construction (the bucketed halo formulation of
+    // the same kernel) — shares the oracle verbatim
+    "events_ewma_bucketed" -> ewmaOracle,
 
     "events_retention" ->
       """WITH e AS (
@@ -5850,6 +6014,84 @@ object EventQueries {
         |  CAST(row_number() OVER (ORDER BY round(CAST(piq AS DOUBLE), 6)
         |    DESC, t) AS BIGINT) AS rnk
         |FROM pi3""".stripMargin,
+
+    // the absorbing-safe variant: states = from UNION to, per-round
+    // uniform sink-mass redistribution + the residual-to-anchor
+    // renormalization (exact scale-9 decimal addition both engines)
+    "events_markov_stationary_absorbing" -> {
+      def rnd(prev: String, n: Int): String =
+        s"""s$n AS (
+           |  SELECT p.to_type, sum($prev.piq * p.pq) AS sp
+           |  FROM p JOIN $prev ON $prev.t = p.from_type GROUP BY 1
+           |), sink$n AS (
+           |  SELECT coalesce(sum(piq),
+           |    CAST(0 AS DECIMAL(18,9))) AS sink
+           |  FROM $prev WHERE t IN (SELECT t FROM absorbing)
+           |), raw$n AS (
+           |  SELECT st.t, CAST(round(coalesce(CAST(s$n.sp AS DOUBLE),
+           |      CAST(0.0 AS DOUBLE))
+           |    + CAST(sink$n.sink AS DOUBLE) / CAST(k.k AS DOUBLE), 9)
+           |    AS DECIMAL(18,9)) AS piq
+           |  FROM st LEFT JOIN s$n ON s$n.to_type = st.t
+           |  CROSS JOIN sink$n CROSS JOIN k
+           |), corr$n AS (
+           |  SELECT CAST(1 AS DECIMAL(18,9)) - sum(piq) AS c,
+           |    min(t) AS anchor
+           |  FROM raw$n
+           |), pi$n AS (
+           |  SELECT raw$n.t,
+           |    CAST(CASE WHEN raw$n.t = corr$n.anchor
+           |      THEN raw$n.piq + corr$n.c ELSE raw$n.piq END
+           |      AS DECIMAL(18,9)) AS piq
+           |  FROM raw$n CROSS JOIN corr$n
+           |)""".stripMargin
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events
+        |), t2 AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ms, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t2 WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+        |), p AS (
+        |  SELECT c.from_type, c.to_type,
+        |    CAST(round(CAST(c.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE), 9)
+        |      AS DECIMAL(18,9)) AS pq
+        |  FROM c JOIN tot ON tot.from_type = c.from_type
+        |), st AS (
+        |  SELECT from_type AS t FROM c
+        |  UNION
+        |  SELECT to_type AS t FROM c
+        |), k AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k FROM st
+        |), absorbing AS (
+        |  SELECT t FROM st
+        |  WHERE t NOT IN (SELECT DISTINCT from_type FROM c)
+        |), raw0 AS (
+        |  SELECT st.t, CAST(round(CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE),
+        |    9) AS DECIMAL(18,9)) AS piq
+        |  FROM st CROSS JOIN k
+        |), corr0 AS (
+        |  SELECT CAST(1 AS DECIMAL(18,9)) - sum(piq) AS c, min(t) AS anchor
+        |  FROM raw0
+        |), pi0 AS (
+        |  SELECT raw0.t,
+        |    CAST(CASE WHEN raw0.t = corr0.anchor THEN raw0.piq + corr0.c
+        |      ELSE raw0.piq END AS DECIMAL(18,9)) AS piq
+        |  FROM raw0 CROSS JOIN corr0
+        |), ${rnd("pi0", 1)}, ${rnd("pi1", 2)}, ${rnd("pi2", 3)}
+        |SELECT t AS event_type,
+        |  round(CAST(piq AS DOUBLE), 6) AS pi_r,
+        |  CAST(row_number() OVER (ORDER BY round(CAST(piq AS DOUBLE), 6)
+        |    DESC, t) AS BIGINT) AS rnk
+        |FROM pi3""".stripMargin
+    },
 
     // same exact-decimal moments, same fixed-order IEEE finish; the
     // z² constant is interpolated from ONE Scala value on both sides

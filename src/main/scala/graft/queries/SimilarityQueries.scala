@@ -732,29 +732,8 @@ object SimilarityQueries {
     // (no extra assignment pass); everything past the one count agg
     // is a ≤ nlist·|labels| cell frame, its vote window partitioned
     // by cluster.
-    "emb_cluster_purity" -> ((s, dir) => {
-      val cl = trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
-        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
-          "vec_id")
-        .groupBy(col("list_id"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val tot = cl.groupBy(col("list_id")).agg(sum(col("cnt")).as("n"))
-      val mj = cl.withColumn("rk", row_number().over(
-          Window.partitionBy(col("list_id"))
-            .orderBy(col("cnt").desc, col("label"))))
-        .filter(col("rk") === 1)
-        .select(col("list_id"), col("label").as("majority_label"),
-          col("cnt").as("n_majority"))
-      val p = tot.join(mj, "list_id")
-        .select(col("list_id"), col("n"), col("majority_label"),
-          col("n_majority"),
-          round(col("n_majority").cast("double") / col("n").cast("double"), 6)
-            .as("purity_r"))
-      val overall = p.agg(
-        round(sum(col("n_majority")).cast("double")
-          / sum(col("n")).cast("double"), 6).as("overall_purity_r"))
-      p.crossJoin(broadcast(overall))
-    }),
+    "emb_cluster_purity" -> ((s, dir) =>
+      clusterPurityFinish(clusterCells(s, dir))),
 
     // CLUSTER NMI — the bias-corrected twin of emb_cluster_purity
     // (purity inflates as clusters shrink; normalized mutual
@@ -765,12 +744,7 @@ object SimilarityQueries {
     // only the axis names change. Rides the shared trainedAssigned
     // artifact; everything past one count agg is cell-frame-sized.
     "emb_cluster_nmi" -> ((s, dir) =>
-      clusterNmiFinish(
-        trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
-          .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
-            "vec_id")
-          .groupBy(col("list_id"), col("label"))
-          .agg(count(lit(1)).as("nij")))),
+      clusterNmiFinish(clusterCells(s, dir))),
 
     // ADJUSTED RAND INDEX — the third external-validity reading on
     // the same trained assignment (purity: majority share; NMI:
@@ -780,34 +754,8 @@ object SimilarityQueries {
     // (n of 3B vectors squares past int64), and exactly ONE double
     // division produces the index — no logarithm, no per-term
     // rounding anywhere. Cell-frame-sized after one count agg.
-    "emb_cluster_ari" -> ((s, dir) => {
-      def c2(c: org.apache.spark.sql.Column) =
-        (c.cast("decimal(38,0)") * (c - lit(1))) / lit(2)
-      val cells = trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
-        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
-          "vec_id")
-        .groupBy(col("list_id"), col("label"))
-        .agg(count(lit(1)).as("nij"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sij = cells.agg(sum(c2(col("nij"))).as("s_cells"),
-        sum(col("nij")).as("n"))
-      val sa = cells.groupBy(col("list_id")).agg(sum(col("nij")).as("ai"))
-        .agg(sum(c2(col("ai"))).as("s_rows"))
-      val sb = cells.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
-        .agg(sum(c2(col("bj"))).as("s_cols"))
-      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
-        .select(col("n"),
-          col("s_cells").cast("double").as("s_cells_d"),
-          col("s_rows").cast("double").as("s_rows_d"),
-          col("s_cols").cast("double").as("s_cols_d"),
-          asDouble(c2(col("n"))).as("c2n"))
-        .select(col("n"),
-          round((col("s_cells_d")
-              - col("s_rows_d") * col("s_cols_d") / col("c2n"))
-            / ((col("s_rows_d") + col("s_cols_d")) / lit(2.0)
-              - col("s_rows_d") * col("s_cols_d") / col("c2n")), 6)
-            .as("ari_r"))
-    }),
+    "emb_cluster_ari" -> ((s, dir) =>
+      clusterAriFinish(clusterCells(s, dir))),
 
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
@@ -1893,6 +1841,74 @@ object SimilarityQueries {
           col("label").as("hour"), col("nij")))
       .select(col("n_cells"), col("h_type").as("h_cluster"),
         col("h_hour").as("h_label"), col("mi"), col("nmi"))
+
+  /** The majority-vote purity finish over the SAME (list_id, label,
+    * nij) contingency cells — shared by `emb_cluster_purity` and its
+    * streaming twin (VERDICT r13 item 4: the cells are additive, so
+    * one streamed state table serves all three cluster-validity
+    * finishes).
+    */
+  private[graft] def clusterPurityFinish(cells: org.apache.spark.sql.DataFrame) = {
+    val tot = cells.groupBy(col("list_id")).agg(sum(col("nij")).as("n"))
+    val mj = cells.withColumn("rk", row_number().over(
+        Window.partitionBy(col("list_id"))
+          .orderBy(col("nij").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("list_id"), col("label").as("majority_label"),
+        col("nij").as("n_majority"))
+    val p = tot.join(mj, "list_id")
+      .select(col("list_id"), col("n"), col("majority_label"),
+        col("n_majority"),
+        round(col("n_majority").cast("double") / col("n").cast("double"), 6)
+          .as("purity_r"))
+    val overall = p.agg(
+      round(sum(col("n_majority")).cast("double")
+        / sum(col("n")).cast("double"), 6).as("overall_purity_r"))
+    p.crossJoin(broadcast(overall))
+  }
+
+  /** The chance-corrected pair-agreement (ARI) finish over the same
+    * cell frame — exact DECIMAL(38,0) pair counts, exactly one double
+    * division. The cells are referenced three times (s_cells, row
+    * marginals, column marginals), so they are eagerly materialized
+    * (localCheckpoint — tiny by construction, ≤ nlist·|labels| rows,
+    * and no cache entry leaks; the TinyOrder convention).
+    */
+  private[graft] def clusterAriFinish(cells0: org.apache.spark.sql.DataFrame) = {
+    def c2(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(38,0)") * (c - lit(1))) / lit(2)
+    val cells = cells0.localCheckpoint()
+    val sij = cells.agg(sum(c2(col("nij"))).as("s_cells"),
+      sum(col("nij")).as("n"))
+    val sa = cells.groupBy(col("list_id")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(c2(col("ai"))).as("s_rows"))
+    val sb = cells.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(c2(col("bj"))).as("s_cols"))
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n"),
+        col("s_cells").cast("double").as("s_cells_d"),
+        col("s_rows").cast("double").as("s_rows_d"),
+        col("s_cols").cast("double").as("s_cols_d"),
+        asDouble(c2(col("n"))).as("c2n"))
+      .select(col("n"),
+        round((col("s_cells_d")
+            - col("s_rows_d") * col("s_cols_d") / col("c2n"))
+          / ((col("s_rows_d") + col("s_cols_d")) / lit(2.0)
+            - col("s_rows_d") * col("s_cols_d") / col("c2n")), 6)
+          .as("ari_r"))
+  }
+
+  /** The shared (list_id, label, nij) contingency cells over the
+    * trained assignment — the one count agg all three cluster-validity
+    * finishes read.
+    */
+  private[graft] def clusterCells(s: org.apache.spark.sql.SparkSession,
+                                  dir: String) =
+    trainedAssigned(s, dir).select(col("vec_id"), col("list_id"))
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        "vec_id")
+      .groupBy(col("list_id"), col("label"))
+      .agg(count(lit(1)).as("nij"))
 
   /** IVF probe search (the `ann_topk_ivf` plan shape: broadcast probe
     * join keyed on list_id) against an arbitrary (centroids, assigned

@@ -438,6 +438,30 @@ object StreamingQueries {
     s.read.parquet(dir.toString)
   }
 
+  /** The SUM-MERGED streamed (list_id, label, nij) contingency cells
+    * against the frozen trained index — each micro-batch assigns its
+    * vectors and contributes additive cell counts (≤ nlist·|labels|
+    * rows of state). One state table, three serving finishes: NMI,
+    * purity, and ARI (VERDICT r13 item 4); each twin drives its own
+    * replay (distinct `prefix`) so the three merge proofs stay
+    * independent.
+    */
+  private def streamedClusterCells(s: SparkSession, dir: String,
+                                   prefix: String): DataFrame = {
+    val cents = SimilarityQueries.trainedCentArr(s, dir)
+    partialsOf(embeddingsStream(s, dir, appendOnly = false), prefix) { batch =>
+      val withNrm = batch.withColumn("nrm",
+        sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double")))
+      SimilarityQueries.assignTo(withNrm, cents)
+        .select(col("vec_id"), col("list_id"))
+        .join(batch.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("list_id"), col("label"))
+        .agg(count(lit(1)).as("nij"))
+    }
+      .groupBy(col("list_id"), col("label"))
+      .agg(sum(col("nij")).as("nij"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Idiomatic streaming path (SURVEY.md §2 #8, event-time variant):
@@ -1829,22 +1853,26 @@ object StreamingQueries {
     // emb_cluster_nmi's exact entropy/MI finish (the stream_entropy_mi
     // law on renamed axes). Shares emb_cluster_nmi's oracle,
     // hash-proven: merge(per-batch cells) ≡ batch contingency.
-    "stream_cluster_nmi" -> ((s, dir) => {
-      val cents = SimilarityQueries.trainedCentArr(s, dir)
+    "stream_cluster_nmi" -> ((s, dir) =>
       SimilarityQueries.clusterNmiFinish(
-        partialsOf(embeddingsStream(s, dir, appendOnly = false),
-            "graft-nmi-partials-") { batch =>
-          val withNrm = batch.withColumn("nrm",
-            sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double")))
-          SimilarityQueries.assignTo(withNrm, cents)
-            .select(col("vec_id"), col("list_id"))
-            .join(batch.select(col("vec_id"), col("label")), "vec_id")
-            .groupBy(col("list_id"), col("label"))
-            .agg(count(lit(1)).as("nij"))
-        }
-          .groupBy(col("list_id"), col("label"))
-          .agg(sum(col("nij")).as("nij")))
-    }),
+        streamedClusterCells(s, dir, "graft-nmi-partials-"))),
+
+    // STREAMING CLUSTER PURITY (VERDICT r13 item 4) — the second
+    // serving finish on the SAME streamed (cluster, label) contingency
+    // cells stream_cluster_nmi maintains (the gini/HHI "one state
+    // table, N finishes" pattern; each twin drives its own replay so
+    // the merge proofs stay independent). Shares emb_cluster_purity's
+    // oracle, hash-proven.
+    "stream_cluster_purity" -> ((s, dir) =>
+      SimilarityQueries.clusterPurityFinish(
+        streamedClusterCells(s, dir, "graft-purity-partials-"))),
+
+    // STREAMING ARI — the third finish on the same cell state: exact
+    // decimal pair counting at serving time over the sum-merged cells.
+    // Shares emb_cluster_ari's oracle, hash-proven.
+    "stream_cluster_ari" -> ((s, dir) =>
+      SimilarityQueries.clusterAriFinish(
+        streamedClusterCells(s, dir, "graft-ari-partials-"))),
 
     // STREAMING ITEM-CF — the ratings state is the IDEMPOTENT-UNION
     // merge law (stream_retention's): per batch, the distinct
@@ -2158,6 +2186,10 @@ object StreamingQueries {
     // against the frozen trained index ≡ the batch contingency —
     // shares the batch NMI oracle, hash-proven.
     "stream_cluster_nmi" -> SimilarityQueries.oracleSql("emb_cluster_nmi"),
+    // the same streamed cell state, majority-vote / pair-agreement
+    // finishes — share the batch purity/ARI oracles, hash-proven.
+    "stream_cluster_purity" -> SimilarityQueries.oracleSql("emb_cluster_purity"),
+    "stream_cluster_ari" -> SimilarityQueries.oracleSql("emb_cluster_ari"),
     // Idempotent-union exposure state + serving-time cap/rank ≡ the
     // batch CF chain — shares both batch oracles, hash-proven.
     "stream_item_cf" -> EventQueries.oracleSql("events_item_cf"),
