@@ -145,10 +145,12 @@ object ScaleBench {
     "pipeline_pack_efficiency", "events_cum_hazard",
     "graph_assortativity", "events_capture_recapture",
     "events_odds_ratio", "events_hhi",
-    // r14: hier-gated finishes (VERDICT r13 item 1) + the
-    // absorbing-safe markov variant
+    // r14: hier-gated finishes (VERDICT r13 item 1), the
+    // absorbing-safe markov variant, and the shared-state finishes
+    // (v-measure / Bartlett / Simpson)
     "emb_intrinsic_dim_hier_scaled", "emb_knn_accuracy_hier_scaled",
-    "events_markov_stationary_absorbing")
+    "events_markov_stationary_absorbing", "emb_cluster_vmeasure",
+    "events_bartlett", "text_simpson_diversity")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -191,7 +193,7 @@ object ScaleBench {
     "stream_jsd_drift",
     // r13 twins
     "stream_cluster_nmi", "stream_cluster_purity", "stream_cluster_ari",
-    "stream_item_cf", "stream_item_pmi",
+    "stream_cluster_vmeasure", "stream_item_cf", "stream_item_pmi",
     "stream_ngram_novelty", "stream_gini", "stream_lexical_diversity",
     "stream_cum_hazard", "stream_capture_recapture",
     "stream_odds_ratio", "stream_hhi")

@@ -2621,8 +2621,13 @@ object EventQueries {
       .select(col("t"), round(lit(1.0) / col("k").cast("double"), 9)
         .cast("decimal(18,9)").as("piq"))
     // uniform start is itself renormalized (1/k at 9 dp need not sum
-    // to 1 — e.g. k = 3), so the invariant holds from round 0
-    pi = renormToAnchor(pi)
+    // to 1 — e.g. k = 3), so the invariant holds from round 0.
+    // Each round's π is eagerly materialized (localCheckpoint, k rows):
+    // a round references the prior π FOUR times (step, sink, and raw
+    // twice through the renorm), so the lazily-unrolled plan would
+    // replay ~4^rounds tiny subtrees as separate jobs (measured: 15 s
+    // → ~5 s at sf0.1 for the same answer).
+    pi = renormToAnchor(pi).localCheckpoint()
     for (_ <- 1 to MarkovRounds) {
       val step = p.join(pi, col("from_type") === col("t"))
         .groupBy(col("to_type"))
@@ -2636,7 +2641,7 @@ object EventQueries {
           round(coalesce(asDouble(col("sp")), lit(0.0)) +
             asDouble(col("sink")) / col("k").cast("double"), 9)
             .cast("decimal(18,9)").as("piq"))
-      pi = renormToAnchor(raw)
+      pi = renormToAnchor(raw).localCheckpoint()
     }
     pi
   }

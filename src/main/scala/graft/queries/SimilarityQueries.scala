@@ -757,6 +757,19 @@ object SimilarityQueries {
     "emb_cluster_ari" -> ((s, dir) =>
       clusterAriFinish(clusterCells(s, dir))),
 
+    // V-MEASURE — the fourth external-validity reading on the SAME
+    // (cluster, label) contingency cells (Rosenberg & Hirschberg 2007):
+    // homogeneity h = I/H(labels) (each cluster holds one class),
+    // completeness c = I/H(clusters) (each class lands in one
+    // cluster), v = their harmonic mean — the entropy identities
+    // 1 − H(C|K)/H(C) = I/H(C) let it read clusterNmiFinish's already
+    // 6-dp-rounded (mi, h_cluster, h_label) verbatim, so the whole
+    // query is pure arithmetic on the NMI finish: one more reading,
+    // zero new passes. Degenerate conventions (both engines): a zero
+    // reference entropy makes the score vacuously 1.
+    "emb_cluster_vmeasure" -> ((s, dir) =>
+      clusterVmeasureFinish(clusterCells(s, dir))),
+
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
     // centroids and the corpus assignment they induce. The unrolled-N
@@ -1898,6 +1911,22 @@ object SimilarityQueries {
           .as("ari_r"))
   }
 
+  /** V-measure finish — pure arithmetic on [[clusterNmiFinish]]'s
+    * rounded outputs (see the query scaladoc); shared by
+    * `emb_cluster_vmeasure` and its streaming twin.
+    */
+  private[graft] def clusterVmeasureFinish(cells: org.apache.spark.sql.DataFrame) = {
+    val h = when(col("h_label") > 0.0, col("mi") / col("h_label"))
+      .otherwise(lit(1.0))
+    val c = when(col("h_cluster") > 0.0, col("mi") / col("h_cluster"))
+      .otherwise(lit(1.0))
+    clusterNmiFinish(cells).select(col("n_cells"),
+      round(h, 6).as("homogeneity_r"),
+      round(c, 6).as("completeness_r"),
+      round(when(h + c > 0.0, lit(2.0) * h * c / (h + c))
+        .otherwise(lit(0.0)), 6).as("v_r"))
+  }
+
   /** The shared (list_id, label, nij) contingency cells over the
     * trained assignment — the one count agg all three cluster-validity
     * finishes read.
@@ -2706,6 +2735,53 @@ object SimilarityQueries {
        |  SELECT q_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
        |  FROM pairs
+       |)""".stripMargin
+
+  /** The trained-assignment → (cluster, label) contingency →
+    * entropy/MI CTE chain (ends at `mi`/`ht`/`hh`) — shared verbatim
+    * by the NMI and v-measure oracles so the two finishes provably
+    * read one chain.
+    */
+  private lazy val clusterEntropyCtes: String =
+    s"""${lloydCtes(TrainRounds)}, scored AS (
+       |  SELECT e.vec_id, c.list_id,
+       |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+       |  FROM embeddings e, cent$TrainRounds c
+       |), ranked AS (
+       |  SELECT vec_id, list_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, list_id) AS rk
+       |  FROM scored
+       |), asg AS (
+       |  SELECT vec_id, list_id FROM ranked WHERE rk = 1
+       |), cells AS (
+       |  SELECT a.list_id AS event_type, e.label AS hour,
+       |    CAST(count(*) AS BIGINT) AS nij
+       |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2
+       |), nt AS (
+       |  SELECT event_type, CAST(sum(nij) AS BIGINT) AS nt
+       |  FROM cells GROUP BY 1
+       |), nh AS (
+       |  SELECT hour, CAST(sum(nij) AS BIGINT) AS nh
+       |  FROM cells GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells
+       |), mi AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |    sum(CAST(round((nij / nn) *
+       |      ln((CAST(nn AS DOUBLE) * nij) / (CAST(nt AS DOUBLE) * nh)), 12)
+       |      AS DECIMAL(28,12))) AS mi_sum
+       |  FROM cells JOIN nt USING (event_type) JOIN nh USING (hour)
+       |  CROSS JOIN tot
+       |), ht AS (
+       |  SELECT sum(CAST(round(-(nt / nn) * ln(nt / nn), 12)
+       |    AS DECIMAL(28,12))) AS h_type
+       |  FROM nt CROSS JOIN tot
+       |), hh AS (
+       |  SELECT sum(CAST(round(-(nh / nn) * ln(nh / nn), 12)
+       |    AS DECIMAL(28,12))) AS h_hour
+       |  FROM nh CROSS JOIN tot
        |)""".stripMargin
 
   /** The TWO-LEVEL (hier-gated) kNN-graph chain up to `rankedp` —
@@ -3612,48 +3688,10 @@ object SimilarityQueries {
          |FROM p CROSS JOIN o""".stripMargin,
 
     // the identical trained-assignment chain, then events_entropy_mi's
-    // finish verbatim over the (cluster, label) contingency cells
+    // finish verbatim over the (cluster, label) contingency cells;
+    // chain shared with the v-measure oracle via clusterEntropyCtes
     "emb_cluster_nmi" ->
-      s"""WITH ${lloydCtes(TrainRounds)}, scored AS (
-         |  SELECT e.vec_id, c.list_id,
-         |    ${duckCos("e.embedding", "c.centroid")} AS ccos
-         |  FROM embeddings e, cent$TrainRounds c
-         |), ranked AS (
-         |  SELECT vec_id, list_id,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, list_id) AS rk
-         |  FROM scored
-         |), asg AS (
-         |  SELECT vec_id, list_id FROM ranked WHERE rk = 1
-         |), cells AS (
-         |  SELECT a.list_id AS event_type, e.label AS hour,
-         |    CAST(count(*) AS BIGINT) AS nij
-         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
-         |  GROUP BY 1, 2
-         |), nt AS (
-         |  SELECT event_type, CAST(sum(nij) AS BIGINT) AS nt
-         |  FROM cells GROUP BY 1
-         |), nh AS (
-         |  SELECT hour, CAST(sum(nij) AS BIGINT) AS nh
-         |  FROM cells GROUP BY 1
-         |), tot AS (
-         |  SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells
-         |), mi AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
-         |    sum(CAST(round((nij / nn) *
-         |      ln((CAST(nn AS DOUBLE) * nij) / (CAST(nt AS DOUBLE) * nh)), 12)
-         |      AS DECIMAL(28,12))) AS mi_sum
-         |  FROM cells JOIN nt USING (event_type) JOIN nh USING (hour)
-         |  CROSS JOIN tot
-         |), ht AS (
-         |  SELECT sum(CAST(round(-(nt / nn) * ln(nt / nn), 12)
-         |    AS DECIMAL(28,12))) AS h_type
-         |  FROM nt CROSS JOIN tot
-         |), hh AS (
-         |  SELECT sum(CAST(round(-(nh / nn) * ln(nh / nn), 12)
-         |    AS DECIMAL(28,12))) AS h_hour
-         |  FROM nh CROSS JOIN tot
-         |)
+      s"""WITH $clusterEntropyCtes
          |SELECT n_cells,
          |  round(CAST(h_type AS DOUBLE), 6) AS h_cluster,
          |  round(CAST(h_hour AS DOUBLE), 6) AS h_label,
@@ -3662,6 +3700,29 @@ object SimilarityQueries {
          |        sqrt(CAST(h_type AS DOUBLE) * CAST(h_hour AS DOUBLE)), 6)
          |    AS nmi
          |FROM mi CROSS JOIN ht CROSS JOIN hh""".stripMargin,
+
+    // the same entropy chain, finished as homogeneity/completeness/v
+    // from the IDENTICAL 6-dp-rounded (mi, h_cluster, h_label) the NMI
+    // select emits — pure arithmetic past the shared CTEs
+    "emb_cluster_vmeasure" ->
+      s"""WITH $clusterEntropyCtes, nmif AS (
+         |  SELECT n_cells,
+         |    round(CAST(h_type AS DOUBLE), 6) AS h_cluster,
+         |    round(CAST(h_hour AS DOUBLE), 6) AS h_label,
+         |    round(CAST(mi_sum AS DOUBLE), 6) AS mi
+         |  FROM mi CROSS JOIN ht CROSS JOIN hh
+         |), hc AS (
+         |  SELECT n_cells,
+         |    CASE WHEN h_label > 0.0 THEN mi / h_label ELSE 1.0 END AS h,
+         |    CASE WHEN h_cluster > 0.0 THEN mi / h_cluster ELSE 1.0 END AS c
+         |  FROM nmif
+         |)
+         |SELECT n_cells,
+         |  round(h, 6) AS homogeneity_r,
+         |  round(c, 6) AS completeness_r,
+         |  round(CASE WHEN h + c > 0.0 THEN 2.0 * h * c / (h + c)
+         |    ELSE 0.0 END, 6) AS v_r
+         |FROM hc""".stripMargin,
 
     // the identical trained-assignment chain, then the same exact
     // DECIMAL(38,0) pair-counting binomials and the single double

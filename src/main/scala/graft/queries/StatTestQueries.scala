@@ -304,6 +304,38 @@ object StatTestQueries {
               / (col("n_total") - col("k")).cast("double")), 6)).as("f_r"))
   }
 
+  /** Bartlett finish over [[anovaStats]]'s (event_type, n, sv, qv) —
+    * exposed so the spec can plant equal/unequal-variance groups.
+    * Degenerate groups (n < 2 or zero variance) are excluded on both
+    * engines before any logarithm.
+    */
+  private[graft] def bartlettFinish(stats: DataFrame): DataFrame = {
+    def d12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val per = stats.filter(col("n") >= 2)
+      .withColumn("s2",
+        (col("qv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") /
+            col("n").cast("double")) / (col("n") - 1).cast("double"))
+      .filter(col("s2") > 0.0)
+    per.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(d12((col("n") - 1).cast("double") * col("s2"))).as("num"),
+        sum(d12((col("n") - 1).cast("double") * log(col("s2")))).as("lsum"),
+        sum(d12(lit(1.0) / (col("n") - 1).cast("double"))).as("invsum"))
+      .withColumn("df", (col("n_total") - col("k")).cast("double"))
+      .withColumn("sp2", col("num").cast("double") / col("df"))
+      .withColumn("cfac", lit(1.0) +
+        (col("invsum").cast("double") - lit(1.0) / col("df")) /
+          (lit(3.0) * (col("k") - 1).cast("double")))
+      .select(col("k"), col("n_total"),
+        round(col("sp2"), 6).as("pooled_var_r"),
+        when(col("k") > 1 && col("df") > 0.0 && col("sp2") > 0.0,
+          round((col("df") * log(col("sp2")) - col("lsum").cast("double"))
+            / col("cfac"), 6)).as("chi2_r"),
+        when(col("k") > 1 && col("df") > 0.0,
+          round(col("cfac"), 6)).as("c_r"))
+  }
+
   /** BH selection over the per-type KS results (n_ref, n_cur, d_r):
     * asymptotic p quantized at 9 dp identically on both engines
     * BEFORE any threshold comparison, then the largest-prefix rule
@@ -466,6 +498,20 @@ object StatTestQueries {
     "events_anova" -> ((s, dir) =>
       anovaOf(Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("event_type"), dec(col("value")).as("v")))),
+
+    // BARTLETT VARIANCE-HOMOGENEITY TEST — the precondition check the
+    // ANOVA F-test assumes (equal group variances): χ² =
+    // [(N−k)·ln(s²_pooled) − Σ(nᵢ−1)·ln(s²ᵢ)] / C with Bartlett's
+    // correction C. A THIRD reading on events_anova's per-type
+    // sufficient statistics (n, Σv, Σv²) — the shared anovaStats
+    // frame, so the marginal cost is one k-row agg; per-group ln
+    // terms are 12-dp-quantized and decimal-summed (k-term double
+    // addition is order-sensitive). Groups need n ≥ 2 and s² > 0 —
+    // both engines filter identically.
+    "events_bartlett" -> ((s, dir) =>
+      bartlettFinish(anovaStats(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), dec(col("value")).as("v"))))),
 
     // χ² OF INDEPENDENCE — is value-bucket distribution independent
     // of event_type (the categorical drift test PSI approximates).
@@ -697,6 +743,44 @@ object StatTestQueries {
         |      / (CAST(ssw AS DOUBLE) / CAST(n_total - k AS DOUBLE)), 6)
         |  END AS f_r
         |FROM two""".stripMargin,
+
+    // the anova per-type sufficient-statistics CTE, finished with the
+    // same 12-dp-quantized decimal-summed Bartlett terms
+    "events_bartlett" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), per AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS qv
+        |  FROM e GROUP BY 1
+        |), s AS (
+        |  SELECT n, (CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS s2
+        |  FROM per WHERE n >= 2
+        |), u AS (
+        |  SELECT n, s2 FROM s WHERE s2 > 0.0
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    sum(CAST(round(CAST(n - 1 AS DOUBLE) * s2, 12) AS DECIMAL(28,12)))
+        |      AS num,
+        |    sum(CAST(round(CAST(n - 1 AS DOUBLE) * ln(s2), 12) AS DECIMAL(28,12)))
+        |      AS lsum,
+        |    sum(CAST(round(1.0 / CAST(n - 1 AS DOUBLE), 12) AS DECIMAL(28,12)))
+        |      AS invsum
+        |  FROM u
+        |), f AS (
+        |  SELECT k, n_total, CAST(n_total - k AS DOUBLE) AS df,
+        |    CAST(num AS DOUBLE) / CAST(n_total - k AS DOUBLE) AS sp2,
+        |    1.0 + (CAST(invsum AS DOUBLE) - 1.0 / CAST(n_total - k AS DOUBLE))
+        |      / (3.0 * CAST(k - 1 AS DOUBLE)) AS cfac,
+        |    CAST(lsum AS DOUBLE) AS lsum_d
+        |  FROM agg
+        |)
+        |SELECT k, n_total, round(sp2, 6) AS pooled_var_r,
+        |  CASE WHEN k > 1 AND df > 0 AND sp2 > 0
+        |    THEN round((df * ln(sp2) - lsum_d) / cfac, 6) END AS chi2_r,
+        |  CASE WHEN k > 1 AND df > 0 THEN round(cfac, 6) END AS c_r
+        |FROM f""".stripMargin,
 
     "events_chisq" ->
       """WITH e AS (

@@ -1874,6 +1874,13 @@ object StreamingQueries {
       SimilarityQueries.clusterAriFinish(
         streamedClusterCells(s, dir, "graft-ari-partials-"))),
 
+    // STREAMING V-MEASURE — the fourth finish on the same cell state
+    // (homogeneity/completeness/v read the streamed NMI outputs
+    // verbatim). Shares emb_cluster_vmeasure's oracle, hash-proven.
+    "stream_cluster_vmeasure" -> ((s, dir) =>
+      SimilarityQueries.clusterVmeasureFinish(
+        streamedClusterCells(s, dir, "graft-vm-partials-"))),
+
     // STREAMING ITEM-CF — the ratings state is the IDEMPOTENT-UNION
     // merge law (stream_retention's): per batch, the distinct
     // (user, item) exposures append; the merged set re-distincts, and
@@ -2190,6 +2197,7 @@ object StreamingQueries {
     // finishes — share the batch purity/ARI oracles, hash-proven.
     "stream_cluster_purity" -> SimilarityQueries.oracleSql("emb_cluster_purity"),
     "stream_cluster_ari" -> SimilarityQueries.oracleSql("emb_cluster_ari"),
+    "stream_cluster_vmeasure" -> SimilarityQueries.oracleSql("emb_cluster_vmeasure"),
     // Idempotent-union exposure state + serving-time cap/rank ≡ the
     // batch CF chain — shares both batch oracles, hash-proven.
     "stream_item_cf" -> EventQueries.oracleSql("events_item_cf"),

@@ -416,6 +416,17 @@ object TextQueries {
     "text_lexical_diversity" -> ((s, dir) =>
       lexdivFinish(lexdivCells(Tables.documents(s, dir)))),
 
+    // SIMPSON DIVERSITY — the concentration complement of
+    // text_lexical_diversity's richness readings (TTR counts kinds;
+    // Simpson weights by repetition — the probability two random
+    // tokens from a source coincide, the events_hhi of vocabularies):
+    // D = Σ nᵢ(nᵢ−1) / (N(N−1)) per source, inverse Simpson = the
+    // effective vocabulary size. A SECOND finish on the same
+    // (source, token, cnt) cells — exact DECIMAL(38,0) pair counts
+    // (the ARI convention), one double division, no logarithm.
+    "text_simpson_diversity" -> ((s, dir) =>
+      simpsonFinish(lexdivCells(Tables.documents(s, dir)))),
+
     // BLEU-2 OVER CANDIDATE PAIRS — clipped n-gram precision scoring
     // on the LSH blocking pairs (the dedup chain's candidates): for
     // each (candidate = doc_a, reference = doc_b) edge, modified
@@ -1683,6 +1694,25 @@ object TextQueries {
         round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
           .as("hapax_ratio_r"))
 
+  /** Simpson-diversity finish over merged (source, token, cnt) cells —
+    * exposed so the spec can plant monopoly/all-distinct vocabularies;
+    * shared cell frame with [[lexdivFinish]].
+    */
+  private[graft] def simpsonFinish(cells: org.apache.spark.sql.DataFrame) =
+    cells.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           count(lit(1)).as("vocab"),
+           sum(col("cnt").cast("decimal(38,0)") * (col("cnt") - lit(1)))
+             .as("pairs2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        when(col("n_tokens") > 1,
+          round(col("pairs2").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1).cast("double")), 6)).as("simpson_r"))
+      .withColumn("inv_simpson_r",
+        when(col("simpson_r") > 0.0,
+          round(lit(1.0) / col("simpson_r"), 6)))
+
   /** Per-doc exploded bigrams with the md5 '#novel' train/test flag —
     * the UNION-mergeable half of `text_ngram_novelty` (the streaming
     * twin appends per-batch distinct (doc_id, g, is_test) rows and
@@ -2590,6 +2620,31 @@ object TextQueries {
         |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio_r
         |FROM c GROUP BY 1""".stripMargin,
+
+    // the same (source, token, cnt) cells, pair-counting finish
+    "text_simpson_diversity" ->
+      """WITH c AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT source,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) AS pairs2
+        |  FROM c GROUP BY 1
+        |), d AS (
+        |  SELECT source, n_tokens, vocab,
+        |    CASE WHEN n_tokens > 1 THEN
+        |      round(CAST(pairs2 AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 6)
+        |    END AS simpson_r
+        |  FROM g
+        |)
+        |SELECT source, n_tokens, vocab, simpson_r,
+        |  CASE WHEN simpson_r > 0.0 THEN round(1.0 / simpson_r, 6) END
+        |    AS inv_simpson_r
+        |FROM d""".stripMargin,
 
     "text_redact" ->
       s"""WITH aug AS (

@@ -161,7 +161,8 @@ object TwinRegistry {
       "sketch_quantiles_by_type", "text_bigram_lm", "text_stats",
       "text_token_freq", "text_zipf", "text_quality_lr_calibration",
       "text_quality_lr_cv", "text_quality_nb", "text_quality_auc",
-      "events_profile", "events_profile_approx", "events_pivot"),
+      "events_profile", "events_profile_approx", "events_pivot",
+      "events_bartlett", "text_simpson_diversity"),
     "corpus-snapshot-stage" -> Seq(
       "pipeline_pack", "pipeline_pack_efficiency", "pipeline_shuffle",
       "pipeline_split", "pipeline_select", "pipeline_mix",

@@ -54,6 +54,57 @@ class Round14OpsSpec extends SparkSpec {
     assert(total.compareTo(java.math.BigDecimal.ONE) == 0)
   }
 
+  // ---- shared-state finishes (v-measure / Bartlett / Simpson) -------
+
+  test("clusterVmeasureFinish: perfect and degenerate clusterings") {
+    // perfect diagonal: each cluster holds exactly one class
+    val perfect = Seq((1L, 1L, 10L), (2L, 2L, 10L), (3L, 3L, 10L))
+      .toDF("list_id", "label", "nij")
+    val p = SimilarityQueries.clusterVmeasureFinish(perfect).head()
+    assert(p.getAs[Double]("homogeneity_r") == 1.0 &&
+      p.getAs[Double]("completeness_r") == 1.0 &&
+      p.getAs[Double]("v_r") == 1.0)
+    // everything in ONE cluster: complete (H(K)=0 -> convention 1)
+    // but maximally inhomogeneous (I = 0)
+    val merged = Seq((1L, 1L, 10L), (1L, 2L, 10L))
+      .toDF("list_id", "label", "nij")
+    val m = SimilarityQueries.clusterVmeasureFinish(merged).head()
+    assert(m.getAs[Double]("homogeneity_r") == 0.0 &&
+      m.getAs[Double]("completeness_r") == 1.0 &&
+      m.getAs[Double]("v_r") == 0.0)
+  }
+
+  test("bartlettFinish: equal variances -> chi2 ~ 0, unequal -> large") {
+    import graft.queries.StatTestQueries
+    def stats(rows: Seq[(String, Double)]) =
+      StatTestQueries.anovaStats(
+        rows.toDF("event_type", "v0")
+          .select(col("event_type"),
+            col("v0").cast("decimal(18,4)").as("v")))
+    val equal = stats(Seq(("a", 0.0), ("a", 2.0), ("a", 4.0),
+      ("b", 10.0), ("b", 12.0), ("b", 14.0)))
+    val e = StatTestQueries.bartlettFinish(equal).head()
+    assert(math.abs(e.getAs[Double]("chi2_r")) < 1e-6)
+    assert(math.abs(e.getAs[Double]("pooled_var_r") - 4.0) < 1e-6)
+    val unequal = stats(Seq(("a", 0.0), ("a", 0.1), ("a", 0.2),
+      ("b", 0.0), ("b", 100.0), ("b", 200.0)))
+    val u = StatTestQueries.bartlettFinish(unequal).head()
+    assert(u.getAs[Double]("chi2_r") > 10.0)
+  }
+
+  test("simpsonFinish: monopoly vocabulary -> 1, all-distinct -> 0") {
+    import graft.queries.TextQueries
+    val cells = Seq(("A", "w", 10L),
+      ("B", "x", 1L), ("B", "y", 1L), ("B", "z", 1L), ("B", "q", 1L))
+      .toDF("source", "tok", "cnt")
+    val out = TextQueries.simpsonFinish(cells)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("simpson_r") == 1.0 &&
+      out("A").getAs[Double]("inv_simpson_r") == 1.0)
+    assert(out("B").getAs[Double]("simpson_r") == 0.0 &&
+      out("B").isNullAt(out("B").fieldIndex("inv_simpson_r")))
+  }
+
   // ---- ewma corpus-axis retirement (VERDICT r13 item 6) -------------
 
   test("bucketed-halo EWMA equals the monolithic kernel, precondition held") {
