@@ -150,7 +150,11 @@ object ScaleBench {
     // (v-measure / Bartlett / Simpson)
     "emb_intrinsic_dim_hier_scaled", "emb_knn_accuracy_hier_scaled",
     "events_markov_stationary_absorbing", "emb_cluster_vmeasure",
-    "events_bartlett", "text_simpson_diversity")
+    "events_bartlett", "text_simpson_diversity",
+    // r14 wave 2: nonparametric/paired tests + text finishes
+    "events_kruskal_wallis", "events_brown_forsythe", "events_mcnemar",
+    "events_spearman", "text_rouge_pairs", "text_good_turing",
+    "graph_closeness_sampled", "emb_matryoshka_recall")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -58,4 +58,51 @@ object Bfs {
     edges.unpersist()
     dist
   }
+
+  /** Per-seed BFS — the SAME bounded-round join/min shape with the
+    * frontier keyed (seed, vertex) instead of vertex alone, so each
+    * seed's distance field stays separate (the product-graph trick:
+    * |seeds| independent BFS runs share every round's single edge
+    * join). Per-seed order statistics (closeness, harmonic
+    * centrality, eccentricity-within-horizon) read straight off the
+    * result. O(rounds · |seeds| · |E|) worst case — callers keep the
+    * seed set small (a sampled-centrality panel, not all-pairs).
+    *
+    * @param seeds one row per source vertex, column `s` (long)
+    * @param pairs undirected edges (a, b) (long) — mirrored internally
+    * @return (s, v, dist): min hop count from seed `s`, for vertices
+    *         within `maxRounds` hops of it
+    */
+  def labeledDistances(seeds: DataFrame, pairs: DataFrame,
+                       maxRounds: Int): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def state(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("dist").cast("decimal(38,0)")),
+                 lit(0).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var dist = seeds.select(col("s"), col("s").as("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var prev = state(dist)
+    var it = 0
+    var done = false
+    while (!done && it < maxRounds) {
+      val prop = edges
+        .join(dist.select(col("s"), col("v").as("src"), col("dist")), "src")
+        .select(col("s"), col("dst").as("v"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionAll(prop)
+        .groupBy(col("s"), col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val nextState = state(next)
+      dist = next
+      done = nextState == prev
+      prev = nextState
+      it += 1
+    }
+    edges.unpersist()
+    dist
+  }
 }

@@ -1294,8 +1294,47 @@ object DedupQueries {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       graft.operators.Bfs.distances(seeds, pairs, BfsRounds)
         .select(col("v").as("doc_id"), col("dist").as("hop_dist"))
+    }),
+
+    // SAMPLED CLOSENESS CENTRALITY — per-seed distance profiles over
+    // the dedup graph for a deterministic panel of component reps
+    // (the ClosenessSeeds smallest — exact all-pairs closeness is
+    // O(V·E) and never the 100 TB plan; a seed panel is how
+    // centrality is estimated at scale). Per-seed BFS via
+    // Bfs.labeledDistances (the product-graph join/min — |seeds|
+    // runs share each round's ONE edge join); the finish reads
+    // bounded-horizon closeness (reached−1)/Σd, harmonic centrality
+    // Σ 1/d (9-dp-quantized terms, decimal-summed — the engines'
+    // division ulp never reaches the sum), and the within-horizon
+    // eccentricity. Everything past the BFS is a |seeds|-row agg.
+    "graph_closeness_sampled" -> ((s, dir) => {
+      val seeds = ccLabels(s, dir).select(col("lbl")).distinct()
+        .orderBy(col("lbl")).limit(ClosenessSeeds)
+        .select(col("lbl").as("s"))
+      val pairs = lshEdges(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Bfs.labeledDistances(seeds, pairs, BfsRounds)
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("dist")).as("dist_sum"),
+          max(col("dist")).as("ecc_h"),
+          sum(when(col("dist") > 0,
+            round(lit(1.0) / col("dist").cast("double"), 9)
+              .cast("decimal(20,9)"))
+            .otherwise(lit(0).cast("decimal(20,9)"))).as("hsum"))
+        .select(col("s").as("seed"), col("n_reached"), col("dist_sum"),
+          col("ecc_h"),
+          when(col("dist_sum") > 0,
+            round((col("n_reached") - 1).cast("double")
+              / col("dist_sum").cast("double"), 6)).as("closeness_r"),
+          round(col("hsum").cast("double"), 6).as("harmonic_r"))
     })
   )
+
+  /** Seed-panel size for `graph_closeness_sampled` — the smallest
+    * component reps, deterministic across engines and scale factors.
+    */
+  private[graft] val ClosenessSeeds = 4
 
   /** BFS hop horizon for `graph_bfs` — comfortably past the LSH star
     * graph's tiny diameter (stars have radius 1 around bucket reps;
@@ -1430,13 +1469,17 @@ object DedupQueries {
     * hash proof; contrast stream_topk, where count-based top-k is NOT
     * mergeable and must keep full partials).
     */
+  /** The distributed top-K take (TakeOrderedAndProject — per-partition
+    * top-K, no global shuffle) BEFORE the TinyOrder rank — exposed
+    * because the rank's eager localCheckpoint truncates the executed
+    * plan to a checkpoint scan, so PlanShapeSpec's map-side-take
+    * assertion must read THIS frame's plan (the shipped chain).
+    */
+  private[graft] def worTake(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    keys.orderBy(col("key_r").desc, col("doc_id")).limit(WorSampleK)
+
   private[graft] def worTopK(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    keys
-      // distributed top-K (TakeOrderedAndProject — per-partition
-      // top-K, no global shuffle), then a TinyOrder rank over the
-      // K-row result; no unpartitioned window
-      .orderBy(col("key_r").desc, col("doc_id"))
-      .limit(WorSampleK)
+    worTake(keys)
       .transform(df => graft.operators.TinyOrder.rank(df, "rn",
         Seq(negate(col("key_r")), col("doc_id"))))
       .select(col("doc_id"), col("n_tokens"), col("key_r"),
@@ -3033,6 +3076,34 @@ object DedupQueries {
          |  WHERE bfs.dist < $BfsRounds
          |)
          |SELECT v AS doc_id, min(dist) AS hop_dist
-         |FROM bfs GROUP BY 1""".stripMargin
+         |FROM bfs GROUP BY 1""".stripMargin,
+
+    // the same CC chain, the smallest-rep seed panel, and the graph_bfs
+    // recursion carrying the seed label; min per (seed, vertex) then
+    // the 9-dp-quantized harmonic/closeness finish term-for-term
+    "graph_closeness_sampled" ->
+      s"""WITH RECURSIVE $ccSplitCtes, seeds AS (
+         |  SELECT v AS s FROM (
+         |    SELECT DISTINCT component_id AS v FROM cc
+         |    ORDER BY v LIMIT $ClosenessSeeds)
+         |), bfs(s, v, dist) AS (
+         |  SELECT s, s, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT bfs.s, e.dst, bfs.dist + 1
+         |  FROM bfs JOIN edges2 e ON e.src = bfs.v
+         |  WHERE bfs.dist < $BfsRounds
+         |), md AS (
+         |  SELECT s, v, min(dist) AS dist FROM bfs GROUP BY 1, 2
+         |)
+         |SELECT s AS seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS dist_sum,
+         |  CAST(max(dist) AS BIGINT) AS ecc_h,
+         |  CASE WHEN sum(dist) > 0 THEN
+         |    round(CAST(count(*) - 1 AS DOUBLE) / CAST(sum(dist) AS DOUBLE), 6)
+         |  END AS closeness_r,
+         |  round(CAST(sum(CASE WHEN dist > 0
+         |    THEN CAST(round(1.0 / CAST(dist AS DOUBLE), 9) AS DECIMAL(20,9))
+         |    ELSE CAST(0 AS DECIMAL(20,9)) END) AS DOUBLE), 6) AS harmonic_r
+         |FROM md GROUP BY 1""".stripMargin
   )
 }

@@ -22,6 +22,11 @@ object SimilarityQueries {
   private val Dim = 64
   private val TopK = 5
   private val NQueries = 8
+
+  /** Prefix truncations evaluated by `emb_matryoshka_recall` against
+    * the 64-dim truth.
+    */
+  private[graft] val MatryoshkaDims = Seq(8, 16, 32)
   private val NPlanes = 8
   private val NProbe = 2
   private val NearDupCos = 0.2
@@ -273,6 +278,34 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
                 col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // MATRYOSHKA TRUNCATION EVAL — recall@k of brute-force search on
+    // PREFIX-truncated embeddings (8/16/32 of 64 dims) against the
+    // full-dimension truth: the standard readout for
+    // matryoshka-trained embeddings ("how many dims can serving
+    // afford to drop"), and for THESE near-isotropic synthetic
+    // vectors an honest low-recall baseline (prefix dims carry no
+    // privileged information — which is exactly what the eval
+    // detects; a matryoshka-trained model would hold recall near 1).
+    // Each truncation reuses the bruteforce chain on slice()d arrays
+    // (the decimal dot kernel is length-generic); the recall join is
+    // (n_q · k)-sized. At 100 TB the same eval runs over the IVF
+    // shortlist instead of the full cross join — the truncation
+    // column is the independent variable either way.
+    "emb_matryoshka_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val truth = truncTopk(emb, 64)
+      MatryoshkaDims.map(d => truncTopk(emb, d).withColumn("dim", lit(d.toLong)))
+        .reduce(_.unionAll(_))
+        .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("dim"))
+        .agg(countDistinct(col("q_id")).as("n_q"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("dim"), col("n_q"), col("n_hits"),
+          round(col("n_hits").cast("double")
+            / (col("n_q") * lit(TopK.toLong)).cast("double"), 6)
+            .as("recall_r"))
     }),
 
     // Hot-path variant of the same top-k on the fused codegen'd
@@ -1668,6 +1701,35 @@ object SimilarityQueries {
     * (vec_id, label) table — exposed so the spec can plant edge sets
     * with known vote outcomes.
     */
+  /** Brute-force cosine top-k on a prefix truncation of the embedding
+    * — the ann_topk_bruteforce chain with both sides slice()d to `d`
+    * dims (d = 64 is the identity/truth pass; the decimal dot kernel
+    * is length-generic). Deterministic (cos desc, vec_id) ranking
+    * from exact-decimal reductions, so the truth and every truncation
+    * rank identically on any engine.
+    */
+  private def truncTopk(emb: org.apache.spark.sql.DataFrame,
+                        d: Int): org.apache.spark.sql.DataFrame = {
+    val e = emb
+      .withColumn("te",
+        if (d == 64) col("embedding") else slice(col("embedding"), 1, d))
+      .withColumn("nrm",
+        sqrt(VectorOps.normSqDecimal(col("te")).cast("double")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("te").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        VectorOps.dotDecimal(col("q_emb"), col("te")).cast("double")
+          / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+  }
+
   private[graft] def knnAccuracyOf(edges: org.apache.spark.sql.DataFrame,
                                    labels: org.apache.spark.sql.DataFrame) = {
     val votes = edges
@@ -2843,6 +2905,33 @@ object SimilarityQueries {
        |  FROM pairs
        |)""".stripMargin
 
+  /** duckCos generalized to a prefix truncation — the Matryoshka
+    * oracle's per-dim kernel (d = 64 reproduces duckCos exactly).
+    */
+  private def duckCosDim(a: String, b: String, d: Int): String =
+    s"""(CAST(list_sum(list_transform(generate_series(1, $d), i ->
+       |    CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
+       |  / (sqrt(CAST(list_sum(list_transform(generate_series(1, $d), i ->
+       |      CAST(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))
+       |   * sqrt(CAST(list_sum(list_transform(generate_series(1, $d), i ->
+       |      CAST(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE))))""".stripMargin
+
+  /** The brute-force rank ≤ TopK CTE body at truncation `d` — shared
+    * by the truth (d = 64) and every candidate arm of the Matryoshka
+    * oracle.
+    */
+  private def matryoshkaArm(d: Int): String =
+    s"""SELECT q_id, vec_id FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosDim("q.embedding", "e.embedding", d)} DESC,
+       |        e.vec_id) AS rk
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id < $NQueries) q
+       |  WHERE e.vec_id <> q.vec_id
+       |) WHERE rk <= $TopK""".stripMargin
+
   private def duckCos(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(generate_series(1, 64), i ->
        |    CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,14)))) AS DOUBLE)
@@ -3133,6 +3222,29 @@ object SimilarityQueries {
          |)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos_r
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+
+    // the same brute-force rank arm at each prefix truncation, hits
+    // counted against the d = 64 truth arm
+    "emb_matryoshka_recall" -> {
+      val arms = MatryoshkaDims
+        .map(d => s"SELECT $d AS dim, q_id, vec_id FROM (${matryoshkaArm(d)})")
+        .mkString("\nUNION ALL\n")
+      s"""WITH t64 AS (
+         |  ${matryoshkaArm(64)}
+         |), cand AS (
+         |  $arms
+         |)
+         |SELECT CAST(c.dim AS BIGINT) AS dim,
+         |  CAST(count(DISTINCT c.q_id) AS BIGINT) AS n_q,
+         |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(count(DISTINCT c.q_id) * $TopK AS DOUBLE), 6) AS recall_r
+         |FROM cand c
+         |LEFT JOIN t64 t ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+         |GROUP BY c.dim""".stripMargin
+    },
 
     // Rank-only twin of ann_topk_bruteforce: the float hot path's
     // (q_id, rank, vec_id) must equal the decimal-exact ranking.

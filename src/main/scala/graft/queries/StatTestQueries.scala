@@ -365,6 +365,194 @@ object StatTestQueries {
         coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
   }
 
+  /** Kruskal-Wallis H from a (event_type, value) frame — the k-group
+    * rank ANOVA (the nonparametric sibling of [[anovaOf]], robust to
+    * the non-normality [[bartlettFinish]] flags): values are ranked
+    * GLOBALLY across all groups, H = 12/(N(N+1))·Σ Rᵢ²/nᵢ − 3(N+1),
+    * tie-corrected by C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * The global midrank is the only cross-group order statistic in the
+    * stats family, and it runs through [[GlobalOrder.withPrefixSum]]
+    * over the DISTINCT-VALUE grid (exclusive prefix of per-value
+    * counts under the value order) — never an unpartitioned window,
+    * never a data-sized sort (the grid is distinct-value-sized, and
+    * the per-(type,value) cell frame is additive — the same mergeable
+    * state [[mwFinish]] reads, so a streaming twin's merge law is the
+    * proven ksGrid one). Midranks are carried ×2 (integer under ties);
+    * per-group Rᵢ²/nᵢ terms are computed in double FROM EXACT integer
+    * inputs (bit-identical cross-engine), 4-dp-quantized to decimal
+    * before the order-sensitive cross-group sum (the anova term
+    * convention); the tie sum Σ(t³−t) is exact DECIMAL(38,0).
+    */
+  private[graft] def kwFinish(e: DataFrame): DataFrame = {
+    val tv = e.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c_tv"))
+    val vt = tv.groupBy(col("value")).agg(sum(col("c_tv")).as("c_v"))
+    val ranked = GlobalOrder.withPrefixSum(vt, col("c_v"), "cumb",
+        Seq(col("value")), inclusive = false)
+      .withColumn("midrank2", lit(2L) * col("cumb") + col("c_v") + lit(1L))
+    val per = tv
+      .join(ranked.select(col("value"), col("midrank2")), "value")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c_tv")).as("n_i"),
+        sum(col("c_tv").cast("decimal(38,0)") * col("midrank2")).as("r2_i"))
+      // Rᵢ = r2ᵢ/2 ⇒ Rᵢ²/nᵢ = r2ᵢ²/(4nᵢ); double math on exact
+      // integers is deterministic, the 4-dp quantization makes the
+      // k-term sum order-insensitive
+      .withColumn("term",
+        round(asDouble(col("r2_i")) * asDouble(col("r2_i"))
+          / (lit(4.0) * col("n_i").cast("double")), 4).cast("decimal(38,4)"))
+    val ties = vt.agg(sum(col("c_v").cast("decimal(38,0)") * col("c_v")
+      * col("c_v") - col("c_v")).as("tsum"))
+    per.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n_total"),
+        sum(col("term")).as("ts"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h",
+        when(col("n_total") > 1,
+          lit(12.0) / (col("n_total").cast("double")
+              * (col("n_total") + 1).cast("double"))
+            * asDouble(col("ts"))
+            - lit(3.0) * (col("n_total") + 1).cast("double")))
+      .withColumn("c",
+        when(col("n_total") > 1,
+          lit(1.0) - asDouble(col("tsum"))
+            / asDouble(col("n_total").cast("decimal(38,0)")
+              * col("n_total") * col("n_total") - col("n_total"))))
+      .select(col("k"), col("n_total"),
+        round(col("h"), 6).as("h_r"),
+        round(col("c"), 9).as("tie_c_r"),
+        when(col("k") > 1 && col("c") > 0.0,
+          round(col("h") / col("c"), 6)).as("h_adj_r"))
+  }
+
+  /** Per-type exact grid median of `value` — count arithmetic over the
+    * per-type distinct-value grid (the trimmedFromGrid convention):
+    * the two middle order statistics ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ are
+    * located inside their tie groups by cumulative counts, and the
+    * median is their double midpoint — NO engine quantile function
+    * anywhere (Spark `percentile` and DuckDB `quantile_cont`
+    * interpolate with different formulas; (v1+v2)/2 on identical
+    * doubles is bit-identical).
+    */
+  private[graft] def gridMedians(e: DataFrame): DataFrame = {
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val g = e.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c_tv"))
+      .withColumn("cumb", coalesce(sum(col("c_tv")).over(
+        byT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_i", sum(col("c_tv")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("p1", call_function("div", col("n_i") + 1, lit(2L)))
+      .withColumn("p2", call_function("div", col("n_i") + 2, lit(2L)))
+    g.groupBy(col("event_type"))
+      .agg(
+        min(when(col("cumb") < col("p1")
+          && col("cumb") + col("c_tv") >= col("p1"), col("value"))).as("v1"),
+        min(when(col("cumb") < col("p2")
+          && col("cumb") + col("c_tv") >= col("p2"), col("value"))).as("v2"))
+      .select(col("event_type"), ((col("v1") + col("v2")) / 2.0).as("med"))
+  }
+
+  /** Brown-Forsythe robust variance-homogeneity test — the Levene
+    * family member on MEDIAN-centered absolute deviations (the
+    * recommended robust alternative when [[bartlettFinish]]'s
+    * normality assumption is in doubt; reading the two together is
+    * the standard protocol): W = the one-way ANOVA F on
+    * zᵢⱼ = |vᵢⱼ − medᵢ|. A FOURTH reading on the anova machinery —
+    * the transformed frame goes straight through
+    * [[anovaStats]]/[[anovaFinish]], so the statistic inherits the
+    * proven decimal-quantized finish; the only new work is the
+    * per-type grid median (one grid agg). z is 6-dp-quantized to
+    * DECIMAL(18,6) identically on both engines before any sum.
+    */
+  private[graft] def brownForsytheOf(e: DataFrame): DataFrame =
+    anovaFinish(anovaStats(
+      e.join(gridMedians(e), "event_type")
+        .select(col("event_type"),
+          round(abs(col("value") - col("med")), 6)
+            .cast("decimal(18,6)").as("v"))))
+
+  /** McNemar's paired test per event_type — did individual USERS flip
+    * activity between the frozen PSI halves (the within-subject
+    * complement of the marginal drift tests: PSI/KS compare
+    * distributions, McNemar compares each user with themself):
+    * b = active-ref-only users, c = active-cur-only, χ² =
+    * (max(|b−c|−1, 0))²/(b+c) with Edwards' continuity correction.
+    * Presence flags are idempotent max-merges per (type, user, half)
+    * — mergeable state; arithmetic INTEGER until the single final
+    * division (DECIMAL(38,0) square — the srmFinish convention), and
+    * the alarm compares the 6-dp-rounded statistic against the shared
+    * χ²_{0.95,1} literal.
+    */
+  private[graft] def mcnemarFinish(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"), col("user_id"))
+      .agg(max(when(col("half") === "ref", 1L).otherwise(0L)).as("x"),
+        max(when(col("half") === "cur", 1L).otherwise(0L)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("x") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("x") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2_r",
+        when(col("b") + col("c") > 0,
+          round(asDouble(
+            greatest(abs(col("b") - col("c")) - lit(1L), lit(0L))
+              .cast("decimal(38,0)")
+              * greatest(abs(col("b") - col("c")) - lit(1L), lit(0L)))
+            / asDouble(col("b") + col("c")), 6)))
+      .select(col("event_type"), col("n_users"), col("b"), col("c"),
+        col("chi2_r"),
+        coalesce(col("chi2_r") > lit(SrmCrit), lit(false)).as("flip_flag"))
+
+  /** Spearman rank correlation between arrival order and value, per
+    * event_type — the nonparametric monotone-trend test (the rank
+    * sibling of events_theilsen's slope: "is this series drifting up
+    * or down at all", robust to outliers and any monotone transform).
+    * Midranks for BOTH variables come from per-type distinct-value
+    * grids carried ×2 (integral under ties — the mwFinish device),
+    * and ρ is Pearson on the midranks with every moment sum exact
+    * DECIMAL(38,0): numerator and both variance terms are exact
+    * integers (the ×2 factors cancel), so the only double arithmetic
+    * is the final division — identical bits cross-engine. Headroom:
+    * n·Σxy ~ 4n³ stays inside DECIMAL(38,0) to n ≈ 3·10⁹ rows per
+    * type (Spark raises on decimal overflow rather than truncating;
+    * the oracle's HUGEINT route caps at the same 1.7·10³⁸).
+    */
+  private[graft] def spearmanFinish(e: DataFrame): DataFrame = {
+    def midranks(keyCol: String, out: String): DataFrame = {
+      val byT = Window.partitionBy(col("event_type")).orderBy(col(keyCol))
+      e.groupBy(col("event_type"), col(keyCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("cnt")).over(
+            byT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            + col("cnt") + lit(1L))
+        .select(col("event_type"), col(keyCol), col(out))
+    }
+    def d0(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val j = e
+      .join(midranks("value", "rx2"), Seq("event_type", "value"))
+      .join(midranks("ts_ms", "ry2"), Seq("event_type", "ts_ms"))
+    j.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d0(col("rx2"))).as("sx"), sum(d0(col("ry2"))).as("sy"),
+        sum(d0(col("rx2")) * col("rx2")).as("sxx"),
+        sum(d0(col("ry2")) * col("ry2")).as("syy"),
+        sum(d0(col("rx2")) * col("ry2")).as("sxy"))
+      .withColumn("num", d0(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", d0(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", d0(col("n")) * col("syy") - col("sy") * col("sy"))
+      .withColumn("rho",
+        when(col("d1") > 0 && col("d2") > 0,
+          asDouble(col("num"))
+            / (sqrt(asDouble(col("d1"))) * sqrt(asDouble(col("d2"))))))
+      .select(col("event_type"), col("n"),
+        round(col("rho"), 6).as("rho_r"),
+        // z = ρ·√(n−1), the large-sample normal approximation
+        round(col("rho") * sqrt((col("n") - 1).cast("double")), 6).as("z_r"),
+        coalesce(abs(col("rho") * sqrt((col("n") - 1).cast("double")))
+          > 1.959964, lit(false)).as("is_sig"))
+  }
+
   /** χ²_{0.95, 1 dof} — the SRM alarm threshold. One shared literal so
     * both engines compare against the identical double.
     */
@@ -512,6 +700,42 @@ object StatTestQueries {
       bartlettFinish(anovaStats(
         Tables.events(s, dir).filter(col("value").isNotNull)
           .select(col("event_type"), dec(col("value")).as("v"))))),
+
+    // KRUSKAL-WALLIS RANK ANOVA — does the VALUE DISTRIBUTION differ
+    // across event types without assuming normality (the rank
+    // counterpart of events_anova; the k-group generalization of
+    // events_mannwhitney's two-half shift test). Global midranks via
+    // GlobalOrder.withPrefixSum over the distinct-value grid — see
+    // kwFinish for the no-unpartitioned-window argument.
+    "events_kruskal_wallis" -> ((s, dir) =>
+      kwFinish(Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value")))),
+
+    // BROWN-FORSYTHE ROBUST VARIANCE TEST — Levene on median-centered
+    // |deviations|: the robust reading next to events_bartlett (which
+    // assumes normality). Per-type grid medians + the proven
+    // anovaStats/anovaFinish chain on the transformed frame.
+    "events_brown_forsythe" -> ((s, dir) =>
+      brownForsytheOf(Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value")))),
+
+    // MCNEMAR PAIRED FLIP TEST — per-user activity flips between the
+    // frozen PSI halves (within-subject drift, vs PSI/KS's marginal
+    // drift). Integer arithmetic until one division; Edwards'
+    // continuity correction.
+    "events_mcnemar" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ms"))
+      mcnemarFinish(EventQueries.psiHalved(e, EventQueries.psiSplit(e)))
+    }),
+
+    // SPEARMAN MONOTONE TREND — per-type rank correlation between
+    // arrival order and value (the nonparametric twin of
+    // events_theilsen's slope sign). Exact DECIMAL(38,0) moment sums
+    // on ×2 midranks; one double division.
+    "events_spearman" -> ((s, dir) =>
+      spearmanFinish(Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts_ms"), col("value")))),
 
     // χ² OF INDEPENDENCE — is value-bucket distribution independent
     // of event_type (the categorical drift test PSI approximates).
@@ -780,6 +1004,192 @@ object StatTestQueries {
         |  CASE WHEN k > 1 AND df > 0 AND sp2 > 0
         |    THEN round((df * ln(sp2) - lsum_d) / cfac, 6) END AS chi2_r,
         |  CASE WHEN k > 1 AND df > 0 THEN round(cfac, 6) END AS c_r
+        |FROM f""".stripMargin,
+
+    // the same distinct-value grid, global midrank prefix, exact
+    // decimal tie sum and 4-dp-quantized R²/n terms — term-for-term
+    // with kwFinish (DuckDB's global window realizes the order
+    // GlobalOrder.withPrefixSum distributes)
+    "events_kruskal_wallis" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), tv AS (
+        |  SELECT event_type, value, count(*) AS c_tv FROM e GROUP BY 1, 2
+        |), vt AS (
+        |  SELECT value, sum(c_tv) AS c_v FROM tv GROUP BY 1
+        |), r AS (
+        |  SELECT value, c_v,
+        |    2 * coalesce(sum(c_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c_v + 1 AS midrank2
+        |  FROM vt
+        |), per AS (
+        |  SELECT event_type, CAST(sum(c_tv) AS BIGINT) AS n_i,
+        |    sum(CAST(c_tv AS DECIMAL(38,0)) * midrank2) AS r2_i
+        |  FROM tv JOIN r USING (value) GROUP BY 1
+        |), pq AS (
+        |  SELECT event_type, n_i,
+        |    CAST(round(CAST(r2_i AS DOUBLE) * CAST(r2_i AS DOUBLE)
+        |      / (4.0 * CAST(n_i AS DOUBLE)), 4) AS DECIMAL(38,4)) AS term
+        |  FROM per
+        |), ties AS (
+        |  SELECT sum(CAST(c_v AS DECIMAL(38,0)) * c_v * c_v - c_v) AS tsum
+        |  FROM vt
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_i) AS BIGINT) AS n_total, sum(term) AS ts
+        |  FROM pq
+        |), f AS (
+        |  SELECT k, n_total,
+        |    CASE WHEN n_total > 1 THEN
+        |      12.0 / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+        |        * CAST(ts AS DOUBLE) - 3.0 * CAST(n_total + 1 AS DOUBLE)
+        |    END AS h,
+        |    CASE WHEN n_total > 1 THEN
+        |      1.0 - CAST(tsum AS DOUBLE)
+        |        / CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * n_total
+        |            - n_total AS DOUBLE)
+        |    END AS c
+        |  FROM agg CROSS JOIN ties
+        |)
+        |SELECT k, n_total, round(h, 6) AS h_r, round(c, 9) AS tie_c_r,
+        |  CASE WHEN k > 1 AND c > 0.0 THEN round(h / c, 6) END AS h_adj_r
+        |FROM f""".stripMargin,
+
+    // the same grid-median count arithmetic and 6-dp-quantized
+    // |deviations|, finished with the events_anova oracle tail
+    "events_brown_forsythe" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), tv AS (
+        |  SELECT event_type, value, count(*) AS c_tv FROM e GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, value, c_tv,
+        |    coalesce(sum(c_tv) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |    sum(c_tv) OVER (PARTITION BY event_type) AS n_i
+        |  FROM tv
+        |), m AS (
+        |  SELECT event_type,
+        |    (min(CASE WHEN cumb < (n_i + 1) // 2
+        |        AND cumb + c_tv >= (n_i + 1) // 2 THEN value END)
+        |     + min(CASE WHEN cumb < (n_i + 2) // 2
+        |        AND cumb + c_tv >= (n_i + 2) // 2 THEN value END)) / 2.0 AS med
+        |  FROM g GROUP BY 1
+        |), z AS (
+        |  SELECT e.event_type,
+        |    CAST(round(abs(e.value - m.med), 6) AS DECIMAL(18,6)) AS v
+        |  FROM e JOIN m USING (event_type)
+        |), per AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS qv,
+        |    CAST(round(CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 4) AS DECIMAL(24,4)) AS term
+        |  FROM z GROUP BY 1
+        |), one AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    sum(sv) AS g, sum(qv) AS qq, sum(term) AS t1
+        |  FROM per
+        |), two AS (
+        |  SELECT k, n_total,
+        |    t1 - CAST(round(CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE), 4) AS DECIMAL(24,4)) AS ssb,
+        |    qq - t1 AS ssw
+        |  FROM one
+        |)
+        |SELECT k, n_total, CAST(ssb AS DOUBLE) AS ssb_r,
+        |  round(CAST(ssw AS DOUBLE), 4) AS ssw_r,
+        |  CASE WHEN k > 1 AND ssw > 0 AND n_total > k THEN
+        |    round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) / CAST(n_total - k AS DOUBLE)), 6)
+        |  END AS f_r
+        |FROM two""".stripMargin,
+
+    // same frozen split, same idempotent presence flags, same
+    // DECIMAL(38,0) continuity-corrected square, same shared critical
+    "events_mcnemar" ->
+      s"""WITH e AS (
+         |  SELECT event_type, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+         |  FROM events
+         |), sp AS (
+         |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+         |), p AS (
+         |  SELECT event_type, user_id,
+         |    max(CASE WHEN ts_ms <= sp.t_split THEN 1 ELSE 0 END) AS x,
+         |    max(CASE WHEN ts_ms > sp.t_split THEN 1 ELSE 0 END) AS y
+         |  FROM e CROSS JOIN sp GROUP BY 1, 2
+         |), a AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS b,
+         |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c
+         |  FROM p GROUP BY 1
+         |), f AS (
+         |  SELECT event_type, n_users, b, c,
+         |    CASE WHEN b + c > 0 THEN
+         |      round(CAST(CAST(greatest(abs(b - c) - 1, 0) AS DECIMAL(38,0))
+         |        * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+         |        / CAST(b + c AS DOUBLE), 6)
+         |    END AS chi2_r
+         |  FROM a
+         |)
+         |SELECT event_type, n_users, b, c, chi2_r,
+         |  coalesce(chi2_r > $SrmCrit, false) AS flip_flag
+         |FROM f""".stripMargin,
+
+    // same ×2 midrank grids and exact integer moment sums (HUGEINT =
+    // int128 here, DECIMAL(38,0) on the Spark side — both exact, both
+    // cast to double only for the final division)
+    "events_spearman" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), gv0 AS (
+        |  SELECT event_type, value, count(*) AS cnt FROM e GROUP BY 1, 2
+        |), gv AS (
+        |  SELECT event_type, value,
+        |    2 * coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS rx2
+        |  FROM gv0
+        |), gt0 AS (
+        |  SELECT event_type, ts_ms, count(*) AS cnt FROM e GROUP BY 1, 2
+        |), gt AS (
+        |  SELECT event_type, ts_ms,
+        |    2 * coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS ry2
+        |  FROM gt0
+        |), j AS (
+        |  SELECT e.event_type, gv.rx2, gt.ry2
+        |  FROM e
+        |  JOIN gv ON gv.event_type = e.event_type AND gv.value = e.value
+        |  JOIN gt ON gt.event_type = e.event_type AND gt.ts_ms = e.ts_ms
+        |), per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+        |    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+        |    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+        |    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+        |  FROM j GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS d1,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS d2
+        |  FROM per
+        |), f AS (
+        |  SELECT event_type, n,
+        |    CASE WHEN d1 > 0 AND d2 > 0 THEN
+        |      CAST(num AS DOUBLE)
+        |        / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+        |    END AS rho
+        |  FROM d
+        |)
+        |SELECT event_type, n, round(rho, 6) AS rho_r,
+        |  round(rho * sqrt(CAST(n - 1 AS DOUBLE)), 6) AS z_r,
+        |  coalesce(abs(rho * sqrt(CAST(n - 1 AS DOUBLE))) > 1.959964, false)
+        |    AS is_sig
         |FROM f""".stripMargin,
 
     "events_chisq" ->

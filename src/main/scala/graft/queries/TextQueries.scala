@@ -485,6 +485,61 @@ object TextQueries {
           round(col("bp_q") * col("g_q"), 6).as("bleu2_r"))
     }),
 
+    // ROUGE-2 OVER CANDIDATE PAIRS — the RECALL-oriented reading of
+    // text_bleu_pairs' clipped-bigram state (BLEU asks "how much of
+    // the candidate is in the reference", ROUGE asks the reverse —
+    // summarization/dedup triage wants both): on the same LSH
+    // blocking edges, recall = Σ_g min(c_a, c_b)/(len_b − 1),
+    // precision ≡ BLEU's p2, F1 = their harmonic mean. The clipped
+    // numerator and Σc_a denominator are the identical two-join
+    // chain; the only new column is the reference length. Work stays
+    // bounded by |edges|·doc-length (the banding guarantee).
+    "text_rouge_pairs" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+      DedupQueries.lshEdges(s, dir)
+        .join(big.select(col("doc_id").as("doc_a"), col("g"),
+          col("c").as("ca")), "doc_a")
+        .join(big.select(col("doc_id").as("doc_b"), col("g"),
+          col("c").as("cb")), Seq("doc_b", "g"), "left")
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), coalesce(col("cb"), lit(0L)))).as("m2"),
+             sum(col("ca")).as("t2"))
+        .join(lens.select(col("doc_id").as("doc_b"), col("n").as("len_b")),
+          "doc_b")
+        .withColumn("prec_d", when(col("t2") > 0,
+          asDouble(col("m2")) / asDouble(col("t2"))).otherwise(lit(0.0)))
+        .withColumn("rec_d", when(col("len_b") > 1,
+          asDouble(col("m2")) / asDouble(col("len_b") - 1)).otherwise(lit(0.0)))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("prec_d"), 6).as("p2_r"),
+          round(col("rec_d"), 6).as("rec2_r"),
+          when(col("prec_d") + col("rec_d") > 0.0,
+            round(lit(2.0) * col("prec_d") * col("rec_d")
+              / (col("prec_d") + col("rec_d")), 6))
+            .otherwise(lit(0.0)).as("f2_r"))
+    }),
+
+    // GOOD-TURING FREQUENCY ESTIMATES — the THIRD finish on
+    // text_lexical_diversity's (source, token, cnt) cells (TTR/hapax
+    // count kinds, Simpson weights repetition; Good-Turing asks what
+    // the counts PREDICT): count-of-counts N_r for r = 1..5, the
+    // smoothed estimate r* = (r+1)·N_{r+1}/N_r, and the missing-mass
+    // estimate p₀ = N₁/N — the quantities Kneser-Ney discounting and
+    // "how much vocabulary haven't we seen" coverage audits start
+    // from. The r-grid is densified to 1..5 per source (the Benford
+    // frozen-grid convention) so the row set is scale-stable; all
+    // counts integer, two double divisions at the end.
+    "text_good_turing" -> ((s, dir) =>
+      goodTuringFinish(lexdivCells(Tables.documents(s, dir)))),
+
     // QUALITY-CLASSIFIER TRAINING — logistic regression distilling
     // the rule-based quality gate (y = text_quality ≥ 0.6) into a
     // 2-feature model, trained IN THE ENGINE by two unrolled
@@ -1113,30 +1168,12 @@ object TextQueries {
     // shuffle, so a stop-word token with a billion postings ships 10
     // rows per partition, not a collected list — the reason this is
     // a window + filter and not a collect_list over raw postings.
-    "text_inverted_index" -> ((s, dir) => {
-      val perDoc = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = perDoc.groupBy(col("token"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      val heads = perDoc.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("token")).orderBy(col("doc_id"))))
-        .filter(col("rn") <= 10)
-        .groupBy(col("token"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .select(col("token"),
-          expr("concat_ws(',', transform(ids, x -> CAST(x AS STRING)))")
-            .as("postings_head"))
-      stats.join(heads, "token")
-        .orderBy(col("df").desc, col("token"))
-        .limit(20)
+    "text_inverted_index" -> ((s, dir) =>
+      invertedIndexTop20(s, dir)
         .transform(df => graft.operators.TinyOrder.rank(df, "rank",
           Seq(negate(col("df")), col("token"))))
         .select(col("rank"), col("token"), col("df"), col("cf"),
-                col("postings_head"))
-    }),
+                col("postings_head"))),
 
     // SPARSE TF-IDF COSINE RETRIEVAL — the vector-space twin of
     // text_bm25 and the SPARSE leg of hybrid search (dense ANN covers
@@ -1480,6 +1517,34 @@ object TextQueries {
           .as("ndcg_r"))
   }
 
+  /** The inverted-index top-20 chain UP TO (and excluding) the final
+    * TinyOrder rank — exposed because the rank's eager localCheckpoint
+    * truncates the executed plan to a checkpoint scan, so Bm25Spec's
+    * WindowGroupLimit assertion must read THIS frame's plan (the
+    * shipped chain, not a replica) to see the rn ≤ 10 group limit.
+    */
+  private[graft] def invertedIndexTop20(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): org.apache.spark.sql.DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val heads = perDoc.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("token")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("token"),
+        expr("concat_ws(',', transform(ids, x -> CAST(x AS STRING)))")
+          .as("postings_head"))
+    stats.join(heads, "token")
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+  }
+
   /** BM25-scored per-doc aggregate (doc_id, n_terms_hit, score_d) for
     * the fixed query terms — the chain text_bm25 ranks and search_ndcg
     * evaluates.
@@ -1712,6 +1777,39 @@ object TextQueries {
       .withColumn("inv_simpson_r",
         when(col("simpson_r") > 0.0,
           round(lit(1.0) / col("simpson_r"), 6)))
+
+  /** Good-Turing finish over merged (source, token, cnt) cells — the
+    * count-of-counts table N_r (r = 1..5, densified per source so the
+    * row set is scale-stable), the smoothed estimate
+    * r* = (r+1)·N_{r+1}/N_r, and the missing-mass estimate
+    * p₀ = N₁/N. Counts stay integer end to end; the only doubles are
+    * the two output divisions. Shared cell frame with
+    * [[lexdivFinish]]/[[simpsonFinish]] — a third finish, one state.
+    */
+  private[graft] def goodTuringFinish(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = cells.sparkSession
+    val cc = cells.groupBy(col("source"), col("cnt").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = cells.groupBy(col("source")).agg(sum(col("cnt")).as("n_tokens"))
+    val rs = s.range(1L, 6L).select(col("id").as("r"))
+    cc.select(col("source")).distinct()
+      .crossJoin(broadcast(rs))
+      .join(cc, Seq("source", "r"), "left")
+      .withColumn("n_r", coalesce(col("n_r"), lit(0L)))
+      .join(cc.select(col("source"), (col("r") - 1).as("r"),
+        col("n_r").as("n_r1")), Seq("source", "r"), "left")
+      .withColumn("n_r1", coalesce(col("n_r1"), lit(0L)))
+      .join(cc.filter(col("r") === 1)
+        .select(col("source"), col("n_r").as("n_1")), Seq("source"), "left")
+      .join(tot, "source")
+      .select(col("source"), col("r"), col("n_r"), col("n_r1"),
+        when(col("n_r") > 0,
+          round((col("r") + 1).cast("double") * col("n_r1").cast("double")
+            / col("n_r").cast("double"), 6)).as("r_star_r"),
+        round(coalesce(col("n_1"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 6).as("p0_r"))
+  }
 
   /** Per-doc exploded bigrams with the md5 '#novel' train/test flag —
     * the UNION-mergeable half of `text_ngram_novelty` (the streaming
@@ -1985,6 +2083,79 @@ object TextQueries {
          |        - CAST(len_b AS DOUBLE) / CAST(len_a AS DOUBLE)) END, 9)
          |    * round(sqrt(p1_d * p2_d), 9), 6) AS bleu2_r
          |FROM f""".stripMargin,
+
+    // same LSH edge chain and clipped-bigram joins as the BLEU
+    // oracle, read recall-side against the reference length
+    "text_rouge_pairs" ->
+      s"""WITH ${DedupQueries.lshEdgeCtes}, tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), big AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1])) AS u(g)
+         |  WHERE len(t) >= 2 GROUP BY 1, 2
+         |), lens AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk
+         |), p2 AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS m2,
+         |    CAST(sum(a.c) AS BIGINT) AS t2
+         |  FROM edges e
+         |  JOIN big a ON a.doc_id = e.doc_a
+         |  LEFT JOIN big b ON b.doc_id = e.doc_b AND b.g = a.g
+         |  GROUP BY 1, 2
+         |), f AS (
+         |  SELECT p2.doc_a, p2.doc_b,
+         |    CASE WHEN p2.t2 > 0
+         |      THEN CAST(p2.m2 AS DOUBLE) / CAST(p2.t2 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS prec_d,
+         |    CASE WHEN lb.n > 1
+         |      THEN CAST(p2.m2 AS DOUBLE) / CAST(lb.n - 1 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS rec_d
+         |  FROM p2 JOIN lens lb ON lb.doc_id = p2.doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(prec_d, 6) AS p2_r, round(rec_d, 6) AS rec2_r,
+         |  CASE WHEN prec_d + rec_d > 0.0
+         |    THEN round(2.0 * prec_d * rec_d / (prec_d + rec_d), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS f2_r
+         |FROM f""".stripMargin,
+
+    // the same (source, token, cnt) cells, count-of-counts finish on
+    // the densified 1..5 r-grid
+    "text_good_turing" ->
+      """WITH c AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        |  GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT source, cnt AS r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM c GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY 1
+        |), grid AS (
+        |  SELECT s.source, g.r
+        |  FROM (SELECT DISTINCT source FROM c) s
+        |  CROSS JOIN (SELECT CAST(unnest([1,2,3,4,5]) AS BIGINT) AS r) g
+        |), f AS (
+        |  SELECT grid.source, grid.r,
+        |    CAST(coalesce(a.n_r, 0) AS BIGINT) AS n_r,
+        |    CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r1
+        |  FROM grid
+        |  LEFT JOIN cc a ON a.source = grid.source AND a.r = grid.r
+        |  LEFT JOIN cc b ON b.source = grid.source AND b.r = grid.r + 1
+        |)
+        |SELECT f.source, f.r, f.n_r, f.n_r1,
+        |  CASE WHEN f.n_r > 0 THEN
+        |    round(CAST(f.r + 1 AS DOUBLE) * CAST(f.n_r1 AS DOUBLE)
+        |      / CAST(f.n_r AS DOUBLE), 6) END AS r_star_r,
+        |  round(CAST(coalesce(s1.n_1, 0) AS DOUBLE)
+        |    / CAST(tot.n_tokens AS DOUBLE), 6) AS p0_r
+        |FROM f
+        |JOIN tot ON tot.source = f.source
+        |LEFT JOIN (SELECT source, n_r AS n_1 FROM cc WHERE r = 1) s1
+        |  ON s1.source = f.source""".stripMargin,
 
     // the quality chain is text_quality's oracle verbatim; the
     // interleave key and both ranks are plain window SQL (the oracle

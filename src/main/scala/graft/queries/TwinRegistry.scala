@@ -132,7 +132,9 @@ object TwinRegistry {
       "graph_lpa", "graph_modularity", "graph_pagerank", "graph_ppr",
       "graph_triangles", "mm_near_dup", "emb_knn_graph",
       "emb_knn_accuracy", "emb_intrinsic_dim", "emb_centroid_sim",
-      "emb_triplet_eval", "text_bleu_pairs", "pipeline_hard_negatives"),
+      "emb_triplet_eval", "text_bleu_pairs", "text_rouge_pairs",
+      "graph_closeness_sampled", "emb_matryoshka_recall",
+      "pipeline_hard_negatives"),
     "performance-posture-variant" -> Seq(
       "dedup_semantic_fast", "dedup_semantic_scaled",
       "dedup_semantic_hier_scaled", "dedup_dbscan_scaled",
@@ -162,7 +164,15 @@ object TwinRegistry {
       "text_token_freq", "text_zipf", "text_quality_lr_calibration",
       "text_quality_lr_cv", "text_quality_nb", "text_quality_auc",
       "events_profile", "events_profile_approx", "events_pivot",
-      "events_bartlett", "text_simpson_diversity"),
+      "events_bartlett", "text_simpson_diversity",
+      // r14: the (type,value)/(type,ts) grids and presence flags these
+      // four read are the proven ksGrid / max-merge state classes
+      // (stream_ks_test, stream_mannwhitney, stream_anova carry the
+      // laws); finishes omitted to bound the replay count
+      "events_kruskal_wallis", "events_brown_forsythe",
+      "events_mcnemar", "events_spearman",
+      // r14: third finish on stream_lexical_diversity's proven cells
+      "text_good_turing"),
     "corpus-snapshot-stage" -> Seq(
       "pipeline_pack", "pipeline_pack_efficiency", "pipeline_shuffle",
       "pipeline_split", "pipeline_select", "pipeline_mix",

@@ -155,8 +155,14 @@ class PlanShapeSpec extends SparkSpec {
     // order must compile to TakeOrderedAndProject (each map task keeps
     // its own top-K, the merge re-selects — exactly the A-ES
     // truncation law) or WindowGroupLimit — without either, the
-    // 'sample' ships the whole corpus through one reducer's sort
-    val plan = executedPlan("pipeline_sample_wor")
+    // 'sample' ships the whole corpus through one reducer's sort.
+    // Read from the pre-rank frame: the final TinyOrder rank's eager
+    // localCheckpoint truncates the shipped query's executed plan to
+    // a checkpoint scan that can't show the take.
+    import graft.queries.DedupQueries
+    val plan = DedupQueries.worTake(DedupQueries.worKeys(
+        graft.tables.Tables.documents(spark, sf)))
+      .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject") ||
            plan.contains("WindowGroupLimit"), plan.take(1500))
   }

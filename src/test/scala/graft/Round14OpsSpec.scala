@@ -105,6 +105,184 @@ class Round14OpsSpec extends SparkSpec {
       out("B").isNullAt(out("B").fieldIndex("inv_simpson_r")))
   }
 
+  // ---- r14 wave 2: nonparametric/paired tests ------------------------
+
+  test("kwFinish: separated groups score the textbook H; all-equal has no test") {
+    import graft.queries.StatTestQueries
+    // a = {1,2,3}, b = {4,5,6}: ranks 1..6, R_a = 6, R_b = 15 ->
+    // H = 12/42 * (36/3 + 225/3) - 21 = 27/7
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("event_type", "value")
+    val h = StatTestQueries.kwFinish(sep).head()
+    assert(math.abs(h.getAs[Double]("h_r") - 27.0 / 7.0) < 1e-6)
+    assert(h.getAs[Double]("tie_c_r") == 1.0)
+    assert(math.abs(h.getAs[Double]("h_adj_r") - 27.0 / 7.0) < 1e-6)
+    // every value tied: H = 0 exactly and the tie correction degenerates
+    // to 0 -> no adjusted statistic
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val t = StatTestQueries.kwFinish(tied).head()
+    assert(t.getAs[Double]("h_r") == 0.0)
+    assert(t.getAs[Double]("tie_c_r") == 0.0)
+    assert(t.isNullAt(t.fieldIndex("h_adj_r")))
+  }
+
+  test("gridMedians: odd/even/tied order statistics, no quantile function") {
+    import graft.queries.StatTestQueries
+    val e = Seq(("odd", 1.0), ("odd", 2.0), ("odd", 100.0),
+      ("even", 1.0), ("even", 2.0), ("even", 3.0), ("even", 4.0),
+      ("tied", 7.0), ("tied", 7.0), ("tied", 9.0))
+      .toDF("event_type", "value")
+    val m = StatTestQueries.gridMedians(e).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("odd") == 2.0 && m("even") == 2.5 && m("tied") == 7.0)
+  }
+
+  test("brownForsytheOf: equal spreads pass, an exploded group trips F") {
+    import graft.queries.StatTestQueries
+    // 4-element groups so the 4-dp term quantization is exact:
+    // identical |dev| sets {1.5, .5, .5, 1.5} per group -> SSB = 0
+    val equal = Seq(("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 11.0), ("b", 12.0), ("b", 13.0))
+      .toDF("event_type", "value")
+    val e = StatTestQueries.brownForsytheOf(equal).head()
+    assert(e.getAs[Double]("f_r") == 0.0)
+    val spread = Seq(("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0), ("b", 100.0), ("b", 200.0), ("b", 300.0))
+      .toDF("event_type", "value")
+    assert(StatTestQueries.brownForsytheOf(spread).head()
+      .getAs[Double]("f_r") > 5.0)
+  }
+
+  test("mcnemarFinish: continuity-corrected flips, degenerate guarded") {
+    import graft.queries.StatTestQueries
+    def halved(rows: Seq[(String, Long, String)]) =
+      rows.toDF("event_type", "user_id", "half")
+    // b = 5 ref-only, c = 1 cur-only -> (4-1)^2/6 = 1.5, under the gate
+    val small = halved(
+      (1L to 5L).map(u => ("t", u, "ref")) ++ Seq(("t", 6L, "cur")) ++
+        Seq(("t", 7L, "ref"), ("t", 7L, "cur")))
+    val s = StatTestQueries.mcnemarFinish(small).head()
+    assert(s.getAs[Long]("b") == 5 && s.getAs[Long]("c") == 1)
+    assert(s.getAs[Double]("chi2_r") == 1.5 && !s.getAs[Boolean]("flip_flag"))
+    // b = 30, c = 5 -> 24^2/35 trips the chi2_{0.95,1} gate
+    val big = halved(
+      (1L to 30L).map(u => ("t", u, "ref")) ++
+        (31L to 35L).map(u => ("t", u, "cur")))
+    val bg = StatTestQueries.mcnemarFinish(big).head()
+    assert(bg.getAs[Double]("chi2_r") > StatTestQueries.SrmCrit)
+    assert(bg.getAs[Boolean]("flip_flag"))
+    // nobody flipped: no statistic, no alarm (never a 0/0)
+    val none = halved(Seq(("t", 1L, "ref"), ("t", 1L, "cur")))
+    val n = StatTestQueries.mcnemarFinish(none).head()
+    assert(n.isNullAt(n.fieldIndex("chi2_r")) && !n.getAs[Boolean]("flip_flag"))
+  }
+
+  test("spearmanFinish: monotone series hit ±1, constants have no test") {
+    import graft.queries.StatTestQueries
+    val e = Seq(
+      ("up", 1L, 10.0), ("up", 2L, 20.0), ("up", 3L, 30.0), ("up", 4L, 40.0),
+      ("down", 1L, 9.0), ("down", 2L, 7.0), ("down", 3L, 5.0),
+      ("flat", 1L, 4.0), ("flat", 2L, 4.0), ("flat", 3L, 4.0))
+      .toDF("event_type", "ts_ms", "value")
+    val out = StatTestQueries.spearmanFinish(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Double]("rho_r") == 1.0)
+    assert(out("down").getAs[Double]("rho_r") == -1.0)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("rho_r")))
+    assert(!out("flat").getAs[Boolean]("is_sig"))
+  }
+
+  test("goodTuringFinish: textbook count-of-counts on a planted vocabulary") {
+    import graft.queries.TextQueries
+    // counts (1,1,1,2,2,3): N1=3, N2=2, N3=1, N=10 -> r*(1)=4/3,
+    // r*(2)=3/2, r*(3)=0 (N4=0), r in {4,5} have no estimate; p0=0.3
+    val cells = Seq(("A", "t1", 1L), ("A", "t2", 1L), ("A", "t3", 1L),
+      ("A", "t4", 2L), ("A", "t5", 2L), ("A", "t6", 3L))
+      .toDF("source", "tok", "cnt")
+    val rows = TextQueries.goodTuringFinish(cells).collect()
+      .map(r => r.getAs[Long]("r") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(math.abs(rows(1L).getAs[Double]("r_star_r") - 1.333333) < 1e-9)
+    assert(rows(2L).getAs[Double]("r_star_r") == 1.5)
+    assert(rows(3L).getAs[Double]("r_star_r") == 0.0)
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("r_star_r")))
+    assert(rows.values.forall(_.getAs[Double]("p0_r") == 0.3))
+  }
+
+  test("rouge precision IS bleu p2 on the shared pair state") {
+    import graft.queries.TextQueries
+    val bleu = TextQueries.queries("text_bleu_pairs")(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("p2_r").as("bleu_p2"))
+    val rouge = TextQueries.queries("text_rouge_pairs")(spark, sf)
+    // rouge's pair set = bleu pairs whose candidate HAS bigrams (the
+    // inner join on the candidate's bigram frame); precision matches
+    // row for row, and F1 is bounded by both precision and recall
+    // compare via collected maps, NOT a join: the two frames share the
+    // lshEdges/documents lineage and a same-lineage join mis-resolves
+    // the compared attributes (ambiguous-self-join; observed 906/1023
+    // false diffs while the materialized outputs are identical)
+    val bm = bleu.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rr = rouge.collect()
+    assert(rr.nonEmpty)
+    assert(rr.forall(r =>
+      bm((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        == r.getAs[Double]("p2_r")))
+    // F1 (harmonic mean) lies BETWEEN precision and recall — rounding
+    // is monotone, so the rounded triple keeps the sandwich
+    assert(rouge.filter(
+      col("f2_r") > greatest(col("p2_r"), col("rec2_r")) ||
+      col("f2_r") < least(col("p2_r"), col("rec2_r"))).count() == 0)
+  }
+
+  // ---- r14 wave 3: per-seed BFS + matryoshka eval ---------------------
+
+  test("labeledDistances: per-seed distances on a planted path graph") {
+    import graft.operators.Bfs
+    // path 1-2-3-4-5, seeds {1, 4}: the per-seed fields must stay
+    // separate (the multi-source merge would collapse them)
+    val seeds = Seq(1L, 4L).toDF("s")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val d = Bfs.labeledDistances(seeds, pairs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, (1L, 4L) -> 3L,
+      (1L, 5L) -> 4L,
+      (4L, 4L) -> 0L, (4L, 3L) -> 1L, (4L, 2L) -> 2L, (4L, 1L) -> 3L,
+      (4L, 5L) -> 1L))
+    // the horizon truncates: 1 round from seed 1 reaches only {1, 2}
+    val t = Bfs.labeledDistances(seeds, pairs, 1).collect()
+      .filter(_.getLong(0) == 1L).map(_.getLong(1)).sorted
+    assert(t.sameElements(Array(1L, 2L)))
+  }
+
+  test("closeness/matryoshka fixture invariants") {
+    import graft.queries.{DedupQueries, SimilarityQueries}
+    val c = DedupQueries.queries("graph_closeness_sampled")(spark, sf)
+      .collect()
+    assert(c.length == DedupQueries.ClosenessSeeds)
+    // a seed reaching only itself has dist_sum 0 and no closeness;
+    // any other has closeness in (0, 1] (hop distances >= 1)
+    assert(c.forall { r =>
+      val (n, ds) = (r.getAs[Long]("n_reached"), r.getAs[Long]("dist_sum"))
+      if (ds == 0) n == 1 && r.isNullAt(r.fieldIndex("closeness_r"))
+      else {
+        val cl = r.getAs[Double]("closeness_r")
+        cl > 0.0 && cl <= 1.0 && r.getAs[Double]("harmonic_r") >= cl
+      }
+    })
+    val m = SimilarityQueries.queries("emb_matryoshka_recall")(spark, sf)
+      .collect()
+    assert(m.map(_.getAs[Long]("dim")).sorted.toSeq ==
+      SimilarityQueries.MatryoshkaDims.map(_.toLong))
+    assert(m.forall { r =>
+      val rec = r.getAs[Double]("recall_r")
+      rec >= 0.0 && rec <= 1.0 &&
+        r.getAs[Long]("n_hits") <= r.getAs[Long]("n_q") * 5
+    })
+  }
+
   // ---- ewma corpus-axis retirement (VERDICT r13 item 6) -------------
 
   test("bucketed-halo EWMA equals the monolithic kernel, precondition held") {

@@ -86,9 +86,13 @@ class Bm25Spec extends SparkSpec {
   }
 
   test("posting-head rank filter plans as a group limit, not a full sort-collect") {
-    val plan = TextQueries.queries("text_inverted_index")(spark, sf)
+    // the shipped query's FINAL frame is a TinyOrder rank whose eager
+    // localCheckpoint truncates the executed plan to a checkpoint
+    // scan, so the group-limit assertion reads the pre-rank chain
+    // (the same frame the query ranks — not a replica)
+    val plan = TextQueries.invertedIndexTop20(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
-      s"rank<=10 not pushed to WindowGroupLimit:\n${plan.take(1500)}")
+      s"rn<=10 not pushed to WindowGroupLimit:\n${plan.take(1500)}")
   }
 }
