@@ -154,7 +154,9 @@ object ScaleBench {
     // r14 wave 2: nonparametric/paired tests + text finishes
     "events_kruskal_wallis", "events_brown_forsythe", "events_mcnemar",
     "events_spearman", "text_rouge_pairs", "text_good_turing",
-    "graph_closeness_sampled", "emb_matryoshka_recall")
+    "graph_closeness_sampled", "emb_matryoshka_recall",
+    "events_tukey_hsd", "pipeline_cluster_sizes",
+    "graph_degree_distribution")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -200,7 +202,9 @@ object ScaleBench {
     "stream_cluster_vmeasure", "stream_item_cf", "stream_item_pmi",
     "stream_ngram_novelty", "stream_gini", "stream_lexical_diversity",
     "stream_cum_hazard", "stream_capture_recapture",
-    "stream_odds_ratio", "stream_hhi")
+    "stream_odds_ratio", "stream_hhi",
+    // r14 twins
+    "stream_kruskal_wallis")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -1296,6 +1296,53 @@ object DedupQueries {
         .select(col("v").as("doc_id"), col("dist").as("hop_dist"))
     }),
 
+    // DEDUP CLUSTER-SIZE HISTOGRAM — the standard dedup report next
+    // to pipeline_dedup_impact: how big are the near-dup components
+    // (a heavy tail means aggressive transitive collapse; all-1s
+    // means the banding found nothing). A SECOND finish on the
+    // materialized ccLabels artifact — one size agg + one histogram
+    // agg, both partial-aggregable; the pct joins ONE broadcast
+    // scalar. Count-of-counts frames are value-domain-sized.
+    "pipeline_cluster_sizes" -> ((s, dir) => {
+      val sizes = ccLabels(s, dir)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy(col("sz").as("size"))
+        .agg(count(lit(1)).as("n_components"))
+        .withColumn("n_docs", col("size") * col("n_components"))
+      hist.crossJoin(broadcast(
+          hist.agg(sum(col("n_docs")).as("n_total"))))
+        .select(col("size"), col("n_components"), col("n_docs"),
+          round(col("n_docs").cast("double")
+            / col("n_total").cast("double"), 6).as("pct_docs_r"))
+    }),
+
+    // DEGREE DISTRIBUTION + CCDF of the dedup graph — the structural
+    // audit behind every bounded-wedge argument in this file (the
+    // Adamic-Adar hub cap, the LSH star radius): degree histogram
+    // over the symmetrized star edges with zero-degree documents
+    // included (a dedup graph's isolated-vertex share IS the novelty
+    // rate). The CCDF cumulative runs over the distinct-degree grid
+    // via the TinyOrder triangular join — value-domain-sized, never
+    // an unpartitioned data window.
+    "graph_degree_distribution" -> ((s, dir) => {
+      val sym = lshEdges(s, dir)
+        .select(col("doc_a").as("v"), col("doc_b").as("w"))
+        .unionAll(lshEdges(s, dir)
+          .select(col("doc_b").as("v"), col("doc_a").as("w")))
+      val deg = Tables.documents(s, dir).select(col("doc_id").as("v"))
+        .join(sym.groupBy(col("v")).agg(count(lit(1)).as("d")), Seq("v"), "left")
+        .withColumn("d", coalesce(col("d"), lit(0L)))
+      val hist = deg.groupBy(col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val cum = graft.operators.TinyOrder.exclusivePrefixSum(
+        hist, col("n_nodes"), "cum_below", Seq(col("degree")))
+      cum.crossJoin(broadcast(hist.agg(sum(col("n_nodes")).as("n_total"))))
+        .select(col("degree"), col("n_nodes"),
+          (col("n_total") - col("cum_below")).as("n_ge"),
+          round((col("n_total") - col("cum_below")).cast("double")
+            / col("n_total").cast("double"), 6).as("ccdf_r"))
+    }),
+
     // SAMPLED CLOSENESS CENTRALITY — per-seed distance profiles over
     // the dedup graph for a deterministic panel of component reps
     // (the ClosenessSeeds smallest — exact all-pairs closeness is
@@ -3077,6 +3124,50 @@ object DedupQueries {
          |)
          |SELECT v AS doc_id, min(dist) AS hop_dist
          |FROM bfs GROUP BY 1""".stripMargin,
+
+    // the same CC chain, component sizes, count-of-counts histogram
+    "pipeline_cluster_sizes" ->
+      s"""WITH RECURSIVE $ccSplitCtes, sizes AS (
+         |  SELECT component_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cc GROUP BY 1
+         |), hist AS (
+         |  SELECT sz AS size, CAST(count(*) AS BIGINT) AS n_components,
+         |    CAST(sz * count(*) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY 1
+         |)
+         |SELECT size, n_components, n_docs,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS pct_docs_r
+         |FROM hist""".stripMargin,
+
+    // the same star edges symmetrized, zero-degree docs included, the
+    // distinct-degree cumulative realized by a plain window (the
+    // engine's TinyOrder triangular join computes the same prefix)
+    "graph_degree_distribution" ->
+      s"""WITH $lshEdgeCtes, sym AS (
+         |  SELECT doc_a AS v FROM edges
+         |  UNION ALL
+         |  SELECT doc_b AS v FROM edges
+         |), deg AS (
+         |  SELECT d.doc_id AS v, CAST(coalesce(g.dd, 0) AS BIGINT) AS dd
+         |  FROM documents d
+         |  LEFT JOIN (SELECT v, count(*) AS dd FROM sym GROUP BY 1) g
+         |    ON g.v = d.doc_id
+         |), hist AS (
+         |  SELECT dd AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg GROUP BY 1
+         |), c AS (
+         |  SELECT degree, n_nodes,
+         |    sum(n_nodes) OVER ()
+         |      - coalesce(sum(n_nodes) OVER (ORDER BY degree
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS n_ge,
+         |    sum(n_nodes) OVER () AS n_total
+         |  FROM hist
+         |)
+         |SELECT degree, n_nodes, CAST(n_ge AS BIGINT) AS n_ge,
+         |  round(CAST(n_ge AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS ccdf_r
+         |FROM c""".stripMargin,
 
     // the same CC chain, the smallest-rep seed panel, and the graph_bfs
     // recursion carrying the seed label; min per (seed, vertex) then

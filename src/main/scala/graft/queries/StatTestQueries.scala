@@ -365,6 +365,52 @@ object StatTestQueries {
         coalesce(col("bh_rank") <= col("kstar"), lit(false)).as("rejected"))
   }
 
+  /** q_{0.05, k=5, df=∞} for the studentized range — the Tukey alarm
+    * threshold, frozen as a shared literal (the SrmCrit pattern). The
+    * fixture's event-type panel is k = 5 at every SF; a deployment
+    * with variable k looks the critical value up at serving time —
+    * the q statistic itself is k-free.
+    */
+  private[graft] val TukeyCrit: Double = 3.858294
+
+  /** Tukey-Kramer HSD post-hoc pairs — the FOURTH reading on
+    * [[anovaStats]]'s per-type sufficient statistics (ANOVA says "the
+    * means differ somewhere"; HSD says WHICH pairs, at familywise
+    * α): for each pair q = |mᵢ − mⱼ| / √(s²ₚ/2 · (1/nᵢ + 1/nⱼ)) with
+    * the pooled s²ₚ from the same 4-dp-quantized decimal terms
+    * anovaFinish sums. Everything past the stats agg is a k-row
+    * self-join (k = #types) — broadcast-tiny at any corpus size.
+    */
+  private[graft] def tukeyFinish(stats: DataFrame): DataFrame = {
+    val per = stats
+      .withColumn("term", round(asDouble(col("sv")) * asDouble(col("sv"))
+        / col("n").cast("double"), 4).cast("decimal(24,4)"))
+    val pooled = per.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("qv")).as("qq"), sum(col("term")).as("t1"))
+      .withColumn("ssw", col("qq") - col("t1"))
+      .select(col("k"), col("n_total"),
+        when(col("n_total") > col("k") && col("ssw") > 0,
+          asDouble(col("ssw")) / (col("n_total") - col("k")).cast("double"))
+          .as("sp2"))
+    val a = per.select(col("event_type").as("type_a"), col("n").as("na"),
+      (asDouble(col("sv")) / col("n").cast("double")).as("ma"))
+    val b = per.select(col("event_type").as("type_b"), col("n").as("nb"),
+      (asDouble(col("sv")) / col("n").cast("double")).as("mb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("se",
+        when(col("sp2").isNotNull,
+          sqrt(col("sp2") / 2.0 * (lit(1.0) / col("na").cast("double")
+            + lit(1.0) / col("nb").cast("double")))))
+      .withColumn("q",
+        when(col("se") > 0.0, abs(col("ma") - col("mb")) / col("se")))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round(col("ma") - col("mb"), 6).as("diff_r"),
+        round(col("se"), 6).as("se_r"),
+        round(col("q"), 6).as("q_r"),
+        coalesce(col("q") > lit(TukeyCrit), lit(false)).as("is_sig"))
+  }
+
   /** Kruskal-Wallis H from a (event_type, value) frame — the k-group
     * rank ANOVA (the nonparametric sibling of [[anovaOf]], robust to
     * the non-normality [[bartlettFinish]] flags): values are ranked
@@ -384,9 +430,18 @@ object StatTestQueries {
     * before the order-sensitive cross-group sum (the anova term
     * convention); the tie sum Σ(t³−t) is exact DECIMAL(38,0).
     */
-  private[graft] def kwFinish(e: DataFrame): DataFrame = {
-    val tv = e.groupBy(col("event_type"), col("value"))
+  private[graft] def kwFinish(e: DataFrame): DataFrame =
+    kwFinishFromCells(kwCells(e))
+
+  /** The additive half of Kruskal-Wallis: per-(type, value) counts —
+    * sum-mergeable (`stream_kruskal_wallis`'s merge law; the same
+    * grid class as ksGrid).
+    */
+  private[graft] def kwCells(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("c_tv"))
+
+  private[graft] def kwFinishFromCells(tv: DataFrame): DataFrame = {
     val vt = tv.groupBy(col("value")).agg(sum(col("c_tv")).as("c_v"))
     val ranked = GlobalOrder.withPrefixSum(vt, col("c_v"), "cumb",
         Seq(col("value")), inclusive = false)
@@ -718,6 +773,16 @@ object StatTestQueries {
     "events_brown_forsythe" -> ((s, dir) =>
       brownForsytheOf(Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("event_type"), col("value")))),
+
+    // TUKEY-KRAMER HSD — post-hoc pairwise mean comparisons after
+    // events_anova fires: which type pairs actually differ, at
+    // familywise error (the studentized-range q per pair). A fourth
+    // reading on anovaStats' sufficient statistics; the pair frame is
+    // k-row.
+    "events_tukey_hsd" -> ((s, dir) =>
+      tukeyFinish(anovaStats(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), dec(col("value")).as("v"))))),
 
     // MCNEMAR PAIRED FLIP TEST — per-user activity flips between the
     // frozen PSI halves (within-subject drift, vs PSI/KS's marginal
@@ -1103,6 +1168,47 @@ object StatTestQueries {
         |      / (CAST(ssw AS DOUBLE) / CAST(n_total - k AS DOUBLE)), 6)
         |  END AS f_r
         |FROM two""".stripMargin,
+
+    // the anova sufficient-statistics CTE, the same 4-dp-quantized
+    // pooled-variance terms, the k-row pair join, and the shared
+    // frozen q critical
+    "events_tukey_hsd" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |), per AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    sum(v) AS sv, sum(v * v) AS qv,
+         |    CAST(round(CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 4) AS DECIMAL(24,4)) AS term
+         |  FROM e GROUP BY 1
+         |), pool AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT)
+         |      AS n_total,
+         |    sum(qv) - sum(term) AS ssw
+         |  FROM per
+         |), sp AS (
+         |  SELECT CASE WHEN n_total > k AND ssw > 0 THEN
+         |    CAST(ssw AS DOUBLE) / CAST(n_total - k AS DOUBLE) END AS sp2
+         |  FROM pool
+         |), pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.n AS na, b.n AS nb,
+         |    CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+         |    CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+         |    CASE WHEN sp.sp2 IS NOT NULL THEN
+         |      sqrt(sp.sp2 / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+         |        + 1.0 / CAST(b.n AS DOUBLE)))
+         |    END AS se
+         |  FROM per a JOIN per b ON a.event_type < b.event_type
+         |  CROSS JOIN sp
+         |)
+         |SELECT type_a, type_b, na, nb,
+         |  round(ma - mb, 6) AS diff_r, round(se, 6) AS se_r,
+         |  round(CASE WHEN se > 0.0 THEN abs(ma - mb) / se END, 6) AS q_r,
+         |  coalesce(CASE WHEN se > 0.0 THEN abs(ma - mb) / se END
+         |    > $TukeyCrit, false) AS is_sig
+         |FROM pairs""".stripMargin,
 
     // same frozen split, same idempotent presence flags, same
     // DECIMAL(38,0) continuity-corrected square, same shared critical

@@ -881,6 +881,23 @@ object StreamingQueries {
           .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
     }),
 
+    // STREAMING KRUSKAL-WALLIS — the k-group rank ANOVA under ingest:
+    // per-batch (type, value) counts sum-merge (the ksGrid law again);
+    // the GLOBAL midrank prefix and the H finish run at serving time
+    // over the merged distinct-value grid (GlobalOrder.withPrefixSum —
+    // the only cross-group order statistic in the family, and it rides
+    // the grid, never the data). Shares `events_kruskal_wallis`'s
+    // oracle, hash-proven.
+    "stream_kruskal_wallis" -> ((s, dir) => {
+      StatTestQueries.kwFinishFromCells(
+        partialsOf(
+          eventsStream(s, dir).filter(col("value").isNotNull)
+            .select(col("event_type"), col("value")),
+          "graft-kw-partials-")(StatTestQueries.kwCells)
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("c_tv")).as("c_tv")))
+    }),
+
     // STREAMING χ² OF INDEPENDENCE — per-batch (type, bucket) counts
     // against the FROZEN bucket edges sum-merge into the contingency
     // table; margins + the quantized-contribution sum run at serving
@@ -2129,6 +2146,7 @@ object StreamingQueries {
     // Same half-count grid as stream_ks_test; rank-sum finish at
     // serving — shares the batch Mann-Whitney oracle.
     "stream_mannwhitney" -> StatTestQueries.oracleSql("events_mannwhitney"),
+    "stream_kruskal_wallis" -> StatTestQueries.oracleSql("events_kruskal_wallis"),
     // Sum-merge of per-batch contingency cells ≡ the batch table —
     // shares the batch χ² oracle.
     "stream_chisq" -> StatTestQueries.oracleSql("events_chisq"),

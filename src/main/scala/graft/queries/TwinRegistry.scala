@@ -134,6 +134,7 @@ object TwinRegistry {
       "emb_knn_accuracy", "emb_intrinsic_dim", "emb_centroid_sim",
       "emb_triplet_eval", "text_bleu_pairs", "text_rouge_pairs",
       "graph_closeness_sampled", "emb_matryoshka_recall",
+      "pipeline_cluster_sizes", "graph_degree_distribution",
       "pipeline_hard_negatives"),
     "performance-posture-variant" -> Seq(
       "dedup_semantic_fast", "dedup_semantic_scaled",
@@ -166,11 +167,12 @@ object TwinRegistry {
       "events_profile", "events_profile_approx", "events_pivot",
       "events_bartlett", "text_simpson_diversity",
       // r14: the (type,value)/(type,ts) grids and presence flags these
-      // four read are the proven ksGrid / max-merge state classes
+      // read are the proven ksGrid / max-merge state classes
       // (stream_ks_test, stream_mannwhitney, stream_anova carry the
       // laws); finishes omitted to bound the replay count
-      "events_kruskal_wallis", "events_brown_forsythe",
-      "events_mcnemar", "events_spearman",
+      // (events_kruskal_wallis got its own twin — stream_kruskal_wallis)
+      "events_brown_forsythe", "events_mcnemar", "events_spearman",
+      "events_tukey_hsd",
       // r14: third finish on stream_lexical_diversity's proven cells
       "text_good_turing"),
     "corpus-snapshot-stage" -> Seq(

@@ -283,6 +283,49 @@ class Round14OpsSpec extends SparkSpec {
     })
   }
 
+  // ---- r14 wave 4: post-hoc pairs + structure histograms --------------
+
+  test("tukeyFinish: equal means q=0, separated means alarm, degenerate guarded") {
+    import graft.queries.StatTestQueries
+    def stats(rows: Seq[(String, Double)]) =
+      StatTestQueries.anovaStats(rows.toDF("event_type", "v0")
+        .select(col("event_type"), col("v0").cast("decimal(18,4)").as("v")))
+    // equal means, shared spread -> diff 0, q 0, quiet
+    val eq = StatTestQueries.tukeyFinish(stats(Seq(
+      ("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)))).head()
+    assert(eq.getAs[Double]("diff_r") == 0.0 && eq.getAs[Double]("q_r") == 0.0
+      && !eq.getAs[Boolean]("is_sig"))
+    // far-separated tight groups -> the pair fires
+    val far = StatTestQueries.tukeyFinish(stats(Seq(
+      ("a", 0.0), ("a", 0.1), ("b", 100.0), ("b", 100.1)))).head()
+    assert(far.getAs[Boolean]("is_sig"))
+    // singleton groups: SSW = 0 -> no pooled variance, no q, no alarm
+    val deg = StatTestQueries.tukeyFinish(stats(Seq(
+      ("a", 1.0), ("b", 2.0)))).head()
+    assert(deg.isNullAt(deg.fieldIndex("q_r")) && !deg.getAs[Boolean]("is_sig"))
+  }
+
+  test("cluster sizes and degree distribution partition the corpus") {
+    import graft.queries.DedupQueries
+    import graft.tables.Tables
+    val nDocs = Tables.documents(spark, sf).count()
+    val cs = DedupQueries.queries("pipeline_cluster_sizes")(spark, sf).collect()
+    assert(cs.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(cs.forall(r => r.getAs[Long]("size") >= 1 &&
+      r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("size") * r.getAs[Long]("n_components")))
+    val dd = DedupQueries.queries("graph_degree_distribution")(spark, sf)
+      .orderBy(col("degree")).collect()
+    assert(dd.map(_.getAs[Long]("n_nodes")).sum == nDocs)
+    // CCDF starts at exactly 1 (every node has degree >= min degree)
+    // and n_ge strictly decreases down the degree grid
+    assert(dd.head.getAs[Double]("ccdf_r") == 1.0)
+    assert(dd.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("n_ge") > b.getAs[Long]("n_ge")
+      case _ => true
+    })
+  }
+
   // ---- ewma corpus-axis retirement (VERDICT r13 item 6) -------------
 
   test("bucketed-halo EWMA equals the monolithic kernel, precondition held") {
