@@ -1066,6 +1066,48 @@ object SimilarityQueries {
                 col("vec_id"), round(col("score").cast("double"), 6).as("score_r"))
     }),
 
+    // RETRIEVAL EVAL (MRR / P@k / R@k) — the labeled-relevance eval
+    // next to search_ndcg's graded one: score the BM25 per-query
+    // shortlist (the hybrid stack's lexical leg, chain shared
+    // verbatim) against the LSH near-dup neighbors as binary ground
+    // truth ("can lexical retrieval find a doc's near-duplicates" —
+    // the standard contamination/dedup-retrieval probe, and an
+    // honest readout of where token-overlap search runs out). All
+    // metrics per query: reciprocal rank of the first relevant hit,
+    // precision at 5 and at the shortlist, recall against the full
+    // neighbor set. Everything past the two legs is shortlist-sized;
+    // the legs are the proven posting-pruned BM25 and banded-LSH
+    // plans.
+    "search_retrieval_eval" -> ((s, dir) => {
+      val e = DedupQueries.lshEdges(s, dir)
+      val rel = e.select(col("doc_a").as("q_id"), col("doc_b").as("doc_id"))
+        .unionAll(e.select(col("doc_b").as("q_id"), col("doc_a").as("doc_id")))
+        .filter(col("q_id") < NQueries).distinct()
+      val nr = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+      val m = lexShortlist(s, dir)
+        .join(rel.withColumn("is_rel", lit(1L)), Seq("q_id", "doc_id"), "left")
+        .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+        .groupBy(col("q_id"))
+        .agg(min(when(col("is_rel") === 1, col("rank_lex"))).as("first_rel"),
+          sum(when(col("rank_lex") <= 5, col("is_rel")).otherwise(0L)).as("h5"),
+          sum(col("is_rel")).as("h20"))
+      nr.join(m, Seq("q_id"), "left")
+        .withColumn("h5", coalesce(col("h5"), lit(0L)))
+        .withColumn("h20", coalesce(col("h20"), lit(0L)))
+        .select(col("q_id"), col("n_rel"),
+          col("first_rel").as("first_rel_rank"),
+          when(col("first_rel").isNotNull,
+            round(lit(1.0) / col("first_rel").cast("double"), 6))
+            .otherwise(lit(0.0)).as("rr_r"),
+          round(col("h5").cast("double") / 5.0, 6).as("p_at5_r"),
+          round(col("h5").cast("double") / col("n_rel").cast("double"), 6)
+            .as("r_at5_r"),
+          round(col("h20").cast("double") / lit(HybridShortlist.toDouble), 6)
+            .as("p_at20_r"),
+          round(col("h20").cast("double") / col("n_rel").cast("double"), 6)
+            .as("r_at20_r"))
+    }),
+
     // HYBRID RETRIEVAL with RECIPROCAL RANK FUSION — the modern
     // search stack's signature composition: a lexical ranking (BM25,
     // the text_bm25 formula with the query doc's distinct tokens as
@@ -3110,6 +3152,45 @@ object SimilarityQueries {
          |)
          |SELECT q_id, rank, vec_id, round(CAST(score AS DOUBLE), 6) AS score_r
          |FROM sqranked WHERE rank <= $TopK""".stripMargin,
+
+    // the shared lexical-shortlist CTEs joined against the shared LSH
+    // edge CTEs as binary relevance — metric arithmetic is counts and
+    // two divisions per query
+    "search_retrieval_eval" ->
+      s"""WITH ${DedupQueries.lshEdgeCtes}, $hybridLexCtes, rel AS (
+         |  SELECT DISTINCT q_id, doc_id FROM (
+         |    SELECT doc_a AS q_id, doc_b AS doc_id FROM edges
+         |    UNION ALL
+         |    SELECT doc_b AS q_id, doc_a AS doc_id FROM edges
+         |  ) WHERE q_id < $NQueries
+         |), nr AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+         |), jj AS (
+         |  SELECT lt.q_id, lt.rank_lex,
+         |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+         |  FROM lextop lt
+         |  LEFT JOIN rel r ON r.q_id = lt.q_id AND r.doc_id = lt.doc_id
+         |), m AS (
+         |  SELECT q_id,
+         |    min(CASE WHEN is_rel = 1 THEN rank_lex END) AS first_rel,
+         |    CAST(sum(CASE WHEN rank_lex <= 5 THEN is_rel ELSE 0 END)
+         |      AS BIGINT) AS h5,
+         |    CAST(sum(is_rel) AS BIGINT) AS h20
+         |  FROM jj GROUP BY 1
+         |)
+         |SELECT nr.q_id, nr.n_rel,
+         |  m.first_rel AS first_rel_rank,
+         |  CASE WHEN m.first_rel IS NOT NULL
+         |    THEN round(1.0 / CAST(m.first_rel AS DOUBLE), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS rr_r,
+         |  round(CAST(coalesce(m.h5, 0) AS DOUBLE) / 5.0, 6) AS p_at5_r,
+         |  round(CAST(coalesce(m.h5, 0) AS DOUBLE)
+         |    / CAST(nr.n_rel AS DOUBLE), 6) AS r_at5_r,
+         |  round(CAST(coalesce(m.h20, 0) AS DOUBLE)
+         |    / CAST($HybridShortlist AS DOUBLE), 6) AS p_at20_r,
+         |  round(CAST(coalesce(m.h20, 0) AS DOUBLE)
+         |    / CAST(nr.n_rel AS DOUBLE), 6) AS r_at20_r
+         |FROM nr LEFT JOIN m ON m.q_id = nr.q_id""".stripMargin,
 
     // same BM25 formula tree as text_bm25 (9-dp-rounded contribs,
     // decimal sums), same duckCos semantic leg, FULL JOIN fusion with

@@ -187,6 +187,6 @@ object TwinRegistry {
       "pipeline_source_report", "cdc_scd2", "cdc_snapshot"),
     "query-time-serving-or-eval" -> Seq(
       "search_hybrid_rrf", "search_hybrid_rrf_indexed", "search_mmr",
-      "search_ndcg", "search_tfidf_cosine", "text_bm25",
-      "text_inverted_index", "text_keywords"))
+      "search_ndcg", "search_retrieval_eval", "search_tfidf_cosine",
+      "text_bm25", "text_inverted_index", "text_keywords"))
 }

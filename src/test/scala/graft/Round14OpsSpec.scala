@@ -326,6 +326,27 @@ class Round14OpsSpec extends SparkSpec {
     })
   }
 
+  test("retrieval eval: metric coherence on the fixture") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.queries("search_retrieval_eval")(spark, sf)
+      .collect()
+    assert(rows.length == 8) // one row per query doc, none dropped
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("rr_r")
+      val (r5, r20) = (r.getAs[Double]("r_at5_r"), r.getAs[Double]("r_at20_r"))
+      assert(rr >= 0.0 && rr <= 1.0 && r5 >= 0.0 && r20 <= 1.0)
+      // recall is monotone in k; rr > 0 iff a relevant doc was found
+      assert(r20 >= r5)
+      if (r.isNullAt(r.fieldIndex("first_rel_rank"))) assert(rr == 0.0)
+      else assert(rr > 0.0 &&
+        r.getAs[Long]("first_rel_rank") >= 1 &&
+        r.getAs[Long]("first_rel_rank") <= 20)
+    }
+    // the eval is not vacuous: lexical search finds at least one
+    // near-dup for at least one query on the fixture
+    assert(rows.exists(_.getAs[Double]("rr_r") > 0.0))
+  }
+
   // ---- ewma corpus-axis retirement (VERDICT r13 item 6) -------------
 
   test("bucketed-halo EWMA equals the monolithic kernel, precondition held") {
