@@ -204,7 +204,7 @@ object ScaleBench {
     "stream_cum_hazard", "stream_capture_recapture",
     "stream_odds_ratio", "stream_hhi",
     // r14 twins
-    "stream_kruskal_wallis")
+    "stream_kruskal_wallis", "stream_tukey_hsd", "stream_brown_forsythe")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -489,10 +489,12 @@ object StatTestQueries {
     * interpolate with different formulas; (v1+v2)/2 on identical
     * doubles is bit-identical).
     */
-  private[graft] def gridMedians(e: DataFrame): DataFrame = {
+  private[graft] def gridMedians(e: DataFrame): DataFrame =
+    gridMediansFromCells(kwCells(e))
+
+  private[graft] def gridMediansFromCells(tv: DataFrame): DataFrame = {
     val byT = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val g = e.groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("c_tv"))
+    val g = tv
       .withColumn("cumb", coalesce(sum(col("c_tv")).over(
         byT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_i", sum(col("c_tv")).over(
@@ -521,11 +523,25 @@ object StatTestQueries {
     * DECIMAL(18,6) identically on both engines before any sum.
     */
   private[graft] def brownForsytheOf(e: DataFrame): DataFrame =
-    anovaFinish(anovaStats(
-      e.join(gridMedians(e), "event_type")
-        .select(col("event_type"),
-          round(abs(col("value") - col("med")), 6)
-            .cast("decimal(18,6)").as("v"))))
+    brownForsytheFromCells(kwCells(e))
+
+  /** Brown-Forsythe off the merged (type, value, c_tv) grid — the
+    * whole statistic derives from the VALUE GRID, because z = |v −
+    * medᵢ| depends only on the distinct value: the per-row sums
+    * Σz, Σz² equal the grid-weighted sums Σ z·cnt, Σ z²·cnt EXACTLY
+    * (decimal × integer), which is what makes the sum-merged cells a
+    * valid streaming state (`stream_brown_forsythe` shares the batch
+    * oracle hash-proven — the oracle walks the per-row route).
+    */
+  private[graft] def brownForsytheFromCells(tv: DataFrame): DataFrame =
+    anovaFinish(
+      tv.join(gridMediansFromCells(tv), "event_type")
+        .withColumn("zq",
+          round(abs(col("value") - col("med")), 6).cast("decimal(18,6)"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c_tv")).as("n"),
+          sum(col("zq") * col("c_tv")).as("sv"),
+          sum(col("zq") * col("zq") * col("c_tv")).as("qv")))
 
   /** McNemar's paired test per event_type — did individual USERS flip
     * activity between the frozen PSI halves (the within-subject

@@ -898,6 +898,41 @@ object StreamingQueries {
           .agg(sum(col("c_tv")).as("c_tv")))
     }),
 
+    // STREAMING TUKEY-KRAMER HSD — the post-hoc pairs maintained under
+    // ingest: the SAME per-type (n, Σv, Σv²) sufficient-statistics
+    // state stream_anova sum-merges (one state table, now THREE
+    // finishes across the family: F, Bartlett offline, HSD pairs);
+    // the k-row pair join runs at serving. Shares
+    // `events_tukey_hsd`'s oracle, hash-proven.
+    "stream_tukey_hsd" -> ((s, dir) => {
+      StatTestQueries.tukeyFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), dec(col("value")).as("v")),
+          "graft-tukey-partials-")(StatTestQueries.anovaStats)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+            sum(col("qv")).as("qv")))
+    }),
+
+    // STREAMING BROWN-FORSYTHE — the robust variance test under
+    // ingest: per-batch (type, value) counts sum-merge (the KW cells
+    // law), and the grid-median + weighted-|dev| anova finish runs at
+    // serving — valid because z = |v − med| depends only on the
+    // distinct value, so the grid-weighted sums equal the per-row
+    // sums exactly (see brownForsytheFromCells). Shares
+    // `events_brown_forsythe`'s oracle, hash-proven.
+    "stream_brown_forsythe" -> ((s, dir) => {
+      StatTestQueries.brownForsytheFromCells(
+        partialsOf(
+          eventsStream(s, dir).filter(col("value").isNotNull)
+            .select(col("event_type"), col("value")),
+          "graft-bf-partials-")(StatTestQueries.kwCells)
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("c_tv")).as("c_tv")))
+    }),
+
     // STREAMING χ² OF INDEPENDENCE — per-batch (type, bucket) counts
     // against the FROZEN bucket edges sum-merge into the contingency
     // table; margins + the quantized-contribution sum run at serving
@@ -2147,6 +2182,8 @@ object StreamingQueries {
     // serving — shares the batch Mann-Whitney oracle.
     "stream_mannwhitney" -> StatTestQueries.oracleSql("events_mannwhitney"),
     "stream_kruskal_wallis" -> StatTestQueries.oracleSql("events_kruskal_wallis"),
+    "stream_tukey_hsd" -> StatTestQueries.oracleSql("events_tukey_hsd"),
+    "stream_brown_forsythe" -> StatTestQueries.oracleSql("events_brown_forsythe"),
     // Sum-merge of per-batch contingency cells ≡ the batch table —
     // shares the batch χ² oracle.
     "stream_chisq" -> StatTestQueries.oracleSql("events_chisq"),

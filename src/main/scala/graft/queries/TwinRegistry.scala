@@ -170,9 +170,9 @@ object TwinRegistry {
       // read are the proven ksGrid / max-merge state classes
       // (stream_ks_test, stream_mannwhitney, stream_anova carry the
       // laws); finishes omitted to bound the replay count
-      // (events_kruskal_wallis got its own twin — stream_kruskal_wallis)
-      "events_brown_forsythe", "events_mcnemar", "events_spearman",
-      "events_tukey_hsd",
+      // (kruskal_wallis / tukey_hsd / brown_forsythe got their own
+      // twins)
+      "events_mcnemar", "events_spearman",
       // r14: third finish on stream_lexical_diversity's proven cells
       "text_good_turing"),
     "corpus-snapshot-stage" -> Seq(
