@@ -156,7 +156,8 @@ object ScaleBench {
     "events_spearman", "text_rouge_pairs", "text_good_turing",
     "graph_closeness_sampled", "emb_matryoshka_recall",
     "events_tukey_hsd", "pipeline_cluster_sizes",
-    "graph_degree_distribution", "search_retrieval_eval")
+    "graph_degree_distribution", "search_retrieval_eval",
+    "events_friedman")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

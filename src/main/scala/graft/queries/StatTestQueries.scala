@@ -624,6 +624,84 @@ object StatTestQueries {
           > 1.959964, lit(false)).as("is_sig"))
   }
 
+  /** Friedman repeated-measures rank test + Kendall's W — the
+    * within-block complement of [[kwFinish]] (KW compares independent
+    * groups; Friedman compares the SAME blocks across treatments,
+    * removing between-block variance): blocks = users, treatments =
+    * event types, response = the user's mean value per type. Only
+    * COMPLETE blocks (users observed in every type) enter — the
+    * standard design requirement, enforced identically on both
+    * engines. Within-block midranks are carried ×2 (integral under
+    * ties); χ² = 12/(nk(k+1))·Σ Rⱼ² − 3n(k+1) with the tie
+    * correction C = 1 − Σ(t³−t)/(nk(k²−1)), and Kendall's
+    * W = χ²/(n(k−1)) is the SECOND finish on the same rank state
+    * (the agreement coefficient reviewers quote). Scale: per-user
+    * sufficient sums are the mergeable state; the rank windows are
+    * per-user over k rows (the series axis at its smallest — k = 5
+    * on the fixture); every moment sum is exact DECIMAL(38,0) and
+    * the per-type Rⱼ² terms are 4-dp-quantized before the k-term sum
+    * (the anova convention).
+    */
+  private[graft] def friedmanFinish(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    // per-(user, type) mean response, 6-dp-quantized identically
+    val cell = e.groupBy(col("user_id"), col("event_type"))
+      .agg(round(asDouble(sum(dec(col("value"))))
+        / count(lit(1)).cast("double"), 6).as("m"))
+    val kAll = cell.select(col("event_type")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = cell
+      .withColumn("nt", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .crossJoin(broadcast(kAll))
+      .filter(col("nt") === col("k"))
+    // within-user ×2 midranks over the k-value frame (ties by value);
+    // tie groups live in the pre-explode (user, m) frame
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("m"))
+    val grouped = complete
+      .groupBy(col("user_id"), col("m"))
+      .agg(count(lit(1)).as("cnt"), collect_list(col("event_type")).as("ts"))
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("cumb") + col("cnt") + lit(1L))
+    val ties = grouped
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+        - col("cnt")).as("tsum"))
+    val perType = grouped
+      .select(col("midrank2"), explode(col("ts")).as("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("midrank2").cast("decimal(38,0)")).as("r2"))
+      .withColumn("term",
+        round(asDouble(col("r2")) * asDouble(col("r2")) / 4.0, 4)
+          .cast("decimal(38,4)"))
+    perType.agg(count(lit(1)).as("k"), max(col("n")).as("n_blocks"),
+        sum(col("term")).as("ts2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("chi2",
+        when(col("n_blocks") > 0 && col("k") > 1,
+          lit(12.0) / (col("n_blocks").cast("double")
+              * col("k").cast("double") * (col("k") + 1).cast("double"))
+            * asDouble(col("ts2"))
+            - lit(3.0) * col("n_blocks").cast("double")
+              * (col("k") + 1).cast("double")))
+      .withColumn("c",
+        when(col("n_blocks") > 0 && col("k") > 1,
+          lit(1.0) - asDouble(col("tsum"))
+            / (col("n_blocks").cast("double") * col("k").cast("double")
+              * (col("k").cast("double") * col("k").cast("double") - 1.0))))
+      .withColumn("chi2_adj", when(col("c") > 0.0, col("chi2") / col("c")))
+      .select(col("k"), col("n_blocks"),
+        round(col("chi2"), 6).as("chi2_r"),
+        round(col("c"), 9).as("tie_c_r"),
+        round(col("chi2_adj"), 6).as("chi2_adj_r"),
+        // Kendall's W from the tie-corrected statistic: χ²_adj =
+        // n(k−1)·W, the identity the agreement literature quotes
+        when(col("k") > 1 && col("n_blocks") > 0,
+          round(col("chi2_adj") / (col("n_blocks").cast("double")
+            * (col("k") - 1).cast("double")), 6)).as("kendall_w_r"))
+  }
+
   /** χ²_{0.95, 1 dof} — the SRM alarm threshold. One shared literal so
     * both engines compare against the identical double.
     */
@@ -809,6 +887,14 @@ object StatTestQueries {
         .select(col("event_type"), col("user_id"), col("ts_ms"))
       mcnemarFinish(EventQueries.psiHalved(e, EventQueries.psiSplit(e)))
     }),
+
+    // FRIEDMAN REPEATED-MEASURES TEST + KENDALL'S W — do the SAME
+    // users rate the event types differently (within-block ranks, so
+    // between-user level differences cancel — the paired complement
+    // of events_kruskal_wallis), plus the agreement coefficient W.
+    "events_friedman" -> ((s, dir) =>
+      friedmanFinish(Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_type"), col("value")))),
 
     // SPEARMAN MONOTONE TREND — per-type rank correlation between
     // arrival order and value (the nonparametric twin of
@@ -1258,6 +1344,77 @@ object StatTestQueries {
          |SELECT event_type, n_users, b, c, chi2_r,
          |  coalesce(chi2_r > $SrmCrit, false) AS flip_flag
          |FROM f""".stripMargin,
+
+    // same complete-block filter, same per-user ×2 midranks, same
+    // exact tie sum and 4-dp-quantized R² terms
+    "events_friedman" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), cell AS (
+        |  SELECT user_id, event_type,
+        |    round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS m
+        |  FROM e GROUP BY 1, 2
+        |), kk AS (
+        |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM cell
+        |), complete AS (
+        |  SELECT c.user_id, c.event_type, c.m
+        |  FROM cell c
+        |  JOIN (SELECT user_id, count(*) AS nt FROM cell GROUP BY 1) u
+        |    ON u.user_id = c.user_id
+        |  CROSS JOIN kk WHERE u.nt = kk.k
+        |), grp AS (
+        |  SELECT user_id, m, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM complete GROUP BY 1, 2
+        |), g2 AS (
+        |  SELECT user_id, m, cnt,
+        |    2 * coalesce(sum(cnt) OVER (PARTITION BY user_id ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS midrank2
+        |  FROM grp
+        |), ties AS (
+        |  SELECT sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tsum
+        |  FROM g2
+        |), per AS (
+        |  SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(g2.midrank2 AS DECIMAL(38,0))) AS r2
+        |  FROM complete c
+        |  JOIN g2 ON g2.user_id = c.user_id AND g2.m = c.m
+        |  GROUP BY 1
+        |), pq AS (
+        |  SELECT event_type, n,
+        |    CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / 4.0, 4)
+        |      AS DECIMAL(38,4)) AS term
+        |  FROM per
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(max(n) AS BIGINT) AS n_blocks, sum(term) AS ts2
+        |  FROM pq
+        |), f AS (
+        |  SELECT k, n_blocks,
+        |    CASE WHEN n_blocks > 0 AND k > 1 THEN
+        |      12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * CAST(k + 1 AS DOUBLE))
+        |        * CAST(ts2 AS DOUBLE)
+        |        - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+        |    END AS chi2,
+        |    CASE WHEN n_blocks > 0 AND k > 1 THEN
+        |      1.0 - CAST(tsum AS DOUBLE)
+        |        / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
+        |    END AS c
+        |  FROM agg CROSS JOIN ties
+        |), f2 AS (
+        |  SELECT k, n_blocks, chi2, c,
+        |    CASE WHEN c > 0.0 THEN chi2 / c END AS chi2_adj
+        |  FROM f
+        |)
+        |SELECT k, n_blocks, round(chi2, 6) AS chi2_r,
+        |  round(c, 9) AS tie_c_r, round(chi2_adj, 6) AS chi2_adj_r,
+        |  CASE WHEN k > 1 AND n_blocks > 0 THEN
+        |    round(chi2_adj / (CAST(n_blocks AS DOUBLE)
+        |      * CAST(k - 1 AS DOUBLE)), 6) END AS kendall_w_r
+        |FROM f2""".stripMargin,
 
     // same ×2 midrank grids and exact integer moment sums (HUGEINT =
     // int128 here, DECIMAL(38,0) on the Spark side — both exact, both

@@ -172,7 +172,7 @@ object TwinRegistry {
       // laws); finishes omitted to bound the replay count
       // (kruskal_wallis / tukey_hsd / brown_forsythe got their own
       // twins)
-      "events_mcnemar", "events_spearman",
+      "events_mcnemar", "events_spearman", "events_friedman",
       // r14: third finish on stream_lexical_diversity's proven cells
       "text_good_turing"),
     "corpus-snapshot-stage" -> Seq(

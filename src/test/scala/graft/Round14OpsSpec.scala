@@ -326,6 +326,32 @@ class Round14OpsSpec extends SparkSpec {
     })
   }
 
+  test("friedmanFinish: perfect agreement scores W = 1, incomplete blocks drop") {
+    import graft.queries.StatTestQueries
+    // 3 users, 3 types, every user ranks a < b < c: R = (3, 6, 9),
+    // chi2 = 12/36 * 126 - 36 = 6, W = 6/(3*2) = 1. user 4 misses
+    // type c -> dropped by the complete-block filter.
+    val rows = Seq(
+      (1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0),
+      (2L, "a", 10.0), (2L, "b", 20.0), (2L, "c", 30.0),
+      (3L, "a", 5.0), (3L, "b", 6.0), (3L, "c", 7.0),
+      (4L, "a", 9.0), (4L, "b", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val r = StatTestQueries.friedmanFinish(rows).head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n_blocks") == 3)
+    assert(r.getAs[Double]("chi2_r") == 6.0)
+    assert(r.getAs[Double]("tie_c_r") == 1.0)
+    assert(r.getAs[Double]("kendall_w_r") == 1.0)
+    // all-tied blocks: chi2 = 0 and the tie correction degenerates
+    val tied = Seq(
+      (1L, "a", 5.0), (1L, "b", 5.0),
+      (2L, "a", 7.0), (2L, "b", 7.0)).toDF("user_id", "event_type", "value")
+    val t = StatTestQueries.friedmanFinish(tied).head()
+    assert(t.getAs[Double]("chi2_r") == 0.0)
+    assert(t.getAs[Double]("tie_c_r") == 0.0)
+    assert(t.isNullAt(t.fieldIndex("chi2_adj_r")))
+  }
+
   test("retrieval eval: metric coherence on the fixture") {
     import graft.queries.SimilarityQueries
     val rows = SimilarityQueries.queries("search_retrieval_eval")(spark, sf)
