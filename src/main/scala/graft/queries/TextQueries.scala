@@ -237,6 +237,63 @@ object TextQueries {
         round(col("ps").cast("double") / col("n_b"), 6).as("avg_p_r"),
         round(col("pos").cast("double") / col("n_b"), 6).as("pos_rate_r"))
 
+  /** Murphy (Brier-score) decomposition over the SAME decile bucket
+    * state [[lrCalibration]] reads, widened with Σp² and Σp·y — the
+    * third reading on the quality classifier's scoring pass:
+    * brier = (Σp² − 2Σ_{y=1}p + #pos)/N exactly (the algebraic
+    * expansion of (p − y)², so no per-row residual column is needed),
+    * reliability = Σ n_b(p̄_b − ō_b)²/N, resolution = Σ n_b(ō_b − ō)²/N,
+    * uncertainty = ō(1 − ō). p is 12-dp-quantized to DECIMAL(14,12)
+    * (so p² is an EXACT scale-24 decimal on both engines — squaring
+    * the house (38,12) type would silently lose scale under Spark's
+    * precision-loss rule); the per-bucket decomposition terms are
+    * 9-dp-quantized before the 10-term sum, and the final arithmetic
+    * is fixed-order IEEE on identical exact-decimal casts.
+    */
+  private[graft] def lrBrier(feats: org.apache.spark.sql.DataFrame,
+                             beta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = lrRowChain(feats.crossJoin(broadcast(beta)))
+      .withColumn("bucket",
+        least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .withColumn("pq", round(col("p"), 12).cast("decimal(14,12)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("pq")).as("ps"),
+        sum(col("pq") * col("pq")).as("ps2"),
+        sum(when(col("y") === 1, col("pq"))
+          .otherwise(lit(0).cast("decimal(14,12)"))).as("pspos"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"))
+    val tot = cells.agg(sum(col("n_b")).as("n"), sum(col("pos")).as("pos_t"),
+      sum(col("ps2")).as("ps2_t"), sum(col("pspos")).as("pspos_t"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("pb", asDouble(col("ps")) / col("n_b").cast("double"))
+      .withColumn("ob", col("pos").cast("double") / col("n_b").cast("double"))
+      .withColumn("obar", col("pos_t").cast("double") / col("n").cast("double"))
+      .withColumn("rel_t",
+        round(col("n_b").cast("double")
+          * (col("pb") - col("ob")) * (col("pb") - col("ob")), 9)
+          .cast("decimal(24,9)"))
+      .withColumn("res_t",
+        round(col("n_b").cast("double")
+          * (col("ob") - col("obar")) * (col("ob") - col("obar")), 9)
+          .cast("decimal(24,9)"))
+    terms
+      .agg(max(col("n")).as("n"), max(col("pos_t")).as("pos_t"),
+        max(col("ps2_t")).as("ps2_t"), max(col("pspos_t")).as("pspos_t"),
+        sum(col("rel_t")).as("rel_s"), sum(col("res_t")).as("res_s"))
+      .withColumn("obar", col("pos_t").cast("double") / col("n").cast("double"))
+      .select(col("n"),
+        round((asDouble(col("ps2_t")) - lit(2.0) * asDouble(col("pspos_t"))
+          + col("pos_t").cast("double")) / col("n").cast("double"), 6)
+          .as("brier_r"),
+        round(asDouble(col("rel_s")) / col("n").cast("double"), 6)
+          .as("reliability_r"),
+        round(asDouble(col("res_s")) / col("n").cast("double"), 6)
+          .as("resolution_r"),
+        round(col("obar") * (lit(1.0) - col("obar")), 6)
+          .as("uncertainty_r"))
+  }
+
   /** Absolute discount for `text_kneser_ney` (the standard 0.75). */
   private val KnDiscount = 0.75
 
@@ -677,6 +734,22 @@ object TextQueries {
         lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
       val betaF = (1 to LrRounds).foldLeft(beta0)((b, _) => lrStep(feats, b))
       lrCalibration(feats, betaF)
+    }),
+
+    // BRIER / MURPHY DECOMPOSITION — is the quality classifier's
+    // probability OUTPUT trustworthy, split into the three readings
+    // reviewers actually act on: reliability (calibration error —
+    // retrain the calibrator), resolution (discrimination — the
+    // model's real skill), uncertainty (the data's irreducible base
+    // rate). A third finish on the lrCalibration scoring pass; see
+    // lrBrier for the exact-decimal argument.
+    "text_quality_brier" -> ((s, dir) => {
+      val feats = lrFeatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val beta0 = s.range(1).select(
+        lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
+      val betaF = (1 to LrRounds).foldLeft(beta0)((b, _) => lrStep(feats, b))
+      lrBrier(feats, betaF)
     }),
 
     // Document CHUNKING — the context-window prep step every RAG /
@@ -2378,6 +2451,59 @@ object TextQueries {
          |  round(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS pos_rate_r
          |FROM buck GROUP BY 1""".stripMargin),
+
+    // same chain to the final β, same decile buckets, the widened
+    // (Σp, Σp², Σp·y, pos) cells and the 9-dp-quantized Murphy terms
+    "text_quality_brier" -> (lrChainPrefixSql +
+      s""",
+         |cal AS (
+         |  SELECT *, 1.0 / (1.0 + exp(-((b0 + b1 * x1) + b2 * x2))) AS p
+         |  FROM (
+         |    SELECT f.y, CAST(f.x1q AS DOUBLE) AS x1,
+         |      CAST(f.x2q AS DOUBLE) AS x2, b.b0, b.b1, b.b2
+         |    FROM f CROSS JOIN bt$LrRounds b)
+         |), b2 AS (
+         |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bucket,
+         |    CAST(round(p, 12) AS DECIMAL(14,12)) AS pq, y
+         |  FROM cal
+         |), cells AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+         |    sum(pq) AS ps, sum(pq * pq) AS ps2,
+         |    sum(CASE WHEN y = 1 THEN pq
+         |        ELSE CAST(0 AS DECIMAL(14,12)) END) AS pspos,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM b2 GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_b) AS BIGINT) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS pos_t,
+         |    sum(ps2) AS ps2_t, sum(pspos) AS pspos_t
+         |  FROM cells
+         |), terms AS (
+         |  SELECT c.n_b, t.n, t.pos_t, t.ps2_t, t.pspos_t,
+         |    CAST(round(CAST(c.n_b AS DOUBLE)
+         |      * (CAST(c.ps AS DOUBLE) / c.n_b - CAST(c.pos AS DOUBLE) / c.n_b)
+         |      * (CAST(c.ps AS DOUBLE) / c.n_b - CAST(c.pos AS DOUBLE) / c.n_b)
+         |      , 9) AS DECIMAL(24,9)) AS rel_t,
+         |    CAST(round(CAST(c.n_b AS DOUBLE)
+         |      * (CAST(c.pos AS DOUBLE) / c.n_b
+         |          - CAST(t.pos_t AS DOUBLE) / t.n)
+         |      * (CAST(c.pos AS DOUBLE) / c.n_b
+         |          - CAST(t.pos_t AS DOUBLE) / t.n)
+         |      , 9) AS DECIMAL(24,9)) AS res_t
+         |  FROM cells c CROSS JOIN tot t
+         |)
+         |SELECT max(n) AS n,
+         |  round((CAST(max(ps2_t) AS DOUBLE) - 2.0 * CAST(max(pspos_t) AS DOUBLE)
+         |    + CAST(max(pos_t) AS DOUBLE)) / CAST(max(n) AS DOUBLE), 6)
+         |    AS brier_r,
+         |  round(CAST(sum(rel_t) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+         |    AS reliability_r,
+         |  round(CAST(sum(res_t) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+         |    AS resolution_r,
+         |  round((CAST(max(pos_t) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+         |    * (1.0 - CAST(max(pos_t) AS DOUBLE) / CAST(max(n) AS DOUBLE)), 6)
+         |    AS uncertainty_r
+         |FROM terms""".stripMargin),
 
     "text_chunk" ->
       s"""SELECT d.doc_id,

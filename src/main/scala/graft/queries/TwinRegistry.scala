@@ -162,7 +162,8 @@ object TwinRegistry {
       "events_anomaly_mad", "events_anomaly_seasonal", "events_srm",
       "sketch_join_size", "sketch_kmv_jaccard",
       "sketch_quantiles_by_type", "text_bigram_lm", "text_stats",
-      "text_token_freq", "text_zipf", "text_quality_lr_calibration",
+      "text_token_freq", "text_zipf", "text_quality_brier",
+      "text_quality_lr_calibration",
       "text_quality_lr_cv", "text_quality_nb", "text_quality_auc",
       "events_profile", "events_profile_approx", "events_pivot",
       "events_bartlett", "text_simpson_diversity",

@@ -352,6 +352,23 @@ class Round14OpsSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("chi2_adj_r")))
   }
 
+  test("brier decomposition: Murphy identity holds to within-bin variance") {
+    import graft.queries.TextQueries
+    val r = TextQueries.queries("text_quality_brier")(spark, sf).head()
+    val (b, rel, res, unc) = (r.getAs[Double]("brier_r"),
+      r.getAs[Double]("reliability_r"), r.getAs[Double]("resolution_r"),
+      r.getAs[Double]("uncertainty_r"))
+    assert(b >= 0.0 && b <= 1.0 && rel >= 0.0 && res >= 0.0)
+    assert(unc >= 0.0 && unc <= 0.25)
+    // binned decomposition: brier = rel - res + unc + within-bin
+    // variance of p; deciles bound that variance by (0.1)^2/4
+    val gap = b - (rel - res + unc)
+    assert(gap >= -1e-6 && gap <= 0.0025 + 1e-6,
+      s"Murphy identity broke: brier=$b rel=$rel res=$res unc=$unc")
+    // resolution can never exceed the uncertainty it explains
+    assert(res <= unc + 1e-9)
+  }
+
   test("retrieval eval: metric coherence on the fixture") {
     import graft.queries.SimilarityQueries
     val rows = SimilarityQueries.queries("search_retrieval_eval")(spark, sf)
