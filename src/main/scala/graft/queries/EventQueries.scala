@@ -809,8 +809,17 @@ object EventQueries {
     // means are 6-dp rounded and the 80% CI is rank-selected
     // (⌈0.1·R⌉ / ⌈0.9·R⌉ order statistics with replicate-id
     // tiebreak) — the events_anomaly_mad selection convention.
+    // Batch rides the LONG-form chain (narrow explode + 2-sum agg +
+    // a |types|·33-row pivot) the streaming twin proved out: the wide
+    // 64-column aggregate pays a multi-second whole-stage-codegen
+    // compile that dominated the query (8.3 → 4.1 s measured A/B at
+    // sf0.1); the weights are the identical 4-hash/8-slice draws, so
+    // the output is bit-identical and the oracle unchanged. The wide
+    // bootstrapPartials stays as the merge-law reference
+    // (BootstrapSeasonalSpec pins both routes).
     "events_bootstrap_ci" -> ((s, dir) =>
-      bootstrapFinish(bootstrapPartials(Tables.events(s, dir)))),
+      bootstrapFinish(bootstrapWideOf(
+        bootstrapPartialsLong(Tables.events(s, dir))))),
 
     // THEIL-SEN robust slope: the UNBOUNDED all-pairs formulation
     // (`theilsenOver(hourly)` with no Δhours cap) was RETIRED from the
