@@ -157,7 +157,7 @@ object ScaleBench {
     "graph_closeness_sampled", "emb_matryoshka_recall",
     "events_tukey_hsd", "pipeline_cluster_sizes",
     "graph_degree_distribution", "search_retrieval_eval",
-    "events_friedman", "text_quality_brier")
+    "events_friedman", "text_quality_brier", "events_cochran_q")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

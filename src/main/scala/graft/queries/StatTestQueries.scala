@@ -574,6 +574,52 @@ object StatTestQueries {
         col("chi2_r"),
         coalesce(col("chi2_r") > lit(SrmCrit), lit(false)).as("flip_flag"))
 
+  /** χ²_{0.95, 4 dof} — Cochran's Q alarm threshold for the fixture's
+    * k = 5 treatment panel (the TukeyCrit convention: frozen literal,
+    * k-free statistic; variable-k deployments look the critical up
+    * at serving).
+    */
+  private[graft] val CochranCrit: Double = 9.487729
+
+  /** Cochran's Q — the k-treatment extension of [[mcnemarFinish]]
+    * (McNemar asks "did users flip between TWO conditions"; Q asks
+    * "is the success rate homogeneous across ALL k types for the
+    * same users"): blocks = users, x_ij = 1 iff user i was active in
+    * type j during the CURRENT psi half (the persistence question),
+    * Q = (k−1)(k·ΣCⱼ² − N²)/(kN − ΣRᵢ²) with column totals Cⱼ, row
+    * totals Rᵢ, N = ΣRᵢ. Presence flags are idempotent max-merges
+    * (mergeable state); every moment is exact DECIMAL(38,0); the
+    * single division is the only double. All-0/all-1 blocks cancel
+    * identically on both engines; a degenerate denominator (every
+    * block constant) yields NULL, not a division error.
+    */
+  private[graft] def cochranQFinish(e: DataFrame): DataFrame = {
+    def d0(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val flags = e.filter(col("half") === "cur")
+      .select(col("user_id"), col("event_type")).distinct()
+    val kAll = e.select(col("event_type")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val nBlocks = e.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_blocks"))
+    val cj = flags.groupBy(col("event_type")).agg(count(lit(1)).as("c_j"))
+      .agg(sum(d0(col("c_j")) * col("c_j")).as("sc2"),
+        sum(col("c_j")).as("n_tot"))
+    val ri = flags.groupBy(col("user_id")).agg(count(lit(1)).as("r_i"))
+      .agg(sum(d0(col("r_i")) * col("r_i")).as("sr2"))
+    cj.crossJoin(broadcast(ri))
+      .crossJoin(broadcast(kAll))
+      .crossJoin(broadcast(nBlocks))
+      .withColumn("num",
+        d0(col("k") - 1) * (d0(col("k")) * col("sc2")
+          - d0(col("n_tot")) * col("n_tot")))
+      .withColumn("den", d0(col("k")) * col("n_tot") - col("sr2"))
+      .withColumn("q",
+        when(col("den") > 0, asDouble(col("num")) / asDouble(col("den"))))
+      .select(col("k"), col("n_blocks"), col("n_tot").as("n_successes"),
+        round(col("q"), 6).as("q_r"),
+        coalesce(col("q") > lit(CochranCrit), lit(false)).as("q_flag"))
+  }
+
   /** Spearman rank correlation between arrival order and value, per
     * event_type — the nonparametric monotone-trend test (the rank
     * sibling of events_theilsen's slope: "is this series drifting up
@@ -886,6 +932,16 @@ object StatTestQueries {
       val e = Tables.events(s, dir)
         .select(col("event_type"), col("user_id"), col("ts_ms"))
       mcnemarFinish(EventQueries.psiHalved(e, EventQueries.psiSplit(e)))
+    }),
+
+    // COCHRAN'S Q — the k-treatment paired-binary test: is per-user
+    // activity in the current half homogeneous across event types
+    // (the McNemar family at k = 5). Idempotent presence flags,
+    // exact-decimal moments, one division.
+    "events_cochran_q" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ms"))
+      cochranQFinish(EventQueries.psiHalved(e, EventQueries.psiSplit(e)))
     }),
 
     // FRIEDMAN REPEATED-MEASURES TEST + KENDALL'S W — do the SAME
@@ -1343,6 +1399,44 @@ object StatTestQueries {
          |)
          |SELECT event_type, n_users, b, c, chi2_r,
          |  coalesce(chi2_r > $SrmCrit, false) AS flip_flag
+         |FROM f""".stripMargin,
+
+    // same frozen split, same idempotent current-half presence flags,
+    // same exact-decimal column/row moments and shared critical
+    "events_cochran_q" ->
+      s"""WITH e AS (
+         |  SELECT event_type, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+         |  FROM events
+         |), sp AS (
+         |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+         |), flags AS (
+         |  SELECT DISTINCT event_type, user_id
+         |  FROM e CROSS JOIN sp WHERE ts_ms > sp.t_split
+         |), kk AS (
+         |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM e
+         |), nb AS (
+         |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_blocks FROM e
+         |), cj AS (
+         |  SELECT sum(CAST(c_j AS DECIMAL(38,0)) * c_j) AS sc2,
+         |    CAST(sum(c_j) AS BIGINT) AS n_tot
+         |  FROM (SELECT event_type, count(*) AS c_j FROM flags GROUP BY 1)
+         |), ri AS (
+         |  SELECT sum(CAST(r_i AS DECIMAL(38,0)) * r_i) AS sr2
+         |  FROM (SELECT user_id, count(*) AS r_i FROM flags GROUP BY 1)
+         |), f AS (
+         |  SELECT kk.k, nb.n_blocks, cj.n_tot,
+         |    CAST(kk.k - 1 AS DECIMAL(38,0))
+         |      * (CAST(kk.k AS DECIMAL(38,0)) * cj.sc2
+         |        - CAST(cj.n_tot AS DECIMAL(38,0)) * cj.n_tot) AS num,
+         |    CAST(kk.k AS DECIMAL(38,0)) * cj.n_tot - ri.sr2 AS den
+         |  FROM cj CROSS JOIN ri CROSS JOIN kk CROSS JOIN nb
+         |)
+         |SELECT k, n_blocks, n_tot AS n_successes,
+         |  round(CASE WHEN den > 0
+         |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS q_r,
+         |  coalesce(CASE WHEN den > 0
+         |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+         |    > $CochranCrit, false) AS q_flag
          |FROM f""".stripMargin,
 
     // same complete-block filter, same per-user ×2 midranks, same

@@ -174,6 +174,7 @@ object TwinRegistry {
       // (kruskal_wallis / tukey_hsd / brown_forsythe got their own
       // twins)
       "events_mcnemar", "events_spearman", "events_friedman",
+      "events_cochran_q",
       // r14: third finish on stream_lexical_diversity's proven cells
       "text_good_turing"),
     "corpus-snapshot-stage" -> Seq(

@@ -352,6 +352,28 @@ class Round14OpsSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("chi2_adj_r")))
   }
 
+  test("cochranQFinish: textbook Q on planted flags, constant blocks degenerate") {
+    import graft.queries.StatTestQueries
+    // current-half presence: u1 in {a,b,c}, u2 in {a,b}, u3 in {a}:
+    // C = (3,2,1), R = (3,2,1), N = 6 -> Q = 2*(3*14-36)/(18-14) = 3
+    val e = Seq(
+      ("a", 1L, "cur"), ("b", 1L, "cur"), ("c", 1L, "cur"),
+      ("a", 2L, "cur"), ("b", 2L, "cur"),
+      ("a", 3L, "cur"),
+      ("c", 3L, "ref")) // ref rows define k/n_blocks but carry no flag
+      .toDF("event_type", "user_id", "half")
+    val r = StatTestQueries.cochranQFinish(e).head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n_blocks") == 3)
+    assert(r.getAs[Long]("n_successes") == 6)
+    assert(r.getAs[Double]("q_r") == 3.0 && !r.getAs[Boolean]("q_flag"))
+    // every user active in every type: the denominator vanishes -> no
+    // statistic, no alarm (never a 0/0)
+    val const = Seq(("a", 1L, "cur"), ("b", 1L, "cur"),
+      ("a", 2L, "cur"), ("b", 2L, "cur")).toDF("event_type", "user_id", "half")
+    val c = StatTestQueries.cochranQFinish(const).head()
+    assert(c.isNullAt(c.fieldIndex("q_r")) && !c.getAs[Boolean]("q_flag"))
+  }
+
   test("brier decomposition: Murphy identity holds to within-bin variance") {
     import graft.queries.TextQueries
     val r = TextQueries.queries("text_quality_brier")(spark, sf).head()
