@@ -157,7 +157,11 @@ object ScaleBench {
     "graph_closeness_sampled", "emb_matryoshka_recall",
     "events_tukey_hsd", "pipeline_cluster_sizes",
     "graph_degree_distribution", "search_retrieval_eval",
-    "events_friedman", "text_quality_brier", "events_cochran_q")
+    "events_friedman", "text_quality_brier", "events_cochran_q",
+    // r14 wave 5: fourth finishes on proven grids (W1 on ksGrid,
+    // log-rank on the survival grid, V / Theil's U on chisq cells)
+    "events_wasserstein", "events_logrank", "events_cramers_v",
+    "events_theils_u")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -262,6 +262,170 @@ object StatTestQueries {
         round(sqrt(col("v_cum").cast("double")), 6).as("se_r"))
   }
 
+  /** Cross-engine tie-safe final rounding: 12-dp double round (half
+    * boundaries at 12 dp require ~1e-12-exact rationals), decimal
+    * re-round to `dp` (decimal tie semantics agree between engines),
+    * back to double. The hhiFinish idiom, shared by the r14 finishes.
+    */
+  private[graft] def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+    round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+
+  /** Wasserstein-1 (earth-mover) distance between the ref/cur halves
+    * per event_type — the THIRD finish on [[EventQueries.ksGrid]]'s
+    * additive (type, value, cr, cc) counts (KS reads max |ΔF|, W1
+    * reads ∫|ΔF| dx: how FAR the mass moved, not just whether it
+    * did — the drift magnitude a re-weighting stage budgets against).
+    * Exact integer cross-products |cum_r·n_cur − cum_c·n_ref| carry
+    * the CDF gap; each segment term is one IEEE double product
+    * (identical on both engines) quantized to DECIMAL before the
+    * order-insensitive sum; the single division and final round ride
+    * the tie-safe chain. Windows are per-type over the distinct-value
+    * grid — the documented series axis, same as ksFinish.
+    */
+  private[graft] def wassersteinFinish(grid: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val cum = grid
+      .withColumn("cum_r", sum(col("cr")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_c", sum(col("cc")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nr", sum(col("cr")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("nc", sum(col("cc")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("dv", lead(col("value"), 1).over(byType) - col("value"))
+      .filter(col("dv").isNotNull)
+      .withColumn("cross",
+        abs(col("cum_r").cast("decimal(38,0)") * col("nc") -
+          col("cum_c").cast("decimal(38,0)") * col("nr")))
+      .withColumn("term",
+        round(col("cross").cast("double") * col("dv"), 6).cast("decimal(30,6)"))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        sum(col("term")).as("num"))
+      .select(col("event_type"),
+        col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          tieSafe(col("num").cast("double") /
+            (col("n_ref").cast("double") * col("n_cur").cast("double")), 6))
+          .as("w1_r"))
+  }
+
+  /** χ²₁(0.05) — the log-rank / CMH one-degree alarm threshold. */
+  private[graft] val Chi1Crit: Double = 3.841459
+
+  /** One-vs-rest log-rank test per event_type over the SAME merged
+    * (type, dur_h, deaths, censors) grid Kaplan-Meier and Nelson-
+    * Aalen read — the THIRD finish on [[survivalGrid]]'s merge law:
+    * does THIS type's lifetime distribution differ from the rest of
+    * the panel (the k-sample question eyeballed from KM curves, as a
+    * test). The grid is densified to the full (type × distinct
+    * duration) lattice so every type has an at-risk count at every
+    * death time (count arithmetic, the KM ladder); per-death-time
+    * hypergeometric e/v terms are 9-dp-quantized to decimal before
+    * the order-insensitive per-type sums. Everything past the grid is
+    * |types|·|distinct durations|-sized.
+    */
+  private[graft] def logrankFinish(grid: DataFrame): DataFrame = {
+    val dense = grid.select(col("event_type")).distinct()
+      .crossJoin(grid.select(col("dur_h")).distinct())
+      .join(grid, Seq("event_type", "dur_h"), "left")
+      .withColumn("d", coalesce(col("deaths"), lit(0L)))
+      .withColumn("c", coalesce(col("censors"), lit(0L)))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("dur_h"))
+    val risk = dense
+      .withColumn("n_total", sum(col("d") + col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("n_risk", col("n_total") - coalesce(
+        sum(col("d") + col("c")).over(
+          byType.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val byDur = Window.partitionBy(col("dur_h"))
+    val terms = risk
+      .withColumn("d_tot", sum(col("d")).over(byDur))
+      .withColumn("n_tot", sum(col("n_risk")).over(byDur))
+      .filter(col("d_tot") > 0 && col("n_tot") > 0)
+      .withColumn("frac", col("n_risk").cast("double") / col("n_tot").cast("double"))
+      .withColumn("e_term",
+        round(col("d_tot").cast("double") * col("frac"), 9).cast("decimal(24,9)"))
+      .withColumn("v_term",
+        when(col("n_tot") > 1,
+          round(col("d_tot").cast("double") * col("frac") *
+            (lit(1.0) - col("frac")) *
+            (col("n_tot") - col("d_tot")).cast("double") /
+            (col("n_tot") - 1).cast("double"), 9))
+          .otherwise(lit(0.0)).cast("decimal(24,9)"))
+    terms.groupBy(col("event_type"))
+      .agg(sum(col("d")).as("o_events"),
+        sum(col("e_term")).as("e_sum"),
+        sum(col("v_term")).as("v_sum"))
+      .select(col("event_type"),
+        col("o_events").cast("long").as("o_events"),
+        round(col("e_sum").cast("double"), 6).as("e_r"),
+        round(col("v_sum").cast("double"), 6).as("var_r"),
+        when(col("v_sum") > 0,
+          tieSafe((col("o_events").cast("double") - col("e_sum").cast("double")) *
+            (col("o_events").cast("double") - col("e_sum").cast("double")) /
+            col("v_sum").cast("double"), 6)).as("chi2_r"),
+        coalesce(
+          when(col("v_sum") > 0,
+            (col("o_events").cast("double") - col("e_sum").cast("double")) *
+              (col("o_events").cast("double") - col("e_sum").cast("double")) /
+              col("v_sum").cast("double") > Chi1Crit),
+          lit(false)).as("is_sig"))
+  }
+
+  /** Cramér's V — effect-SIZE finish on [[chisqCells]]'s additive
+    * (type, bucket) counts (χ² says "dependent"; V says how strongly,
+    * on [0,1], comparable across corpus sizes — the number a drift
+    * dashboard actually plots). Rides [[chisqFinish]]'s already-
+    * deterministic chi2_r verbatim; the bucket axis is the frozen 0..4
+    * grid, so min(r−1, c−1) needs only the observed type count.
+    */
+  private[graft] def cramersVFinish(cells: DataFrame): DataFrame =
+    chisqFinish(cells)
+      .crossJoin(broadcast(
+        cells.agg(countDistinct(col("event_type")).as("rk"))))
+      .withColumn("minrc", least(col("rk") - 1, lit(4L)))
+      .select(col("n"), col("dof"), col("chi2_r"),
+        when(col("minrc") > 0 && col("n") > 0 && col("chi2_r") >= 0.0,
+          tieSafe(sqrt(col("chi2_r") /
+            (col("n").cast("double") * col("minrc").cast("double"))), 6))
+          .as("v_r"))
+
+  /** Theil's uncertainty coefficient U(bucket | type) — the
+    * information-theoretic finish on the SAME [[chisqCells]] counts:
+    * what fraction of value-bucket entropy the event type explains
+    * (asymmetric, unlike V — "knowing the tenant, how much of the
+    * value mix is predictable"). Only observed cells contribute
+    * (0·ln 0 = 0, the standard convention, and the margins of the
+    * observed frame equal the dense frame's); per-cell p·ln terms are
+    * 12-dp-quantized to decimal before the order-insensitive sums.
+    */
+  private[graft] def theilsUFinish(cells: DataFrame): DataFrame = {
+    val n = broadcast(cells.agg(sum(col("o")).as("n")))
+    val hbt = cells.filter(col("o") > 0)
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .crossJoin(n)
+      .withColumn("term",
+        round(col("o").cast("double") / col("n").cast("double") *
+          log(col("o").cast("double") / col("rt").cast("double")), 12)
+          .cast("decimal(28,12)"))
+      .agg((-sum(col("term"))).as("hbt"))
+    val hb = cells.groupBy(col("bucket")).agg(sum(col("o")).as("ct"))
+      .filter(col("ct") > 0).crossJoin(n)
+      .withColumn("term",
+        round(col("ct").cast("double") / col("n").cast("double") *
+          log(col("ct").cast("double") / col("n").cast("double")), 12)
+          .cast("decimal(28,12)"))
+      .agg((-sum(col("term"))).as("hb"))
+    n.crossJoin(broadcast(hbt)).crossJoin(broadcast(hb))
+      .select(col("n").cast("long").as("n"),
+        round(col("hb").cast("double"), 6).as("hb_r"),
+        round(col("hbt").cast("double"), 6).as("hbt_r"),
+        when(col("hb") > 0,
+          tieSafe((col("hb").cast("double") - col("hbt").cast("double")) /
+            col("hb").cast("double"), 6)).as("u_r"))
+  }
+
   /** One-way ANOVA from a (event_type, v DECIMAL(18,4)) frame —
     * sufficient statistics (n, Σv, Σv²) per group in one partial-
     * aggregable pass, then a k-row serving computation. Per-group
@@ -1015,6 +1179,42 @@ object StatTestQueries {
       hazardFinish(survivalGrid(userSpans(
         Tables.events(s, dir).select(col("event_type"), col("user_id"),
           col("ts_ms")))))),
+
+    // ONE-VS-REST LOG-RANK — does THIS type's user-lifetime
+    // distribution differ from the rest of the panel: the test behind
+    // the KM-curve eyeball, as the third finish on events_survival's
+    // merged (type, duration) death/censor grid. Hypergeometric O−E
+    // per death time, variance-normalized; everything past the grid
+    // is lattice-sized.
+    "events_logrank" -> ((s, dir) =>
+      logrankFinish(survivalGrid(userSpans(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"),
+          col("ts_ms")))))),
+
+    // WASSERSTEIN-1 DRIFT MAGNITUDE — how far the value mass moved
+    // between the frozen PSI halves (KS flags drift; W1 prices it).
+    // Third finish on the ksGrid merge law — integer CDF cross-
+    // products, one tie-safe division per type.
+    "events_wasserstein" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+      wassersteinFinish(EventQueries.ksGrid(
+        EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
+    }),
+
+    // CRAMÉR'S V — the effect-size reading on events_chisq's
+    // (type, bucket) cells: dependence strength on [0,1], comparable
+    // across corpus sizes.
+    "events_cramers_v" -> ((s, dir) =>
+      cramersVFinish(chisqCells(
+        Tables.events(s, dir).filter(col("value").isNotNull)))),
+
+    // THEIL'S U — the asymmetric information-theoretic reading on the
+    // SAME cells: what fraction of value-bucket entropy the event
+    // type explains.
+    "events_theils_u" -> ((s, dir) =>
+      theilsUFinish(chisqCells(
+        Tables.events(s, dir).filter(col("value").isNotNull)))),
 
     // STRATIFIED SPLIT — per-language 80/10/10 train/val/test with
     // EXACT per-stratum quotas (the mixing-stage complement of
@@ -1780,5 +1980,201 @@ object StatTestQueries {
         |  round(sqrt(CAST(sum(vf) OVER w AS DOUBLE)), 6) AS se_r
         |FROM t
         |WINDOW w AS (PARTITION BY event_type ORDER BY dur_h
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the events_survival grid CTEs verbatim, densified to the
+    // type × duration lattice, with the one-vs-rest hypergeometric
+    // O−E/V tail (9-dp decimal terms, tie-safe final quotient)
+    "events_logrank" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+        |  FROM events
+        |), spans AS (
+        |  SELECT event_type, user_id, min(ts_ms) AS first_ts,
+        |    max(ts_ms) AS last_ts
+        |  FROM e GROUP BY 1, 2
+        |), cut AS (
+        |  SELECT max(last_ts) - 86400000 AS t_cut FROM spans
+        |), grid AS (
+        |  SELECT event_type, (last_ts - first_ts) // 3600000 AS dur_h,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 0 ELSE 1 END) AS deaths,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 1 ELSE 0 END) AS censors
+        |  FROM spans CROSS JOIN cut GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT t.event_type, u.dur_h,
+        |    coalesce(g.deaths, 0) AS d, coalesce(g.censors, 0) AS c
+        |  FROM (SELECT DISTINCT event_type FROM grid) t
+        |  CROSS JOIN (SELECT DISTINCT dur_h FROM grid) u
+        |  LEFT JOIN grid g ON g.event_type = t.event_type
+        |    AND g.dur_h = u.dur_h
+        |), r AS (
+        |  SELECT event_type, dur_h, d,
+        |    sum(d + c) OVER (PARTITION BY event_type)
+        |      - coalesce(sum(d + c) OVER (PARTITION BY event_type
+        |          ORDER BY dur_h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM dense
+        |), t2 AS (
+        |  SELECT event_type, d, n_risk,
+        |    sum(d) OVER (PARTITION BY dur_h) AS d_tot,
+        |    sum(n_risk) OVER (PARTITION BY dur_h) AS n_tot
+        |  FROM r
+        |), tm AS (
+        |  SELECT event_type, d,
+        |    CAST(round(CAST(d_tot AS DOUBLE)
+        |      * (CAST(n_risk AS DOUBLE) / CAST(n_tot AS DOUBLE)), 9)
+        |      AS DECIMAL(24,9)) AS e_term,
+        |    CAST(CASE WHEN n_tot > 1 THEN
+        |      round(CAST(d_tot AS DOUBLE)
+        |        * (CAST(n_risk AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * (1.0 - CAST(n_risk AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * CAST(n_tot - d_tot AS DOUBLE)
+        |        / CAST(n_tot - 1 AS DOUBLE), 9)
+        |      ELSE 0.0 END AS DECIMAL(24,9)) AS v_term
+        |  FROM t2 WHERE d_tot > 0 AND n_tot > 0
+        |), agg AS (
+        |  SELECT event_type, CAST(sum(d) AS BIGINT) AS o_events,
+        |    sum(e_term) AS e_sum, sum(v_term) AS v_sum
+        |  FROM tm GROUP BY 1
+        |)
+        |SELECT event_type, o_events,
+        |  round(CAST(e_sum AS DOUBLE), 6) AS e_r,
+        |  round(CAST(v_sum AS DOUBLE), 6) AS var_r,
+        |  CASE WHEN v_sum > 0 THEN
+        |    CAST(round(CAST(round(
+        |      (CAST(o_events AS DOUBLE) - CAST(e_sum AS DOUBLE))
+        |        * (CAST(o_events AS DOUBLE) - CAST(e_sum AS DOUBLE))
+        |        / CAST(v_sum AS DOUBLE), 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  END AS chi2_r,
+        |  coalesce(CASE WHEN v_sum > 0 THEN
+        |    (CAST(o_events AS DOUBLE) - CAST(e_sum AS DOUBLE))
+        |      * (CAST(o_events AS DOUBLE) - CAST(e_sum AS DOUBLE))
+        |      / CAST(v_sum AS DOUBLE) > 3.841459 END, false) AS is_sig
+        |FROM agg""".stripMargin,
+
+    // the events_mannwhitney half-count grid CTEs verbatim with the
+    // W1 segment-integral tail: exact integer CDF cross-products,
+    // per-segment double product quantized to decimal, tie-safe
+    // final division
+    "events_wasserstein" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), h AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half
+        |  FROM e CROSS JOIN sp
+        |), grid AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS cc
+        |  FROM h GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type,
+        |    sum(cr) OVER w AS cum_r, sum(cc) OVER w AS cum_c,
+        |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc,
+        |    lead(value, 1) OVER (PARTITION BY event_type ORDER BY value)
+        |      - value AS dv
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), t AS (
+        |  SELECT event_type, nr, nc,
+        |    CAST(round(CAST(abs(CAST(cum_r AS HUGEINT) * nc
+        |      - CAST(cum_c AS HUGEINT) * nr) AS DOUBLE) * dv, 6)
+        |      AS DECIMAL(30,6)) AS term
+        |  FROM cum WHERE dv IS NOT NULL
+        |)
+        |SELECT event_type,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+        |  CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+        |    CAST(round(CAST(round(CAST(sum(term) AS DOUBLE)
+        |      / (CAST(max(nr) AS DOUBLE) * CAST(max(nc) AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  END AS w1_r
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // the events_chisq dense-cell CTEs verbatim with the V tail
+    "events_cramers_v" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 4) AS bucket
+        |  FROM events WHERE value IS NOT NULL
+        |), obs AS (
+        |  SELECT event_type, bucket, count(*) AS o FROM e GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT t.event_type, b.bucket, coalesce(obs.o, 0) AS o
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS bucket) b
+        |  LEFT JOIN obs ON obs.event_type = t.event_type
+        |    AND obs.bucket = b.bucket
+        |), m AS (
+        |  SELECT event_type, bucket, o,
+        |    sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY bucket) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM cells
+        |), c AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(CASE WHEN CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(n AS DOUBLE) > 0.0 THEN
+        |      round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      ELSE 0.0 END AS DECIMAL(24,6)) AS contrib
+        |  FROM m
+        |), f AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT bucket) - 1)
+        |      AS BIGINT) AS dof,
+        |    CAST(sum(contrib) AS DOUBLE) AS chi2_r,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS rk
+        |  FROM c
+        |)
+        |SELECT n, dof, chi2_r,
+        |  CASE WHEN least(rk - 1, 4) > 0 AND n > 0 AND chi2_r >= 0.0 THEN
+        |    CAST(round(CAST(round(sqrt(chi2_r / (CAST(n AS DOUBLE)
+        |      * CAST(least(rk - 1, 4) AS DOUBLE))), 12) AS DECIMAL(24,12)), 6)
+        |      AS DOUBLE)
+        |  END AS v_r
+        |FROM f""".stripMargin,
+
+    // the events_chisq observed cells with the entropy tail: per-cell
+    // p·ln terms 12-dp-quantized to decimal, one tie-safe division
+    "events_theils_u" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 4) AS bucket
+        |  FROM events WHERE value IS NOT NULL
+        |), obs AS (
+        |  SELECT event_type, bucket, count(*) AS o FROM e GROUP BY 1, 2
+        |), nn AS (
+        |  SELECT sum(o) AS n FROM obs
+        |), hbt AS (
+        |  SELECT -sum(CAST(round(CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE)
+        |    * ln(CAST(o AS DOUBLE) / CAST(rt AS DOUBLE)), 12)
+        |    AS DECIMAL(28,12))) AS hbt
+        |  FROM (SELECT o, sum(o) OVER (PARTITION BY event_type) AS rt
+        |        FROM obs) x CROSS JOIN nn
+        |  WHERE o > 0
+        |), hb AS (
+        |  SELECT -sum(CAST(round(CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)
+        |    * ln(CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)), 12)
+        |    AS DECIMAL(28,12))) AS hb
+        |  FROM (SELECT bucket, sum(o) AS ct FROM obs GROUP BY 1) y CROSS JOIN nn
+        |  WHERE ct > 0
+        |)
+        |SELECT CAST(nn.n AS BIGINT) AS n,
+        |  round(CAST(hb AS DOUBLE), 6) AS hb_r,
+        |  round(CAST(hbt AS DOUBLE), 6) AS hbt_r,
+        |  CASE WHEN hb > 0 THEN
+        |    CAST(round(CAST(round((CAST(hb AS DOUBLE) - CAST(hbt AS DOUBLE))
+        |      / CAST(hb AS DOUBLE), 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  END AS u_r
+        |FROM nn CROSS JOIN hbt CROSS JOIN hb""".stripMargin)
 }

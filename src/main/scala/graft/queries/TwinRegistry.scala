@@ -176,7 +176,13 @@ object TwinRegistry {
       "events_mcnemar", "events_spearman", "events_friedman",
       "events_cochran_q",
       // r14: third finish on stream_lexical_diversity's proven cells
-      "text_good_turing"),
+      "text_good_turing",
+      // r14 wave 5: fourth finishes on already-twinned state classes —
+      // ksGrid (stream_ks_test), the survival death/censor grid
+      // (stream_survival / stream_cum_hazard), the chisq contingency
+      // cells (stream_chisq); replay count bounded, laws proven
+      "events_wasserstein", "events_logrank", "events_cramers_v",
+      "events_theils_u"),
     "corpus-snapshot-stage" -> Seq(
       "pipeline_pack", "pipeline_pack_efficiency", "pipeline_shuffle",
       "pipeline_split", "pipeline_select", "pipeline_mix",
