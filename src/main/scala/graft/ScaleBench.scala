@@ -161,7 +161,16 @@ object ScaleBench {
     // r14 wave 5: fourth finishes on proven grids (W1 on ksGrid,
     // log-rank on the survival grid, V / Theil's U on chisq cells)
     "events_wasserstein", "events_logrank", "events_cramers_v",
-    "events_theils_u")
+    "events_theils_u",
+    // r14 wave 6: stratified 2×2 pool, grid-pair rank correlation,
+    // count-arithmetic tail index
+    "events_mantel_haenszel", "events_kendall_tau", "events_hill_tail",
+    // r14 wave 7: inequality finishes on giniCells, Chao1 on
+    // lexdivCells, Mood's median on the value grid, internal
+    // cluster validity on the trained assignment
+    "events_theil_index", "text_chao1", "events_mood_median",
+    "emb_calinski_harabasz", "emb_davies_bouldin",
+    "graph_jaccard_linkpred")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -209,7 +218,8 @@ object ScaleBench {
     "stream_cum_hazard", "stream_capture_recapture",
     "stream_odds_ratio", "stream_hhi",
     // r14 twins
-    "stream_kruskal_wallis", "stream_tukey_hsd", "stream_brown_forsythe")
+    "stream_kruskal_wallis", "stream_tukey_hsd", "stream_brown_forsythe",
+    "stream_calinski_harabasz", "stream_davies_bouldin")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

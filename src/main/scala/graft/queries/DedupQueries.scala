@@ -1276,6 +1276,43 @@ object DedupQueries {
       out
     }),
 
+    // JACCARD LINK PREDICTION — the set-overlap reading on the SAME
+    // hub-capped wedge enumeration as graph_adamic_adar (AA weights
+    // rare middles; Jaccard normalizes by the neighborhood UNION, so
+    // two low-degree docs with one shared neighbor outrank two hubs
+    // with three): |N∩|/(deg_u + deg_w − |N∩|) over non-edges, top-K.
+    // The score is a small-integer rational (1/128 sits exactly ON a
+    // 6-dp half), so the final round rides the tie-safe chain.
+    "graph_jaccard_linkpred" -> ((s, dir) => {
+      val e = lshEdges(s, dir)
+      val edges = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val mid = edges.join(deg.filter(col("deg") <= AaHubCap), "src")
+      val left  = mid.select(col("src").as("z"), col("dst").as("u"))
+      val right = mid.select(col("src").as("z"), col("dst").as("w"))
+      val commons = left.join(right, "z").filter(col("u") < col("w"))
+        .groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      val predicted = commons.join(
+        edges.select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"), "left_anti")
+      val out = predicted
+        .join(deg.select(col("src").as("u"), col("deg").as("deg_u")), "u")
+        .join(deg.select(col("src").as("w"), col("deg").as("deg_w")), "w")
+        .select(col("u").as("doc_a"), col("w").as("doc_b"),
+          col("common_neighbors"), col("deg_u"), col("deg_w"),
+          round(round(col("common_neighbors").cast("double")
+              / (col("deg_u") + col("deg_w") - col("common_neighbors"))
+                .cast("double"), 12).cast("decimal(24,12)"), 6).cast("double")
+            .as("jaccard_r"))
+        .orderBy(col("jaccard_r").desc, col("doc_a"), col("doc_b"))
+        .limit(AaTopK)
+      edges.unpersist()
+      out
+    }),
+
     // MULTI-SOURCE BFS over the dedup graph: every document's hop
     // distance to its component's canonical representative (the CC
     // label minimum — the shared artifact), all components in ONE
@@ -2587,6 +2624,37 @@ object DedupQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM edges2 e
          |                  WHERE e.src = sc.u AND e.dst = sc.w)
          |ORDER BY aa_score DESC, doc_a, doc_b
+         |LIMIT $AaTopK""".stripMargin,
+
+    // the identical hub-capped wedge chain, union-normalized score,
+    // tie-safe round (small-integer rationals hit 6-dp halves)
+    "graph_jaccard_linkpred" ->
+      s"""WITH RECURSIVE $ccSplitCtes, deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges2 GROUP BY 1
+         |), mid AS (
+         |  SELECT e.src AS z, e.dst
+         |  FROM edges2 e JOIN deg d USING (src)
+         |  WHERE d.deg <= $AaHubCap
+         |), sc AS (
+         |  SELECT a.dst AS u, b.dst AS w,
+         |    CAST(count(*) AS BIGINT) AS common_neighbors
+         |  FROM mid a JOIN mid b ON a.z = b.z AND a.dst < b.dst
+         |  GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT sc.u, sc.w, sc.common_neighbors,
+         |    du.deg AS deg_u, dw.deg AS deg_w
+         |  FROM sc
+         |  JOIN deg du ON du.src = sc.u
+         |  JOIN deg dw ON dw.src = sc.w
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges2 e
+         |                    WHERE e.src = sc.u AND e.dst = sc.w)
+         |)
+         |SELECT u AS doc_a, w AS doc_b, common_neighbors, deg_u, deg_w,
+         |  CAST(round(CAST(round(CAST(common_neighbors AS DOUBLE)
+         |    / CAST(deg_u + deg_w - common_neighbors AS DOUBLE), 12)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS jaccard_r
+         |FROM pr
+         |ORDER BY jaccard_r DESC, doc_a, doc_b
          |LIMIT $AaTopK""".stripMargin,
 
     // Integer-exact PPS systematic sampler over the md5-shuffled token

@@ -1251,6 +1251,17 @@ object EventQueries {
     "events_gini" -> ((s, dir) =>
       giniFinish(giniCells(Tables.events(s, dir)))),
 
+    // THEIL / MLD / ATKINSON INEQUALITY — the entropy-family
+    // decomposable inequality indices next to gini's rank-based and
+    // HHI's squared-share readings (Theil T is the one that
+    // decomposes additively across sub-populations — the index a
+    // multi-tenant curation dashboard can roll up): all three off
+    // the SAME per-user decimal totals (giniCells — the streaming
+    // twin sum-merges it), one extra data-sized projection for the
+    // 12/9-dp decimal ln terms, three k-row IEEE finals.
+    "events_theil_index" -> ((s, dir) =>
+      inequalityFinish(giniCells(Tables.events(s, dir)))),
+
     // MARKOV STATIONARY DISTRIBUTION — where events_markov's
     // transition matrix SETTLES: π ← πP unrolled MarkovRounds times
     // from the uniform start (the pagerank pattern on the behavioral
@@ -2891,6 +2902,45 @@ object EventQueries {
             / (col("n_users").cast("double") * asDouble(col("sx")))
           - (col("n_users").cast("double") + lit(1.0))
             / col("n_users").cast("double"), 6).as("gini_r"))
+  }
+
+  /** The entropy-family inequality finish over the SAME merged
+    * per-user totals ([[giniCells]] — one state table now serves
+    * four concentration/inequality readings): Theil T =
+    * Σ(xᵢ/S)·ln(xᵢ/μ) = Σxᵢln xᵢ/S − ln μ, Theil L (mean log
+    * deviation) = ln μ − Σln xᵢ/n, Atkinson(ε=1) = 1 − e^(−L) —
+    * the welfare-weighted share of value that could be "given up"
+    * under equal redistribution. Per-user ln terms are single IEEE
+    * doubles quantized to DECIMAL before the order-insensitive sums
+    * (the KN/entropy convention); the three finals are fixed IEEE
+    * chains over four aggregates, tie-safe-rounded. Zero-valued
+    * users are outside the ln domain and excluded by definition
+    * (Theil's standard positive-support restriction).
+    */
+  private[graft] def inequalityFinish(u: org.apache.spark.sql.DataFrame) = {
+    def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+      round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    val t = u.filter(col("x") > 0)
+      .select(col("x").cast("decimal(18,4)").as("x"))
+      .withColumn("lx",
+        round(log(asDouble(col("x"))), 12).cast("decimal(20,12)"))
+      .withColumn("xlx",
+        round(asDouble(col("x")) * log(asDouble(col("x"))), 9)
+          .cast("decimal(24,9)"))
+    t.agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
+        sum(col("lx")).as("slx"), sum(col("xlx")).as("sxlx"))
+      .select(col("n_users"),
+        round(asDouble(col("sx")), 6).as("total_r"),
+        tieSafe(asDouble(col("sxlx")) / asDouble(col("sx"))
+          - log(asDouble(col("sx")) / col("n_users").cast("double")), 6)
+          .as("theil_t_r"),
+        tieSafe(log(asDouble(col("sx")) / col("n_users").cast("double"))
+          - asDouble(col("slx")) / col("n_users").cast("double"), 6)
+          .as("mld_r"),
+        tieSafe(lit(1.0)
+          - exp(asDouble(col("slx")) / col("n_users").cast("double"))
+            / (asDouble(col("sx")) / col("n_users").cast("double")), 6)
+          .as("atkinson_r"))
   }
 
   /** The mergeable half of `events_power_analysis`: per-type exact
@@ -5576,6 +5626,38 @@ object EventQueries {
         |      / (CAST(n_users AS DOUBLE) * CAST(sx AS DOUBLE))
         |    - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 6)
         |    AS gini_r
+        |FROM a""".stripMargin,
+
+    // same per-user decimal totals, same positive-support filter,
+    // same 12/9-dp decimal ln terms, same tie-safe IEEE finals
+    "events_theil_index" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), t AS (
+        |  SELECT x,
+        |    CAST(round(ln(CAST(x AS DOUBLE)), 12) AS DECIMAL(20,12)) AS lx,
+        |    CAST(round(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)), 9)
+        |      AS DECIMAL(24,9)) AS xlx
+        |  FROM u WHERE x > 0
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users, sum(x) AS sx,
+        |    sum(lx) AS slx, sum(xlx) AS sxlx
+        |  FROM t
+        |)
+        |SELECT n_users, round(CAST(sx AS DOUBLE), 6) AS total_r,
+        |  CAST(round(CAST(round(CAST(sxlx AS DOUBLE) / CAST(sx AS DOUBLE)
+        |    - ln(CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE)), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS theil_t_r,
+        |  CAST(round(CAST(round(
+        |    ln(CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |    - CAST(slx AS DOUBLE) / CAST(n_users AS DOUBLE), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mld_r,
+        |  CAST(round(CAST(round(
+        |    1.0 - exp(CAST(slx AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |      / (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE)), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS atkinson_r
         |FROM a""".stripMargin,
 
     // same hourly decimals and expanded sums as events_acf, cross-type

@@ -803,6 +803,33 @@ object SimilarityQueries {
     "emb_cluster_vmeasure" -> ((s, dir) =>
       clusterVmeasureFinish(clusterCells(s, dir))),
 
+    // CALINSKI-HARABASZ — the first INTERNAL (label-free) validity
+    // reading on the trained assignment: between/within variance
+    // ratio (B/(k−1))/(W/(n−k)), the index you can still compute at
+    // 100 TB when no ground-truth labels exist. W comes from the
+    // Σ‖x‖² expansion around the 9-dp empirical means — sufficient
+    // statistics only, never a per-point distance pass; everything
+    // past the two data-sized aggs is k·64-sized. The (k·64)-row
+    // stats frame is localCheckpointed (multi-referenced, tiny — the
+    // TinyOrder convention).
+    "emb_calinski_harabasz" -> ((s, dir) => {
+      val a = trainedAssigned(s, dir)
+      val dims = clusterDimStats(a).localCheckpoint()
+      calinskiFinish(dims, clusterWss(a, dims))
+    }),
+
+    // DAVIES-BOULDIN — the second internal validity reading (lower =
+    // better): per-cluster scatter s_k = √(W_k/n_k) vs pairwise
+    // centroid separation, each cluster scored by its WORST
+    // (s_i+s_j)/d_ij neighbor. The k² pair frame is nlist²·64 rows —
+    // a constant; same sufficient-statistics W as CH (one shared
+    // helper, two finishes).
+    "emb_davies_bouldin" -> ((s, dir) => {
+      val a = trainedAssigned(s, dir)
+      val dims = clusterDimStats(a).localCheckpoint()
+      daviesBouldinFinish(dims, clusterWss(a, dims))
+    }),
+
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
     // centroids and the corpus assignment they induce. The unrolled-N
@@ -2043,6 +2070,122 @@ object SimilarityQueries {
       .groupBy(col("list_id"), col("label"))
       .agg(count(lit(1)).as("nij"))
 
+  /** Per-(cluster, dim) exact-decimal sums with 9-dp empirical means —
+    * the sufficient statistics both INTERNAL (geometric) validity
+    * indices read. Unlike purity/NMI/ARI these need no labels: they
+    * score the clustering by its own geometry (within-cluster
+    * tightness vs between-cluster separation). One data-sized
+    * posexplode+agg pass (64·n rows, partial-aggregable); everything
+    * downstream is k·64-sized.
+    */
+  private[graft] def clusterDimStats(assigned: org.apache.spark.sql.DataFrame) =
+    assigned
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("list_id"), col("i"))
+      .agg(sum(col("x").cast("double").cast("decimal(28,14)")).as("sx"),
+        count(lit(1)).as("nk"))
+      .withColumn("m", round(col("sx").cast("double") / col("nk"), 9))
+
+  /** Per-cluster exact-decimal Σ‖x‖² + size — with [[clusterDimStats]]
+    * this yields the within-cluster sum of squares WITHOUT a second
+    * pass over distances: W_k = Σ‖x‖² − 2·Σ_d m_d·S_d + n_k·Σ_d m_d²
+    * (the expansion around the 9-dp-quantized empirical mean; per-dim
+    * products are single IEEE doubles quantized to DECIMAL before the
+    * 64-term order-insensitive sums).
+    */
+  private[graft] def clusterWss(assigned: org.apache.spark.sql.DataFrame,
+                                dims: org.apache.spark.sql.DataFrame) =
+    clusterWssFrom(
+      assigned.groupBy(col("list_id"))
+        .agg(sum(VectorOps.normSqDecimal(col("embedding"))
+          .cast("decimal(38,14)")).as("ssq"),
+          count(lit(1)).as("n_k")),
+      dims)
+
+  /** The W_k expansion over an already-aggregated per-cluster
+    * (list_id, ssq, n_k) frame — split out so the streaming twins can
+    * feed SUM-MERGED Σ‖x‖² partials into the identical finish.
+    */
+  private[graft] def clusterWssFrom(per: org.apache.spark.sql.DataFrame,
+                                    dims: org.apache.spark.sql.DataFrame) = {
+    val mterms = dims
+      .withColumn("t", round(col("m") * col("sx").cast("double"), 9)
+        .cast("decimal(30,9)"))
+      .withColumn("t2", round(col("m") * col("m"), 12).cast("decimal(24,12)"))
+      .groupBy(col("list_id"))
+      .agg(sum(col("t")).as("msx"), sum(col("t2")).as("mm"))
+    per.join(mterms, "list_id")
+      .withColumn("w_k",
+        col("ssq").cast("double") - lit(2.0) * col("msx").cast("double")
+          + col("n_k") * col("mm").cast("double"))
+      .select(col("list_id"), col("n_k"), col("w_k"))
+  }
+
+  /** Calinski-Harabasz (variance-ratio) finish: CH =
+    * (B/(k−1)) / (W/(n−k)) with B from the k·64 centroid frame
+    * against the 9-dp global per-dim mean. k-row serving work.
+    */
+  private[graft] def calinskiFinish(dims: org.apache.spark.sql.DataFrame,
+                                    wss: org.apache.spark.sql.DataFrame) = {
+    def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+      round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    val g = dims.groupBy(col("i"))
+      .agg(sum(col("sx")).as("gx"), sum(col("nk")).as("n"))
+      .select(col("i"), round(col("gx").cast("double") / col("n"), 9).as("g"))
+    val bsum = dims.join(g, "i")
+      .withColumn("bd", round((col("m") - col("g")) * (col("m") - col("g")), 12)
+        .cast("decimal(24,12)"))
+      .groupBy(col("list_id")).agg(sum(col("bd")).as("bsum"))
+    val a = wss.join(bsum, "list_id")
+      .agg(
+        sum(round(col("n_k") * col("bsum").cast("double"), 9)
+          .cast("decimal(30,9)")).as("bb"),
+        sum(round(col("w_k"), 9).cast("decimal(30,9)")).as("ww"),
+        sum(col("n_k")).as("n"), count(lit(1)).as("k"))
+    a.select(col("n").cast("long").as("n"),
+        col("k").cast("long").as("k_clusters"),
+        tieSafe(col("bb").cast("double"), 6).as("b_r"),
+        tieSafe(col("ww").cast("double"), 6).as("w_r"),
+        when(col("k") > 1 && col("n") > col("k"),
+          tieSafe((col("bb").cast("double") / (col("k") - 1).cast("double"))
+            / (col("ww").cast("double") / (col("n") - col("k")).cast("double")),
+            6)).as("ch_r"))
+  }
+
+  /** Davies-Bouldin finish: s_k = √(W_k/n_k), pairwise centroid
+    * distances on the k²·64 frame (k = nlist — constant-sized), each
+    * cluster's worst (s_i+s_j)/d_ij, DB = their mean. Per-cluster rows
+    * plus the broadcast overall index (the purity output convention).
+    */
+  private[graft] def daviesBouldinFinish(dims: org.apache.spark.sql.DataFrame,
+                                         wss: org.apache.spark.sql.DataFrame) = {
+    def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+      round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    val sk = wss.withColumn("s_k", sqrt(col("w_k") / col("n_k")))
+    val mx = dims.select(col("list_id").as("li"), col("i"), col("m"))
+    val my = dims.select(col("list_id").as("lj"), col("i"), col("m").as("mj"))
+    val d = mx.join(my, Seq("i")).filter(col("li") =!= col("lj"))
+      .withColumn("dd", round((col("m") - col("mj")) * (col("m") - col("mj")), 12)
+        .cast("decimal(24,12)"))
+      .groupBy(col("li"), col("lj"))
+      .agg(sqrt(sum(col("dd")).cast("double")).as("dist"))
+    val worst = d.filter(col("dist") > 0)
+      .join(sk.select(col("list_id").as("li"), col("s_k").as("si")), "li")
+      .join(sk.select(col("list_id").as("lj"), col("s_k").as("sj")), "lj")
+      .groupBy(col("li"))
+      .agg(max((col("si") + col("sj")) / col("dist")).as("worst"))
+    val overall = worst.agg(
+        (sum(round(col("worst"), 9).cast("decimal(30,9)")).cast("double")
+          / count(lit(1)).cast("double")).as("db"))
+      .select(tieSafe(col("db"), 6).as("db_r"))
+    sk.join(worst, sk("list_id") === worst("li"))
+      .crossJoin(broadcast(overall))
+      .select(col("list_id"), col("n_k"),
+        tieSafe(col("s_k"), 6).as("s_r"),
+        tieSafe(col("worst"), 6).as("worst_ratio_r"),
+        col("db_r"))
+  }
+
   /** IVF probe search (the `ann_topk_ivf` plan shape: broadcast probe
     * join keyed on list_id) against an arbitrary (centroids, assigned
     * lists) index pair — shared by `ann_topk_ivf_trained` and the
@@ -2846,6 +2989,55 @@ object SimilarityQueries {
     * by the NMI and v-measure oracles so the two finishes provably
     * read one chain.
     */
+  /** Shared trained-assignment + geometric-sufficient-statistics CTE
+    * chain for the two internal validity oracles: per-(cluster, dim)
+    * exact decimal sums, 9-dp empirical means, and the W_k expansion
+    * — term-for-term the [[clusterDimStats]]/[[clusterWss]] math.
+    */
+  private lazy val clusterGeomCtes: String =
+    s"""${lloydCtes(TrainRounds)}, scored AS (
+       |  SELECT e.vec_id, c.list_id,
+       |    ${duckCos("e.embedding", "c.centroid")} AS ccos
+       |  FROM embeddings e, cent$TrainRounds c
+       |), ranked AS (
+       |  SELECT vec_id, list_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, list_id) AS rk
+       |  FROM scored
+       |), asg AS (
+       |  SELECT vec_id, list_id FROM ranked WHERE rk = 1
+       |), av AS (
+       |  SELECT a.list_id, e.embedding
+       |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |), gdims AS (
+       |  SELECT list_id, i,
+       |    sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14))) AS sx,
+       |    CAST(count(*) AS BIGINT) AS nk
+       |  FROM av, generate_series(1, 64) t(i)
+       |  GROUP BY 1, 2
+       |), dm AS (
+       |  SELECT list_id, i, sx, nk,
+       |    round(CAST(sx AS DOUBLE) / nk, 9) AS m
+       |  FROM gdims
+       |), per AS (
+       |  SELECT list_id,
+       |    sum(CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |        AS DECIMAL(28,14)))) AS DECIMAL(38,14))) AS ssq,
+       |    CAST(count(*) AS BIGINT) AS n_k
+       |  FROM av GROUP BY 1
+       |), mterms AS (
+       |  SELECT list_id,
+       |    sum(CAST(round(m * CAST(sx AS DOUBLE), 9) AS DECIMAL(30,9))) AS msx,
+       |    sum(CAST(round(m * m, 12) AS DECIMAL(24,12))) AS mm
+       |  FROM dm GROUP BY 1
+       |), wk AS (
+       |  SELECT p.list_id, p.n_k,
+       |    CAST(p.ssq AS DOUBLE) - 2.0 * CAST(t.msx AS DOUBLE)
+       |      + p.n_k * CAST(t.mm AS DOUBLE) AS w_k
+       |  FROM per p JOIN mterms t USING (list_id)
+       |)""".stripMargin
+
   private lazy val clusterEntropyCtes: String =
     s"""${lloydCtes(TrainRounds)}, scored AS (
        |  SELECT e.vec_id, c.list_id,
@@ -3916,6 +4108,69 @@ object SimilarityQueries {
          |  round(CASE WHEN h + c > 0.0 THEN 2.0 * h * c / (h + c)
          |    ELSE 0.0 END, 6) AS v_r
          |FROM hc""".stripMargin,
+
+    // the shared geometric-statistics chain (clusterGeomCtes), global
+    // 9-dp per-dim mean, same quantized B/W sums and guarded ratio
+    "emb_calinski_harabasz" ->
+      s"""WITH $clusterGeomCtes, gm AS (
+         |  SELECT i, round(CAST(sum(sx) AS DOUBLE) / sum(nk), 9) AS g
+         |  FROM gdims GROUP BY 1
+         |), bsum AS (
+         |  SELECT d.list_id,
+         |    sum(CAST(round((d.m - g.g) * (d.m - g.g), 12)
+         |      AS DECIMAL(24,12))) AS bsum
+         |  FROM dm d JOIN gm g USING (i) GROUP BY 1
+         |), a AS (
+         |  SELECT
+         |    sum(CAST(round(w.n_k * CAST(b.bsum AS DOUBLE), 9)
+         |      AS DECIMAL(30,9))) AS bb,
+         |    sum(CAST(round(w.w_k, 9) AS DECIMAL(30,9))) AS ww,
+         |    sum(w.n_k) AS n, count(*) AS k
+         |  FROM wk w JOIN bsum b USING (list_id)
+         |)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_clusters,
+         |  CAST(round(CAST(round(CAST(bb AS DOUBLE), 12)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS b_r,
+         |  CAST(round(CAST(round(CAST(ww AS DOUBLE), 12)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS w_r,
+         |  CASE WHEN k > 1 AND n > k THEN
+         |    CAST(round(CAST(round(
+         |      (CAST(bb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+         |        / (CAST(ww AS DOUBLE) / CAST(n - k AS DOUBLE)), 12)
+         |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS ch_r
+         |FROM a""".stripMargin,
+
+    // the same geometric chain, per-cluster scatter vs the k²·64
+    // centroid pair distances, worst-neighbor max, quantized mean
+    "emb_davies_bouldin" ->
+      s"""WITH $clusterGeomCtes, sk AS (
+         |  SELECT list_id, n_k, sqrt(w_k / n_k) AS s_k FROM wk
+         |), cd AS (
+         |  SELECT a.list_id AS li, b.list_id AS lj,
+         |    sqrt(CAST(sum(CAST(round((a.m - b.m) * (a.m - b.m), 12)
+         |      AS DECIMAL(24,12))) AS DOUBLE)) AS dist
+         |  FROM dm a JOIN dm b ON b.i = a.i AND b.list_id <> a.list_id
+         |  GROUP BY 1, 2
+         |), worst AS (
+         |  SELECT c.li, max((si.s_k + sj.s_k) / c.dist) AS worst
+         |  FROM cd c
+         |  JOIN sk si ON si.list_id = c.li
+         |  JOIN sk sj ON sj.list_id = c.lj
+         |  WHERE c.dist > 0 GROUP BY 1
+         |), ov AS (
+         |  SELECT CAST(round(CAST(round(
+         |    CAST(sum(CAST(round(worst, 9) AS DECIMAL(30,9))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 12)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS db_r
+         |  FROM worst
+         |)
+         |SELECT s.list_id, s.n_k,
+         |  CAST(round(CAST(round(s.s_k, 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |    AS s_r,
+         |  CAST(round(CAST(round(w.worst, 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |    AS worst_ratio_r,
+         |  ov.db_r
+         |FROM sk s JOIN worst w ON w.li = s.list_id CROSS JOIN ov""".stripMargin,
 
     // the identical trained-assignment chain, then the same exact
     // DECIMAL(38,0) pair-counting binomials and the single double

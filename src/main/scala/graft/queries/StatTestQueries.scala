@@ -426,6 +426,257 @@ object StatTestQueries {
             col("hb").cast("double"), 6)).as("u_r"))
   }
 
+  /** High-value conversion threshold: "ever purchased" is
+    * near-universal in this tenant (every 2×2 margin degenerates to
+    * zero at every SF — measured), so the MH conversion event is a
+    * purchase of at least this value (~p75 of purchase values:
+    * splits users genuinely in both halves at all SFs).
+    */
+  private[graft] val MhValueThr = 80.0
+
+  /** Per-(stratum, variant, user) conversion flags — the Mantel-
+    * Haenszel state: the [[EventQueries.orCells]] max-merge law
+    * (any ≥ [[MhValueThr]] purchase in any batch converts the user
+    * WITHIN its stratum), stratified by the frozen PSI time halves.
+    * Additive/max-mergeable per key, zero rows on empty input.
+    */
+  private[graft] def mhCells(halved: DataFrame): DataFrame =
+    halved.select(col("half"),
+        (conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("#ab"))), 1, 14), 16, 10).cast("long") % 2).as("variant"),
+        col("user_id"),
+        (col("event_type") === "purchase" &&
+          col("value") >= MhValueThr).as("p"))
+      .groupBy(col("half"), col("variant"), col("user_id"))
+      .agg(max(when(col("p"), 1L).otherwise(0L)).as("conv"))
+
+  /** Mantel-Haenszel pooled odds ratio + Cochran-MH χ² over the
+    * per-stratum 2×2 tables (does the treatment effect survive
+    * CONTROLLING for the time stratum — the confounder events_did
+    * differences out, here as the epidemiology-standard pooled
+    * estimate). Per-stratum R/S/E/V terms are single IEEE chains over
+    * integer margins, 9-dp-quantized to decimal before the
+    * order-insensitive cross-stratum sums; the two finals ride the
+    * tie-safe chain. Everything past the cells frame is k-row.
+    */
+  private[graft] def mhFinish(cells: DataFrame): DataFrame = {
+    val strata = cells.groupBy(col("half"))
+      .agg(sum(when(col("variant") === 1, col("conv"))).as("a"),
+        sum(when(col("variant") === 1, lit(1L) - col("conv"))).as("b"),
+        sum(when(col("variant") === 0, col("conv"))).as("c"),
+        sum(when(col("variant") === 0, lit(1L) - col("conv"))).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    val t = strata
+      .withColumn("r_term",
+        round(col("a").cast("double") * col("d").cast("double") /
+          col("n").cast("double"), 9).cast("decimal(24,9)"))
+      .withColumn("s_term",
+        round(col("b").cast("double") * col("c").cast("double") /
+          col("n").cast("double"), 9).cast("decimal(24,9)"))
+      .withColumn("e_term",
+        round((col("a") + col("b")).cast("double") *
+          (col("a") + col("c")).cast("double") /
+          col("n").cast("double"), 9).cast("decimal(24,9)"))
+      .withColumn("v_term",
+        round((col("a") + col("b")).cast("double") *
+          (col("c") + col("d")).cast("double") *
+          (col("a") + col("c")).cast("double") *
+          (col("b") + col("d")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            (col("n") - 1).cast("double")), 9).cast("decimal(24,9)"))
+    t.agg(count(lit(1)).as("k_strata"), sum(col("a")).as("a_sum"),
+        sum(col("r_term")).as("rr"), sum(col("s_term")).as("ss"),
+        sum(col("e_term")).as("ee"), sum(col("v_term")).as("vv"))
+      .select(col("k_strata"),
+        col("a_sum").cast("long").as("a_tot"),
+        round(col("ee"), 6).cast("double").as("e_r"),
+        round(col("vv"), 6).cast("double").as("var_r"),
+        when(col("ss") > 0,
+          tieSafe(col("rr").cast("double") / col("ss").cast("double"), 6))
+          .as("or_mh_r"),
+        when(col("vv") > 0,
+          tieSafe((col("a_sum").cast("double") - col("ee").cast("double")) *
+            (col("a_sum").cast("double") - col("ee").cast("double")) /
+            col("vv").cast("double"), 6)).as("chi2_r"),
+        coalesce(
+          when(col("vv") > 0,
+            (col("a_sum").cast("double") - col("ee").cast("double")) *
+              (col("a_sum").cast("double") - col("ee").cast("double")) /
+              col("vv").cast("double") > Chi1Crit),
+          lit(false)).as("is_sig"))
+  }
+
+  /** Kendall τ-b per event_type between the frozen value bucket
+    * (the chisq 0..4 binning) and hour-of-day — rank correlation
+    * WITHOUT the O(n²) observation-pair scan: on a contingency grid,
+    * concordant/discordant pair counts are Σ o_x·o_y over cell pairs
+    * (strictly increasing bucket on one axis fixes the pair
+    * orientation), and the tie corrections come from the marginals.
+    * The self-join is per-type over a ≤ 5·24-cell frame; every count
+    * is exact integer/decimal, and only the final quotient is a
+    * (tie-safe) double.
+    */
+  private[graft] def kendallCells(e: DataFrame): DataFrame =
+    e.withColumn("vb",
+        least(greatest(floor(col("value") / 100.0).cast("bigint"), lit(0L)),
+          lit(4L)))
+      .withColumn("hb", expr("CAST(ts_ms DIV 3600000 AS BIGINT) % 24"))
+      .groupBy(col("event_type"), col("vb"), col("hb"))
+      .agg(count(lit(1)).as("o"))
+
+  private[graft] def kendallFinish(cells: DataFrame): DataFrame = {
+    val x = cells.select(col("event_type"), col("vb").as("vbx"),
+      col("hb").as("hbx"), col("o").as("ox"))
+    val y = cells.select(col("event_type"), col("vb").as("vby"),
+      col("hb").as("hby"), col("o").as("oy"))
+    val pairs = x.join(y, Seq("event_type"))
+      .filter(col("vby") > col("vbx"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("hby") > col("hbx"),
+          col("ox").cast("decimal(38,0)") * col("oy")).otherwise(lit(0L)))
+          .as("conc"),
+        sum(when(col("hby") < col("hbx"),
+          col("ox").cast("decimal(38,0)") * col("oy")).otherwise(lit(0L)))
+          .as("disc"))
+    // doubled pair counts (n(n−1), Σt(t−1)) keep every quantity an
+    // exact integer decimal — no decimal division anywhere; the ÷2
+    // cancels as τ = 2(C−D)/√((n₀₂−n₁₂)(n₀₂−n₂₂))
+    val nTot = cells.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n"))
+      .withColumn("n02", col("n").cast("decimal(38,0)") * (col("n") - 1))
+    val tv = cells.groupBy(col("event_type"), col("vb"))
+      .agg(sum(col("o")).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - 1)).as("n12"))
+    val th = cells.groupBy(col("event_type"), col("hb"))
+      .agg(sum(col("o")).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - 1)).as("n22"))
+    nTot.join(pairs, Seq("event_type"), "left")
+      .join(tv, Seq("event_type"))
+      .join(th, Seq("event_type"))
+      .withColumn("c0", coalesce(col("conc"), lit(0L).cast("decimal(38,0)")))
+      .withColumn("d0", coalesce(col("disc"), lit(0L).cast("decimal(38,0)")))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("c0").cast("long").as("conc"),
+        col("d0").cast("long").as("disc"),
+        when((col("n02") - col("n12")) > 0 && (col("n02") - col("n22")) > 0,
+          tieSafe(lit(2.0) * (col("c0") - col("d0")).cast("double") /
+            sqrt((col("n02") - col("n12")).cast("double") *
+              (col("n02") - col("n22")).cast("double")), 6)).as("tau_b_r"))
+  }
+
+  /** Hill tail-index order-statistic count (top-k). */
+  private[graft] val HillK = 25L
+
+  /** Hill estimator of the per-type user-activity tail index —
+    * α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k per-user event
+    * counts: IS this tenant's activity heavy-tailed, and how heavy
+    * (α ≤ 2 means infinite variance — the skew/salting alarm for
+    * per-user state). Order statistics via count arithmetic on the
+    * (type, count) frequency grid (the trimmedFromGrid device — no
+    * per-user sort anywhere); ln terms 12-dp-quantized, exact-decimal
+    * Σ, one tie-safe division.
+    */
+  private[graft] def hillFinish(grid: DataFrame): DataFrame = {
+    val byTypeDesc = Window.partitionBy(col("event_type")).orderBy(col("x").desc)
+    val t = grid
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(
+        byTypeDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_top", col("cum_before") + col("cnt"))
+      .withColumn("n_users", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+    val xk1 = t
+      .filter(col("cum_before") < HillK + 1 && col("cum_top") >= HillK + 1)
+      .select(col("event_type"), col("x").as("x_k1"))
+    val terms = t.filter(col("cum_before") < HillK)
+      .withColumn("eff", least(col("cnt"), lit(HillK) - col("cum_before")))
+      .withColumn("lterm",
+        col("eff").cast("decimal(10,0)") *
+          round(log(col("x").cast("double")), 12).cast("decimal(20,12)"))
+    terms.groupBy(col("event_type"))
+      .agg(max(col("n_users")).as("n_users"), sum(col("lterm")).as("lsum"))
+      .join(xk1, Seq("event_type"), "left")
+      .withColumn("s",
+        col("lsum") - lit(HillK).cast("decimal(10,0)") *
+          round(log(col("x_k1").cast("double")), 12).cast("decimal(20,12)"))
+      .select(col("event_type"),
+        col("n_users").cast("long").as("n_users"),
+        lit(HillK).as("k"),
+        col("x_k1").cast("long").as("x_k1"),
+        when(col("n_users") >= HillK + 1 && col("s") > 0,
+          tieSafe(lit(HillK).cast("double") / col("s").cast("double"), 6))
+          .as("alpha_r"))
+  }
+
+  /** χ²(4) 5% critical value — Mood's median test at k = 5 types. */
+  private[graft] val Chi4Crit: Double = 9.487729
+
+  /** Mood's median test over the additive (type, value, cnt) grid:
+    * does ANY event type's value distribution sit above/below the
+    * others' — the rank-free k-sample location test that only needs
+    * the GRAND median (robust to every outlier the mean tests
+    * choke on). The global median comes from count arithmetic on
+    * the value grid via [[graft.operators.GlobalOrder.withPrefixSum]]
+    * (two-phase prefix — never a single-task window over the
+    * distinct-value frame); the 2×k above/below table is one
+    * conditional agg against the broadcast median scalar; per-type
+    * χ² terms are single IEEE chains over integer margins,
+    * 9-dp-quantized before the order-insensitive sum.
+    */
+  private[graft] def moodGrid(e: DataFrame): DataFrame =
+    e.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private[graft] def moodFinish(grid: DataFrame): DataFrame = {
+    val vals = grid.groupBy(col("value")).agg(sum(col("cnt")).as("vcnt"))
+    val cum = graft.operators.GlobalOrder.withPrefixSum(
+      vals, col("vcnt"), "cum", Seq(col("value")))
+    val nF = grid.agg(sum(col("cnt")).as("n"))
+    // grand (lower) median: the value whose inclusive cumulative count
+    // first reaches ceil(n/2)
+    val med = cum.crossJoin(broadcast(nF))
+      .filter(col("cum") - col("vcnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
+      .select(col("value").as("med"), col("n"))
+    val tbl = grid.crossJoin(broadcast(med))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("med"), col("cnt")).otherwise(0L))
+          .as("n_le"),
+        sum(when(col("value") > col("med"), col("cnt")).otherwise(0L))
+          .as("n_gt"),
+        max(col("med")).as("med"), max(col("n")).as("n"))
+    val marg = tbl.agg(sum(col("n_le")).as("t_le"), sum(col("n_gt")).as("t_gt"))
+    val terms = tbl.crossJoin(broadcast(marg))
+      .withColumn("e_le",
+        (col("n_le") + col("n_gt")).cast("double") *
+          col("t_le").cast("double") / col("n").cast("double"))
+      .withColumn("e_gt",
+        (col("n_le") + col("n_gt")).cast("double") *
+          col("t_gt").cast("double") / col("n").cast("double"))
+      .withColumn("term", round(
+        when(col("e_le") > 0,
+          (col("n_le").cast("double") - col("e_le")) *
+            (col("n_le").cast("double") - col("e_le")) / col("e_le"))
+          .otherwise(lit(0.0)) +
+        when(col("e_gt") > 0,
+          (col("n_gt").cast("double") - col("e_gt")) *
+            (col("n_gt").cast("double") - col("e_gt")) / col("e_gt"))
+          .otherwise(lit(0.0)), 9).cast("decimal(24,9)"))
+    terms.agg(max(col("n")).as("n"), count(lit(1)).as("k_types"),
+        max(col("med")).as("med"), sum(col("term")).as("chi2"))
+      .select(col("n"), col("k_types"),
+        round(col("med"), 6).as("median_r"),
+        tieSafe(col("chi2").cast("double"), 6).as("chi2_r"),
+        (col("k_types") - 1).cast("long").as("dof"),
+        when(col("k_types") === 5,
+          col("chi2").cast("double") > Chi4Crit).as("is_sig"))
+  }
+
   /** One-way ANOVA from a (event_type, v DECIMAL(18,4)) frame —
     * sufficient statistics (n, Σv, Σv²) per group in one partial-
     * aggregable pass, then a k-row serving computation. Per-group
@@ -466,6 +717,52 @@ object StatTestQueries {
           round((col("ssb").cast("double") / (col("k") - 1).cast("double"))
             / (col("ssw").cast("double")
               / (col("n_total") - col("k")).cast("double")), 6)).as("f_r"))
+  }
+
+  /** Welch's heteroscedastic one-way ANOVA — the FIFTH finish on
+    * [[anovaStats]]'s (event_type, n, Σv, Σv²) sufficient statistics
+    * (classic F assumes equal variances; Welch weights each group by
+    * n/s² and adjusts the denominator dof, the recommended default
+    * when spreads differ). Groups with n < 2 or zero variance are
+    * excluded on both engines before any division; per-group terms
+    * are single IEEE chains 9-dp-quantized before the k-row
+    * order-insensitive sums; F* and the Welch dof ride the tie-safe
+    * chain.
+    */
+  private[graft] def welchFinish(stats: DataFrame): DataFrame = {
+    val g = stats.filter(col("n") >= 2)
+      .withColumn("mean", col("sv").cast("double") / col("n").cast("double"))
+      .withColumn("s2",
+        (col("qv").cast("double") - col("sv").cast("double")
+          * col("sv").cast("double") / col("n").cast("double"))
+          / (col("n") - 1).cast("double"))
+      .filter(col("s2") > 0)
+      .withColumn("w", col("n").cast("double") / col("s2"))
+    val tot = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+      sum(round(col("w"), 9).cast("decimal(27,9)")).as("ww"),
+      sum(round(col("w") * col("mean"), 9).cast("decimal(27,9)")).as("wm"))
+      .withColumn("grand", col("wm").cast("double") / col("ww").cast("double"))
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("a", round(col("w") * (col("mean") - col("grand"))
+        * (col("mean") - col("grand")), 9).cast("decimal(27,9)"))
+      .withColumn("b", round(
+        (lit(1.0) - col("w") / col("ww").cast("double"))
+          * (lit(1.0) - col("w") / col("ww").cast("double"))
+          / (col("n") - 1).cast("double"), 12).cast("decimal(24,12)"))
+      .groupBy(col("k"), col("n_total"), col("grand"))
+      .agg(sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+    terms.select(
+      col("k").cast("long").as("k"), col("n_total").cast("long").as("n_total"),
+      tieSafe(col("grand"), 6).as("grand_mean_r"),
+      when(col("k") > 1,
+        tieSafe((col("sa").cast("double") / (col("k") - 1).cast("double"))
+          / (lit(1.0) + lit(2.0) * (col("k") - 2).cast("double")
+            / (col("k") * col("k") - 1).cast("double")
+            * col("sb").cast("double")), 6)).as("f_w_r"),
+      when(col("sb").cast("double") > 0 && col("k") > 1,
+        tieSafe((col("k") * col("k") - 1).cast("double")
+          / (lit(3.0) * col("sb").cast("double")), 6)).as("dof2_r"))
   }
 
   /** Bartlett finish over [[anovaStats]]'s (event_type, n, sv, qv) —
@@ -1215,6 +1512,45 @@ object StatTestQueries {
     "events_theils_u" -> ((s, dir) =>
       theilsUFinish(chisqCells(
         Tables.events(s, dir).filter(col("value").isNotNull)))),
+
+    // MANTEL-HAENSZEL POOLED ODDS RATIO + CMH χ² — the treatment
+    // effect CONTROLLING for the time stratum (pooled across the
+    // frozen PSI halves): per-stratum 2×2s from max-merged per-user
+    // conversion flags, 9-dp decimal R/S/E/V sums, tie-safe finals.
+    "events_mantel_haenszel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ms"), col("value"))
+      mhFinish(mhCells(EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
+    }),
+
+    // KENDALL τ-b — rank association between value bucket and
+    // hour-of-day per type, computed entirely on the contingency
+    // grid (concordance by cell-pair products, tie terms from
+    // marginals — never an observation-pair scan).
+    "events_kendall_tau" -> ((s, dir) =>
+      kendallFinish(kendallCells(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts_ms"), col("value"))))),
+
+    // HILL TAIL INDEX — how heavy is each type's per-user activity
+    // tail (α ≤ 2 = infinite variance, the skew alarm): top-k order
+    // statistics by count arithmetic on the activity frequency grid,
+    // exact-decimal log sums.
+    "events_hill_tail" -> ((s, dir) =>
+      hillFinish(Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("cnt")))),
+
+    // MOOD'S MEDIAN TEST — the rank-free k-sample location test
+    // (only the grand median matters, so it survives any outlier):
+    // global median by count arithmetic on the additive (type,
+    // value, cnt) grid via GlobalOrder's two-phase prefix, then a
+    // 2×k above/below χ² from integer margins.
+    "events_mood_median" -> ((s, dir) =>
+      moodFinish(moodGrid(Tables.events(s, dir)
+        .select(col("event_type"), col("value"))))),
 
     // STRATIFIED SPLIT — per-language 80/10/10 train/val/test with
     // EXACT per-stratum quotas (the mixing-stage complement of
@@ -2176,5 +2512,213 @@ object StatTestQueries {
         |    CAST(round(CAST(round((CAST(hb AS DOUBLE) - CAST(hbt AS DOUBLE))
         |      / CAST(hb AS DOUBLE), 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
         |  END AS u_r
-        |FROM nn CROSS JOIN hbt CROSS JOIN hb""".stripMargin)
+        |FROM nn CROSS JOIN hbt CROSS JOIN hb""".stripMargin,
+
+    // same PSI half split (unfiltered events), same '#ab' variant
+    // hash and max-merge conversion flag, same 9-dp R/S/E/V decimal
+    // quantization, same tie-safe finals
+    "events_mantel_haenszel" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, value,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), u AS (
+        |  SELECT CASE WHEN e.ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half,
+        |    (CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+        |      '#ab')), 1, 14)) AS BIGINT)) % 2 AS variant,
+        |    user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 80.0
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM e, sp GROUP BY 1, 2, 3
+        |), st AS (
+        |  SELECT half,
+        |    sum(CASE WHEN variant = 1 THEN conv END) AS a,
+        |    sum(CASE WHEN variant = 1 THEN 1 - conv END) AS b,
+        |    sum(CASE WHEN variant = 0 THEN conv END) AS c,
+        |    sum(CASE WHEN variant = 0 THEN 1 - conv END) AS d
+        |  FROM u GROUP BY 1
+        |), t AS (
+        |  SELECT a, a + b + c + d AS n,
+        |    CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(24,9)) AS r_term,
+        |    CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(24,9)) AS s_term,
+        |    CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(24,9)) AS e_term,
+        |    CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+        |      / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+        |        * CAST(a + b + c + d - 1 AS DOUBLE)), 9)
+        |      AS DECIMAL(24,9)) AS v_term
+        |  FROM st WHERE a + b + c + d > 1
+        |), f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |    CAST(sum(a) AS BIGINT) AS a_tot,
+        |    sum(r_term) AS rr, sum(s_term) AS ss,
+        |    sum(e_term) AS ee, sum(v_term) AS vv
+        |  FROM t
+        |)
+        |SELECT k_strata, a_tot,
+        |  CAST(round(ee, 6) AS DOUBLE) AS e_r,
+        |  CAST(round(vv, 6) AS DOUBLE) AS var_r,
+        |  CASE WHEN ss > 0 THEN
+        |    CAST(round(CAST(round(CAST(rr AS DOUBLE) / CAST(ss AS DOUBLE), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS or_mh_r,
+        |  CASE WHEN vv > 0 THEN
+        |    CAST(round(CAST(round(
+        |      (CAST(a_tot AS DOUBLE) - CAST(ee AS DOUBLE))
+        |      * (CAST(a_tot AS DOUBLE) - CAST(ee AS DOUBLE))
+        |      / CAST(vv AS DOUBLE), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS chi2_r,
+        |  coalesce(CASE WHEN vv > 0 THEN
+        |    (CAST(a_tot AS DOUBLE) - CAST(ee AS DOUBLE))
+        |    * (CAST(a_tot AS DOUBLE) - CAST(ee AS DOUBLE))
+        |    / CAST(vv AS DOUBLE) > 3.841459 END, FALSE) AS is_sig
+        |FROM f""".stripMargin,
+
+    // same 0..4 value bucket and hour-of-day grid, same cell-pair
+    // concordance products and marginal tie terms, same doubled
+    // exact-integer counts, same tie-safe final quotient
+    "events_kendall_tau" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 4) AS vb,
+        |    ((epoch_ns(ts) // 1000000) // 3600000) % 24 AS hb
+        |  FROM events WHERE value IS NOT NULL
+        |), cells AS (
+        |  SELECT event_type, vb, hb, CAST(count(*) AS BIGINT) AS o
+        |  FROM e GROUP BY 1, 2, 3
+        |), pr AS (
+        |  SELECT x.event_type,
+        |    sum(CASE WHEN y.hb > x.hb THEN CAST(x.o AS HUGEINT) * y.o
+        |      ELSE 0 END) AS conc,
+        |    sum(CASE WHEN y.hb < x.hb THEN CAST(x.o AS HUGEINT) * y.o
+        |      ELSE 0 END) AS disc
+        |  FROM cells x JOIN cells y
+        |    ON y.event_type = x.event_type AND y.vb > x.vb
+        |  GROUP BY 1
+        |), nt AS (
+        |  SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum(o) AS HUGEINT) * (sum(o) - 1) AS n02
+        |  FROM cells GROUP BY 1
+        |), tv AS (
+        |  SELECT event_type, sum(CAST(t AS HUGEINT) * (t - 1)) AS n12
+        |  FROM (SELECT event_type, vb, sum(o) AS t FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), th AS (
+        |  SELECT event_type, sum(CAST(t AS HUGEINT) * (t - 1)) AS n22
+        |  FROM (SELECT event_type, hb, sum(o) AS t FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT nt.event_type, nt.n,
+        |  CAST(coalesce(pr.conc, 0) AS BIGINT) AS conc,
+        |  CAST(coalesce(pr.disc, 0) AS BIGINT) AS disc,
+        |  CASE WHEN (n02 - n12) > 0 AND (n02 - n22) > 0 THEN
+        |    CAST(round(CAST(round(
+        |      2.0 * CAST(coalesce(pr.conc, 0) - coalesce(pr.disc, 0) AS DOUBLE)
+        |      / sqrt(CAST(n02 - n12 AS DOUBLE) * CAST(n02 - n22 AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  END AS tau_b_r
+        |FROM nt
+        |LEFT JOIN pr ON pr.event_type = nt.event_type
+        |JOIN tv ON tv.event_type = nt.event_type
+        |JOIN th ON th.event_type = nt.event_type""".stripMargin,
+
+    // same (type, value, cnt) grid, same lower-median count
+    // arithmetic, same integer-margin 2×k χ² with 9-dp decimal terms
+    "events_mood_median" ->
+      """WITH grid AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), vals AS (
+        |  SELECT value, sum(cnt) AS vcnt FROM grid GROUP BY 1
+        |), cum AS (
+        |  SELECT value, vcnt, sum(vcnt) OVER (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vals
+        |), nn AS (
+        |  SELECT sum(cnt) AS n FROM grid
+        |), med AS (
+        |  SELECT cum.value AS med, nn.n FROM cum, nn
+        |  WHERE cum.cum - cum.vcnt < (nn.n + 1) // 2
+        |    AND (nn.n + 1) // 2 <= cum.cum
+        |), tbl AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN grid.value <= med.med THEN cnt ELSE 0 END) AS n_le,
+        |    sum(CASE WHEN grid.value > med.med THEN cnt ELSE 0 END) AS n_gt,
+        |    max(med.med) AS med, max(med.n) AS n
+        |  FROM grid, med GROUP BY 1
+        |), marg AS (
+        |  SELECT sum(n_le) AS t_le, sum(n_gt) AS t_gt FROM tbl
+        |), ex AS (
+        |  SELECT tbl.n, tbl.med, tbl.n_le, tbl.n_gt,
+        |    CAST(tbl.n_le + tbl.n_gt AS DOUBLE) * CAST(marg.t_le AS DOUBLE)
+        |      / CAST(tbl.n AS DOUBLE) AS e_le,
+        |    CAST(tbl.n_le + tbl.n_gt AS DOUBLE) * CAST(marg.t_gt AS DOUBLE)
+        |      / CAST(tbl.n AS DOUBLE) AS e_gt
+        |  FROM tbl, marg
+        |), terms AS (
+        |  SELECT n, med,
+        |    CAST(round(
+        |      CASE WHEN e_le > 0 THEN
+        |        (CAST(n_le AS DOUBLE) - e_le) * (CAST(n_le AS DOUBLE) - e_le)
+        |          / e_le ELSE 0.0 END +
+        |      CASE WHEN e_gt > 0 THEN
+        |        (CAST(n_gt AS DOUBLE) - e_gt) * (CAST(n_gt AS DOUBLE) - e_gt)
+        |          / e_gt ELSE 0.0 END, 9) AS DECIMAL(24,9)) AS term
+        |  FROM ex
+        |)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k_types,
+        |  round(max(med), 6) AS median_r,
+        |  CAST(round(CAST(round(CAST(sum(term) AS DOUBLE), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS chi2_r,
+        |  CAST(count(*) - 1 AS BIGINT) AS dof,
+        |  CASE WHEN count(*) = 5 THEN
+        |    CAST(sum(term) AS DOUBLE) > 9.487729 END AS is_sig
+        |FROM terms""".stripMargin,
+
+    // same activity frequency grid, same descending count-arithmetic
+    // order statistics, same 12-dp decimal ln terms, same tie-safe
+    // final division
+    "events_hill_tail" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT event_type, x, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM u GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, x, cnt,
+        |    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n_users
+        |  FROM grid
+        |), xk1 AS (
+        |  SELECT event_type, x AS x_k1 FROM t
+        |  WHERE cum_before < 26 AND cum_before + cnt >= 26
+        |), tm AS (
+        |  SELECT event_type, max(n_users) AS n_users,
+        |    sum(CAST(least(cnt, 25 - cum_before) AS DECIMAL(10,0))
+        |      * CAST(round(ln(CAST(x AS DOUBLE)), 12) AS DECIMAL(20,12)))
+        |      AS lsum
+        |  FROM t WHERE cum_before < 25 GROUP BY 1
+        |), sv AS (
+        |  SELECT tm.event_type, tm.n_users, xk1.x_k1,
+        |    tm.lsum - CAST(25 AS DECIMAL(10,0))
+        |      * CAST(round(ln(CAST(xk1.x_k1 AS DOUBLE)), 12)
+        |        AS DECIMAL(20,12)) AS s
+        |  FROM tm LEFT JOIN xk1 ON xk1.event_type = tm.event_type
+        |)
+        |SELECT event_type,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(25 AS BIGINT) AS k,
+        |  CAST(x_k1 AS BIGINT) AS x_k1,
+        |  CASE WHEN n_users >= 26 AND s > 0 THEN
+        |    CAST(round(CAST(round(25.0 / CAST(s AS DOUBLE), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS alpha_r
+        |FROM sv""".stripMargin)
 }

@@ -462,6 +462,50 @@ object StreamingQueries {
       .agg(sum(col("nij")).as("nij"))
   }
 
+  /** The SUM-MERGED streamed geometric sufficient statistics against
+    * the frozen trained index — each micro-batch assigns its vectors
+    * to the broadcast trained centroids and contributes additive
+    * per-(cluster, dim) exact-decimal sums/counts plus the
+    * per-cluster Σ‖x‖² row (sentinel i = −1). Merged state is
+    * ≤ nlist·(dim+1) rows; the identical batch CH/DB finishes run at
+    * serving time over it (decimal sums are associative, so the
+    * merged totals equal the batch aggregation exactly).
+    */
+  private def streamedClusterGeom(s: SparkSession, dir: String,
+                                  prefix: String) = {
+    val cents = SimilarityQueries.trainedCentArr(s, dir)
+    val st = partialsOf(
+        embeddingsStream(s, dir, appendOnly = false), prefix) { batch =>
+      val withNrm = batch.withColumn("nrm",
+        sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding"))
+          .cast("double")))
+      val assigned = SimilarityQueries.assignTo(withNrm, cents)
+      val dimsP = assigned
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("list_id"), col("i"))
+        .agg(sum(col("x").cast("double").cast("decimal(28,14)"))
+          .cast("decimal(38,14)").as("sx"),
+          count(lit(1)).as("nk"))
+        .select(col("list_id"), col("i").cast("long").as("i"),
+          col("sx"), col("nk"))
+      val ssqP = assigned.groupBy(col("list_id"))
+        .agg(sum(graft.functions.VectorOps.normSqDecimal(col("embedding"))
+          .cast("decimal(38,14)")).cast("decimal(38,14)").as("sx"),
+          count(lit(1)).as("nk"))
+        .select(col("list_id"), lit(-1L).as("i"), col("sx"), col("nk"))
+      dimsP.unionByName(ssqP)
+    }
+      .groupBy(col("list_id"), col("i"))
+      .agg(sum(col("sx")).cast("decimal(38,14)").as("sx"),
+        sum(col("nk")).as("nk"))
+    val dims = st.filter(col("i") >= 0)
+      .withColumn("m", round(col("sx").cast("double") / col("nk"), 9))
+      .localCheckpoint()
+    val per = st.filter(col("i") === -1)
+      .select(col("list_id"), col("sx").as("ssq"), col("nk").as("n_k"))
+    (dims, SimilarityQueries.clusterWssFrom(per, dims))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Idiomatic streaming path (SURVEY.md §2 #8, event-time variant):
@@ -1933,6 +1977,25 @@ object StreamingQueries {
       SimilarityQueries.clusterVmeasureFinish(
         streamedClusterCells(s, dir, "graft-vm-partials-"))),
 
+    // STREAMING CALINSKI-HARABASZ — the INTERNAL (label-free) validity
+    // reading under ingest: per-batch assignment against the frozen
+    // trained centroids contributes additive per-(cluster, dim)
+    // decimal sums + the Σ‖x‖² sentinel row; the batch finish runs
+    // over the merged ≤ nlist·65-row state. Shares
+    // emb_calinski_harabasz's oracle, hash-proven.
+    "stream_calinski_harabasz" -> ((s, dir) => {
+      val (dims, wss) = streamedClusterGeom(s, dir, "graft-ch-partials-")
+      SimilarityQueries.calinskiFinish(dims, wss)
+    }),
+
+    // STREAMING DAVIES-BOULDIN — the second internal reading on the
+    // same geometric state class (own replay, independent merge
+    // proof). Shares emb_davies_bouldin's oracle, hash-proven.
+    "stream_davies_bouldin" -> ((s, dir) => {
+      val (dims, wss) = streamedClusterGeom(s, dir, "graft-db-partials-")
+      SimilarityQueries.daviesBouldinFinish(dims, wss)
+    }),
+
     // STREAMING ITEM-CF — the ratings state is the IDEMPOTENT-UNION
     // merge law (stream_retention's): per batch, the distinct
     // (user, item) exposures append; the merged set re-distincts, and
@@ -2253,6 +2316,8 @@ object StreamingQueries {
     "stream_cluster_purity" -> SimilarityQueries.oracleSql("emb_cluster_purity"),
     "stream_cluster_ari" -> SimilarityQueries.oracleSql("emb_cluster_ari"),
     "stream_cluster_vmeasure" -> SimilarityQueries.oracleSql("emb_cluster_vmeasure"),
+    "stream_calinski_harabasz" -> SimilarityQueries.oracleSql("emb_calinski_harabasz"),
+    "stream_davies_bouldin" -> SimilarityQueries.oracleSql("emb_davies_bouldin"),
     // Idempotent-union exposure state + serving-time cap/rank ≡ the
     // batch CF chain — shares both batch oracles, hash-proven.
     "stream_item_cf" -> EventQueries.oracleSql("events_item_cf"),

@@ -597,6 +597,15 @@ object TextQueries {
     "text_good_turing" -> ((s, dir) =>
       goodTuringFinish(lexdivCells(Tables.documents(s, dir)))),
 
+    // CHAO1 RICHNESS — the FOURTH finish on the same (source, token,
+    // cnt) cells (TTR counts observed kinds; Chao1 estimates the
+    // kinds NOT yet observed from the singleton/doubleton ratio —
+    // the "how much more vocabulary would 10× more data surface"
+    // answer next to Good-Turing's missing MASS p₀). Bias-corrected
+    // V + f₁(f₁−1)/(2(f₂+1)); integer counts, one tie-safe division.
+    "text_chao1" -> ((s, dir) =>
+      chao1Finish(lexdivCells(Tables.documents(s, dir)))),
+
     // QUALITY-CLASSIFIER TRAINING — logistic regression distilling
     // the rule-based quality gate (y = text_quality ≥ 0.6) into a
     // 2-feature model, trained IN THE ENGINE by two unrolled
@@ -1884,6 +1893,32 @@ object TextQueries {
           / col("n_tokens").cast("double"), 6).as("p0_r"))
   }
 
+  /** Chao1 vocabulary-richness estimate over the SAME (source,
+    * token, cnt) cells — a FOURTH finish, one state: how many types
+    * does the corpus REALLY have, observed + the unseen mass the
+    * singleton/doubleton ratio implies. Bias-corrected form
+    * V + f₁(f₁−1)/(2(f₂+1)) (defined even when f₂ = 0), plus the
+    * Chao1-variance-free coverage deficit (chao1 − vocab). Integer
+    * counts end to end, one tie-safe division.
+    */
+  private[graft] def chao1Finish(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+      round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    cells.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("vocab"), col("f1"), col("f2"),
+        tieSafe(col("vocab").cast("double")
+          + col("f1").cast("double") * (col("f1") - 1).cast("double")
+            / (lit(2.0) * (col("f2") + 1).cast("double")), 6)
+          .as("chao1_r"),
+        tieSafe(col("f1").cast("double") * (col("f1") - 1).cast("double")
+          / (lit(2.0) * (col("f2") + 1).cast("double")), 6)
+          .as("unseen_r"))
+  }
+
   /** Per-doc exploded bigrams with the md5 '#novel' train/test flag —
     * the UNION-mergeable half of `text_ngram_novelty` (the streaming
     * twin appends per-batch distinct (doc_id, g, is_test) rows and
@@ -2229,6 +2264,30 @@ object TextQueries {
         |JOIN tot ON tot.source = f.source
         |LEFT JOIN (SELECT source, n_r AS n_1 FROM cc WHERE r = 1) s1
         |  ON s1.source = f.source""".stripMargin,
+
+    // the same (source, token, cnt) cells, the bias-corrected
+    // singleton/doubleton estimator, same tie-safe division
+    "text_chao1" ->
+      """WITH c AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        |  GROUP BY 1, 2
+        |), a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT source, vocab, f1, f2,
+        |  CAST(round(CAST(round(CAST(vocab AS DOUBLE)
+        |    + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |      / (2.0 * CAST(f2 + 1 AS DOUBLE)), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS chao1_r,
+        |  CAST(round(CAST(round(
+        |    CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |      / (2.0 * CAST(f2 + 1 AS DOUBLE)), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS unseen_r
+        |FROM a""".stripMargin,
 
     // the quality chain is text_quality's oracle verbatim; the
     // interleave key and both ranks are plain window SQL (the oracle

@@ -128,6 +128,8 @@ object TwinRegistry {
       "dedup_ngram_pairs", "dedup_semantic", "dedup_simhash",
       "dedup_sorted_neighborhood", "dedup_substring",
       "dedup_substring_spans", "er_canonical", "graph_adamic_adar",
+      // r14 wave 7: the Jaccard finish on adamic_adar's wedge chain
+      "graph_jaccard_linkpred",
       "graph_assortativity", "graph_bfs", "graph_hits", "graph_kcore",
       "graph_lpa", "graph_modularity", "graph_pagerank", "graph_ppr",
       "graph_triangles", "mm_near_dup", "emb_knn_graph",
@@ -182,7 +184,19 @@ object TwinRegistry {
       // (stream_survival / stream_cum_hazard), the chisq contingency
       // cells (stream_chisq); replay count bounded, laws proven
       "events_wasserstein", "events_logrank", "events_cramers_v",
-      "events_theils_u"),
+      "events_theils_u",
+      // r14 wave 6: MH rides the max-merge per-user conversion flag
+      // (stream_odds_ratio's law) stratified by the frozen PSI
+      // halves; Kendall rides the chisq contingency-cell class
+      // (stream_chisq); Hill reads the additive (type, per-user
+      // count) frequency grid (stream_topk's count-merge law)
+      "events_mantel_haenszel", "events_kendall_tau",
+      "events_hill_tail",
+      // r14 wave 7: Theil/MLD/Atkinson ride giniCells (stream_gini's
+      // additive law), Chao1 rides lexdivCells
+      // (stream_lexical_diversity's law), Mood's median rides the
+      // (type, value) count grid (stream_ks_test's grid class)
+      "events_theil_index", "text_chao1", "events_mood_median"),
     "corpus-snapshot-stage" -> Seq(
       "pipeline_pack", "pipeline_pack_efficiency", "pipeline_shuffle",
       "pipeline_split", "pipeline_select", "pipeline_mix",
