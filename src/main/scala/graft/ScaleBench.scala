@@ -170,7 +170,10 @@ object ScaleBench {
     // cluster validity on the trained assignment
     "events_theil_index", "text_chao1", "events_mood_median",
     "emb_calinski_harabasz", "emb_davies_bouldin",
-    "graph_jaccard_linkpred")
+    "graph_jaccard_linkpred",
+    // r14 wave 8: Welch on anovaStats, Cliff's delta on ksGrid,
+    // rich-club on the dedup topology
+    "events_welch_anova", "events_cliffs_delta", "graph_rich_club")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

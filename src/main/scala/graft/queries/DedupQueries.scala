@@ -1313,6 +1313,40 @@ object DedupQueries {
       out
     }),
 
+    // RICH-CLUB COEFFICIENT — do the high-degree docs (the heavy
+    // near-dup hubs) preferentially connect to EACH OTHER? φ(k) =
+    // 2·E_k/(N_k(N_k−1)) over the frozen degree grid k ∈
+    // {1,2,4,8,16}: the topology audit that tells a dedup pipeline
+    // whether its hub docs form one tangled club (transitive-closure
+    // blowup risk) or independent stars. One degree agg + two
+    // broadcast k-grid conditional counts; φ is a small-integer
+    // rational, so the final rides the tie-safe chain.
+    "graph_rich_club" -> ((s, dir) => {
+      val e = lshEdges(s, dir)
+      val und = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val kgrid = s.range(1).select(explode(array(
+        lit(1L), lit(2L), lit(4L), lit(8L), lit(16L))).as("k"))
+      val nk = deg.crossJoin(broadcast(kgrid))
+        .filter(col("deg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      val ek = e
+        .join(deg.select(col("src").as("doc_a"), col("deg").as("da")), "doc_a")
+        .join(deg.select(col("src").as("doc_b"), col("deg").as("db")), "doc_b")
+        .crossJoin(broadcast(kgrid))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+      kgrid.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_k"), lit(0L)).as("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"))
+        .select(col("k"), col("n_k"), col("e_k"),
+          when(col("n_k") > 1,
+            round(round(lit(2.0) * col("e_k").cast("double")
+              / (col("n_k").cast("double") * (col("n_k") - 1).cast("double")),
+              12).cast("decimal(24,12)"), 6).cast("double")).as("phi_r"))
+    }),
+
     // MULTI-SOURCE BFS over the dedup graph: every document's hop
     // distance to its component's canonical representative (the CC
     // label minimum — the shared artifact), all components in ONE
@@ -2625,6 +2659,34 @@ object DedupQueries {
          |                  WHERE e.src = sc.u AND e.dst = sc.w)
          |ORDER BY aa_score DESC, doc_a, doc_b
          |LIMIT $AaTopK""".stripMargin,
+
+    // the same symmetric degree frame, canonical edges, frozen
+    // k-grid conditional counts, tie-safe rational final
+    "graph_rich_club" ->
+      s"""WITH RECURSIVE $ccSplitCtes, deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges2 GROUP BY 1
+         |), ks AS (
+         |  SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k
+         |), nk AS (
+         |  SELECT ks.k, CAST(count(*) AS BIGINT) AS n_k
+         |  FROM deg CROSS JOIN ks WHERE deg.deg > ks.k GROUP BY 1
+         |), ek AS (
+         |  SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+         |  FROM edges e
+         |  JOIN deg da ON da.src = e.doc_a
+         |  JOIN deg db ON db.src = e.doc_b
+         |  CROSS JOIN ks
+         |  WHERE da.deg > ks.k AND db.deg > ks.k GROUP BY 1
+         |), f AS (
+         |  SELECT ks.k, coalesce(nk.n_k, 0) AS n_k, coalesce(ek.e_k, 0) AS e_k
+         |  FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+         |)
+         |SELECT k, n_k, e_k,
+         |  CASE WHEN n_k > 1 THEN
+         |    CAST(round(CAST(round(2.0 * CAST(e_k AS DOUBLE)
+         |      / (CAST(n_k AS DOUBLE) * CAST(n_k - 1 AS DOUBLE)), 12)
+         |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS phi_r
+         |FROM f""".stripMargin,
 
     // the identical hub-capped wedge chain, union-normalized score,
     // tie-safe round (small-integer rationals hit 6-dp halves)

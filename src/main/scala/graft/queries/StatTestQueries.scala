@@ -677,6 +677,48 @@ object StatTestQueries {
           col("chi2").cast("double") > Chi4Crit).as("is_sig"))
   }
 
+  /** Cliff's delta + common-language effect size over the SAME
+    * additive ksGrid (type, value, cr, cc) half counts — the FOURTH
+    * finish on that state (KS asks IF the halves differ, W1 how far
+    * the mass moved; δ answers "how often does a current draw beat a
+    * reference draw" — the ordinal effect size that survives any
+    * monotone transform). Dominance pair counts by prefix arithmetic
+    * on the per-type value grid: gt = Σ_v cc(v)·#ref<v,
+    * lt = Σ_v cc(v)·#ref>v, ties = Σ_v cc(v)·cr(v) — exact
+    * DECIMAL(38,0) products, never an observation-pair scan; the two
+    * finals are rationals and ride the tie-safe chain.
+    */
+  private[graft] def cliffsFinish(grid: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type")).orderBy(col("value"))
+    val cum = grid
+      .withColumn("ref_below", coalesce(sum(col("cr")).over(
+        byType.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_ref", sum(col("cr")).over(
+        W.partitionBy(col("event_type"))))
+      .withColumn("n_cur", sum(col("cc")).over(
+        W.partitionBy(col("event_type"))))
+      .withColumn("ref_above",
+        col("n_ref") - col("ref_below") - col("cr"))
+    val a = cum.groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("cc").cast("decimal(38,0)") * col("ref_below")).as("gt"),
+        sum(col("cc").cast("decimal(38,0)") * col("ref_above")).as("lt"),
+        sum(col("cc").cast("decimal(38,0)") * col("cr")).as("ties"))
+    a.select(col("event_type"), col("n_ref"), col("n_cur"),
+      col("gt").cast("long").as("gt"), col("lt").cast("long").as("lt"),
+      col("ties").cast("long").as("ties"),
+      when(col("n_ref") > 0 && col("n_cur") > 0,
+        tieSafe((col("gt") - col("lt")).cast("double")
+          / (col("n_ref").cast("double") * col("n_cur").cast("double")), 6))
+        .as("delta_r"),
+      when(col("n_ref") > 0 && col("n_cur") > 0,
+        tieSafe((col("gt").cast("double")
+          + lit(0.5) * col("ties").cast("double"))
+          / (col("n_ref").cast("double") * col("n_cur").cast("double")), 6))
+        .as("cles_r"))
+  }
+
   /** One-way ANOVA from a (event_type, v DECIMAL(18,4)) frame —
     * sufficient statistics (n, Σv, Σv²) per group in one partial-
     * aggregable pass, then a k-row serving computation. Per-group
@@ -1343,6 +1385,16 @@ object StatTestQueries {
       anovaOf(Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("event_type"), dec(col("value")).as("v")))),
 
+    // WELCH'S ANOVA — the heteroscedastic F (the recommended default
+    // when group spreads differ; classic F assumes equal variances):
+    // a FIFTH finish on the SAME anovaStats sufficient statistics —
+    // zero new data passes, k-row weighted arithmetic with the Welch
+    // dof adjustment.
+    "events_welch_anova" -> ((s, dir) =>
+      welchFinish(anovaStats(Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), dec(col("value")).as("v"))))),
+
     // BARTLETT VARIANCE-HOMOGENEITY TEST — the precondition check the
     // ANOVA F-test assumes (equal group variances): χ² =
     // [(N−k)·ln(s²_pooled) − Σ(nᵢ−1)·ln(s²ᵢ)] / C with Bartlett's
@@ -1496,6 +1548,17 @@ object StatTestQueries {
       val e = Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("event_type"), col("ts_ms"), col("value"))
       wassersteinFinish(EventQueries.ksGrid(
+        EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
+    }),
+
+    // CLIFF'S DELTA + CLES — ordinal dominance effect size between
+    // the PSI halves (the fourth finish on the ksGrid state): exact
+    // integer dominance counts by prefix arithmetic, two tie-safe
+    // rational finals.
+    "events_cliffs_delta" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+      cliffsFinish(EventQueries.ksGrid(
         EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
     }),
 
@@ -2392,6 +2455,54 @@ object StatTestQueries {
     // W1 segment-integral tail: exact integer CDF cross-products,
     // per-segment double product quantized to decimal, tie-safe
     // final division
+    // the same ksGrid half counts, exact dominance prefix products,
+    // tie-safe rational finals
+    "events_cliffs_delta" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), h AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half
+        |  FROM e CROSS JOIN sp
+        |), grid AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS cc
+        |  FROM h GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, cc, cr,
+        |    coalesce(sum(cr) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS ref_below,
+        |    sum(cr) OVER (PARTITION BY event_type) AS n_ref,
+        |    sum(cc) OVER (PARTITION BY event_type) AS n_cur
+        |  FROM grid
+        |), a AS (
+        |  SELECT event_type,
+        |    CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |    CAST(max(n_cur) AS BIGINT) AS n_cur,
+        |    sum(CAST(cc AS HUGEINT) * ref_below) AS gt,
+        |    sum(CAST(cc AS HUGEINT) * (n_ref - ref_below - cr)) AS lt,
+        |    sum(CAST(cc AS HUGEINT) * cr) AS ties
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT event_type, n_ref, n_cur,
+        |  CAST(gt AS BIGINT) AS gt, CAST(lt AS BIGINT) AS lt,
+        |  CAST(ties AS BIGINT) AS ties,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |    CAST(round(CAST(round(CAST(gt - lt AS DOUBLE)
+        |      / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS delta_r,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |    CAST(round(CAST(round(
+        |      (CAST(gt AS DOUBLE) + 0.5 * CAST(ties AS DOUBLE))
+        |      / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS cles_r
+        |FROM a""".stripMargin,
+
     "events_wasserstein" ->
       """WITH e AS (
         |  SELECT event_type, (epoch_ns(ts) // 1000000) AS ts_ms, value
@@ -2625,6 +2736,59 @@ object StatTestQueries {
         |LEFT JOIN pr ON pr.event_type = nt.event_type
         |JOIN tv ON tv.event_type = nt.event_type
         |JOIN th ON th.event_type = nt.event_type""".stripMargin,
+
+    // the same anovaStats sufficient statistics, same group
+    // exclusions, same 9/12-dp quantized weighted sums, same Welch
+    // denominator chain
+    "events_welch_anova" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS sv, sum(v * v) AS qv
+        |  FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS s2
+        |  FROM per WHERE n >= 2
+        |), gw AS (
+        |  SELECT n, mean, CAST(n AS DOUBLE) / s2 AS w FROM g WHERE s2 > 0
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    sum(CAST(round(w, 9) AS DECIMAL(27,9))) AS ww,
+        |    sum(CAST(round(w * mean, 9) AS DECIMAL(27,9))) AS wm
+        |  FROM gw
+        |), tg AS (
+        |  SELECT k, n_total, ww,
+        |    CAST(wm AS DOUBLE) / CAST(ww AS DOUBLE) AS grand
+        |  FROM tot
+        |), terms AS (
+        |  SELECT tg.k, tg.n_total, tg.grand,
+        |    sum(CAST(round(gw.w * (gw.mean - tg.grand) * (gw.mean - tg.grand),
+        |      9) AS DECIMAL(27,9))) AS sa,
+        |    sum(CAST(round(
+        |      (1.0 - gw.w / CAST(tg.ww AS DOUBLE))
+        |        * (1.0 - gw.w / CAST(tg.ww AS DOUBLE))
+        |        / CAST(gw.n - 1 AS DOUBLE), 12) AS DECIMAL(24,12))) AS sb
+        |  FROM gw, tg GROUP BY 1, 2, 3
+        |)
+        |SELECT k, n_total,
+        |  CAST(round(CAST(round(grand, 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS grand_mean_r,
+        |  CASE WHEN k > 1 THEN
+        |    CAST(round(CAST(round(
+        |      (CAST(sa AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |        / (1.0 + 2.0 * CAST(k - 2 AS DOUBLE)
+        |          / CAST(k * k - 1 AS DOUBLE) * CAST(sb AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS f_w_r,
+        |  CASE WHEN CAST(sb AS DOUBLE) > 0 AND k > 1 THEN
+        |    CAST(round(CAST(round(
+        |      CAST(k * k - 1 AS DOUBLE) / (3.0 * CAST(sb AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS dof2_r
+        |FROM terms""".stripMargin,
 
     // same (type, value, cnt) grid, same lower-median count
     // arithmetic, same integer-margin 2×k χ² with 9-dp decimal terms

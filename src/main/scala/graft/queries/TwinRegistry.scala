@@ -130,6 +130,8 @@ object TwinRegistry {
       "dedup_substring_spans", "er_canonical", "graph_adamic_adar",
       // r14 wave 7: the Jaccard finish on adamic_adar's wedge chain
       "graph_jaccard_linkpred",
+      // r14 wave 8: degree-gated edge density on the same topology
+      "graph_rich_club",
       "graph_assortativity", "graph_bfs", "graph_hits", "graph_kcore",
       "graph_lpa", "graph_modularity", "graph_pagerank", "graph_ppr",
       "graph_triangles", "mm_near_dup", "emb_knn_graph",
@@ -196,7 +198,11 @@ object TwinRegistry {
       // additive law), Chao1 rides lexdivCells
       // (stream_lexical_diversity's law), Mood's median rides the
       // (type, value) count grid (stream_ks_test's grid class)
-      "events_theil_index", "text_chao1", "events_mood_median"),
+      "events_theil_index", "text_chao1", "events_mood_median",
+      // r14 wave 8: Welch is a fifth finish on anovaStats
+      // (stream_anova's moment law), Cliff's delta a fourth finish on
+      // ksGrid (stream_ks_test's law)
+      "events_welch_anova", "events_cliffs_delta"),
     "corpus-snapshot-stage" -> Seq(
       "pipeline_pack", "pipeline_pack_efficiency", "pipeline_shuffle",
       "pipeline_split", "pipeline_select", "pipeline_mix",
