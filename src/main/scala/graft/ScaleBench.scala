@@ -222,7 +222,10 @@ object ScaleBench {
     "stream_odds_ratio", "stream_hhi",
     // r14 twins
     "stream_kruskal_wallis", "stream_tukey_hsd", "stream_brown_forsythe",
-    "stream_calinski_harabasz", "stream_davies_bouldin")
+    "stream_calinski_harabasz", "stream_davies_bouldin",
+    // r14 wave 9
+    "stream_theil_index", "stream_welch_anova", "stream_cliffs_delta",
+    "stream_mood_median", "stream_chao1")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -2076,6 +2076,71 @@ object StreamingQueries {
           .groupBy(col("user_id"))
           .agg(sum(col("x")).as("x")))),
 
+    // STREAMING THEIL/MLD/ATKINSON — the fourth finish on the same
+    // sum-merged per-user totals as stream_gini (one state table,
+    // four concentration/inequality readings in a deployment; each
+    // twin drives its own replay so the merge proofs stay
+    // independent). Shares events_theil_index's oracle, hash-proven.
+    "stream_theil_index" -> ((s, dir) =>
+      EventQueries.inequalityFinish(
+        partialsOf(
+            eventsStream(s, dir).select(col("user_id"), col("value")),
+            "graft-theil-partials-")(EventQueries.giniCells)
+          .groupBy(col("user_id"))
+          .agg(sum(col("x")).as("x")))),
+
+    // STREAMING WELCH ANOVA — the heteroscedastic F under ingest:
+    // the same additive per-type moment partials as stream_anova,
+    // Welch-weighted at serving. Shares events_welch_anova's oracle,
+    // hash-proven.
+    "stream_welch_anova" -> ((s, dir) =>
+      StatTestQueries.welchFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), dec(col("value")).as("v")),
+          "graft-welch-partials-")(StatTestQueries.anovaStats)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+            sum(col("qv")).as("qv")))),
+
+    // STREAMING CLIFF'S DELTA — ordinal dominance under ingest: the
+    // same frozen-split (type, value, cr, cc) half-count grid as
+    // stream_ks_test (sum-merge law), the dominance prefix finish at
+    // serving. Shares events_cliffs_delta's oracle, hash-proven.
+    "stream_cliffs_delta" -> ((s, dir) => {
+      val base = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count() // freeze the yardstick before the stream starts
+      StatTestQueries.cliffsFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
+          "graft-cliffs-partials-") {
+          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
+        }
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
+    }),
+
+    // STREAMING MOOD'S MEDIAN — the rank-free location test under
+    // ingest: the (type, value, cnt) grid is additive (sum-merge
+    // law); the grand-median count arithmetic and 2×k χ² run at
+    // serving over the merged grid. Shares events_mood_median's
+    // oracle, hash-proven.
+    "stream_mood_median" -> ((s, dir) =>
+      StatTestQueries.moodFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("value")),
+          "graft-mood-partials-")(StatTestQueries.moodGrid)
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("cnt")).as("cnt")))),
+
     // STREAMING LEXICAL DIVERSITY — vocabulary health maintained as
     // documents ingest: per-batch (source, token) counts are additive
     // state (the jsdCells law), the merge is SUM per cell, and the
@@ -2085,6 +2150,17 @@ object StreamingQueries {
       TextQueries.lexdivFinish(
         partialsOf(documentsStream(s, dir),
             "graft-lexdiv-partials-")(TextQueries.lexdivCells)
+          .groupBy(col("source"), col("tok"))
+          .agg(sum(col("cnt")).as("cnt")))),
+
+    // STREAMING CHAO1 — unseen-vocabulary richness under ingest: the
+    // fifth finish on the same sum-merged (source, token, cnt) cells
+    // as stream_lexical_diversity. Shares text_chao1's oracle,
+    // hash-proven.
+    "stream_chao1" -> ((s, dir) =>
+      TextQueries.chao1Finish(
+        partialsOf(documentsStream(s, dir),
+            "graft-chao1-partials-")(TextQueries.lexdivCells)
           .groupBy(col("source"), col("tok"))
           .agg(sum(col("cnt")).as("cnt")))),
 
@@ -2318,6 +2394,11 @@ object StreamingQueries {
     "stream_cluster_vmeasure" -> SimilarityQueries.oracleSql("emb_cluster_vmeasure"),
     "stream_calinski_harabasz" -> SimilarityQueries.oracleSql("emb_calinski_harabasz"),
     "stream_davies_bouldin" -> SimilarityQueries.oracleSql("emb_davies_bouldin"),
+    "stream_theil_index" -> EventQueries.oracleSql("events_theil_index"),
+    "stream_welch_anova" -> StatTestQueries.oracleSql("events_welch_anova"),
+    "stream_cliffs_delta" -> StatTestQueries.oracleSql("events_cliffs_delta"),
+    "stream_mood_median" -> StatTestQueries.oracleSql("events_mood_median"),
+    "stream_chao1" -> TextQueries.oracleSql("text_chao1"),
     // Idempotent-union exposure state + serving-time cap/rank ≡ the
     // batch CF chain — shares both batch oracles, hash-proven.
     "stream_item_cf" -> EventQueries.oracleSql("events_item_cf"),

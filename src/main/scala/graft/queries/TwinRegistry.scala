@@ -193,16 +193,10 @@ object TwinRegistry {
       // (stream_chisq); Hill reads the additive (type, per-user
       // count) frequency grid (stream_topk's count-merge law)
       "events_mantel_haenszel", "events_kendall_tau",
-      "events_hill_tail",
-      // r14 wave 7: Theil/MLD/Atkinson ride giniCells (stream_gini's
-      // additive law), Chao1 rides lexdivCells
-      // (stream_lexical_diversity's law), Mood's median rides the
-      // (type, value) count grid (stream_ks_test's grid class)
-      "events_theil_index", "text_chao1", "events_mood_median",
-      // r14 wave 8: Welch is a fifth finish on anovaStats
-      // (stream_anova's moment law), Cliff's delta a fourth finish on
-      // ksGrid (stream_ks_test's law)
-      "events_welch_anova", "events_cliffs_delta"),
+      "events_hill_tail"),
+      // (r14 wave 9: theil_index/chao1/mood_median/welch_anova/
+      // cliffs_delta got their own streaming twins and left this
+      // registry)
     "corpus-snapshot-stage" -> Seq(
       "pipeline_pack", "pipeline_pack_efficiency", "pipeline_shuffle",
       "pipeline_split", "pipeline_select", "pipeline_mix",
