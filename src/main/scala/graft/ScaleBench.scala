@@ -173,7 +173,9 @@ object ScaleBench {
     "graph_jaccard_linkpred",
     // r14 wave 8: Welch on anovaStats, Cliff's delta on ksGrid,
     // rich-club on the dedup topology
-    "events_welch_anova", "events_cliffs_delta", "graph_rich_club")
+    "events_welch_anova", "events_cliffs_delta", "graph_rich_club",
+    // r14 wave 10: RMST on the survival grid, burstiness VMR
+    "events_rmst", "text_burstiness")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

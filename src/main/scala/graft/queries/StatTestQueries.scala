@@ -231,6 +231,38 @@ object StatTestQueries {
           .otherwise(round(exp(col("s_log").cast("double")), 6)).as("surv_r"))
   }
 
+  /** RMST horizon: one week of user-lifetime hours. */
+  private[graft] val RmstTau = 168L
+
+  /** Restricted mean survival time — the FOURTH finish on the
+    * (type, duration) death/censor grid: the area under the
+    * Kaplan-Meier step curve up to τ = [[RmstTau]] h, i.e. the
+    * average user-lifetime hours "guaranteed" within the first week
+    * (the single-number KM summary a retention dashboard trends; it
+    * stays defined under censoring where the plain mean does not).
+    * Reads [[survivalFinish]]'s 6-dp-rounded curve verbatim (so the
+    * two can never drift), segments by lead() on the per-type
+    * lattice, 9-dp decimal segment areas, one tie-safe final.
+    */
+  private[graft] def rmstFinish(grid: DataFrame): DataFrame = {
+    val s = survivalFinish(grid)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dur_h"))
+    val t = s
+      .withColumn("nxt", coalesce(lead(col("dur_h"), 1).over(w), lit(RmstTau)))
+      .withColumn("a", least(col("dur_h"), lit(RmstTau)))
+      .withColumn("b", greatest(least(col("nxt"), lit(RmstTau)), col("a")))
+      .withColumn("seg",
+        round(col("surv_r") * (col("b") - col("a")).cast("double"), 9)
+          .cast("decimal(24,9)"))
+    t.groupBy(col("event_type"))
+      .agg(min(col("dur_h")).as("t1"), sum(col("seg")).as("area"),
+        max(col("n_risk")).as("n_users"))
+      .select(col("event_type"), col("n_users"),
+        lit(RmstTau).as("tau_h"),
+        tieSafe(least(col("t1"), lit(RmstTau)).cast("double")
+          + col("area").cast("double"), 6).as("rmst_r"))
+  }
+
   /** Nelson-Aalen cumulative hazard from the SAME merged grid as
     * [[survivalFinish]] — the second finish on one merge law (the
     * acf/ljungbox/runs precedent): H(t) = Σ_{dᵢ ≤ t} dᵢ/nᵢ with
@@ -1529,6 +1561,14 @@ object StatTestQueries {
         Tables.events(s, dir).select(col("event_type"), col("user_id"),
           col("ts_ms")))))),
 
+    // RESTRICTED MEAN SURVIVAL TIME — expected user-lifetime hours
+    // within the first week: the area under the KM curve (fourth
+    // finish on the survival grid; reads the rounded curve verbatim).
+    "events_rmst" -> ((s, dir) =>
+      rmstFinish(survivalGrid(userSpans(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"),
+          col("ts_ms")))))),
+
     // ONE-VS-REST LOG-RANK — does THIS type's user-lifetime
     // distribution differ from the rest of the panel: the test behind
     // the KM-curve eyeball, as the third finish on events_survival's
@@ -2339,6 +2379,74 @@ object StatTestQueries {
         |       WHEN srn * 10 <= cnt * 9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d""".stripMargin,
+
+    // the events_survival chain verbatim (rounded curve included),
+    // lead()-segmented areas capped at tau, tie-safe final
+    "events_rmst" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, (epoch_ns(ts) // 1000000) AS ts_ms
+        |  FROM events
+        |), spans AS (
+        |  SELECT event_type, user_id, min(ts_ms) AS first_ts,
+        |    max(ts_ms) AS last_ts
+        |  FROM e GROUP BY 1, 2
+        |), cut AS (
+        |  SELECT max(last_ts) - 86400000 AS t_cut FROM spans
+        |), grid AS (
+        |  SELECT event_type, (last_ts - first_ts) // 3600000 AS dur_h,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 0 ELSE 1 END) AS deaths,
+        |    sum(CASE WHEN last_ts > cut.t_cut THEN 1 ELSE 0 END) AS censors
+        |  FROM spans CROSS JOIN cut GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, dur_h, deaths, censors,
+        |    sum(deaths + censors) OVER (PARTITION BY event_type)
+        |      - coalesce(sum(deaths + censors) OVER (PARTITION BY event_type
+        |          ORDER BY dur_h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grid
+        |), lf AS (
+        |  SELECT event_type, dur_h, n_risk,
+        |    CAST(CASE WHEN deaths > 0 AND deaths < n_risk THEN
+        |      round(ln(CAST(n_risk - deaths AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 9)
+        |      ELSE 0.0 END AS DECIMAL(20,9)) AS lf,
+        |    max(CASE WHEN deaths = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY dur_h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM r
+        |), sv AS (
+        |  SELECT event_type, dur_h, n_risk,
+        |    CASE WHEN dead = 1 THEN 0.0
+        |      ELSE round(exp(CAST(s_log AS DOUBLE)), 6) END AS surv_r
+        |  FROM (
+        |    SELECT event_type, dur_h, n_risk, dead,
+        |      CASE WHEN dead = 0 THEN
+        |        CAST(sum(lf) OVER (PARTITION BY event_type ORDER BY dur_h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DECIMAL(38,9)) END AS s_log
+        |    FROM lf
+        |  )
+        |), sv2 AS (
+        |  SELECT event_type, dur_h, n_risk, surv_r,
+        |    coalesce(lead(dur_h, 1) OVER (PARTITION BY event_type
+        |      ORDER BY dur_h), 168) AS nxt
+        |  FROM sv
+        |), seg AS (
+        |  SELECT event_type, n_risk, dur_h, surv_r,
+        |    least(dur_h, 168) AS a,
+        |    greatest(least(nxt, 168), least(dur_h, 168)) AS b
+        |  FROM sv2
+        |), agg AS (
+        |  SELECT event_type, CAST(max(n_risk) AS BIGINT) AS n_users,
+        |    least(min(dur_h), 168) AS t1,
+        |    sum(CAST(round(surv_r * CAST(b - a AS DOUBLE), 9)
+        |      AS DECIMAL(24,9))) AS area
+        |  FROM seg GROUP BY 1
+        |)
+        |SELECT event_type, n_users, CAST(168 AS BIGINT) AS tau_h,
+        |  CAST(round(CAST(round(CAST(t1 AS DOUBLE) + CAST(area AS DOUBLE), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS rmst_r
+        |FROM agg""".stripMargin,
 
     // the events_survival grid CTEs verbatim with the Nelson-Aalen
     // tail (9/12-dp-quantized d/n and d/n² terms, decimal cumsums)

@@ -597,6 +597,20 @@ object TextQueries {
     "text_good_turing" -> ((s, dir) =>
       goodTuringFinish(lexdivCells(Tables.documents(s, dir)))),
 
+    // TOKEN BURSTINESS — which words arrive in bursts (topical) vs
+    // uniformly (functional): per-token variance-to-mean over
+    // per-doc counts, zeros included, top-30 by VMR. Exact
+    // sufficient statistics; one partial-aggregable (token, doc)
+    // pass.
+    "text_burstiness" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val docTok = d.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      burstinessFinish(docTok, d.agg(count(lit(1)).as("n_docs")))
+    }),
+
     // CHAO1 RICHNESS — the FOURTH finish on the same (source, token,
     // cnt) cells (TTR counts observed kinds; Chao1 estimates the
     // kinds NOT yet observed from the singleton/doubleton ratio —
@@ -1919,6 +1933,40 @@ object TextQueries {
           .as("unseen_r"))
   }
 
+  /** Burstiness panel bounds: tokens must appear in ≥ MinDf docs;
+    * top-K by variance-to-mean ratio.
+    */
+  private[graft] val BurstMinDf = 5L
+  private[graft] val BurstTopK = 30
+
+  /** Church-Gale burstiness over per-(token, doc) counts: VMR =
+    * Σc²/tf − tf/N (variance-to-mean with zeros included — a Poisson
+    * word scores ~1, a bursty topic word ≫ 1). The content/function
+    * word diagnostic next to Zipf (rank-frequency) and Heaps
+    * (vocabulary growth): bursty high-VMR tokens are topical, and a
+    * dedup or quality stage weighting them differently needs this
+    * table. Exact integer/decimal sufficient statistics per token;
+    * one tie-safe rational final; top-K ordered on the rounded score
+    * with the token tiebreak.
+    */
+  private[graft] def burstinessFinish(docTok: org.apache.spark.sql.DataFrame,
+                                      nDocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+      round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    docTok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+      .filter(col("df") >= BurstMinDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("df"), col("tf").cast("long").as("tf"),
+        tieSafe(col("sc2").cast("double") / col("tf").cast("double")
+          - col("tf").cast("double") / col("n_docs").cast("double"), 6)
+          .as("vmr_r"))
+      .orderBy(col("vmr_r").desc, col("tok"))
+      .limit(BurstTopK)
+  }
+
   /** Per-doc exploded bigrams with the md5 '#novel' train/test flag —
     * the UNION-mergeable half of `text_ngram_novelty` (the streaming
     * twin appends per-batch distinct (doc_id, g, is_test) rows and
@@ -2264,6 +2312,29 @@ object TextQueries {
         |JOIN tot ON tot.source = f.source
         |LEFT JOIN (SELECT source, n_r AS n_1 FROM cc WHERE r = 1) s1
         |  ON s1.source = f.source""".stripMargin,
+
+    // same per-(token, doc) counts, same exact moments, same
+    // HAVING-df gate, same tie-safe VMR and (score, token) order
+    "text_burstiness" ->
+      """WITH dt AS (
+        |  SELECT token AS tok, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        |  GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |), per AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS tf,
+        |    sum(CAST(c AS HUGEINT) * c) AS sc2
+        |  FROM dt GROUP BY 1 HAVING count(*) >= 5
+        |)
+        |SELECT tok, df, tf,
+        |  CAST(round(CAST(round(CAST(sc2 AS DOUBLE) / CAST(tf AS DOUBLE)
+        |    - CAST(tf AS DOUBLE) / CAST(nd.n_docs AS DOUBLE), 12)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS vmr_r
+        |FROM per CROSS JOIN nd
+        |ORDER BY vmr_r DESC, tok
+        |LIMIT 30""".stripMargin,
 
     // the same (source, token, cnt) cells, the bias-corrected
     // singleton/doubleton estimator, same tie-safe division

@@ -193,7 +193,11 @@ object TwinRegistry {
       // (stream_chisq); Hill reads the additive (type, per-user
       // count) frequency grid (stream_topk's count-merge law)
       "events_mantel_haenszel", "events_kendall_tau",
-      "events_hill_tail"),
+      "events_hill_tail",
+      // r14 wave 10: RMST reads the survival grid (stream_survival's
+      // law); burstiness reads additive (token, doc) count cells
+      // (the lexdiv sum-merge class, finer key)
+      "events_rmst", "text_burstiness"),
       // (r14 wave 9: theil_index/chao1/mood_median/welch_anova/
       // cliffs_delta got their own streaming twins and left this
       // registry)
