@@ -175,7 +175,9 @@ object ScaleBench {
     // rich-club on the dedup topology
     "events_welch_anova", "events_cliffs_delta", "graph_rich_club",
     // r14 wave 10: RMST on the survival grid, burstiness VMR
-    "events_rmst", "text_burstiness")
+    "events_rmst", "text_burstiness",
+    // r14 wave 11: exact paired sign test, Hopkins clusterability
+    "events_sign_test", "emb_hopkins")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

@@ -830,6 +830,12 @@ object SimilarityQueries {
       daviesBouldinFinish(dims, clusterWss(a, dims))
     }),
 
+    // HOPKINS CLUSTERABILITY — is there structure worth clustering at
+    // all: md5-deterministic uniform vs held-out probes, exact-decimal
+    // NN distances, H = Σu/(Σu+Σw) (≈0.5 noise, →1 clustered). The
+    // go/no-go check BEFORE paying for the kmeans_train build.
+    "emb_hopkins" -> ((s, dir) => hopkinsStat(s, dir)),
+
     // IVF search against the TRAINED index — ann_topk_ivf's plan shape
     // (broadcast probe join keyed on list_id) over kmeans_train's
     // centroids and the corpus assignment they induce. The unrolled-N
@@ -2184,6 +2190,74 @@ object SimilarityQueries {
         tieSafe(col("s_k"), 6).as("s_r"),
         tieSafe(col("worst"), 6).as("worst_ratio_r"),
         col("db_r"))
+  }
+
+  /** Hopkins probes per side. */
+  private[graft] val HopkinsM = 32
+
+  /** Hopkins clusterability statistic — BEFORE spending a k-means/IVF
+    * build, is there any cluster structure to find? H =
+    * Σu/(Σu + Σw) over nearest-neighbor distances of m synthetic
+    * uniform probes (u) vs m real held-out points (w): H ≈ 0.5 means
+    * the corpus is indistinguishable from uniform noise; H → 1 means
+    * clustered. Determinism: probes are md5-derived (synthetic coords
+    * = 32-bit md5 fractions scaled into the per-dim bounding box —
+    * exact in double; real probes = md5-ranked vec_ids), distances
+    * are EXACT DECIMAL(38,14) sums of per-element squared diffs (the
+    * DecimalDotProduct contract), so the per-probe min is
+    * engine-exact and only the 2m square roots and the final ratio
+    * are doubles. Scale shape: 2m broadcast probes × one corpus scan
+    * — linear, the brute anchor; the production path shortlists via
+    * the trained IVF the same way ann_topk_ivf_trained probes.
+    */
+  private[graft] def hopkinsStat(s: org.apache.spark.sql.SparkSession,
+                                 dir: String) = {
+    def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
+      round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val box = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+    val synth = s.range(1, HopkinsM + 1L).select(col("id").as("p_id"))
+      .crossJoin(box)
+      .withColumn("frac",
+        conv(substring(md5(concat(col("p_id").cast("string"), lit("#hops"),
+          col("i").cast("string"))), 1, 8), 16, 10).cast("double")
+          / lit(4294967296.0))
+      .withColumn("c", col("lo") + col("frac") * (col("hi") - col("lo")))
+      .groupBy(col("p_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
+      .select(col("p_id"), transform(col("pairs"),
+        p => p.getField("c")).as("p_emb"))
+    val real = emb
+      .withColumn("rk", conv(substring(md5(concat(
+        col("vec_id").cast("string"), lit("#hopr"))), 1, 14), 16, 10)
+        .cast("long"))
+      .orderBy(col("rk"), col("vec_id")).limit(HopkinsM)
+      .select(col("vec_id").as("p_id"),
+        col("embedding").cast("array<double>").as("p_emb"))
+    def nnD2(probes: org.apache.spark.sql.DataFrame, excludeSelf: Boolean) = {
+      val j = emb.crossJoin(broadcast(probes))
+      (if (excludeSelf) j.filter(col("vec_id") =!= col("p_id")) else j)
+        .withColumn("diff", zip_with(col("embedding"), col("p_emb"),
+          (a, b) => a - b))
+        .withColumn("d2", VectorOps.dotDecimal(col("diff"), col("diff")))
+        .groupBy(col("p_id")).agg(min(col("d2")).as("d2"))
+    }
+    val su = nnD2(synth, excludeSelf = false)
+      .agg(sum(round(sqrt(col("d2").cast("double")), 9)
+        .cast("decimal(27,9)")).as("su"))
+    val sw = nnD2(real, excludeSelf = true)
+      .agg(sum(round(sqrt(col("d2").cast("double")), 9)
+        .cast("decimal(27,9)")).as("sw"))
+    su.crossJoin(broadcast(sw))
+      .select(lit(HopkinsM.toLong).as("m"),
+        round(col("su"), 6).cast("double").as("sum_u_r"),
+        round(col("sw"), 6).cast("double").as("sum_w_r"),
+        when(col("su") + col("sw") > 0,
+          tieSafe(col("su").cast("double")
+            / (col("su") + col("sw")).cast("double"), 6)).as("hopkins_r"))
   }
 
   /** IVF probe search (the `ann_topk_ivf` plan shape: broadcast probe
@@ -4108,6 +4182,59 @@ object SimilarityQueries {
          |  round(CASE WHEN h + c > 0.0 THEN 2.0 * h * c / (h + c)
          |    ELSE 0.0 END, 6) AS v_r
          |FROM hc""".stripMargin,
+
+    // md5-deterministic probes, exact DECIMAL(38,14) squared-diff
+    // sums (the DecimalDotProduct contract), engine-exact mins
+    "emb_hopkins" ->
+      """WITH box AS (
+        |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+        |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1
+        |), synth AS (
+        |  SELECT p.p_id,
+        |    list(b.lo + (CAST(concat('0x', substr(md5(concat(
+        |        CAST(p.p_id AS VARCHAR), '#hops', CAST(b.i - 1 AS VARCHAR))),
+        |        1, 8)) AS BIGINT) / 4294967296.0) * (b.hi - b.lo)
+        |      ORDER BY b.i) AS p_emb
+        |  FROM generate_series(1, 32) p(p_id) CROSS JOIN box b
+        |  GROUP BY 1
+        |), realp AS (
+        |  SELECT vec_id AS p_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS p_emb
+        |  FROM embeddings
+        |  ORDER BY CAST(concat('0x', substr(md5(concat(
+        |    CAST(vec_id AS VARCHAR), '#hopr')), 1, 14)) AS BIGINT), vec_id
+        |  LIMIT 32
+        |), du AS (
+        |  SELECT s.p_id,
+        |    min(CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST((CAST(e.embedding[i] AS DOUBLE) - s.p_emb[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - s.p_emb[i])
+        |        AS DECIMAL(28,14)))) AS DECIMAL(38,14))) AS d2
+        |  FROM embeddings e CROSS JOIN synth s GROUP BY 1
+        |), dw AS (
+        |  SELECT r.p_id,
+        |    min(CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST((CAST(e.embedding[i] AS DOUBLE) - r.p_emb[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - r.p_emb[i])
+        |        AS DECIMAL(28,14)))) AS DECIMAL(38,14))) AS d2
+        |  FROM embeddings e CROSS JOIN realp r
+        |  WHERE e.vec_id <> r.p_id GROUP BY 1
+        |), su AS (
+        |  SELECT sum(CAST(round(sqrt(CAST(d2 AS DOUBLE)), 9)
+        |    AS DECIMAL(27,9))) AS su FROM du
+        |), sw AS (
+        |  SELECT sum(CAST(round(sqrt(CAST(d2 AS DOUBLE)), 9)
+        |    AS DECIMAL(27,9))) AS sw FROM dw
+        |)
+        |SELECT CAST(32 AS BIGINT) AS m,
+        |  CAST(round(su, 6) AS DOUBLE) AS sum_u_r,
+        |  CAST(round(sw, 6) AS DOUBLE) AS sum_w_r,
+        |  CASE WHEN su + sw > 0 THEN
+        |    CAST(round(CAST(round(CAST(su AS DOUBLE)
+        |      / CAST(su + sw AS DOUBLE), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS hopkins_r
+        |FROM su CROSS JOIN sw""".stripMargin,
 
     // the shared geometric-statistics chain (clusterGeomCtes), global
     // 9-dp per-dim mean, same quantized B/W sums and guarded ratio

@@ -709,6 +709,58 @@ object StatTestQueries {
           col("chi2").cast("double") > Chi4Crit).as("is_sig"))
   }
 
+  /** z critical value at two-sided 5% — the sign-test gate. */
+  private[graft] val ZCrit: Double = 1.959964
+
+  /** Paired sign test between the PSI halves, paired on hour-of-day:
+    * for each (type, hour-of-day) cell present in BOTH halves, does
+    * the current half's mean value beat the reference half's — a
+    * distribution-free "did the daily profile shift up or down"
+    * reading next to KS/W1's unpaired views. The comparison is EXACT:
+    * mean_cur > mean_ref ⟺ s_cur·n_ref > s_ref·n_cur on exact
+    * decimal/integer cross-products — no division, no rounding, no
+    * epsilon. Cells are additive (sum/count per (type, hod, half) —
+    * the chisq merge shape); the normal-approximation z (ties
+    * dropped, the standard convention) is the only double.
+    */
+  private[graft] def signCells(halved: DataFrame): DataFrame =
+    halved.withColumn("hod", expr("CAST(ts_ms DIV 3600000 AS BIGINT) % 24"))
+      .groupBy(col("event_type"), col("hod"), col("half"))
+      .agg(sum(dec(col("value"))).as("sv"), count(lit(1)).as("cnt"))
+
+  private[graft] def signFinish(cells: DataFrame): DataFrame = {
+    val r = cells.filter(col("half") === "ref")
+      .select(col("event_type"), col("hod"), col("sv").as("sr"),
+        col("cnt").as("nr"))
+    val c = cells.filter(col("half") === "cur")
+      .select(col("event_type"), col("hod"), col("sv").as("sc"),
+        col("cnt").as("nc"))
+    // widths: sums fit decimal(24,4), counts decimal(12,0) → exact
+    // 37-digit products inside both engines' 38 cap
+    val paired = r.join(c, Seq("event_type", "hod"))
+      .withColumn("lhs",
+        col("sc").cast("decimal(24,4)") * col("nr").cast("decimal(12,0)"))
+      .withColumn("rhs",
+        col("sr").cast("decimal(24,4)") * col("nc").cast("decimal(12,0)"))
+    paired.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("s_plus"),
+        sum(when(col("lhs") < col("rhs"), 1L).otherwise(0L)).as("s_minus"))
+      .withColumn("n_eff", col("s_plus") + col("s_minus"))
+      .select(col("event_type"), col("n_pairs"), col("s_plus"),
+        col("s_minus"),
+        (col("n_pairs") - col("n_eff")).cast("long").as("ties"),
+        when(col("n_eff") > 0,
+          tieSafe((lit(2.0) * col("s_plus").cast("double")
+            - col("n_eff").cast("double"))
+            / sqrt(col("n_eff").cast("double")), 6)).as("z_r"),
+        coalesce(when(col("n_eff") > 0,
+          abs((lit(2.0) * col("s_plus").cast("double")
+            - col("n_eff").cast("double"))
+            / sqrt(col("n_eff").cast("double"))) > ZCrit),
+          lit(false)).as("is_sig"))
+  }
+
   /** Cliff's delta + common-language effect size over the SAME
     * additive ksGrid (type, value, cr, cc) half counts — the FOURTH
     * finish on that state (KS asks IF the halves differ, W1 how far
@@ -1588,6 +1640,17 @@ object StatTestQueries {
       val e = Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("event_type"), col("ts_ms"), col("value"))
       wassersteinFinish(EventQueries.ksGrid(
+        EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
+    }),
+
+    // PAIRED SIGN TEST — did the daily value profile shift between
+    // the PSI halves: hour-of-day cells paired across halves,
+    // mean comparisons as EXACT decimal cross-products (no division,
+    // no epsilon), normal-approximation z over the non-tied pairs.
+    "events_sign_test" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+      signFinish(signCells(
         EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
     }),
 
@@ -2563,6 +2626,52 @@ object StatTestQueries {
     // W1 segment-integral tail: exact integer CDF cross-products,
     // per-segment double product quantized to decimal, tie-safe
     // final division
+    // the same hour-of-day half cells, the same exact decimal
+    // cross-product comparisons, same z over non-tied pairs
+    "events_sign_test" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_split FROM e
+        |), h AS (
+        |  SELECT event_type, ((ts_ms // 3600000) % 24) AS hod, value,
+        |    CASE WHEN ts_ms <= sp.t_split THEN 'ref' ELSE 'cur' END AS half
+        |  FROM e CROSS JOIN sp
+        |), cells AS (
+        |  SELECT event_type, hod, half,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS sv,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM h GROUP BY 1, 2, 3
+        |), p AS (
+        |  SELECT r.event_type,
+        |    CAST(c.sv AS DECIMAL(24,4)) * CAST(r.cnt AS DECIMAL(12,0)) AS lhs,
+        |    CAST(r.sv AS DECIMAL(24,4)) * CAST(c.cnt AS DECIMAL(12,0)) AS rhs
+        |  FROM cells r JOIN cells c
+        |    ON c.event_type = r.event_type AND c.hod = r.hod
+        |  WHERE r.half = 'ref' AND c.half = 'cur'
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN lhs > rhs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_plus,
+        |    CAST(sum(CASE WHEN lhs < rhs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_minus
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT event_type, n_pairs, s_plus, s_minus,
+        |  CAST(n_pairs - s_plus - s_minus AS BIGINT) AS ties,
+        |  CASE WHEN s_plus + s_minus > 0 THEN
+        |    CAST(round(CAST(round(
+        |      (2.0 * CAST(s_plus AS DOUBLE) - CAST(s_plus + s_minus AS DOUBLE))
+        |      / sqrt(CAST(s_plus + s_minus AS DOUBLE)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS z_r,
+        |  coalesce(CASE WHEN s_plus + s_minus > 0 THEN
+        |    abs((2.0 * CAST(s_plus AS DOUBLE)
+        |      - CAST(s_plus + s_minus AS DOUBLE))
+        |      / sqrt(CAST(s_plus + s_minus AS DOUBLE))) > 1.959964 END,
+        |    FALSE) AS is_sig
+        |FROM a""".stripMargin,
+
     // the same ksGrid half counts, exact dominance prefix products,
     // tie-safe rational finals
     "events_cliffs_delta" ->

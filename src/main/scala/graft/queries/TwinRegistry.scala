@@ -197,7 +197,12 @@ object TwinRegistry {
       // r14 wave 10: RMST reads the survival grid (stream_survival's
       // law); burstiness reads additive (token, doc) count cells
       // (the lexdiv sum-merge class, finer key)
-      "events_rmst", "text_burstiness"),
+      "events_rmst", "text_burstiness",
+      // r14 wave 11: sign test pairs additive (type, hod, half)
+      // sum/count cells against the frozen split (the chisq merge
+      // shape); Hopkins scans against frozen md5 probes (per-probe
+      // decimal min is a max-merge law)
+      "events_sign_test", "emb_hopkins"),
       // (r14 wave 9: theil_index/chao1/mood_median/welch_anova/
       // cliffs_delta got their own streaming twins and left this
       // registry)
