@@ -229,7 +229,10 @@ object ScaleBench {
     "stream_calinski_harabasz", "stream_davies_bouldin",
     // r14 wave 9
     "stream_theil_index", "stream_welch_anova", "stream_cliffs_delta",
-    "stream_mood_median", "stream_chao1")
+    "stream_mood_median", "stream_chao1",
+    // r14 wave 12
+    "stream_rmst", "stream_mantel_haenszel", "stream_kendall_tau",
+    "stream_hill_tail", "stream_sign_test", "stream_burstiness")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -1188,6 +1188,120 @@ object StreamingQueries {
             max(col("last_ts")).as("last_ts"))))
     }),
 
+    // STREAMING RMST — the KM-area finish over the same merged
+    // (min, max) span state (a third reading on one state table).
+    // Shares events_rmst's oracle, hash-proven.
+    "stream_rmst" -> ((s, dir) => {
+      StatTestQueries.rmstFinish(StatTestQueries.survivalGrid(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("user_id"), col("ts_ms")),
+          "graft-rmst-partials-")(StatTestQueries.userSpans)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("first_ts")).as("first_ts"),
+            max(col("last_ts")).as("last_ts"))))
+    }),
+
+    // STREAMING MANTEL-HAENSZEL — the stratified 2×2 pool under
+    // ingest: per-(half, variant, user) conversion flags are
+    // MAX-merge state against the frozen PSI split (any qualifying
+    // purchase in any batch converts the user within its stratum).
+    // Shares events_mantel_haenszel's oracle, hash-proven.
+    "stream_mantel_haenszel" -> ((s, dir) => {
+      val base = graft.tables.Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count() // freeze the yardstick before the stream starts
+      StatTestQueries.mhFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("user_id"), col("ts_ms"),
+              col("value")),
+          "graft-mh-partials-") {
+          batch => StatTestQueries.mhCells(
+            EventQueries.psiHalved(batch, split))
+        }
+          .groupBy(col("half"), col("variant"), col("user_id"))
+          .agg(max(col("conv")).as("conv")))
+    }),
+
+    // STREAMING KENDALL τ-b — the contingency grid is additive (the
+    // stream_chisq law); the cell-pair concordance finish runs at
+    // serving. Shares events_kendall_tau's oracle, hash-proven.
+    "stream_kendall_tau" -> ((s, dir) =>
+      StatTestQueries.kendallFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-kendall-partials-")(StatTestQueries.kendallCells)
+          .groupBy(col("event_type"), col("vb"), col("hb"))
+          .agg(sum(col("o")).as("o")))),
+
+    // STREAMING HILL TAIL INDEX — per-(type, user) activity counts
+    // are sum-merge state; the frequency re-grid and the top-k count
+    // arithmetic run at serving. Shares events_hill_tail's oracle,
+    // hash-proven.
+    "stream_hill_tail" -> ((s, dir) =>
+      StatTestQueries.hillFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("user_id")),
+          "graft-hill-partials-") { batch =>
+          batch.groupBy(col("event_type"), col("user_id"))
+            .agg(count(lit(1)).as("x"))
+        }
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("x")).as("x"))
+          .groupBy(col("event_type"), col("x"))
+          .agg(count(lit(1)).as("cnt")))),
+
+    // STREAMING SIGN TEST — the (type, hod, half) sum/count cells
+    // are additive against the frozen split; the exact cross-product
+    // pairing runs at serving. Shares events_sign_test's oracle,
+    // hash-proven.
+    "stream_sign_test" -> ((s, dir) => {
+      val base = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count() // freeze the yardstick before the stream starts
+      StatTestQueries.signFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-sign-partials-") {
+          batch => StatTestQueries.signCells(
+            EventQueries.psiHalved(batch, split))
+        }
+          .groupBy(col("event_type"), col("hod"), col("half"))
+          .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt")))
+    }),
+
+    // STREAMING BURSTINESS — per-(token, doc) counts are sum-merge
+    // state; the VMR moments and the top-K rank run at serving (the
+    // corpus doc count is the frozen serving-side scalar, the
+    // stream_cluster_* frozen-yardstick posture). Shares
+    // text_burstiness's oracle, hash-proven.
+    "stream_burstiness" -> ((s, dir) => {
+      val nDocs = graft.tables.Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"))
+      TextQueries.burstinessFinish(
+        partialsOf(documentsStream(s, dir),
+          "graft-burst-partials-") { batch =>
+          batch.select(col("doc_id"),
+              explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+            .groupBy(col("tok"), col("doc_id"))
+            .agg(count(lit(1)).as("c"))
+        }
+          .groupBy(col("tok"), col("doc_id"))
+          .agg(sum(col("c")).as("c")),
+        nDocs)
+    }),
+
     // STREAMING TRIMMED/WINSORIZED MEANS — rank statistics under
     // ingest without keeping rows: per-batch (type, value) counts
     // sum-merge into a value grid (the 4-dp money values make the
@@ -2399,6 +2513,12 @@ object StreamingQueries {
     "stream_cliffs_delta" -> StatTestQueries.oracleSql("events_cliffs_delta"),
     "stream_mood_median" -> StatTestQueries.oracleSql("events_mood_median"),
     "stream_chao1" -> TextQueries.oracleSql("text_chao1"),
+    "stream_rmst" -> StatTestQueries.oracleSql("events_rmst"),
+    "stream_mantel_haenszel" -> StatTestQueries.oracleSql("events_mantel_haenszel"),
+    "stream_kendall_tau" -> StatTestQueries.oracleSql("events_kendall_tau"),
+    "stream_hill_tail" -> StatTestQueries.oracleSql("events_hill_tail"),
+    "stream_sign_test" -> StatTestQueries.oracleSql("events_sign_test"),
+    "stream_burstiness" -> TextQueries.oracleSql("text_burstiness"),
     // Idempotent-union exposure state + serving-time cap/rank ≡ the
     // batch CF chain — shares both batch oracles, hash-proven.
     "stream_item_cf" -> EventQueries.oracleSql("events_item_cf"),

@@ -187,22 +187,13 @@ object TwinRegistry {
       // cells (stream_chisq); replay count bounded, laws proven
       "events_wasserstein", "events_logrank", "events_cramers_v",
       "events_theils_u",
-      // r14 wave 6: MH rides the max-merge per-user conversion flag
-      // (stream_odds_ratio's law) stratified by the frozen PSI
-      // halves; Kendall rides the chisq contingency-cell class
-      // (stream_chisq); Hill reads the additive (type, per-user
-      // count) frequency grid (stream_topk's count-merge law)
-      "events_mantel_haenszel", "events_kendall_tau",
-      "events_hill_tail",
-      // r14 wave 10: RMST reads the survival grid (stream_survival's
-      // law); burstiness reads additive (token, doc) count cells
-      // (the lexdiv sum-merge class, finer key)
-      "events_rmst", "text_burstiness",
-      // r14 wave 11: sign test pairs additive (type, hod, half)
-      // sum/count cells against the frozen split (the chisq merge
-      // shape); Hopkins scans against frozen md5 probes (per-probe
-      // decimal min is a max-merge law)
-      "events_sign_test", "emb_hopkins"),
+      // r14 wave 11: Hopkins scans against frozen md5 probes (the
+      // per-probe decimal min is a max-merge law; no twin yet —
+      // the probe/corpus replay would be the whole query)
+      // (wave 12: mantel_haenszel/kendall_tau/hill_tail/rmst/
+      // burstiness/sign_test got their own streaming twins and left
+      // this registry)
+      "emb_hopkins"),
       // (r14 wave 9: theil_index/chao1/mood_median/welch_anova/
       // cliffs_delta got their own streaming twins and left this
       // registry)
