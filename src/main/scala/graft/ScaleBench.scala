@@ -177,7 +177,9 @@ object ScaleBench {
     // r14 wave 10: RMST on the survival grid, burstiness VMR
     "events_rmst", "text_burstiness",
     // r14 wave 11: exact paired sign test, Hopkins clusterability
-    "events_sign_test", "emb_hopkins")
+    "events_sign_test", "emb_hopkins",
+    // r14 wave 13: Gumbel block-maxima fit
+    "events_gumbel_maxima")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -232,7 +234,9 @@ object ScaleBench {
     "stream_mood_median", "stream_chao1",
     // r14 wave 12
     "stream_rmst", "stream_mantel_haenszel", "stream_kendall_tau",
-    "stream_hill_tail", "stream_sign_test", "stream_burstiness")
+    "stream_hill_tail", "stream_sign_test", "stream_burstiness",
+    // r14 wave 13
+    "stream_gumbel_maxima")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

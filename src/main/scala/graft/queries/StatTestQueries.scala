@@ -709,6 +709,47 @@ object StatTestQueries {
           col("chi2").cast("double") > Chi4Crit).as("is_sig"))
   }
 
+  /** Euler–Mascheroni γ — the Gumbel method-of-moments constant. */
+  private[graft] val EulerGamma: Double = 0.5772156649
+
+  /** Gumbel extreme-value fit over daily block maxima — what's the
+    * worst value this type produces, and how bad does a 100-day
+    * worst-case get: per-(type, day) maxima are MAX-merge state
+    * (exact decimal max — the streaming twin's law), then the
+    * method-of-moments fit β̂ = s·√6/π, μ̂ = x̄ − γβ̂ and the
+    * 100-block return level μ̂ − β̂·ln(−ln(1 − 1/100)) are one k-row
+    * IEEE chain over exact decimal block moments. The capacity-
+    * planning / anomaly-threshold reading next to events_anomaly's
+    * per-point z-scores.
+    */
+  private[graft] def gumbelCells(e: DataFrame): DataFrame =
+    e.filter(col("value").isNotNull)
+      .withColumn("day", expr("CAST(ts_ms DIV 86400000 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(dec(col("value"))).as("mx"))
+
+  private[graft] def gumbelFinish(cells: DataFrame): DataFrame = {
+    val a = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("mx")).as("sd"),
+        sum(col("mx") * col("mx")).as("qd"))
+    val mean = col("sd").cast("double") / col("n_blocks").cast("double")
+    val variance = (col("qd").cast("double") -
+      col("sd").cast("double") * col("sd").cast("double") /
+        col("n_blocks").cast("double")) /
+      (col("n_blocks") - 1).cast("double")
+    val beta = sqrt(variance) * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(EulerGamma) * beta
+    a.select(col("event_type"), col("n_blocks"),
+      tieSafe(mean, 6).as("mean_max_r"),
+      when(col("n_blocks") > 1 && variance > 0,
+        tieSafe(beta, 6)).as("beta_r"),
+      when(col("n_blocks") > 1 && variance > 0,
+        tieSafe(mu, 6)).as("mu_r"),
+      when(col("n_blocks") > 1 && variance > 0,
+        tieSafe(mu - beta * log(-log(lit(0.99))), 6)).as("ret100_r"))
+  }
+
   /** z critical value at two-sided 5% — the sign-test gate. */
   private[graft] val ZCrit: Double = 1.959964
 
@@ -1642,6 +1683,14 @@ object StatTestQueries {
       wassersteinFinish(EventQueries.ksGrid(
         EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
     }),
+
+    // GUMBEL EXTREME-VALUE FIT — the 100-day worst-case value per
+    // type from daily block maxima (max-merge state): method-of-
+    // moments β̂/μ̂ and the return level, one k-row IEEE chain over
+    // exact decimal block moments.
+    "events_gumbel_maxima" -> ((s, dir) =>
+      gumbelFinish(gumbelCells(Tables.events(s, dir)
+        .select(col("event_type"), col("ts_ms"), col("value"))))),
 
     // PAIRED SIGN TEST — did the daily value profile shift between
     // the PSI halves: hour-of-day cells paired across halves,
@@ -2626,6 +2675,46 @@ object StatTestQueries {
     // W1 segment-integral tail: exact integer CDF cross-products,
     // per-segment double product quantized to decimal, tie-safe
     // final division
+    // the same daily decimal block maxima, the same MoM chain
+    "events_gumbel_maxima" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ((epoch_ns(ts) // 1000000) // 86400000) AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), cells AS (
+        |  SELECT event_type, day, max(v) AS mx FROM e GROUP BY 1, 2
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    sum(mx) AS sd, sum(mx * mx) AS qd
+        |  FROM cells GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n_blocks,
+        |    CAST(sd AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean,
+        |    (CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |      / CAST(n_blocks AS DOUBLE)) / CAST(n_blocks - 1 AS DOUBLE)
+        |      AS var
+        |  FROM a
+        |), g AS (
+        |  SELECT event_type, n_blocks, mean, var,
+        |    sqrt(var) * sqrt(6.0) / pi() AS beta
+        |  FROM f
+        |)
+        |SELECT event_type, n_blocks,
+        |  CAST(round(CAST(round(mean, 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS mean_max_r,
+        |  CASE WHEN n_blocks > 1 AND var > 0 THEN
+        |    CAST(round(CAST(round(beta, 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    END AS beta_r,
+        |  CASE WHEN n_blocks > 1 AND var > 0 THEN
+        |    CAST(round(CAST(round(mean - 0.5772156649 * beta, 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS mu_r,
+        |  CASE WHEN n_blocks > 1 AND var > 0 THEN
+        |    CAST(round(CAST(round(mean - 0.5772156649 * beta
+        |      - beta * ln(-ln(0.99)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS ret100_r
+        |FROM g""".stripMargin,
+
     // the same hour-of-day half cells, the same exact decimal
     // cross-product comparisons, same z over non-tied pairs
     "events_sign_test" ->

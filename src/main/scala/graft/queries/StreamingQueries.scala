@@ -1257,6 +1257,19 @@ object StreamingQueries {
           .groupBy(col("event_type"), col("x"))
           .agg(count(lit(1)).as("cnt")))),
 
+    // STREAMING GUMBEL FIT — daily block maxima are MAX-merge state
+    // (the stream_dedup/odds-ratio max law on decimals); the MoM
+    // extreme-value finish runs at serving. Shares
+    // events_gumbel_maxima's oracle, hash-proven.
+    "stream_gumbel_maxima" -> ((s, dir) =>
+      StatTestQueries.gumbelFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("ts_ms"), col("value")),
+          "graft-gumbel-partials-")(StatTestQueries.gumbelCells)
+          .groupBy(col("event_type"), col("day"))
+          .agg(max(col("mx")).as("mx")))),
+
     // STREAMING SIGN TEST — the (type, hod, half) sum/count cells
     // are additive against the frozen split; the exact cross-product
     // pairing runs at serving. Shares events_sign_test's oracle,
@@ -2518,6 +2531,7 @@ object StreamingQueries {
     "stream_kendall_tau" -> StatTestQueries.oracleSql("events_kendall_tau"),
     "stream_hill_tail" -> StatTestQueries.oracleSql("events_hill_tail"),
     "stream_sign_test" -> StatTestQueries.oracleSql("events_sign_test"),
+    "stream_gumbel_maxima" -> StatTestQueries.oracleSql("events_gumbel_maxima"),
     "stream_burstiness" -> TextQueries.oracleSql("text_burstiness"),
     // Idempotent-union exposure state + serving-time cap/rank ≡ the
     // batch CF chain — shares both batch oracles, hash-proven.
