@@ -178,8 +178,8 @@ object ScaleBench {
     "events_rmst", "text_burstiness",
     // r14 wave 11: exact paired sign test, Hopkins clusterability
     "events_sign_test", "emb_hopkins",
-    // r14 wave 13: Gumbel block-maxima fit
-    "events_gumbel_maxima")
+    // r14 wave 13: Gumbel block-maxima fit, shape moments
+    "events_gumbel_maxima", "events_moments")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -236,7 +236,7 @@ object ScaleBench {
     "stream_rmst", "stream_mantel_haenszel", "stream_kendall_tau",
     "stream_hill_tail", "stream_sign_test", "stream_burstiness",
     // r14 wave 13
-    "stream_gumbel_maxima")
+    "stream_gumbel_maxima", "stream_moments")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -709,6 +709,48 @@ object StatTestQueries {
           col("chi2").cast("double") > Chi4Crit).as("is_sig"))
   }
 
+  /** Distribution-shape moments — per-type skewness g₁ = m₃/m₂^1.5
+    * and EXCESS kurtosis g₂ = m₄/m₂² − 3 (is the value distribution
+    * lopsided / heavy-tailed — the shape diagnostics the z-score
+    * anomaly family assumes away). State is one additive moment
+    * table (n, Σv, Σv², Σv³, Σv⁴): Σv/Σv² exact decimal (4-dp values
+    * are double-exact, squares fit DECIMAL(37,8)); the cube/quartic
+    * rows are single IEEE chains 6-dp-quantized to decimal before
+    * the order-insensitive sums (v⁴ ≤ 1e12 fits DECIMAL(30,6)).
+    * Central moments expand from raw moments in one fixed IEEE chain
+    * per type; both finals ride the tie-safe chain.
+    */
+  private[graft] def momentCells(e: DataFrame): DataFrame = {
+    val vd = dec(col("value")).cast("double")
+    e.filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).as("q2"),
+        sum(round(vd * vd * vd, 6).cast("decimal(30,6)")).as("q3"),
+        sum(round(vd * vd * vd * vd, 6).cast("decimal(30,6)")).as("q4"))
+  }
+
+  private[graft] def momentsFinish(cells: DataFrame): DataFrame = {
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("q2").cast("double") / nD - mu * mu
+    val m3 = col("q3").cast("double") / nD -
+      lit(3.0) * mu * (col("q2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("q4").cast("double") / nD -
+      lit(4.0) * mu * (col("q3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("q2").cast("double") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    cells.select(col("event_type"), col("n"),
+      tieSafe(mu, 6).as("mean_r"),
+      when(col("n") > 1 && m2 > 0, tieSafe(sqrt(m2), 6)).as("std_r"),
+      when(col("n") > 1 && m2 > 0,
+        tieSafe(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6)).as("skew_r"),
+      when(col("n") > 1 && m2 > 0,
+        tieSafe(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis_r"))
+  }
+
   /** Euler–Mascheroni γ — the Gumbel method-of-moments constant. */
   private[graft] val EulerGamma: Double = 0.5772156649
 
@@ -1683,6 +1725,13 @@ object StatTestQueries {
       wassersteinFinish(EventQueries.ksGrid(
         EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
     }),
+
+    // SKEWNESS / EXCESS KURTOSIS — the distribution-shape panel from
+    // one additive moment table (mergeable; the streaming twin
+    // sum-merges it). g₁ = m₃/m₂^1.5, g₂ = m₄/m₂² − 3.
+    "events_moments" -> ((s, dir) =>
+      momentsFinish(momentCells(Tables.events(s, dir)
+        .select(col("event_type"), col("value"))))),
 
     // GUMBEL EXTREME-VALUE FIT — the 100-day worst-case value per
     // type from daily block maxima (max-merge state): method-of-
@@ -2675,6 +2724,49 @@ object StatTestQueries {
     // W1 segment-integral tail: exact integer CDF cross-products,
     // per-segment double product quantized to decimal, tie-safe
     // final division
+    // the same additive moment table, same 6-dp cube/quartic
+    // quantization, same central-moment expansion chain
+    "events_moments" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+        |    CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS vd
+        |  FROM events WHERE value IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s1, sum(v * v) AS q2,
+        |    sum(CAST(round(vd * vd * vd, 6) AS DECIMAL(30,6))) AS q3,
+        |    sum(CAST(round(vd * vd * vd * vd, 6) AS DECIMAL(30,6))) AS q4
+        |  FROM e GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(q3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(q4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM a
+        |), c AS (
+        |  SELECT event_type, n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m
+        |)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(round(mu, 12) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS mean_r,
+        |  CASE WHEN n > 1 AND m2 > 0 THEN
+        |    CAST(round(CAST(round(sqrt(m2), 12) AS DECIMAL(24,12)), 6)
+        |      AS DOUBLE) END AS std_r,
+        |  CASE WHEN n > 1 AND m2 > 0 THEN
+        |    CAST(round(CAST(round(
+        |      m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS skew_r,
+        |  CASE WHEN n > 1 AND m2 > 0 THEN
+        |    CAST(round(CAST(round(m4 / (m2 * m2) - 3.0, 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS kurtosis_r
+        |FROM c""".stripMargin,
+
     // the same daily decimal block maxima, the same MoM chain
     "events_gumbel_maxima" ->
       """WITH e AS (

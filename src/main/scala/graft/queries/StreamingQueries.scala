@@ -1257,6 +1257,21 @@ object StreamingQueries {
           .groupBy(col("event_type"), col("x"))
           .agg(count(lit(1)).as("cnt")))),
 
+    // STREAMING SHAPE MOMENTS — skewness/kurtosis under ingest: the
+    // additive (n, Σv, Σv², Σv³, Σv⁴) moment table sum-merges per
+    // micro-batch; the central-moment expansion runs at serving.
+    // Shares events_moments' oracle, hash-proven.
+    "stream_moments" -> ((s, dir) =>
+      StatTestQueries.momentsFinish(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("value")),
+          "graft-moments-partials-")(StatTestQueries.momentCells)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+            sum(col("q2")).as("q2"), sum(col("q3")).as("q3"),
+            sum(col("q4")).as("q4")))),
+
     // STREAMING GUMBEL FIT — daily block maxima are MAX-merge state
     // (the stream_dedup/odds-ratio max law on decimals); the MoM
     // extreme-value finish runs at serving. Shares
@@ -2532,6 +2547,7 @@ object StreamingQueries {
     "stream_hill_tail" -> StatTestQueries.oracleSql("events_hill_tail"),
     "stream_sign_test" -> StatTestQueries.oracleSql("events_sign_test"),
     "stream_gumbel_maxima" -> StatTestQueries.oracleSql("events_gumbel_maxima"),
+    "stream_moments" -> StatTestQueries.oracleSql("events_moments"),
     "stream_burstiness" -> TextQueries.oracleSql("text_burstiness"),
     // Idempotent-union exposure state + serving-time cap/rank ≡ the
     // batch CF chain — shares both batch oracles, hash-proven.

@@ -49,10 +49,45 @@ class Round14Wave13Spec extends SparkSpec {
     assert(cells(("a", 1L)).doubleValue() === 2.0)
   }
 
+  // ---- shape moments ---------------------------------------------------
+
+  test("momentsFinish: symmetric two-point mass has skew 0, kurtosis −2") {
+    // values {0, 2}·n: m2 = 1, m3 = 0, m4 = 1 → g1 = 0, g2 = −2
+    val e = (1L to 10L).flatMap(i => Seq(("s", 0.0), ("s", 2.0)))
+      .toDF("event_type", "value")
+    val r = StatTestQueries.momentsFinish(StatTestQueries.momentCells(e))
+      .head()
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Double]("mean_r") === 1.0)
+    assert(r.getAs[Double]("std_r") === 1.0)
+    assert(r.getAs[Double]("skew_r") === 0.0)
+    assert(r.getAs[Double]("kurtosis_r") === -2.0)
+  }
+
+  test("momentsFinish: a right tail pulls skewness positive") {
+    // {0,0,0,9}: mu=2.25, right-skewed
+    val e = Seq(("t", 0.0), ("t", 0.0), ("t", 0.0), ("t", 9.0))
+      .toDF("event_type", "value")
+    val r = StatTestQueries.momentsFinish(StatTestQueries.momentCells(e))
+      .head()
+    assert(r.getAs[Double]("skew_r") > 1.0)
+    // constant values → null shape
+    val flat = Seq(("f", 5.0), ("f", 5.0)).toDF("event_type", "value")
+    val rf = StatTestQueries.momentsFinish(StatTestQueries.momentCells(flat))
+      .head()
+    assert(rf.isNullAt(rf.fieldIndex("skew_r")))
+  }
+
   test("wave-13 queries run the real fixture: bounded outputs") {
     val g = SparkEntry.queries("events_gumbel_maxima")(spark, sf)
     assert(g.count() === 5)
     assert(g.filter(col("beta_r") <= 0.0).count() === 0)
     assert(g.filter(col("ret100_r") <= col("mean_max_r")).count() === 0)
+    val m = SparkEntry.queries("events_moments")(spark, sf)
+    assert(m.count() === 5)
+    assert(m.filter(col("std_r") <= 0.0).count() === 0)
+    // a sane distribution cannot beat the kurtosis lower bound
+    assert(m.filter(col("kurtosis_r") < col("skew_r") * col("skew_r") - 2.0)
+      .count() === 0)
   }
 }
