@@ -178,8 +178,8 @@ object ScaleBench {
     "events_rmst", "text_burstiness",
     // r14 wave 11: exact paired sign test, Hopkins clusterability
     "events_sign_test", "emb_hopkins",
-    // r14 wave 13: Gumbel block-maxima fit, shape moments
-    "events_gumbel_maxima", "events_moments")
+    // r14 wave 13: Gumbel block-maxima fit, shape moments, Bowley
+    "events_gumbel_maxima", "events_moments", "events_bowley_skew")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —

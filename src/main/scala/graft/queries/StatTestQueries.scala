@@ -709,6 +709,42 @@ object StatTestQueries {
           col("chi2").cast("double") > Chi4Crit).as("is_sig"))
   }
 
+  /** Bowley (quartile) skewness — the ROBUST shape reading next to
+    * the moment panel (one outlier cannot move it): exact lower
+    * quartiles by count arithmetic on the additive (type, value,
+    * cnt) grid (the trimmedFromGrid ladder — per-type windows over
+    * the value lattice, never a global sort), B = (Q₁+Q₃−2Q₂)/IQR,
+    * one tie-safe rational final.
+    */
+  private[graft] def bowleyFinish(grid: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type")).orderBy(col("value"))
+    val t = grid
+      .withColumn("cum", sum(col("cnt")).over(
+        byType.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(
+        W.partitionBy(col("event_type"))))
+      .withColumn("k1", expr("(n + 3) div 4"))
+      .withColumn("k2", expr("(n + 1) div 2"))
+      .withColumn("k3", expr("(3 * n + 3) div 4"))
+    val a = t.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("cum_before") < col("k1") && col("k1") <= col("cum"),
+          col("value"))).as("q1"),
+        max(when(col("cum_before") < col("k2") && col("k2") <= col("cum"),
+          col("value"))).as("q2"),
+        max(when(col("cum_before") < col("k3") && col("k3") <= col("cum"),
+          col("value"))).as("q3"))
+    a.select(col("event_type"), col("n"),
+      round(col("q1"), 6).as("q1_r"), round(col("q2"), 6).as("q2_r"),
+      round(col("q3"), 6).as("q3_r"),
+      round(col("q3") - col("q1"), 6).as("iqr_r"),
+      when(col("q3") > col("q1"),
+        tieSafe((col("q1") + col("q3") - lit(2.0) * col("q2"))
+          / (col("q3") - col("q1")), 6)).as("bowley_r"))
+  }
+
   /** Distribution-shape moments — per-type skewness g₁ = m₃/m₂^1.5
     * and EXCESS kurtosis g₂ = m₄/m₂² − 3 (is the value distribution
     * lopsided / heavy-tailed — the shape diagnostics the z-score
@@ -1726,6 +1762,13 @@ object StatTestQueries {
         EventQueries.psiHalved(e, EventQueries.psiSplit(e))))
     }),
 
+    // BOWLEY QUARTILE SKEWNESS — the robust shape reading (exact
+    // lower quartiles by count arithmetic on the value grid; one
+    // outlier cannot move it, unlike events_moments' g₁).
+    "events_bowley_skew" -> ((s, dir) =>
+      bowleyFinish(moodGrid(Tables.events(s, dir)
+        .select(col("event_type"), col("value"))))),
+
     // SKEWNESS / EXCESS KURTOSIS — the distribution-shape panel from
     // one additive moment table (mergeable; the streaming twin
     // sum-merges it). g₁ = m₃/m₂^1.5, g₂ = m₄/m₂² − 3.
@@ -2724,6 +2767,39 @@ object StatTestQueries {
     // W1 segment-integral tail: exact integer CDF cross-products,
     // per-segment double product quantized to decimal, tie-safe
     // final division
+    // the same (type, value, cnt) grid, same lower-quartile count
+    // arithmetic, same tie-safe rational final
+    "events_bowley_skew" ->
+      """WITH grid AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, value, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+        |      AS cum_before,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM grid
+        |), a AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    max(CASE WHEN cum_before < (n + 3) // 4
+        |      AND (n + 3) // 4 <= cum THEN value END) AS q1,
+        |    max(CASE WHEN cum_before < (n + 1) // 2
+        |      AND (n + 1) // 2 <= cum THEN value END) AS q2,
+        |    max(CASE WHEN cum_before < (3 * n + 3) // 4
+        |      AND (3 * n + 3) // 4 <= cum THEN value END) AS q3
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |  round(q1, 6) AS q1_r, round(q2, 6) AS q2_r, round(q3, 6) AS q3_r,
+        |  round(q3 - q1, 6) AS iqr_r,
+        |  CASE WHEN q3 > q1 THEN
+        |    CAST(round(CAST(round((q1 + q3 - 2.0 * q2) / (q3 - q1), 12)
+        |      AS DECIMAL(24,12)), 6) AS DOUBLE) END AS bowley_r
+        |FROM a""".stripMargin,
+
     // the same additive moment table, same 6-dp cube/quartic
     // quantization, same central-moment expansion chain
     "events_moments" ->

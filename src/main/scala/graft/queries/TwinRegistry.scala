@@ -193,7 +193,10 @@ object TwinRegistry {
       // (wave 12: mantel_haenszel/kendall_tau/hill_tail/rmst/
       // burstiness/sign_test got their own streaming twins and left
       // this registry)
-      "emb_hopkins"),
+      "emb_hopkins",
+      // r14 wave 13b: exact quartiles on the (type, value) count
+      // grid (stream_ks_test's additive grid class)
+      "events_bowley_skew"),
       // (r14 wave 9: theil_index/chao1/mood_median/welch_anova/
       // cliffs_delta got their own streaming twins and left this
       // registry)

@@ -78,6 +78,25 @@ class Round14Wave13Spec extends SparkSpec {
     assert(rf.isNullAt(rf.fieldIndex("skew_r")))
   }
 
+  // ---- Bowley skewness ---------------------------------------------------
+
+  test("bowleyFinish: asymmetric quartiles score the closed form") {
+    // {0,1,4}: Q1=0, Q2=1, Q3=4 → B = (0+4−2)/4 = 0.5
+    val g = Seq(("b", 0.0, 1L), ("b", 1.0, 1L), ("b", 4.0, 1L),
+      // symmetric {1,2,3}: B = 0
+      ("s", 1.0, 1L), ("s", 2.0, 1L), ("s", 3.0, 1L),
+      // constant → IQR 0 → null
+      ("f", 7.0, 5L))
+      .toDF("event_type", "value", "cnt")
+    val out = StatTestQueries.bowleyFinish(g).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("b").getAs[Double]("q1_r") === 0.0)
+    assert(out("b").getAs[Double]("q3_r") === 4.0)
+    assert(out("b").getAs[Double]("bowley_r") === 0.5)
+    assert(out("s").getAs[Double]("bowley_r") === 0.0)
+    assert(out("f").isNullAt(out("f").fieldIndex("bowley_r")))
+  }
+
   test("wave-13 queries run the real fixture: bounded outputs") {
     val g = SparkEntry.queries("events_gumbel_maxima")(spark, sf)
     assert(g.count() === 5)
@@ -88,6 +107,11 @@ class Round14Wave13Spec extends SparkSpec {
     assert(m.filter(col("std_r") <= 0.0).count() === 0)
     // a sane distribution cannot beat the kurtosis lower bound
     assert(m.filter(col("kurtosis_r") < col("skew_r") * col("skew_r") - 2.0)
+      .count() === 0)
+    val b = SparkEntry.queries("events_bowley_skew")(spark, sf)
+    assert(b.count() === 5)
+    assert(b.filter(abs(col("bowley_r")) > 1.0).count() === 0)
+    assert(b.filter(col("q1_r") > col("q2_r") || col("q2_r") > col("q3_r"))
       .count() === 0)
   }
 }
