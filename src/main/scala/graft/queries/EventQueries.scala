@@ -2920,8 +2920,12 @@ object EventQueries {
   private[graft] def inequalityFinish(u: org.apache.spark.sql.DataFrame) = {
     def tieSafe(c: org.apache.spark.sql.Column, dp: Int) =
       round(round(c, 12).cast("decimal(24,12)"), dp).cast("double")
+    // decimal(24,4) (the signFinish width), not (18,4): on overflow
+    // Spark's downcast silently NULLs the row (dropping the user)
+    // while DuckDB's CAST raises — widened on both engines so an
+    // extreme per-user total degrades identically (ADVICE r14)
     val t = u.filter(col("x") > 0)
-      .select(col("x").cast("decimal(18,4)").as("x"))
+      .select(col("x").cast("decimal(24,4)").as("x"))
       .withColumn("lx",
         round(log(asDouble(col("x"))), 12).cast("decimal(20,12)"))
       .withColumn("xlx",
@@ -5633,7 +5637,7 @@ object EventQueries {
     "events_theil_index" ->
       """WITH u AS (
         |  SELECT user_id,
-        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS x
         |  FROM events WHERE value IS NOT NULL GROUP BY 1
         |), t AS (
         |  SELECT x,

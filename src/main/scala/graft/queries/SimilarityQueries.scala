@@ -2121,9 +2121,15 @@ object SimilarityQueries {
       .groupBy(col("list_id"))
       .agg(sum(col("t")).as("msx"), sum(col("t2")).as("mm"))
     per.join(mterms, "list_id")
+      // greatest(…, 0): the quantized expansion can land marginally
+      // negative when a cluster's true WSS is ~0 (singleton /
+      // duplicate-vector cluster) — unclamped, sqrt(w_k) is NaN on
+      // Spark but an ERROR in the DuckDB oracle (ADVICE r14). Clamped
+      // identically in the oracle's wk CTE, degenerate clusters give
+      // s_k = 0 on both engines.
       .withColumn("w_k",
-        col("ssq").cast("double") - lit(2.0) * col("msx").cast("double")
-          + col("n_k") * col("mm").cast("double"))
+        greatest(col("ssq").cast("double") - lit(2.0) * col("msx").cast("double")
+          + col("n_k") * col("mm").cast("double"), lit(0.0)))
       .select(col("list_id"), col("n_k"), col("w_k"))
   }
 
@@ -2152,7 +2158,11 @@ object SimilarityQueries {
         col("k").cast("long").as("k_clusters"),
         tieSafe(col("bb").cast("double"), 6).as("b_r"),
         tieSafe(col("ww").cast("double"), 6).as("w_r"),
-        when(col("k") > 1 && col("n") > col("k"),
+        // ww > 0: an all-identical-vectors corpus gives W = 0 —
+        // unguarded, Spark nulls the Infinity→decimal cast while
+        // DuckDB errors casting inf (ADVICE r14; welchFinish style)
+        when(col("k") > 1 && col("n") > col("k")
+            && col("ww").cast("double") > 0,
           tieSafe((col("bb").cast("double") / (col("k") - 1).cast("double"))
             / (col("ww").cast("double") / (col("n") - col("k")).cast("double")),
             6)).as("ch_r"))
@@ -3107,8 +3117,8 @@ object SimilarityQueries {
        |  FROM dm GROUP BY 1
        |), wk AS (
        |  SELECT p.list_id, p.n_k,
-       |    CAST(p.ssq AS DOUBLE) - 2.0 * CAST(t.msx AS DOUBLE)
-       |      + p.n_k * CAST(t.mm AS DOUBLE) AS w_k
+       |    greatest(CAST(p.ssq AS DOUBLE) - 2.0 * CAST(t.msx AS DOUBLE)
+       |      + p.n_k * CAST(t.mm AS DOUBLE), 0.0) AS w_k
        |  FROM per p JOIN mterms t USING (list_id)
        |)""".stripMargin
 
@@ -4260,7 +4270,7 @@ object SimilarityQueries {
          |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS b_r,
          |  CAST(round(CAST(round(CAST(ww AS DOUBLE), 12)
          |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS w_r,
-         |  CASE WHEN k > 1 AND n > k THEN
+         |  CASE WHEN k > 1 AND n > k AND CAST(ww AS DOUBLE) > 0 THEN
          |    CAST(round(CAST(round(
          |      (CAST(bb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
          |        / (CAST(ww AS DOUBLE) / CAST(n - k AS DOUBLE)), 12)
