@@ -30,7 +30,7 @@ object ScaleBench {
     "dedup_exact", "dedup_minhash_bands", "dedup_lsh_pairs", "dedup_lsh_keep",
     "dedup_cc", "graph_pagerank", "graph_triangles", "graph_kcore", "graph_bfs",
     "graph_modularity", "graph_lpa",
-    "dedup_substring",
+    "dedup_substring", "dedup_substring_coverage", "pipeline_substring_impact",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
     "dedup_jaro_winkler", "dedup_containment",
     "dedup_semantic",

@@ -149,6 +149,65 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(graft.functions.ShingleHashes(TextOps.tokens(col("text")), k)).as("span_h"))
 
+  /** The POSITIONAL gram table — one row per k-token gram occurrence,
+    * with its token position: (doc_id, pos, gram_h). The positional
+    * sibling of [[spanTable]] ([[graft.functions.GramHashes]] keeps
+    * gram order where ShingleHashes deduplicates), feeding the
+    * coverage computation interval-union positions [[spanTable]]
+    * cannot. O(total tokens) rows; at 100 TB this is the pipeline's
+    * materialized grams table, written once beside the spans table.
+    */
+  def gramTable(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.GramHashes(TextOps.tokens(col("text")), k))
+        .as(Seq("pos", "gram_h")))
+
+  /** Per-document duplicated-span COVERAGE (the Lee-et-al substring
+    * dedup measure): the fraction of a doc's tokens inside a k-token
+    * span that also appears in ≥2 distinct documents. A token t is
+    * covered iff some duplicated gram starts in [t−k+1, t]; since all
+    * intervals have length exactly k, the interval-union length is
+    * Σ min(k, pos_i − pos_{i−1}) over the doc's sorted duplicated
+    * gram starts (first term = k) — one lag window partitioned by
+    * doc_id (bounded by doc length, never global).
+    *
+    * Linear end-to-end: one gram-hash agg for document frequency
+    * (two-phase countDistinct, partial-aggregable), one gram-keyed
+    * shuffle join back, one per-doc window + hash agg. Never
+    * pair-shaped — the join carries gram OCCURRENCES (O(total
+    * tokens)), not doc pairs.
+    *
+    * @param docs (doc_id: long, text: string)
+    * @return (doc_id, n_tokens, n_dup_grams, covered_tokens,
+    *         coverage_r) — docs shorter than k keep a zero row
+    */
+  def spanCoverageFrom(docs: org.apache.spark.sql.DataFrame,
+                       grams: org.apache.spark.sql.DataFrame,
+                       k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupGrams = grams.groupBy(col("gram_h"))
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+      .filter(col("gram_df") >= 2)
+      .select(col("gram_h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = grams.join(dupGrams, "gram_h")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("c",
+        when(col("prev").isNull, lit(k))
+          .otherwise(least(lit(k), col("pos") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+           sum(col("c")).cast("long").as("covered_tokens"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L))
+          / col("n_tokens").cast("double"), 6).as("coverage_r"))
+  }
+
   /** [[substringStats]] body over a prebuilt span table. */
   def substringStatsFrom(docs: org.apache.spark.sql.DataFrame,
                          spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

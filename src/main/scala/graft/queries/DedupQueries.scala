@@ -757,6 +757,43 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
         .filter(col("n_docs") >= 2)),
 
+    // Duplicated-span COVERAGE (the Lee-et-al substring-dedup
+    // measure): per doc, the fraction of its TOKENS inside a
+    // SpanTokens-token span that also appears in another document —
+    // dedup_substring counts recurring spans, this measures how much
+    // of each document they blanket (the number the "remove repeated
+    // substrings" pass acts on). Interval-union via one lag window
+    // per doc over the positional gram table; everything else is
+    // gram-keyed hash aggs — linear, never pair-shaped.
+    "dedup_substring_coverage" -> ((s, dir) =>
+      Dedup.spanCoverageFrom(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        docGrams(s, dir), SpanTokens)),
+
+    // Span-dedup IMPACT — the before/after row a curation run
+    // reports (the pipeline_dedup_impact pattern at span granularity):
+    // per source, how many tokens sit inside cross-document repeated
+    // spans — i.e. the corpus fraction a substring-dedup pass would
+    // strip, vs document-level dedup which drops whole docs. One
+    // join of the per-doc coverage onto the source column + one
+    // partial-aggregable per-source agg.
+    "pipeline_substring_impact" -> ((s, dir) =>
+      Dedup.spanCoverageFrom(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          docGrams(s, dir), SpanTokens)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("covered_tokens") > 0, 1L).otherwise(0L))
+               .as("n_docs_affected"),
+             sum(col("n_tokens")).as("tokens_total"),
+             sum(col("covered_tokens")).as("tokens_dup"))
+        .select(col("source"), col("n_docs"), col("n_docs_affected"),
+                col("tokens_total"), col("tokens_dup"),
+                round(col("tokens_dup").cast("double")
+                  / col("tokens_total").cast("double"), 6).as("dup_rate"))),
+
     // Eval-set CONTAMINATION audit — the measurement that justifies
     // component-keyed splitting: for each split scheme, count val/test
     // documents containing a span that also appears in that scheme's
@@ -1704,6 +1741,17 @@ object DedupQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")), SpanTokens)
     }
 
+  /** The POSITIONAL (doc_id, pos, gram_h) table — materialized once
+    * per (session, dir) and shared by `dedup_substring_coverage` and
+    * `pipeline_substring_impact` (at scale it is the pipeline's grams
+    * table, written once beside the spans table).
+    */
+  private def docGrams(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "doc_grams") {
+      Dedup.gramTable(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), SpanTokens)
+    }
+
   /** Per-document curation flags (quality score, language prediction,
     * sequential-pass PII count, exact fingerprint, source) — one narrow
     * projection shared by `pipeline_select` and
@@ -1921,6 +1969,38 @@ object DedupQueries {
     s"""list_transform(generate_series(0, 15), j ->
        |  list_min(list_transform($tokExpr, s ->
        |    ((2*j + 1) * (${h31.format("s")}) + j*12345 + 7) % 2147483647)))""".stripMargin
+
+  /** Shared oracle CTE chain for the span-coverage pair: positional
+    * k-grams (`g`), distinct-doc-frequency-≥2 grams (`dupg`), per-doc
+    * sorted interval union (`pv` → `cov`), per-doc token counts
+    * (`n`) — the SQL twin of [[graft.operators.Dedup.gramTable]] +
+    * [[graft.operators.Dedup.spanCoverageFrom]].
+    */
+  private lazy val gramCoverageCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${h31.format(s"array_to_string(list_slice(toks, i, i + ${SpanTokens - 1}), ' ')")} AS gram_h
+       |  FROM d, unnest(generate_series(1, greatest(len(toks) - ${SpanTokens - 1}, 0))) u(i)
+       |), dupg AS (
+       |  SELECT gram_h FROM (
+       |    SELECT gram_h, count(DISTINCT doc_id) AS ddf FROM g GROUP BY 1
+       |  ) WHERE ddf >= 2
+       |), pv AS (
+       |  SELECT g.doc_id, g.pos,
+       |    lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       |  FROM g JOIN dupg USING (gram_h)
+       |), cov AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+       |    CAST(sum(CASE WHEN prev IS NULL THEN ${SpanTokens}
+       |      ELSE least(${SpanTokens}, pos - prev) END) AS BIGINT)
+       |      AS covered_tokens
+       |  FROM pv GROUP BY 1
+       |), n AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)""".stripMargin
 
   /** Shared oracle CTE chain `sigs → bands → mins → edges` — the SQL
     * twin of the [[lshEdges]] artifact (LSH star-edge candidate
@@ -3068,6 +3148,36 @@ object DedupQueries {
          |SELECT span_h, count(*) AS n_docs, min(doc_id) AS first_doc_id
          |FROM sh GROUP BY span_h
          |HAVING count(*) >= 2""".stripMargin,
+
+    // same positional grams → distinct-doc df ≥ 2 → per-doc sorted
+    // interval union (Σ min(k, gap)) — term-for-term the
+    // Dedup.spanCoverageFrom chain
+    "dedup_substring_coverage" ->
+      s"""WITH $gramCoverageCtes
+         |SELECT n.doc_id, n.n_tokens,
+         |  CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  round(coalesce(c.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 6)
+         |    AS coverage_r
+         |FROM n LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // the same coverage chain rolled up per source
+    "pipeline_substring_impact" ->
+      s"""WITH $gramCoverageCtes, d2 AS (
+         |  SELECT n.doc_id, d.source, n.n_tokens,
+         |    coalesce(c.covered_tokens, 0) AS covered
+         |  FROM n
+         |  JOIN documents d USING (doc_id)
+         |  LEFT JOIN cov c USING (doc_id)
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_affected,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(covered) AS BIGINT) AS tokens_dup,
+         |  round(CAST(sum(covered) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+         |    AS dup_rate
+         |FROM d2 GROUP BY 1""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""WITH docs AS (
