@@ -147,6 +147,131 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Deterministic 8×8 BLOCK-PATTERN image for the perceptual-dedup
+    * tier: cell (i,j) of an 8×8 grid is bright (200) iff bit
+    * `i·8 + j` of `key` is set (bits ≥ 60 always dark — the key is a
+    * 60-bit md5 prefix, so four cells anchor the global mean below
+    * the bright level), rendered at `w`×`h` with floor cell
+    * boundaries (`i = y·8 div h`, `j = x·8 div w`) and PNG-encoded.
+    * The SAME pattern key rendered at two different sizes is a true
+    * resized/re-encoded duplicate: different pixel counts and band
+    * sums (the exact-copy statistic tier misses it), identical block
+    * structure (the perceptual hash catches it).
+    */
+  def synthPattern(w: Int, h: Int, key: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val i = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val k = i * 8 + x * 8 / w
+        val v = if (k < 60 && ((key >> k) & 1L) == 1L) 200 else 40
+        px(y * w + x) = (v << 16) | (v << 8) | v
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 8×8 average-hash of one decoded raster — the perceptual
+    * signature (aHash): partition the image into an 8×8 grid with
+    * floor boundaries, and set bit `i·8 + j` iff cell (i,j)'s mean
+    * brightness exceeds the global mean. Everything stays INTEGER:
+    * brightness is the band sum r+g+b (no /3), and the mean
+    * comparison is cross-multiplied (`cellSum·(w·h) > totalSum·nPix`)
+    * so the hash is engine-exact — no float resampling, no epsilon.
+    * Resize/re-encode invariant for block-structured content by
+    * construction (each grid cell's mean is the block value at any
+    * resolution). Long-safe: cellSum ≤ 3·255·2^26, w·h ≤ 2^26 would
+    * overflow only past ~150 megapixels per cell — far beyond PNG
+    * practice.
+    */
+  def ahashPng(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val i = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = px(y * w + x)
+        val s3 = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        val k = i * 8 + x * 8 / w
+        cellSum(k) += s3
+        cellN(k) += 1
+        total += s3
+        x += 1
+      }
+      y += 1
+    }
+    val wh = w.toLong * h
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (cellN(k) > 0 && cellSum(k) * wh > total * cellN(k))
+        hash |= 1L << k
+      k += 1
+    }
+    (w.toLong, h.toLong, total, hash)
+  }
+
+  private val encodePatternUdf =
+    udf((w: Int, h: Int, key: Long) => synthPattern(w, h, key))
+
+  /** The perceptual-dedup fixture: documents 2k and 2k+1 share one
+    * pattern key (the salted md5 prefix of `media_id div 2` — 15 hex
+    * chars = 60 bits, BIGINT-safe on both engines) but render at
+    * per-document sizes, so consecutive doc pairs are resized
+    * re-encodes of the same scene — the duplicate class global pixel
+    * statistics cannot bucket.
+    */
+  def perceptualTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.tables.Tables.documents(s, dir)
+    val t = col("text")
+    val key = conv(substring(md5(concat(
+        floor(col("doc_id") / 2).cast("long").cast("string"), lit("#pkey"))),
+      1, 15), 16, 10).cast("long")
+    docs.select(
+      col("doc_id").as("media_id"),
+      encodePatternUdf(
+        (ph(t, "pw") % 97L + 16L).cast("int"),
+        (ph(t, "ph") % 97L + 16L).cast("int"),
+        key).as("bytes"))
+  }
+
+  /** Batched real decode + perceptual hash in the [[decodePngs]]
+    * `mapPartitions` shape: each row gains (width, height, sum3,
+    * ahash) computed from the decoded raster in the same pass — the
+    * signature costs one extra array walk while the pixels are hot,
+    * not a second decode.
+    */
+  def ahashPngs(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("sum3", LongType), StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, s3, a) = ahashPng(r.getAs[Array[Byte]](bytesIdx))
+          Row.fromSeq(r.toSeq ++ Seq(w, h, s3, a))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic PCM16 mono WAV at 16 kHz: `nBlocks` repetitions of
     * the 256-sample ramp s(t) = base + (t mod 256). With |base| ≤
     * 16000 no sample wraps, so every decoded statistic has a closed

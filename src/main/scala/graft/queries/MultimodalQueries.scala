@@ -127,6 +127,31 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_items"), min(col("media_id")).as("rep_id"))
         .filter(col("n_items") >= 2)),
 
+    // PERCEPTUAL media near-dup — the tier mm_near_dup's global pixel
+    // statistics cannot reach: a RESIZED/re-encoded duplicate has
+    // different dimensions and band sums but the same block structure.
+    // The fixture makes consecutive doc pairs true resized duplicates
+    // (one pattern key per `media_id div 2`, per-doc sizes); the
+    // 8×8 average-hash is computed from the REAL decoded raster in
+    // the decode mapPartitions pass (integer cross-multiplied mean
+    // comparison — engine-exact, no float resampling), then
+    // Hamming-banded the dedup_simhash way: 4×16-bit bands, bucket =
+    // (band, band_val), near-dup candidates = buckets with ≥2
+    // members. Linear: one narrow decode projection + one hash agg —
+    // never pair-shaped.
+    "mm_near_dup_perceptual" -> ((s, dir) =>
+      MultimodalOps.ahashPngs(MultimodalOps.perceptualTable(s, dir))
+        .select(col("media_id"),
+          explode(array((0 to 3).map(b =>
+            struct(lit(b.toLong).as("band"),
+              shiftright(col("ahash"), 16 * b).bitwiseAND(lit(65535L))
+                .as("band_val"))): _*)).as("bv"))
+        .select(col("media_id"), col("bv.band").as("band"),
+                col("bv.band_val").as("band_val"))
+        .groupBy(col("band"), col("band_val"))
+        .agg(count(lit(1)).as("n_items"), min(col("media_id")).as("rep_id"))
+        .filter(col("n_items") >= 2)),
+
     // frame sampling for video payloads: every 12th frame index of the
     // container frame count, exploded.
     "mm_frame_sample" -> ((s, dir) =>
@@ -232,6 +257,29 @@ object MultimodalQueries {
          |)
          |SELECT bucket, count(*) AS n_items, min(media_id) AS rep_id
          |FROM sig GROUP BY bucket HAVING count(*) >= 2""".stripMargin,
+
+    // closed-form twin: for the block-pattern fixture the decoded
+    // aHash provably equals the 60-bit pattern key (bright cells sit
+    // strictly above the global mean because the four key-less cells
+    // are always dark; dark cells strictly below unless all-dark,
+    // where the bit is 0 anyway) — so the oracle derives the hash
+    // from the same salted md5 chain and bands it with integer
+    // shifts, and a green row proves the encode → PNG → decode →
+    // block-mean pipeline reproduced every one of the 60 bits.
+    "mm_near_dup_perceptual" ->
+      """WITH k AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id // 2 AS VARCHAR),
+        |      '#pkey')), 1, 15)) AS BIGINT) AS ahash
+        |  FROM documents
+        |), b AS (
+        |  SELECT media_id, CAST(t.b AS BIGINT) AS band,
+        |    CAST((ahash >> (16 * t.b)) & 65535 AS BIGINT) AS band_val
+        |  FROM k, generate_series(0, 3) t(b)
+        |)
+        |SELECT band, band_val, CAST(count(*) AS BIGINT) AS n_items,
+        |  min(media_id) AS rep_id
+        |FROM b GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH v AS (

@@ -97,6 +97,43 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- perceptual media hash ----------------------------------------
+
+  test("ahash is resize/re-encode invariant where pixel sums are not") {
+    import graft.multimodal.MultimodalOps
+    val key = 0x0F5A3C9112345L // arbitrary 60-bit pattern, mixed bits
+    val a = MultimodalOps.ahashPng(MultimodalOps.synthPattern(64, 64, key))
+    val b = MultimodalOps.ahashPng(MultimodalOps.synthPattern(97, 41, key))
+    // same scene at different sizes: identical perceptual hash...
+    assert(a._4 == key && b._4 == key,
+      s"ahash must recover the pattern key: ${a._4} / ${b._4} vs $key")
+    // ...but different dims and global pixel sums — the statistic
+    // tier (mm_near_dup's feature vector) cannot bucket this pair
+    assert(a._1 != b._1 && a._2 != b._2 && a._3 != b._3)
+    // degenerate keys stay deterministic: all-dark pattern hashes to 0
+    assert(MultimodalOps.ahashPng(MultimodalOps.synthPattern(32, 32, 0L))._4 == 0L)
+  }
+
+  test("perceptual fixture pairs share every band; ahash matches the key chain") {
+    import graft.multimodal.MultimodalOps
+    val hashed = MultimodalOps.ahashPngs(
+        MultimodalOps.perceptualTable(spark, sf).limit(64))
+      .select(col("media_id"), col("ahash"), col("sum3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc pairs (2k, 2k+1): identical ahash (the resized duplicate),
+    // and at least one pair differs in raw pixel sums
+    val pairs = hashed.keys.groupBy(_ / 2).values.filter(_.size == 2)
+    assert(pairs.nonEmpty)
+    for (p <- pairs) {
+      val Seq(x, y) = p.toSeq.sorted
+      assert(hashed(x)._1 == hashed(y)._1, s"pair ($x,$y) ahash mismatch")
+    }
+    assert(pairs.exists { p =>
+      val Seq(x, y) = p.toSeq.sorted
+      hashed(x)._2 != hashed(y)._2
+    }, "fixture should contain a pair the sum-statistic tier misses")
+  }
+
   test("substring impact aggregates the per-doc coverage exactly") {
     val docs = corpus.withColumn("source",
       when(col("doc_id") <= 2, "s_a").otherwise("s_b"))
