@@ -91,7 +91,8 @@ object ScaleBench {
     "events_rfm", "events_sessionize", "events_sliding_window",
     "events_top_users", "events_window_agg",
     "mm_audio_decode", "mm_audio_features", "mm_decode_dims", "mm_features",
-    "mm_frame_sample", "mm_near_dup", "mm_near_dup_perceptual", "mm_resize",
+    "mm_frame_sample", "mm_near_dup", "mm_near_dup_perceptual",
+    "mm_near_dup_eval", "mm_resize",
     "pipeline_contamination", "pipeline_select", "pipeline_split",
     "pipeline_token_stats", "pq_codebook",
     "q1_agg", "q3_top_orders", "q5_regional_revenue", "q_anti_join",

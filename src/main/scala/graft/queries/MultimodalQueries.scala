@@ -152,6 +152,37 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_items"), min(col("media_id")).as("rep_id"))
         .filter(col("n_items") >= 2)),
 
+    // Tier EVAL on the planted resized-duplicate pairs (the
+    // dedup_lsh_eval pattern): docs 2k/2k+1 are ground-truth
+    // duplicates by construction — how many does each tier catch?
+    // The exact-statistic tier can at best group identical decoded
+    // statistics (equal dims + band sums); the perceptual tier
+    // groups equal aHashes. One self-join on pair_id (linear — each
+    // doc joins exactly its twin) + one global agg.
+    "mm_near_dup_eval" -> ((s, dir) => {
+      val t = MultimodalOps.ahashPngs(MultimodalOps.perceptualTable(s, dir))
+        .select(col("media_id"), floor(col("media_id") / 2).cast("long").as("pair_id"),
+                col("width"), col("height"), col("sum3"), col("ahash"))
+      val a = t.filter(col("media_id") % 2 === 0)
+        .select(col("pair_id"), col("width").as("w_a"), col("height").as("h_a"),
+                col("sum3").as("s_a"), col("ahash").as("p_a"))
+      val b = t.filter(col("media_id") % 2 === 1)
+        .select(col("pair_id"), col("width").as("w_b"), col("height").as("h_b"),
+                col("sum3").as("s_b"), col("ahash").as("p_b"))
+      a.join(b, "pair_id")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("w_a") === col("w_b") && col("h_a") === col("h_b")
+                   && col("s_a") === col("s_b"), 1L).otherwise(0L))
+               .as("caught_statistic"),
+             sum(when(col("p_a") === col("p_b"), 1L).otherwise(0L))
+               .as("caught_perceptual"))
+        .select(col("n_pairs"), col("caught_statistic"), col("caught_perceptual"),
+          round(col("caught_statistic") / col("n_pairs").cast("double"), 6)
+            .as("recall_statistic_r"),
+          round(col("caught_perceptual") / col("n_pairs").cast("double"), 6)
+            .as("recall_perceptual_r"))
+    }),
+
     // frame sampling for video payloads: every 12th frame index of the
     // container frame count, exploded.
     "mm_frame_sample" -> ((s, dir) =>
@@ -280,6 +311,33 @@ object MultimodalQueries {
         |SELECT band, band_val, CAST(count(*) AS BIGINT) AS n_items,
         |  min(media_id) AS rep_id
         |FROM b GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // pair members share the pattern key by construction, so equal
+    // aHash is certain (recall_perceptual ≡ 1) and equal statistics
+    // reduce to equal (w, h) — equal dims + equal key determine every
+    // band sum, and differing dims already break the feature vector.
+    // The oracle states exactly that closed form; the Spark side
+    // proves it from the DECODED rasters.
+    "mm_near_dup_eval" ->
+      s"""WITH p AS (
+        |  SELECT doc_id AS media_id, doc_id // 2 AS pair_id,
+        |    ${hp("pw")} % 97 + 16 AS w,
+        |    ${hp("ph")} % 97 + 16 AS h
+        |  FROM documents
+        |), j AS (
+        |  SELECT a.pair_id,
+        |    CASE WHEN a.w = b.w AND a.h = b.h THEN 1 ELSE 0 END AS stat_hit
+        |  FROM p a JOIN p b ON b.pair_id = a.pair_id
+        |  WHERE a.media_id % 2 = 0 AND b.media_id % 2 = 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(stat_hit) AS BIGINT) AS caught_statistic,
+        |  CAST(count(*) AS BIGINT) AS caught_perceptual,
+        |  round(sum(stat_hit) / CAST(count(*) AS DOUBLE), 6)
+        |    AS recall_statistic_r,
+        |  round(count(*) / CAST(count(*) AS DOUBLE), 6)
+        |    AS recall_perceptual_r
+        |FROM j""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH v AS (

@@ -138,7 +138,7 @@ object TwinRegistry {
       "graph_assortativity", "graph_bfs", "graph_hits", "graph_kcore",
       "graph_lpa", "graph_modularity", "graph_pagerank", "graph_ppr",
       "graph_triangles", "mm_near_dup", "mm_near_dup_perceptual",
-      "emb_knn_graph",
+      "mm_near_dup_eval", "emb_knn_graph",
       "emb_knn_accuracy", "emb_intrinsic_dim", "emb_centroid_sim",
       "emb_triplet_eval", "text_bleu_pairs", "text_rouge_pairs",
       "graph_closeness_sampled", "emb_matryoshka_recall",
