@@ -208,6 +208,47 @@ object Dedup {
           / col("n_tokens").cast("double"), 6).as("coverage_r"))
   }
 
+  /** The span-dedup ACTION (Lee-et-al substring removal): rebuild
+    * each document with every token inside a duplicated ≥k-token span
+    * REMOVED. Covered positions come from the same duplicated-gram
+    * occurrences as [[spanCoverageFrom]], expanded to token indices
+    * (one bounded explode of k per occurrence, distinct-folded);
+    * surviving tokens re-join in document order via an in-group
+    * array_sort — per-doc bounded, never a global sort. Everything
+    * else is the coverage chain's hash aggs and one anti-join on
+    * (doc_id, pos) — linear, the transform a curation run actually
+    * applies after the impact row justifies it.
+    *
+    * @return (doc_id, n_tokens, kept_tokens, stripped_text) — fully
+    *         covered docs keep a row with kept_tokens = 0 and ''
+    */
+  def substringStrip(docs: org.apache.spark.sql.DataFrame,
+                     grams: org.apache.spark.sql.DataFrame,
+                     k: Int): org.apache.spark.sql.DataFrame = {
+    val dupGrams = grams.groupBy(col("gram_h"))
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+      .filter(col("gram_df") >= 2)
+      .select(col("gram_h"))
+    val covered = grams.join(dupGrams, "gram_h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("stripped_text"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("stripped_text"), lit("")).as("stripped_text"))
+  }
+
   /** [[substringStats]] body over a prebuilt span table. */
   def substringStatsFrom(docs: org.apache.spark.sql.DataFrame,
                          spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

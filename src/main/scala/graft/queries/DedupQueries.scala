@@ -824,6 +824,17 @@ object DedupQueries {
              count(lit(1)).as("n_span_hits"))
     }),
 
+    // The span-dedup ACTION — the transform pipeline_substring_impact
+    // justifies: every token inside a cross-document repeated
+    // ≥SpanTokens-token span removed, the document rebuilt from the
+    // survivors in order. Linear over the shared positional gram
+    // artifact (bounded k-explode + one anti-join + per-doc
+    // array_sort agg — no global sort).
+    "pipeline_substring_strip" -> ((s, dir) =>
+      Dedup.substringStrip(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        docGrams(s, dir), SpanTokens)),
+
     // INCREMENTAL dedup — the daily-ingest path: a production corpus
     // is not deduped from scratch per batch; each arriving batch is
     // checked against the existing corpus's exact-fingerprint and LSH
@@ -3160,6 +3171,29 @@ object DedupQueries {
          |  round(coalesce(c.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 6)
          |    AS coverage_r
          |FROM n LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // the same duplicated-gram occurrences expanded to covered token
+    // indices, surviving tokens re-joined in order
+    "pipeline_substring_strip" ->
+      s"""WITH $gramCoverageCtes, cvp AS (
+         |  SELECT DISTINCT o.doc_id, o.pos + u.i AS pos
+         |  FROM (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram_h)) o,
+         |    unnest(generate_series(0, ${SpanTokens - 1})) u(i)
+         |), tk AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |  FROM d, unnest(generate_series(1, len(toks))) u(i)
+         |), kept AS (
+         |  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tk.tok, ' ' ORDER BY tk.pos) AS stripped_text
+         |  FROM tk
+         |  LEFT JOIN cvp ON cvp.doc_id = tk.doc_id AND cvp.pos = tk.pos
+         |  WHERE cvp.doc_id IS NULL
+         |  GROUP BY 1
+         |)
+         |SELECT n.doc_id, n.n_tokens,
+         |  coalesce(k.kept_tokens, 0) AS kept_tokens,
+         |  coalesce(k.stripped_text, '') AS stripped_text
+         |FROM n LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // the same coverage chain rolled up per source
     "pipeline_substring_impact" ->

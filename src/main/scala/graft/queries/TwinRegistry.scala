@@ -130,7 +130,8 @@ object TwinRegistry {
       // r15: the coverage finish + per-source impact on the same
       // corpus-wide gram-df topology (df ≥ 2 is a whole-corpus fact)
       "dedup_substring_spans", "dedup_substring_coverage",
-      "pipeline_substring_impact", "er_canonical", "graph_adamic_adar",
+      "pipeline_substring_impact", "pipeline_substring_strip",
+      "er_canonical", "graph_adamic_adar",
       // r14 wave 7: the Jaccard finish on adamic_adar's wedge chain
       "graph_jaccard_linkpred",
       // r14 wave 8: degree-gated edge density on the same topology

@@ -97,6 +97,36 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("substringStrip is the exact complement of the coverage measure") {
+    val docs = corpus
+    val grams = Dedup.gramTable(docs, K)
+    val cov = Dedup.spanCoverageFrom(docs, grams, K)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val stripped = Dedup.substringStrip(docs, grams, K)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped.keySet == cov.keySet)
+    for ((id, (n, kept, text)) <- stripped) {
+      // kept = n_tokens − covered_tokens, token for token
+      assert(n == cov(id)._1)
+      assert(kept == cov(id)._1 - cov(id)._2, s"doc $id kept_tokens")
+      val toks = text.split(" ").filter(_.nonEmpty)
+      assert(toks.length == kept, s"doc $id stripped token count")
+      // survivors are a subsequence of the original document
+      val orig = texts(id).split(" ")
+      var oi = 0
+      for (t <- toks) {
+        while (oi < orig.length && orig(oi) != t) oi += 1
+        assert(oi < orig.length, s"doc $id: '$t' out of order in strip")
+        oi += 1
+      }
+    }
+    // doc 3 (no duplicated spans) survives verbatim; docs 1/2 lose
+    // their shared runs but keep the unique middles
+    assert(stripped(3L)._3 == texts(3L))
+    assert(stripped(1L)._3.contains("x1") && !stripped(1L)._3.contains("a b c d"))
+  }
+
   // ---- perceptual media hash ----------------------------------------
 
   test("ahash is resize/re-encode invariant where pixel sums are not") {
