@@ -90,6 +90,15 @@ object Bench {
         // cached frames (persist() inside query builders) must not
         // leak into the next rep's / query's measurement
         spark.catalog.clearCache()
+        // streaming twins leave their memory-sink tables registered
+        // (full result sets held on the driver); un-dropped, a
+        // REPS=3 run accumulates ~280 of them by the time the
+        // late-alphabet stream_* section runs — GC pressure that
+        // taxed exactly the stream rows (r15 keeper: stream median
+        // 1.16 vs batch 0.77 against r14). Drop them per rep.
+        spark.sqlContext.tableNames()
+          .filter(_.startsWith("stream_out_"))
+          .foreach(spark.catalog.dropTempView)
         sec
       }
       // any failed rep fails the query — a crash must never hide

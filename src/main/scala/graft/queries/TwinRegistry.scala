@@ -130,7 +130,6 @@ object TwinRegistry {
       // r15: the coverage finish + per-source impact on the same
       // corpus-wide gram-df topology (df ≥ 2 is a whole-corpus fact)
       "dedup_substring_spans", "dedup_substring_coverage",
-      "pipeline_substring_impact", "pipeline_substring_strip",
       "er_canonical", "graph_adamic_adar",
       // r14 wave 7: the Jaccard finish on adamic_adar's wedge chain
       "graph_jaccard_linkpred",
@@ -212,6 +211,11 @@ object TwinRegistry {
       "pipeline_dataset_card", "pipeline_pareto",
       "pipeline_k_anonymity", "pipeline_dp_release",
       "pipeline_contamination", "pipeline_dedup_impact",
+      // r15: the span-dedup report + transform are corpus-release
+      // stages like dedup_impact/select (their df≥2 input is the
+      // coverage topology, but the queries themselves are the
+      // snapshot report and the applied rewrite)
+      "pipeline_substring_impact", "pipeline_substring_strip",
       "pipeline_ccnet_buckets", "pipeline_curriculum",
       "pipeline_stratified_split", "pipeline_token_stats",
       "pipeline_source_report", "cdc_scd2", "cdc_snapshot"),
