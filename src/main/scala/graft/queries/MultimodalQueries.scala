@@ -28,6 +28,20 @@ object MultimodalQueries {
       MultimodalOps.decodePngs(MultimodalOps.mediaTable(s, dir).drop("source"))
     }
 
+  /** The perceptual-hash table — pattern encode + real decode + aHash
+    * once per (session, dir), shared by mm_near_dup_perceptual and
+    * mm_near_dup_eval (the media-lake posture again: the signature is
+    * a stored column beside the blob). Payload dropped BEFORE the
+    * checkpoint — the decodedAudio lesson: checkpointing bytes beside
+    * four stat longs makes the artifact data-sized in the worst way.
+    */
+  private def perceptualHashed(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "perceptual_hashed") {
+      MultimodalOps.ahashPngs(MultimodalOps.perceptualTable(s, dir))
+        .select(col("media_id"), col("width"), col("height"),
+                col("sum3"), col("ahash"))
+    }
+
   /** The decoded audio table — WAV encode + real decode once per
     * (session, dir), shared by the mm_audio_* consumers.
     */
@@ -140,7 +154,7 @@ object MultimodalQueries {
     // members. Linear: one narrow decode projection + one hash agg —
     // never pair-shaped.
     "mm_near_dup_perceptual" -> ((s, dir) =>
-      MultimodalOps.ahashPngs(MultimodalOps.perceptualTable(s, dir))
+      perceptualHashed(s, dir)
         .select(col("media_id"),
           explode(array((0 to 3).map(b =>
             struct(lit(b.toLong).as("band"),
@@ -160,7 +174,7 @@ object MultimodalQueries {
     // groups equal aHashes. One self-join on pair_id (linear — each
     // doc joins exactly its twin) + one global agg.
     "mm_near_dup_eval" -> ((s, dir) => {
-      val t = MultimodalOps.ahashPngs(MultimodalOps.perceptualTable(s, dir))
+      val t = perceptualHashed(s, dir)
         .select(col("media_id"), floor(col("media_id") / 2).cast("long").as("pair_id"),
                 col("width"), col("height"), col("sum3"), col("ahash"))
       val a = t.filter(col("media_id") % 2 === 0)
