@@ -31,7 +31,7 @@ object ScaleBench {
     "dedup_cc", "graph_pagerank", "graph_triangles", "graph_kcore", "graph_bfs",
     "graph_modularity", "graph_lpa",
     "dedup_substring", "dedup_substring_coverage", "pipeline_substring_impact",
-    "pipeline_substring_strip",
+    "pipeline_substring_strip", "dedup_substring_incremental",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_sorted_neighborhood",
     "dedup_jaro_winkler", "dedup_containment",
     "dedup_semantic",

@@ -184,13 +184,25 @@ object Dedup {
   def spanCoverageFrom(docs: org.apache.spark.sql.DataFrame,
                        grams: org.apache.spark.sql.DataFrame,
                        k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dupGrams = grams.groupBy(col("gram_h"))
       .agg(countDistinct(col("doc_id")).as("gram_df"))
       .filter(col("gram_df") >= 2)
       .select(col("gram_h"))
+    coverageOver(docs, grams.join(dupGrams, "gram_h"), k)
+  }
+
+  /** The interval-union finish shared by the corpus-wide and
+    * incremental coverage forms: given the duplicated gram
+    * OCCURRENCES (doc_id, pos), union the length-k intervals per doc
+    * (Σ min(k, gap) over sorted starts — one lag window bounded by
+    * doc length) and left-join zeros for uncovered docs.
+    */
+  private[graft] def coverageOver(docs: org.apache.spark.sql.DataFrame,
+                                  dupPos: org.apache.spark.sql.DataFrame,
+                                  k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val cov = grams.join(dupGrams, "gram_h")
+    val cov = dupPos.select(col("doc_id"), col("pos"))
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("c",
         when(col("prev").isNull, lit(k))

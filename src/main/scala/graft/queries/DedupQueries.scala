@@ -824,6 +824,26 @@ object DedupQueries {
              count(lit(1)).as("n_span_hits"))
     }),
 
+    // INCREMENTAL span coverage — the daily-ingest posture (the
+    // dedup_incremental fixture convention: doc_id mod 5 = 4 is the
+    // arriving batch, the rest the base corpus): per batch doc, how
+    // much of it is spans already present in the BASE corpus — the
+    // number an ingest gate thresholds before admission. At scale the
+    // base's distinct-gram table is a materialized artifact appended
+    // per batch; cost is linear in the batch's grams (base side is
+    // one prebuilt hash-agg'd table).
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val grams = docGrams(s, dir)
+      val baseGrams = grams.filter(col("doc_id") % 5 =!= 4)
+        .select(col("gram_h")).distinct()
+      val batchPos = grams.filter(col("doc_id") % 5 === 4)
+        .join(baseGrams, "gram_h")
+      Dedup.coverageOver(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")),
+        batchPos, SpanTokens)
+    }),
+
     // The span-dedup ACTION — the transform pipeline_substring_impact
     // justifies: every token inside a cross-document repeated
     // ≥SpanTokens-token span removed, the document rebuilt from the
@@ -3165,6 +3185,39 @@ object DedupQueries {
     // Dedup.spanCoverageFrom chain
     "dedup_substring_coverage" ->
       s"""WITH $gramCoverageCtes
+         |SELECT n.doc_id, n.n_tokens,
+         |  CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  round(coalesce(c.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 6)
+         |    AS coverage_r
+         |FROM n LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // batch grams against the base corpus's distinct-gram set, same
+    // interval union
+    "dedup_substring_incremental" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${h31.format(s"array_to_string(list_slice(toks, i, i + ${SpanTokens - 1}), ' ')")} AS gram_h
+         |  FROM d, unnest(generate_series(1, greatest(len(toks) - ${SpanTokens - 1}, 0))) u(i)
+         |), base AS (
+         |  SELECT DISTINCT gram_h FROM g WHERE doc_id % 5 <> 4
+         |), pv AS (
+         |  SELECT g.doc_id, g.pos,
+         |    lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+         |  FROM g JOIN base USING (gram_h)
+         |  WHERE g.doc_id % 5 = 4
+         |), cov AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         |    CAST(sum(CASE WHEN prev IS NULL THEN ${SpanTokens}
+         |      ELSE least(${SpanTokens}, pos - prev) END) AS BIGINT)
+         |      AS covered_tokens
+         |  FROM pv GROUP BY 1
+         |), n AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id % 5 = 4
+         |)
          |SELECT n.doc_id, n.n_tokens,
          |  CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
          |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,

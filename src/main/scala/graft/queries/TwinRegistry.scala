@@ -130,6 +130,9 @@ object TwinRegistry {
       // r15: the coverage finish + per-source impact on the same
       // corpus-wide gram-df topology (df ≥ 2 is a whole-corpus fact)
       "dedup_substring_spans", "dedup_substring_coverage",
+      // r15: batch-vs-base gram containment is the same corpus-wide
+      // gram topology, read at the ingest boundary
+      "dedup_substring_incremental",
       "er_canonical", "graph_adamic_adar",
       // r14 wave 7: the Jaccard finish on adamic_adar's wedge chain
       "graph_jaccard_linkpred",

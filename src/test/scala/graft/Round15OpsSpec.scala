@@ -127,6 +127,24 @@ class Round15OpsSpec extends SparkSpec {
     assert(stripped(1L)._3.contains("x1") && !stripped(1L)._3.contains("a b c d"))
   }
 
+  test("incremental coverage: batch grams against an explicit base set") {
+    // base = docs 1-3, batch = docs 4-5. Doc 5's "a b c d" grams ARE
+    // in base (doc 1); doc 4 is shorter than k — zero row.
+    val docs = corpus
+    val grams = Dedup.gramTable(docs, K)
+    val baseGrams = grams.filter(col("doc_id") <= 3).select(col("gram_h")).distinct()
+    val batchPos = grams.filter(col("doc_id") >= 4).join(baseGrams, "gram_h")
+    val got = Dedup.coverageOver(
+        docs.filter(col("doc_id") >= 4).select(col("doc_id"), col("text")),
+        batchPos, K)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(4L, 5L))
+    assert(got(4L) == ((3L, 0L, 0L)))
+    // doc 5 = "a b c d q5 a b c d": both "a b c d" occurrences (pos 0
+    // and 5) exist in base via doc 1 → union covers 8 of 9 tokens
+    assert(got(5L) == ((9L, 2L, 8L)))
+  }
+
   // ---- perceptual media hash ----------------------------------------
 
   test("ahash is resize/re-encode invariant where pixel sums are not") {
