@@ -105,7 +105,13 @@ object Bench {
       // behind two healthy medianmates
       if (secs.exists(_ < 0)) failed += name
       val sorted = secs.sorted
-      val median = if (secs.exists(_ < 0)) -1.0 else sorted(reps / 2)
+      // true median: even rep counts average the two middle elements
+      // (sorted(reps/2) alone biased every even-reps number high —
+      // ADVICE r15)
+      val median =
+        if (secs.exists(_ < 0)) -1.0
+        else if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
       System.err.println(f"[bench] $name%-30s ${median}%9.3f s" +
         (if (reps > 1) f"  [${sorted.head}%.3f..${sorted.last}%.3f]" else ""))
       (name, median, sorted.head, sorted.last)
@@ -116,8 +122,12 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spread =
       if (reps > 1)
-        results.map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
-          .mkString(""","spread":{""", ",", "}")
+        // a failed rep's -1 sentinel is an error code, not a timing —
+        // failed queries are listed in "failed", not given a fake
+        // spread bound (ADVICE r15)
+        results.collect { case (k, m, lo, hi) if m >= 0 =>
+            "\"" + k + "\":[" + lo + "," + hi + "]"
+          }.mkString(""","spread":{""", ",", "}")
       else ""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$spread,"sf":"$sfDir","failed":$fj}"""

@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * regression (e.g. all-pairs in-bucket enumeration) would show up as
   * a ~N² ratio here — this main is the regression harness for that.
   *
-  * Output: one JSON line `{"factor":N,"queries":{name:{"x1":s,"xN":s,
-  * "ratio":r}}}` on stdout; human-readable table on stderr. Measured
-  * results are recorded in BENCH_NOTES.md.
+  * Output: one JSON line `{"factor":N,"reps":R,"queries":{name:
+  * {"x1":s,"xN":s,"ratio":r[,"x1_spread":[lo,hi],"xN_spread":[lo,hi]]
+  * }}}` on stdout; human-readable table on stderr. With
+  * `SPARK_GRAFT_BENCH_REPS`=R > 1 every cell is the per-rep MEDIAN
+  * (even R averages the two middle reps) with the [min,max] spread
+  * recorded beside it. Measured results are recorded in
+  * BENCH_NOTES.md.
   */
 object ScaleBench {
 
@@ -181,7 +185,11 @@ object ScaleBench {
     // r14 wave 11: exact paired sign test, Hopkins clusterability
     "events_sign_test", "emb_hopkins",
     // r14 wave 13: Gumbel block-maxima fit, shape moments, Bowley
-    "events_gumbel_maxima", "events_moments", "events_bowley_skew")
+    "events_gumbel_maxima", "events_moments", "events_bowley_skew",
+    // r16: video frame-sequence perceptual tier, unicode repair,
+    // coverage-gated select, span audit intervals
+    "mm_video_near_dup", "mm_video_near_dup_eval", "text_normalize",
+    "pipeline_select_v2", "dedup_substring_intervals")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -238,7 +246,9 @@ object ScaleBench {
     "stream_rmst", "stream_mantel_haenszel", "stream_kendall_tau",
     "stream_hill_tail", "stream_sign_test", "stream_burstiness",
     // r14 wave 13
-    "stream_gumbel_maxima", "stream_moments")
+    "stream_gumbel_maxima", "stream_moments",
+    // r16: the span-ingest gate's twin
+    "stream_substring_incremental")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,
@@ -289,11 +299,27 @@ object ScaleBench {
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    def time(name: String, dir: String): Double = {
+    // SPARK_GRAFT_BENCH_REPS=N (default 1): run each (query, dir)
+    // timing N times and record the PER-CELL MEDIAN plus [min, max]
+    // spread — the same discipline Bench.scala adopted in r15,
+    // extended here because the scale ratios are the rows the 100 TB
+    // story rests on and BENCH_NOTES documents a 2.1-7.8× same-code
+    // spread on single-run stream rows (VERDICT r15 item 2). Keeper
+    // runs use 3; subset re-measures may use more.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    require(reps >= 1, "SPARK_GRAFT_BENCH_REPS must be >= 1")
+    def medianOf(secs: Seq[Double]): Double = {
+      val sorted = secs.sorted
+      if (reps % 2 == 1) sorted(reps / 2)
+      else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
+    }
+
+    def timeOnce(name: String, dir: String): Double = {
       // Full per-query cost: the curve measures each query standalone,
       // so drop cross-query materialized artifacts (the shared-artifact
       // posture is measured separately — Bench end-to-end, IndexBench
-      // build-vs-marginal).
+      // build-vs-marginal). Cleared per REP: every rep pays the full
+      // build, so the median is a median of like-for-like timings.
       graft.queries.Artifacts.clear()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -301,7 +327,19 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // streaming twins leave their memory-sink tables registered —
+      // the r15 Bench lesson (280 accumulated tables taxed the
+      // late-alphabet stream rows); drop them per rep here too.
+      spark.sqlContext.tableNames()
+        .filter(_.startsWith("stream_out_"))
+        .foreach(spark.catalog.dropTempView)
       sec
+    }
+
+    // (median, min, max) over reps
+    def time(name: String, dir: String): (Double, Double, Double) = {
+      val secs = (1 to reps).map(_ => timeOnce(name, dir))
+      (medianOf(secs), secs.min, secs.max)
     }
 
     // Build both split source dirs BEFORE timing: the one-time
@@ -335,17 +373,19 @@ object ScaleBench {
       else ScaledQueries ++ StreamScaledQueries
     val selected = baseQueries.filter(q => only.forall(_.contains(q)))
     val rows = selected.map { name =>
-      val t1 = time(name, sfDir)
-      val tN = time(name, scaled.toString)
-      System.err.println(f"[scale] $name%-22s 1x ${t1}%7.2f s   ${factor}x ${tN}%7.2f s   ratio ${tN / t1}%5.2f")
-      (name, t1, tN)
+      val (t1, lo1, hi1) = time(name, sfDir)
+      val (tN, loN, hiN) = time(name, scaled.toString)
+      System.err.println(f"[scale] $name%-22s 1x ${t1}%7.2f s   ${factor}x ${tN}%7.2f s   ratio ${tN / t1}%5.2f" +
+        (if (reps > 1) f"   [${lo1}%.2f..${hi1}%.2f / ${loN}%.2f..${hiN}%.2f]" else ""))
+      (name, t1, tN, (lo1, hi1, loN, hiN))
     }
 
     // Semantic dedup's production control: nlist ∝ corpus holds
     // cluster size constant, so total pair work grows linearly — the
     // contrast row to dedup_semantic_fast's fixed-nlist quadratic
     // (run when selected, or by default with the full suite).
-    def customRow(name: String)(run: (String, Int) => Unit): Seq[(String, Double, Double)] =
+    def customRow(name: String)(run: (String, Int) => Unit)
+        : Seq[(String, Double, Double, (Double, Double, Double, Double))] =
       if (mode != "series" && only.forall(_.contains(name))) {
         def timeIt(dir: String, nlist: Int): Double = {
           graft.queries.Artifacts.clear()
@@ -356,10 +396,14 @@ object ScaleBench {
           spark.catalog.clearCache()
           sec
         }
-        val t1 = timeIt(sfDir, 10)
-        val tN = timeIt(scaled.toString, 10 * factor)
+        def timeReps(dir: String, nlist: Int): (Double, Double, Double) = {
+          val secs = (1 to reps).map(_ => timeIt(dir, nlist))
+          (medianOf(secs), secs.min, secs.max)
+        }
+        val (t1, lo1, hi1) = timeReps(sfDir, 10)
+        val (tN, loN, hiN) = timeReps(scaled.toString, 10 * factor)
         System.err.println(f"[scale] $name%-28s 1x ${t1}%7.2f s   ${factor}x ${tN}%7.2f s   ratio ${tN / t1}%5.2f")
-        Seq((name, t1, tN))
+        Seq((name, t1, tN, (lo1, hi1, loN, hiN)))
       } else Seq.empty
 
     val scaledNlistRows =
@@ -378,10 +422,14 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
 
-    val qs = (rows ++ scaledNlistRows).map { case (n, t1, tN) =>
-      f""""$n":{"x1":$t1%.3f,"x$factor%d":$tN%.3f,"ratio":${tN / t1}%.2f}"""
+    val qs = (rows ++ scaledNlistRows).map { case (n, t1, tN, (lo1, hi1, loN, hiN)) =>
+      val spread =
+        if (reps > 1)
+          f""","x1_spread":[$lo1%.3f,$hi1%.3f],"x$factor%d_spread":[$loN%.3f,$hiN%.3f]"""
+        else ""
+      f""""$n":{"x1":$t1%.3f,"x$factor%d":$tN%.3f,"ratio":${tN / t1}%.2f$spread}"""
     }.mkString("{", ",", "}")
-    println(s"""{"factor":$factor,"mode":"$mode","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"factor":$factor,"mode":"$mode","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

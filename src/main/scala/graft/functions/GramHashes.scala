@@ -43,14 +43,18 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  // One digest per (deserialized, per-task) expression instance — the
-  // ShingleHashes interpreted-path convention.
+  // Interpreted-path digest is per-THREAD, not per expression
+  // instance: driver-side constant folding can evaluate the same
+  // instance concurrently with a local-relation eval, and MD5 digest
+  // state is mutable (ADVICE r15 — the ShingleHashes convention,
+  // hardened in all three digest expressions).
   @transient private lazy val interpMd =
-    java.security.MessageDigest.getInstance("MD5")
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val out = GramHashes.kernel(arr, k, interpMd)
+    val out = GramHashes.kernel(arr, k, interpMd.get())
     if (out == null) null else UnsafeArrayData.fromPrimitiveArray(out)
   }
 

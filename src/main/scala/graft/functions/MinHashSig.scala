@@ -37,13 +37,16 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
 
-  // Interpreted-path twin of the codegen mutable state: one digest per
-  // (deserialized, per-task) expression instance, not per row.
+  // Interpreted-path twin of the codegen mutable state — per-THREAD
+  // (not per instance): driver-side constant folding can evaluate the
+  // same instance concurrently with a local-relation eval, and MD5
+  // digest state is mutable (ADVICE r15).
   @transient private lazy val interpMd =
-    java.security.MessageDigest.getInstance("MD5")
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSig.kernel(input.asInstanceOf[ArrayData], interpMd)
+    MinHashSig.kernel(input.asInstanceOf[ArrayData], interpMd.get())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val md = ctx.addMutableState("java.security.MessageDigest", "minhashMd",

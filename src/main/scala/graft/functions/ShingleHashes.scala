@@ -41,14 +41,17 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  // Interpreted-path twin of the codegen mutable state: one digest per
-  // (deserialized, per-task) expression instance, not per row.
+  // Interpreted-path twin of the codegen mutable state — per-THREAD
+  // (not per instance): driver-side constant folding can evaluate the
+  // same instance concurrently with a local-relation eval, and MD5
+  // digest state is mutable (ADVICE r15).
   @transient private lazy val interpMd =
-    java.security.MessageDigest.getInstance("MD5")
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val out = ShingleHashes.kernel(arr, k, interpMd)
+    val out = ShingleHashes.kernel(arr, k, interpMd.get())
     if (out == null) null else UnsafeArrayData.fromPrimitiveArray(out)
   }
 

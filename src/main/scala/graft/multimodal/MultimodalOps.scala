@@ -250,6 +250,37 @@ object MultimodalOps {
         key).as("bytes"))
   }
 
+  /** The VIDEO frame-sequence fixture (VERDICT r15 item 3 — the
+    * [[synthPattern]] fixture generalized to clips): documents 2k and
+    * 2k+1 share one CLIP — frame f's 60-bit pattern key is the salted
+    * md5 prefix of `(media_id div 2) # vclip # f` — but render at
+    * per-document sizes AND per-document frame counts (4-6; a pair
+    * member may carry a truncated tail), so consecutive doc pairs are
+    * true resized/re-encoded clips: different pixel counts, band
+    * sums, and possibly lengths (container metadata misses them),
+    * identical block structure per aligned frame (the per-frame
+    * perceptual hash catches them). One row per (clip, frame) with a
+    * REAL PNG payload; still no video codec involved — exactly the
+    * demuxer-output posture SURVEY §8 scopes (a real pipeline's
+    * ffmpeg stage lands frame rasters in this same shape).
+    */
+  def videoFrameTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.tables.Tables.documents(s, dir)
+    val t = col("text")
+    val nf = (ph(t, "vf") % 3L + 4L).cast("int")
+    docs.select(
+        col("doc_id").as("media_id"),
+        floor(col("doc_id") / 2).cast("long").as("pair_id"),
+        (ph(t, "pw") % 97L + 16L).cast("int").as("w"),
+        (ph(t, "ph") % 97L + 16L).cast("int").as("h"),
+        explode(sequence(lit(0), nf - 1)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        encodePatternUdf(col("w"), col("h"),
+          conv(substring(md5(concat(col("pair_id").cast("string"),
+              lit("#vclip#"), col("frame_idx").cast("string"))),
+            1, 15), 16, 10).cast("long")).as("bytes"))
+  }
+
   /** Batched real decode + perceptual hash in the [[decodePngs]]
     * `mapPartitions` shape: each row gains (width, height, sum3,
     * ahash) computed from the decoded raster in the same pass — the

@@ -261,6 +261,45 @@ object Dedup {
         coalesce(col("stripped_text"), lit("")).as("stripped_text"))
   }
 
+  /** The maximal-SPAN audit table (VERDICT r15 item 6): coverage says
+    * how much of a doc is duplicated; auditors ask WHICH spans. Merge
+    * the length-k intervals of the duplicated gram occurrences into
+    * maximal (doc_id, span_start, span_end) islands — gaps-and-islands
+    * over the same one-per-doc lag window the coverage finish uses
+    * (break when the next start exceeds prev + k, island id = running
+    * sum of breaks), then one hash agg per island. Σ island lengths ≡
+    * covered_tokens by construction (spec-pinned). Bounded by doc
+    * length per partition, never global.
+    *
+    * @return (doc_id, span_start, span_end, n_grams) — token-index
+    *         bounds inclusive, n_grams = duplicated gram starts inside
+    */
+  def substringIntervals(docs: org.apache.spark.sql.DataFrame,
+                         grams: org.apache.spark.sql.DataFrame,
+                         k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupGrams = grams.groupBy(col("gram_h"))
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+      .filter(col("gram_df") >= 2)
+      .select(col("gram_h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupGrams, "gram_h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+           (max(col("pos")) + (k - 1)).cast("long").as("span_end"),
+           count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
+
   /** [[substringStats]] body over a prebuilt span table. */
   def substringStatsFrom(docs: org.apache.spark.sql.DataFrame,
                          spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

@@ -104,6 +104,47 @@ object DedupQueries {
            col("n_pii") === 0).as("selected"))
     }),
 
+    // The COVERAGE-GATED flagship keep decision (VERDICT r15 item 5)
+    // — pipeline_select's gates plus the two r15/r16 signals a
+    // production curation run thresholds. Arm ORDER follows the
+    // Lee-et-al argument that span-level removal SUBSUMES doc-level
+    // near-dup dropping: hard per-doc gates first (exact-dup, quality,
+    // language, PII), then coverage > 0.98 is DROPPED (under 2% unique
+    // content — effectively a duplicate), then any remaining span
+    // coverage (> 0.05) means keep-with-STRIP
+    // (pipeline_substring_strip is the transform — note it runs
+    // BEFORE the near-dup gate: stripping removes exactly the shared
+    // content that made the doc a near-dup, rescuing it), then the
+    // LSH near-dup gate for docs with no span evidence, else KEEP.
+    // The needs_normalize flag (mojibake / NFD detection, the
+    // text_normalize projection) routes docs through the
+    // encoding-repair stage first. Thresholds compare the
+    // 6-dp-rounded coverage both engines agree on bit-for-bit; every
+    // arm fires on the sf0.01 fixture. Four linear artifact joins —
+    // every constituent is an already-verified operator; this row
+    // proves they COMPOSE into the keep/strip/drop decision.
+    "pipeline_select_v2" -> ((s, dir) => {
+      val flags = docFlags(s, dir)
+      val exactKeep = flags.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val hardOk = col("doc_id") === col("keep_id") &&
+        col("quality") >= 0.6 &&
+        col("lang_pred") === "en" && col("n_pii") === 0
+      flags.join(exactKeep, "fp")
+        .join(lshKeep(s, dir), "doc_id")
+        .join(docCoverage(s, dir).select(col("doc_id"), col("coverage_r")),
+          "doc_id")
+        .join(TextQueries.normalizeFlags(s, dir), "doc_id")
+        .select(col("doc_id"), col("quality"), col("lang_pred"), col("n_pii"),
+          col("coverage_r"), col("needs_normalize"),
+          (col("doc_id") === col("keep_id")).as("keep_exact"),
+          (col("doc_id") === col("rep_id")).as("keep_neardup"),
+          when(!hardOk, "drop")
+            .when(col("coverage_r") > 0.98, "drop")
+            .when(col("coverage_r") > 0.05, "strip")
+            .when(col("doc_id") =!= col("rep_id"), "drop")
+            .otherwise("keep").as("action"))
+    }),
+
     // Per-SOURCE curation report — the domain-level filtering stage of
     // web-corpus pipelines (C4/RefinedWeb-style: decide per domain,
     // not only per document): document count, near-dup count/rate
@@ -714,6 +755,12 @@ object DedupQueries {
         .join(lshKeep(s, dir), "doc_id")
         .join(ccLabels(s, dir).select(col("v").as("doc_id"),
           splitOf(col("lbl")).as("split")), "doc_id")
+        // the shared coverage artifact: the card reports per-split
+        // duplicated-token mass beside the near-dup rate (VERDICT r15
+        // item 5 — what a release actually discloses about span-level
+        // duplication)
+        .join(docCoverage(s, dir).select(col("doc_id"), col("covered_tokens")),
+          "doc_id")
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_toks")).as("n_tokens"),
@@ -721,12 +768,14 @@ object DedupQueries {
              countDistinct(col("lang")).as("n_langs"),
              sum(when(col("rep_id") < col("doc_id"), 1L).otherwise(0L)).as("n_neardup"),
              sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+             sum(col("covered_tokens")).as("tokens_dup"),
              (sum(col("quality").cast("decimal(18,6)")).cast("double") /
                count(lit(1))).as("mq"))
         .select(col("split"), col("n_docs"), col("n_tokens"),
                 col("n_sources"), col("n_langs"), col("n_neardup"),
                 round(col("n_neardup") / col("n_docs").cast("double"), 6).as("neardup_rate"),
-                col("n_pii_docs"), round(col("mq"), 6).as("mean_quality"))),
+                col("n_pii_docs"), col("tokens_dup"),
+                round(col("mq"), 6).as("mean_quality"))),
 
     // Substring/sequence-level dedup (VERDICT r3 item 2) — the span
     // operator document-granular dedup misses: a doc that copies a
@@ -765,10 +814,7 @@ object DedupQueries {
     // substrings" pass acts on). Interval-union via one lag window
     // per doc over the positional gram table; everything else is
     // gram-keyed hash aggs — linear, never pair-shaped.
-    "dedup_substring_coverage" -> ((s, dir) =>
-      Dedup.spanCoverageFrom(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        docGrams(s, dir), SpanTokens)),
+    "dedup_substring_coverage" -> ((s, dir) => docCoverage(s, dir)),
 
     // Span-dedup IMPACT — the before/after row a curation run
     // reports (the pipeline_dedup_impact pattern at span granularity):
@@ -778,9 +824,7 @@ object DedupQueries {
     // join of the per-doc coverage onto the source column + one
     // partial-aggregable per-source agg.
     "pipeline_substring_impact" -> ((s, dir) =>
-      Dedup.spanCoverageFrom(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")),
-          docGrams(s, dir), SpanTokens)
+      docCoverage(s, dir)
         .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
           "doc_id")
         .groupBy(col("source"))
@@ -843,6 +887,18 @@ object DedupQueries {
           .select(col("doc_id"), col("text")),
         batchPos, SpanTokens)
     }),
+
+    // The maximal-SPAN AUDIT table (VERDICT r15 item 6) — coverage
+    // says HOW MUCH of each doc is duplicated; this emits WHICH spans:
+    // merged maximal (doc_id, span_start, span_end) intervals of the
+    // duplicated gram occurrences, one more gaps-and-islands pass over
+    // the same per-doc lag window the coverage finish uses. Σ interval
+    // lengths ≡ covered_tokens (Round16OpsSpec pins it against
+    // dedup_substring_coverage).
+    "dedup_substring_intervals" -> ((s, dir) =>
+      Dedup.substringIntervals(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        docGrams(s, dir), SpanTokens)),
 
     // The span-dedup ACTION — the transform pipeline_substring_impact
     // justifies: every token inside a cross-document repeated
@@ -1547,7 +1603,7 @@ object DedupQueries {
     * LLM-pipeline convention is 20-50; 20 keeps spans meaningful on
     * the fixture's 10-99-token docs.
     */
-  private val SpanTokens = 20
+  private[queries] val SpanTokens = 20
 
   /** Pack budget (tokens) for sequence packing — small enough that the
     * fixture yields many packs per split.
@@ -1777,10 +1833,24 @@ object DedupQueries {
     * `pipeline_substring_impact` (at scale it is the pipeline's grams
     * table, written once beside the spans table).
     */
-  private def docGrams(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def docGrams(s: org.apache.spark.sql.SparkSession, dir: String) =
     Artifacts.materialized(s, dir, "doc_grams") {
       Dedup.gramTable(
         Tables.documents(s, dir).select(col("doc_id"), col("text")), SpanTokens)
+    }
+
+  /** Per-document span COVERAGE — the interval-union finish over the
+    * gram artifact, materialized once and shared by
+    * `dedup_substring_coverage`, `pipeline_substring_impact`,
+    * `pipeline_select_v2` and `pipeline_dataset_card` (at scale: the
+    * coverage column a curation run writes beside the documents after
+    * the gram pass, read by every downstream keep/strip/report stage).
+    */
+  private def docCoverage(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "doc_coverage") {
+      Dedup.spanCoverageFrom(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        docGrams(s, dir), SpanTokens)
     }
 
   /** Per-document curation flags (quality score, language prediction,
@@ -2999,14 +3069,81 @@ object DedupQueries {
          |JOIN exact_keep e USING (fp)
          |JOIN lsh_keep k USING (doc_id)""".stripMargin,
 
-    // Per-split release summary over the CC splits + LSH keep list +
-    // the flags projection.
-    "pipeline_dataset_card" ->
-      s"""WITH RECURSIVE $ccSplitCtes, lsh_keep AS (
+    // pipeline_select's chain + the gram-coverage CTEs (coverage_r
+    // joined per doc, thresholds on the 6-dp round both engines agree
+    // on) + the normalizeFlags CTE — same keep/strip/drop CASE.
+    "pipeline_select_v2" ->
+      s"""WITH $gramCoverageCtes, ${TextQueries.normalizeFlagsCte}, sigs AS (
+         |  SELECT doc_id, ${sigCte("list_distinct(string_split(text, ' '))")} AS sig
+         |  FROM documents
+         |), bands AS (
+         |  SELECT doc_id, b, sig[b*4 + 1] AS k0, sig[b*4 + 2] AS k1,
+         |         sig[b*4 + 3] AS k2, sig[b*4 + 4] AS k3
+         |  FROM sigs, generate_series(0, 3) t(b)
+         |), mins AS (
+         |  SELECT b, k0, k1, k2, k3, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2, 3, 4, 5
+         |), lsh_keep AS (
          |  SELECT bd.doc_id, min(m.rep) AS rep_id
          |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
          |  GROUP BY bd.doc_id
-         |), d AS (
+         |), dd AS (
+         |  SELECT doc_id, text, md5(text) AS fp,
+         |         string_split(text, ' ') AS toks
+         |  FROM documents
+         |), flags AS (
+         |  SELECT doc_id, fp,
+         |    CAST(round(CAST(round((len(list_distinct(toks)) / len(toks)) * 0.4 +
+         |      (1.0 - (len(list_filter(toks, t -> t = 'the')) +
+         |              len(list_filter(toks, t -> t = 'a'))) / len(toks)) * 0.3 +
+         |      least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0, 1.0) * 0.3,
+         |      9) AS DECIMAL(18,9)), 6) AS DOUBLE) AS quality,
+         |    CASE WHEN len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'a'))
+         |           AND len(list_filter(toks, t -> t = 'the')) >= len(list_filter(toks, t -> t = 'data')) THEN 'en'
+         |         WHEN len(list_filter(toks, t -> t = 'a')) >= len(list_filter(toks, t -> t = 'data')) THEN 'es'
+         |         ELSE 'de' END AS lang_pred,
+         |    CAST(len(regexp_extract_all(text, '${graft.text.TextOps.EmailPat}'))
+         |       + len(regexp_extract_all(regexp_replace(text,
+         |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |           '${graft.text.TextOps.PhonePat}'))
+         |       + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+         |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |           '${graft.text.TextOps.PhonePat}', '<PHONE>', 'g'),
+         |           '${graft.text.TextOps.IdPat}')) AS BIGINT) AS n_pii
+         |  FROM dd
+         |), exact_keep AS (
+         |  SELECT fp, min(doc_id) AS keep_id FROM dd GROUP BY fp
+         |), covr AS (
+         |  SELECT n.doc_id,
+         |    round(coalesce(c.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 6)
+         |      AS coverage_r
+         |  FROM n LEFT JOIN cov c USING (doc_id)
+         |)
+         |SELECT f.doc_id, f.quality, f.lang_pred, f.n_pii,
+         |  cv.coverage_r, nr.needs_normalize,
+         |  (f.doc_id = e.keep_id) AS keep_exact,
+         |  (f.doc_id = k.rep_id) AS keep_neardup,
+         |  CASE WHEN NOT (f.doc_id = e.keep_id
+         |         AND f.quality >= 0.6 AND f.lang_pred = 'en' AND f.n_pii = 0)
+         |       THEN 'drop'
+         |       WHEN cv.coverage_r > 0.98 THEN 'drop'
+         |       WHEN cv.coverage_r > 0.05 THEN 'strip'
+         |       WHEN f.doc_id <> k.rep_id THEN 'drop'
+         |       ELSE 'keep' END AS action
+         |FROM flags f
+         |JOIN exact_keep e USING (fp)
+         |JOIN lsh_keep k USING (doc_id)
+         |JOIN covr cv ON cv.doc_id = f.doc_id
+         |JOIN nrm nr ON nr.doc_id = f.doc_id""".stripMargin,
+
+    // Per-split release summary over the CC splits + LSH keep list +
+    // the flags projection + the gram-coverage chain (tokens_dup).
+    "pipeline_dataset_card" ->
+      s"""WITH RECURSIVE $ccSplitCtes, $gramCoverageCtes, lsh_keep AS (
+         |  SELECT bd.doc_id, min(m.rep) AS rep_id
+         |  FROM bands bd JOIN mins m USING (b, k0, k1, k2, k3)
+         |  GROUP BY bd.doc_id
+         |), dd AS (
          |  SELECT doc_id, text, source, lang,
          |         string_split(text, ' ') AS toks
          |  FROM documents
@@ -3025,7 +3162,7 @@ object DedupQueries {
          |           '${graft.text.TextOps.EmailPat}', '<EMAIL>', 'g'),
          |           '${graft.text.TextOps.PhonePat}', '<PHONE>', 'g'),
          |           '${graft.text.TextOps.IdPat}')) AS BIGINT) AS n_pii
-         |  FROM d
+         |  FROM dd
          |)
          |SELECT s.split, count(*) AS n_docs,
          |  CAST(sum(f.n_toks) AS BIGINT) AS n_tokens,
@@ -3035,10 +3172,12 @@ object DedupQueries {
          |  round(sum(CASE WHEN k.rep_id < f.doc_id THEN 1 ELSE 0 END)
          |    / CAST(count(*) AS DOUBLE), 6) AS neardup_rate,
          |  CAST(sum(CASE WHEN f.n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         |  CAST(sum(coalesce(c.covered_tokens, 0)) AS BIGINT) AS tokens_dup,
          |  round(CAST(sum(CAST(f.quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
          |FROM flags f
          |JOIN lsh_keep k USING (doc_id)
          |JOIN splits s USING (doc_id)
+         |LEFT JOIN cov c ON c.doc_id = f.doc_id
          |GROUP BY 1""".stripMargin,
 
     "pipeline_source_report" ->
@@ -3224,6 +3363,22 @@ object DedupQueries {
          |  round(coalesce(c.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 6)
          |    AS coverage_r
          |FROM n LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // the same duplicated-gram occurrences (pv carries the lag),
+    // gaps-and-islands with break at gap > k, island bounds per group
+    "dedup_substring_intervals" ->
+      s"""WITH $gramCoverageCtes, isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > $SpanTokens
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM pv
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${SpanTokens - 1} AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     // the same duplicated-gram occurrences expanded to covered token
     // indices, surviving tokens re-joined in order

@@ -738,6 +738,39 @@ object StreamingQueries {
       checked
     }),
 
+    // STREAMING span-ingest gate — dedup_substring_incremental's
+    // ingest twin (VERDICT r15 item 1, correcting the r15 registry
+    // misclassification: the gram-df topology is consumed only as a
+    // FROZEN base-side table, so the arriving side is per-doc and
+    // batch-independent — exactly stream_incremental_dedup's shape).
+    // The base corpus's distinct-gram table is persisted ONCE before
+    // the stream starts (at 100 TB it is the pipeline's materialized
+    // grams index, appended per ingest cycle); each micro-batch of
+    // arriving docs computes its own positional grams, joins them
+    // against the frozen base set, and runs the identical
+    // interval-union coverage finish (Dedup.coverageOver). Doc-range
+    // splits mean a doc's rows never straddle batches, so the
+    // accumulated per-doc output over all batches is EXACTLY the
+    // batch query's result and shares its oracle, hash-proven.
+    "stream_substring_incremental" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val isNew = col("doc_id") % 5 === 4
+      val baseGrams = DedupQueries.docGrams(s, dir)
+        .filter(!isNew)
+        .select(col("gram_h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val covered = partialsOf(
+          documentsStream(s, dir).filter(isNew), "graft-substr-incr-") { batch =>
+          val docs = batch.select(col("doc_id"), col("text"))
+          Dedup.coverageOver(docs,
+            Dedup.gramTable(docs, DedupQueries.SpanTokens)
+              .join(baseGrams, "gram_h"),
+            DedupQueries.SpanTokens)
+        }
+      baseGrams.unpersist()
+      covered
+    }),
+
     // Streaming HLL: the distinct-count sketch accumulated ACROSS
     // micro-batches — each batch computes its partial (reg, max rho)
     // register table (the identical projection as the batch sketch),
@@ -2428,6 +2461,9 @@ object StreamingQueries {
     // hash-match proves ingest-incremental ≡ batch for the dedup
     // decision itself.
     "stream_incremental_dedup" -> DedupQueries.oracleSql("dedup_incremental"),
+    // per-doc rows are batch-independent → ingest-incremental ≡ batch
+    "stream_substring_incremental" ->
+      DedupQueries.oracleSql("dedup_substring_incremental"),
 
     // Ingest-incremental index ≡ batch append ≡ full rebuild (frozen
     // centroids ⇒ assignment is a pure per-row function) — shares the

@@ -28,6 +28,91 @@ object TextQueries {
     */
   private val LrRounds = 2
 
+  /** `text_normalize`'s mojibake-repair table — the
+    * UTF-8-read-as-cp1252 double-encoding class (bytes of é = C3 A9
+    * redisplayed as 'Ã©', of U+2019 = E2 80 99 as 'â€™'). Fixed and
+    * ordered; both engines fold it into the SAME chain of plain
+    * (non-regex) replaces, so the repair is engine-identical by
+    * construction. Escapes, not raw glyphs, so no editor/encoding
+    * round-trip can silently corrupt the table.
+    */
+  private val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "\u00C3\u00A9" -> "\u00E9", // 'A-tilde, copyright' -> e-acute
+    "\u00C3\u00A8" -> "\u00E8", // -> e-grave
+    "\u00C3\u00B1" -> "\u00F1", // -> n-tilde
+    "\u00C3\u00BC" -> "\u00FC", // -> u-umlaut
+    "\u00E2\u20AC\u0153" -> "\u201C", // 'a-circ, euro, oe' -> left dquote
+    "\u00E2\u20AC\u2122" -> "\u2019") // 'a-circ, euro, tm' -> right squote
+
+  /** Planted positives for `text_normalize` (the text_c4_filters
+    * device: the fixture corpus is clean ASCII, so deterministic
+    * doc_id-keyed suffixes give both rules real positive AND negative
+    * rows on BOTH engines): every repair-table entry once, and an
+    * NFD-decomposed 'deja' (e/a + combining accents U+0301/U+0300)
+    * that only NFC composition fixes.
+    */
+  private val MojiSuffix =
+    " caf\u00C3\u00A9 ni\u00C3\u00B1o cr\u00C3\u00A8me \u00C3\u00BCber" +
+    " \u00E2\u20AC\u0153mojibake\u00E2\u20AC\u2122"
+  private val NfdSuffix = " de\u0301ja\u0300 vu"
+
+  /** DuckDB single-quoted literal of a Scala constant \u2014 the oracle
+    * interpolates the SAME strings the Spark side folds, so the two
+    * repair chains cannot drift.
+    */
+  private def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** The repair chain as nested DuckDB replace()s, folded in the
+    * identical order as the Spark side.
+    */
+  private def mojibakeRepairSql = MojibakeRepairs.foldLeft("raw") {
+    case (e, (bad, good)) => s"replace($e, ${sqlLit(bad)}, ${sqlLit(good)})"
+  }
+
+  /** The per-doc `needs_normalize` flag — text_normalize's detection
+    * projection (planted suffixes + repair chain + NFC check) shared
+    * with pipeline_select_v2's flag set. Map-only, zero exchanges.
+    */
+  private[queries] def normalizeFlags(s: org.apache.spark.sql.SparkSession,
+                                      dir: String) = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit(MojiSuffix)).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit(NfdSuffix)).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("raw"))
+      .withColumn("repaired", MojibakeRepairs.foldLeft(col("raw")) {
+        case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+      })
+      .select(col("doc_id"),
+        (col("repaired") =!= col("raw") ||
+          graft.functions.NfcNormalize(col("repaired")) =!= col("repaired"))
+          .as("needs_normalize"))
+  }
+
+  /** The SQL twin of [[normalizeFlags]] as one `nrm` CTE (same Scala
+    * constants, same fold), for oracles that join the flag.
+    */
+  private[queries] def normalizeFlagsCte: String =
+    // NOTE: this string is INTERPOLATED into other oracles' stripMargin
+    // templates, so no line may begin with '|' (a leading concat '||'
+    // would lose a pipe to the consumer's stripMargin — caught r16);
+    // concat operators stay at line ends.
+    s"""nrm AS (
+       |  SELECT doc_id,
+       |    (repaired <> raw OR nfc_normalize(repaired) <> repaired)
+       |      AS needs_normalize
+       |  FROM (
+       |    SELECT doc_id, raw, $mojibakeRepairSql AS repaired
+       |    FROM (
+       |      SELECT doc_id, text ||
+       |        CASE WHEN doc_id % 5 = 0 THEN ${sqlLit(MojiSuffix)} ELSE '' END ||
+       |        CASE WHEN doc_id % 4 = 0 THEN ${sqlLit(NfdSuffix)} ELSE '' END
+       |          AS raw
+       |      FROM documents
+       |    )
+       |  )
+       |)""".stripMargin
+
   /** `text_quality_lr_cv` fold count (md5-mod doc sharding). */
   private val LrCvFolds = 3L
 
@@ -1074,6 +1159,39 @@ object TextQueries {
           col("ok_n_words") && col("ok_mean_word_len") && col("ok_stopwords") &&
           col("ok_symbol_ratio") && col("ok_terminal_punct") &&
           col("ok_no_lorem") && col("ok_no_braces") && col("ok_dup_2gram"))),
+
+    // UNICODE NORMALIZATION / ENCODING REPAIR (VERDICT r15 item 4) —
+    // the text-cleaning stage real web-corpus pipelines run BEFORE
+    // tokenization and the one the ladder lacked: (1) mojibake repair
+    // for the UTF-8-read-as-cp1252 double-encoding class (the fixed
+    // MojibakeRepairs table folded into one chain of plain non-regex
+    // replaces — both engines fold the SAME Scala constants, so the
+    // chains are identical by construction), then (2) Unicode NFC
+    // canonical composition (the codegen NfcNormalize expression;
+    // DuckDB's nfc_normalize is the oracle leg). Planted suffixes
+    // (doc_id % 5: every repair entry; doc_id % 4: NFD-decomposed
+    // accents) give both rules positive AND negative rows. ONE
+    // projection, zero exchanges — at 100 TB this is a scan-speed
+    // stage ahead of the tokenizer, and NfcNormalize's isNormalized
+    // fast path returns already-clean rows (the overwhelming case)
+    // with no allocation.
+    "text_normalize" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(MojiSuffix)).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(NfdSuffix)).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("raw"))
+        .withColumn("repaired", MojibakeRepairs.foldLeft(col("raw")) {
+          case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+        })
+        .withColumn("norm", graft.functions.NfcNormalize(col("repaired")))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          (col("repaired") =!= col("raw")).as("fixed_mojibake"),
+          (col("norm") =!= col("repaired")).as("fixed_nfc"),
+          md5(col("norm")).as("norm_fp"))
+    }),
 
     // ONE FULL BPE MERGE ITERATION — closes the loop text_bpe_pairs
     // opens: pick the globally winning pair (count desc, pair asc),
@@ -3174,6 +3292,30 @@ object TextQueries {
         |   AND ok_terminal_punct AND ok_no_lorem AND ok_no_braces
         |   AND ok_dup_2gram) AS keep
         |FROM flags""".stripMargin,
+
+    // same planted suffixes, same fold of the SAME MojibakeRepairs
+    // constants into nested replace()s, NFC via DuckDB's native
+    // nfc_normalize — the oracle leg of the Spark NfcNormalize
+    // expression (both implement UAX #15 canonical composition).
+    "text_normalize" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0 THEN ${sqlLit(MojiSuffix)} ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ${sqlLit(NfdSuffix)} ELSE '' END
+         |      AS raw
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, raw, $mojibakeRepairSql AS repaired FROM a
+         |), n AS (
+         |  SELECT doc_id, raw, repaired, nfc_normalize(repaired) AS norm FROM r
+         |)
+         |SELECT doc_id,
+         |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+         |  repaired <> raw AS fixed_mojibake,
+         |  norm <> repaired AS fixed_nfc,
+         |  md5(norm) AS norm_fp
+         |FROM n""".stripMargin,
 
     // list_reduce seeds with the first element, so prepend the zero to
     // match aggregate(toks, 0, …); token hash = md5-prefix mod (2^31−1).

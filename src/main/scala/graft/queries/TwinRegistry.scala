@@ -130,9 +130,13 @@ object TwinRegistry {
       // r15: the coverage finish + per-source impact on the same
       // corpus-wide gram-df topology (df ≥ 2 is a whole-corpus fact)
       "dedup_substring_spans", "dedup_substring_coverage",
-      // r15: batch-vs-base gram containment is the same corpus-wide
-      // gram topology, read at the ingest boundary
-      "dedup_substring_incremental",
+      // r16: the maximal-span audit is the coverage finish re-grouped
+      // on the same corpus-wide gram-df topology
+      "dedup_substring_intervals",
+      // (dedup_substring_incremental left this registry in r16: its
+      // gram-df topology is consumed only as a frozen base-side table,
+      // so it twins the stream_incremental_dedup way —
+      // stream_substring_incremental shares its oracle, hash-proven)
       "er_canonical", "graph_adamic_adar",
       // r14 wave 7: the Jaccard finish on adamic_adar's wedge chain
       "graph_jaccard_linkpred",
@@ -141,7 +145,11 @@ object TwinRegistry {
       "graph_assortativity", "graph_bfs", "graph_hits", "graph_kcore",
       "graph_lpa", "graph_modularity", "graph_pagerank", "graph_ppr",
       "graph_triangles", "mm_near_dup", "mm_near_dup_perceptual",
-      "mm_near_dup_eval", "emb_knn_graph",
+      "mm_near_dup_eval",
+      // r16: frame-sequence banding is the same whole-corpus bucket
+      // topology, per aligned frame
+      "mm_video_near_dup", "mm_video_near_dup_eval",
+      "emb_knn_graph",
       "emb_knn_accuracy", "emb_intrinsic_dim", "emb_centroid_sim",
       "emb_triplet_eval", "text_bleu_pairs", "text_rouge_pairs",
       "graph_closeness_sampled", "emb_matryoshka_recall",
@@ -160,6 +168,8 @@ object TwinRegistry {
       "events_lag_features", "events_paths", "events_attribution",
       "events_attribution_position", "events_binning"),
     "stateless-per-row" -> Seq(
+      // r16: mojibake repair + NFC is one map-only projection
+      "text_normalize",
       "text_redact", "text_chunk", "text_fingerprint", "text_langid",
       "text_quality", "text_c4_filters", "text_repetition",
       "layout_zorder", "layout_hilbert", "mm_audio_decode",
@@ -214,6 +224,9 @@ object TwinRegistry {
       "pipeline_dataset_card", "pipeline_pareto",
       "pipeline_k_anonymity", "pipeline_dp_release",
       "pipeline_contamination", "pipeline_dedup_impact",
+      // r16: the coverage-gated keep/strip/drop decision is the same
+      // snapshot-stage class as pipeline_select
+      "pipeline_select_v2",
       // r15: the span-dedup report + transform are corpus-release
       // stages like dedup_impact/select (their df≥2 input is the
       // coverage topology, but the queries themselves are the

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.NfcNormalize
+import graft.multimodal.MultimodalOps
+
+/** Round-16 pins: the maximal-span interval table against the
+  * coverage measure (Σ interval lengths ≡ covered_tokens) and a
+  * brute-force island recompute; NfcNormalize semantics + the
+  * mojibake repair chain; the video frame-sequence perceptual
+  * fixture's planted-pair invariants.
+  */
+class Round16OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val K = 4
+
+  /** The Round15OpsSpec corpus: every coverage shape (disjoint dup
+    * spans, overlapping spans, sub-k doc, clean doc, internal repeat).
+    */
+  private lazy val corpus = Seq(
+    (1L, "a b c d e x x1 x2 p q r s"),
+    (2L, "y y1 y2 a b c d e z p q r s"),
+    (3L, "u v w m n o t g h i"),
+    (4L, "s1 s2 s3"),
+    (5L, "a b c d q5 a b c d")
+  ).toDF("doc_id", "text")
+
+  test("substringIntervals: sum of island lengths equals covered_tokens") {
+    val grams = Dedup.gramTable(corpus, K)
+    val fromIntervals = Dedup.substringIntervals(corpus, grams, K)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromCoverage = Dedup.spanCoverageFrom(corpus, grams, K)
+      .filter(col("covered_tokens") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fromIntervals === fromCoverage)
+  }
+
+  test("substringIntervals matches a brute-force island recompute") {
+    val rows = Dedup.substringIntervals(corpus, Dedup.gramTable(corpus, K), K)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute force: covered token sets → maximal runs
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      (0 to t.length - K).map(p => (id, p, t.slice(p, p + K).mkString(" ")))
+    }
+    val df2 = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = docs.flatMap { case (id, _) =>
+      val starts = grams.filter(g => g._1 == id && df2(g._3)).map(_._2).sorted
+      // islands over starts: break when gap > K; bounds = [min,
+      // max + K − 1]; n_grams = starts in the island
+      if (starts.isEmpty) Seq.empty
+      else {
+        val islands = starts.tail.foldLeft(List(List(starts.head))) {
+          case (acc, p) =>
+            if (p - acc.head.head <= K) (p :: acc.head) :: acc.tail
+            else List(p) :: acc
+        }
+        islands.map(is =>
+          (id, is.min.toLong, (is.max + K - 1).toLong, is.size.toLong))
+      }
+    }.toSet
+    assert(rows === want)
+  }
+
+  test("NfcNormalize: composes NFD, idempotent, ASCII pass-through, " +
+       "interpreted matches codegen") {
+    // escapes, not glyphs: the decomposed/precomposed distinction IS
+    // the test, so it must not depend on source-encoding round-trips
+    val nfd = "de\u0301ja\u0300 vu"
+    val nfc = "d\u00E9j\u00E0 vu"
+    val pre = "caf\u00E9"
+    val rows = Seq(("ascii only", 1), (nfd, 2), (pre, 3))
+      .toDF("s", "id")
+      .select(col("id"), NfcNormalize(col("s")).as("n"),
+        NfcNormalize(NfcNormalize(col("s"))).as("nn"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(rows(1) === (("ascii only", "ascii only")))
+    assert(rows(2)._1 === nfc)
+    assert(rows(2)._2 === rows(2)._1) // idempotent
+    assert(rows(3)._1 === pre)
+    // interpreted path (no codegen) agrees
+    val interp = NfcNormalize.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(nfd)).toString
+    assert(interp === nfc)
+  }
+
+  test("video fixture: pair members share every aligned frame hash; " +
+       "container metadata almost never matches") {
+    val hashed = MultimodalOps.ahashPngs(
+        MultimodalOps.videoFrameTable(spark, sf))
+      .select(col("media_id"), col("frame_idx"), col("width"),
+        col("height"), col("ahash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byClip = hashed.keys.groupBy(_._1)
+    val pairs = byClip.keys.filter(_ % 2 == 0)
+      .filter(id => byClip.contains(id + 1)).toSeq
+    assert(pairs.nonEmpty)
+    var metaMatches = 0
+    pairs.foreach { a =>
+      val b = a + 1
+      val nA = byClip(a).size
+      val nB = byClip(b).size
+      (0L until math.min(nA, nB).toLong).foreach { f =>
+        assert(hashed((a, f))._3 === hashed((b, f))._3,
+          s"clip pair ($a,$b) frame $f hash mismatch")
+      }
+      if (nA == nB && hashed((a, 0L))._1 == hashed((b, 0L))._1 &&
+          hashed((a, 0L))._2 == hashed((b, 0L))._2) metaMatches += 1
+    }
+    // per-doc dims are md5-derived from 97 values each and the frame
+    // count from 3, so same-metadata pairs are ~1/28k — zero on the
+    // 250-pair sf0.001 fixture
+    assert(metaMatches === 0)
+  }
+}
