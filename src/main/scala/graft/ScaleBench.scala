@@ -189,7 +189,9 @@ object ScaleBench {
     // r16: video frame-sequence perceptual tier, unicode repair,
     // coverage-gated select, span audit intervals
     "mm_video_near_dup", "mm_video_near_dup_eval", "text_normalize",
-    "pipeline_select_v2", "dedup_substring_intervals")
+    "pipeline_select_v2", "dedup_substring_intervals",
+    // r16: train-split decontamination vs the frozen eval gram set
+    "pipeline_decontaminate")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
@@ -247,8 +249,8 @@ object ScaleBench {
     "stream_hill_tail", "stream_sign_test", "stream_burstiness",
     // r14 wave 13
     "stream_gumbel_maxima", "stream_moments",
-    // r16: the span-ingest gate's twin
-    "stream_substring_incremental")
+    // r16: the span-ingest gate's twin, the decontamination gate's twin
+    "stream_substring_incremental", "stream_decontaminate")
 
   /** The series-mode panel (`SPARK_GRAFT_SCALE_MODE=series`, VERDICT r7
     * item 5): three of the five (`events_drift`, `events_binning`,

@@ -888,6 +888,49 @@ object DedupQueries {
         batchPos, SpanTokens)
     }),
 
+    // TRAIN-side span DECONTAMINATION — the inverse transform of
+    // pipeline_contamination (which COUNTS eval-side span hits): a
+    // release decontaminates the TRAINING split against the held-out
+    // benchmark splits (the GPT-3/Lee-et-al discipline — remove from
+    // train, never from eval, so the benchmark stays intact). Per
+    // train doc: coverage of its tokens by ≥SpanTokens-token grams
+    // that also appear in any val/test doc (the frozen eval gram set
+    // — at 100 TB a tiny benchmark-side table, broadcast against the
+    // train gram scan), then the keep decision: > 0.5 of the doc is
+    // benchmark text → drop (it IS an eval copy); any covered span →
+    // strip (the pipeline_substring_strip transform removes exactly
+    // the leaked spans); else keep. Same linear gram-keyed shape as
+    // the coverage family — never pair-shaped. Thresholds compare the
+    // 6-dp-rounded coverage and the integer covered_tokens, both
+    // engine-identical. The fixture corpus's only repeated
+    // ≥SpanTokens-token spans are WHOLE-document duplicates (coverage
+    // 0 or ~1 — measured at all 3 SFs), so the strip arm gets the
+    // planted-positives treatment (the text_normalize/text_c4_filters
+    // device): docs with doc_id % 11 = 5 — landing in BOTH splits —
+    // gain one fixed 25-token span on both engines, giving partial
+    // (0 < coverage ≤ 0.5-ish) rows that strip, full-copy rows that
+    // drop, and untouched rows that keep.
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 5, lit(" " + DeconPlantSpan))
+            .otherwise(lit(""))).as("text"))
+      val grams = Dedup.gramTable(aug, SpanTokens)
+      val evalGrams = grams.filter(splitOf(col("doc_id")) =!= "train")
+        .select(col("gram_h")).distinct()
+      val trainPos = grams.filter(splitOf(col("doc_id")) === "train")
+        .join(evalGrams, "gram_h")
+      Dedup.coverageOver(
+          aug.filter(splitOf(col("doc_id")) === "train"),
+          trainPos, SpanTokens)
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_dup_grams").as("n_eval_grams"),
+          col("covered_tokens"), col("coverage_r"),
+          when(col("coverage_r") > 0.5, "drop")
+            .when(col("covered_tokens") > 0, "strip")
+            .otherwise("keep").as("action"))
+    }),
+
     // The maximal-SPAN AUDIT table (VERDICT r15 item 6) — coverage
     // says HOW MUCH of each doc is duplicated; this emits WHICH spans:
     // merged maximal (doc_id, span_start, span_end) intervals of the
@@ -1605,6 +1648,15 @@ object DedupQueries {
     */
   private[queries] val SpanTokens = 20
 
+  /** `pipeline_decontaminate`'s planted shared span (25 fixed tokens,
+    * > SpanTokens so it registers as a duplicated gram run): appended
+    * to doc_id % 11 = 5 docs on BOTH engines, it lands in both splits
+    * and gives the strip arm partial-coverage positives the natural
+    * fixture lacks (its only repeated spans are whole-doc copies).
+    */
+  private[queries] val DeconPlantSpan: String =
+    (0 until 25).map(i => s"decon$i").mkString(" ")
+
   /** Pack budget (tokens) for sequence packing — small enough that the
     * fixture yields many packs per split.
     */
@@ -1891,7 +1943,7 @@ object DedupQueries {
               col("s.quality").as("quality"), col("s.lang_pred").as("lang_pred"))
 
   /** Component label → deterministic 80/10/10 split (md5-mod 10). */
-  private def splitOf(lbl: org.apache.spark.sql.Column) = {
+  private[queries] def splitOf(lbl: org.apache.spark.sql.Column) = {
     val shard = conv(substring(md5(lbl.cast("string")), 1, 14), 16, 10)
       .cast("long") % 10
     when(shard < 8, "train").when(shard === 8, "val").otherwise("test")
@@ -3362,6 +3414,59 @@ object DedupQueries {
          |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
          |  round(coalesce(c.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 6)
          |    AS coverage_r
+         |FROM n LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // train grams against the frozen eval-split distinct-gram set
+    // (the doc_hash shard split), same planted shared span, same
+    // interval union, same 6-dp-round / integer thresholds in the
+    // action CASE
+    "pipeline_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text ||
+         |    CASE WHEN doc_id % 11 = 5 THEN ' $DeconPlantSpan' ELSE '' END,
+         |    ' ') AS toks
+         |  FROM documents
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN shard < 8 THEN 'train'
+         |         WHEN shard = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)) % 10 AS shard
+         |    FROM documents
+         |  )
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${h31.format(s"array_to_string(list_slice(toks, i, i + ${SpanTokens - 1}), ' ')")} AS gram_h
+         |  FROM d, unnest(generate_series(1, greatest(len(toks) - ${SpanTokens - 1}, 0))) u(i)
+         |), eg AS (
+         |  SELECT DISTINCT g.gram_h
+         |  FROM g JOIN sp USING (doc_id) WHERE sp.split <> 'train'
+         |), pv AS (
+         |  SELECT g.doc_id, g.pos,
+         |    lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+         |  FROM g JOIN eg USING (gram_h) JOIN sp USING (doc_id)
+         |  WHERE sp.split = 'train'
+         |), cov AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         |    CAST(sum(CASE WHEN prev IS NULL THEN ${SpanTokens}
+         |      ELSE least(${SpanTokens}, pos - prev) END) AS BIGINT)
+         |      AS covered_tokens
+         |  FROM pv GROUP BY 1
+         |), n AS (
+         |  SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens
+         |  FROM d JOIN sp USING (doc_id) WHERE sp.split = 'train'
+         |)
+         |SELECT n.doc_id, n.n_tokens,
+         |  CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_eval_grams,
+         |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  round(coalesce(c.covered_tokens, 0) / CAST(n.n_tokens AS DOUBLE), 6)
+         |    AS coverage_r,
+         |  CASE WHEN round(coalesce(c.covered_tokens, 0)
+         |         / CAST(n.n_tokens AS DOUBLE), 6) > 0.5 THEN 'drop'
+         |       WHEN coalesce(c.covered_tokens, 0) > 0 THEN 'strip'
+         |       ELSE 'keep' END AS action
          |FROM n LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
     // the same duplicated-gram occurrences (pv carries the lag),

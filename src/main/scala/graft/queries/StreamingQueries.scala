@@ -771,6 +771,47 @@ object StreamingQueries {
       covered
     }),
 
+    // STREAMING decontamination gate — pipeline_decontaminate's
+    // ingest twin (the stream_substring_incremental shape with the
+    // benchmark as the frozen side): the eval splits' distinct-gram
+    // table is persisted ONCE (at 100 TB it is tiny — benchmark-sized
+    // — and broadcast), each arriving micro-batch of TRAIN docs
+    // computes its own positional grams, joins them against the
+    // frozen eval set, and emits the identical coverage + keep/strip/
+    // drop decision. Per-doc rows are batch-independent, so the
+    // accumulated output ≡ the batch query and shares its oracle,
+    // hash-proven — the decontamination decision holds at ingest
+    // time, not only at release time.
+    "stream_decontaminate" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val isTrain = DedupQueries.splitOf(col("doc_id")) === "train"
+      val plant = concat(col("text"),
+        when(col("doc_id") % 11 === 5, lit(" " + DedupQueries.DeconPlantSpan))
+          .otherwise(lit(""))).as("text")
+      val evalGrams = Dedup.gramTable(
+          graft.tables.Tables.documents(s, dir).filter(!isTrain)
+            .select(col("doc_id"), plant),
+          DedupQueries.SpanTokens)
+        .select(col("gram_h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val decided = partialsOf(
+          documentsStream(s, dir).filter(isTrain), "graft-decon-") { batch =>
+          val docs = batch.select(col("doc_id"), plant)
+          Dedup.coverageOver(docs,
+              Dedup.gramTable(docs, DedupQueries.SpanTokens)
+                .join(evalGrams, "gram_h"),
+              DedupQueries.SpanTokens)
+            .select(col("doc_id"), col("n_tokens"),
+              col("n_dup_grams").as("n_eval_grams"),
+              col("covered_tokens"), col("coverage_r"),
+              when(col("coverage_r") > 0.5, "drop")
+                .when(col("covered_tokens") > 0, "strip")
+                .otherwise("keep").as("action"))
+        }
+      evalGrams.unpersist()
+      decided
+    }),
+
     // Streaming HLL: the distinct-count sketch accumulated ACROSS
     // micro-batches — each batch computes its partial (reg, max rho)
     // register table (the identical projection as the batch sketch),
@@ -2464,6 +2505,10 @@ object StreamingQueries {
     // per-doc rows are batch-independent → ingest-incremental ≡ batch
     "stream_substring_incremental" ->
       DedupQueries.oracleSql("dedup_substring_incremental"),
+    // frozen eval gram set + per-doc batch-independent decision →
+    // ingest-time decontamination ≡ the release-time batch pass
+    "stream_decontaminate" ->
+      DedupQueries.oracleSql("pipeline_decontaminate"),
 
     // Ingest-incremental index ≡ batch append ≡ full rebuild (frozen
     // centroids ⇒ assignment is a pure per-row function) — shares the
