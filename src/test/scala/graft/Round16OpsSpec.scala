@@ -94,6 +94,54 @@ class Round16OpsSpec extends SparkSpec {
     assert(interp === nfc)
   }
 
+  test("pipeline_decontaminate matches a string-gram brute force on the fixture") {
+    // Independent recompute: STRING grams (not the engine's md5-long
+    // GramHashes — doubling as a collision-freeness pin on the
+    // fixture), the same md5-shard split math, the same planted span
+    // (constant duplicated here deliberately), interval-union by
+    // hand. Compares n_tokens / covered_tokens / action exactly.
+    val K = 20
+    val plant = (0 until 25).map(i => s"decon$i").mkString(" ")
+    def splitOfId(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      val shard = (BigInt(hex, 16) % 10).toInt
+      if (shard < 8) "train" else if (shard == 8) "val" else "test"
+    }
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1) + (if (r.getLong(0) % 11 == 5) " " + plant else "")))
+    def grams(t: String): Seq[(Int, String)] = {
+      val toks = t.split(" ")
+      (0 to toks.length - K).map(p => (p, toks.slice(p, p + K).mkString(" ")))
+    }
+    val evalGrams = docs.filter(d => splitOfId(d._1) != "train")
+      .flatMap(d => grams(d._2).map(_._2)).toSet
+    val want = docs.filter(d => splitOfId(d._1) == "train").map { case (id, t) =>
+      val n = t.split(" ").length.toLong
+      val pos = grams(t).collect { case (p, g) if evalGrams(g) => p }.sorted
+      val covered = pos.headOption.fold(0L)(_ =>
+        pos.zip(-K +: pos.dropRight(1)).map { case (p, q) =>
+          math.min(K, p - q).toLong }.sum)
+      val action =
+        if (covered.toDouble / n > 0.5) "drop"
+        else if (covered > 0) "strip" else "keep"
+      id -> ((n, covered, action))
+    }.toMap
+    val got = SparkEntry.queries("pipeline_decontaminate")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+        col("action"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === want)
+    // all three arms fire on the planted fixture
+    assert(Set("keep", "strip", "drop").subsetOf(
+      got.values.map(_._3).toSet))
+  }
+
   test("video fixture: pair members share every aligned frame hash; " +
        "container metadata almost never matches") {
     val hashed = MultimodalOps.ahashPngs(
