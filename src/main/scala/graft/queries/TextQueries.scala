@@ -1283,7 +1283,15 @@ object TextQueries {
             .as("n_applied"))
           .select(lit(r + 1L).as("round"), col("winner").as("pair"),
                   col("n_applied"))
-        syms = merged.select(col("sym2").as("sym")).localCheckpoint()
+        // plain lineage, NOT localCheckpoint: at 3 rounds the
+        // recompute is ~8 bounded scan subtrees (ReuseExchange dedupes
+        // the repeated winner aggregations), while checkpointing the
+        // corpus-sized symbol table per round was the suite's largest
+        // storage-block writer — the r16 stall forensics (BENCH_NOTES)
+        // traced a one-in-N ~45 s non-GC stall to exactly these
+        // writes. A MANY-round trainer should checkpoint every ~5
+        // rounds instead (the kmeans_train pattern).
+        syms = merged.select(col("sym2").as("sym"))
         stats
       }
       perRound.reduce(_.unionByName(_))
@@ -1311,8 +1319,10 @@ object TextQueries {
           .groupBy(col("p")).agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("p")).limit(1)
           .select(col("p"))
+        // plain lineage (see text_bpe_train): 3 bounded rounds, and
+        // the corpus-sized checkpoint writes were the stall class
         syms = syms.crossJoin(broadcast(w.select(col("p").as("w"))))
-          .select(expr(s"replace(sym, w, '$ph')").as("sym")).localCheckpoint()
+          .select(expr(s"replace(sym, w, '$ph')").as("sym"))
         w
       }
       val wFrame = broadcast(winners(0).select(col("p").as("w1"))
