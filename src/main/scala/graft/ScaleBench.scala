@@ -311,9 +311,13 @@ object ScaleBench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
     require(reps >= 1, "SPARK_GRAFT_BENCH_REPS must be >= 1")
     def medianOf(secs: Seq[Double]): Double = {
+      // ADVICE r16: index by the sequence's own length, not the
+      // captured env `reps`, so the helper stays correct if reused
+      // with a differently sized sample.
       val sorted = secs.sorted
-      if (reps % 2 == 1) sorted(reps / 2)
-      else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
+      val n = sorted.length
+      if (n % 2 == 1) sorted(n / 2)
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
     }
 
     def timeOnce(name: String, dir: String): Double = {
