@@ -253,16 +253,25 @@ object MultimodalOps {
   /** The VIDEO frame-sequence fixture (VERDICT r15 item 3 — the
     * [[synthPattern]] fixture generalized to clips): documents 2k and
     * 2k+1 share one CLIP — frame f's 60-bit pattern key is the salted
-    * md5 prefix of `(media_id div 2) # vclip # f` — but render at
-    * per-document sizes AND per-document frame counts (4-6; a pair
-    * member may carry a truncated tail), so consecutive doc pairs are
-    * true resized/re-encoded clips: different pixel counts, band
-    * sums, and possibly lengths (container metadata misses them),
-    * identical block structure per aligned frame (the per-frame
-    * perceptual hash catches them). One row per (clip, frame) with a
-    * REAL PNG payload; still no video codec involved — exactly the
-    * demuxer-output posture SURVEY §8 scopes (a real pipeline's
-    * ffmpeg stage lands frame rasters in this same shape).
+    * md5 prefix of `(media_id div 2) # vclip # <content frame>` — but
+    * render at per-document sizes AND per-document frame counts (4-6;
+    * a pair member may carry a truncated tail), so consecutive doc
+    * pairs are true resized/re-encoded clips: different pixel counts,
+    * band sums, and possibly lengths (container metadata misses
+    * them), identical block structure per content-aligned frame (the
+    * per-frame perceptual hash catches them).
+    *
+    * r17 (VERDICT r16 item 2): the ODD pair member is additionally
+    * HEAD-TRUNCATED by a per-pair offset `voffOf(pair_id) ∈ {0,1,2}`
+    * — its stored frame f holds content frame `f + off`, the most
+    * common real re-encode transformation (trimmed intros, dropped
+    * leading frames). ~2/3 of pairs get off > 0, so an exact-index
+    * aligner scores zero banded hits on them by construction; the
+    * offset-voting matcher must recover `delta = −off` to catch them.
+    * One row per (clip, frame) with a REAL PNG payload; still no
+    * video codec involved — exactly the demuxer-output posture
+    * SURVEY §8 scopes (a real pipeline's ffmpeg stage lands frame
+    * rasters in this same shape).
     */
   def videoFrameTable(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.tables.Tables.documents(s, dir)
@@ -277,9 +286,21 @@ object MultimodalOps {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         encodePatternUdf(col("w"), col("h"),
           conv(substring(md5(concat(col("pair_id").cast("string"),
-              lit("#vclip#"), col("frame_idx").cast("string"))),
+              lit("#vclip#"),
+              (col("frame_idx") +
+                when(col("media_id") % 2 === 1, voffOf(col("pair_id")))
+                  .otherwise(lit(0L))).cast("string"))),
             1, 15), 16, 10).cast("long")).as("bytes"))
   }
+
+  /** Per-pair head-truncation offset ∈ {0,1,2} for the odd member of
+    * a planted video pair — the same salted-md5-prefix chain as every
+    * other fixture parameter, so the DuckDB oracle derives it in
+    * closed form.
+    */
+  def voffOf(pairId: Column): Column =
+    conv(substring(md5(concat(pairId.cast("string"), lit("#voff"))),
+      1, 15), 16, 10).cast("long") % 3
 
   /** Batched real decode + perceptual hash in the [[decodePngs]]
     * `mapPartitions` shape: each row gains (width, height, sum3,

@@ -142,8 +142,15 @@ class Round16OpsSpec extends SparkSpec {
       got.values.map(_._3).toSet))
   }
 
-  test("video fixture: pair members share every aligned frame hash; " +
-       "container metadata almost never matches") {
+  test("video fixture: pair members share every CONTENT-aligned frame " +
+       "hash (odd member head-truncated by voff); container metadata " +
+       "almost never matches") {
+    def voff(pairId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$pairId#voff".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 3
+    }
     val hashed = MultimodalOps.ahashPngs(
         MultimodalOps.videoFrameTable(spark, sf))
       .select(col("media_id"), col("frame_idx"), col("width"),
@@ -156,17 +163,28 @@ class Round16OpsSpec extends SparkSpec {
       .filter(id => byClip.contains(id + 1)).toSeq
     assert(pairs.nonEmpty)
     var metaMatches = 0
+    var headTrunc = 0
     pairs.foreach { a =>
       val b = a + 1
+      val off = voff(a / 2)
+      if (off > 0) headTrunc += 1
       val nA = byClip(a).size
       val nB = byClip(b).size
-      (0L until math.min(nA, nB).toLong).foreach { f =>
-        assert(hashed((a, f))._3 === hashed((b, f))._3,
-          s"clip pair ($a,$b) frame $f hash mismatch")
+      // odd frame f holds content frame f+off → matches even frame f+off
+      (0L until math.min(nB, nA - off).toLong).foreach { f =>
+        assert(hashed((b, f))._3 === hashed((a, f + off))._3,
+          s"clip pair ($a,$b) off=$off frame $f content hash mismatch")
       }
+      // and for off > 0 the EXACT-index alignment is broken at frame 0
+      if (off > 0)
+        assert(hashed((b, 0L))._3 !== hashed((a, 0L))._3,
+          s"clip pair ($a,$b) off=$off should not match at index 0")
       if (nA == nB && hashed((a, 0L))._1 == hashed((b, 0L))._1 &&
           hashed((a, 0L))._2 == hashed((b, 0L))._2) metaMatches += 1
     }
+    // ~2/3 of pairs are head-truncated — the class the r16 exact-index
+    // matcher missed by construction
+    assert(headTrunc > 0)
     // per-doc dims are md5-derived from 97 values each and the frame
     // count from 3, so same-metadata pairs are ~1/28k — zero on the
     // 250-pair sf0.001 fixture
