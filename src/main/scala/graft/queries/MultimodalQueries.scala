@@ -56,6 +56,20 @@ object MultimodalQueries {
                 col("height"), col("sum3"), col("ahash"))
     }
 
+  /** The audio fingerprint table — clip-pair WAV encode + real decode
+    * + energy-delta-sign fingerprint once per (session, dir), shared
+    * by mm_audio_near_dup and mm_audio_near_dup_eval. Payload dropped
+    * BEFORE the checkpoint (the decodedAudio lesson): what persists
+    * is |clips| rows of four longs — the stored signature column an
+    * audio lake keeps beside the blobs.
+    */
+  private def audioFingered(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Artifacts.materialized(s, dir, "audio_afinger") {
+      MultimodalOps.afingerWavs(MultimodalOps.audioClipTable(s, dir))
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+                col("ss_total"), col("afp"))
+    }
+
   /** The decoded audio table — WAV encode + real decode once per
     * (session, dir), shared by the mm_audio_* consumers.
     */
@@ -350,6 +364,69 @@ object MultimodalQueries {
         .orderBy(col("transform_class"))
     }),
 
+    // AUDIO perceptual near-dup (VERDICT r16 item 4 — completes the
+    // image/video/audio media-dedup triad): energy-delta-sign
+    // fingerprints (a chromaprint-style simplification) computed from
+    // the REAL decoded PCM — 16 ms windows, bit w = [E(w+1) > E(w)] —
+    // are invariant to the uniform-gain and resample re-encodes the
+    // container/statistic tier misses (both scale every window's
+    // energy by the same factor). Hamming-banded exactly like the
+    // image tier: 4×16-bit bands, bucket = (band, band_val), star rep
+    // per bucket — never pair-shaped, O(bucket memberships) at any
+    // corpus size.
+    "mm_audio_near_dup" -> ((s, dir) =>
+      audioFingered(s, dir)
+        .select(col("media_id"),
+          explode(array((0 to 3).map(b =>
+            struct(lit(b.toLong).as("band"),
+              shiftright(col("afp"), 16 * b).bitwiseAND(lit(65535L))
+                .as("band_val"))): _*)).as("bv"))
+        .select(col("media_id"), col("bv.band").as("band"),
+                col("bv.band_val").as("band_val"))
+        .groupBy(col("band"), col("band_val"))
+        .agg(count(lit(1)).as("n_items"), min(col("media_id")).as("rep_id"))
+        .filter(col("n_items") >= 2)),
+
+    // Tier EVAL on the planted clip pairs, per transformation class
+    // (gain re-encode / resample): the statistic tier can at best
+    // group equal (n_samples, sample_rate, Σ energy) — the gain class
+    // keeps length and rate but scales energy, the resample class
+    // keeps duration but halves the samples, so it misses both; the
+    // perceptual tier compares the decoded fingerprints. One
+    // self-join on pair_id + one per-class agg.
+    "mm_audio_near_dup_eval" -> ((s, dir) => {
+      val t = audioFingered(s, dir)
+        .withColumn("pair_id", floor(col("media_id") / 2).cast("long"))
+      val a = t.filter(col("media_id") % 2 === 0)
+        .select(col("pair_id"), col("n_samples").as("n_a"),
+                col("sample_rate").as("r_a"), col("ss_total").as("ss_a"),
+                col("afp").as("fp_a"))
+      val b = t.filter(col("media_id") % 2 === 1)
+        .select(col("pair_id"), col("n_samples").as("n_b"),
+                col("sample_rate").as("r_b"), col("ss_total").as("ss_b"),
+                col("afp").as("fp_b"))
+      a.join(b, "pair_id")
+        .select(
+          when(MultimodalOps.atrOf(col("pair_id")) === 0, "gain")
+            .otherwise("resample").as("transform_class"),
+          when(col("n_a") === col("n_b") && col("r_a") === col("r_b")
+              && col("ss_a") === col("ss_b"), 1L).otherwise(0L)
+            .as("stat_hit"),
+          when(col("fp_a") === col("fp_b"), 1L).otherwise(0L)
+            .as("perc_hit"))
+        .groupBy(col("transform_class"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(col("stat_hit")).as("caught_statistic"),
+             sum(col("perc_hit")).as("caught_perceptual"))
+        .select(col("transform_class"), col("n_pairs"),
+          col("caught_statistic"), col("caught_perceptual"),
+          round(col("caught_statistic") / col("n_pairs").cast("double"), 6)
+            .as("recall_statistic_r"),
+          round(col("caught_perceptual") / col("n_pairs").cast("double"), 6)
+            .as("recall_perceptual_r"))
+        .orderBy(col("transform_class"))
+    }),
+
     // frame sampling for video payloads: every 12th frame index of the
     // container frame count, exploded.
     "mm_frame_sample" -> ((s, dir) =>
@@ -395,6 +472,16 @@ object MultimodalQueries {
       s"'#voff')), 1, 15)) AS BIGINT) % 3)"
   private val voffSql = voffSqlOf("pair_id")
   private val voffSqlA = voffSqlOf("a.pair_id")
+
+  /** SQL twins of [[MultimodalOps.atrOf]] (audio transformation class
+    * ∈ {0 = gain, 1 = resample}) and the gain index ∈ {0,1,2}.
+    */
+  private val atrSql =
+    "(CAST(concat('0x', substr(md5(concat(CAST(pair_id AS VARCHAR), " +
+      "'#atr')), 1, 1)) AS BIGINT) % 2)"
+  private val agiSql =
+    "CAST(concat('0x', substr(md5(concat(CAST(pair_id AS VARCHAR), " +
+      "'#ag')), 1, 1)) AS BIGINT) % 3"
 
   /** Shared synthesis-parameter CTE: the same salted md5 chain
     * `MultimodalOps.mediaTable` uses to build the PNGs.
@@ -654,6 +741,116 @@ object MultimodalQueries {
         |  CAST(sum(perc_hit) AS BIGINT) AS caught_perceptual,
         |  round(sum(meta_hit) / CAST(count(*) AS DOUBLE), 6)
         |    AS recall_metadata_r,
+        |  round(sum(perc_hit) / CAST(count(*) AS DOUBLE), 6)
+        |    AS recall_perceptual_r
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // closed-form twin of the audio fingerprint chain: every sample's
+    // magnitude in window w IS the (gain-scaled) window amplitude, so
+    // the decoded window energy is n_w·amp_w² exactly and fingerprint
+    // bit w reduces to [amp²(w+1) > amp²(w)] — the oracle derives the
+    // per-member amplitudes from the same salted md5 chain (including
+    // the odd member's gain/resample re-encode) and REPLAYS the
+    // energy-comparison fingerprint, banding, and bucket-rep chain. A
+    // green row proves encode → WAV → decode → windowed energies →
+    // fingerprint invariance end-to-end.
+    "mm_audio_near_dup" ->
+      s"""WITH pr AS (SELECT DISTINCT doc_id // 2 AS pair_id FROM documents),
+        |par AS (
+        |  SELECT pair_id,
+        |    $atrSql AS atr,
+        |    CASE ($agiSql) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 5 END AS gn,
+        |    CASE ($agiSql) WHEN 0 THEN 2 ELSE 4 END AS gd
+        |  FROM pr
+        |), nibs AS (
+        |  SELECT pair_id, t.w,
+        |    CAST(concat('0x', substr(md5(concat(CAST(pair_id AS VARCHAR),
+        |      '#awin#', CAST(t.w AS VARCHAR))), 1, 1)) AS BIGINT) AS nib
+        |  FROM pr, generate_series(0, 63) t(w)
+        |), amps AS (
+        |  SELECT d.doc_id AS media_id, n.w,
+        |    CASE WHEN d.doc_id % 2 = 1 AND p.atr = 0
+        |      THEN ((n.nib + 5) * 160 * p.gn) // p.gd
+        |      ELSE (n.nib + 5) * 160 END AS amp
+        |  FROM documents d
+        |  JOIN par p ON p.pair_id = d.doc_id // 2
+        |  JOIN nibs n ON n.pair_id = d.doc_id // 2
+        |), fp AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN b.amp * b.amp > a.amp * a.amp
+        |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+        |      AS afp
+        |  FROM amps a JOIN amps b ON b.media_id = a.media_id
+        |    AND b.w = a.w + 1
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT media_id, CAST(t.b AS BIGINT) AS band,
+        |    CAST((afp >> (16 * t.b)) & 65535 AS BIGINT) AS band_val
+        |  FROM fp, generate_series(0, 3) t(b)
+        |)
+        |SELECT band, band_val, CAST(count(*) AS BIGINT) AS n_items,
+        |  min(media_id) AS rep_id
+        |FROM b GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // per-transformation-class tier eval: the statistic tier's
+    // predicate — equal (n_samples, sample_rate, Σ energy) — is
+    // evaluated in full closed form (n and rate from the re-encode
+    // class, Σ energy = n_w·Σ amp_w² over the derived amplitudes),
+    // and the perceptual tier REPLAYS the fingerprint comparison on
+    // both members' energy chains (the odd member's through its
+    // gain/resample re-encode — the invariance is evaluated, never
+    // assumed; ADVICE r16 convention).
+    "mm_audio_near_dup_eval" ->
+      s"""WITH pr AS (SELECT DISTINCT doc_id // 2 AS pair_id FROM documents),
+        |par AS (
+        |  SELECT pair_id,
+        |    $atrSql AS atr,
+        |    CASE ($agiSql) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 5 END AS gn,
+        |    CASE ($agiSql) WHEN 0 THEN 2 ELSE 4 END AS gd
+        |  FROM pr
+        |), nibs AS (
+        |  SELECT pair_id, t.w,
+        |    CAST(concat('0x', substr(md5(concat(CAST(pair_id AS VARCHAR),
+        |      '#awin#', CAST(t.w AS VARCHAR))), 1, 1)) AS BIGINT) AS nib
+        |  FROM pr, generate_series(0, 63) t(w)
+        |), amps AS (
+        |  SELECT n.pair_id, n.w, (n.nib + 5) * 160 AS amp_a,
+        |    CASE WHEN p.atr = 0 THEN ((n.nib + 5) * 160 * p.gn) // p.gd
+        |      ELSE (n.nib + 5) * 160 END AS amp_b
+        |  FROM nibs n JOIN par p USING (pair_id)
+        |), fp AS (
+        |  SELECT a.pair_id,
+        |    CAST(sum(CASE WHEN b.amp_a * b.amp_a > a.amp_a * a.amp_a
+        |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+        |      AS fp_a,
+        |    CAST(sum(CASE WHEN b.amp_b * b.amp_b > a.amp_b * a.amp_b
+        |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+        |      AS fp_b
+        |  FROM amps a JOIN amps b ON b.pair_id = a.pair_id
+        |    AND b.w = a.w + 1
+        |  GROUP BY 1
+        |), ss AS (
+        |  SELECT pair_id,
+        |    CAST(256 * sum(amp_a * amp_a) AS BIGINT) AS ss_a,
+        |    CAST(CASE WHEN min(p.atr) = 1 THEN 128 * sum(amp_b * amp_b)
+        |      ELSE 256 * sum(amp_b * amp_b) END AS BIGINT) AS ss_b
+        |  FROM amps JOIN par p USING (pair_id) GROUP BY pair_id
+        |), j AS (
+        |  SELECT p.pair_id,
+        |    CASE WHEN p.atr = 0 THEN 'gain' ELSE 'resample' END
+        |      AS transform_class,
+        |    CASE WHEN 16384 = (CASE WHEN p.atr = 1 THEN 8192
+        |        ELSE 16384 END)
+        |      AND 16000 = (CASE WHEN p.atr = 1 THEN 8000 ELSE 16000 END)
+        |      AND s.ss_a = s.ss_b THEN 1 ELSE 0 END AS stat_hit,
+        |    CASE WHEN f.fp_a = f.fp_b THEN 1 ELSE 0 END AS perc_hit
+        |  FROM par p JOIN ss s USING (pair_id) JOIN fp f USING (pair_id)
+        |)
+        |SELECT transform_class, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(stat_hit) AS BIGINT) AS caught_statistic,
+        |  CAST(sum(perc_hit) AS BIGINT) AS caught_perceptual,
+        |  round(sum(stat_hit) / CAST(count(*) AS DOUBLE), 6)
+        |    AS recall_statistic_r,
         |  round(sum(perc_hit) / CAST(count(*) AS DOUBLE), 6)
         |    AS recall_perceptual_r
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,

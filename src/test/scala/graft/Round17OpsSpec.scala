@@ -75,6 +75,64 @@ class Round17OpsSpec extends SparkSpec {
     assert(pairEdges.size === nf.keys.count(_ % 2 == 1))
   }
 
+  test("audio fingerprint: decoded energy-delta-sign fp matches the " +
+       "nibble closed form and survives gain/resample re-encodes") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(pairId: Long, w: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$pairId#awin#$w").take(1), 16)
+    def expectedFp(pairId: Long): Long =
+      (0 until 63).foldLeft(0L) { (fp, w) =>
+        if (nib(pairId, w + 1) > nib(pairId, w)) fp | (1L << w) else fp
+      }
+    val rows = MultimodalOps.afingerWavs(
+        MultimodalOps.audioClipTable(spark, sf))
+      .select(col("media_id"), col("n_samples"), col("sample_rate"),
+              col("ss_total"), col("afp"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.size === 500)
+    var gain = 0
+    var resample = 0
+    rows.keys.filter(_ % 2 == 0).foreach { a =>
+      val b = a + 1
+      val pair = a / 2
+      val want = expectedFp(pair)
+      // the DECODED fingerprint of both members equals the closed form
+      assert(rows(a)._4 === want, s"even clip $a fp mismatch")
+      assert(rows(b)._4 === want, s"odd clip $b fp mismatch")
+      val atr = java.lang.Long.parseLong(md5hex(s"$pair#atr").take(1), 16) % 2
+      if (atr == 0) { // gain: same container stats except energy
+        gain += 1
+        assert(rows(a)._1 === rows(b)._1 && rows(a)._2 === rows(b)._2)
+        assert(rows(a)._3 !== rows(b)._3, s"pair $pair gain left ss equal")
+      } else { // resample: half the samples, half the rate
+        resample += 1
+        assert(rows(b)._1 === rows(a)._1 / 2)
+        assert(rows(b)._2 === 8000L && rows(a)._2 === 16000L)
+      }
+    }
+    assert(gain > 0 && resample > 0)
+  }
+
+  test("mm_audio_near_dup_eval: both re-encode classes at perceptual " +
+       "recall 1.0, statistic tier 0") {
+    val rows = SparkEntry.queries("mm_audio_near_dup_eval")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet === Set("gain", "resample"))
+    rows.foreach { case (cls, (n, stat, perc)) =>
+      assert(n > 0, s"$cls empty")
+      assert(perc === n, s"$cls perceptual recall < 1")
+      assert(stat === 0L, s"$cls statistic tier should miss")
+    }
+  }
+
   test("mm_video_near_dup_eval: three transformation classes, " +
        "perceptual recall 1.0 in each, metadata ~0") {
     val rows = SparkEntry.queries("mm_video_near_dup_eval")(spark, sf)
