@@ -784,19 +784,27 @@ object StreamingQueries {
     // time, not only at release time.
     "stream_decontaminate" -> ((s, dir) => {
       import graft.operators.Dedup
-      val isTrain = DedupQueries.splitOf(col("doc_id")) === "train"
-      val plant = concat(col("text"),
-        when(col("doc_id") % 11 === 5, lit(" " + DedupQueries.DeconPlantSpan))
-          .otherwise(lit(""))).as("text")
+      // r17 (VERDICT r16 item 5): the split is the component-keyed
+      // release split off the shared ccLabels artifact — train
+      // membership is a doc_id semi-join (the split table is a
+      // per-release artifact a 100 TB ingest broadcasts), applied
+      // INSIDE each micro-batch (a stream cannot filter on a
+      // batch-computed label column directly).
+      val sp = DedupQueries.releaseSplits(s, dir)
+      val trainIds = sp.filter(col("split") === "train").select("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val evalIds = sp.filter(col("split") =!= "train").select("doc_id")
+      val plant = DedupQueries.deconAugText
       val evalGrams = Dedup.gramTable(
-          graft.tables.Tables.documents(s, dir).filter(!isTrain)
+          graft.tables.Tables.documents(s, dir).join(evalIds, "doc_id")
             .select(col("doc_id"), plant),
           DedupQueries.SpanTokens)
         .select(col("gram_h")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val decided = partialsOf(
-          documentsStream(s, dir).filter(isTrain), "graft-decon-") { batch =>
-          val docs = batch.select(col("doc_id"), plant)
+          documentsStream(s, dir), "graft-decon-") { batch =>
+          val docs = batch.join(trainIds, "doc_id")
+            .select(col("doc_id"), plant)
           Dedup.coverageOver(docs,
               Dedup.gramTable(docs, DedupQueries.SpanTokens)
                 .join(evalGrams, "gram_h"),
@@ -809,6 +817,7 @@ object StreamingQueries {
                 .otherwise("keep").as("action"))
         }
       evalGrams.unpersist()
+      trainIds.unpersist()
       decided
     }),
 

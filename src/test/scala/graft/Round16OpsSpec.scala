@@ -97,29 +97,32 @@ class Round16OpsSpec extends SparkSpec {
   test("pipeline_decontaminate matches a string-gram brute force on the fixture") {
     // Independent recompute: STRING grams (not the engine's md5-long
     // GramHashes — doubling as a collision-freeness pin on the
-    // fixture), the same md5-shard split math, the same planted span
-    // (constant duplicated here deliberately), interval-union by
-    // hand. Compares n_tokens / covered_tokens / action exactly.
+    // fixture), the same planted constants (duplicated here
+    // deliberately), interval-union by hand. The split source is the
+    // VERIFIED-component pipeline_split_verified output (r17 — itself
+    // oracle-verified; the raw pipeline_split is degenerate on this
+    // corpus: one chained component holds ~99% of docs).
+    // Compares n_tokens / covered_tokens / action exactly.
     val K = 20
     val plant = (0 until 25).map(i => s"decon$i").mkString(" ")
-    def splitOfId(id: Long): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(14)
-      val shard = (BigInt(hex, 16) % 10).toInt
-      if (shard < 8) "train" else if (shard == 8) "val" else "test"
-    }
+    val copy = (0 until 40).map(i => f"evalcopy$i%02d").mkString(" ")
+    val split = SparkEntry.queries("pipeline_split_verified")(spark, sf)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val docs = graft.tables.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0),
-        r.getString(1) + (if (r.getLong(0) % 11 == 5) " " + plant else "")))
+      .map { r =>
+        val id = r.getLong(0)
+        val base = if (id % 31 == 9) copy else r.getString(1)
+        (id, base + (if (id % 11 == 5) " " + plant else ""))
+      }
     def grams(t: String): Seq[(Int, String)] = {
       val toks = t.split(" ")
       (0 to toks.length - K).map(p => (p, toks.slice(p, p + K).mkString(" ")))
     }
-    val evalGrams = docs.filter(d => splitOfId(d._1) != "train")
+    val evalGrams = docs.filter(d => split(d._1) != "train")
       .flatMap(d => grams(d._2).map(_._2)).toSet
-    val want = docs.filter(d => splitOfId(d._1) == "train").map { case (id, t) =>
+    val want = docs.filter(d => split(d._1) == "train").map { case (id, t) =>
       val n = t.split(" ").length.toLong
       val pos = grams(t).collect { case (p, g) if evalGrams(g) => p }.sorted
       val covered = pos.headOption.fold(0L)(_ =>
