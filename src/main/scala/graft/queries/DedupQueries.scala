@@ -884,14 +884,36 @@ object DedupQueries {
       val comp = ccLabels(s, dir)
         .select(col("v").as("doc_id"), lit("component").as("scheme"),
                 splitOf(col("lbl")).as("split"))
-      val j = spans.join(naive.unionAll(comp), "doc_id")
+      // r17 (VERDICT r16 item 5 done-criterion): the audit's third arm
+      // is the RELEASE's actual split — the verified-component
+      // assignment pipeline_decontaminate gates against — so audit and
+      // transform speak about one eval set. Expected reading on this
+      // corpus: doc_hash leaks, raw component leaks zero but only by
+      // degeneracy (~99% of docs in one chained component), verified
+      // leaks zero while remaining a usable split — which is why it is
+      // the release split.
+      val verif = verifiedCcLabels(s, dir)
+        .select(col("v").as("doc_id"), lit("verified").as("scheme"),
+                splitOf(col("lbl")).as("split"))
+      val assigned = naive.unionAll(comp).unionAll(verif)
+      val j = spans.join(assigned, "doc_id")
       val trainSpans = j.filter(col("split") === "train")
         .select(col("scheme"), col("span_h")).distinct()
-      j.filter(col("split") =!= "train")
+      val hits = j.filter(col("split") =!= "train")
         .join(trainSpans, Seq("scheme", "span_h"))
         .groupBy(col("scheme"), col("split"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
              count(lit(1)).as("n_span_hits"))
+      // Zero-filled grid over every (scheme, eval split) the schemes
+      // actually assign: a clean scheme is a VISIBLE zero row, not an
+      // absent one (pre-r17 the two clean arms were invisible and the
+      // audit's output carried only the leaking scheme).
+      assigned.filter(col("split") =!= "train")
+        .select(col("scheme"), col("split")).distinct()
+        .join(hits, Seq("scheme", "split"), "left")
+        .select(col("scheme"), col("split"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_span_hits"), lit(0L)).as("n_span_hits"))
     }),
 
     // INCREMENTAL span coverage — the daily-ingest posture (the
@@ -3532,7 +3554,7 @@ object DedupQueries {
          |FROM d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
 
     "pipeline_contamination" ->
-      s"""WITH RECURSIVE $ccSplitCtes, d AS (
+      s"""WITH RECURSIVE $ccSplitCtes, $verifiedSplitCtes, d AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
          |), sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -3554,17 +3576,26 @@ object DedupQueries {
          |  SELECT doc_id, scheme, split FROM naive
          |  UNION ALL
          |  SELECT doc_id, 'component' AS scheme, split FROM splits
+         |  UNION ALL
+         |  SELECT doc_id, 'verified' AS scheme, split FROM vsplits
          |), j AS (
          |  SELECT s.doc_id, a.scheme, a.split, s.span_h
          |  FROM sh s JOIN assigned a USING (doc_id)
          |), tr AS (
          |  SELECT DISTINCT scheme, span_h FROM j WHERE split = 'train'
+         |), hits AS (
+         |  SELECT j.scheme, j.split,
+         |    count(DISTINCT j.doc_id) AS n_docs, count(*) AS n_span_hits
+         |  FROM j JOIN tr ON tr.scheme = j.scheme AND tr.span_h = j.span_h
+         |  WHERE j.split <> 'train'
+         |  GROUP BY 1, 2
          |)
-         |SELECT j.scheme, j.split,
-         |  count(DISTINCT j.doc_id) AS n_docs, count(*) AS n_span_hits
-         |FROM j JOIN tr ON tr.scheme = j.scheme AND tr.span_h = j.span_h
-         |WHERE j.split <> 'train'
-         |GROUP BY 1, 2""".stripMargin,
+         |SELECT g.scheme, g.split,
+         |  CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(h.n_span_hits, 0) AS BIGINT) AS n_span_hits
+         |FROM (SELECT DISTINCT scheme, split FROM assigned
+         |      WHERE split <> 'train') g
+         |LEFT JOIN hits h ON h.scheme = g.scheme AND h.split = g.split""".stripMargin,
 
     "dedup_substring_spans" ->
       s"""WITH d AS (
