@@ -191,7 +191,12 @@ object ScaleBench {
     "mm_video_near_dup", "mm_video_near_dup_eval", "text_normalize",
     "pipeline_select_v2", "dedup_substring_intervals",
     // r16: train-split decontamination vs the frozen eval gram set
-    "pipeline_decontaminate")
+    "pipeline_decontaminate",
+    // r17: audio perceptual near-dup tier, the verified near-dup
+    // graph + release split, the many-round cadence BPE trainer
+    "mm_audio_near_dup", "mm_audio_near_dup_eval",
+    "dedup_lsh_verified", "pipeline_split_verified",
+    "text_bpe_train10")
 
   /** Streaming block of the curve (VERDICT r3 item 6): the scaled dir
     * replays `factor`× events (self-union with disjoint ts offsets —
