@@ -382,14 +382,16 @@ object TextQueries {
   /** Absolute discount for `text_kneser_ney` (the standard 0.75). */
   private val KnDiscount = 0.75
 
-  /** Checkpoint cadence (rounds) for many-round bounded-fixpoint text
-    * chains, and the ceiling below which plain lineage stays sane
-    * (recompute breadth ~2^rounds before ReuseExchange). The r16
-    * stall forensics rule made executable: per-round corpus-sized
-    * localCheckpoint writes were the suite's one-in-N 45-90 s stall
-    * class; the cadence write amortizes one materialization over ~5
-    * rounds of aggregation. text_bpe_train/text_bpe_encode guard on
-    * it; text_bpe_train10 exercises it.
+  /** Ceiling below which PLAIN lineage stays sane for a bounded-round
+    * text chain (recompute breadth ~2^rounds before ReuseExchange).
+    * text_bpe_train/text_bpe_encode guard their 3-round plain chains
+    * on it. Deeper trainers do NOT graduate to a corpus-sized
+    * checkpoint cadence — the r17 probe showed even one corpus-sized
+    * localCheckpoint draws the r16 stall band (a fresh-JVM rep paid
+    * 101 s on a single cadence write; BENCH_NOTES r17). They shrink
+    * state instead: train on the distinct-word count table and
+    * checkpoint THAT per round (vocab-sized — the CC/BFS frame class,
+    * probed clean), as text_bpe_train10 does.
     */
   private[queries] val BpeCheckpointEvery = 5
 
@@ -1286,83 +1288,104 @@ object TextQueries {
       val placeholders = Seq("#", "@", "~")
       // ADVICE r16 guard: the plain-lineage choice below is TIED to
       // this small round count — recompute breadth doubles per round
-      // (~2^rounds bounded scan subtrees before ReuseExchange), so a
-      // deeper trainer must take the BpeCheckpointEvery cadence
-      // instead (text_bpe_train10 is that pattern, measured).
+      // (~2^rounds bounded subtrees before ReuseExchange) — though
+      // since the r17 weighted-vocab rewrite each subtree is
+      // vocabulary-sized, so the guard protects plan size, not data.
       require(placeholders.length <= BpeCheckpointEvery,
         s"plain-lineage BPE chain is only sane up to $BpeCheckpointEvery " +
-          "rounds; checkpoint every ~5 rounds like text_bpe_train10")
+          "rounds; checkpoint per round on the vocab table like " +
+          "text_bpe_train10")
+      // r17 state-shrink (the real fix for the r16 stall class): BPE
+      // statistics are exact on the DISTINCT-WORD COUNT table — every
+      // occurrence of the same word contributes the same pairs and the
+      // same merge, so pair counts and n_applied are the per-word
+      // values × cnt (how SentencePiece/HF trainers actually train).
+      // ONE corpus-wide agg here; every round after is vocab-sized.
       var syms = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).cast("long").as("cnt"))
       val perRound = placeholders.zipWithIndex.map { case (ph, r) =>
         val winner = syms.filter(length(col("sym")) >= 2)
           .select(explode(transform(
             sequence(lit(1), length(col("sym")) - 1),
-            i => col("sym").substr(i, lit(2)))).as("p"))
-          .groupBy(col("p")).agg(count(lit(1)).as("c"))
+            i => col("sym").substr(i, lit(2)))).as("p"), col("cnt"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
           .orderBy(col("c").desc, col("p")).limit(1)
           .select(col("p").as("winner"))
         val merged = syms.crossJoin(broadcast(winner))
-          .select(col("winner"), col("sym"),
+          .select(col("winner"), col("sym"), col("cnt"),
             expr(s"replace(sym, winner, '$ph')").as("sym2"))
         val stats = merged.groupBy(col("winner"))
-          .agg(sum((length(col("sym")) - length(col("sym2"))).cast("long"))
-            .as("n_applied"))
+          .agg(sum((length(col("sym")) - length(col("sym2"))).cast("long") *
+            col("cnt")).as("n_applied"))
           .select(lit(r + 1L).as("round"), col("winner").as("pair"),
                   col("n_applied"))
         // plain lineage, NOT localCheckpoint: at 3 rounds the
-        // recompute is ~8 bounded scan subtrees (ReuseExchange dedupes
-        // the repeated winner aggregations), while checkpointing the
-        // corpus-sized symbol table per round was the suite's largest
-        // storage-block writer — the r16 stall forensics (BENCH_NOTES)
-        // traced a one-in-N ~45 s non-GC stall to exactly these
-        // writes. A MANY-round trainer should checkpoint every ~5
-        // rounds instead (the kmeans_train pattern).
-        syms = merged.select(col("sym2").as("sym"))
+        // recompute is ~8 bounded subtrees (ReuseExchange dedupes the
+        // repeated winner aggregations), all vocab-sized since the r17
+        // weighted rewrite. History: checkpointing the CORPUS-sized
+        // symbol table per round was the suite's largest storage-block
+        // writer — the r16 stall forensics traced a one-in-N ~45 s
+        // non-GC stall to those writes, and the r17 probe showed even
+        // a single such write draws the band (BENCH_NOTES r17) — hence
+        // the state shrink, which removes the corpus-sized write class
+        // from this chain entirely. Two words merging to one string
+        // re-aggregate below (sum of their counts).
+        syms = merged.select(col("sym2").as("sym"), col("cnt"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("cnt"))
         stats
       }
       perRound.reduce(_.unionByName(_))
     }),
 
-    // MANY-ROUND BPE TRAINING — the r16 checkpoint-cadence rule as an
-    // oracle-checked query (VERDICT r16 item 6). Same per-round step
-    // as text_bpe_train, 10 merges instead of 3, and the lineage
-    // policy the rule prescribes for deep trainers: checkpoint the
-    // symbol table every BpeCheckpointEvery (5) completed rounds —
-    // NEVER per round (the corpus-sized per-round writes were the
-    // suite's r16 one-in-N 45-90 s stall class), never plain-lineage
-    // either (recompute breadth doubles per round; at 10 rounds the
-    // final union would embed ~2^10 bounded scan subtrees — the plan
-    // alone is the bottleneck). One cadence write per 5 rounds keeps
-    // rounds 6-10 reading a materialized round-5 symbol table, so
-    // the plan stays O(cadence) deep while the write amortizes over 5
-    // rounds of aggregation — the kmeans_train pattern. The terminal
-    // round skips the write (nothing downstream reads the symbols
-    // after the last merge). Unrolled 10-round DuckDB twin proves
-    // every round end to end.
+    // MANY-ROUND BPE TRAINING — the deep-trainer lineage question
+    // settled by measurement (VERDICT r16 items 3+6). Same per-round
+    // step as text_bpe_train, 10 merges instead of 3. The naive deep
+    // trainer has no good lineage policy over a corpus-sized symbol
+    // table: plain lineage doubles recompute breadth per round (~2^10
+    // subtrees at 10 rounds), per-round localCheckpoint was the r16
+    // one-in-N 45-90 s stall class, and the r16-prescribed CADENCE
+    // compromise (checkpoint every 5 rounds) was probed this round and
+    // STILL drew the band — a fresh-JVM rep paid 101 s on the single
+    // cadence write (BENCH_NOTES r17). The measured answer is a STATE
+    // SHRINK: train on the distinct-word count table (one corpus agg
+    // up front; pair counts and n_applied are per-word values × cnt —
+    // exact, and how production BPE trainers work), making every round
+    // vocab-sized, where per-round checkpoints are the clean CC/BFS
+    // frame class (0/27 probe draws). At 100 TB: the corpus is read
+    // ONCE; 10 rounds then run on a ≤10⁶-row weighted vocab.
+    // Unrolled 10-round DuckDB twin proves every round end to end.
     "text_bpe_train10" -> ((s, dir) => {
       val placeholders = Bpe10Placeholders
       var syms = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).cast("long").as("cnt"))
       val perRound = placeholders.zipWithIndex.map { case (ph, r) =>
         val winner = syms.filter(length(col("sym")) >= 2)
           .select(explode(transform(
             sequence(lit(1), length(col("sym")) - 1),
-            i => col("sym").substr(i, lit(2)))).as("p"))
-          .groupBy(col("p")).agg(count(lit(1)).as("c"))
+            i => col("sym").substr(i, lit(2)))).as("p"), col("cnt"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
           .orderBy(col("c").desc, col("p")).limit(1)
           .select(col("p").as("winner"))
         val merged = syms.crossJoin(broadcast(winner))
-          .select(col("winner"), col("sym"),
+          .select(col("winner"), col("sym"), col("cnt"),
             expr(s"replace(sym, winner, '$ph')").as("sym2"))
         val stats = merged.groupBy(col("winner"))
-          .agg(sum((length(col("sym")) - length(col("sym2"))).cast("long"))
-            .as("n_applied"))
+          .agg(sum((length(col("sym")) - length(col("sym2"))).cast("long") *
+            col("cnt")).as("n_applied"))
           .select(lit(r + 1L).as("round"), col("winner").as("pair"),
                   col("n_applied"))
-        syms = merged.select(col("sym2").as("sym"))
-        if ((r + 1) % BpeCheckpointEvery == 0 && r + 1 < placeholders.length)
-          syms = syms.localCheckpoint()
+        // per-round localCheckpoint of the VOCAB-sized weighted table —
+        // the CC/BFS frame class the r17 probe measured clean (0/27
+        // band draws), keeping the round-10 plan flat. The earlier
+        // cadence variant (checkpoint the corpus-sized symbol table
+        // every 5 rounds) still drew the r16 stall band — fresh-JVM
+        // probe caught a 101 s rep on the single cadence write
+        // (BENCH_NOTES r17) — which is what forced the state shrink.
+        syms = merged.select(col("sym2").as("sym"), col("cnt"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
         stats
       }
       perRound.reduce(_.unionByName(_))
@@ -1383,21 +1406,25 @@ object TextQueries {
       // same plain-lineage-only-while-small guard as text_bpe_train
       require(placeholders.length <= BpeCheckpointEvery,
         s"plain-lineage BPE chain is only sane up to $BpeCheckpointEvery " +
-          "rounds; checkpoint every ~5 rounds like text_bpe_train10")
+          "rounds; checkpoint per round on the vocab table like " +
+          "text_bpe_train10")
+      // weighted-vocab winner chain (see text_bpe_train) — the corpus
+      // is scanned once here and once in the encode pass below; the 3
+      // training rounds run on the distinct-word count table
       var syms = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).cast("long").as("cnt"))
       val winners = placeholders.map { ph =>
         val w = syms.filter(length(col("sym")) >= 2)
           .select(explode(transform(
             sequence(lit(1), length(col("sym")) - 1),
-            i => col("sym").substr(i, lit(2)))).as("p"))
-          .groupBy(col("p")).agg(count(lit(1)).as("c"))
+            i => col("sym").substr(i, lit(2)))).as("p"), col("cnt"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
           .orderBy(col("c").desc, col("p")).limit(1)
           .select(col("p"))
-        // plain lineage (see text_bpe_train): 3 bounded rounds, and
-        // the corpus-sized checkpoint writes were the stall class
         syms = syms.crossJoin(broadcast(w.select(col("p").as("w"))))
-          .select(expr(s"replace(sym, w, '$ph')").as("sym"))
+          .select(expr(s"replace(sym, w, '$ph')").as("sym"), col("cnt"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("cnt"))
         w
       }
       val wFrame = broadcast(winners(0).select(col("p").as("w1"))
