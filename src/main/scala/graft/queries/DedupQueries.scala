@@ -1768,8 +1768,25 @@ object DedupQueries {
   private def verifiedCcLabels(s: org.apache.spark.sql.SparkSession,
                                dir: String) =
     Artifacts.materialized(s, dir, "verified_cc") {
-      val base = Tables.documents(s, dir).select(col("doc_id"),
-        TextOps.tokens(col("text")).as("toks"))
+      // EXACT-COLLAPSE first (r17 — the production near-dup order:
+      // exact dedup before LSH). Identical texts have identical
+      // shingle sets (Jaccard 1 ≥ the verify threshold), so every copy
+      // of a text provably joins its representative's component —
+      // signatures, banding, verification, and CC need only run on
+      // DISTINCT texts, with labels joined back through the text key.
+      // Output-identical: a component's label is min(doc_id) over
+      // members; each text group's min IS its representative, so the
+      // min over reps in a component equals the global member min.
+      // Measured r17: the 10× scale corpus is a 10-way self-union, and
+      // without the collapse its in-bucket pairing is quadratic in the
+      // copy count (pipeline_decontaminate drew 25 s / 9.0× at 10×);
+      // at 100 TB copy-heavy crawls are the common case.
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("tkey"))
+      val reps = keyed.groupBy(col("tkey")).agg(min(col("doc_id")).as("rep"))
+      val base = Tables.documents(s, dir)
+        .join(reps.select(col("rep").as("doc_id"), col("tkey")), "doc_id")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       val withSig = base.select(col("doc_id"),
         graft.functions.ShingleHashes(col("toks"), 3).as("sh"),
         Dedup.minhashSignature(shingleStrings(col("toks"))).as("sig"))
@@ -1797,8 +1814,13 @@ object DedupQueries {
         .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * VerifyNum
           >= size(col("sh_a")) + size(col("sh_b")))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val verts = Tables.documents(s, dir).select(col("doc_id").as("v"))
-      val out = graft.operators.ConnectedComponents.labels(verts, edges)
+      val verts = reps.select(col("rep").as("v"))
+      val repCc = graft.operators.ConnectedComponents.labels(verts, edges)
+      // broadcast the rep labels back through the text key — every
+      // copy inherits its representative's component label
+      val out = keyed.join(reps, "tkey")
+        .join(repCc.select(col("v").as("rep"), col("lbl")), "rep")
+        .select(col("doc_id").as("v"), col("lbl"))
       withSig.unpersist()
       out
     }
