@@ -119,7 +119,9 @@ object TwinRegistry {
       "ann_topk_sq", "kmeans_step", "kmeans_train", "pq_codebook",
       "pq_codes", "sq_codes", "sq_minmax", "emb_lsh_buckets",
       "text_bpe_train", "text_bpe_merge", "text_bpe_pairs",
-      "text_bpe_tokens", "text_bpe_encode"),
+      "text_bpe_tokens", "text_bpe_encode",
+      // r17: the many-round trainer is the same vocab-build stage
+      "text_bpe_train10"),
     "corpus-pair-or-graph-topology" -> Seq(
       "dedup_cc", "dedup_containment", "dedup_dbscan",
       "dedup_embedding_pairs", "dedup_jaccard_pairs",
@@ -149,6 +151,13 @@ object TwinRegistry {
       // r16: frame-sequence banding is the same whole-corpus bucket
       // topology, per aligned frame
       "mm_video_near_dup", "mm_video_near_dup_eval",
+      // r17: audio fingerprint banding, same whole-corpus bucket
+      // topology as the image/video tiers
+      "mm_audio_near_dup", "mm_audio_near_dup_eval",
+      // r17: the verified near-dup graph (LSH buckets → Jaccard-
+      // verified edges → CC) and the release split keyed on its
+      // components — whole-corpus graph topology like dedup_cc
+      "dedup_lsh_verified", "pipeline_split_verified",
       "emb_knn_graph",
       "emb_knn_accuracy", "emb_intrinsic_dim", "emb_centroid_sim",
       "emb_triplet_eval", "text_bleu_pairs", "text_rouge_pairs",
