@@ -364,8 +364,8 @@ object ScaleBench {
         // store init, sink codegen): without this the first streaming
         // row of a subset run absorbs ~15-30 s of one-time engine
         // cost that the full suite hides in its 70 earlier queries.
-        val warmDir = Files.createTempDirectory("graft-stream-warm-")
-        val ckpt = Files.createTempDirectory("graft-ckpt-")
+        val warmDir = graft.Ephemeral.dir("graft-stream-warm-")
+        val ckpt = graft.Ephemeral.dir("graft-ckpt-")
         Files.writeString(warmDir.resolve("w.txt"), "warm")
         val wq = spark.readStream.textFile(warmDir.toString)
           .writeStream.option("checkpointLocation", ckpt.toString)
@@ -454,7 +454,7 @@ object ScaleBench {
   private[graft] def buildScaledDir(spark: SparkSession, sfDir: String, factor: Int,
                                     tables: Set[String] = Set("documents", "embeddings", "events",
                                       "orders", "lineitem", "customer")): Path = {
-    val tmp = Files.createTempDirectory("graft-scale-")
+    val tmp = graft.Ephemeral.dir("graft-scale-")
     sys.addShutdownHook {
       if (Files.exists(tmp)) {
         Files.walk(tmp).iterator().asScala.toSeq.reverse
@@ -547,7 +547,7 @@ object ScaleBench {
     */
   private[graft] def buildSeriesScaledDir(spark: SparkSession, sfDir: String,
                                           factor: Int): Path = {
-    val tmp = Files.createTempDirectory("graft-series-")
+    val tmp = graft.Ephemeral.dir("graft-series-")
     sys.addShutdownHook {
       if (Files.exists(tmp)) {
         Files.walk(tmp).iterator().asScala.toSeq.reverse

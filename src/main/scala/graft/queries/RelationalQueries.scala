@@ -658,7 +658,7 @@ object RelationalQueries {
       bktDbNames.getOrElseUpdate((s, dir), s"graft_bkt_${bktDbNames.size}")
     }
     if (!s.catalog.databaseExists(db)) {
-      val loc = java.nio.file.Files.createTempDirectory("graft-bkt-")
+      val loc = graft.Ephemeral.dir("graft-bkt-")
       loc.toFile.deleteOnExit()
       s.sql(s"CREATE DATABASE $db LOCATION '${loc.toString}'")
       Tables.orders(s, dir).write

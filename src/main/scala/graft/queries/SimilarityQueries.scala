@@ -1514,17 +1514,64 @@ object SimilarityQueries {
     * to the one-pass result (`stream_pca`'s hash proof).
     */
   private[graft] def pcaMoments(embRaw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val e = embRaw
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i").cast("long").as("i"),
-        round(col("x").cast("double"), 9).cast("decimal(18,9)").as("xq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = e.select(col("vec_id"), col("i").as("j"), col("xq").as("xj"))
-    val s2 = e.join(b, "vec_id").filter(col("j") >= col("i"))
+    // r17 optimization (guide §2.4 "remove shuffles outright" + §4
+    // "keep the hot path in codegen primitives"): the n·d²/2 pair pass
+    // used to be a posexplode + SELF-JOIN on vec_id (a 2·n·d-row
+    // shuffle feeding 4.16M decimal(18,9)×decimal(18,9) BigDecimal
+    // multiplies and a decimal(38,18) hash agg). The 9-dp-quantized
+    // values are carried as LONG MANTISSAS (xq·1e9) instead: pairs
+    // come from a second posexplode of the per-vector mantissa array
+    // (no join, no exchange before the partial agg), the per-pair
+    // product la·lb is one 64-bit multiply, and the group sum runs as
+    // TWO long sums over the product's hi/lo 32-bit halves
+    // (hi = p >> 32 arithmetic = floorDiv, lo = p & 0xffffffff ≥ 0, so
+    // p ≡ hi·2³² + lo exactly, negatives included). The merged sums
+    // reconstruct Σp·10⁻¹⁸ = Σ(xq·xj) in exact decimal arithmetic
+    // (2³²/10¹⁸ and 10⁻¹⁸ are exact scale-18 literals; all result
+    // scales stay 18, no rounding step anywhere) — bit-identical
+    // decimal(38,18) moments, proven by PcaPowerSpec and the oracle
+    // hash. Overflow margins: |x| ≤ 3.03 is asserted per element
+    // (raise_error — fixture max is 0.58, the planted-spike spec
+    // reaches ≈2.6), so |p| ≤ 9.18e18 < Long.Max; the long hi/lo sums
+    // and the decimal(15/16,0) casts hold to ≥ 2e5 vectors per group
+    // (100× the 10× scale row) — far above anything a single agg
+    // partition sees before the moment table itself would be sharded.
+    val mScale = java.math.BigDecimal.valueOf(1000000000L)
+    // (A repartition-before-expansion variant was measured and
+    // rejected: at bench scale the extra exchange + task overhead
+    // costs more than the 1-task generate saves — emb_pca_power 5.8 →
+    // 6.6, stream_pca 6.3 → 8.5 with it; at production scale the scan
+    // has native parallelism and the exchange is pure overhead too.)
+    val base = embRaw
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          (round(x.cast("double"), 9).cast("decimal(18,9)") * lit(mScale))
+            .cast("long")).as("lms"))
+      .select(posexplode(col("lms")).as(Seq("i0", "lm0")), col("lms"))
+      .select(col("i0").cast("long").as("i"),
+        when(abs(col("lm0")) <= lit(3030000000L), col("lm0"))
+          .otherwise(raise_error(
+            lit("pcaMoments: |x| exceeds the 3.03 bound the long-product path needs"))
+            .cast("long")).as("lm"),
+        col("lms"))
+    val hiUnit = new java.math.BigDecimal("0.000000004294967296")   // 2^32 / 1e18
+    val loUnit = new java.math.BigDecimal("0.000000000000000001")   // 1e-18
+    val s2 = base
+      .select(col("i"), col("lm"), posexplode(col("lms")).as(Seq("j0", "lmj")))
+      .filter(col("j0") >= col("i"))
+      .select(col("i"), col("j0").cast("long").as("j"),
+        (col("lm") * col("lmj")).as("p"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xq") * col("xj")).cast("decimal(38,18)").as("s"))
-    val sx = e.groupBy(col("i"))
-      .agg(sum(col("xq")).cast("decimal(38,18)").as("s"))
+      .agg(sum(shiftright(col("p"), 32)).as("sh"),
+           sum(col("p").bitwiseAND(lit(4294967295L))).as("sl"))
+      .select(col("i"), col("j"),
+        (col("sh").cast("decimal(15,0)") * lit(hiUnit) +
+         col("sl").cast("decimal(16,0)") * lit(loUnit))
+          .cast("decimal(38,18)").as("s"))
+    val sx = base.groupBy(col("i"))
+      .agg((sum(col("lm")).cast("decimal(20,0)") *
+            lit(new java.math.BigDecimal("0.000000001")))
+        .cast("decimal(38,18)").as("s"))
       .select(col("i"), lit(-1L).as("j"), col("s"))
     val cnt = embRaw.agg(count(lit(1)).cast("decimal(38,18)").as("s"))
       .select(lit(-1L).as("i"), lit(-1L).as("j"), col("s"))
@@ -1558,10 +1605,16 @@ object SimilarityQueries {
         .select(col("i"), col("j"),
           round(col("sxx").cast("double") / col("n") - col("mu_i") * col("mu_j"), 12)
             .cast("decimal(18,12)").as("cq"))
-      val cf = cu.unionByName(
-          cu.filter(col("i") =!= col("j"))
+      // r17: checkpoint the UPPER TRIANGLE once and derive the mirror
+      // as a projection over the checkpoint — the old
+      // `cu union swap(cu) → persist` materialized the cu chain (three
+      // broadcast joins) twice, once per union leg, before the cache
+      // could serve anyone (guide §2.4; same rows, union order is
+      // irrelevant under the downstream agg)
+      val cuC = cu.localCheckpoint()
+      val cf = cuC.unionByName(
+          cuC.filter(col("i") =!= col("j"))
             .select(col("j").as("i"), col("i").as("j"), col("cq")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // v₀ = 1/8 per dim (unit norm for d = 64); 12-dp decimal carrier
       var v = mu.select(col("i"), lit(0.125).cast("decimal(18,12)").as("vq"))
         .localCheckpoint()

@@ -76,8 +76,8 @@ object StreamingQueries {
         val bounds = raw.stat
           .approxQuantile("ts_ms", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
           .map(_.toLong)
-        val srcDir = Files.createTempDirectory("graft-stream-splits-")
-        val work = Files.createTempDirectory("graft-stream-splitwork-")
+        val srcDir = graft.Ephemeral.dir("graft-stream-splits-")
+        val work = graft.Ephemeral.dir("graft-stream-splitwork-")
         val base = System.currentTimeMillis() - 3600000L
         (0 until NumSplits).foreach { i =>
           val lo = if (i == 0) None else Some(bounds(i - 1))
@@ -134,8 +134,8 @@ object StreamingQueries {
         val bounds = raw.stat
           .approxQuantile("doc_id", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
           .map(_.toLong)
-        val srcDir = Files.createTempDirectory("graft-docs-splits-")
-        val work = Files.createTempDirectory("graft-docs-splitwork-")
+        val srcDir = graft.Ephemeral.dir("graft-docs-splits-")
+        val work = graft.Ephemeral.dir("graft-docs-splitwork-")
         val base = System.currentTimeMillis() - 3600000L
         (0 until NumSplits).foreach { i =>
           val lo = if (i == 0) None else Some(bounds(i - 1))
@@ -174,8 +174,8 @@ object StreamingQueries {
         val bounds = raw.stat
           .approxQuantile("vec_id", (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
           .map(_.toLong)
-        val srcDir = Files.createTempDirectory("graft-emb-splits-")
-        val work = Files.createTempDirectory("graft-emb-splitwork-")
+        val srcDir = graft.Ephemeral.dir("graft-emb-splits-")
+        val work = graft.Ephemeral.dir("graft-emb-splitwork-")
         val base = System.currentTimeMillis() - 3600000L
         (0 until NumSplits).foreach { i =>
           val lo = if (i == 0) None else Some(bounds(i - 1))
@@ -265,8 +265,8 @@ object StreamingQueries {
           .approxQuantile("l_orderkey",
             (1 until NumSplits).map(_.toDouble / NumSplits).toArray, 0.0)
           .map(_.toLong)
-        val out = Files.createTempDirectory("graft-cdc-splits-")
-        val work = Files.createTempDirectory("graft-cdc-splitwork-")
+        val out = graft.Ephemeral.dir("graft-cdc-splits-")
+        val work = graft.Ephemeral.dir("graft-cdc-splitwork-")
         val base = System.currentTimeMillis() - 3600000L
         (0 until NumSplits).foreach { i =>
           val lo = if (i == 0) None else Some(bounds(i - 1))
@@ -333,7 +333,7 @@ object StreamingQueries {
   private def runToMemory(s: SparkSession, streamed: DataFrame,
                           rocksdb: Boolean = false): DataFrame = {
     val name = s"stream_out_${runId.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-ckpt-")
+    val ckpt = graft.Ephemeral.dir("graft-ckpt-")
     // Conf is captured at query start, so setting it around start()
     // scopes it to this query; restore afterwards.
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -418,13 +418,13 @@ object StreamingQueries {
   private[graft] def partialsOf(src: DataFrame, prefix: String)
                         (build: DataFrame => DataFrame): DataFrame = {
     val s = src.sparkSession
-    val dir = Files.createTempDirectory(prefix)
+    val dir = graft.Ephemeral.dir(prefix)
     sys.addShutdownHook(deleteRecursively(dir))
     build(s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema))
       .limit(0)
       .write.mode("append").parquet(dir.toString)
-    val ckpt = Files.createTempDirectory("graft-ckpt-")
+    val ckpt = graft.Ephemeral.dir("graft-ckpt-")
     val q = src.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1127,7 +1127,7 @@ object StreamingQueries {
     // (ts_ms, event_id) order is exactly the batch oracle's. State =
     // one row per type. Shares `events_sprt`'s oracle, hash-proven.
     "stream_sprt" -> ((s, dir) => {
-      val stateRoot = Files.createTempDirectory("graft-sprt-state-")
+      val stateRoot = graft.Ephemeral.dir("graft-sprt-state-")
       sys.addShutdownHook(deleteRecursively(stateRoot))
       s.range(0).select(
           lit("").as("event_type"), lit(0L).as("n"), lit(0L).as("cum"),
@@ -1135,7 +1135,7 @@ object StreamingQueries {
           lit(null).cast("string").as("decision"))
         .write.parquet(stateRoot.resolve("v0").toString)
       val version = new AtomicInteger(0)
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val ckpt = graft.Ephemeral.dir("graft-ckpt-")
       val B = StatTestQueries.SprtBound
       val q = eventsStream(s, dir)
         .filter(col("value").isNotNull)
@@ -2025,13 +2025,13 @@ object StreamingQueries {
     "stream_cdc_maintain" -> ((s, dir) => {
       val li = graft.tables.Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-      val viewRoot = Files.createTempDirectory("graft-ivm-view-")
+      val viewRoot = graft.Ephemeral.dir("graft-ivm-view-")
       sys.addShutdownHook(deleteRecursively(viewRoot))
       RelationalQueries.aggState(li)
         .withColumn("sq", col("sq").cast("decimal(18,4)"))
         .write.parquet(viewRoot.resolve("v0").toString)
       val version = new AtomicInteger(0)
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val ckpt = graft.Ephemeral.dir("graft-ckpt-")
       val q = cdcDeltaStream(s, dir)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
@@ -2064,9 +2064,9 @@ object StreamingQueries {
     // oracle: merge(batch LM partials) ≡ one-pass training — the
     // "language model as a sketch" member of the merge-law suite.
     "stream_perplexity" -> ((s, dir) => {
-      val c12Dir = Files.createTempDirectory("graft-lm-c12-")
-      val vocDir = Files.createTempDirectory("graft-lm-voc-")
-      val testDir = Files.createTempDirectory("graft-lm-test-")
+      val c12Dir = graft.Ephemeral.dir("graft-lm-c12-")
+      val vocDir = graft.Ephemeral.dir("graft-lm-voc-")
+      val testDir = graft.Ephemeral.dir("graft-lm-test-")
       Seq(c12Dir, vocDir, testDir).foreach(d =>
         sys.addShutdownHook(deleteRecursively(d)))
       // the three per-batch partial builders, hoisted so the dirs can
@@ -2089,7 +2089,7 @@ object StreamingQueries {
       c12Of(emptyBatch).write.mode("append").parquet(c12Dir.toString)
       vocOf(emptyBatch).write.mode("append").parquet(vocDir.toString)
       testOf(emptyBatch).write.mode("append").parquet(testDir.toString)
-      val ckpt = Files.createTempDirectory("graft-ckpt-")
+      val ckpt = graft.Ephemeral.dir("graft-ckpt-")
       val q = src
         .writeStream
         .option("checkpointLocation", ckpt.toString)
