@@ -66,37 +66,40 @@ object TinyOrder {
   private def prefixAgg(df: DataFrame, value: Column, out: String,
                         sortCols: Seq[Column], agg: String, zero: Column,
                         post: Column => Column = identity): DataFrame = {
-    // The triangular join references the frame three times (left side,
-    // value side, distinct-key side). The frame is tiny by contract,
-    // but the CHAIN THAT PRODUCES IT usually is not (a full-corpus
-    // aggregate), and the three plan subtrees differ by projection so
-    // ReuseExchange cannot deduplicate them — without materialization
-    // the upstream pass runs three times (measured: the r12 rank/search
-    // bench regressions). persist() computes it once; the eager
-    // localCheckpoint below then lets us unpersist BEFORE returning
-    // (ADVICE r13: the old persist leaked one cached frame per call for
-    // callers outside the clearCache()-between-queries harnesses).
-    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r17 rewrite (guide §1.2 "per-task work", §7.3 driver time). The
+    // previous shape was a triangular self-join over three references
+    // to the frame, held together by an EAGER persist + localCheckpoint
+    // + unpersist so the (usually data-sized) upstream chain ran once.
+    // That eagerness cost ~1 s of driver/job overhead PER CALL at
+    // construction time (4 scheduled jobs, two broadcast exchanges, a
+    // checkpoint) — measured as the dominant term of
+    // GlobalOrder.withRowNumber and hence of every ranked query's
+    // build (OPTIMIZATION_r17.md). The frame is ≲10⁴ rows by contract,
+    // so pack it instead: ONE collect_list aggregate (a single
+    // upstream pass by construction — the pack is the only reference),
+    // array_sort on the (key, row, value) structs realizes the total
+    // order, posexplode restores rows, and the running aggregate is a
+    // window over the (already single-partition) tiny frame, ordered
+    // by the array position. The window partitions on a NON-FOLDABLE
+    // constant (pmod(idx, 1)) — same single partition, but the
+    // optimizer cannot strip it, so WindowExec's global-window warning
+    // stays silent and the plan stays lazy: no job runs until the
+    // caller's action. Keys are unique by contract (callers include a
+    // tiebreak), so position order ≡ strict-key order and the values
+    // are unchanged (oracle re-verified across the full suite).
     val k = key(sortCols)
-    val left = mat.withColumn("__to_k", k)
-    val right = mat.select(k.as("__to_kb"), value.as("__to_v"))
-    // broadcast the value side: the frame is tiny by contract, and the
-    // non-equi join must plan as BroadcastNestedLoopJoin, never a
-    // CartesianProduct
-    val offs = left.select(col("__to_k")).distinct()
-      .join(broadcast(right), col("__to_kb") < col("__to_k"))
-      .groupBy(col("__to_k"))
-      .agg(call_function(agg, col("__to_v")).as("__to_agg"))
-    val joined = left.join(broadcast(offs), Seq("__to_k"), "left")
-      .withColumn(out, post(coalesce(col("__to_agg"), zero)))
-      .drop("__to_k", "__to_agg")
-    // Eagerly materialize the (tiny) result so the upstream chain runs
-    // exactly once, then release the cache — no leak across composed
-    // calls. Lineage truncation is safe at this size: losing a tiny
-    // localCheckpoint block fails the job rather than recomputing a
-    // data-sized chain, the right trade for a ≲10⁴-row frame.
-    val result = joined.localCheckpoint()
-    mat.unpersist()
-    result
+    val rowStruct = struct(df.columns.map(col): _*)
+    val packed = df.agg(array_sort(collect_list(
+      struct(k.as("__to_k"), rowStruct.as("__to_r"), value.as("__to_v"))))
+      .as("__to_arr"))
+    val rows = packed
+      .select(posexplode(col("__to_arr")).as(Seq("__to_i", "__to_e")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("__to_i"), lit(1)))
+      .orderBy(col("__to_i"))
+      .rowsBetween(Long.MinValue, -1)
+    rows.select(col("__to_e.__to_r.*"),
+      post(coalesce(
+        call_function(agg, col("__to_e.__to_v")).over(w), zero)).as(out))
   }
 }

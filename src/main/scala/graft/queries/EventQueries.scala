@@ -42,6 +42,14 @@ object EventQueries {
           lit(math.pow(1.0 - EwmaAlpha, k)), 9).cast("decimal(28,9)"),
         lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"))
     }
+    // The per-step re-cast to decimal(28,9) is LOAD-BEARING, not a
+    // redundancy (r17 lesson, caught by the full-verify gate): without
+    // it, 31 chained decimal adds escalate the result precision to the
+    // 38 cap, where Spark's allowPrecisionLoss REDUCES THE SCALE of
+    // subsequent intermediates (decimal(38,8) and below) — silent
+    // sub-ulp rounding that flips 6-dp boundary rows vs the oracle
+    // (observed: events_ewma/_bucketed [DIFF] at 1 ulp of the 6th dp).
+    // The cast holds every partial at scale 9 with precision headroom.
     rows.withColumn("ewma",
       round(terms.reduce((a, b) => (a + b).cast("decimal(28,9)")), 6)
         .cast("double"))
@@ -1800,9 +1808,11 @@ object EventQueries {
           (col("user_id") % 1024).as("a"),
           (expr("ts_ms div 86400000") % 1024).as("b"))
         .withColumn("z", expr(zInterleave("div")))
-        // persisted for the same reason as layout_hilbert's h: three
-        // layouts × three slicing branches read this narrow frame
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // checkpointed for the same reason as layout_hilbert's h: three
+        // layouts × three slicing branches read this narrow frame, and
+        // each branch's eager analysis re-walks the plan — truncate it
+        // (r17, guide §7.3; was persist)
+        .localCheckpoint()
       val stats = layoutFileStats(z, "by_user", Seq(col("a"), col("event_id")))
         .unionByName(layoutFileStats(z, "by_time", Seq(col("event_id"))))
         .unionByName(layoutFileStats(z, "zorder", Seq(col("z"), col("event_id"))))
@@ -1842,13 +1852,18 @@ object EventQueries {
           (col("user_id") % 1024).as("a"),
           (expr("ts_ms div 86400000") % 1024).as("b"))
         .withColumn("z", expr(zInterleave("div")))
-      // persist the 5-narrow-column keyed projection: the 10-round
-      // Hilbert arithmetic is evaluated ONCE, not once per slicing
-      // branch (boundary sample / slice counts / in-slice ranks × 2
-      // layouts) — the same materialize-the-sort-key step a real
-      // OPTIMIZE job performs before range-partitioned writing
-      val h = hilbertIndex(base, 10)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (was persist) the 5-narrow-column keyed
+      // projection: the 10-round Hilbert arithmetic is evaluated ONCE,
+      // not once per slicing branch (boundary sample / slice counts /
+      // in-slice ranks × 2 layouts) — the same materialize-the-sort-key
+      // step a real OPTIMIZE job performs before range-partitioned
+      // writing. r17: checkpoint instead of persist because the SIX
+      // downstream GlobalOrder branches each force full re-ANALYSIS of
+      // their plan, and with a persisted (not truncated) h that means
+      // re-walking the 30-projection Hilbert chain every time — the
+      // query's cost was ~70% driver analysis time (guide §7.3;
+      // measured in OPTIMIZATION_r17.md)
+      val h = hilbertIndex(base, 10).localCheckpoint()
       val stats = layoutFileStats(h, "zorder", Seq(col("z"), col("event_id")))
         .unionByName(layoutFileStats(h, "hilbert", Seq(col("hd"), col("event_id"))))
       def p(n: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
@@ -3799,15 +3814,31 @@ object EventQueries {
     * one whole-stage-codegen span (no shuffle, no UDF).
     */
   private[graft] def hilbertIndex(df: org.apache.spark.sql.DataFrame, bits: Int): org.apache.spark.sql.DataFrame = {
+    // r17 (guide §7.3 "very large plans spend minutes in planning"):
+    // the unrolled rounds used to be ~70 `withColumn` calls, and every
+    // withColumn EAGERLY re-analyzes the whole growing plan — measured
+    // as seconds of pure DRIVER time in front of ~2 s of execution.
+    // Build the identical chain as ONE nested-subquery SQL text
+    // instead (the same hilbertStep strings the DuckDB oracle CTEs
+    // consume), analyzed once. Same expressions, same 3-projections-
+    // per-round structure, bit-identical output (HilbertSpec + the
+    // layout oracle pin it).
     val n = 1L << bits
-    var cur = df.withColumn("hx", col("a").cast("long"))
-      .withColumn("hy", col("b").cast("long"))
-      .withColumn("hd", lit(0L))
+    val spark = df.sparkSession
+    val view = s"graft_hilbert_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(view)
+    val cols = df.columns.map(c => s"`$c`").mkString(", ")
+    var q = s"SELECT $cols, CAST(a AS BIGINT) AS hx, CAST(b AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $view"
     for (i <- (bits - 1) to 0 by -1) {
-      for ((name, e) <- hilbertStep(1L << i, n, "div")) cur = cur.withColumn(name, expr(e))
-      cur = cur.drop("rx", "ry", "x1", "y1")
+      val e = hilbertStep(1L << i, n, "div").toMap
+      q = s"""SELECT $cols, ${e("hx")} AS hx, ${e("hy")} AS hy, hd FROM (
+             |SELECT $cols, ry, ${e("x1")} AS x1, ${e("y1")} AS y1, ${e("hd")} AS hd FROM (
+             |SELECT $cols, hx, hy, hd, ${e("rx")} AS rx, ${e("ry")} AS ry FROM ($q)))""".stripMargin
     }
-    cur.drop("hx", "hy")
+    val out = spark.sql(s"SELECT $cols, hd FROM ($q)")
+    out.schema // force analysis while the temp view is still registered
+    spark.catalog.dropTempView(view)
+    out
   }
 
   /** The same iterations as chained DuckDB CTEs `h1..h$bits` (caller

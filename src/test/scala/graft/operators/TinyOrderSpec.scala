@@ -58,8 +58,28 @@ class TinyOrderSpec extends SparkSpec {
   }
 
   test("no unpartitioned window in the plan it replaces") {
+    // r17: the packed rewrite runs its running aggregate as a window
+    // over the already-tiny exploded frame — the invariant this spec
+    // protects is that no window has an EMPTY partition spec (the
+    // single-task global sort + WindowExec warning the operator
+    // exists to avoid), and that the partition key survives the
+    // optimizer (a foldable constant would be stripped back to an
+    // empty spec). Assert on the executed plan's Window nodes
+    // directly instead of string-matching "Window".
+    // optimizedPlan, not executedPlan: AQE wraps the physical tree (so
+    // a collect over it sees nothing), and the foldable-key stripping
+    // this guards against is an OPTIMIZER rule — the post-optimizer
+    // logical plan is exactly where an emptied partition spec would
+    // show.
     val plan = TinyOrder.rank(frame, "rn", Seq(col("v"), col("id")))
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), plan.take(2000))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the packed prefix window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window leaked back in:\n${w.toString.take(2000)}")
+    }
   }
 }
