@@ -168,21 +168,43 @@ object TextQueries {
               col("q.quality").as("quality"))
 
   private[graft] def lrFeaturesOf(docs: org.apache.spark.sql.DataFrame) = {
-    val label = qualityOf(docs)
-      .select(col("doc_id"), (col("quality") >= 0.6).as("pos"))
-    docs
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .select(
-        col("doc_id"),
-        ((TextOps.tokenCount(col("toks"), "the") * lit(10L)).cast("double")
-          / size(col("toks"))).as("x1raw"),
-        size(col("toks")).cast("long").as("ntok"))
-      .join(label, "doc_id")
-      .select(col("doc_id"),
-        when(col("pos"), lit(1)).otherwise(lit(0)).cast("decimal(1,0)").as("y"),
-        round(col("x1raw"), 6).cast("decimal(8,6)").as("x1q"),
-        (col("ntok").cast("decimal(6,0)")
-          * lit(new java.math.BigDecimal("0.01")).cast("decimal(3,2)")).as("x2q"))
+    // r17 (guide §2.4 — remove shuffles outright): the label and the
+    // features both derive from ONE tokenization of the same row, so
+    // compute them in a single projection. The previous shape ran
+    // qualityOf(docs) and a second tokenizing branch and re-JOINED
+    // them on doc_id — a per-row double tokenize plus a shuffle join
+    // that the streaming twin paid once per micro-batch per epoch
+    // (9 evaluations in stream_quality_lr's replay). Expressions are
+    // verbatim qualityOf's quality chain + the old feature columns —
+    // same values (oracle-pinned at 3 SFs).
+    docs.select(
+      col("doc_id"),
+      let1(TextOps.tokens(col("text"))) { t =>
+        let1(struct(
+            size(t).cast("long").as("n_tokens"),
+            size(array_distinct(t)).cast("long").as("n_distinct"),
+            TextOps.tokenCount(t, "the").as("n_the"),
+            (TextOps.tokenCount(t, "the") + TextOps.tokenCount(t, "a")).as("n_stop"),
+            length(col("text")).cast("long").as("n_chars"))) { st =>
+          val nTok = st.getField("n_tokens")
+          val ttr = st.getField("n_distinct") / nTok
+          val stopRatio = st.getField("n_stop") / nTok
+          val meanLen = (st.getField("n_chars") - (nTok - 1)) / nTok
+          val quality = round(round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+                least(meanLen / 10.0, lit(1.0)) * 0.3, 9)
+              .cast("decimal(18,9)"), 6).cast("double")
+          struct(
+            when(quality >= 0.6, lit(1)).otherwise(lit(0))
+              .cast("decimal(1,0)").as("y"),
+            round((st.getField("n_the") * lit(10L)).cast("double")
+                / st.getField("n_tokens"), 6).cast("decimal(8,6)").as("x1q"),
+            (st.getField("n_tokens").cast("decimal(6,0)")
+              * lit(new java.math.BigDecimal("0.01")).cast("decimal(3,2)"))
+              .as("x2q"))
+        }
+      }.as("f"))
+      .select(col("doc_id"), col("f.y").as("y"),
+              col("f.x1q").as("x1q"), col("f.x2q").as("x2q"))
   }
 
   private[graft] def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String) =
