@@ -131,22 +131,29 @@ object Bench {
       else ""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$spread,"sf":"$sfDir","failed":$fj}"""
-    if (only.isEmpty)
+    if (only.isEmpty) {
       Files.writeString(Paths.get("bench_out.json"), fullLine + "\n")
-    // The driver captures only the last ~2000 chars of stdout; a
-    // 222-query map is ~7000 chars, so the full line gets truncated
-    // mid-JSON and the driver records `parsed: null` (observed in
-    // BENCH_r09.json). Print a compact line that always fits: total +
-    // query count + the slowest 35 queries at 3 dp; the full-precision
-    // per-query map lives in bench_out.json (committed every round).
+      // The driver benches at TWO core counts and the second run used
+      // to overwrite the first's bench_out.json, blinding its scaling
+      // comparison (VERDICT r17 item 2) — keep a per-cpus copy too.
+      Files.writeString(Paths.get(s"bench_out_c$cpus.json"), fullLine + "\n")
+    }
     // Locale.ROOT: f"" interpolation uses the JVM default locale — a
     // comma-decimal locale (de_DE) would emit invalid JSON (ADVICE r10)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(35)
+    // The stdout line carries the FULL per-query map (3 dp, slowest
+    // first so a tail-truncated capture still sees the queries that
+    // matter): rounds 16-17 printed only the slowest 35 (a workaround
+    // for a ~2000-char driver stdout capture observed in r9) and that
+    // truncation blinded the driver's entire per-query PERF and
+    // scaling comparison two rounds running (VERDICT r17 item 2 asks
+    // for the full map back). Timing methodology is unchanged — this
+    // is output formatting only.
+    val qmap = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"queries":$slow,"sf":"$sfDir","failed":$fj,"full_results":"bench_out.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"queries":$qmap,"sf":"$sfDir","failed":$fj,"full_results":"bench_out.json"}"""
     println(compact)
     spark.stop()
   }

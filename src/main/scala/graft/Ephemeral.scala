@@ -21,10 +21,15 @@ import java.nio.file.{Files, Path, Paths}
   *   3. `java.io.tmpdir` (the pre-r17 behavior, and the portable
   *      fallback).
   *
-  * NOT routed through here: anything a query READS as its input
-  * fixture (`/root/testdata` stays the driver's contract) and
-  * anything persisted across runs (nothing is — see the no-caching
-  * rule in OPTIMIZATION_r17.md).
+  * NOT routed to tmpfs: anything persisted across runs (nothing is —
+  * see the no-caching rule in OPTIMIZATION_r17.md), the driver's
+  * input fixtures (`/root/testdata` stays the driver's contract), and
+  * DATA-SIZED scratch (ScaleBench's scaled-table copies, the
+  * per-format document materializations) — those go through
+  * [[dataDir]], which prefers `java.io.tmpdir` so a memory-backed
+  * `/dev/shm` is never asked to hold a table copy at a high scale
+  * factor (ADVICE r17). Checkpoint/metadata-log/partials scratch
+  * (KB-to-MB-sized) stays on the shm-preferring [[dir]] route.
   */
 object Ephemeral {
 
@@ -54,4 +59,29 @@ object Ephemeral {
   /** Drop-in for `Files.createTempDirectory(prefix)` on the scratch
     * base. */
   def dir(prefix: String): Path = Files.createTempDirectory(base, prefix)
+
+  /** Base for DATA-SIZED ephemeral dirs: `SPARK_GRAFT_EPHEMERAL_DIR`
+    * if set, else `java.io.tmpdir` — never the tmpfs default, which a
+    * scaled table copy could exhaust (ADVICE r17). Same per-JVM
+    * subdir + shutdown-hook cleanup story as [[base]].
+    */
+  lazy val dataBase: Path = {
+    val chosen = sys.env.get("SPARK_GRAFT_EPHEMERAL_DIR").map(Paths.get(_))
+      .getOrElse(Paths.get(System.getProperty("java.io.tmpdir")))
+    val root = Files.createTempDirectory(chosen, "graft-ephemeral-data-")
+    sys.addShutdownHook {
+      try {
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+      } catch { case _: Exception => () }
+    }
+    root
+  }
+
+  /** [[dir]] for data-sized artifacts (table copies, per-format
+    * document materializations) — disk-backed, not tmpfs.
+    */
+  def dataDir(prefix: String): Path = Files.createTempDirectory(dataBase, prefix)
 }

@@ -454,7 +454,7 @@ object ScaleBench {
   private[graft] def buildScaledDir(spark: SparkSession, sfDir: String, factor: Int,
                                     tables: Set[String] = Set("documents", "embeddings", "events",
                                       "orders", "lineitem", "customer")): Path = {
-    val tmp = graft.Ephemeral.dir("graft-scale-")
+    val tmp = graft.Ephemeral.dataDir("graft-scale-")
     sys.addShutdownHook {
       if (Files.exists(tmp)) {
         Files.walk(tmp).iterator().asScala.toSeq.reverse
@@ -547,7 +547,7 @@ object ScaleBench {
     */
   private[graft] def buildSeriesScaledDir(spark: SparkSession, sfDir: String,
                                           factor: Int): Path = {
-    val tmp = graft.Ephemeral.dir("graft-series-")
+    val tmp = graft.Ephemeral.dataDir("graft-series-")
     sys.addShutdownHook {
       if (Files.exists(tmp)) {
         Files.walk(tmp).iterator().asScala.toSeq.reverse

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   * tiebreak) with non-null keys, every column ascending — express
   * descending order as `negate(col)`, the [[GlobalOrder]] convention.
   * Data-sized frames must use [[GlobalOrder]] instead.
+  *
+  * Further contract points (ADVICE r17):
+  *   - EVERY input column must be an orderable type — the packed
+  *     array_sort compares the full-row struct, so a MapType column
+  *     fails analysis (the pre-r17 triangular join accepted it; no
+  *     current caller carries one).
+  *   - The result is fully LAZY and holds ONE reference to the
+  *     upstream plan. A caller that fans the returned frame into
+  *     several plan branches re-runs the (possibly data-sized)
+  *     upstream chain once per branch — such callers must checkpoint
+  *     the result themselves (the layout queries do exactly this).
   */
 object TinyOrder {
 

@@ -1292,33 +1292,10 @@ object EventQueries {
     // data-sized pass is only the ONE lag-window transition count
     // (per-user partitions).
     "events_markov_stationary" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ms"), col("event_id"))
-      val counts = Tables.events(s, dir)
-        .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
-        .filter(col("from_type").isNotNull)
-        .groupBy(col("from_type"), col("event_type").as("to_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("tot"))
-      val p = counts.join(tot, "from_type")
-        .select(col("from_type"), col("to_type"),
-          round(col("cnt").cast("double") / col("tot").cast("double"), 9)
-            .cast("decimal(18,9)").as("pq"))
-      val states = tot.select(col("from_type").as("t"))
-      val k = states.agg(count(lit(1)).as("k"))
-      var pi = states.crossJoin(broadcast(k))
-        .select(col("t"), round(lit(1.0) / col("k").cast("double"), 9)
-          .cast("decimal(18,9)").as("piq"))
-      for (_ <- 1 to MarkovRounds) {
-        val step = p.join(pi, col("from_type") === col("t"))
-          .groupBy(col("to_type"))
-          .agg(sum(col("piq") * col("pq")).as("sp"))
-        pi = states.join(step, col("t") === col("to_type"), "left")
-          .select(col("t"),
-            round(coalesce(asDouble(col("sp")), lit(0.0)), 9)
-              .cast("decimal(18,9)").as("piq"))
-      }
+      // r18: the packed-array unroll (see markovPackedPi) — one lazy
+      // plan, no per-round tiny-frame jobs; arithmetic verbatim.
+      val pi = markovPackedPi(markovCounts(Tables.events(s, dir)),
+        absorbing = false)
       graft.operators.TinyOrder.rank(
           pi.select(col("t").as("event_type"),
             asDouble(col("piq")).as("pi_d")),
@@ -2635,64 +2612,110 @@ object EventQueries {
     * remainder 1 − Σ round(π) is assigned to the smallest state so
     * Σπ = 1 holds EXACTLY after every round — the invariant
     * Round14OpsSpec pins on a planted absorbing chain. Exposed so the
-    * spec can plant chains; counts are eagerly materialized
-    * (localCheckpoint — k²-cell-sized) because the unrolled rounds
-    * reference the P subtree [[MarkovRounds]] times.
+    * spec can plant chains.
+    *
+    * r18 (VERDICT r17 item 4 — the TinyOrder recipe on the power
+    * iteration): the rounds run as a PACKED-ARRAY expression unroll
+    * over one collect_list row instead of per-round k-row frames. The
+    * old shape localCheckpointed counts + π once per round (~10
+    * scheduled driver jobs + broadcast exchanges per query at BUILD
+    * time, ~2 s/query of overhead); the packed plan is fully lazy —
+    * the single data-sized pass (the lag window feeding counts) runs
+    * exactly once inside the query's one job. Arithmetic is the
+    * verbatim per-round chain (exact decimal P and π cells, exact
+    * decimal product/mass sums, the same double round(·,9) per round,
+    * the same residual-to-anchor renorm), so the trajectory is
+    * bit-identical — Round14OpsSpec + the oracle at 3 SFs pin it.
     */
-  private[graft] def markovAbsorbingPi(counts0: org.apache.spark.sql.DataFrame) = {
-    val counts = counts0.localCheckpoint()
-    val tot = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("tot"))
-    val p = counts.join(tot, "from_type")
-      .select(col("from_type"), col("to_type"),
-        round(col("cnt").cast("double") / col("tot").cast("double"), 9)
-          .cast("decimal(18,9)").as("pq"))
-    val states = counts.select(col("from_type").as("t"))
-      .unionByName(counts.select(col("to_type").as("t"))).distinct()
-    val k = states.agg(count(lit(1)).as("k"))
-    // absorbing = tracked states with no outgoing transition row
-    val absorbing = states.join(
-      counts.select(col("from_type").as("t")).distinct(), Seq("t"), "left_anti")
-    var pi = states.crossJoin(broadcast(k))
-      .select(col("t"), round(lit(1.0) / col("k").cast("double"), 9)
-        .cast("decimal(18,9)").as("piq"))
+  private[graft] def markovAbsorbingPi(counts0: org.apache.spark.sql.DataFrame) =
+    markovPackedPi(counts0, absorbing = true)
+
+  /** The packed power-iteration core shared by both markov-stationary
+    * variants. States are the sorted distinct from-types
+    * (`absorbing = false`, the events_markov_stationary scope: mass
+    * into sink-only types leaves the tracked space) or from ∪ to
+    * (`absorbing = true`, with per-round uniform sink redistribution
+    * and the Σπ = 1 anchor renorm). Exactness notes:
+    *   - P cells: round(cnt/tot, 9) → DECIMAL(18,9) — verbatim;
+    *   - step sums Σᵢ πᵢ·Pᵢⱼ: each product is an exact DECIMAL(37,18)
+    *     downcast to DECIMAL(20,18) (values ≤ 1, exact) and folded
+    *     with a DECIMAL(20,18) accumulator (≤ k ≤ 10² terms of ≤ 1 —
+    *     the (21,18) intermediate never hits the 38 cap, so no
+    *     precision-loss rescale anywhere) — the same exact value the
+    *     old Sum aggregate produced;
+    *   - absent cells contribute exact decimal zeros — identical to
+    *     the old left-join's NULL → coalesce(0.0);
+    *   - the per-round π requantization is the same
+    *     round(double, 9) → DECIMAL(18,9);
+    *   - the anchor is element 1 of the SORTED state array = min(t).
+    */
+  private[graft] def markovPackedPi(counts0: org.apache.spark.sql.DataFrame,
+                                    absorbing: Boolean) = {
+    val zeroDec = "CAST(0 AS DECIMAL(18,9))"
+    // ONE aggregation row carries the raw (f, o, cnt) cells — counts0
+    // (and the data-sized pass feeding it) is referenced exactly once.
+    val packed = counts0.agg(
+      collect_list(struct(col("from_type").as("f"), col("to_type").as("o"),
+        col("cnt").as("cnt"))).as("raw"))
+    val withMat = packed
+      .withColumn("ts",
+        if (absorbing)
+          expr("array_sort(array_distinct(concat(" +
+            "transform(raw, c -> c.f), transform(raw, c -> c.o))))")
+        else
+          expr("array_sort(array_distinct(transform(raw, c -> c.f)))"))
+      .withColumn("k", size(col("ts")))
+      // per-state outgoing totals, aligned with ts (0 for absorbing)
+      .withColumn("tots", expr(
+        "transform(ts, tf -> aggregate(filter(raw, c -> c.f = tf), " +
+          "CAST(0 AS BIGINT), (a, c) -> a + c.cnt))"))
+      // dense k×k transition matrix: round(cnt/tot, 9) as DECIMAL(18,9)
+      .withColumn("mat", expr(
+        "IF(k = 0, CAST(array() AS ARRAY<ARRAY<DECIMAL(18,9)>>), " +
+          "transform(sequence(1, k), i -> transform(sequence(1, k), j -> " +
+          "coalesce(get(transform(" +
+          "filter(raw, c -> c.f = element_at(ts, i) AND c.o = element_at(ts, j)), " +
+          "c -> CAST(round(CAST(c.cnt AS DOUBLE) / " +
+          "CAST(element_at(tots, i) AS DOUBLE), 9) AS DECIMAL(18,9))), 0), " +
+          s"$zeroDec))))"))
+      .withColumn("pi", expr(
+        "transform(ts, t -> CAST(round(1.0 / CAST(k AS DOUBLE), 9) " +
+          "AS DECIMAL(18,9)))"))
+    // π + (1 − Σπ) on the anchor (sorted element 1 = min state) —
+    // exact scale-9 decimal addition, so Σπ = 1 exactly.
+    val renorm =
+      "IF(k = 0, pi, transform(sequence(1, k), j -> IF(j = 1, " +
+        "CAST(element_at(pi, 1) + (CAST(1 AS DECIMAL(18,9)) - " +
+        "aggregate(pi, CAST(0 AS DECIMAL(20,9)), " +
+        "(a, x) -> CAST(a + x AS DECIMAL(20,9)))) AS DECIMAL(18,9)), " +
+        "element_at(pi, j))))"
+    // Σᵢ πᵢ·Pᵢⱼ as an exact decimal fold (see scaladoc) → double
+    val stepSum =
+      "CAST(aggregate(sequence(1, k), CAST(0 AS DECIMAL(20,18)), " +
+        "(acc, i) -> CAST(acc + CAST(element_at(pi, i) * " +
+        "element_at(element_at(mat, i), j) AS DECIMAL(20,18)) " +
+        "AS DECIMAL(20,18))) AS DOUBLE)"
+    // Σ absorbing πᵢ (exact decimal) → double, spread uniformly
+    val sinkTerm =
+      " + CAST(aggregate(sequence(1, k), CAST(0 AS DECIMAL(20,9)), " +
+        "(acc, i) -> CAST(acc + IF(element_at(tots, i) > 0, " +
+        s"$zeroDec, element_at(pi, i)) AS DECIMAL(20,9))) AS DOUBLE) " +
+        "/ CAST(k AS DOUBLE)"
+    val step =
+      "IF(k = 0, pi, transform(sequence(1, k), j -> " +
+        s"CAST(round($stepSum${if (absorbing) sinkTerm else ""}, 9) " +
+        "AS DECIMAL(18,9))))"
     // uniform start is itself renormalized (1/k at 9 dp need not sum
     // to 1 — e.g. k = 3), so the invariant holds from round 0.
-    // Each round's π is eagerly materialized (localCheckpoint, k rows):
-    // a round references the prior π FOUR times (step, sink, and raw
-    // twice through the renorm), so the lazily-unrolled plan would
-    // replay ~4^rounds tiny subtrees as separate jobs (measured: 15 s
-    // → ~5 s at sf0.1 for the same answer).
-    pi = renormToAnchor(pi).localCheckpoint()
-    for (_ <- 1 to MarkovRounds) {
-      val step = p.join(pi, col("from_type") === col("t"))
-        .groupBy(col("to_type"))
-        .agg(sum(col("piq") * col("pq")).as("sp"))
-      val sink = pi.join(absorbing, Seq("t"), "left_semi")
-        .agg(coalesce(sum(col("piq")),
-          lit(0).cast("decimal(18,9)")).as("sink"))
-      val raw = states.join(step, col("t") === col("to_type"), "left")
-        .crossJoin(broadcast(sink)).crossJoin(broadcast(k))
-        .select(col("t"),
-          round(coalesce(asDouble(col("sp")), lit(0.0)) +
-            asDouble(col("sink")) / col("k").cast("double"), 9)
-            .cast("decimal(18,9)").as("piq"))
-      pi = renormToAnchor(raw).localCheckpoint()
+    val start =
+      if (absorbing) withMat.withColumn("pi", expr(renorm)) else withMat
+    val unrolled = (1 to MarkovRounds).foldLeft(start) { (df, _) =>
+      val stepped = df.withColumn("pi", expr(step))
+      if (absorbing) stepped.withColumn("pi", expr(renorm)) else stepped
     }
-    pi
-  }
-
-  /** π + (1 − Σπ) on the lexicographically smallest state — exact
-    * scale-9 decimal addition (no rounding anywhere), so the returned
-    * frame sums to exactly 1.
-    */
-  private def renormToAnchor(pi: org.apache.spark.sql.DataFrame) = {
-    val corr = pi.agg(
-      (lit(1).cast("decimal(18,9)") - sum(col("piq"))).as("c"),
-      min(col("t")).as("anchor"))
-    pi.crossJoin(broadcast(corr))
-      .select(col("t"),
-        when(col("t") === col("anchor"), col("piq") + col("c"))
-          .otherwise(col("piq")).cast("decimal(18,9)").as("piq"))
+    unrolled
+      .select(explode(arrays_zip(col("ts"), col("pi"))).as("z"))
+      .select(col("z.ts").as("t"), col("z.pi").as("piq"))
   }
 
   /** The capped implicit-feedback ratings table shared by
@@ -3835,10 +3858,13 @@ object EventQueries {
              |SELECT $cols, ry, ${e("x1")} AS x1, ${e("y1")} AS y1, ${e("hd")} AS hd FROM (
              |SELECT $cols, hx, hy, hd, ${e("rx")} AS rx, ${e("ry")} AS ry FROM ($q)))""".stripMargin
     }
-    val out = spark.sql(s"SELECT $cols, hd FROM ($q)")
-    out.schema // force analysis while the temp view is still registered
-    spark.catalog.dropTempView(view)
-    out
+    // try/finally (ADVICE r17): if sql() or the forced analysis
+    // throws, the UUID-named view must not leak in the session catalog
+    try {
+      val out = spark.sql(s"SELECT $cols, hd FROM ($q)")
+      out.schema // force analysis while the temp view is still registered
+      out
+    } finally spark.catalog.dropTempView(view)
   }
 
   /** The same iterations as chained DuckDB CTEs `h1..h$bits` (caller

@@ -1532,10 +1532,11 @@ object SimilarityQueries {
     // decimal(38,18) moments, proven by PcaPowerSpec and the oracle
     // hash. Overflow margins: |x| ≤ 3.03 is asserted per element
     // (raise_error — fixture max is 0.58, the planted-spike spec
-    // reaches ≈2.6), so |p| ≤ 9.18e18 < Long.Max; the long hi/lo sums
-    // and the decimal(15/16,0) casts hold to ≥ 2e5 vectors per group
-    // (100× the 10× scale row) — far above anything a single agg
-    // partition sees before the moment table itself would be sharded.
+    // reaches ≈2.6), so |p| ≤ 9.18e18 < Long.Max; the decimal(19,0)
+    // casts on the summed halves cover the ENTIRE long range (ADVICE
+    // r17 — no silent cast null possible), so the only bound is the
+    // long hi/lo sums themselves: ≥ 2e9 vectors per group before the
+    // moment table itself would be sharded.
     val mScale = java.math.BigDecimal.valueOf(1000000000L)
     // (A repartition-before-expansion variant was measured and
     // rejected: at bench scale the extra exchange + task overhead
@@ -1565,8 +1566,19 @@ object SimilarityQueries {
       .agg(sum(shiftright(col("p"), 32)).as("sh"),
            sum(col("p").bitwiseAND(lit(4294967295L))).as("sl"))
       .select(col("i"), col("j"),
-        (col("sh").cast("decimal(15,0)") * lit(hiUnit) +
-         col("sl").cast("decimal(16,0)") * lit(loUnit))
+        // ADVICE r17: decimal(19,0) covers the ENTIRE long range, so
+        // this cast can never overflow (the old (15,0)/(16,0) pair
+        // silently nulled past ~4.7e5 vectors per group on a non-ANSI
+        // session) — the only remaining limit is the long sums
+        // themselves. (19,0) is also the widest exact multiplicand
+        // against the scale-18 unit literals (19+18+1 = 38 — at the
+        // precision cap, no loss); the per-term downcast to (30,18)
+        // (values ≤ 4e10, exact) keeps the ADDITION under the cap too
+        // ((38,18)+(38,18) would rescale to (38,17) and round).
+        (((col("sh").cast("decimal(19,0)") * lit(hiUnit))
+            .cast("decimal(30,18)") +
+          (col("sl").cast("decimal(19,0)") * lit(loUnit))
+            .cast("decimal(30,18)")))
           .cast("decimal(38,18)").as("s"))
     val sx = base.groupBy(col("i"))
       .agg((sum(col("lm")).cast("decimal(20,0)") *

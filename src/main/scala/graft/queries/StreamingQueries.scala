@@ -416,19 +416,28 @@ object StreamingQueries {
     * unchanged.)
     */
   private[graft] def partialsOf(src: DataFrame, prefix: String)
-                        (build: DataFrame => DataFrame): DataFrame = {
+                        (build: DataFrame => DataFrame): DataFrame =
+    partialsOfIndexed(src, prefix)((batch, _) => build(batch))
+
+  /** [[partialsOf]] with the micro-batch id passed to the builder —
+    * for twins whose downstream finish needs the per-worker (per
+    * micro-batch) shard identity, e.g. `stream_quality_lr`'s
+    * federated gradient merge over stored worker feature shards.
+    */
+  private[graft] def partialsOfIndexed(src: DataFrame, prefix: String)
+                        (build: (DataFrame, Long) => DataFrame): DataFrame = {
     val s = src.sparkSession
     val dir = graft.Ephemeral.dir(prefix)
     sys.addShutdownHook(deleteRecursively(dir))
     build(s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema))
+        new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema), -1L)
       .limit(0)
       .write.mode("append").parquet(dir.toString)
     val ckpt = graft.Ephemeral.dir("graft-ckpt-")
     val q = src.writeStream
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        build(batch).write.mode("append").parquet(dir.toString)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        build(batch, bid).write.mode("append").parquet(dir.toString)
         ()
       }
       .start()
@@ -438,29 +447,147 @@ object StreamingQueries {
     s.read.parquet(dir.toString)
   }
 
+  /** r18 (VERDICT r17 item 1 — "combine per-twin sinks where a query
+    * family replays the same source"): where a FAMILY of twins
+    * maintains the IDENTICAL state table (same source, same per-batch
+    * builder, same merge law) and differs only in its serving finish,
+    * the merged state is materialized ONCE per (session, dir) through
+    * the Artifacts memo — the posture a deployment actually runs (one
+    * state table, N readings; the per-twin comments below have said so
+    * since r12). Rounds ≤17 re-drove the identical ingest replay once
+    * per twin for proof independence; the cross-batch merge proof is
+    * NOT weakened — each family still replays its state through the
+    * full NumSplits micro-batch ingest (first consumer), and every
+    * twin's oracle still hash-checks its complete finish end-to-end.
+    * All family keys are declared in OPTIMIZATION_r18.md's Artifacts
+    * list.
+    */
   /** The SUM-MERGED streamed (list_id, label, nij) contingency cells
     * against the frozen trained index — each micro-batch assigns its
     * vectors and contributes additive cell counts (≤ nlist·|labels|
-    * rows of state). One state table, three serving finishes: NMI,
-    * purity, and ARI (VERDICT r13 item 4); each twin drives its own
-    * replay (distinct `prefix`) so the three merge proofs stay
-    * independent.
+    * rows of state). One state table, four serving finishes: NMI,
+    * purity, ARI and V-measure (VERDICT r13 item 4; shared through
+    * the Artifacts memo since r18).
     */
-  private def streamedClusterCells(s: SparkSession, dir: String,
-                                   prefix: String): DataFrame = {
-    val cents = SimilarityQueries.trainedCentArr(s, dir)
-    partialsOf(embeddingsStream(s, dir, appendOnly = false), prefix) { batch =>
-      val withNrm = batch.withColumn("nrm",
-        sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double")))
-      SimilarityQueries.assignTo(withNrm, cents)
-        .select(col("vec_id"), col("list_id"))
-        .join(batch.select(col("vec_id"), col("label")), "vec_id")
+  private def streamedClusterCells(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_cluster_cells") {
+      val cents = SimilarityQueries.trainedCentArr(s, dir)
+      partialsOf(embeddingsStream(s, dir, appendOnly = false),
+        "graft-ccells-partials-") { batch =>
+        val withNrm = batch.withColumn("nrm",
+          sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding")).cast("double")))
+        SimilarityQueries.assignTo(withNrm, cents)
+          .select(col("vec_id"), col("list_id"))
+          .join(batch.select(col("vec_id"), col("label")), "vec_id")
+          .groupBy(col("list_id"), col("label"))
+          .agg(count(lit(1)).as("nij"))
+      }
         .groupBy(col("list_id"), col("label"))
-        .agg(count(lit(1)).as("nij"))
+        .agg(sum(col("nij")).as("nij"))
     }
-      .groupBy(col("list_id"), col("label"))
-      .agg(sum(col("nij")).as("nij"))
-  }
+
+  /** The sum-merged streamed (type, value, cr, cc) half-count grid
+    * against the frozen PSI split — one state table, four serving
+    * finishes: KS, Mann-Whitney, BH-FDR, Cliff's δ.
+    */
+  private def streamedKsGrid(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_ks_grid") {
+      val base = graft.tables.Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
+      val split = EventQueries.psiSplit(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      split.count() // freeze the yardstick before the stream starts
+      partialsOf(
+        eventsStream(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
+        "graft-ksgrid-partials-") {
+        batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
+      }
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))
+    }
+
+  /** The merged (min first_ts, max last_ts) per-(type, user) span
+    * state + duration grid — one state table, three survival
+    * finishes: Kaplan-Meier, Nelson-Aalen, RMST.
+    */
+  private def streamedSurvivalGrid(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_survival_grid") {
+      StatTestQueries.survivalGrid(
+        partialsOf(
+          eventsStream(s, dir)
+            .select(col("event_type"), col("user_id"), col("ts_ms")),
+          "graft-surv-partials-")(StatTestQueries.userSpans)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("first_ts")).as("first_ts"),
+            max(col("last_ts")).as("last_ts")))
+    }
+
+  /** The sum-merged per-type (n, Σv, Σv²) moment state — one state
+    * table, three finishes: classic ANOVA F, Tukey-Kramer HSD, Welch
+    * ANOVA.
+    */
+  private def streamedAnovaStats(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_anova_stats") {
+      partialsOf(
+        eventsStream(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), dec(col("value")).as("v")),
+        "graft-anova-partials-")(StatTestQueries.anovaStats)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+          sum(col("qv")).as("qv"))
+    }
+
+  /** The sum-merged (type, value, c_tv) count grid — one state table,
+    * two rank-test finishes: Kruskal-Wallis, Brown-Forsythe.
+    */
+  private def streamedKwCells(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_kw_cells") {
+      partialsOf(
+        eventsStream(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value")),
+        "graft-kw-partials-")(StatTestQueries.kwCells)
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(col("c_tv")).as("c_tv"))
+    }
+
+  /** The union-merged distinct (user, item) exposure state — one
+    * state table, two finishes: item-CF cosine top-5, shifted PMI.
+    */
+  private def streamedCfExposures(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_cf_exposures") {
+      partialsOf(
+        eventsStream(s, dir).select(col("user_id"), col("props")),
+        "graft-cf-partials-")(EventQueries.cfExposures)
+        .distinct()
+    }
+
+  /** The sum-merged per-user decimal revenue totals — one state
+    * table, three concentration finishes: Gini, HHI, Theil/MLD/
+    * Atkinson.
+    */
+  private def streamedUserTotals(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_user_totals") {
+      partialsOf(
+        eventsStream(s, dir).select(col("user_id"), col("value")),
+        "graft-gini-partials-")(EventQueries.giniCells)
+        .groupBy(col("user_id"))
+        .agg(sum(col("x")).as("x"))
+    }
+
+  /** The sum-merged (source, token, cnt) vocabulary cells — one state
+    * table, two finishes: TTR/hapax lexical diversity, Chao1.
+    */
+  private def streamedLexdivCells(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, dir, "stream_lexdiv_cells") {
+      partialsOf(documentsStream(s, dir),
+        "graft-lexdiv-partials-")(TextQueries.lexdivCells)
+        .groupBy(col("source"), col("tok"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }
 
   /** The SUM-MERGED streamed geometric sufficient statistics against
     * the frozen trained index — each micro-batch assigns its vectors
@@ -471,11 +598,12 @@ object StreamingQueries {
     * serving time over it (decimal sums are associative, so the
     * merged totals equal the batch aggregation exactly).
     */
-  private def streamedClusterGeom(s: SparkSession, dir: String,
-                                  prefix: String) = {
+  private def streamedClusterGeom(s: SparkSession, dir: String) = {
+    val st = Artifacts.materialized(s, dir, "stream_cluster_geom") {
     val cents = SimilarityQueries.trainedCentArr(s, dir)
-    val st = partialsOf(
-        embeddingsStream(s, dir, appendOnly = false), prefix) { batch =>
+    partialsOf(
+        embeddingsStream(s, dir, appendOnly = false),
+        "graft-cgeom-partials-") { batch =>
       val withNrm = batch.withColumn("nrm",
         sqrt(graft.functions.VectorOps.normSqDecimal(col("embedding"))
           .cast("double")))
@@ -498,6 +626,7 @@ object StreamingQueries {
       .groupBy(col("list_id"), col("i"))
       .agg(sum(col("sx")).cast("decimal(38,14)").as("sx"),
         sum(col("nk")).as("nk"))
+    }
     val dims = st.filter(col("i") >= 0)
       .withColumn("m", round(col("sx").cast("double") / col("nk"), 9))
       .localCheckpoint()
@@ -963,24 +1092,8 @@ object StreamingQueries {
     // `events_ks_test`'s oracle — merge(grids) ≡ batch grid,
     // hash-proven; this extends the grid-count merge law from binned
     // (PSI) to exact distributions.
-    "stream_ks_test" -> ((s, dir) => {
-      val base = graft.tables.Tables.events(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
-      val split = EventQueries.psiSplit(base)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      split.count() // freeze the yardstick before the stream starts
-      EventQueries.ksFinish(
-        partialsOf(
-          eventsStream(s, dir)
-            .filter(col("value").isNotNull)
-            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
-          "graft-ks-partials-") {
-          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
-        }
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
-    }),
+    "stream_ks_test" -> ((s, dir) =>
+      EventQueries.ksFinish(streamedKsGrid(s, dir))),
 
     // STREAMING MANN-WHITNEY — the rank test under ingest: the same
     // frozen-split (type, value, cr, cc) half-count grid as
@@ -989,24 +1102,8 @@ object StreamingQueries {
     // are NOT mergeable; the grid they are computed from is — the
     // stream_topk lesson applied to rank statistics. Shares
     // `events_mannwhitney`'s oracle, hash-proven.
-    "stream_mannwhitney" -> ((s, dir) => {
-      val base = graft.tables.Tables.events(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
-      val split = EventQueries.psiSplit(base)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      split.count() // freeze the yardstick before the stream starts
-      StatTestQueries.mwFinish(
-        partialsOf(
-          eventsStream(s, dir)
-            .filter(col("value").isNotNull)
-            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
-          "graft-mw-partials-") {
-          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
-        }
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
-    }),
+    "stream_mannwhitney" -> ((s, dir) =>
+      StatTestQueries.mwFinish(streamedKsGrid(s, dir))),
 
     // STREAMING KRUSKAL-WALLIS — the k-group rank ANOVA under ingest:
     // per-batch (type, value) counts sum-merge (the ksGrid law again);
@@ -1015,15 +1112,8 @@ object StreamingQueries {
     // the only cross-group order statistic in the family, and it rides
     // the grid, never the data). Shares `events_kruskal_wallis`'s
     // oracle, hash-proven.
-    "stream_kruskal_wallis" -> ((s, dir) => {
-      StatTestQueries.kwFinishFromCells(
-        partialsOf(
-          eventsStream(s, dir).filter(col("value").isNotNull)
-            .select(col("event_type"), col("value")),
-          "graft-kw-partials-")(StatTestQueries.kwCells)
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("c_tv")).as("c_tv")))
-    }),
+    "stream_kruskal_wallis" -> ((s, dir) =>
+      StatTestQueries.kwFinishFromCells(streamedKwCells(s, dir))),
 
     // STREAMING TUKEY-KRAMER HSD — the post-hoc pairs maintained under
     // ingest: the SAME per-type (n, Σv, Σv²) sufficient-statistics
@@ -1031,17 +1121,8 @@ object StreamingQueries {
     // finishes across the family: F, Bartlett offline, HSD pairs);
     // the k-row pair join runs at serving. Shares
     // `events_tukey_hsd`'s oracle, hash-proven.
-    "stream_tukey_hsd" -> ((s, dir) => {
-      StatTestQueries.tukeyFinish(
-        partialsOf(
-          eventsStream(s, dir)
-            .filter(col("value").isNotNull)
-            .select(col("event_type"), dec(col("value")).as("v")),
-          "graft-tukey-partials-")(StatTestQueries.anovaStats)
-          .groupBy(col("event_type"))
-          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
-            sum(col("qv")).as("qv")))
-    }),
+    "stream_tukey_hsd" -> ((s, dir) =>
+      StatTestQueries.tukeyFinish(streamedAnovaStats(s, dir))),
 
     // STREAMING BROWN-FORSYTHE — the robust variance test under
     // ingest: per-batch (type, value) counts sum-merge (the KW cells
@@ -1050,15 +1131,8 @@ object StreamingQueries {
     // distinct value, so the grid-weighted sums equal the per-row
     // sums exactly (see brownForsytheFromCells). Shares
     // `events_brown_forsythe`'s oracle, hash-proven.
-    "stream_brown_forsythe" -> ((s, dir) => {
-      StatTestQueries.brownForsytheFromCells(
-        partialsOf(
-          eventsStream(s, dir).filter(col("value").isNotNull)
-            .select(col("event_type"), col("value")),
-          "graft-bf-partials-")(StatTestQueries.kwCells)
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("c_tv")).as("c_tv")))
-    }),
+    "stream_brown_forsythe" -> ((s, dir) =>
+      StatTestQueries.brownForsytheFromCells(streamedKwCells(s, dir))),
 
     // STREAMING χ² OF INDEPENDENCE — per-batch (type, bucket) counts
     // against the FROZEN bucket edges sum-merge into the contingency
@@ -1184,40 +1258,15 @@ object StreamingQueries {
     // sufficient statistics (n, Σv, Σv²) are all additive, so the
     // sum-merge is the textbook parallel-moments law; the k-row
     // finish runs at serving. Shares `events_anova`'s oracle.
-    "stream_anova" -> ((s, dir) => {
-      StatTestQueries.anovaFinish(
-        partialsOf(
-          eventsStream(s, dir)
-            .filter(col("value").isNotNull)
-            .select(col("event_type"), dec(col("value")).as("v")),
-          "graft-anova-partials-")(StatTestQueries.anovaStats)
-          .groupBy(col("event_type"))
-          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
-            sum(col("qv")).as("qv")))
-    }),
+    "stream_anova" -> ((s, dir) =>
+      StatTestQueries.anovaFinish(streamedAnovaStats(s, dir))),
 
     // STREAMING BH-FDR — multiple-testing correction maintained under
     // ingest: the per-type KS grids sum-merge (stream_ks_test's law),
     // and the p-conversion + prefix selection run at serving over the
     // m-row frame. Shares `events_bh_fdr`'s oracle.
-    "stream_bh_fdr" -> ((s, dir) => {
-      val base = graft.tables.Tables.events(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
-      val split = EventQueries.psiSplit(base)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      split.count() // freeze the yardstick before the stream starts
-      StatTestQueries.bhFinish(EventQueries.ksFinish(
-        partialsOf(
-          eventsStream(s, dir)
-            .filter(col("value").isNotNull)
-            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
-          "graft-bh-partials-") {
-          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
-        }
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))))
-    }),
+    "stream_bh_fdr" -> ((s, dir) =>
+      StatTestQueries.bhFinish(EventQueries.ksFinish(streamedKsGrid(s, dir)))),
 
     // STREAMING COHORT LTV — the revenue curve maintained under
     // ingest: per-batch per-(user, day) exact decimal revenue
@@ -1244,46 +1293,22 @@ object StreamingQueries {
     // last-seen), so the frozen yardstick needs no side-channel.
     // State = one row per (type, user) — the stream_rfm shape.
     // Shares `events_survival`'s oracle, hash-proven.
-    "stream_survival" -> ((s, dir) => {
-      StatTestQueries.survivalFinish(StatTestQueries.survivalGrid(
-        partialsOf(
-          eventsStream(s, dir)
-            .select(col("event_type"), col("user_id"), col("ts_ms")),
-          "graft-surv-partials-")(StatTestQueries.userSpans)
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(min(col("first_ts")).as("first_ts"),
-            max(col("last_ts")).as("last_ts"))))
-    }),
+    "stream_survival" -> ((s, dir) =>
+      StatTestQueries.survivalFinish(streamedSurvivalGrid(s, dir))),
 
     // STREAMING CUMULATIVE HAZARD — the Nelson-Aalen finish over the
     // SAME merged span state as stream_survival ((min, max) per
     // (type, user) — both mergeable); one state table serves both
     // survival readings in a deployment. Shares events_cum_hazard's
     // oracle, hash-proven.
-    "stream_cum_hazard" -> ((s, dir) => {
-      StatTestQueries.hazardFinish(StatTestQueries.survivalGrid(
-        partialsOf(
-          eventsStream(s, dir)
-            .select(col("event_type"), col("user_id"), col("ts_ms")),
-          "graft-hazard-partials-")(StatTestQueries.userSpans)
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(min(col("first_ts")).as("first_ts"),
-            max(col("last_ts")).as("last_ts"))))
-    }),
+    "stream_cum_hazard" -> ((s, dir) =>
+      StatTestQueries.hazardFinish(streamedSurvivalGrid(s, dir))),
 
     // STREAMING RMST — the KM-area finish over the same merged
     // (min, max) span state (a third reading on one state table).
     // Shares events_rmst's oracle, hash-proven.
-    "stream_rmst" -> ((s, dir) => {
-      StatTestQueries.rmstFinish(StatTestQueries.survivalGrid(
-        partialsOf(
-          eventsStream(s, dir)
-            .select(col("event_type"), col("user_id"), col("ts_ms")),
-          "graft-rmst-partials-")(StatTestQueries.userSpans)
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(min(col("first_ts")).as("first_ts"),
-            max(col("last_ts")).as("last_ts"))))
-    }),
+    "stream_rmst" -> ((s, dir) =>
+      StatTestQueries.rmstFinish(streamedSurvivalGrid(s, dir))),
 
     // STREAMING MANTEL-HAENSZEL — the stratified 2×2 pool under
     // ingest: per-(half, variant, user) conversion flags are
@@ -1450,13 +1475,29 @@ object StreamingQueries {
     // the part that cannot merge, which is why it is the epoch
     // boundary.
     "stream_quality_lr" -> ((s, dir) => {
-      def pass(make: DataFrame => DataFrame): DataFrame =
-        partialsOf(documentsStream(s, dir), "graft-lr-partials-")(make)
+      // r18 (VERDICT r17 item 1 — "batch the federated replays that
+      // still rebuild per epoch"): the per-doc FEATURES are
+      // β-independent, so the ingest replay runs ONCE, materializing
+      // each micro-batch's feature shard tagged with its worker id
+      // (= batch id); the Newton epochs and the scoring pass then run
+      // over the STORED worker shards — each epoch computes one 9-sum
+      // gradient/Hessian partial PER WORKER at the frozen β (these
+      // rows are still the federated worker gradients) and merges
+      // them by exact decimal SUM. Rounds ≤17 re-ingested the corpus
+      // once per epoch (3 streaming replays, 9 tokenization passes);
+      // a real parameter-server stores features once and iterates.
+      // Values bit-identical (decimal sums associative; oracle-pinned
+      // at 3 SFs).
+      val feats = Artifacts.materialized(s, dir, "stream_lr_worker_feats") {
+        partialsOfIndexed(documentsStream(s, dir), "graft-lr-feats-") {
+          (batch, bid) =>
+            TextQueries.lrFeaturesOf(batch).withColumn("worker", lit(bid))
+        }
+      }
       val beta0 = s.range(1).select(
         lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
       val betaF = (1 to 2).foldLeft(beta0) { (b, _) =>
-        val merged = pass(batch =>
-            TextQueries.lrPartials(TextQueries.lrFeaturesOf(batch), b))
+        val merged = TextQueries.lrPartialsBy(feats, b, col("worker"))
           .groupBy(col("b0"), col("b1"), col("b2"))
           .agg(sum(col("g0")).as("g0"), sum(col("g1")).as("g1"),
                sum(col("g2")).as("g2"), sum(col("h00")).as("h00"),
@@ -1465,8 +1506,7 @@ object StreamingQueries {
                sum(col("h22")).as("h22"))
         TextQueries.lrSolve(merged)
       }
-      val sc = pass(batch =>
-          TextQueries.lrScorePartials(TextQueries.lrFeaturesOf(batch), betaF))
+      val sc = TextQueries.lrScorePartialsBy(feats, betaF, col("worker"))
         .groupBy(col("b0"), col("b1"), col("b2"))
         .agg(sum(col("n_c")).as("n_c"), sum(col("np")).as("np"),
              sum(col("lls")).as("lls"), sum(col("accs")).as("accs"))
@@ -2175,8 +2215,7 @@ object StreamingQueries {
     // law on renamed axes). Shares emb_cluster_nmi's oracle,
     // hash-proven: merge(per-batch cells) ≡ batch contingency.
     "stream_cluster_nmi" -> ((s, dir) =>
-      SimilarityQueries.clusterNmiFinish(
-        streamedClusterCells(s, dir, "graft-nmi-partials-"))),
+      SimilarityQueries.clusterNmiFinish(streamedClusterCells(s, dir))),
 
     // STREAMING CLUSTER PURITY (VERDICT r13 item 4) — the second
     // serving finish on the SAME streamed (cluster, label) contingency
@@ -2185,22 +2224,19 @@ object StreamingQueries {
     // the merge proofs stay independent). Shares emb_cluster_purity's
     // oracle, hash-proven.
     "stream_cluster_purity" -> ((s, dir) =>
-      SimilarityQueries.clusterPurityFinish(
-        streamedClusterCells(s, dir, "graft-purity-partials-"))),
+      SimilarityQueries.clusterPurityFinish(streamedClusterCells(s, dir))),
 
     // STREAMING ARI — the third finish on the same cell state: exact
     // decimal pair counting at serving time over the sum-merged cells.
     // Shares emb_cluster_ari's oracle, hash-proven.
     "stream_cluster_ari" -> ((s, dir) =>
-      SimilarityQueries.clusterAriFinish(
-        streamedClusterCells(s, dir, "graft-ari-partials-"))),
+      SimilarityQueries.clusterAriFinish(streamedClusterCells(s, dir))),
 
     // STREAMING V-MEASURE — the fourth finish on the same cell state
     // (homogeneity/completeness/v read the streamed NMI outputs
     // verbatim). Shares emb_cluster_vmeasure's oracle, hash-proven.
     "stream_cluster_vmeasure" -> ((s, dir) =>
-      SimilarityQueries.clusterVmeasureFinish(
-        streamedClusterCells(s, dir, "graft-vm-partials-"))),
+      SimilarityQueries.clusterVmeasureFinish(streamedClusterCells(s, dir))),
 
     // STREAMING CALINSKI-HARABASZ — the INTERNAL (label-free) validity
     // reading under ingest: per-batch assignment against the frozen
@@ -2209,7 +2245,7 @@ object StreamingQueries {
     // over the merged ≤ nlist·65-row state. Shares
     // emb_calinski_harabasz's oracle, hash-proven.
     "stream_calinski_harabasz" -> ((s, dir) => {
-      val (dims, wss) = streamedClusterGeom(s, dir, "graft-ch-partials-")
+      val (dims, wss) = streamedClusterGeom(s, dir)
       SimilarityQueries.calinskiFinish(dims, wss)
     }),
 
@@ -2217,7 +2253,7 @@ object StreamingQueries {
     // same geometric state class (own replay, independent merge
     // proof). Shares emb_davies_bouldin's oracle, hash-proven.
     "stream_davies_bouldin" -> ((s, dir) => {
-      val (dims, wss) = streamedClusterGeom(s, dir, "graft-db-partials-")
+      val (dims, wss) = streamedClusterGeom(s, dir)
       SimilarityQueries.daviesBouldinFinish(dims, wss)
     }),
 
@@ -2231,10 +2267,7 @@ object StreamingQueries {
     // oracle, hash-proven.
     "stream_item_cf" -> ((s, dir) =>
       EventQueries.itemCfFinish(EventQueries.cfCapOf(
-        partialsOf(
-            eventsStream(s, dir).select(col("user_id"), col("props")),
-            "graft-cf-partials-")(EventQueries.cfExposures)
-          .distinct()))),
+        streamedCfExposures(s, dir)))),
 
     // STREAMING SHIFTED-PMI — same union-merged exposure state as
     // stream_item_cf, finished with events_item_pmi's PMI/SPPMI chain
@@ -2243,10 +2276,7 @@ object StreamingQueries {
     // independent). Shares events_item_pmi's oracle, hash-proven.
     "stream_item_pmi" -> ((s, dir) =>
       EventQueries.itemPmiFinish(EventQueries.cfCapOf(
-        partialsOf(
-            eventsStream(s, dir).select(col("user_id"), col("props")),
-            "graft-pmi-partials-")(EventQueries.cfExposures)
-          .distinct()))),
+        streamedCfExposures(s, dir)))),
 
     // STREAMING CAPTURE-RECAPTURE — logging-completeness audit under
     // ingest: distinct (type, user, half) memberships are
@@ -2279,12 +2309,7 @@ object StreamingQueries {
     // table, two serving finishes). Shares events_hhi's oracle,
     // hash-proven.
     "stream_hhi" -> ((s, dir) =>
-      EventQueries.hhiFinish(
-        partialsOf(
-            eventsStream(s, dir).select(col("user_id"), col("value")),
-            "graft-hhi-partials-")(EventQueries.giniCells)
-          .groupBy(col("user_id"))
-          .agg(sum(col("x")).as("x")))),
+      EventQueries.hhiFinish(streamedUserTotals(s, dir))),
 
     // STREAMING GINI — concentration maintained as revenue ingests:
     // per-user decimal totals are the additive state (one row per
@@ -2294,12 +2319,7 @@ object StreamingQueries {
     // stream_rfm ntile argument). Shares events_gini's oracle,
     // hash-proven.
     "stream_gini" -> ((s, dir) =>
-      EventQueries.giniFinish(
-        partialsOf(
-            eventsStream(s, dir).select(col("user_id"), col("value")),
-            "graft-gini-partials-")(EventQueries.giniCells)
-          .groupBy(col("user_id"))
-          .agg(sum(col("x")).as("x")))),
+      EventQueries.giniFinish(streamedUserTotals(s, dir))),
 
     // STREAMING THEIL/MLD/ATKINSON — the fourth finish on the same
     // sum-merged per-user totals as stream_gini (one state table,
@@ -2307,50 +2327,21 @@ object StreamingQueries {
     // twin drives its own replay so the merge proofs stay
     // independent). Shares events_theil_index's oracle, hash-proven.
     "stream_theil_index" -> ((s, dir) =>
-      EventQueries.inequalityFinish(
-        partialsOf(
-            eventsStream(s, dir).select(col("user_id"), col("value")),
-            "graft-theil-partials-")(EventQueries.giniCells)
-          .groupBy(col("user_id"))
-          .agg(sum(col("x")).as("x")))),
+      EventQueries.inequalityFinish(streamedUserTotals(s, dir))),
 
     // STREAMING WELCH ANOVA — the heteroscedastic F under ingest:
     // the same additive per-type moment partials as stream_anova,
     // Welch-weighted at serving. Shares events_welch_anova's oracle,
     // hash-proven.
     "stream_welch_anova" -> ((s, dir) =>
-      StatTestQueries.welchFinish(
-        partialsOf(
-          eventsStream(s, dir)
-            .filter(col("value").isNotNull)
-            .select(col("event_type"), dec(col("value")).as("v")),
-          "graft-welch-partials-")(StatTestQueries.anovaStats)
-          .groupBy(col("event_type"))
-          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
-            sum(col("qv")).as("qv")))),
+      StatTestQueries.welchFinish(streamedAnovaStats(s, dir))),
 
     // STREAMING CLIFF'S DELTA — ordinal dominance under ingest: the
     // same frozen-split (type, value, cr, cc) half-count grid as
     // stream_ks_test (sum-merge law), the dominance prefix finish at
     // serving. Shares events_cliffs_delta's oracle, hash-proven.
-    "stream_cliffs_delta" -> ((s, dir) => {
-      val base = graft.tables.Tables.events(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
-      val split = EventQueries.psiSplit(base)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      split.count() // freeze the yardstick before the stream starts
-      StatTestQueries.cliffsFinish(
-        partialsOf(
-          eventsStream(s, dir)
-            .filter(col("value").isNotNull)
-            .select(col("event_type"), col("event_id"), col("ts_ms"), col("value")),
-          "graft-cliffs-partials-") {
-          batch => EventQueries.ksGrid(EventQueries.psiHalved(batch, split))
-        }
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc")))
-    }),
+    "stream_cliffs_delta" -> ((s, dir) =>
+      StatTestQueries.cliffsFinish(streamedKsGrid(s, dir))),
 
     // STREAMING MOOD'S MEDIAN — the rank-free location test under
     // ingest: the (type, value, cnt) grid is additive (sum-merge
@@ -2372,22 +2363,14 @@ object StreamingQueries {
     // TTR/hapax finish runs over the merged vocabulary table. Shares
     // text_lexical_diversity's oracle, hash-proven.
     "stream_lexical_diversity" -> ((s, dir) =>
-      TextQueries.lexdivFinish(
-        partialsOf(documentsStream(s, dir),
-            "graft-lexdiv-partials-")(TextQueries.lexdivCells)
-          .groupBy(col("source"), col("tok"))
-          .agg(sum(col("cnt")).as("cnt")))),
+      TextQueries.lexdivFinish(streamedLexdivCells(s, dir))),
 
     // STREAMING CHAO1 — unseen-vocabulary richness under ingest: the
     // fifth finish on the same sum-merged (source, token, cnt) cells
     // as stream_lexical_diversity. Shares text_chao1's oracle,
     // hash-proven.
     "stream_chao1" -> ((s, dir) =>
-      TextQueries.chao1Finish(
-        partialsOf(documentsStream(s, dir),
-            "graft-chao1-partials-")(TextQueries.lexdivCells)
-          .groupBy(col("source"), col("tok"))
-          .agg(sum(col("cnt")).as("cnt")))),
+      TextQueries.chao1Finish(streamedLexdivCells(s, dir))),
 
     // STREAMING N-GRAM NOVELTY — the train set is DISTINCT-UNION
     // state: per batch, the distinct (doc_id, bigram, is_test) rows

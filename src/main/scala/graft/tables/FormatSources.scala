@@ -34,7 +34,7 @@ object FormatSources {
   private def materialized(s: SparkSession, dir: String, fmt: String): Path =
     cache.synchronized {
       cache.getOrElseUpdate((dir, fmt), {
-        val out = graft.Ephemeral.dir(s"graft-docs-$fmt-")
+        val out = graft.Ephemeral.dataDir(s"graft-docs-$fmt-")
         sys.addShutdownHook {
           if (Files.exists(out)) {
             Files.walk(out).iterator().asScala.toSeq.reverse
