@@ -106,8 +106,23 @@ object MultimodalOps {
     * cb ∈ [0,255]); `n_frames` is container metadata for the video
     * kind. Encoding runs on the executors as a narrow projection.
     */
+  /** Spread the docs projection across the session's parallelism
+    * before the ms-per-row codec passes (r18, guide §2.5/§6): at
+    * bench scale documents.parquet is a few MB = ONE scan split, so
+    * every ImageIO/audio encode+decode fixture ran as a single task
+    * (measured 9.5 s single-task for the video table at sf0.1 — the
+    * whole first-rep cost of mm_video_near_dup). Hash-partitioned on
+    * doc_id — deterministic placement; count = defaultParallelism
+    * (scale-adaptive, not a local constant). At production scale the
+    * input has native splits and this exchange of the raw doc rows is
+    * a small fraction of the codec pass it feeds.
+    */
+  private def spreadDocs(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.tables.Tables.documents(s, dir)
+    val docs = spreadDocs(graft.tables.Tables.documents(s, dir))
     val t = col("text")
     docs.select(
       col("doc_id").as("media_id"),
@@ -237,7 +252,7 @@ object MultimodalOps {
     * statistics cannot bucket.
     */
   def perceptualTable(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.tables.Tables.documents(s, dir)
+    val docs = spreadDocs(graft.tables.Tables.documents(s, dir))
     val t = col("text")
     val key = conv(substring(md5(concat(
         floor(col("doc_id") / 2).cast("long").cast("string"), lit("#pkey"))),
@@ -274,7 +289,7 @@ object MultimodalOps {
     * rasters in this same shape).
     */
   def videoFrameTable(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.tables.Tables.documents(s, dir)
+    val docs = spreadDocs(graft.tables.Tables.documents(s, dir))
     val t = col("text")
     val nf = (ph(t, "vf") % 3L + 4L).cast("int")
     docs.select(
@@ -435,6 +450,10 @@ object MultimodalOps {
     * samples, base amplitude in [-16000, 16000]).
     */
   def audioTable(s: SparkSession, dir: String): DataFrame = {
+    // NOT spread (r18 A/B): WAV synth+decode is cheap integer/array
+    // work — the exchange cost exceeded the parallelism win
+    // (mm_audio_decode 2.29 -> 3.41 s, mm_audio_pitch 2.17 -> 2.92 s
+    // with the spread; both reverted). The ImageIO PNG tables keep it.
     val docs = graft.tables.Tables.documents(s, dir)
     val t = col("text")
     docs.select(
@@ -508,6 +527,10 @@ object MultimodalOps {
     * while n_samples / sample_rate / Σ-energy all diverge.
     */
   def audioClipTable(s: SparkSession, dir: String): DataFrame = {
+    // NOT spread (r18 A/B): WAV synth+decode is cheap integer/array
+    // work — the exchange cost exceeded the parallelism win
+    // (mm_audio_decode 2.29 -> 3.41 s, mm_audio_pitch 2.17 -> 2.92 s
+    // with the spread; both reverted). The ImageIO PNG tables keep it.
     val docs = graft.tables.Tables.documents(s, dir)
     val pairId = floor(col("doc_id") / 2).cast("long")
     val trc = atrOf(pairId) // 0 = gain re-encode, 1 = resample

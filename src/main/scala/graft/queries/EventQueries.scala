@@ -42,17 +42,24 @@ object EventQueries {
           lit(math.pow(1.0 - EwmaAlpha, k)), 9).cast("decimal(28,9)"),
         lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"))
     }
-    // The per-step re-cast to decimal(28,9) is LOAD-BEARING, not a
-    // redundancy (r17 lesson, caught by the full-verify gate): without
-    // it, 31 chained decimal adds escalate the result precision to the
-    // 38 cap, where Spark's allowPrecisionLoss REDUCES THE SCALE of
-    // subsequent intermediates (decimal(38,8) and below) — silent
-    // sub-ulp rounding that flips 6-dp boundary rows vs the oracle
-    // (observed: events_ewma/_bucketed [DIFF] at 1 ulp of the 6th dp).
-    // The cast holds every partial at scale 9 with precision headroom.
-    rows.withColumn("ewma",
-      round(terms.reduce((a, b) => (a + b).cast("decimal(28,9)")), 6)
-        .cast("double"))
+    // Precision discipline (r17 lesson, caught by the full-verify
+    // gate): a LINEAR 31-add chain escalates the result precision by
+    // +1 per add to the 38 cap, where Spark's allowPrecisionLoss
+    // REDUCES THE SCALE of subsequent intermediates — silent sub-ulp
+    // rounding that flips 6-dp boundary rows vs the oracle. r17 held
+    // every partial at (28,9) with a re-cast after EVERY add (~31
+    // CheckOverflow casts per row). r18: a BALANCED reduce tree
+    // escalates precision only by +1 per LEVEL — ⌈log₂32⌉ = 5 levels,
+    // max intermediate decimal(33,9), never near the cap — so the
+    // per-step casts go away entirely. Exact decimal addition is
+    // associative, so the tree's sum is bit-identical to the chain's
+    // (oracle re-verified at 3 SFs for events_ewma/_bucketed/
+    // stream_ewma).
+    def balanced(ts: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (ts.size == 1) ts.head
+      else balanced(ts.grouped(2)
+        .map(g => if (g.size == 2) g(0) + g(1) else g(0)).toSeq)
+    rows.withColumn("ewma", round(balanced(terms), 6).cast("double"))
   }
 
   /** The CORPUS-AXIS scale shape for EWMA (VERDICT r13 item 6): when a

@@ -2002,28 +2002,41 @@ object SimilarityQueries {
   private[graft] def lloydTrainLong(emb: org.apache.spark.sql.DataFrame,
                                     initCents: org.apache.spark.sql.DataFrame,
                                     rounds: Int): org.apache.spark.sql.DataFrame = {
+    // r18 (VERDICT r17 item 6 — the index-build driver overhead): a
+    // round's new centroids are ≤ nlist·dim rows BY CONTRACT — the
+    // same rows centsFrameOf funnels into ONE broadcast array for the
+    // next round anyway. Collect them per round (one job) instead of
+    // the r17 localCheckpoint + full-outer convergence-join (two jobs
+    // plus checkpoint machinery): the fixpoint check becomes a
+    // driver-side map compare on the collected (list, i, c) triples —
+    // same null-free exact-double equality the <=> join tested — and
+    // the next round's input is a LocalRelation of the identical
+    // values. BuildProbe: ann_index_append warm build 8.2 → (see
+    // OPTIMIZATION_r18.md) with identical output (KMeansTrainSpec +
+    // the unrolled-N oracle pin the trajectory).
+    val s = emb.sparkSession
     var centArr = initCents
-    var prev: org.apache.spark.sql.DataFrame = null
-    var centLong: org.apache.spark.sql.DataFrame = null
+    var prev: Map[(Any, Any), Any] = null
+    var result: org.apache.spark.sql.DataFrame = null
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      centLong = assignTo(emb, centArr)
+      val step = assignTo(emb, centArr)
         .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("list_id"), col("i"))
         .agg(round(
           sum(col("x").cast("double").cast("decimal(28,14)")).cast("double") /
             count(lit(1)), 6).as("c"))
-        .localCheckpoint()
-      converged = prev != null &&
-        centLong.join(prev.withColumnRenamed("c", "c_prev"),
-            Seq("list_id", "i"), "full_outer")
-          .filter(!(col("c") <=> col("c_prev"))).isEmpty
-      prev = centLong
-      centArr = centsFrameOf(centLong)
+      val rows = step.collect()
+      val cur = rows.map(x => ((x.get(0), x.get(1)), x.get(2))).toMap
+      converged = prev != null && cur == prev
+      prev = cur
+      result = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), step.schema)
+      centArr = centsFrameOf(result)
       r += 1
     }
-    centLong
+    result
   }
 
   /** Corpus assignment under the TRAINED centroids (the built index's

@@ -352,6 +352,14 @@ object StreamingQueries {
       // state partitions win. A real deployment sizes this to state
       // volume.
       "spark.sql.shuffle.partitions" -> "4",
+      // r18 (VERDICT r17 item 1 — the per-batch WAL/commit/state-file
+      // code path): these checkpoints are EPHEMERAL scratch (deleted
+      // right after processAllAvailable), so the metadata logs and
+      // state delta files go through the java.nio local manager
+      // instead of Hadoop FileContext + CRC shadow files. Atomic
+      // rename + concurrent-writer semantics preserved — see
+      // LocalNioCheckpointFileManager.
+      ckptFmKey -> ckptFmClass,
       // Bounded replays never restart mid-run: retain the minimum
       // checkpoint history instead of the 100-batch default — with the
       // multi-batch replay each query commits ~5-9 batches, and delta
@@ -434,17 +442,40 @@ object StreamingQueries {
       .limit(0)
       .write.mode("append").parquet(dir.toString)
     val ckpt = graft.Ephemeral.dir("graft-ckpt-")
-    val q = src.writeStream
-      .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        build(batch, bid).write.mode("append").parquet(dir.toString)
-        ()
-      }
-      .start()
+    val q = withNioCkptFm(s) {
+      src.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          build(batch, bid).write.mode("append").parquet(dir.toString)
+          ()
+        }
+        .start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     deleteRecursively(ckpt)
     s.read.parquet(dir.toString)
+  }
+
+  private val ckptFmKey = "spark.sql.streaming.checkpointFileManagerClass"
+  private val ckptFmClass =
+    classOf[graft.streaming.LocalNioCheckpointFileManager].getName
+
+  /** Run `startQuery` with the java.nio local checkpoint manager set
+    * (captured at query start — the runToMemory conf-scoping pattern),
+    * restoring the previous value afterwards. r18: the bounded
+    * replays' checkpoints are ephemeral scratch, so their per-batch
+    * offset/commit-log and state-file writes skip the Hadoop
+    * FileContext + CRC code path (see LocalNioCheckpointFileManager).
+    */
+  private def withNioCkptFm[A](s: SparkSession)(startQuery: => A): A = {
+    val prev = s.conf.getOption(ckptFmKey)
+    s.conf.set(ckptFmKey, ckptFmClass)
+    try startQuery
+    finally prev match {
+      case Some(v) => s.conf.set(ckptFmKey, v)
+      case None => s.conf.unset(ckptFmKey)
+    }
   }
 
   /** r18 (VERDICT r17 item 1 — "combine per-twin sinks where a query
@@ -1211,7 +1242,7 @@ object StreamingQueries {
       val version = new AtomicInteger(0)
       val ckpt = graft.Ephemeral.dir("graft-ckpt-")
       val B = StatTestQueries.SprtBound
-      val q = eventsStream(s, dir)
+      val q = withNioCkptFm(s) { eventsStream(s, dir)
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("ts_ms"), col("value"))
         .writeStream
@@ -1244,7 +1275,7 @@ object StreamingQueries {
           version.incrementAndGet()
           ()
         }
-        .start()
+        .start() }
       try q.processAllAvailable()
       finally q.stop()
       deleteRecursively(ckpt)
@@ -2072,7 +2103,7 @@ object StreamingQueries {
         .write.parquet(viewRoot.resolve("v0").toString)
       val version = new AtomicInteger(0)
       val ckpt = graft.Ephemeral.dir("graft-ckpt-")
-      val q = cdcDeltaStream(s, dir)
+      val q = withNioCkptFm(s) { cdcDeltaStream(s, dir)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -2083,7 +2114,7 @@ object StreamingQueries {
           version.incrementAndGet()
           ()
         }
-        .start()
+        .start() }
       try q.processAllAvailable()
       finally q.stop()
       deleteRecursively(ckpt)
@@ -2130,7 +2161,7 @@ object StreamingQueries {
       vocOf(emptyBatch).write.mode("append").parquet(vocDir.toString)
       testOf(emptyBatch).write.mode("append").parquet(testDir.toString)
       val ckpt = graft.Ephemeral.dir("graft-ckpt-")
-      val q = src
+      val q = withNioCkptFm(s) { src
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -2139,7 +2170,7 @@ object StreamingQueries {
           testOf(batch).write.mode("append").parquet(testDir.toString)
           ()
         }
-        .start()
+        .start() }
       try q.processAllAvailable()
       finally q.stop()
       deleteRecursively(ckpt)
